@@ -1,0 +1,154 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.GraphSchema
+
+/** Columnar labeled-property graph with Cypher-MERGE semantics.
+  *
+  * The reference delegates all graph storage/queries to Neo4j; its complete
+  * query surface is the MERGE/MATCH subset catalogued in SURVEY.md §2.B.
+  * This class owns those semantics natively on Spark:
+  *
+  *   - `mergeNodes`  — Q1/Q2: `MERGE (n:L {k:$v}) SET n.p = $v, …`
+  *     (/root/reference/src/crwling.py:47-56, /root/reference/src/ingest.py:4-8)
+  *   - `mergeEdges`  — Q5: `MERGE (a)-[:R]->(b)` (/root/reference/src/crwling.py:54)
+  *   - `matchLabel`  — Q7: `MATCH (a:Article)` (/root/reference/main.py:17)
+  *   - `oneHop`      — Q10: `MATCH (u:User)-[r:T]->(t:Tech)` (/root/reference/cypher.txt:4-5)
+  *   - counters      — Q14: created-vs-matched summary (/root/reference/src/crwling.py:60-64)
+  *
+  * Scale posture (100 TB): all operations are set-oriented joins on the
+  * stable id — the reference's one-Bolt-round-trip-per-record write path
+  * (/root/reference/src/crwling.py:59) becomes a single co-partitionable
+  * anti-join + union per micro-batch. At cluster scale the node table is
+  * stored partitioned by `label` (partition-pruned label scans) and bucketed
+  * by `id` (shuffle-free merge joins); nothing here ever collects to the
+  * driver.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+  import PropertyGraph._
+
+  /** Q1+Q2 — set-oriented MERGE of a node batch.
+    *
+    * `batch` columns: label (string), key (string), props (map<string,string>).
+    * Semantics match Neo4j MERGE+SET: match-or-create on (label,key); listed
+    * properties overwrite on both paths; unlisted existing properties are
+    * retained. Within-batch duplicates are deduplicated on id first (the
+    * reference writes one record per transaction, so batch-internal order is
+    * not observable; we keep one deterministic winner via max_by on props
+    * rendered canonical — callers needing last-write-wins pass an `ord`).
+    */
+  def mergeNodes(batch: DataFrame, ord: Option[Column] = None): PropertyGraph = {
+    val withId = batch.withColumn("id", GraphSchema.stableId(col("label"), col("key")))
+    val deduped = dedupOne(withId, Seq("id"), ord)
+      .select("id", "label", "key", "props")
+    val joined = nodes.alias("old").join(deduped.alias("new"),
+      col("old.id") === col("new.id"), "full_outer")
+    val merged = joined.select(
+      coalesce(col("new.id"), col("old.id")).as("id"),
+      coalesce(col("new.label"), col("old.label")).as("label"),
+      coalesce(col("new.key"), col("old.key")).as("key"),
+      when(col("new.id").isNull, col("old.props"))
+        .when(col("old.id").isNull, col("new.props"))
+        .otherwise(mergeProps(col("old.props"), col("new.props"))).as("props"))
+    copy(nodes = merged)
+  }
+
+  /** Q5 — edge MERGE: create iff absent on (srcId, dstId, relType). */
+  def mergeEdges(batch: DataFrame): PropertyGraph = {
+    val deduped = batch.select("srcId", "dstId", "relType").dropDuplicates()
+    val fresh = deduped.join(edges, Seq("srcId", "dstId", "relType"), "left_anti")
+    copy(edges = edges.unionByName(fresh))
+  }
+
+  /** Edge MERGE addressed by endpoint (label,key) pairs, as the reference's
+    * `MERGE (a)-[:WRITTEN_BY]->(p)` addresses bound nodes. */
+  def mergeEdgesByKey(batch: DataFrame): PropertyGraph = {
+    val resolved = batch.select(
+      GraphSchema.stableId(col("srcLabel"), col("srcKey")).as("srcId"),
+      GraphSchema.stableId(col("dstLabel"), col("dstKey")).as("dstId"),
+      col("relType"))
+    mergeEdges(resolved)
+  }
+
+  /** Q14 — mutation counters: (created, matched) for a node batch, computed
+    * the way the reference's consumer branches on `nodes_created`
+    * (/root/reference/src/crwling.py:61-64). Set-oriented: one anti-join. */
+  def mergeNodeCounts(batch: DataFrame): (Long, Long) = {
+    val withId = batch
+      .withColumn("id", GraphSchema.stableId(col("label"), col("key")))
+      .select("id").dropDuplicates()
+    val created = withId.join(nodes, Seq("id"), "left_anti").count()
+    (created, withId.count() - created)
+  }
+
+  /** Q7 — label scan. At scale the nodes table is written partitioned by
+    * label, so this prunes to one partition instead of scanning the graph. */
+  def matchLabel(label: String): DataFrame =
+    nodes.filter(col("label") === label)
+
+  /** Q8 — property projection, `n.prop AS alias`. */
+  def prop(node: DataFrame, name: String): Column = node("props").getItem(name)
+
+  /** Q10 — one-hop typed pattern `(:srcLabel)-[:relType]->(:dstLabel)` as a
+    * 3-way equi-join. Label/type predicates are pushed below the joins by
+    * Catalyst; small node sides broadcast automatically under AQE. */
+  def oneHop(srcLabel: String, relType: String, dstLabel: String): DataFrame = {
+    val src = matchLabel(srcLabel).select(
+      col("id").as("src_id"), col("key").as("src_key"), col("props").as("src_props"))
+    val dst = matchLabel(dstLabel).select(
+      col("id").as("dst_id"), col("key").as("dst_key"), col("props").as("dst_props"))
+    val es = edges.filter(col("relType") === relType)
+    src.join(es, col("src_id") === col("srcId"))
+      .join(dst, col("dstId") === col("dst_id"))
+      .select(col("src_id"), col("src_key"), col("src_props"),
+        col("relType"), col("dst_id"), col("dst_key"), col("dst_props"))
+  }
+
+  /** Two-hop pattern `(a)-[:r1]->(b)<-[:r2]-(c)` (extension beyond the
+    * reference's 1-hop surface): each extra hop is one more edge join. */
+  def twoHopVia(aLabel: String, r1: String, bLabel: String, r2: String, cLabel: String): DataFrame = {
+    val left = oneHop(aLabel, r1, bLabel)
+      .select(col("src_id").as("a_id"), col("src_key").as("a_key"),
+        col("dst_id").as("b_id"), col("dst_key").as("b_key"))
+    val right = oneHop(cLabel, r2, bLabel)
+      .select(col("src_id").as("c_id"), col("src_key").as("c_key"),
+        col("dst_id").as("b2_id"))
+    left.join(right, col("b_id") === col("b2_id"))
+      .select(col("a_id"), col("a_key"), col("b_id"), col("b_key"), col("c_id"), col("c_key"))
+  }
+
+  /** GraphX bridge for whole-graph analytics (Pregel PageRank / CC / SSSP). */
+  def toGraphX: org.apache.spark.graphx.Graph[(String, String), String] = {
+    import org.apache.spark.graphx.{Graph => XGraph, Edge => XEdge}
+    val vs = nodes.select("id", "label", "key").rdd
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val es = edges.select("srcId", "dstId", "relType").rdd
+      .map(r => XEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    XGraph(vs, es)
+  }
+}
+
+object PropertyGraph {
+  def empty(spark: SparkSession): PropertyGraph =
+    PropertyGraph(GraphSchema.emptyNodes(spark), GraphSchema.emptyEdges(spark))
+
+  /** SET-clause property semantics: listed (new) keys overwrite, unlisted
+    * (old-only) keys survive. Expressed without relying on the session's
+    * `spark.sql.mapKeyDedupPolicy`. */
+  private[graph] def mergeProps(old: Column, fresh: Column): Column =
+    map_concat(
+      map_filter(coalesce(old, map()), (k, _) => !map_contains_key(coalesce(fresh, map()), k)),
+      coalesce(fresh, map()))
+
+  /** Deterministic one-row-per-key dedup: highest `ord` wins (ties broken by
+    * a canonical rendering of props so re-runs agree); without `ord`, the
+    * canonical rendering alone decides. */
+  private[graph] def dedupOne(df: DataFrame, keys: Seq[String], ord: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = to_json(map_entries(coalesce(col("props"), map())))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord.map(_.desc).toSeq :+ canon.desc: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

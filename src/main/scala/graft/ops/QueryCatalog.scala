@@ -1,0 +1,352 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Declared-inventory query catalog (SURVEY.md §2.D): every relational
+  * operator the engine claims, each as a Spark DataFrame program paired with
+  * a DuckDB oracle statement over the same parquet files.
+  *
+  * Determinism policy (the queries must HASH-match the oracle):
+  *   - every query ends in a total-order ORDER BY;
+  *   - money/quantity doubles are cast to DECIMAL(12,2) *before* any
+  *     aggregation — decimal addition is exact and associative, so neither
+  *     engine's accumulation order matters — and cast back to DOUBLE after;
+  *   - averages = exact-decimal sum cast to double, divided by a count
+  *     (one IEEE division, deterministic);
+  *   - no libm-divergent functions (pow/exp/log) in hash-matched output;
+  *   - array folds are explicit left folds on both engines (Spark
+  *     `aggregate`, DuckDB `list_reduce`) → bitwise-equal doubles;
+  *   - integer-typed outputs are cast so both engines agree (DuckDB
+  *     year()/length()/row_number() are BIGINT, Spark's are INT).
+  */
+object QueryCatalog {
+  type QFn = (SparkSession, String) => DataFrame
+  final case class Entry(name: String, fn: QFn, oracle: Option[String])
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------- scans --
+
+  private val q01 = Entry("q01_scan_filter_project",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+           |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin))
+
+  // ----------------------------------------------------------- aggregates --
+
+  private val q02 = Entry("q02_agg_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("sum_disc_price"),
+          (asDouble(sum(dec(col("l_quantity")))) / count(col("l_quantity"))).as("avg_qty"),
+          (asDouble(sum(dec(col("l_extendedprice")))) / count(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           |  COUNT(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // ---------------------------------------------------------------- joins --
+
+  private val q03 = Entry("q03_join_revenue_by_nation",
+    (s, dir) => {
+      // customer ⋈ orders ⋈ lineitem with broadcast dims nation/region:
+      // the fact-fact joins shuffle on their keys; dims are broadcast so no
+      // shuffle is added for them (at 100 TB the dims stay dim-sized).
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          asDouble(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name
+           |ORDER BY r_name, n_name""".stripMargin))
+
+  private val q04 = Entry("q04_left_join_order_counts",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          asDouble(coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(12, 2)))).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey, c_name
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val q05 = Entry("q05_semi_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val q06 = Entry("q06_anti_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord97 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1997)
+      cust.join(ord97, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal
+           |FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+           |ORDER BY c_custkey""".stripMargin))
+
+  // -------------------------------------------------------------- windows --
+
+  private val q07 = Entry("q07_window_rank",
+    (s, dir) => {
+      val wTotal = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(wTotal).as("rn"),
+          rank().over(wDate).as("rk"),
+          dense_rank().over(wDate).as("drk"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+           |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS rk,
+           |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS drk
+           |FROM orders
+           |ORDER BY o_custkey, rn""".stripMargin))
+
+  private val q08 = Entry("q08_window_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          asDouble(sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_spent"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
+           |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+           |FROM orders
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  // --------------------------------------------------------- sort / top-k --
+
+  private val q09 = Entry("q09_topk_customers",
+    (s, dir) => {
+      // orderBy().limit() lowers to TakeOrderedAndProject: per-partition
+      // top-k then a k-row merge on the driver — no global sort at scale.
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(asDouble(sum(dec(col("o_totalprice")))).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_custkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+           |  COUNT(*) AS n_orders
+           |FROM orders GROUP BY o_custkey
+           |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin))
+
+  // ------------------------------------------------- rollup / cube / sets --
+
+  private val q10 = Entry("q10_rollup",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+           |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY flag, status""".stripMargin))
+
+  private val q11 = Entry("q11_cube",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin))
+
+  private val q12 = Entry("q12_set_ops",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("customer_only")))
+        .unionByName(sn.except(cn).withColumn("tag", lit("supplier_only")))
+        .orderBy("tag", "nk")
+    },
+    Some("""WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           |     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+           |SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+           |UNION ALL
+           |SELECT nk, 'customer_only' AS tag FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+           |UNION ALL
+           |SELECT nk, 'supplier_only' AS tag FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+           |ORDER BY tag, nk""".stripMargin))
+
+  // ----------------------------------------------------- scalar functions --
+
+  private val q13 = Entry("q13_string_functions",
+    (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+        trim(col("p_name")).as("name_trim"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, lower(p_name) AS name_lower, upper(p_brand) AS brand_upper,
+           |  substring(p_type, 1, 5) AS type_prefix, CAST(length(p_name) AS INT) AS name_len,
+           |  concat_ws('|', p_brand, p_type) AS brand_type,
+           |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           |  trim(p_name) AS name_trim
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  private val q14 = Entry("q14_date_functions",
+    (s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_95"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+           |  CAST(dayofmonth(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS qtr,
+           |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  private val q15 = Entry("q15_json_extract",
+    (s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  private val q16 = Entry("q16_math_case",
+    (s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice")).as("price_round"),
+        abs(col("l_discount") - 0.05).as("disc_dist"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        when(col("l_quantity") > 25, "big").otherwise("small").as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  round(l_extendedprice) AS price_round,
+           |  abs(l_discount - 0.05) AS disc_dist,
+           |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS bucket
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  private val q17 = Entry("q17_count_distinct",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Ordered catalog. Extended batch-by-batch as operators land. */
+  val entries: Seq[Entry] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17)
+}

@@ -1,0 +1,82 @@
+package graft.graph
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PropertyGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def articleBatch = Seq(
+    ("Article", "http://a/1", Map("title" -> "First article", "content" -> "body one")),
+    ("Article", "http://a/2", Map("title" -> "Second article", "content" -> "body two")),
+    ("Publisher", "Daily Planet", Map.empty[String, String])
+  ).toDF("label", "key", "props")
+
+  test("mergeNodes creates nodes once; re-merge is idempotent") {
+    val g0 = PropertyGraph.empty(spark)
+    val g1 = g0.mergeNodes(articleBatch)
+    assert(g1.nodes.count() === 3)
+    val g2 = g1.mergeNodes(articleBatch)
+    assert(g2.nodes.count() === 3)
+    // MERGE match-or-create: ids stable across merges
+    val ids1 = g1.nodes.select("id").as[Long].collect().sorted
+    val ids2 = g2.nodes.select("id").as[Long].collect().sorted
+    assert(ids1 === ids2)
+  }
+
+  test("mergeNodes SET semantics: new props overwrite, old-only props survive") {
+    val g1 = PropertyGraph.empty(spark).mergeNodes(articleBatch)
+    val update = Seq(
+      ("Article", "http://a/1", Map("title" -> "First article v2"))
+    ).toDF("label", "key", "props")
+    val g2 = g1.mergeNodes(update)
+    assert(g2.nodes.count() === 3)
+    val row = g2.nodes.filter($"key" === "http://a/1")
+      .select("props").as[Map[String, String]].head()
+    assert(row("title") === "First article v2")
+    assert(row("content") === "body one") // unlisted prop retained
+  }
+
+  test("mergeNodeCounts reports created vs matched like the reference counters") {
+    val g1 = PropertyGraph.empty(spark).mergeNodes(articleBatch)
+    val (c0, m0) = PropertyGraph.empty(spark).mergeNodeCounts(articleBatch)
+    assert((c0, m0) === (3L, 0L))
+    val (c1, m1) = g1.mergeNodeCounts(articleBatch)
+    assert((c1, m1) === (0L, 3L))
+  }
+
+  test("mergeEdges dedups and is idempotent; oneHop pattern join works") {
+    val g = PropertyGraph.empty(spark)
+      .mergeNodes(Seq(
+        ("User", "Beomzh", Map.empty[String, String]),
+        ("Tech", "GraphRAG", Map.empty[String, String])).toDF("label", "key", "props"))
+    val edgeBatch = Seq(
+      ("User", "Beomzh", "INTERESTED_IN", "Tech", "GraphRAG"),
+      ("User", "Beomzh", "INTERESTED_IN", "Tech", "GraphRAG")
+    ).toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey")
+    val g1 = g.mergeEdgesByKey(edgeBatch).mergeEdgesByKey(edgeBatch)
+    assert(g1.edges.count() === 1)
+    val hop = g1.oneHop("User", "INTERESTED_IN", "Tech")
+    val r = hop.select("src_key", "dst_key").as[(String, String)].collect()
+    assert(r.toSeq === Seq(("Beomzh", "GraphRAG")))
+  }
+
+  test("matchLabel + prop projection + limit mirrors the reference read-back") {
+    val g = PropertyGraph.empty(spark).mergeNodes(articleBatch)
+    val titles = g.matchLabel("Article")
+      .select(col("props").getItem("title").as("title"))
+      .orderBy("title").limit(5)
+      .as[String].collect()
+    assert(titles.toSeq === Seq("First article", "Second article"))
+  }
+
+  test("toGraphX round-trips vertices and edges") {
+    val g = PropertyGraph.empty(spark)
+      .mergeNodes(articleBatch)
+      .mergeEdgesByKey(Seq(("Article", "http://a/1", "WRITTEN_BY", "Publisher", "Daily Planet"))
+        .toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey"))
+    val x = g.toGraphX
+    assert(x.vertices.count() === 3)
+    assert(x.edges.count() === 1)
+  }
+}
