@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.QueryCatalog
+import graft.ops.{AnalyticsCatalog, QueryCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,15 @@ object SparkEntry {
     QueryCatalog.entries.find(_.name == "q03_join_revenue_by_nation").get
       .fn(spark, "/root/testdata/sf0.001")
 
+  private def allEntries: Seq[QueryCatalog.Entry] =
+    QueryCatalog.entries ++ AnalyticsCatalog.entries
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.entries.map(e => e.name -> e.fn).toMap
+    allEntries.map(e => e.name -> e.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueryCatalog.entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+    allEntries.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }

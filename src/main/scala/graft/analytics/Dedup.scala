@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for 100 TB training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All distributed set operations —
+  * no driver-side loops; candidate generation is always a bucketed equi-join
+  * (never an all-pairs cross join at scale).
+  */
+object Dedup {
+
+  /** Content hash over the canonical text form (exact dedup key). */
+  def contentHash(text: Column): Column = TextAnalysis.fingerprint(text)
+
+  /** Exact dedup: one deterministic survivor per content hash (the lowest
+    * `tieBreak`). A shuffle on the hash — at scale this is a single
+    * hash-partitioned window, skew-safe because hashes are uniform. */
+  def exact(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles. n=1 → distinct token set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    if (n == 1) array_distinct(toks)
+    else array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two element-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash signature: k permutations simulated as k seeded xxhash64s;
+    * signature element i = min over shingles of xxhash64(shingle, i). */
+  def minHashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`,
+    * each hashed (band index mixed in so buckets don't collide across bands). */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
+    * bucket-join → exact-Jaccard verify. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b and jaccard >= threshold.
+    *
+    * Scale: the only joins are equi-joins on (band-bucket); candidate
+    * volume is controlled by bands×rows (tune toward the J-threshold s-curve
+    * (1/bands)^(1/rowsPerBand)). Exact verification touches candidates only.
+    */
+  def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 1, k: Int = 64, bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val rowsPerBand = k / bands
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // Candidate generation on narrow (bucket, id) rows only — the shingle
+    // arrays stay out of the bucket join and the pair-dedup shuffle, which
+    // is what keeps this viable when buckets are dense.
+    val buckets = base
+      .withColumn("bucket", explode(lshBuckets(minHashSignature(col("sh"), k), bands, rowsPerBand)))
+      .select("bucket", "id")
+    val cand = buckets.alias("a").join(buckets.alias("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Exact verification touches candidates only: two id-equi-joins to
+    // re-attach shingles, then the Jaccard filter.
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact all-pairs n-gram Jaccard within a blocking column (oracle-friendly
+    * ground truth; the blocked join bounds pair volume). */
+  def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per-bit vote of token-hash bits.
+    * Expressed with built-in expressions (64 per-bit aggregates); a custom
+    * codegen Expression is the planned hot-path upgrade if profiling at
+    * scale demands it. */
+  def simHash64(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val bitCols = (0 until 64).map { i =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + (shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Driver-side Hamming distance (test/debug convenience). */
+  def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs within a blocking column: signatures whose
+    * Hamming distance <= maxHamming. */
+  def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
+    val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      simHash64(col(textCol)).as("sig"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

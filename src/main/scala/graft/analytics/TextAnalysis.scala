@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, all as
+  * pure column expressions (whole-stage-codegen friendly, no UDFs): token
+  * counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Generalizes the reference's text-cleaning path (`clean_text`,
+  * /root/reference/src/crwling.py:37-43) from one scrubbing function to a
+  * pipeline-grade feature set.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the BPE-ish regex split). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical form used for fingerprinting / exact dedup. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Document fingerprint over the canonical form. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Count of tokens present in `words`. */
+  def dictHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val esStopwords: Seq[String] = Seq("el", "la", "los", "de", "que", "y")
+  val deStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val frStopwords: Seq[String] = Seq("le", "les", "des", "et", "est", "une")
+
+  /** Stopword-dictionary language-ID heuristic: argmax of per-language
+    * stopword hits with fixed precedence en > es > de > fr on ties. */
+  def langGuess(c: Column): Column = {
+    val toks = tokens(c)
+    val en = dictHits(toks, enStopwords)
+    val es = dictHits(toks, esStopwords)
+    val de = dictHits(toks, deStopwords)
+    val fr = dictHits(toks, frStopwords)
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  def punctCount(c: Column): Column = size(regexp_extract_all(c, lit("[.,!?;:]"), lit(0)))
+
+  /** Composite quality score in [0,1]: stopword density + length credit +
+    * punctuation-noise penalty. The formula is fixed double arithmetic so it
+    * reproduces bit-exactly across engines. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val stopRatio = dictHits(toks, enStopwords).cast("double") / n
+    val lenCredit = least(n.cast("double") / 200.0, lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c), lit(1))
+    lit(0.5) * stopRatio + lit(0.3) * lenCredit +
+      lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))
+  }
+
+  /** Mean token length: chars-without-whitespace / token count. */
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
+}

@@ -1,0 +1,343 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.graph.GraphIngest
+import graft.multimodal.Multimodal
+import graft.streaming.EventWindows
+import QueryCatalog.Entry
+
+/** Catalog part 2: graph operators (over the documents-derived
+  * Article/Publisher graph), text analysis, dedup, similarity search,
+  * windowed event aggregation (batch-equivalent of the streaming plans),
+  * and multimodal binary plumbing. Same determinism policy as
+  * [[QueryCatalog]].
+  */
+object AnalyticsCatalog {
+
+  // ---------------------------------------------------------------- graph --
+
+  private val g01 = Entry("g01_graph_label_scan",
+    (s, dir) => {
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      g.matchLabel("Article")
+        .select(col("key"),
+          col("props").getItem("title").as("title"),
+          col("props").getItem("lang").as("lang"))
+        .orderBy("key").limit(25)
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS key, substring(text, 1, 30) AS title, lang
+           |FROM documents ORDER BY key LIMIT 25""".stripMargin))
+
+  private val g02 = Entry("g02_graph_merge_idempotent",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batch = GraphIngest.articleNodes(docs)
+        .unionByName(GraphIngest.publisherNodes(docs))
+      // MERGE twice: second merge must match, not create (Q1 semantics)
+      val g = GraphIngest.fromDocuments(docs).mergeNodes(batch)
+      g.nodes.groupBy("label").agg(count(lit(1)).as("n_nodes")).orderBy("label")
+    },
+    Some("""SELECT 'Article' AS label, COUNT(DISTINCT doc_id) AS n_nodes FROM documents
+           |UNION ALL
+           |SELECT 'Publisher' AS label, COUNT(DISTINCT source) AS n_nodes FROM documents
+           |ORDER BY label""".stripMargin))
+
+  private val g03 = Entry("g03_graph_one_hop",
+    (s, dir) => {
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      g.oneHop("Article", "WRITTEN_BY", "Publisher")
+        .groupBy(col("dst_key").as("publisher"))
+        .agg(count(lit(1)).as("n_articles"))
+        .orderBy("publisher")
+    },
+    Some("""SELECT source AS publisher, COUNT(*) AS n_articles
+           |FROM documents GROUP BY source ORDER BY publisher""".stripMargin))
+
+  private val g04 = Entry("g04_graph_two_hop",
+    (s, dir) => {
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      g.twoHopVia("Article", "WRITTEN_BY", "Publisher", "WRITTEN_BY", "Article")
+        .filter(col("a_key") < col("c_key"))
+        .groupBy(col("b_key").as("publisher"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("publisher")
+    },
+    Some("""SELECT d1.source AS publisher, COUNT(*) AS n_pairs
+           |FROM documents d1 JOIN documents d2
+           |  ON d1.source = d2.source
+           | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
+           |GROUP BY d1.source ORDER BY publisher""".stripMargin))
+
+  // -------------------------------------------------------- text analysis --
+
+  private val t01 = Entry("t01_token_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           |  CAST(length(text) AS INT) AS n_chars_measured,
+           |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val t02 = Entry("t02_quality_score",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.dictHits(TextAnalysis.tokens(col("text")), TextAnalysis.enStopwords).as("stop_hits"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+           |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits,
+           |    len(regexp_extract_all(text, '[.,!?;:]')) AS punct
+           |  FROM documents)
+           |SELECT doc_id, CAST(stop_hits AS INT) AS stop_hits,
+           |  0.5 * (CAST(stop_hits AS DOUBLE) / len(toks))
+           |  + 0.3 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
+           |  + 0.2 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+           |  AS quality
+           |FROM t ORDER BY doc_id""".stripMargin))
+
+  private val t03 = Entry("t03_lang_guess",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.langGuess(col("text")).as("guess"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |h AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en,
+           |    len(list_filter(toks, x -> list_contains(['el','la','los','de','que','y'], x))) AS es,
+           |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS de,
+           |    len(list_filter(toks, x -> list_contains(['le','les','des','et','est','une'], x))) AS fr
+           |  FROM t)
+           |SELECT doc_id, lang,
+           |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |       WHEN es >= de AND es >= fr THEN 'es'
+           |       WHEN de >= fr THEN 'de'
+           |       ELSE 'fr' END AS guess
+           |FROM h ORDER BY doc_id""".stripMargin))
+
+  private val t04 = Entry("t04_fingerprint",
+    (s, dir) => {
+      Tables(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- dedup --
+
+  private val d01 = Entry("d01_exact_dedup_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(Dedup.contentHash(col("text"))).as("n_uniq"))
+        .withColumn("n_dups", col("n_docs") - col("n_uniq"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_uniq,
+           |  COUNT(*) - COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dups
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val d02 = Entry("d02_approx_distinct",
+    (s, dir) => {
+      // HLL sketch vs exact — engine-internal check (sketch estimates are
+      // engine-specific, so no cross-engine oracle; spec asserts rsd bound).
+      Tables(s, dir, "documents").groupBy("lang")
+        .agg(approx_count_distinct(col("text"), 0.05).as("approx_uniq"),
+          countDistinct(col("text")).as("exact_uniq"))
+        .orderBy("lang")
+    },
+    None)
+
+  private val d03 = Entry("d03_minhash_lsh_pairs",
+    (s, dir) => {
+      // MinHash+LSH near-dup candidates, exact-verified. Hash-family
+      // dependent → no cross-engine oracle; recall vs d04's exact output is
+      // asserted in DedupSpec.
+      Dedup.nearDupPairsMinhash(Tables(s, dir, "documents"),
+          "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  private val d04 = Entry("d04_jaccard_pairs",
+    (s, dir) => {
+      Dedup.nearDupPairsExact(Tables(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", shingleN = 1, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+           |  FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  private val d05 = Entry("d05_simhash_pairs",
+    (s, dir) => {
+      // SimHash near-dups (hash-family dependent → engine-internal; see
+      // DedupSpec for the correctness assertion against exact Jaccard).
+      Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", maxHamming = 20)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  private val d06 = Entry("d06_embedding_near_dup",
+    (s, dir) => {
+      Similarity.embeddingNearDupPairs(
+          Tables(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings WHERE vec_id < 1000)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+           |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)
+           |    / (a.nrm * b.nrm) AS cosine
+           |FROM v a JOIN v b ON a.vec_id < b.vec_id
+           |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+           |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)
+           |    / (a.nrm * b.nrm) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  // ------------------------------------------------------------- vectors --
+
+  private val v01 = Entry("v01_vector_norms",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      Tables(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        VectorFunctions.norm(col("embedding")).as("l2_norm"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+           |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |       (p,q) -> p + q)) AS l2_norm,
+           |  CAST(embedding[1] AS DOUBLE) AS first_val
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  private val v02 = Entry("v02_cosine_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.cosineTopK(corpus, queries, k = 3)
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+           |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS INT) AS rank,
+           |  id, cosine
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
+
+  // -------------------------------------------- streaming (batch-checked) --
+
+  private val s01 = Entry("s01_tumbling_window",
+    (s, dir) => {
+      EventWindows.tumbling(Tables(s, dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+
+  private val s02 = Entry("s02_sliding_window",
+    (s, dir) => {
+      EventWindows.sliding(Tables(s, dir, "events"), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")
+    },
+    Some("""WITH x AS (
+           |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+           |  UNION ALL
+           |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events)
+           |SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+
+  private val s03 = Entry("s03_session_window",
+    (s, dir) => {
+      EventWindows.sessions(Tables(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |              >= INTERVAL '30 minutes'
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events),
+           |s AS (
+           |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e)
+           |SELECT min(ts) AS session_start, user_id, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  // ----------------------------------------------------------- multimodal --
+
+  private val m01 = Entry("m01_binary_media_meta",
+    (s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text", "text")
+      media.select(col("id"), col("kind"),
+        length(col("payload")).as("n_bytes"),
+        col("meta").getItem("codec").as("codec"))
+        .orderBy("id")
+    },
+    Some("""SELECT doc_id AS id, 'text' AS kind,
+           |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           |  'raw' AS codec
+           |FROM documents ORDER BY id""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(
+    g01, g02, g03, g04,
+    t01, t02, t03, t04,
+    d01, d02, d03, d04, d05, d06,
+    v01, v02,
+    s01, s02, s03,
+    m01)
+}

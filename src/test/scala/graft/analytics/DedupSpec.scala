@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat", "a"),   // near-dup of 1
+    (3L, "completely different words entirely unrelated text", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog", "a"),   // exact dup of 1
+    (5L, "the quick brown fox jumps over a lazy dog", "b")      // near-dup, other block
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps one deterministic survivor per content hash") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L, 5L)) // 4 deduped against 1 (lower id wins)
+    // idempotent
+    assert(Dedup.exact(out, "text", "doc_id").count() === 4)
+  }
+
+  test("exact jaccard pairs find near-dups within block") {
+    val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text", "source", 1, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // different block
+  }
+
+  test("minhash LSH recalls the high-jaccard pairs found exactly") {
+    val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text", "source", 1, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairsMinhash(docs, "doc_id", "text", 1, 32, 8, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies candidates with the same exact jaccard, so lsh ⊆ exact∪cross-block;
+    // within-block high-J pairs must be recalled at these band settings.
+    assert(exact.subsetOf(lsh))
+  }
+
+  test("minhash LSH on fixture documents recalls >=90% of exact pairs") {
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairsMinhash(fixture, "doc_id", "text", 1, 32, 8, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val within = exact // exact is blocked by source; lsh is global → superset on these
+    val recalled = within.count(lsh.contains)
+    assert(within.isEmpty || recalled.toDouble / within.size >= 0.9,
+      s"recall ${recalled}/${within.size}")
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val sigs = docs.select($"doc_id", Dedup.simHash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.hammingDist(sigs(1L), sigs(4L)) === 0)
+    assert(Dedup.hammingDist(sigs(1L), sigs(2L)) < Dedup.hammingDist(sigs(1L), sigs(3L)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Clustered synthetic vectors: 4 well-separated centroids + small
+    * deterministic noise, so nearest neighbors are in-cluster. */
+  private def clustered = {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(4, dim)(rnd.nextGaussian() * 5)
+    val rows = (0 until 80).map { i =>
+      val c = centroids(i % 4)
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+      (i.toLong, v, i % 4)
+    }
+    rows.toDF("id", "vec", "cluster")
+  }
+
+  test("brute-force cosine top-k returns in-cluster neighbors, ranked") {
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 4)
+      .select($"id".as("q_id"), $"vec".as("q_vec"), $"cluster".as("q_cluster"))
+    val top = Similarity.cosineTopK(corpus, queries.drop("q_cluster"), k = 5)
+    val joined = top.join(corpus.select($"id", $"cluster"), "id")
+      .join(queries.select($"q_id", $"q_cluster"), "q_id")
+    // every neighbor of query q is in q's cluster
+    assert(joined.filter($"cluster" =!= $"q_cluster").count() === 0)
+    // ranks are 1..5 per query
+    val ranks = top.groupBy("q_id").agg(collect_list("rank").as("rs"))
+      .select("rs").as[Seq[Int]].collect()
+    assert(ranks.forall(_.sorted == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("q_id"), $"vec".as("q_vec"))
+    val brute = Similarity.cosineTopK(corpus, queries, k = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, queries, k = 3, nBits = 4, dim = 16)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.embeddingNearDupPairs(
+      clustered.select($"id", $"vec"), "id", "vec", 0.99)
+    val rows = pairs.select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.99 })
+  }
+}

@@ -7,7 +7,7 @@ import graft.SparkTestBase
   * (scripts/check.py locally; the driver's t2 gate per-round). */
 class QueryCatalogSpec extends SparkTestBase {
 
-  QueryCatalog.entries.foreach { e =>
+  (QueryCatalog.entries ++ AnalyticsCatalog.entries).foreach { e =>
     test(s"${e.name} runs and returns rows") {
       val df = e.fn(spark, sfDir)
       val n = df.count()
@@ -18,7 +18,7 @@ class QueryCatalogSpec extends SparkTestBase {
   }
 
   test("catalog names are unique and oracle keys match query keys") {
-    val names = QueryCatalog.entries.map(_.name)
+    val names = (QueryCatalog.entries ++ AnalyticsCatalog.entries).map(_.name)
     assert(names.distinct.length === names.length)
   }
 }

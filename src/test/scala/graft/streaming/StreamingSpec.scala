@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val eventRows = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 1L, "click", 10.0),
+    (2L, ts("2024-01-01 00:20:00"), 1L, "click", 20.0),
+    (3L, ts("2024-01-01 00:55:00"), 2L, "view", 5.0),
+    (4L, ts("2024-01-01 01:10:00"), 1L, "click", 7.5),
+    (5L, ts("2024-01-01 02:00:00"), 2L, "view", 2.5))
+
+  private def eventDf = eventRows
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling window: streaming result equals batch result") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = EventWindows.tumbling(EventWindows.withLateDataBound(stream, "10 minutes"), "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventWindows.tumbling(eventDf, "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("session windows merge by gap in batch mode") {
+    val sessions = EventWindows.sessions(eventDf, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+    // user 1: events at 00:05, 00:20 merge (gap 15m); 01:10 separate
+    // user 2: 00:55 and 02:00 separate
+    assert(sessions === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("foreachBatch MERGE sink upserts idempotently into the graph") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    var graph = PropertyGraph.empty(spark)
+    val q = mem.toDF().toDF("label_key", "title")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val nodes = batch.select(
+          lit("Article").as("label"),
+          col("label_key").as("key"),
+          map(lit("title"), col("title")).as("props"))
+        graph = graph.mergeNodes(nodes)
+        graph.nodes.count() // materialize within the epoch
+        ()
+      }.start()
+    try {
+      mem.addData(("a", "t1"), ("b", "t2"))
+      q.processAllAvailable()
+      mem.addData(("a", "t1-updated"), ("c", "t3")) // a merges, c creates
+      q.processAllAvailable()
+      assert(graph.nodes.count() === 3)
+      val title = graph.nodes.filter($"key" === "a")
+        .select(element_at($"props", "title")).as[String].head()
+      assert(title === "t1-updated")
+    } finally q.stop()
+  }
+}
