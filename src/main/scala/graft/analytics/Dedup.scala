@@ -31,14 +31,20 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Exact Jaccard similarity of two element-distinct arrays. */
+  /** Exact Jaccard similarity of two string arrays (single-pass native
+    * expression; equals size(array_intersect)/size(array_union)). */
   def jaccard(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.jaccardSim(a, b)
+
+  /** Reference built-in formulation of [[jaccard]] (equivalence spec). */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** MinHash signature: k permutations simulated as k seeded xxhash64s;
-    * signature element i = min over shingles of xxhash64(shingle, i). */
+    * signature element i = min over shingles of xxhash64(shingle, i).
+    * Single-pass native expression ([[graft.functions.MinHashSig]]). */
   def minHashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+    graft.functions.NativeExpressions.minHashSignature(sh, k)
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`,
     * each hashed (band index mixed in so buckets don't collide across bands). */
@@ -92,19 +98,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over tokens: per-bit vote of token-hash bits.
-    * Expressed with built-in expressions (64 per-bit aggregates); a custom
-    * codegen Expression is the planned hot-path upgrade if profiling at
-    * scale demands it. */
-  def simHash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val bitCols = (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + (shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * 2L - 1L))
-      when(vote >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash over tokens: per-bit vote of token-hash bits, one pass
+    * per row ([[graft.functions.SimHash64]] native expression). */
+  def simHash64(text: Column): Column =
+    graft.functions.NativeExpressions.simHash64(TextAnalysis.tokens(text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

