@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Whole-graph analytics via GraphX/Pregel (BASELINE.json "spark_approach").
+  * The reference delegates all traversal to Neo4j; these are the iterative
+  * algorithms a Neo4j user would reach for (PageRank, connected components,
+  * shortest paths), run on the same node/edge Datasets through the GraphX
+  * bridge and returned as DataFrames joined back to graph keys.
+  *
+  * Scale posture: Pregel supersteps shuffle messages by vertex id — the
+  * standard distributed formulation; no driver-side iteration state beyond
+  * loop control.
+  */
+object GraphAlgorithms {
+
+  /** Static PageRank, `numIter` supersteps (deterministic iteration count;
+    * ranks unnormalized, reset probability 0.15 as published). */
+  def pageRank(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val ranks = g.toGraphX.staticPageRank(numIter, resetProb)
+      .vertices.map { case (id, rank) => (id, rank) }
+    ranks.toDF("id", "rank")
+      .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+  }
+
+  /** Connected components (Pregel min-id propagation): (id, label, key,
+    * component) where component = lowest vertex id in the component. */
+  def connectedComponents(g: PropertyGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val cc = g.toGraphX.connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }
+    cc.toDF("id", "component")
+      .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+  }
+
+  /** Per-component roll-up with engine-independent identity: each component
+    * reported as (min_key, size) — min over member keys, not internal ids,
+    * so results are comparable across engines. */
+  def componentSummary(g: PropertyGraph): DataFrame =
+    connectedComponents(g)
+      .groupBy("component")
+      .agg(min(col("key")).as("min_key"), count(lit(1)).as("size"))
+      .select("min_key", "size")
+
+  /** Shortest-path hop counts from every vertex to each landmark
+    * (GraphX lib.ShortestPaths; edges traversed as undirected is NOT
+    * assumed — GraphX follows out-edges toward landmarks). */
+  def shortestPathLengths(g: PropertyGraph, landmarks: Seq[Long]): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(g.toGraphX, landmarks)
+      .vertices.flatMap { case (id, spMap) =>
+        spMap.map { case (landmark, dist) => (id, landmark, dist) }
+      }
+    sp.toDF("id", "landmark", "hops")
+      .join(g.nodes.select(col("id"), col("key")), Seq("id"))
+  }
+}

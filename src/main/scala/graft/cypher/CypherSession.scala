@@ -1,0 +1,267 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import CypherAst._
+
+/** Executes the Cypher subset against a [[PropertyGraph]], lowering patterns
+  * to DataFrame plans (Q10's 1-hop pattern = two equi-joins; MERGE = the
+  * set-oriented anti-join upsert) — the Spark-native replacement for the
+  * reference's Bolt session (/root/reference/src/database.py).
+  *
+  * Statement-at-a-time `run(query, params)` mirrors the reference's
+  * per-record writes; `runBatch(query, paramsDf)` executes the SAME MERGE
+  * statement set-oriented over a whole DataFrame of parameter rows — one
+  * shuffle per batch instead of one round-trip per record
+  * (/root/reference/src/crwling.py:59,174).
+  */
+sealed trait CypherResult
+final case class CypherRows(df: DataFrame) extends CypherResult
+final case class CypherMutation(graph: PropertyGraph, nodesCreated: Long,
+  nodesMatched: Long) extends CypherResult
+
+final class CypherSession(
+    initial: PropertyGraph,
+    /** merge-key property per label, per the reference's MERGE clauses
+      * (Article.link, Publisher/User/Tech.name). */
+    keyProps: Map[String, String] = CypherSession.referenceKeyProps,
+    /** `datetime()` source — inject a literal for deterministic tests. */
+    clock: () => Column = () => current_timestamp()) {
+
+  @volatile var graph: PropertyGraph = initial
+
+  def run(query: String, params: Map[String, Any] = Map.empty): CypherResult =
+    CypherParser.parse(query) match {
+      case m: MatchStatement => CypherRows(compileMatch(m, params))
+      case m: MutateStatement =>
+        val spark = graph.nodes.sparkSession
+        val paramsDf =
+          if (params.isEmpty) spark.range(1).toDF()
+          else {
+            import spark.implicits._
+            val cols = params.toSeq
+            cols.foldLeft(Seq(1).toDF("__one")) { case (df, (k, v)) =>
+              df.withColumn(k, lit(v))
+            }
+          }
+        executeMutation(m, paramsDf)
+    }
+
+  /** Set-oriented execution of a parameterized MERGE statement over a whole
+    * batch of parameter rows (columns named like the `$params`). */
+  def runBatch(query: String, paramsDf: DataFrame): CypherResult =
+    CypherParser.parse(query) match {
+      case m: MutateStatement => executeMutation(m, paramsDf)
+      case _ => throw new IllegalArgumentException("runBatch expects a MERGE statement")
+    }
+
+  // ------------------------------------------------------------ mutation --
+
+  private case class NodeBinding(variable: String, label: String,
+    keyValue: Value, patProps: Map[String, Value],
+    var setProps: Vector[(String, Value)])
+
+  private def executeMutation(m: MutateStatement, paramsDf: DataFrame): CypherResult = {
+    val bindings = scala.collection.mutable.LinkedHashMap.empty[String, NodeBinding]
+    val edges = Vector.newBuilder[MergeEdge]
+    var returns: Seq[ReturnItem] = Nil
+
+    m.clauses.foreach {
+      case MergeNode(pat) =>
+        val v = pat.variable.getOrElse(s"__anon${bindings.size}")
+        val label = pat.label.getOrElse(
+          throw new IllegalArgumentException("MERGE node needs a label"))
+        val keyProp = keyProps.getOrElse(label, "name")
+        val keyValue = pat.props.getOrElse(keyProp,
+          throw new IllegalArgumentException(
+            s"MERGE ($v:$label) must bind key property '$keyProp'"))
+        bindings.getOrElseUpdate(v,
+          NodeBinding(v, label, keyValue, pat.props - keyProp, Vector.empty))
+      case SetItems(items) =>
+        items.foreach { case (PropRef(v, p), value) =>
+          val b = bindings.getOrElse(v,
+            throw new IllegalArgumentException(s"SET on unbound variable $v"))
+          b.setProps = b.setProps :+ (p, value)
+        }
+      case e: MergeEdge =>
+        require(bindings.contains(e.srcVar) && bindings.contains(e.dstVar),
+          s"MERGE edge references unbound variables ${e.srcVar}/${e.dstVar}")
+        edges += e
+      case WithVars(_) => // pure scoping: bindings carry through
+      case ReturnVars(items) => returns = items
+    }
+
+    val nodeBatches = bindings.values.map { b =>
+      val propEntries = (b.patProps.toSeq ++ b.setProps).flatMap { case (k, value) =>
+        Seq(lit(k), valueCol(value, paramsDf).cast("string"))
+      }
+      val propsCol =
+        if (propEntries.isEmpty) typedlit(Map.empty[String, String])
+        else map(propEntries: _*)
+      paramsDf.select(
+        lit(b.label).as("label"),
+        valueCol(b.keyValue, paramsDf).cast("string").as("key"),
+        propsCol.as("props"))
+    }.reduce(_ unionByName _)
+
+    val (created, matched) = graph.mergeNodeCounts(nodeBatches)
+    var g2 = graph.mergeNodes(nodeBatches)
+
+    val edgeList = edges.result()
+    if (edgeList.nonEmpty) {
+      val edgeBatches = edgeList.map { e =>
+        val src = bindings(e.srcVar)
+        val dst = bindings(e.dstVar)
+        paramsDf.select(
+          lit(src.label).as("srcLabel"),
+          valueCol(src.keyValue, paramsDf).cast("string").as("srcKey"),
+          lit(e.relType).as("relType"),
+          lit(dst.label).as("dstLabel"),
+          valueCol(dst.keyValue, paramsDf).cast("string").as("dstKey"))
+      }.reduce(_ unionByName _)
+      g2 = g2.mergeEdgesByKey(edgeBatches)
+    }
+
+    graph = g2
+    CypherMutation(g2, created, matched)
+  }
+
+  // --------------------------------------------------------------- match --
+
+  private def compileMatch(m: MatchStatement, params: Map[String, Any]): DataFrame = {
+    var df: DataFrame = null
+    var bound = Set.empty[String]
+    var anon = 0
+    def freshVar(): String = { anon += 1; s"__n$anon" }
+
+    def nodeDf(pat: NodePat, v: String): DataFrame = {
+      var base = graph.nodes
+      pat.label.foreach(l => base = base.filter(col("label") === l))
+      pat.props.foreach { case (k, value) =>
+        base = base.filter(propOf(col("key"), col("props"), col("label"), k) ===
+          scalarCol(value, params))
+      }
+      base.select(col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
+        col("key").as(s"${v}__key"), col("props").as(s"${v}__props"))
+    }
+
+    m.paths.foreach { p =>
+      val vars = p.nodes.map(n => n.variable.getOrElse(freshVar()))
+      if (!bound.contains(vars.head)) {
+        val part = nodeDf(p.nodes.head, vars.head)
+        df = if (df == null) part else df.crossJoin(part)
+        bound += vars.head
+      }
+      p.edges.zipWithIndex.foreach { case (e, i) =>
+        val leftV = vars(i)
+        val rightV = vars(i + 1)
+        val eVar = e.variable.getOrElse(freshVar())
+        var es = graph.edges
+        e.relType.foreach(t => es = es.filter(col("relType") === t))
+        val eDf = es.select(col("srcId").as(s"${eVar}__src"),
+          col("dstId").as(s"${eVar}__dst"), col("relType").as(s"${eVar}__type"))
+        // join the edge on the already-bound (left) endpoint...
+        val leftSide = if (e.leftToRight) s"${eVar}__src" else s"${eVar}__dst"
+        val rightSide = if (e.leftToRight) s"${eVar}__dst" else s"${eVar}__src"
+        df = df.join(eDf, col(s"${leftV}__id") === col(leftSide))
+        // ...then bind or constrain the right endpoint
+        if (!bound.contains(rightV)) {
+          df = df.join(nodeDf(p.nodes(i + 1), rightV),
+            col(rightSide) === col(s"${rightV}__id"))
+          bound += rightV
+        } else {
+          df = df.filter(col(rightSide) === col(s"${rightV}__id"))
+        }
+        bound += eVar
+      }
+    }
+
+    m.where.foreach { case Predicate(PropRef(v, p), op, value) =>
+      val c = propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
+      val rhs = value match {
+        case RefValue(PropRef(v2, p2)) =>
+          propOf(col(s"${v2}__key"), col(s"${v2}__props"), col(s"${v2}__label"), p2)
+        case other => scalarCol(other, params)
+      }
+      val cond = op match {
+        case "=" => c === rhs
+        case "<>" => c =!= rhs
+        case "<" => c < rhs
+        case "<=" => c <= rhs
+        case ">" => c > rhs
+        case ">=" => c >= rhs
+        case "CONTAINS" => c.contains(rhs)
+      }
+      df = df.filter(cond)
+    }
+
+    val outCols = m.ret.map { item =>
+      (item.expr match {
+        case RetVar(v) if df.columns.contains(s"${v}__type") =>
+          struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
+            col(s"${v}__type").as("relType"))
+        case RetVar(v) =>
+          struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
+            col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))
+        case RetProp(PropRef(v, p)) =>
+          propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
+      }).as(item.name)
+    }
+    var out = df.select(outCols: _*)
+
+    if (m.orderBy.nonEmpty) {
+      val keys = m.orderBy.map { o =>
+        val c = o.key match {
+          case Left(name) => col(name)
+          case Right(PropRef(v, p)) =>
+            // order on the RETURN alias carrying this property
+            m.ret.collectFirst {
+              case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) => col(item.name)
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ORDER BY $v.$p must appear in RETURN"))
+        }
+        if (o.ascending) c.asc else c.desc
+      }
+      out = out.orderBy(keys: _*)
+    }
+    m.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  private def propOf(key: Column, props: Column, label: Column, prop: String): Column = {
+    // the merge-key property reads from the key column for its label;
+    // anything else from the property bag
+    val keyLabels = keyProps.filter(_._2 == prop).keys.toSeq
+    if (keyLabels.isEmpty) props.getItem(prop)
+    else when(label.isin(keyLabels.map(x => x: Any): _*), key).otherwise(props.getItem(prop))
+  }
+
+  private def scalarCol(v: Value, params: Map[String, Any]): Column = v match {
+    case Param(name) => lit(params.getOrElse(name,
+      throw new IllegalArgumentException(s"missing parameter $$$name")))
+    case StrLit(s) => lit(s)
+    case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
+    case FnCall("datetime") => clock()
+    case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
+    case RefValue(r) => throw new IllegalArgumentException(
+      s"property reference ${r.variable}.${r.prop} not valid here")
+  }
+
+  private def valueCol(v: Value, paramsDf: DataFrame): Column = v match {
+    case Param(name) => col(name)
+    case StrLit(s) => lit(s)
+    case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
+    case FnCall("datetime") => clock()
+    case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
+    case RefValue(r) => throw new IllegalArgumentException(
+      s"property reference ${r.variable}.${r.prop} not valid in MERGE values")
+  }
+}
+
+object CypherSession {
+  /** The reference's complete label→merge-key mapping
+    * (/root/reference/src/crwling.py:48,53; /root/reference/src/ingest.py:5-6). */
+  val referenceKeyProps: Map[String, String] = Map(
+    "Article" -> "link", "Publisher" -> "name", "User" -> "name", "Tech" -> "name")
+}

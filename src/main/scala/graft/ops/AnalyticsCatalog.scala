@@ -318,6 +318,65 @@ object AnalyticsCatalog {
            |FROM s GROUP BY user_id, sid
            |ORDER BY user_id, session_start""".stripMargin))
 
+  // ------------------------------------------------------- cypher front end --
+
+  private val c01 = Entry("c01_cypher_label_scan",
+    (s, dir) => {
+      // The reference's read-back query shape (/root/reference/main.py:17,
+      // LIMIT 25 per cypher.txt:8) through the Cypher front end — must
+      // hash-match the same oracle as the DSL version (g01).
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |RETURN a.doc_id AS key, a.title AS title, a.lang AS lang
+                 |ORDER BY key LIMIT 25""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS key, substring(text, 1, 30) AS title, lang
+           |FROM documents ORDER BY key LIMIT 25""".stripMargin))
+
+  private val c02 = Entry("c02_cypher_one_hop",
+    (s, dir) => {
+      // Q10 pattern-match join through the front end: article→publisher
+      // pairs, oracle-checked against a plain SQL join.
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)
+                 |RETURN a.doc_id AS doc_key, p.name AS publisher
+                 |ORDER BY doc_key""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_key, source AS publisher
+           |FROM documents ORDER BY doc_key""".stripMargin))
+
+  // ------------------------------------------------- graph analytics (x) --
+
+  private val x01 = Entry("x01_connected_components",
+    (s, dir) => {
+      // Pregel min-id propagation; reported per component as (min member
+      // key, size) so identity is engine-independent. The doc graph is a
+      // union of per-publisher stars → one component per publisher.
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      graft.analytics.GraphAlgorithms.componentSummary(g).orderBy("min_key")
+    },
+    Some("""SELECT least(source, min(CAST(doc_id AS VARCHAR))) AS min_key,
+           |  COUNT(*) + 1 AS size
+           |FROM documents GROUP BY source ORDER BY min_key""".stripMargin))
+
+  private val x02 = Entry("x02_pagerank",
+    (s, dir) => {
+      // Iterative Pregel PageRank — no SQL oracle (GraphAlgorithmsSpec holds
+      // the closed-form goldens); publishers ranked by accumulated rank.
+      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      graft.analytics.GraphAlgorithms.pageRank(g, numIter = 10)
+        .filter(col("label") === "Publisher")
+        .select(col("key"), col("rank"))
+        .orderBy(col("rank").desc, col("key"))
+    },
+    None)
+
   // ----------------------------------------------------------- multimodal --
 
   private val m01 = Entry("m01_binary_media_meta",
@@ -339,5 +398,7 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06,
     v01, v02,
     s01, s02, s03,
+    c01, c02,
+    x01, x02,
     m01)
 }

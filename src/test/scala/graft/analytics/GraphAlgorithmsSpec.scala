@@ -1,0 +1,54 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.functions._
+
+class GraphAlgorithmsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** star: 3 articles → 1 publisher; plus an isolated pair u→t. */
+  private def graph: PropertyGraph = {
+    val nodes = Seq(
+      ("Article", "a1"), ("Article", "a2"), ("Article", "a3"),
+      ("Publisher", "p1"),
+      ("User", "u1"), ("Tech", "t1")
+    ).map { case (l, k) => (l, k, Map.empty[String, String]) }
+      .toDF("label", "key", "props")
+    val edges = Seq(
+      ("Article", "a1", "WRITTEN_BY", "Publisher", "p1"),
+      ("Article", "a2", "WRITTEN_BY", "Publisher", "p1"),
+      ("Article", "a3", "WRITTEN_BY", "Publisher", "p1"),
+      ("User", "u1", "INTERESTED_IN", "Tech", "t1")
+    ).toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey")
+    PropertyGraph.empty(spark).mergeNodes(nodes).mergeEdgesByKey(edges)
+  }
+
+  test("connected components split star from isolated pair") {
+    val comp = GraphAlgorithms.componentSummary(graph)
+      .orderBy("min_key")
+      .as[(String, Long)].collect().toSeq
+    assert(comp.map(_._2).sorted === Seq(2L, 4L))
+  }
+
+  test("pagerank: sink publisher accumulates rank from its articles") {
+    val pr = GraphAlgorithms.pageRank(graph, numIter = 20)
+      .select($"key", $"rank").as[(String, Double)].collect().toMap
+    // GraphX normalizes final ranks; relative structure is what's invariant:
+    // symmetric leaves tie exactly, and the publisher sink holds
+    // (0.15 + 0.85*3*0.15) / 0.15 = 3.55x a leaf's rank.
+    assert(pr("a1") === pr("a2"))
+    assert(pr("a2") === pr("a3"))
+    assert(math.abs(pr("p1") / pr("a1") - 3.55) < 1e-6)
+    assert(pr("p1") > pr("t1") && pr("t1") > pr("a1"))
+  }
+
+  test("shortest paths: articles one hop from publisher landmark") {
+    val pubId = graph.matchLabel("Publisher").select("id").as[Long].head()
+    val sp = GraphAlgorithms.shortestPathLengths(graph, Seq(pubId))
+      .select($"key", $"hops").as[(String, Int)].collect().toMap
+    assert(sp("p1") === 0)
+    assert(sp("a1") === 1 && sp("a2") === 1 && sp("a3") === 1)
+    assert(!sp.contains("u1")) // unreachable: no path to landmark
+  }
+}

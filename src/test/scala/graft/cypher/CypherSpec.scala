@@ -1,0 +1,138 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The reference's complete query surface, run verbatim through the Cypher
+  * front end (queries from /root/reference/main.py:17,
+  * /root/reference/src/ingest.py:4-8, /root/reference/src/crwling.py:47-56,
+  * /root/reference/cypher.txt:4-8).
+  */
+class CypherSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshSession = new CypherSession(
+    PropertyGraph.empty(spark),
+    clock = () => lit("2026-01-01 00:00:00")) // deterministic datetime()
+
+  test("ingest.py seed upsert: 3-way MERGE with kwargs params, idempotent") {
+    val sess = freshSession
+    val q = """MERGE (u:User {name: $user_name})
+              |MERGE (t:Tech {name: $tech_name})
+              |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin
+    val r1 = sess.run(q, Map("user_name" -> "Beomzh", "tech_name" -> "GraphRAG"))
+      .asInstanceOf[CypherMutation]
+    assert(r1.nodesCreated === 2 && r1.nodesMatched === 0)
+    val r2 = sess.run(q, Map("user_name" -> "Beomzh", "tech_name" -> "GraphRAG"))
+      .asInstanceOf[CypherMutation]
+    assert(r2.nodesCreated === 0 && r2.nodesMatched === 2)
+    assert(sess.graph.nodes.count() === 2)
+    assert(sess.graph.edges.count() === 1)
+  }
+
+  test("cypher.txt one-hop pattern: MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) RETURN u, r, t") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+      Map("u" -> "Beomzh", "t" -> "GraphRAG"))
+    val rows = sess.run(
+      "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) RETURN u, r, t")
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.length === 1)
+    val u = rows(0).getAs[Row]("u")
+    val t = rows(0).getAs[Row]("t")
+    val r = rows(0).getAs[Row]("r")
+    assert(u.getAs[String]("key") === "Beomzh")
+    assert(t.getAs[String]("key") === "GraphRAG")
+    assert(r.getAs[String]("relType") === "INTERESTED_IN")
+  }
+
+  test("crwling.py article upsert: MERGE + SET + WITH + edge MERGE + RETURN") {
+    val sess = freshSession
+    val q = """MERGE (a:Article {link: $link})
+              |SET a.title = $title, a.content = $content, a.published_at = datetime()
+              |WITH a
+              |MERGE (p:Publisher {name: $publisher})
+              |MERGE (a)-[:WRITTEN_BY]->(p)
+              |RETURN a""".stripMargin
+    val r1 = sess.run(q, Map("link" -> "http://x/1", "title" -> "T1",
+      "content" -> "C1", "publisher" -> "Daily")).asInstanceOf[CypherMutation]
+    assert(r1.nodesCreated === 2)
+    // re-crawl same link with new title: updates, no duplicate (counters
+    // branch at /root/reference/src/crwling.py:61-64)
+    val r2 = sess.run(q, Map("link" -> "http://x/1", "title" -> "T1v2",
+      "content" -> "C1", "publisher" -> "Daily")).asInstanceOf[CypherMutation]
+    assert(r2.nodesCreated === 0 && r2.nodesMatched === 2)
+    val props = sess.graph.matchLabel("Article")
+      .select("props").as[Map[String, String]].head()
+    assert(props("title") === "T1v2")
+    assert(props("published_at") === "2026-01-01 00:00:00")
+  }
+
+  test("main.py verification read: MATCH (a:Article) RETURN a.title AS title LIMIT 5") {
+    val sess = freshSession
+    (1 to 8).foreach { i =>
+      sess.run("MERGE (a:Article {link: $link}) SET a.title = $title",
+        Map("link" -> s"http://x/$i", "title" -> s"Title $i"))
+    }
+    val titles = sess.run("MATCH (a:Article) RETURN a.title AS title LIMIT 5")
+      .asInstanceOf[CypherRows].df.as[String].collect()
+    assert(titles.length === 5)
+    assert(titles.forall(_.startsWith("Title ")))
+  }
+
+  test("cypher.txt full scan: MATCH (n) RETURN n LIMIT 25") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'A'})")
+    sess.run("MERGE (t:Tech {name: 'B'})")
+    val rows = sess.run("MATCH (n) RETURN n LIMIT 25")
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.length === 2)
+  }
+
+  test("WHERE predicates and ORDER BY on properties") {
+    val sess = freshSession
+    (1 to 5).foreach { i =>
+      sess.run("MERGE (a:Article {link: $link}) SET a.title = $title",
+        Map("link" -> s"http://x/$i", "title" -> s"Title $i"))
+    }
+    val out = sess.run(
+      """MATCH (a:Article) WHERE a.title <> 'Title 3' AND a.link CONTAINS 'http'
+        |RETURN a.link AS link, a.title AS title ORDER BY a.link DESC LIMIT 2""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(out === Seq(("http://x/5", "Title 5"), ("http://x/4", "Title 4")))
+  }
+
+  test("set-oriented runBatch: whole DataFrame of params in one MERGE") {
+    val sess = freshSession
+    val batch = (1 to 100).map(i =>
+      (s"http://x/$i", s"T$i", s"C$i", s"Pub${i % 3}"))
+      .toDF("link", "title", "content", "publisher")
+    val q = """MERGE (a:Article {link: $link})
+              |SET a.title = $title, a.content = $content
+              |MERGE (p:Publisher {name: $publisher})
+              |MERGE (a)-[:WRITTEN_BY]->(p)""".stripMargin
+    val r = sess.runBatch(q, batch).asInstanceOf[CypherMutation]
+    assert(r.nodesCreated === 103) // 100 articles + 3 publishers
+    assert(sess.graph.edges.count() === 100)
+    // idempotent re-run of the same batch
+    val r2 = sess.runBatch(q, batch).asInstanceOf[CypherMutation]
+    assert(r2.nodesCreated === 0 && r2.nodesMatched === 103)
+  }
+
+  test("2-hop chain pattern compiles to two edge joins") {
+    val sess = freshSession
+    sess.run("""MERGE (a:Article {link: 'l1'}) MERGE (p:Publisher {name: 'P'})
+               |MERGE (a)-[:WRITTEN_BY]->(p)""".stripMargin)
+    sess.run("""MERGE (b:Article {link: 'l2'}) MERGE (p:Publisher {name: 'P'})
+               |MERGE (b)-[:WRITTEN_BY]->(p)""".stripMargin)
+    val rows = sess.run(
+      """MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)<-[:WRITTEN_BY]-(b:Article)
+        |WHERE a.link < b.link
+        |RETURN a.link AS a_link, b.link AS b_link""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(rows === Seq(("l1", "l2")))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Physical-plan assertions: the declared queries must not merely be
+  * correct — they must produce the plans that survive a 100x scale-up.
+  * Pushdown reaching the parquet scan, dim tables broadcast, top-k lowered
+  * to TakeOrderedAndProject, and the hot paths inside whole-stage codegen.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String, execute: Boolean = false): String = {
+    val e = (QueryCatalog.entries ++ AnalyticsCatalog.entries).find(_.name == name).get
+    val df = e.fn(spark, sfDir)
+    if (execute) df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // column pruning: content column set excludes unused l_tax
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("q03 broadcasts the dim tables, not the facts") {
+    val p = plan("q03_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q09 lowers orderBy().limit() to TakeOrderedAndProject") {
+    val p = plan("q09_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02 aggregates with partial (map-side) combine") {
+    val p = plan("q02_agg_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // partial_sum / partial_count before shuffle
+  }
+
+  test("hot expressions run inside whole-stage codegen") {
+    // '*(n)' prefixes in the final AQE plan mark WholeStageCodegen stages
+    assert(plan("q02_agg_pricing_summary", execute = true).contains("*("))
+    assert(plan("v01_vector_norms", execute = true).contains("*("))
+  }
+
+  test("semi/anti joins plan as join operators, not subquery re-scans") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+}
