@@ -18,10 +18,11 @@ object GraphAlgorithms {
 
   /** Static PageRank, `numIter` supersteps (deterministic iteration count;
     * ranks unnormalized, reset probability 0.15 as published). */
-  def pageRank(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15): DataFrame = {
+  def pageRank(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15,
+      numPartitions: Int = 8): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val ranks = g.toGraphX.staticPageRank(numIter, resetProb)
+    val ranks = g.toGraphX(numPartitions).staticPageRank(numIter, resetProb)
       .vertices.map { case (id, rank) => (id, rank) }
     ranks.toDF("id", "rank")
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
@@ -29,10 +30,10 @@ object GraphAlgorithms {
 
   /** Connected components (Pregel min-id propagation): (id, label, key,
     * component) where component = lowest vertex id in the component. */
-  def connectedComponents(g: PropertyGraph): DataFrame = {
+  def connectedComponents(g: PropertyGraph, numPartitions: Int = 8): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val cc = g.toGraphX.connectedComponents()
+    val cc = g.toGraphX(numPartitions).connectedComponents()
       .vertices.map { case (id, comp) => (id, comp) }
     cc.toDF("id", "component")
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
@@ -53,7 +54,7 @@ object GraphAlgorithms {
   def shortestPathLengths(g: PropertyGraph, landmarks: Seq[Long]): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(g.toGraphX, landmarks)
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(g.toGraphX(8), landmarks)
       .vertices.flatMap { case (id, spMap) =>
         spMap.map { case (landmark, dist) => (id, landmark, dist) }
       }

@@ -1,0 +1,38 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+
+/** Columnar persistence for the graph, laid out for the access paths the
+  * query surface needs at 100 TB:
+  *
+  *  - nodes partitioned by `label` → label scans (Q7, `MATCH (a:Article)`)
+  *    prune to one partition instead of scanning the graph;
+  *  - edges partitioned by `relType` → typed pattern matches (Q10) prune
+  *    the same way;
+  *  - within a partition, files are written sorted by id so parquet
+  *    min/max row-group stats skip on id point-lookups.
+  *
+  * On a real cluster the tables would additionally be bucketed by `id`
+  * (`bucketBy(n, "id").sortBy("id").saveAsTable`) so MERGE anti-joins and
+  * pattern joins co-locate without a shuffle; bucketing requires a
+  * catalog-backed table, so the path-based layout here carries the same
+  * sort and partition pruning without one.
+  */
+object GraphStore {
+
+  def write(g: PropertyGraph, path: String): Unit = {
+    g.nodes.repartition(org.apache.spark.sql.functions.col("label"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/nodes")
+    g.edges.repartition(org.apache.spark.sql.functions.col("relType"))
+      .sortWithinPartitions("srcId", "dstId")
+      .write.mode("overwrite").partitionBy("relType").parquet(s"$path/edges")
+  }
+
+  def read(spark: SparkSession, path: String): PropertyGraph =
+    PropertyGraph(
+      spark.read.parquet(s"$path/nodes")
+        .select("id", "label", "key", "props"),
+      spark.read.parquet(s"$path/edges")
+        .select("srcId", "dstId", "relType"))
+}

@@ -118,13 +118,23 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       .select(col("a_id"), col("a_key"), col("b_id"), col("b_key"), col("c_id"), col("c_key"))
   }
 
-  /** GraphX bridge for whole-graph analytics (Pregel PageRank / CC / SSSP). */
-  def toGraphX: org.apache.spark.graphx.Graph[(String, String), String] = {
+  /** GraphX bridge for whole-graph analytics (Pregel PageRank / CC / SSSP).
+    *
+    * `numPartitions` right-sizes the RDDs before iterating: Pregel shuffles
+    * every superstep, so partition count should track graph size, not the
+    * SQL-side shuffle setting (32 near-empty partitions × 20 supersteps is
+    * pure overhead on small graphs; at cluster scale pass 0 to keep the
+    * natural partitioning). */
+  def toGraphX(numPartitions: Int = 0): org.apache.spark.graphx.Graph[(String, String), String] = {
     import org.apache.spark.graphx.{Graph => XGraph, Edge => XEdge}
-    val vs = nodes.select("id", "label", "key").rdd
+    var vs = nodes.select("id", "label", "key").rdd
       .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
-    val es = edges.select("srcId", "dstId", "relType").rdd
+    var es = edges.select("srcId", "dstId", "relType").rdd
       .map(r => XEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    if (numPartitions > 0) {
+      vs = vs.coalesce(numPartitions)
+      es = es.coalesce(numPartitions)
+    }
     XGraph(vs, es)
   }
 }

@@ -15,11 +15,23 @@ import QueryCatalog.Entry
   */
 object AnalyticsCatalog {
 
+  /** One materialized document-graph per fixture dir — a session holds its
+    * graph; rebuilding the MERGE plan per query would re-run the upsert
+    * joins every time. Persisted so the 8 graph-backed queries share one
+    * ingest. */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.graph.PropertyGraph]()
+  private def docGraph(s: org.apache.spark.sql.SparkSession, dir: String): graft.graph.PropertyGraph =
+    graphCache.computeIfAbsent(dir, d => {
+      val g = GraphIngest.fromDocuments(Tables(s, d, "documents"))
+      graft.graph.PropertyGraph(g.nodes.persist(), g.edges.persist())
+    })
+
   // ---------------------------------------------------------------- graph --
 
   private val g01 = Entry("g01_graph_label_scan",
     (s, dir) => {
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       g.matchLabel("Article")
         .select(col("key"),
           col("props").getItem("title").as("title"),
@@ -45,7 +57,7 @@ object AnalyticsCatalog {
 
   private val g03 = Entry("g03_graph_one_hop",
     (s, dir) => {
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       g.oneHop("Article", "WRITTEN_BY", "Publisher")
         .groupBy(col("dst_key").as("publisher"))
         .agg(count(lit(1)).as("n_articles"))
@@ -56,7 +68,7 @@ object AnalyticsCatalog {
 
   private val g04 = Entry("g04_graph_two_hop",
     (s, dir) => {
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       g.twoHopVia("Article", "WRITTEN_BY", "Publisher", "WRITTEN_BY", "Article")
         .filter(col("a_key") < col("c_key"))
         .groupBy(col("b_key").as("publisher"))
@@ -318,6 +330,87 @@ object AnalyticsCatalog {
            |FROM s GROUP BY user_id, sid
            |ORDER BY user_id, session_start""".stripMargin))
 
+  // ----------------------------------------------------- ingest dataflow --
+
+  /** Deterministic crawler-shaped raw records synthesized from `documents`:
+    * some google.com links (filtered, I3), some null links, some too-short
+    * titles (I4), HTML tags + control chars to clean (I6), null publishers
+    * defaulting to "Google News" (I7). */
+  private def rawArticles(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 13 === 1, lit(null).cast("string"))
+        .when(col("doc_id") % 10 === 0, concat(lit("http://google.com/"), col("doc_id")))
+        .otherwise(concat(lit("http://news.example/"), col("doc_id"))).as("link"),
+      when(col("doc_id") % 11 === 2, lit("abc "))
+        .otherwise(concat(lit("<b>"), substring(col("text"), 1, 40), lit("</b>\t"))).as("title"),
+      when(col("source") === "src0", lit(null).cast("string"))
+        .otherwise(col("source")).as("publisher"),
+      concat(lit("<p>"), col("text"), lit("</p>\n")).as("content"))
+
+  private val rawSql =
+    """raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 1 THEN NULL
+      |         WHEN doc_id % 10 = 0 THEN 'http://google.com/' || CAST(doc_id AS VARCHAR)
+      |         ELSE 'http://news.example/' || CAST(doc_id AS VARCHAR) END AS link,
+      |    CASE WHEN doc_id % 11 = 2 THEN 'abc '
+      |         ELSE '<b>' || substring(text, 1, 40) || '</b>' || chr(9) END AS title,
+      |    CASE WHEN source = 'src0' THEN NULL ELSE source END AS publisher,
+      |    '<p>' || text || '</p>' || chr(10) AS content
+      |  FROM documents)""".stripMargin
+
+  private val cleanSqlTitle =
+    "trim(regexp_replace(regexp_replace(regexp_replace(title, '<[^>]*>', '', 'g'), '[\\n\\t\\r]', ' ', 'g'), chr(8203), '', 'g'))"
+  private val cleanSqlContent =
+    "trim(regexp_replace(regexp_replace(regexp_replace(COALESCE(content, ''), '<[^>]*>', '', 'g'), '[\\n\\t\\r]', ' ', 'g'), chr(8203), '', 'g'))"
+
+  private val i01 = Entry("i01_ingest_pipeline",
+    (s, dir) => {
+      graft.ingest.ArticleIngest.accepted(rawArticles(Tables(s, dir, "documents")))
+        .orderBy("link")
+    },
+    Some(s"""WITH $rawSql
+            |SELECT $cleanSqlTitle AS title, link,
+            |  COALESCE(publisher, 'Google News') AS publisher,
+            |  $cleanSqlContent AS content
+            |FROM raw
+            |WHERE link IS NOT NULL AND NOT contains(link, 'google.com')
+            |  AND length(trim(COALESCE(title, ''))) >= 5
+            |ORDER BY link""".stripMargin))
+
+  private val i02 = Entry("i02_dead_letter",
+    (s, dir) => {
+      graft.ingest.ArticleIngest.deadLetter(rawArticles(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("reject_reason"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $rawSql
+            |SELECT doc_id,
+            |  CASE WHEN link IS NULL OR contains(link, 'google.com') THEN 'bad_link'
+            |       WHEN length(trim(COALESCE(title, ''))) < 5 THEN 'short_title' END AS reject_reason
+            |FROM raw
+            |WHERE link IS NULL OR contains(link, 'google.com')
+            |   OR length(trim(COALESCE(title, ''))) < 5
+            |ORDER BY doc_id""".stripMargin))
+
+  private val i03 = Entry("i03_ingest_upsert",
+    (s, dir) => {
+      val g = graft.ingest.ArticleIngest.upsert(
+        graft.graph.PropertyGraph.empty(s),
+        rawArticles(Tables(s, dir, "documents")))
+      g.nodes.groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+    },
+    Some(s"""WITH $rawSql,
+            |acc AS (
+            |  SELECT link, COALESCE(publisher, 'Google News') AS publisher FROM raw
+            |  WHERE link IS NOT NULL AND NOT contains(link, 'google.com')
+            |    AND length(trim(COALESCE(title, ''))) >= 5)
+            |SELECT 'Article' AS label, COUNT(DISTINCT link) AS n FROM acc
+            |UNION ALL
+            |SELECT 'Publisher' AS label, COUNT(DISTINCT publisher) AS n FROM acc
+            |ORDER BY label""".stripMargin))
+
   // ------------------------------------------------------- cypher front end --
 
   private val c01 = Entry("c01_cypher_label_scan",
@@ -325,7 +418,7 @@ object AnalyticsCatalog {
       // The reference's read-back query shape (/root/reference/main.py:17,
       // LIMIT 25 per cypher.txt:8) through the Cypher front end — must
       // hash-match the same oracle as the DSL version (g01).
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
       sess.run("""MATCH (a:Article)
@@ -340,7 +433,7 @@ object AnalyticsCatalog {
     (s, dir) => {
       // Q10 pattern-match join through the front end: article→publisher
       // pairs, oracle-checked against a plain SQL join.
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
       sess.run("""MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)
@@ -358,7 +451,7 @@ object AnalyticsCatalog {
       // Pregel min-id propagation; reported per component as (min member
       // key, size) so identity is engine-independent. The doc graph is a
       // union of per-publisher stars → one component per publisher.
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       graft.analytics.GraphAlgorithms.componentSummary(g).orderBy("min_key")
     },
     Some("""SELECT least(source, min(CAST(doc_id AS VARCHAR))) AS min_key,
@@ -369,7 +462,7 @@ object AnalyticsCatalog {
     (s, dir) => {
       // Iterative Pregel PageRank — no SQL oracle (GraphAlgorithmsSpec holds
       // the closed-form goldens); publishers ranked by accumulated rank.
-      val g = GraphIngest.fromDocuments(Tables(s, dir, "documents"))
+      val g = docGraph(s, dir)
       graft.analytics.GraphAlgorithms.pageRank(g, numIter = 10)
         .filter(col("label") === "Publisher")
         .select(col("key"), col("rank"))
@@ -398,6 +491,7 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06,
     v01, v02,
     s01, s02, s03,
+    i01, i02, i03,
     c01, c02,
     x01, x02,
     m01)

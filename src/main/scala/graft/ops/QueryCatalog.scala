@@ -345,8 +345,54 @@ object QueryCatalog {
            |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  private val q18 = Entry("q18_right_join",
+    (s, dir) => {
+      val ord97 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1997)
+      ord97.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_1997_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_1997_orders
+           |FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1997) o
+           |RIGHT JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin))
+
+  private val q19 = Entry("q19_full_outer_join",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      def rev(yr: Int, alias: String) = ord.filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey").as(s"${alias}_key"))
+        .agg(asDouble(sum(dec(col("o_totalprice")))).as(s"rev_$alias"))
+      rev(1995, "a").join(rev(1998, "b"), col("a_key") === col("b_key"), "full_outer")
+        .select(coalesce(col("a_key"), col("b_key")).as("custkey"),
+          coalesce(col("rev_a"), lit(0.0)).as("rev_1995"),
+          coalesce(col("rev_b"), lit(0.0)).as("rev_1998"))
+        .orderBy("custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey AS a_key,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev_a
+           |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+           |b AS (SELECT o_custkey AS b_key,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev_b
+           |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+           |SELECT COALESCE(a_key, b_key) AS custkey,
+           |  COALESCE(rev_a, 0.0) AS rev_1995, COALESCE(rev_b, 0.0) AS rev_1998
+           |FROM a FULL OUTER JOIN b ON a_key = b_key
+           |ORDER BY custkey""".stripMargin))
+
+  private val q20 = Entry("q20_cross_join",
+    (s, dir) => {
+      val statuses = t(s, dir, "orders").select(col("o_orderstatus").as("status")).distinct()
+      t(s, dir, "region").select("r_name").crossJoin(statuses)
+        .orderBy("r_name", "status")
+    },
+    Some("""SELECT r_name, status
+           |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+           |ORDER BY r_name, status""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
 }

@@ -75,7 +75,7 @@ class PropertyGraphSpec extends SparkTestBase {
       .mergeNodes(articleBatch)
       .mergeEdgesByKey(Seq(("Article", "http://a/1", "WRITTEN_BY", "Publisher", "Daily Planet"))
         .toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey"))
-    val x = g.toGraphX
+    val x = g.toGraphX()
     assert(x.vertices.count() === 3)
     assert(x.edges.count() === 1)
   }

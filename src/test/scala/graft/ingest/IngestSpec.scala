@@ -1,0 +1,71 @@
+package graft.ingest
+
+import graft.SparkTestBase
+import graft.graph.{GraphStore, PropertyGraph}
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Dirty variants from the reference's own failure modes
+    * (/root/reference/src/crwling.py:37-43,146-153,165-170). */
+  private def raw = Seq(
+    ("<b>Real\tTitle</b>", "http://news/1", "Daily", "<p>body\none</p>"),
+    ("zero​width title", "http://news/2", null, "content two"),
+    ("ok title", "http://google.com/x", "Daily", "filtered by link"),
+    ("abc", "http://news/3", "Daily", "filtered by short title"),
+    ("연예 기사 제목", "http://news/4", "연합뉴스", "한국어 본문"),   // Korean path
+    (null, "http://news/5", "Daily", "null title"),
+    ("valid title", null, "Daily", "null link")
+  ).toDF("title", "link", "publisher", "content")
+
+  test("pipeline cleans surviving records and defaults the publisher") {
+    val out = ArticleIngest.accepted(raw).orderBy("link")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out === Seq(
+      ("Real Title", "http://news/1", "Daily", "body one"),
+      ("zerowidth title", "http://news/2", "Google News", "content two"),
+      ("연예 기사 제목", "http://news/4", "연합뉴스", "한국어 본문")))
+  }
+
+  test("dead letter captures each rejected row with its reason") {
+    val dl = ArticleIngest.deadLetter(raw)
+      .select($"link", $"reject_reason").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(dl === Set(
+      (Some("http://google.com/x"), "bad_link"),
+      (Some("http://news/3"), "short_title"),
+      (Some("http://news/5"), "short_title"),
+      (None, "bad_link")))
+  }
+
+  test("upsert is idempotent and counts are observable") {
+    val g1 = ArticleIngest.upsert(PropertyGraph.empty(spark), raw)
+    // 3 articles + 3 publishers (Daily, Google News, 연합뉴스)
+    assert(g1.matchLabel("Article").count() === 3)
+    assert(g1.matchLabel("Publisher").count() === 3)
+    assert(g1.edges.count() === 3)
+    val g2 = ArticleIngest.upsert(g1, raw)
+    assert(g2.nodes.count() === g1.nodes.count())
+    assert(g2.edges.count() === 3)
+
+    val obs = Observation("ingest_test")
+    ArticleIngest.accepted(raw).observe(obs, count(lit(1)).as("n_saved")).collect()
+    assert(obs.get("n_saved") === 3L)
+  }
+
+  test("GraphStore round-trips and label scans prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val g = ArticleIngest.upsert(PropertyGraph.empty(spark), raw)
+    GraphStore.write(g, dir)
+    val g2 = GraphStore.read(spark, dir)
+    assert(g2.nodes.count() === g.nodes.count())
+    assert(g2.edges.count() === g.edges.count())
+    val scan = g2.matchLabel("Article")
+    assert(scan.count() === 3)
+    // partition pruning: label=Article reaches the scan as a partition filter
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("label"), plan)
+  }
+}

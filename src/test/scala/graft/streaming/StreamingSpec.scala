@@ -48,6 +48,51 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("streaming dedup: dropDuplicates within watermark removes re-deliveries") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      mem.addData(eventRows.take(3): _*) // redelivery of first three
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === eventRows.length)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: custom running per-user event counter") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, event_id)
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + events.size
+          state.update(total)
+          Iterator((user, total))
+      }.toDF("user_id", "running_events")
+    val q = counted.writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData((1L, 1L), (1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      mem.addData((1L, 4L))
+      q.processAllAvailable()
+      val last = spark.table("state_out")
+        .groupBy("user_id").agg(max("running_events").as("n"))
+        .orderBy("user_id").as[(Long, Long)].collect().toSeq
+      assert(last === Seq((1L, 3L), (2L, 1L))) // state carried across batches
+    } finally q.stop()
+  }
+
   test("foreachBatch MERGE sink upserts idempotently into the graph") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
