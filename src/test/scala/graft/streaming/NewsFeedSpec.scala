@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.graph.PropertyGraph
+import graft.ingest.ArticleIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end reference dataflow: paginated streaming source → filters +
+  * cleaning → foreachBatch MERGE into the graph, then the verification
+  * read-back (mirrors /root/reference/main.py: crawl(pages=3) then
+  * `MATCH (a:Article) RETURN a.title LIMIT 5`). */
+class NewsFeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def readFeed(pages: Int, perPage: Int, perTrigger: Int): DataFrame =
+    spark.readStream.format("graft.streaming.newsfeed.NewsFeedProvider")
+      .option("pages", pages).option("articlesPerPage", perPage)
+      .option("pagesPerTrigger", perTrigger)
+      .load()
+
+  test("paginated source delivers each page exactly once across micro-batches") {
+    var batches = Vector.empty[(Long, Long)] // (batchId, rows)
+    val q = readFeed(pages = 3, perPage = 10, perTrigger = 1)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches = batches :+ (id, df.count()); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.map(_._2).sum === 30)
+      assert(batches.count(_._2 > 0) === 3) // one page per trigger
+    } finally q.stop()
+  }
+
+  test("crawl -> clean -> MERGE -> read-back, end to end") {
+    var graph = PropertyGraph.empty(spark)
+    val q = readFeed(pages = 3, perPage = 10, perTrigger = 2)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        graph = ArticleIngest.upsert(graph, df)
+        graph.nodes.count()
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // 30 candidates - google links (id%7==0) - short titles (id%5==0, not both)
+      val expected = (0 until 3).flatMap(p => (0 until 10).map(i => p * 1000 + i))
+        .count(id => id % 7 != 0 && id % 5 != 0)
+      assert(graph.matchLabel("Article").count() === expected)
+      // the reference's verification query via the Cypher front end
+      val sess = new graft.cypher.CypherSession(graph)
+      val titles = sess.run("MATCH (a:Article) RETURN a.title AS title LIMIT 5")
+        .asInstanceOf[graft.cypher.CypherRows].df.as[String].collect()
+      assert(titles.length === 5)
+      assert(titles.forall(t => t.startsWith("Article ") && !t.contains("<b>")))
+    } finally q.stop()
+  }
+}
