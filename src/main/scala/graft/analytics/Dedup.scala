@@ -60,10 +60,18 @@ object Dedup {
     * volume is controlled by bands×rows (tune toward the J-threshold s-curve
     * (1/bands)^(1/rowsPerBand)). Exact verification touches candidates only.
     */
+  /** Each shingle hashed to a long (xxhash64, seed 42) and the distinct set
+    * sorted — the narrow fixed-width form MinHash and the merge-walk Jaccard
+    * verification both run on. Strings leave the pipeline here. */
+  def hashedShingles(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(shingles(text, n), s => xxhash64(s))))
+
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 1, k: Int = 64, bands: Int = 8, threshold: Double = 0.9): DataFrame = {
     val rowsPerBand = k / bands
-    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // Shingles → sorted distinct longs ONCE per doc: every downstream join
+    // and per-pair verification works on fixed-width longs, never strings.
+    val base = df.select(col(idCol).as("id"), hashedShingles(col(textCol), shingleN).as("sh"))
     // Candidate generation on narrow (bucket, id) rows only — the shingle
     // arrays stay out of the bucket join and the pair-dedup shuffle, which
     // is what keeps this viable when buckets are dense.
@@ -75,25 +83,32 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Exact verification touches candidates only: two id-equi-joins to
-    // re-attach shingles, then the Jaccard filter.
+    // re-attach the hashed shingle sets, then the codegen'd merge-walk
+    // Jaccard ([[graft.functions.JaccardSortedLong]]) — |A|+|B| long
+    // comparisons per pair, no per-pair allocation.
     cand
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.NativeExpressions.jaccardSortedLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** Exact all-pairs n-gram Jaccard within a blocking column (oracle-friendly
-    * ground truth; the blocked join bounds pair volume). */
+    * ground truth; the blocked join bounds pair volume). Shingle sets are
+    * hashed to sorted longs once per row so the per-pair kernel is the
+    * allocation-free merge walk — the DuckDB oracle computes the same values
+    * from the raw string sets, independently validating the hashed path. */
   def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleN: Int, threshold: Double): DataFrame = {
     val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      hashedShingles(col(textCol), shingleN).as("sh"))
     val a = t.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = t.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.NativeExpressions.jaccardSortedLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

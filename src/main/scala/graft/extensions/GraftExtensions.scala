@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{DotProduct, JaccardSim, MinHashSig, SimHash64}
+import graft.functions.{DotProduct, JaccardSim, JaccardSortedLong, MinHashSig, SimHash64}
 
 /** SQL-surface integration for the engine's native expressions.
   *
@@ -58,7 +58,10 @@ object GraftFunctions {
       }),
     ("simhash64",
       info("simhash64", "simhash64(a) - 64-bit SimHash of a string array"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - merge-walk Jaccard of two sorted distinct bigint arrays"),
+      (es: Seq[Expression]) => JaccardSortedLong(es(0), es(1))))
 }
 
 /** Rewrites the built-in Jaccard idiom

@@ -29,6 +29,10 @@ object NativeExpressions {
 
   def simHash64(a: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(a)))
+
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSortedLong(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 /** k-permutation MinHash signature in ONE pass over the shingle array
@@ -42,11 +46,14 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType | LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash_sig requires array<string>, got $t")
+        s"minhash_sig requires array<string|bigint>, got $t")
     }
+
+  private lazy val preHashed =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(a: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -54,7 +61,9 @@ case class MinHashSig(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val base =
+        if (preHashed) XxHash64Function.hash(arr.getLong(i), LongType, 42L)
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < k) {
         val h = XxHash64Function.hash(j, IntegerType, base)
@@ -168,6 +177,67 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |  $s += ($getA) * ($getB);
          |}
          |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity of two SORTED, DISTINCT long arrays via a linear merge
+  * walk — no per-row hash-set allocation, fully codegen'd. This is the
+  * verification kernel for MinHash-LSH dedup at scale: shingles are hashed to
+  * longs and sorted ONCE per document upstream, so each of the millions of
+  * candidate pairs costs only |A|+|B| long comparisons.
+  */
+case class JaccardSortedLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted requires array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = $union == 0 ? 0.0 : (double) $inter / $union;
        """.stripMargin
     })
 

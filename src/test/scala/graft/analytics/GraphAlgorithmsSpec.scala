@@ -31,6 +31,25 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(comp.map(_._2).sorted === Seq(2L, 4L))
   }
 
+  test("DataFrame CC agrees with Pregel CC, including on a chain graph") {
+    // chain c1→c2→c3→c4 stresses multi-iteration propagation (diameter 3)
+    val nodes = (1 to 4).map(i => ("N", s"c$i", Map.empty[String, String]))
+      .toDF("label", "key", "props")
+    val edges = (1 to 3).map(i => ("N", s"c$i", "NEXT", "N", s"c${i + 1}"))
+      .toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey")
+    val chain = PropertyGraph.empty(spark).mergeNodes(nodes).mergeEdgesByKey(edges)
+    for (g <- Seq(graph, chain)) {
+      val pregel = GraphAlgorithms.connectedComponents(g)
+        .select($"key", $"component").as[(String, Long)].collect().toMap
+      val df = GraphAlgorithms.connectedComponentsDF(g)
+        .select($"key", $"component").as[(String, Long)].collect().toMap
+      // component ids may differ between engines; the partition must not
+      val byPregel = pregel.groupBy(_._2).values.map(_.keys.toSet).toSet
+      val byDf = df.groupBy(_._2).values.map(_.keys.toSet).toSet
+      assert(byPregel === byDf)
+    }
+  }
+
   test("pagerank: sink publisher accumulates rank from its articles") {
     val pr = GraphAlgorithms.pageRank(graph, numIter = 20)
       .select($"key", $"rank").as[(String, Double)].collect().toMap
