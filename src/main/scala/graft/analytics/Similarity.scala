@@ -36,12 +36,11 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-of-projection LSH bucket id for a vector column. */
+  /** Sign-of-projection LSH bucket id for a vector column (one codegen'd
+    * dot product per plane against a literal array). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(p.toSeq), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.NativeExpressions.dotProduct(vec, typedlit(p.toSeq))
       when(proj >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 

@@ -454,6 +454,24 @@ object AnalyticsCatalog {
     Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_key, source AS publisher
            |FROM documents ORDER BY doc_key""".stripMargin))
 
+  private val c03 = Entry("c03_cypher_where",
+    (s, dir) => {
+      // WHERE + AND predicates through the front end (property comparison
+      // lowered to pushed-down column filters on the node scan).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WHERE a.lang = 'en' AND a.doc_id < '2000'
+                 |RETURN a.doc_id AS key, a.lang AS lang
+                 |ORDER BY key LIMIT 100""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS key, lang
+           |FROM documents
+           |WHERE lang = 'en' AND CAST(doc_id AS VARCHAR) < '2000'
+           |ORDER BY key LIMIT 100""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -480,6 +498,28 @@ object AnalyticsCatalog {
     },
     None)
 
+  private val x03 = Entry("x03_shortest_paths",
+    (s, dir) => {
+      // Pregel hop counts to every Publisher landmark. Landmark ids are a
+      // collected dim-table (the algorithm's API takes landmark vertex ids);
+      // the oracle reconstructs hops relationally from the bipartite
+      // WRITTEN_BY graph: each publisher 0 from itself, each article 1 from
+      // its publisher.
+      val g = docGraph(s, dir)
+      val pubs = g.matchLabel("Publisher").select(col("id"), col("key"))
+      val landmarkIds = pubs.select("id").collect().map(_.getLong(0)).toSeq.sorted
+      graft.analytics.GraphAlgorithms.shortestPathLengths(g, landmarkIds)
+        .join(pubs.select(col("id").as("landmark"), col("key").as("landmark_key")),
+          Seq("landmark"))
+        .select(col("key"), col("landmark_key"), col("hops"))
+        .orderBy("key", "landmark_key")
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS key, source AS landmark_key, 1 AS hops
+           |FROM documents
+           |UNION ALL
+           |SELECT DISTINCT source, source, 0 FROM documents
+           |ORDER BY key, landmark_key""".stripMargin))
+
   // ----------------------------------------------------------- multimodal --
 
   private val m01 = Entry("m01_binary_media_meta",
@@ -495,14 +535,50 @@ object AnalyticsCatalog {
            |  'raw' AS codec
            |FROM documents ORDER BY id""".stripMargin))
 
+  private val m02 = Entry("m02_frame_sample",
+    (s, dir) => {
+      // Frame sampling over binary payloads: 4 evenly-spaced byte chunks per
+      // payload (video keyframe-sampling shape; byte slicing stands in for
+      // the codec). Oracle checks the chunk geometry arithmetically — DuckDB
+      // has no BLOB substring, but chunk lengths are fully determined by
+      // payload length.
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, 4)
+        .select(col("id"), col("frame_idx"), length(col("frame")).as("n_bytes"))
+        .orderBy("id", "frame_idx")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS id, octet_length(encode(text)) AS len FROM documents),
+           |f AS (SELECT id, len, CAST(floor((len + 3) / 4) AS BIGINT) AS chunk FROM m)
+           |SELECT id, CAST(i.frame_idx AS INT) AS frame_idx,
+           |  CAST(LEAST(chunk, len - frame_idx * chunk) AS INT) AS n_bytes
+           |FROM f, (SELECT unnest(range(4)) AS frame_idx) i
+           |WHERE len - frame_idx * chunk > 0
+           |ORDER BY id, frame_idx""".stripMargin))
+
+  private val v03 = Entry("v03_ann_lsh",
+    (s, dir) => {
+      // LSH-bucketed ANN — the scale path for v02's brute force: candidates
+      // come from an equi-join on sign-of-projection buckets instead of a
+      // cross join. Hash-family dependent → no cross-engine oracle;
+      // SimilaritySpec asserts recall vs the brute-force ground truth.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(corpus, queries, k = 3, nBits = 4, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04,
     d01, d02, d03, d04, d05, d06,
-    v01, v02,
+    v01, v02, v03,
     s01, s02, s03,
     i01, i02, i03,
-    c01, c02,
-    x01, x02,
-    m01)
+    c01, c02, c03,
+    x01, x02, x03,
+    m01, m02)
 }

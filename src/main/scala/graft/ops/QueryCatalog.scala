@@ -391,8 +391,29 @@ object QueryCatalog {
            |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
            |ORDER BY r_name, status""".stripMargin))
 
+  private val q21 = Entry("q21_grouping_sets",
+    (s, dir) => {
+      // explicit GROUPING SETS (rollup/cube's general form) — nulls from the
+      // super-aggregate rows are COALESCEd before ORDER BY so row order is
+      // engine-independent (Spark sorts nulls first, DuckDB last).
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+           |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           |ORDER BY flag, status""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
 }
