@@ -72,16 +72,23 @@ object Dedup {
     // Shingles → sorted distinct longs ONCE per doc: every downstream join
     // and per-pair verification works on fixed-width longs, never strings.
     val base = df.select(col(idCol).as("id"), hashedShingles(col(textCol), shingleN).as("sh"))
-    // Candidate generation on narrow (bucket, id) rows only — the shingle
-    // arrays stay out of the bucket join and the pair-dedup shuffle, which
-    // is what keeps this viable when buckets are dense.
-    val buckets = base
-      .withColumn("bucket", explode(lshBuckets(minHashSignature(col("sh"), k), bands, rowsPerBand)))
-      .select("bucket", "id")
-    val cand = buckets.alias("a").join(buckets.alias("b"), Seq("bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Candidate generation on narrow (band, bucket, id, bks) rows — shingle
+    // arrays stay out of the bucket join. Each colliding pair is emitted from
+    // its FIRST colliding band only (codegen'd EarlierArrayMatch over the
+    // bands-long bucket arrays): candidates arrive unique by construction,
+    // with no dropDuplicates shuffle over the pre-dedup pair stream — at
+    // dense-cluster workloads that shuffle dwarfs everything else.
+    val withBuckets = base.select(col("id"),
+      lshBuckets(minHashSignature(col("sh"), k), bands, rowsPerBand).as("bks"))
+    val buckets = withBuckets
+      .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val cand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("bks").as("bks_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("bks").as("bks_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bks_a"), col("bks_b"), col("band")))
+      .select("id_a", "id_b")
     // Exact verification touches candidates only: two id-equi-joins to
     // re-attach the hashed shingle sets, then the codegen'd merge-walk
     // Jaccard ([[graft.functions.JaccardSortedLong]]) — |A|+|B| long

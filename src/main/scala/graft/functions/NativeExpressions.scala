@@ -33,6 +33,11 @@ object NativeExpressions {
   def jaccardSortedLong(a: Column, b: Column): Column =
     GraftSqlBridge.column(JaccardSortedLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def earlierArrayMatch(a: Column, b: Column, n: Column): Column =
+    GraftSqlBridge.column(EarlierArrayMatch(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+      GraftSqlBridge.expression(n)))
 }
 
 /** k-permutation MinHash signature in ONE pass over the shingle array
@@ -243,6 +248,65 @@ case class JaccardSortedLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** True iff `a(i) == b(i)` for some `i < n` — the LSH "emit each candidate
+  * pair from its first colliding band only" test (drop the pair at band `n`
+  * when an earlier band already matched). Replaces a dropDuplicates shuffle
+  * over the full pre-dedup candidate stream with a codegen'd O(bands) filter;
+  * the interpreted HOF formulation (`exists(zip_with(slice..))`) profiles
+  * ~8x slower at bench scale.
+  */
+case class EarlierArrayMatch(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(first.dataType) && first.dataType == second.dataType &&
+        third.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"earlier_array_match requires (array<int|bigint>, same, int), got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+
+  private lazy val isLong =
+    first.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lim = math.min(math.min(x.numElements(), y.numElements()), n.asInstanceOf[Int])
+    var i = 0
+    while (i < lim) {
+      val eq = if (isLong) x.getLong(i) == y.getLong(i) else x.getInt(i) == y.getInt(i)
+      if (eq) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n) => {
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val get = if (isLong) "getLong" else "getInt"
+      s"""
+         |int $lim = java.lang.Math.min(java.lang.Math.min($a.numElements(), $b.numElements()), $n);
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $lim; $i++) {
+         |  if ($a.$get($i) == $b.$get($i)) { ${ev.value} = true; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Jaccard similarity |A∩B| / |A∪B| of two string arrays in a single
