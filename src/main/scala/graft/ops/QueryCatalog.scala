@@ -412,8 +412,38 @@ object QueryCatalog {
            |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
            |ORDER BY flag, status""".stripMargin))
 
+  private val q22 = Entry("q22_asof_join",
+    (s, dir) => {
+      // Temporal alignment: each click joined to the user's latest purchase
+      // at-or-before it ([[AsOfJoin]] union+window formulation — no range
+      // theta join). Right side deduped per (user_id, ts) with a tie policy
+      // the oracle shares, so ASOF semantics are engine-independent.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("purchase_id").desc)
+      val rightDedup = purchases.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      AsOfJoin.backward(clicks, rightDedup, Seq("user_id"), "ts", "ts",
+          payload = Seq("purchase_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("r_purchase_id").as("purchase_id"),
+          col("r_value").as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |p AS (
+           |  SELECT user_id, ts, event_id AS purchase_id, value
+           |  FROM events WHERE event_type = 'purchase'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+           |SELECT c.event_id, c.user_id, p.purchase_id, p.value AS purchase_value
+           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+           |ORDER BY c.event_id""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
