@@ -442,8 +442,23 @@ object QueryCatalog {
            |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
            |ORDER BY c.event_id""".stripMargin))
 
+  private val q23 = Entry("q23_median",
+    (s, dir) => {
+      // exact percentile (interpolating) — both engines use linear
+      // interpolation at (n-1)*p; p=0.5 keeps the fraction fp-exact.
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          asDouble(min(col("l_quantity"))).as("min_qty"),
+          asDouble(max(col("l_quantity"))).as("max_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+           |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }

@@ -52,4 +52,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q05_semi_join").contains("LeftSemi"))
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
+
+  test("as-of join is one shuffle + window, never a nested-loop range join") {
+    import org.apache.spark.sql.functions._
+    val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
+    val right = spark.range(50).select(col("id").as("k"), col("id").cast("timestamp").as("ts"),
+      col("id").as("v"))
+    val df = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", payload = Seq("v"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the window's hash partition is the ONLY exchange
+    assert("Exchange ".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
 }
