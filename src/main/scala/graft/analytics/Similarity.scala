@@ -63,6 +63,38 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the other standard scale path next to
+    * [[lshTopK]]: the corpus is partitioned into `nlist` Voronoi cells
+    * around centroids, each query probes only its `nprobe` nearest cells, so
+    * scored candidates shrink by ~nprobe/nlist. Centroids here are a
+    * deterministic sample (first `nlist` corpus vectors by id — a real
+    * deployment trains k-means; the partition/probe machinery is identical).
+    * Cell assignment is a broadcast argmin, candidate generation an
+    * equi-join on cell id — never a corpus×corpus product. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(corpusId)).limit(nlist)
+        .select(col(corpusId).as("__cent_id"), col(corpusVec).as("__cent_vec")))
+    def nearestCells(df: DataFrame, idC: String, vecC: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("__sim", VectorFunctions.cosine(col(vecC), col("__cent_vec")))
+      val w = Window.partitionBy(col(idC)).orderBy(col("__sim").desc, col("__cent_id"))
+      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= n)
+        .select(df.columns.map(col) :+ col("__cent_id").as("__cell"): _*)
+    }
+    val corpusCells = nearestCells(corpus, corpusId, corpusVec, 1)
+    val queryProbes = nearestCells(queries, queryId, queryVec, nprobe)
+    val scored = corpusCells.join(broadcast(queryProbes), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cosine", VectorFunctions.cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (all pairs above threshold within
     * the full corpus — use only when corpus fits a blocked strategy; the
     * LSH variant is the scale path). */

@@ -571,11 +571,43 @@ object AnalyticsCatalog {
     },
     None)
 
+  private val v04 = Entry("v04_ann_ivf",
+    (s, dir) => {
+      // IVF-partitioned ANN (Voronoi cells + nprobe search) — deterministic
+      // centroid sample → no cross-engine oracle for the full pipeline;
+      // SimilaritySpec asserts recall vs brute force.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(corpus, queries, k = 3, nlist = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  private val t05 = Entry("t05_bpe_token_count",
+    (s, dir) => {
+      // BPE-ish subword pretokenization (GPT-2-style pattern: contractions,
+      // letter runs, digit runs, punctuation runs with optional leading
+      // space) — the token-budget estimator a training pipeline runs before
+      // the real tokenizer.
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).as("n_bpe_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INT) AS n_bpe_tokens,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04,
+    t01, t02, t03, t04, t05,
     d01, d02, d03, d04, d05, d06,
-    v01, v02, v03,
+    v01, v02, v03, v04,
     s01, s02, s03,
     i01, i02, i03,
     c01, c02, c03,

@@ -93,6 +93,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks enriched by purchases within the window") {
+    implicit val sc = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long)]    // (event_id, ts, user_id)
+    val purchMem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val clicks = clicksMem.toDF().toDF("click_id", "c_ts", "user_id")
+      .withWatermark("c_ts", "1 hour")
+    val purchases = purchMem.toDF().toDF("purchase_id", "p_ts", "user_id", "value")
+      .withWatermark("p_ts", "1 hour")
+    // purchase within the hour BEFORE the click — both sides stateful,
+    // state bounded by watermark + the interval condition
+    val joined = clicks.join(purchases.withColumnRenamed("user_id", "p_user_id"),
+      expr("user_id = p_user_id AND p_ts <= c_ts AND p_ts >= c_ts - INTERVAL 1 HOUR"))
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      clicksMem.addData((1L, ts("2024-01-01 10:00:00"), 1L), (2L, ts("2024-01-01 12:00:00"), 1L))
+      purchMem.addData((100L, ts("2024-01-01 09:30:00"), 1L, 5.0),
+        (101L, ts("2024-01-01 09:30:00"), 2L, 9.0)) // other user — no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+      // click 1 (10:00) matches purchase 100 (09:30, within 1h);
+      // click 2 (12:00) does not (2.5h later); user 2's purchase matches nothing
+      assert(rows === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch MERGE sink upserts idempotently into the graph") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
