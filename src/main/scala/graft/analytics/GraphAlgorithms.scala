@@ -28,6 +28,44 @@ object GraphAlgorithms {
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
   }
 
+  /** DataFrame-native static PageRank with GraphX `staticPageRank`
+    * semantics (rank init 1.0, no dangling redistribution, `numIter` fixed
+    * supersteps): each iteration is one edge⋈rank join + a map-side-combining
+    * sum — contribution flow is hash-partitioned by vertex id, the same
+    * shuffle structure Pregel uses but through Catalyst/AQE (skew-splittable,
+    * codegen'd, spill-safe). `localCheckpoint` truncates lineage per
+    * superstep. Equality with the GraphX implementation is spec-asserted. */
+  def pageRankDF(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    val edges = g.edges.select(col("srcId").as("src"), col("dstId").as("dst"))
+      .localCheckpoint(true)
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // weighted edges: contribution fraction per out-edge, built once
+    val wEdges = edges.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(true)
+    val ids = g.nodes.select(col("id")).localCheckpoint(true)
+    var ranks = ids.select(col("id"), lit(1.0).as("rank"))
+    var i = 0
+    while (i < numIter) {
+      val contribs = wEdges.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("w")).as("msg"))
+      ranks = ids.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
+      // truncate lineage every few supersteps — an eager checkpoint per
+      // iteration serializes the pipeline into numIter blocking jobs
+      if (i % 4 == 3 && i != numIter - 1) ranks = ranks.localCheckpoint(true)
+      i += 1
+    }
+    // GraphX staticPageRank rescales final ranks to sum to the vertex count;
+    // match it so both implementations are interchangeable.
+    val stats = ranks.agg(sum("rank").as("__s"), count(lit(1)).as("__n"))
+    ranks.crossJoin(broadcast(stats))
+      .select(col("id"), (col("rank") * col("__n") / col("__s")).as("rank"))
+      .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+  }
+
   /** Connected components (Pregel min-id propagation): (id, label, key,
     * component) where component = lowest vertex id in the component. */
   def connectedComponents(g: PropertyGraph, numPartitions: Int = 8): DataFrame = {

@@ -489,7 +489,10 @@ object AnalyticsCatalog {
   private val x02 = Entry("x02_pagerank",
     (s, dir) => {
       // Iterative Pregel PageRank — no SQL oracle (GraphAlgorithmsSpec holds
-      // the closed-form goldens); publishers ranked by accumulated rank.
+      // the closed-form goldens and asserts the DataFrame variant matches to
+      // 1e-9). GraphX wins here: its VertexRDD keeps one partitioning across
+      // supersteps, where the DataFrame formulation re-shuffles ranks every
+      // iteration.
       val g = docGraph(s, dir)
       graft.analytics.GraphAlgorithms.pageRank(g, numIter = 10)
         .filter(col("label") === "Publisher")

@@ -62,6 +62,15 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(pr("p1") > pr("t1") && pr("t1") > pr("a1"))
   }
 
+  test("DataFrame PageRank matches GraphX staticPageRank to 1e-9") {
+    val gx = GraphAlgorithms.pageRank(graph, numIter = 15)
+      .select($"key", $"rank").as[(String, Double)].collect().toMap
+    val df = GraphAlgorithms.pageRankDF(graph, numIter = 15)
+      .select($"key", $"rank").as[(String, Double)].collect().toMap
+    assert(gx.keySet === df.keySet)
+    gx.foreach { case (k, r) => assert(math.abs(r - df(k)) < 1e-9, s"key=$k $r vs ${df(k)}") }
+  }
+
   test("shortest paths: articles one hop from publisher landmark") {
     val pubId = graph.matchLabel("Publisher").select("id").as[Long].head()
     val sp = GraphAlgorithms.shortestPathLengths(graph, Seq(pubId))
