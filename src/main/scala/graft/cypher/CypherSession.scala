@@ -159,8 +159,29 @@ final class CypherSession(
         val eVar = e.variable.getOrElse(freshVar())
         var es = graph.edges
         e.relType.foreach(t => es = es.filter(col("relType") === t))
-        val eDf = es.select(col("srcId").as(s"${eVar}__src"),
-          col("dstId").as(s"${eVar}__dst"), col("relType").as(s"${eVar}__type"))
+        val eDf =
+          if (e.minHops == 1 && e.maxHops == 1)
+            es.select(col("srcId").as(s"${eVar}__src"),
+              col("dstId").as(s"${eVar}__dst"), col("relType").as(s"${eVar}__type"))
+          else {
+            // variable-length expansion: union of h-hop reachability for
+            // h in [minHops, maxHops] — each extra hop is one more equi-join
+            // on the typed edge table (walk semantics; one row per walk,
+            // matching Neo4j's per-path rows on acyclic graphs)
+            require(e.variable.isEmpty,
+              "variable-length relationships cannot be bound to a variable")
+            val base = es.select(col("srcId").as("s"), col("dstId").as("d"))
+            var cur = base
+            var acc = if (e.minHops <= 1) base else null
+            for (h <- 2 to e.maxHops) {
+              cur = cur.select(col("s"), col("d").as("m"))
+                .join(base.select(col("s").as("m"), col("d")), Seq("m"))
+                .select("s", "d")
+              if (h >= e.minHops) acc = if (acc == null) cur else acc.unionByName(cur)
+            }
+            acc.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
+              lit(e.relType.orNull).as(s"${eVar}__type"))
+          }
         // join the edge on the already-bound (left) endpoint...
         val leftSide = if (e.leftToRight) s"${eVar}__src" else s"${eVar}__dst"
         val rightSide = if (e.leftToRight) s"${eVar}__dst" else s"${eVar}__src"

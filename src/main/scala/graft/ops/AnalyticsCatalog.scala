@@ -472,6 +472,23 @@ object AnalyticsCatalog {
            |WHERE lang = 'en' AND CAST(doc_id AS VARCHAR) < '2000'
            |ORDER BY key LIMIT 100""".stripMargin))
 
+  private val c04 = Entry("c04_cypher_var_length",
+    (s, dir) => {
+      // Variable-length pattern -[:WRITTEN_BY*1..2]-> through the front end:
+      // hop-union expansion (one equi-join per extra hop). On the bipartite
+      // doc graph the 2-hop term is empty, which the oracle verifies — the
+      // result must be exactly the 1-hop pairs, with no spurious walks.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY*1..2]->(p)
+                 |RETURN a.doc_id AS doc_key, p.name AS target
+                 |ORDER BY doc_key, target""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_key, source AS target
+           |FROM documents ORDER BY doc_key, target""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -613,7 +630,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04,
     s01, s02, s03,
     i01, i02, i03,
-    c01, c02, c03,
+    c01, c02, c03, c04,
     x01, x02, x03,
     m01, m02)
 }

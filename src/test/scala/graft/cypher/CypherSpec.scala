@@ -32,6 +32,32 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.edges.count() === 1)
   }
 
+  test("variable-length paths: -[:NEXT*1..3]-> expands hop unions on a chain") {
+    val sess = freshSession
+    // chain c1 -> c2 -> c3 -> c4
+    (1 to 3).foreach { i =>
+      sess.run("""MERGE (a:Tech {name: $a}) MERGE (b:Tech {name: $b})
+                 |MERGE (a)-[:NEXT]->(b)""".stripMargin,
+        Map("a" -> s"c$i", "b" -> s"c${i + 1}"))
+    }
+    def reach(q: String): Set[(String, String)] =
+      sess.run(q).asInstanceOf[CypherRows].df
+        .as[(String, String)].collect().toSet
+
+    val upTo3 = reach("""MATCH (a:Tech)-[:NEXT*1..3]->(b:Tech)
+                        |RETURN a.name AS src, b.name AS dst""".stripMargin)
+    assert(upTo3 === Set(
+      ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),           // 1 hop
+      ("c1", "c3"), ("c2", "c4"),                         // 2 hops
+      ("c1", "c4")))                                      // 3 hops
+    val exactly2 = reach("""MATCH (a:Tech)-[:NEXT*2]->(b:Tech)
+                           |RETURN a.name AS src, b.name AS dst""".stripMargin)
+    assert(exactly2 === Set(("c1", "c3"), ("c2", "c4")))
+    val bareStar = reach("""MATCH (a:Tech)-[:NEXT*]->(b:Tech)
+                           |RETURN a.name AS src, b.name AS dst""".stripMargin)
+    assert(bareStar === upTo3) // chain of diameter 3: *1..5 == *1..3
+  }
+
   test("cypher.txt one-hop pattern: MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) RETURN u, r, t") {
     val sess = freshSession
     sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
