@@ -31,10 +31,15 @@ object CypherAst {
   sealed trait ReturnExpr
   final case class RetVar(variable: String) extends ReturnExpr
   final case class RetProp(ref: PropRef) extends ReturnExpr
+  /** `count(*)` (arg None) or `count(v)` (arg Some(v)); Cypher groups
+    * implicitly by every non-aggregate return item. */
+  final case class RetCount(arg: Option[String]) extends ReturnExpr
   final case class ReturnItem(expr: ReturnExpr, alias: Option[String]) {
     def name: String = alias.getOrElse(expr match {
       case RetVar(v) => v
       case RetProp(PropRef(v, p)) => s"$v.$p"
+      case RetCount(Some(v)) => s"count($v)"
+      case RetCount(None) => "count(*)"
     })
   }
   final case class OrderItem(key: Either[String, PropRef], ascending: Boolean)

@@ -217,19 +217,39 @@ final class CypherSession(
       df = df.filter(cond)
     }
 
-    val outCols = m.ret.map { item =>
-      (item.expr match {
-        case RetVar(v) if df.columns.contains(s"${v}__type") =>
-          struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
-            col(s"${v}__type").as("relType"))
-        case RetVar(v) =>
-          struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
-            col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))
-        case RetProp(PropRef(v, p)) =>
-          propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
-      }).as(item.name)
+    def itemCol(expr: ReturnExpr): Column = expr match {
+      case RetVar(v) if df.columns.contains(s"${v}__type") =>
+        struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
+          col(s"${v}__type").as("relType"))
+      case RetVar(v) =>
+        struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
+          col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))
+      case RetProp(PropRef(v, p)) =>
+        propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
+      case _: RetCount => throw new IllegalStateException("aggregate handled separately")
     }
-    var out = df.select(outCols: _*)
+
+    val (aggItems, keyItems) = m.ret.partition(_.expr.isInstanceOf[RetCount])
+    var out =
+      if (aggItems.isEmpty) df.select(m.ret.map(i => itemCol(i.expr).as(i.name)): _*)
+      else {
+        // Cypher's implicit grouping: every non-aggregate return item is a key
+        val aggCols = aggItems.map { i =>
+          (i.expr match {
+            case RetCount(Some(v)) =>
+              if (df.columns.contains(s"${v}__id")) count(col(s"${v}__id"))
+              else count(col(s"${v}__src")) // edge-bound variable
+            case RetCount(None) => count(lit(1))
+            case other => throw new IllegalStateException(s"unexpected $other")
+          }).as(i.name)
+        }
+        val grouped =
+          if (keyItems.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keyItems.map(i => itemCol(i.expr).as(i.name)): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        // restore the declared column order
+        grouped.select(m.ret.map(i => col(i.name)): _*)
+      }
 
     if (m.orderBy.nonEmpty) {
       val keys = m.orderBy.map { o =>

@@ -489,6 +489,22 @@ object AnalyticsCatalog {
     Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_key, source AS target
            |FROM documents ORDER BY doc_key, target""".stripMargin))
 
+  private val c05 = Entry("c05_cypher_count",
+    (s, dir) => {
+      // count() with Cypher's implicit grouping (articles per publisher) —
+      // lowers to groupBy + count; the aggregate pushes partial map-side.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)
+                 |RETURN p.name AS publisher, count(a) AS n_articles
+                 |ORDER BY n_articles DESC, publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher, count(*) AS n_articles
+           |FROM documents GROUP BY source
+           |ORDER BY n_articles DESC, publisher""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -630,7 +646,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04,
     s01, s02, s03,
     i01, i02, i03,
-    c01, c02, c03, c04,
+    c01, c02, c03, c04, c05,
     x01, x02, x03,
     m01, m02)
 }

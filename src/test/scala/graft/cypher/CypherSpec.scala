@@ -32,6 +32,24 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.edges.count() === 1)
   }
 
+  test("count() aggregation with Cypher's implicit grouping") {
+    val sess = freshSession
+    Seq(("u1", "spark"), ("u2", "spark"), ("u3", "flink")).foreach { case (u, t) =>
+      sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                 |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+        Map("u" -> u, "t" -> t))
+    }
+    val perTech = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t:Tech)
+        |RETURN t.name AS tech, count(u) AS n
+        |ORDER BY n DESC, tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(perTech === Seq(("spark", 2L), ("flink", 1L)))
+    val total = sess.run("MATCH (u:User) RETURN count(*) AS n")
+      .asInstanceOf[CypherRows].df.as[Long].head()
+    assert(total === 3L)
+  }
+
   test("variable-length paths: -[:NEXT*1..3]-> expands hop unions on a chain") {
     val sess = freshSession
     // chain c1 -> c2 -> c3 -> c4
