@@ -46,8 +46,11 @@ object CypherAst {
 
   sealed trait Statement
 
+  /** optPaths: OPTIONAL MATCH patterns — left-join semantics, each must
+    * start at a variable the mandatory paths bind. */
   final case class MatchStatement(paths: Seq[PathPat], where: Seq[Predicate],
-    ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int]) extends Statement
+    ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
+    optPaths: Seq[PathPat] = Nil) extends Statement
 
   sealed trait MutClause
   final case class MergeNode(pat: NodePat) extends MutClause

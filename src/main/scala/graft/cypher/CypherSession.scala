@@ -146,9 +146,11 @@ final class CypherSession(
         col("key").as(s"${v}__key"), col("props").as(s"${v}__props"))
     }
 
-    m.paths.foreach { p =>
+    def compilePath(p: PathPat, optional: Boolean): Unit = {
       val vars = p.nodes.map(n => n.variable.getOrElse(freshVar()))
+      val joinType = if (optional) "left" else "inner"
       if (!bound.contains(vars.head)) {
+        require(!optional, "OPTIONAL MATCH must start at a bound variable")
         val part = nodeDf(p.nodes.head, vars.head)
         df = if (df == null) part else df.crossJoin(part)
         bound += vars.head
@@ -182,21 +184,29 @@ final class CypherSession(
             acc.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
               lit(e.relType.orNull).as(s"${eVar}__type"))
           }
-        // join the edge on the already-bound (left) endpoint...
         val leftSide = if (e.leftToRight) s"${eVar}__src" else s"${eVar}__dst"
         val rightSide = if (e.leftToRight) s"${eVar}__dst" else s"${eVar}__src"
-        df = df.join(eDf, col(s"${leftV}__id") === col(leftSide))
-        // ...then bind or constrain the right endpoint
         if (!bound.contains(rightV)) {
+          // join the edge on the already-bound (left) endpoint, then bind
+          // the right endpoint — both joins optional-aware
+          df = df.join(eDf, col(s"${leftV}__id") === col(leftSide), joinType)
           df = df.join(nodeDf(p.nodes(i + 1), rightV),
-            col(rightSide) === col(s"${rightV}__id"))
+            col(rightSide) === col(s"${rightV}__id"), joinType)
           bound += rightV
+        } else if (optional) {
+          // both endpoints bound: the whole constraint rides the left join
+          df = df.join(eDf,
+            col(s"${leftV}__id") === col(leftSide) &&
+              col(rightSide) === col(s"${rightV}__id"), "left")
         } else {
+          df = df.join(eDf, col(s"${leftV}__id") === col(leftSide))
           df = df.filter(col(rightSide) === col(s"${rightV}__id"))
         }
         bound += eVar
       }
     }
+    m.paths.foreach(compilePath(_, optional = false))
+    m.optPaths.foreach(compilePath(_, optional = true))
 
     m.where.foreach { case Predicate(PropRef(v, p), op, value) =>
       val c = propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)

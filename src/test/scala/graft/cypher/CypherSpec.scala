@@ -32,6 +32,26 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.edges.count() === 1)
   }
 
+  test("OPTIONAL MATCH keeps unmatched left rows with null bindings") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+      Map("u" -> "alice", "t" -> "spark"))
+    sess.run("MERGE (u:User {name: $u})", Map("u" -> "bob")) // no interests
+    val rows = sess.run(
+      """MATCH (u:User) OPTIONAL MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |RETURN u.name AS user, t.name AS tech ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df
+      .as[(String, Option[String])].collect().toSeq
+    assert(rows === Seq(("alice", Some("spark")), ("bob", None)))
+    // count over the optional binding: unmatched contributes 0
+    val counts = sess.run(
+      """MATCH (u:User) OPTIONAL MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |RETURN u.name AS user, count(t) AS n ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(counts === Seq(("alice", 1L), ("bob", 0L)))
+  }
+
   test("count() aggregation with Cypher's implicit grouping") {
     val sess = freshSession
     Seq(("u1", "spark"), ("u2", "spark"), ("u3", "flink")).foreach { case (u, t) =>
