@@ -50,7 +50,7 @@ object CypherAst {
     * start at a variable the mandatory paths bind. */
   final case class MatchStatement(paths: Seq[PathPat], where: Seq[Predicate],
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
-    optPaths: Seq[PathPat] = Nil) extends Statement
+    optPaths: Seq[PathPat] = Nil, distinct: Boolean = false) extends Statement
 
   sealed trait MutClause
   final case class MergeNode(pat: NodePat) extends MutClause

@@ -260,6 +260,7 @@ final class CypherSession(
         // restore the declared column order
         grouped.select(m.ret.map(i => col(i.name)): _*)
       }
+    if (m.distinct) out = out.distinct()
 
     if (m.orderBy.nonEmpty) {
       val keys = m.orderBy.map { o =>

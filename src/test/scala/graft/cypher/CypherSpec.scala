@@ -32,6 +32,25 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.edges.count() === 1)
   }
 
+  test("RETURN DISTINCT dedups projected rows") {
+    val sess = freshSession
+    Seq("u1", "u2", "u3").foreach { u =>
+      sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                 |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+        Map("u" -> u, "t" -> "spark"))
+    }
+    val distinct = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t:Tech)
+        |RETURN DISTINCT t.name AS tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(distinct === Seq("spark"))
+    val all = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t:Tech)
+        |RETURN t.name AS tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.count()
+    assert(all === 3)
+  }
+
   test("OPTIONAL MATCH keeps unmatched left rows with null bindings") {
     val sess = freshSession
     sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})

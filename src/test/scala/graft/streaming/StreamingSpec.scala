@@ -93,6 +93,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session windows: streaming (watermarked, complete) equals batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = EventWindows.sessions(
+      EventWindows.withLateDataBound(stream, "10 minutes"), "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batch = EventWindows.sessions(eventDf, "30 minutes")
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks enriched by purchases within the window") {
     implicit val sc = spark.sqlContext
     val clicksMem = MemoryStream[(Long, Timestamp, Long)]    // (event_id, ts, user_id)
