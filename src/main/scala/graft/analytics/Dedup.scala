@@ -131,6 +131,22 @@ object Dedup {
   /** Driver-side Hamming distance (test/debug convenience). */
   def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Mergeable cardinality sketches — the partition-then-merge pattern that
+    * makes distinct counting tractable at 100 TB: each group (shard / day /
+    * source) reduces to a fixed-size HLL sketch, and any roll-up is a cheap
+    * sketch union instead of a re-scan of raw data. Returns one row per
+    * group with the sketch and its estimate, plus helpers to union them. */
+  def hllPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCol)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Union per-group sketches into one global estimate — no raw-data pass. */
+  def hllMergedEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_estimate"))
+
   /** SimHash near-dup pairs within a blocking column: signatures whose
     * Hamming distance <= maxHamming. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,

@@ -251,6 +251,21 @@ object AnalyticsCatalog {
            |    / (a.nrm * b.nrm) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin))
 
+  private val d07 = Entry("d07_hll_sketch_union",
+    (s, dir) => {
+      // Mergeable HLL sketches (Apache DataSketches): per-source sketch,
+      // global estimate from sketch UNION only — the roll-up never re-reads
+      // raw data. Estimates are sketch-impl specific → no cross-engine
+      // oracle; DedupSpec bounds per-group and merged error vs exact.
+      val sketches = Dedup.hllPerGroup(Tables(s, dir, "documents"), "source", "text")
+      val merged = Dedup.hllMergedEstimate(sketches)
+        .select(lit("__ALL__").as("source"), col("merged_estimate").as("estimate"))
+      sketches.select(col("source"), col("estimate"))
+        .unionByName(merged)
+        .orderBy("source")
+    },
+    None)
+
   // ------------------------------------------------------------- vectors --
 
   private val v01 = Entry("v01_vector_norms",
@@ -642,7 +657,7 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05,
-    d01, d02, d03, d04, d05, d06,
+    d01, d02, d03, d04, d05, d06, d07,
     v01, v02, v03, v04,
     s01, s02, s03,
     i01, i02, i03,

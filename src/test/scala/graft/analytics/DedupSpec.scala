@@ -53,6 +53,23 @@ class DedupSpec extends SparkTestBase {
       s"recall ${recalled}/${within.size}")
   }
 
+  test("HLL sketches: per-group estimates and merged union track exact counts") {
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sketches = Dedup.hllPerGroup(fixture, "source", "text")
+    val perGroup = sketches.select("source", "estimate").as[(String, Long)].collect().toMap
+    val exact = fixture.groupBy("source")
+      .agg(countDistinct($"text").as("n")).as[(String, Long)].collect().toMap
+    perGroup.foreach { case (src, est) =>
+      assert(math.abs(est - exact(src)).toDouble <= math.max(2.0, exact(src) * 0.05),
+        s"source=$src est=$est exact=${exact(src)}")
+    }
+    // the merged estimate comes from sketch union only — no re-scan
+    val merged = Dedup.hllMergedEstimate(sketches).as[Long].head()
+    val exactAll = fixture.select(countDistinct($"text")).as[Long].head()
+    assert(math.abs(merged - exactAll).toDouble <= math.max(2.0, exactAll * 0.05),
+      s"merged=$merged exact=$exactAll")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sigs = docs.select($"doc_id", Dedup.simHash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
