@@ -66,4 +66,15 @@ object TextAnalysis {
   /** Mean token length: chars-without-whitespace / token count. */
   def avgTokenLen(c: Column): Column =
     length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
+
+  /** PII scrub for training corpora: emails, URLs, and long digit runs
+    * (phone/account-shaped) replaced by typed placeholder tokens. Patterns
+    * stay in the RE2-compatible subset so the same regexes run on any
+    * engine. Order matters: URLs first (they may embed @ and digits). */
+  def redactPII(c: Column): Column = {
+    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "[0-9][0-9 ()+.-]{7,}[0-9]", "<NUMBER>")
+  }
 }

@@ -163,6 +163,30 @@ object AnalyticsCatalog {
            |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val t06 = Entry("t06_pii_scrub",
+    (s, dir) => {
+      // PII redaction over the corpus — emails/URLs/long digit runs to
+      // typed placeholders; fingerprint of the scrubbed text proves the
+      // transform byte-identically against the oracle without shipping the
+      // full scrubbed body through the hash compare.
+      val docs = Tables(s, dir, "documents")
+      val scrubbed = TextAnalysis.redactPII(col("text"))
+      docs.select(col("doc_id"),
+        md5(scrubbed).as("scrubbed_md5"),
+        (length(col("text")) - length(scrubbed)).as("chars_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    'https?://[^\s]+', '<URL>', 'g'),
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS scrubbed_md5,
+           |  CAST(length(text) - length(regexp_replace(regexp_replace(regexp_replace(text,
+           |    'https?://[^\s]+', '<URL>', 'g'),
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS INT) AS chars_removed
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- dedup --
 
   private val d01 = Entry("d01_exact_dedup_stats",
@@ -656,7 +680,7 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05,
+    t01, t02, t03, t04, t05, t06,
     d01, d02, d03, d04, d05, d06, d07,
     v01, v02, v03, v04,
     s01, s02, s03,
