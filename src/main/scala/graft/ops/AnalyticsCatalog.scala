@@ -334,6 +334,32 @@ object AnalyticsCatalog {
            |QUALIFY rank <= 3
            |ORDER BY q_id, rank""".stripMargin))
 
+  private val v05 = Entry("v05_label_centroid",
+    (s, dir) => {
+      // per-label embedding centroid, one row per (label, dimension) —
+      // element sums route through DECIMAL(20,10) so accumulation order
+      // can't change the result (the typed Aggregator variant of this op,
+      // CentroidAgg, is spec-checked against it to fp tolerance)
+      val emb = Tables(s, dir, "embeddings")
+      // float → DOUBLE first (exact binary widening on both engines), THEN
+      // decimal — a direct float→decimal cast rounds differently across
+      // engines (shortest-repr vs exact expansion)
+      emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg((sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(20, 10)))
+          .cast("double") / count(lit(1))).as("centroid_v"))
+        .filter(col("dim") < 8) // hash-check a slice; full width in specs
+        .orderBy("label", "dim")
+    },
+    Some("""WITH e AS (
+           |  SELECT label, unnest(embedding) AS v,
+           |    unnest(range(len(embedding))) AS dim
+           |  FROM embeddings)
+           |SELECT label, CAST(dim AS INT) AS dim,
+           |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS centroid_v
+           |FROM e WHERE dim < 8
+           |GROUP BY label, dim ORDER BY label, dim""".stripMargin))
+
   // -------------------------------------------- streaming (batch-checked) --
 
   private val s01 = Entry("s01_tumbling_window",
@@ -682,7 +708,7 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06,
     d01, d02, d03, d04, d05, d06, d07,
-    v01, v02, v03, v04,
+    v01, v02, v03, v04, v05,
     s01, s02, s03,
     i01, i02, i03,
     c01, c02, c03, c04, c05,

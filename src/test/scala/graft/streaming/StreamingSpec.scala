@@ -139,6 +139,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enriched from a static dim table") {
+    implicit val sc = spark.sqlContext
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val joined = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .join(users, Seq("user_id")) // static side broadcast per micro-batch
+    val q = joined.select("event_id", "tier")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_static_out").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val tiers = spark.table("ssj_static_out").as[(Long, String)].collect().toMap
+      assert(tiers === Map(1L -> "gold", 2L -> "gold", 3L -> "basic",
+        4L -> "gold", 5L -> "basic"))
+    } finally q.stop()
+  }
+
   test("foreachBatch MERGE sink upserts idempotently into the graph") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
