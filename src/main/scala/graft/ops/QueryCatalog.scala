@@ -457,8 +457,31 @@ object QueryCatalog {
            |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  private val q24 = Entry("q24_window_range_frame",
+    (s, dir) => {
+      // RANGE frame (value-based, vs q08's ROWS frame): per customer, the
+      // sum of order value in the 30 days up to and including each order —
+      // ties in the order key all see the same frame, the property ROWS
+      // frames don't have. Ordering key is integer day offsets so both
+      // engines frame identically.
+      val days = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(days.as("d"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("trailing_30d",
+          asDouble(sum(dec(col("o_totalprice"))).over(w)))
+        .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           |    PARTITION BY o_custkey
+           |    ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+           |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }
