@@ -82,7 +82,7 @@ object Similarity {
         .withColumn("__sim", VectorFunctions.cosine(col(vecC), col("__cent_vec")))
       val w = Window.partitionBy(col(idC)).orderBy(col("__sim").desc, col("__cent_id"))
       scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= n)
-        .select(df.columns.map(col) :+ col("__cent_id").as("__cell"): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("__cent_id").as("__cell"): _*)
     }
     val corpusCells = nearestCells(corpus, corpusId, corpusVec, 1)
     val queryProbes = nearestCells(queries, queryId, queryVec, nprobe)

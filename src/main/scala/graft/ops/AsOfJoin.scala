@@ -37,7 +37,7 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     all.withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
   }
 }

@@ -21,7 +21,7 @@ object SkewJoin {
   def saltedInner(left: DataFrame, right: DataFrame, on: Seq[String],
       salt: Int): DataFrame = {
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, on :+ "__salt").drop("__salt")
   }

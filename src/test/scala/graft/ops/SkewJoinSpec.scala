@@ -23,7 +23,7 @@ class SkewJoinSpec extends SparkTestBase {
   test("salt spreads a hot key across buckets") {
     val left = spark.range(1000).select(lit(0L).as("k"), $"id".as("l"))
     val salts = left.withColumn("__salt",
-        pmod(xxhash64(left.columns.map(col): _*), lit(8)).cast("int"))
+        pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(8)).cast("int"))
       .select(countDistinct($"__salt")).as[Long].head()
     assert(salts === 8)
   }
