@@ -497,9 +497,28 @@ object QueryCatalog {
            |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  private val q26 = Entry("q26_scalar_subquery",
+    (s, dir) => {
+      // correlated scalar subquery through the SQL surface — Catalyst
+      // decorrelates it into a left outer aggregate join (no per-row
+      // re-execution); customers with no orders surface NULL
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey,
+              |  (SELECT MAX(o_totalprice) FROM orders o
+              |   WHERE o.o_custkey = c.c_custkey) AS max_order_price
+              |FROM customer c
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey,
+           |  (SELECT MAX(o_totalprice) FROM orders o
+           |   WHERE o.o_custkey = c.c_custkey) AS max_order_price
+           |FROM customer c
+           |ORDER BY c_custkey""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25)
+    q25, q26)
 }

@@ -53,6 +53,13 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate join") {
+    val p = plan("q26_scalar_subquery")
+    assert(!p.contains("ScalarSubquery"), p) // no per-row re-execution
+    assert(p.contains("Aggregate") || p.contains("HashAggregate"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
