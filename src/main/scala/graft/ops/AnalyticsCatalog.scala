@@ -621,6 +621,23 @@ object AnalyticsCatalog {
            |SELECT DISTINCT source, source, 0 FROM documents
            |ORDER BY key, landmark_key""".stripMargin))
 
+  private val x04 = Entry("x04_degree_distribution",
+    (s, dir) => {
+      // in-degree histogram via GraphX degrees (how many publishers have d
+      // articles), exact oracle from the relational formulation
+      val g = docGraph(s, dir)
+      val spark = s
+      import spark.implicits._
+      val inDeg = g.toGraphX(8).inDegrees.toDF("id", "deg")
+      inDeg.join(g.matchLabel("Publisher").select(col("id")), Seq("id"))
+        .groupBy("deg").agg(count(lit(1)).as("n_publishers"))
+        .select(col("deg"), col("n_publishers"))
+        .orderBy("deg")
+    },
+    Some("""WITH d AS (SELECT source, COUNT(*) AS deg FROM documents GROUP BY source)
+           |SELECT CAST(deg AS INT) AS deg, COUNT(*) AS n_publishers
+           |FROM d GROUP BY deg ORDER BY deg""".stripMargin))
+
   // ----------------------------------------------------------- multimodal --
 
   private val m01 = Entry("m01_binary_media_meta",
@@ -712,6 +729,6 @@ object AnalyticsCatalog {
     s01, s02, s03,
     i01, i02, i03,
     c01, c02, c03, c04, c05,
-    x01, x02, x03,
+    x01, x02, x03, x04,
     m01, m02)
 }

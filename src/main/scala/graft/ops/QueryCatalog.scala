@@ -516,9 +516,32 @@ object QueryCatalog {
            |FROM customer c
            |ORDER BY c_custkey""".stripMargin))
 
+  private val q27 = Entry("q27_set_ops_all",
+    (s, dir) => {
+      // multiset set ops (duplicate-preserving ALL variants, vs q12's
+      // distinct forms), rolled up so the result is small and total-ordered
+      val a = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("p"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority").as("p"))
+      a.intersectAll(b).groupBy("p").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).groupBy("p").agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("except_all")))
+        .orderBy("tag", "p")
+    },
+    Some("""WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+           |     b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O')
+           |SELECT p, COUNT(*) AS n, 'intersect_all' AS tag
+           |FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY p
+           |UNION ALL
+           |SELECT p, COUNT(*) AS n, 'except_all' AS tag
+           |FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY p
+           |ORDER BY tag, p""".stripMargin))
+
   /** Ordered catalog. Extended batch-by-batch as operators land. */
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26)
+    q25, q26, q27)
 }
