@@ -24,6 +24,9 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "r_"): DataFrame = {
+    val reserved = Seq("__ts", "__src", "__payload", "__match")
+    require(!left.columns.exists(reserved.contains),
+      s"left side must not contain reserved columns ${reserved.mkString(", ")}")
     val rightSel = right.select(
       (on.map(col) :+ col(rightTs).as("__ts") :+
         struct(payload.map(col): _*).as("__payload")): _*)
