@@ -20,8 +20,10 @@ object CentroidAgg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Dou
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    require(v.length == sums.length,
+      s"centroid over ragged embeddings: got dim ${v.length}, expected ${sums.length}")
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < sums.length) { sums(i) += v(i); i += 1 }
     (sums, b._2 + 1)
   }
 
@@ -29,8 +31,10 @@ object CentroidAgg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Dou
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"centroid merge of mismatched dims: ${a._1.length} vs ${b._1.length}")
       var i = 0
-      while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
   }

@@ -311,12 +311,16 @@ case class EarlierArrayMatch(first: Expression, second: Expression, third: Expre
 
 /** Jaccard similarity |A∩B| / |A∪B| of two string arrays in a single
   * hash-set pass (vs the two passes + per-call set builds of
-  * array_intersect + array_union). Distinctness is applied internally, so
-  * results equal size(array_intersect)/size(array_union) on any input.
+  * array_intersect + array_union). Distinctness is applied internally and an
+  * empty union yields NULL — exactly the 0/0 division result of the built-in
+  * idiom `size(array_intersect)/size(array_union)` under default (non-ANSI)
+  * semantics, so the two formulations agree on every input including
+  * empty/empty.
   */
 case class JaccardSim(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -342,7 +346,7 @@ case class JaccardSim(left: Expression, right: Expression)
     val it = sb.iterator()
     while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
     val union = sa.size() + sb.size() - inter
-    if (union == 0) 0.0 else inter.toDouble / union
+    if (union == 0) null else inter.toDouble / union
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join on `on`, with `left` as the skewed side. Deterministic:
-    * the salt is a hash of the full left row, not a random number. */
+  /** Inner equi-join on `on`, with `left` as the skewed side. The salt is a
+    * per-row round-robin over `monotonically_increasing_id()` (partition id ‖
+    * row index), NOT a content hash: a hot key made of IDENTICAL duplicate
+    * rows still spreads across all `salt` buckets, and no column needs to be
+    * hashable (maps are fine). The salt only routes rows — join results never
+    * depend on its value — so mid-join determinism of the id is irrelevant. */
   def saltedInner(left: DataFrame, right: DataFrame, on: Seq[String],
       salt: Int): DataFrame = {
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, on :+ "__salt").drop("__salt")
   }

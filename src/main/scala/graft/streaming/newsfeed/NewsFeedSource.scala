@@ -91,7 +91,15 @@ private final class NewsFeedStream(pages: Long, perPage: Int, perTrigger: Long)
     planned = math.min(planned + perTrigger, pages)
     PageOffset(planned)
   }
-  override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
+  // On restart the engine replays the checkpointed offset through
+  // deserializeOffset before asking for latestOffset; fast-forward the
+  // admission counter so we never plan an end offset below the committed
+  // start (which would stall the stream until the counter caught up).
+  override def deserializeOffset(json: String): Offset = {
+    val p = json.toLong
+    if (p > planned) planned = p
+    PageOffset(p)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
