@@ -95,15 +95,92 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (all pairs above threshold within
-    * the full corpus — use only when corpus fits a blocked strategy; the
-    * LSH variant is the scale path). */
+  /** EXACT embedding-cosine near-duplicate pairs via a blocked (tiled) pair
+    * equi-join — the matrix-tile decomposition of the n² pair space, never a
+    * CartesianProduct/BroadcastNestedLoopJoin plan.
+    *
+    * Vectors are hashed into `blocks` uniform blocks; every unordered block
+    * pair (bi ≤ bj) is one shuffle key ("tile"), so the quadratic work
+    * spreads evenly over blocks·(blocks+1)/2 independent tasks and each task
+    * scores one bounded (n/blocks)² tile. Shuffle volume is only
+    * n·(blocks+1) rows (each vector is replicated once per tile it touches),
+    * and per-vector norms are computed ONCE before the join — one dot
+    * product per pair instead of three. Size `blocks` so a tile's
+    * (n/blocks)² scoring fits a task: the tile count, not the corpus,
+    * is what must exceed the cluster's parallelism.
+    *
+    * Why not LSH here: sign-LSH bucketing is the right candidate generator
+    * for HIGH thresholds (see [[embeddingNearDupPairsLSH]]), but at a
+    * moderate threshold like 0.4 a hyperplane agrees on a qualifying pair
+    * with probability only ~0.63, so any table union with near-total recall
+    * generates MORE candidates than the n²/2 exact tiling — approximation
+    * buys nothing and forfeits exactness. This operator is the exact path;
+    * results match the all-pairs formulation bit-for-bit.
+    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tiles = (for { i <- 0 until blocks; j <- i until blocks }
+      yield (i, j, i * blocks + j)).toDF("bi", "bj", "tile")
+    val v = df.select(
+      col(idCol), col(vecCol),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__blk"),
+      VectorFunctions.norm(col(vecCol)).as("__nrm"))
+    val left = v.join(broadcast(tiles), col("__blk") === col("bi"))
+      .select(col(idCol).as("id_l"), col(vecCol).as("vec_l"),
+        col("__nrm").as("nrm_l"), col("bi"), col("bj"), col("tile"))
+    val right = v.join(broadcast(tiles.select("bj", "tile").withColumnRenamed("bj", "bjr")),
+        col("__blk") === col("bjr"))
+      .select(col(idCol).as("id_r"), col(vecCol).as("vec_r"),
+        col("__nrm").as("nrm_r"), col("tile"))
+    val denom = col("nrm_l") * col("nrm_r")
+    left.join(right, Seq("tile"))
+      // off-diagonal tiles hold each cross-block pair exactly once (any id
+      // order); diagonal tiles need the id ordering to halve the square
+      .filter(col("bi") < col("bj") || col("id_l") < col("id_r"))
+      .withColumn("cosine",
+        when(denom === 0.0, 0.0)
+          .otherwise(VectorFunctions.dot(col("vec_l"), col("vec_r")) / denom))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("cosine"))
+  }
+
+  /** One sign-LSH bucket id per hash table (seed-chained plane sets). */
+  def lshBucketArray(vec: Column, tables: Int, nBits: Int, dim: Int,
+      seed: Long = 42L): Column =
+    array((0 until tables).map(t =>
+      lshBucket(vec, randomHyperplanes(nBits, dim, seed + 1000L * t))): _*)
+
+  /** APPROXIMATE embedding-cosine near-dup pairs: candidates from a union of
+    * `tables` independent sign-LSH hash tables (equi-join per table on
+    * (table, bucket)), exact cosine verification, each pair emitted from its
+    * FIRST colliding table only (codegen'd [[graft.functions.EarlierArrayMatch]]
+    * — no pair-dedup shuffle). The scale path for HIGH thresholds, where
+    * per-bit collision probability 1 − θ/π is near 1 and a few tables give
+    * near-total recall over a tiny candidate set; recall vs the exact
+    * [[embeddingNearDupPairs]] is spec-asserted on clustered data. */
+  def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int, nBits: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol),
+      lshBucketArray(col(vecCol), tables, nBits, dim, seed).as("__bkts"),
+      VectorFunctions.norm(col(vecCol)).as("__nrm"))
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("__bkts").as("bkts_a"), col("__nrm").as("nrm_a"),
+      posexplode(col("__bkts")).as(Seq("__t", "__bucket")))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("__bkts").as("bkts_b"), col("__nrm").as("nrm_b"),
+      posexplode(col("__bkts")).as(Seq("__t", "__bucket")))
+    val denom = col("nrm_a") * col("nrm_b")
+    a.join(b, Seq("__t", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bkts_a"), col("bkts_b"), col("__t")))
+      .withColumn("cosine",
+        when(denom === 0.0, 0.0)
+          .otherwise(VectorFunctions.dot(col("vec_a"), col("vec_b")) / denom))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

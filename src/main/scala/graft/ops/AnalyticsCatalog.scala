@@ -255,8 +255,11 @@ object AnalyticsCatalog {
 
   private val d06 = Entry("d06_embedding_near_dup",
     (s, dir) => {
+      // Exact near-dup pairs over the FULL corpus via the blocked pair
+      // equi-join (matrix tiling — no CartesianProduct in the plan, asserted
+      // in PlanSpec; work spreads over blocks²/2 shuffle keys).
       Similarity.embeddingNearDupPairs(
-          Tables(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          Tables(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")
     },
@@ -264,7 +267,7 @@ object AnalyticsCatalog {
            |  SELECT vec_id, embedding,
            |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
            |         (p,q) -> p + q)) AS nrm
-           |  FROM embeddings WHERE vec_id < 1000)
+           |  FROM embeddings)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
            |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)

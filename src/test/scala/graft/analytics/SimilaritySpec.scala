@@ -67,4 +67,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.nonEmpty)
     assert(rows.forall { case (a, b, c) => a < b && c >= 0.99 })
   }
+
+  test("blocked pair join equals the naive all-pairs cross join exactly") {
+    val df = clustered.select($"id", $"vec")
+    def naive(threshold: Double) = {
+      val a = df.select($"id".as("id_a"), $"vec".as("vec_a"))
+      val b = df.select($"id".as("id_b"), $"vec".as("vec_b"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosine($"vec_a", $"vec_b"))
+        .filter($"cosine" >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+    for (threshold <- Seq(0.4, 0.99); blocks <- Seq(1, 3, 16)) {
+      val expected = naive(threshold)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val got = Similarity.embeddingNearDupPairs(df, "id", "vec", threshold, blocks)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      // bit-exact: same pairs, same cosine doubles
+      assert(got.toSeq == expected.toSeq,
+        s"blocked(blocks=$blocks, t=$threshold) diverges from all-pairs")
+    }
+  }
+
+  test("LSH near-dup pairs recall the exact pairs at a high threshold") {
+    val df = clustered.select($"id", $"vec")
+    val exact = Similarity.embeddingNearDupPairs(df, "id", "vec", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairsLSH(df, "id", "vec", 0.99,
+        tables = 6, nBits = 8, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // no false positives possible (exact verify); recall is the LSH risk
+    assert(lsh.subsetOf(exact))
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH pair recall $recall too low")
+  }
 }

@@ -60,6 +60,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join"), p)
   }
 
+  test("d06 embedding near-dup runs as a tiled equi-join, never a cartesian") {
+    val p = plan("d06_embedding_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the tile join shuffles by key; the tiny tile index is broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
