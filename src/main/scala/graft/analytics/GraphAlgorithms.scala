@@ -120,15 +120,46 @@ object GraphAlgorithms {
 
   /** Shortest-path hop counts from every vertex to each landmark
     * (GraphX lib.ShortestPaths; edges traversed as undirected is NOT
-    * assumed — GraphX follows out-edges toward landmarks). */
-  def shortestPathLengths(g: PropertyGraph, landmarks: Seq[Long]): DataFrame = {
+    * assumed — GraphX follows out-edges toward landmarks).
+    *
+    * Landmarks are processed in bounded batches of `landmarkBatch`: the
+    * algorithm carries a per-vertex map of size |landmarks| through every
+    * superstep, so an unbatched run over a large landmark set blows up both
+    * superstep state and the driver-side landmark list. Batching caps the
+    * per-vertex map at `landmarkBatch` entries and the per-batch runs union
+    * into one result. */
+  def shortestPathLengths(g: PropertyGraph, landmarks: Seq[Long],
+      landmarkBatch: Int = 128): DataFrame =
+    shortestPathBatches(g, landmarks.grouped(landmarkBatch))
+
+  /** [[shortestPathLengths]] with the landmark ids taken as a DataFrame
+    * (single `id` column): ids stream to the driver one bounded batch at a
+    * time via `toLocalIterator` — the full landmark set is never collected
+    * at once, so landmark count can scale with the graph. */
+  def shortestPathLengthsFrom(g: PropertyGraph, landmarks: DataFrame,
+      landmarkBatch: Int = 128): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ids = landmarks.select(col("id").cast("long")).sort("id")
+      .toLocalIterator().asScala.map(_.getLong(0))
+    shortestPathBatches(g, ids.grouped(landmarkBatch))
+  }
+
+  private def shortestPathBatches(g: PropertyGraph,
+      batches: Iterator[Seq[Long]]): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(g.toGraphX(8), landmarks)
-      .vertices.flatMap { case (id, spMap) =>
-        spMap.map { case (landmark, dist) => (id, landmark, dist) }
-      }
-    sp.toDF("id", "landmark", "hops")
-      .join(g.nodes.select(col("id"), col("key")), Seq("id"))
+    val gx = g.toGraphX(8)
+    gx.cache() // each batch re-traverses the same graph
+    val parts = batches.map { batch =>
+      org.apache.spark.graphx.lib.ShortestPaths.run(gx, batch)
+        .vertices.flatMap { case (id, spMap) =>
+          spMap.map { case (landmark, dist) => (id, landmark, dist) }
+        }
+        .toDF("id", "landmark", "hops")
+    }.toSeq
+    val all =
+      if (parts.isEmpty) Seq.empty[(Long, Long, Int)].toDF("id", "landmark", "hops")
+      else parts.reduce(_ unionByName _)
+    all.join(g.nodes.select(col("id"), col("key")), Seq("id"))
   }
 }

@@ -589,30 +589,44 @@ object AnalyticsCatalog {
 
   private val x02 = Entry("x02_pagerank",
     (s, dir) => {
-      // Iterative Pregel PageRank — no SQL oracle (GraphAlgorithmsSpec holds
-      // the closed-form goldens and asserts the DataFrame variant matches to
-      // 1e-9). GraphX wins here: its VertexRDD keeps one partitioning across
-      // supersteps, where the DataFrame formulation re-shuffles ranks every
-      // iteration.
+      // Iterative Pregel PageRank (GraphX: VertexRDD keeps one partitioning
+      // across supersteps, where the DataFrame formulation re-shuffles ranks
+      // every iteration — both exist, spec'd equal to 1e-9). Cross-engine
+      // oracle: on the bipartite article→publisher star graph the 10-iter
+      // static PageRank has a CLOSED FORM — articles hold the reset mass
+      // 0.15, a publisher with in-degree d holds 0.15 + 0.85·0.15·d, and
+      // GraphX rescales final ranks to sum to the vertex count. Ranks are
+      // quantized to 6 decimals on both sides so iterative fp noise (~1e-10)
+      // cannot flip the hash; fixture values sit ≥0.25e-6 from every
+      // rounding boundary.
       val g = docGraph(s, dir)
       graft.analytics.GraphAlgorithms.pageRank(g, numIter = 10)
         .filter(col("label") === "Publisher")
-        .select(col("key"), col("rank"))
+        .select(col("key"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("key"))
     },
-    None)
+    Some("""WITH d AS (SELECT source, COUNT(*) AS deg FROM documents GROUP BY source),
+           |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_art,
+           |             COUNT(*) AS n_pub,
+           |             SUM(0.15 + 0.85*0.15*deg) AS s_pub
+           |      FROM d)
+           |SELECT d.source AS key,
+           |  round((0.15 + 0.85*0.15*d.deg) * (n_art + n_pub)
+           |        / (s_pub + 0.15*n_art), 6) AS rank
+           |FROM d, n
+           |ORDER BY rank DESC, key""".stripMargin))
 
   private val x03 = Entry("x03_shortest_paths",
     (s, dir) => {
-      // Pregel hop counts to every Publisher landmark. Landmark ids are a
-      // collected dim-table (the algorithm's API takes landmark vertex ids);
-      // the oracle reconstructs hops relationally from the bipartite
+      // Pregel hop counts to every Publisher landmark, in bounded landmark
+      // batches (ids stream to the driver via toLocalIterator — never an
+      // unbounded collect; per-vertex superstep state is capped at the batch
+      // size). The oracle reconstructs hops relationally from the bipartite
       // WRITTEN_BY graph: each publisher 0 from itself, each article 1 from
       // its publisher.
       val g = docGraph(s, dir)
       val pubs = g.matchLabel("Publisher").select(col("id"), col("key"))
-      val landmarkIds = pubs.select("id").collect().map(_.getLong(0)).toSeq.sorted
-      graft.analytics.GraphAlgorithms.shortestPathLengths(g, landmarkIds)
+      graft.analytics.GraphAlgorithms.shortestPathLengthsFrom(g, pubs.select("id"))
         .join(pubs.select(col("id").as("landmark"), col("key").as("landmark_key")),
           Seq("landmark"))
         .select(col("key"), col("landmark_key"), col("hops"))

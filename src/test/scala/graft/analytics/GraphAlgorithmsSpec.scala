@@ -79,4 +79,16 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(sp("a1") === 1 && sp("a2") === 1 && sp("a3") === 1)
     assert(!sp.contains("u1")) // unreachable: no path to landmark
   }
+
+  test("shortest paths: batched landmarks equal one unbatched run") {
+    import org.apache.spark.sql.functions.col
+    val landmarks = graph.nodes.select(col("id"))
+    // batch size 1 forces one Pregel run per landmark — same union result
+    val batched = GraphAlgorithms.shortestPathLengthsFrom(graph, landmarks, landmarkBatch = 1)
+      .select($"key", $"landmark", $"hops").as[(String, Long, Int)].collect().toSet
+    val wide = GraphAlgorithms.shortestPathLengthsFrom(graph, landmarks, landmarkBatch = 1000)
+      .select($"key", $"landmark", $"hops").as[(String, Long, Int)].collect().toSet
+    assert(batched.nonEmpty)
+    assert(batched === wide)
+  }
 }
