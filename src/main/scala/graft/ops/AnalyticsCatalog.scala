@@ -489,6 +489,36 @@ object AnalyticsCatalog {
             |SELECT 'Publisher' AS label, COUNT(DISTINCT publisher) AS n FROM acc
             |ORDER BY label""".stripMargin))
 
+  private val i04 = Entry("i04_detail_enrichment",
+    (s, dir) => {
+      // I5 per-row detail-page enrichment: mapPartitions with one client per
+      // partition, timeout, the reference's 4-selector fallback chain, and
+      // empty-content degradation on every failure mode
+      // (/root/reference/src/crwling.py:71-87). The stand-in server derives
+      // page HTML deterministically from the URL, so the enriched output has
+      // a closed relational form the oracle reproduces.
+      import s.implicits._
+      val reqs = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(lit("http://news.example/"), col("doc_id")).as("link"))
+        .as[graft.ingest.DetailRequest]
+      graft.ingest.Enrichment.enrichArticles(reqs).toDF().orderBy("doc_id")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  'http://news.example/' || CAST(doc_id AS VARCHAR) AS link,
+           |  CASE WHEN doc_id % 13 = 3 OR doc_id % 17 = 5 THEN ''
+           |       ELSE 'Body ' || CAST(doc_id AS VARCHAR) || ' via ' ||
+           |            CASE CAST(doc_id % 4 AS INT)
+           |                 WHEN 0 THEN 'dic_area'
+           |                 WHEN 1 THEN 'articleBodyContents'
+           |                 WHEN 2 THEN 'se-main-container'
+           |                 ELSE 'articleBody' END
+           |       END AS content,
+           |  CASE WHEN doc_id % 13 = 3 THEN 'timeout'
+           |       WHEN doc_id % 17 = 5 THEN 'no_content'
+           |       ELSE 'ok' END AS fetch_status
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------- cypher front end --
 
   private val c01 = Entry("c01_cypher_label_scan",
@@ -744,7 +774,7 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06, d07,
     v01, v02, v03, v04, v05,
     s01, s02, s03,
-    i01, i02, i03,
+    i01, i02, i03, i04,
     c01, c02, c03, c04, c05,
     x01, x02, x03, x04,
     m01, m02)

@@ -55,6 +55,40 @@ class IngestSpec extends SparkTestBase {
     assert(obs.get("n_saved") === 3L)
   }
 
+  test("enrichment: per-partition client, selector fallback chain, failure degradation") {
+    val inits = spark.sparkContext.longAccumulator("client_inits")
+    val reqs = Seq(
+      DetailRequest(0, "http://x/0"),   // dic_area
+      DetailRequest(1, "http://x/1"),   // articleBodyContents
+      DetailRequest(2, "http://x/2"),   // se-main-container
+      DetailRequest(7, "http://x/7"),   // articleBody (7 % 4 = 3)
+      DetailRequest(3, "http://x/3"),   // 3 % 13 = 3 → timeout
+      DetailRequest(22, "http://x/22")  // 22 % 17 = 5 → page without containers
+    ).toDS().repartition(3)
+    val out = Enrichment.enrichArticles(reqs,
+        clientFactory = () => { inits.add(1); new Enrichment.FakeDetailClient })
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(0).content === "Body 0 via dic_area" && out(0).fetch_status === "ok")
+    assert(out(1).content === "Body 1 via articleBodyContents")
+    assert(out(2).content === "Body 2 via se-main-container")
+    assert(out(7).content === "Body 7 via articleBody")
+    // the reference degrades EVERY failure to empty content (crwling.py:86-87)
+    assert(out(3).content === "" && out(3).fetch_status === "timeout")
+    assert(out(22).content === "" && out(22).fetch_status === "no_content")
+    assert(inits.value === 3L, "client must be constructed once per partition")
+  }
+
+  test("enrichment: a throwing client is isolated per row, task survives") {
+    val reqs = Seq(
+      DetailRequest(13, "http://x/13"), // FlakyClient throws on this one
+      DetailRequest(4, "http://x/4")
+    ).toDS().coalesce(1) // same partition: the throw must not kill its neighbor
+    val out = Enrichment.enrichArticles(reqs, clientFactory = () => new FlakyClient)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(13).content === "" && out(13).fetch_status === "error")
+    assert(out(4).content === "ok" && out(4).fetch_status === "ok")
+  }
+
   test("GraphStore round-trips and label scans prune partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val g = ArticleIngest.upsert(PropertyGraph.empty(spark), raw)
@@ -68,4 +102,11 @@ class IngestSpec extends SparkTestBase {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("label"), plan)
   }
+}
+
+/** Client whose fetch throws on one URL — the row-isolation fixture. */
+private class FlakyClient extends Enrichment.DetailClient {
+  override def fetchHtml(url: String, timeoutMs: Long): Option[String] =
+    if (url.endsWith("/13")) throw new RuntimeException("connection reset")
+    else Some("""<div id="dic_area">ok</div>""")
 }
