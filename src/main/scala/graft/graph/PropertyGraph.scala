@@ -25,8 +25,22 @@ import graft.model.GraphSchema
   * by `id` (shuffle-free merge joins); nothing here ever collects to the
   * driver.
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+    mergeDepth: Int = 0) {
   import PropertyGraph._
+
+  /** Truncate merge lineage. Each MERGE stacks a join on the previous plan,
+    * so a long-lived session doing per-statement merges (the reference's
+    * write loop) would grow an unbounded plan; merges auto-compact through
+    * here every [[PropertyGraph.maxMergeDepth]] calls, keeping plan depth
+    * O(maxMergeDepth) forever. `localCheckpoint` is the in-session boundary;
+    * a durable deployment round-trips through [[GraphStore]] instead (same
+    * truncation, plus the label-partitioned/bucketed layout). */
+  def compact(): PropertyGraph =
+    PropertyGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true), 0)
+
+  private def bounded(next: PropertyGraph): PropertyGraph =
+    if (next.mergeDepth < maxMergeDepth) next else next.compact()
 
   /** Q1+Q2 — set-oriented MERGE of a node batch.
     *
@@ -51,14 +65,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       when(col("new.id").isNull, col("old.props"))
         .when(col("old.id").isNull, col("new.props"))
         .otherwise(mergeProps(col("old.props"), col("new.props"))).as("props"))
-    copy(nodes = merged)
+    bounded(copy(nodes = merged, mergeDepth = mergeDepth + 1))
   }
 
   /** Q5 — edge MERGE: create iff absent on (srcId, dstId, relType). */
   def mergeEdges(batch: DataFrame): PropertyGraph = {
     val deduped = batch.select("srcId", "dstId", "relType").dropDuplicates()
     val fresh = deduped.join(edges, Seq("srcId", "dstId", "relType"), "left_anti")
-    copy(edges = edges.unionByName(fresh))
+    bounded(copy(edges = edges.unionByName(fresh), mergeDepth = mergeDepth + 1))
   }
 
   /** Edge MERGE addressed by endpoint (label,key) pairs, as the reference's
@@ -140,6 +154,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 }
 
 object PropertyGraph {
+  /** Merges between automatic lineage truncations (see [[PropertyGraph#compact]]). */
+  val maxMergeDepth: Int = 8
+
   def empty(spark: SparkSession): PropertyGraph =
     PropertyGraph(GraphSchema.emptyNodes(spark), GraphSchema.emptyEdges(spark))
 

@@ -12,6 +12,25 @@ class PropertyGraphSpec extends SparkTestBase {
     ("Publisher", "Daily Planet", Map.empty[String, String])
   ).toDF("label", "key", "props")
 
+  test("20 sequential merges keep plan depth O(1) via lineage auto-compaction") {
+    def planNodes(g: PropertyGraph): Int =
+      g.nodes.queryExecution.optimizedPlan.collect { case p => p }.size
+    var g = PropertyGraph.empty(spark)
+    val sizes = (1 to 20).map { i =>
+      val batch = Seq(("Article", s"http://a/$i", Map("title" -> s"t$i")))
+        .toDF("label", "key", "props")
+      g = g.mergeNodes(batch)
+      planNodes(g)
+    }
+    // auto-compaction cycles every maxMergeDepth merges, so no later plan is
+    // ever deeper than the first cycle's peak (unbounded growth would make
+    // every post-cycle size exceed it)
+    val firstCycleMax = sizes.take(PropertyGraph.maxMergeDepth + 2).max
+    sizes.drop(PropertyGraph.maxMergeDepth + 2).foreach(sz =>
+      assert(sz <= firstCycleMax, s"plan depth grew without bound: $sizes"))
+    assert(g.matchLabel("Article").count() === 20)
+  }
+
   test("mergeNodes creates nodes once; re-merge is idempotent") {
     val g0 = PropertyGraph.empty(spark)
     val g1 = g0.mergeNodes(articleBatch)
