@@ -1,9 +1,12 @@
 package graft.cypher
 
 /** AST for the Cypher subset the reference actually uses (SURVEY.md §2.B,
-  * Q1-Q13): MATCH/MERGE/SET/WITH/RETURN/WHERE/ORDER BY/LIMIT, node and
-  * one-hop relationship patterns, property maps, named parameters, and the
-  * `datetime()` scalar.
+  * Q1-Q13) — MATCH/MERGE/SET/WITH/RETURN/WHERE/ORDER BY/LIMIT, node and
+  * one-hop relationship patterns, property maps, named parameters, the
+  * `datetime()` scalar — plus the depth a Neo4j user types next: WITH
+  * aggregation pipelines (`MATCH…WITH…MATCH`), boolean WHERE trees
+  * (AND/OR/NOT, parentheses), and the aggregate family
+  * count/sum/avg/min/max/collect with DISTINCT.
   */
 object CypherAst {
 
@@ -26,31 +29,50 @@ object CypherAst {
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
 
   final case class PropRef(variable: String, prop: String)
-  final case class Predicate(ref: PropRef, op: String, value: Value)
+  /** LHS is a property (`a.lang`) or a bare WITH-alias (`n_articles`). */
+  final case class Predicate(lhs: Either[String, PropRef], op: String, value: Value)
+
+  /** WHERE expression tree; AND binds tighter than OR, NOT tightest. */
+  sealed trait BoolExpr
+  final case class Cmp(pred: Predicate) extends BoolExpr
+  final case class AndE(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  final case class OrE(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  final case class NotE(e: BoolExpr) extends BoolExpr
 
   sealed trait ReturnExpr
   final case class RetVar(variable: String) extends ReturnExpr
   final case class RetProp(ref: PropRef) extends ReturnExpr
-  /** `count(*)` (arg None) or `count(v)` (arg Some(v)); Cypher groups
+  /** Aggregate call: fn ∈ count|sum|avg|min|max|collect. `arg` is None for
+    * `count(*)`, a bare variable/alias, or a property ref; Cypher groups
     * implicitly by every non-aggregate return item. */
-  final case class RetCount(arg: Option[String]) extends ReturnExpr
+  final case class RetAgg(fn: String, arg: Option[Either[String, PropRef]],
+    distinct: Boolean = false) extends ReturnExpr
   final case class ReturnItem(expr: ReturnExpr, alias: Option[String]) {
     def name: String = alias.getOrElse(expr match {
       case RetVar(v) => v
       case RetProp(PropRef(v, p)) => s"$v.$p"
-      case RetCount(Some(v)) => s"count($v)"
-      case RetCount(None) => "count(*)"
+      case RetAgg(fn, None, _) => s"$fn(*)"
+      case RetAgg(fn, Some(Left(v)), d) => s"$fn(${if (d) "DISTINCT " else ""}$v)"
+      case RetAgg(fn, Some(Right(PropRef(v, p))), d) =>
+        s"$fn(${if (d) "DISTINCT " else ""}$v.$p)"
     })
   }
   final case class OrderItem(key: Either[String, PropRef], ascending: Boolean)
 
   sealed trait Statement
 
-  /** optPaths: OPTIONAL MATCH patterns — left-join semantics, each must
-    * start at a variable the mandatory paths bind. */
-  final case class MatchStatement(paths: Seq[PathPat], where: Seq[Predicate],
+  /** One `WITH` horizon: projected/aggregated items plus an optional
+    * post-projection WHERE (Cypher's HAVING). */
+  final case class WithClause(items: Seq[ReturnItem], where: Option[BoolExpr])
+
+  /** One pipeline stage: `MATCH`es (+ OPTIONAL MATCHes), an optional WHERE,
+    * and an optional WITH hand-off to the next stage. */
+  final case class MatchStage(paths: Seq[PathPat], optPaths: Seq[PathPat],
+    where: Option[BoolExpr], withClause: Option[WithClause])
+
+  final case class MatchStatement(stages: Seq[MatchStage],
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
-    optPaths: Seq[PathPat] = Nil, distinct: Boolean = false) extends Statement
+    distinct: Boolean = false) extends Statement
 
   sealed trait MutClause
   final case class MergeNode(pat: NodePat) extends MutClause

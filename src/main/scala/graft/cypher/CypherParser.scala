@@ -12,8 +12,10 @@ import scala.collection.mutable.ArrayBuffer
 object CypherParser {
 
   private val keywords = Set("MATCH", "MERGE", "WHERE", "RETURN", "ORDER", "BY",
-    "LIMIT", "SET", "WITH", "AS", "AND", "ASC", "DESC", "CONTAINS", "OPTIONAL",
-    "DISTINCT")
+    "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
+    "OPTIONAL", "DISTINCT")
+
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -97,20 +99,32 @@ object CypherParser {
     }
 
     private def matchStatement(): MatchStatement = {
-      expectKw("MATCH")
-      val paths = ArrayBuffer(path())
-      while (peek.contains(Sym(","))) { next(); paths += path() }
-      val optPaths = ArrayBuffer.empty[PathPat]
-      while (peek.contains(Kw("OPTIONAL"))) {
-        next(); expectKw("MATCH")
-        optPaths += path()
-        while (peek.contains(Sym(","))) { next(); optPaths += path() }
-      }
-      val where = ArrayBuffer.empty[Predicate]
-      if (peek.contains(Kw("WHERE"))) {
-        next()
-        where += predicate()
-        while (peek.contains(Kw("AND"))) { next(); where += predicate() }
+      val stages = ArrayBuffer.empty[MatchStage]
+      while (!peek.contains(Kw("RETURN"))) {
+        expectKw("MATCH")
+        val paths = ArrayBuffer(path())
+        while (peek.contains(Sym(","))) { next(); paths += path() }
+        val optPaths = ArrayBuffer.empty[PathPat]
+        while (peek.contains(Kw("OPTIONAL"))) {
+          next(); expectKw("MATCH")
+          optPaths += path()
+          while (peek.contains(Sym(","))) { next(); optPaths += path() }
+        }
+        val where =
+          if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None
+        val withClause =
+          if (peek.contains(Kw("WITH"))) {
+            next()
+            val items = ArrayBuffer(returnItem())
+            while (peek.contains(Sym(","))) { next(); items += returnItem() }
+            val having =
+              if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None
+            Some(WithClause(items.toSeq, having))
+          } else None
+        stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause)
+        if (withClause.isEmpty && !peek.contains(Kw("RETURN")) &&
+            !peek.contains(Kw("MATCH")))
+          fail(s"expected WITH, MATCH or RETURN, got $peek")
       }
       expectKw("RETURN")
       val distinct = peek.contains(Kw("DISTINCT"))
@@ -127,8 +141,24 @@ object CypherParser {
         next()
         next() match { case Num(s) => Some(s.toInt); case t => fail(s"expected int, got $t") }
       } else None
-      MatchStatement(paths.toSeq, where.toSeq, items.toSeq, order.toSeq, limit,
-        optPaths.toSeq, distinct)
+      MatchStatement(stages.toSeq, items.toSeq, order.toSeq, limit, distinct)
+    }
+
+    // OR < AND < NOT < comparison; parentheses group
+    private def boolExpr(): BoolExpr = {
+      var e = andExpr()
+      while (peek.contains(Kw("OR"))) { next(); e = OrE(e, andExpr()) }
+      e
+    }
+    private def andExpr(): BoolExpr = {
+      var e = notExpr()
+      while (peek.contains(Kw("AND"))) { next(); e = AndE(e, notExpr()) }
+      e
+    }
+    private def notExpr(): BoolExpr = peek match {
+      case Some(Kw("NOT")) => next(); NotE(notExpr())
+      case Some(Sym("(")) => next(); val e = boolExpr(); expectSym(")"); e
+      case _ => Cmp(predicate())
     }
 
     private def mutateStatement(): MutateStatement = {
@@ -263,26 +293,34 @@ object CypherParser {
     }
 
     private def predicate(): Predicate = {
-      val ref = propRef()
+      val lhs: Either[String, PropRef] = next() match {
+        case Ident(v) if peek.contains(Sym(".")) => next(); Right(PropRef(v, ident()))
+        case Ident(v) => Left(v) // bare WITH-alias, e.g. `n_articles > 5`
+        case t => fail(s"expected property or alias, got $t")
+      }
       val op = next() match {
         case Sym(s @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) => s
         case Kw("CONTAINS") => "CONTAINS"
         case t => fail(s"expected comparison operator, got $t")
       }
-      Predicate(ref, op, value())
+      Predicate(lhs, op, value())
     }
 
     private def returnItem(): ReturnItem = {
       val expr = next() match {
-        case Ident(fn) if fn.equalsIgnoreCase("count") && peek.contains(Sym("(")) =>
+        case Ident(fn) if aggFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
           next()
-          val arg = next() match {
-            case Sym("*") => None
-            case Ident(v) => Some(v)
-            case t => fail(s"expected * or variable in count(), got $t")
+          val distinct = peek.contains(Kw("DISTINCT"))
+          if (distinct) next()
+          val arg: Option[Either[String, PropRef]] = next() match {
+            case Sym("*") if fn.equalsIgnoreCase("count") => None
+            case Ident(v) if peek.contains(Sym(".")) =>
+              next(); Some(Right(PropRef(v, ident())))
+            case Ident(v) => Some(Left(v))
+            case t => fail(s"expected aggregate argument in $fn(), got $t")
           }
           expectSym(")")
-          RetCount(arg)
+          RetAgg(fn.toLowerCase, arg, distinct)
         case Ident(v) if peek.contains(Sym(".")) =>
           next(); RetProp(PropRef(v, ident()))
         case Ident(v) => RetVar(v)

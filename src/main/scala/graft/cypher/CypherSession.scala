@@ -132,6 +132,8 @@ final class CypherSession(
   private def compileMatch(m: MatchStatement, params: Map[String, Any]): DataFrame = {
     var df: DataFrame = null
     var bound = Set.empty[String]
+    /** scalar columns introduced by WITH aliases (projection horizons). */
+    var scalarVars = Set.empty[String]
     var anon = 0
     def freshVar(): String = { anon += 1; s"__n$anon" }
 
@@ -205,54 +207,127 @@ final class CypherSession(
         bound += eVar
       }
     }
-    m.paths.foreach(compilePath(_, optional = false))
-    m.optPaths.foreach(compilePath(_, optional = true))
+    def propCol(v: String, p: String): Column =
+      propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
 
-    m.where.foreach { case Predicate(PropRef(v, p), op, value) =>
-      val c = propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
-      val rhs = value match {
-        case RefValue(PropRef(v2, p2)) =>
-          propOf(col(s"${v2}__key"), col(s"${v2}__props"), col(s"${v2}__label"), p2)
-        case other => scalarCol(other, params)
-      }
-      val cond = op match {
-        case "=" => c === rhs
-        case "<>" => c =!= rhs
-        case "<" => c < rhs
-        case "<=" => c <= rhs
-        case ">" => c > rhs
-        case ">=" => c >= rhs
-        case "CONTAINS" => c.contains(rhs)
-      }
-      df = df.filter(cond)
+    def refCol(lhs: Either[String, PropRef]): Column = lhs match {
+      case Left(name) if scalarVars.contains(name) => col(name)
+      case Left(name) => throw new IllegalArgumentException(
+        s"unknown alias '$name' in WHERE (not introduced by WITH)")
+      case Right(PropRef(v, p)) => propCol(v, p)
     }
 
+    def compileBool(be: BoolExpr): Column = be match {
+      case Cmp(Predicate(lhs, op, value)) =>
+        val c = refCol(lhs)
+        val rhs = value match {
+          case RefValue(PropRef(v2, p2)) => propCol(v2, p2)
+          case other => scalarCol(other, params)
+        }
+        op match {
+          case "=" => c === rhs
+          case "<>" => c =!= rhs
+          case "<" => c < rhs
+          case "<=" => c <= rhs
+          case ">" => c > rhs
+          case ">=" => c >= rhs
+          case "CONTAINS" => c.contains(rhs)
+        }
+      case AndE(l, r) => compileBool(l) && compileBool(r)
+      case OrE(l, r) => compileBool(l) || compileBool(r)
+      case NotE(e) => !compileBool(e)
+    }
+
+    /** scalar (non-struct) value of a return expression. */
     def itemCol(expr: ReturnExpr): Column = expr match {
+      case RetVar(v) if scalarVars.contains(v) => col(v)
       case RetVar(v) if df.columns.contains(s"${v}__type") =>
         struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
           col(s"${v}__type").as("relType"))
       case RetVar(v) =>
         struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
           col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))
-      case RetProp(PropRef(v, p)) =>
-        propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
-      case _: RetCount => throw new IllegalStateException("aggregate handled separately")
+      case RetProp(PropRef(v, p)) => propCol(v, p)
+      case _: RetAgg => throw new IllegalStateException("aggregate handled separately")
     }
 
-    val (aggItems, keyItems) = m.ret.partition(_.expr.isInstanceOf[RetCount])
+    def aggCol(a: RetAgg): Column = {
+      val base: Column = a.arg match {
+        case None => lit(1)
+        case Some(Left(v)) if scalarVars.contains(v) => col(v)
+        case Some(Left(v)) if df.columns.contains(s"${v}__type") => col(s"${v}__src")
+        case Some(Left(v)) => col(s"${v}__id")
+        case Some(Right(PropRef(v, p))) => propCol(v, p)
+      }
+      a.fn match {
+        case "count" => if (a.distinct) count_distinct(base) else count(base)
+        // numeric aggregates read string property-bag values through DOUBLE
+        case "sum" => sum(base.cast("double"))
+        case "avg" => avg(base.cast("double"))
+        case "min" => min(base)
+        case "max" => max(base)
+        // canonical (sorted) collect: Cypher leaves list order unspecified;
+        // a set-oriented engine pins it for reproducibility
+        case "collect" =>
+          sort_array(if (a.distinct) collect_set(base) else collect_list(base))
+        case other => throw new IllegalArgumentException(s"unsupported aggregate $other()")
+      }
+    }
+
+    /** A WITH horizon: project or aggregate, then re-scope bindings. Node
+      * variables carry their full binding through a pure projection (so a
+      * following MATCH can extend from them); an aggregating WITH groups by
+      * its scalar items, after which only aliases remain in scope. */
+    def applyWith(wc: WithClause): Unit = {
+      val (aggs, keys) = wc.items.partition(_.expr.isInstanceOf[RetAgg])
+      if (aggs.isEmpty) {
+        val keepNodes = Vector.newBuilder[String]
+        val newScalars = Vector.newBuilder[String]
+        val sel = Vector.newBuilder[Column]
+        wc.items.foreach { i =>
+          i.expr match {
+            case RetVar(v) if bound.contains(v) && df.columns.contains(s"${v}__id") =>
+              require(i.alias.forall(_ == v), "node bindings keep their name in WITH")
+              sel += col(s"${v}__id"); sel += col(s"${v}__label")
+              sel += col(s"${v}__key"); sel += col(s"${v}__props")
+              keepNodes += v
+            case other =>
+              sel += itemCol(other).as(i.name); newScalars += i.name
+          }
+        }
+        df = df.select(sel.result(): _*)
+        bound = keepNodes.result().toSet
+        scalarVars = newScalars.result().toSet
+      } else {
+        val keyCols = keys.map { i =>
+          require(!i.expr.isInstanceOf[RetVar] ||
+            scalarVars.contains(i.expr.asInstanceOf[RetVar].variable),
+            s"aggregating WITH groups by scalar items; project '${i.name}' as a property first")
+          itemCol(i.expr).as(i.name)
+        }
+        val aggCols = aggs.map(i => aggCol(i.expr.asInstanceOf[RetAgg]).as(i.name))
+        df =
+          if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        bound = Set.empty
+        scalarVars = wc.items.map(_.name).toSet
+      }
+      wc.where.foreach(be => df = df.filter(compileBool(be)))
+    }
+
+    m.stages.foreach { st =>
+      st.paths.foreach(compilePath(_, optional = false))
+      st.optPaths.foreach(compilePath(_, optional = true))
+      st.where.foreach(be => df = df.filter(compileBool(be)))
+      st.withClause.foreach(applyWith)
+    }
+
+    val (aggItems, keyItems) = m.ret.partition(_.expr.isInstanceOf[RetAgg])
     var out =
       if (aggItems.isEmpty) df.select(m.ret.map(i => itemCol(i.expr).as(i.name)): _*)
       else {
         // Cypher's implicit grouping: every non-aggregate return item is a key
-        val aggCols = aggItems.map { i =>
-          (i.expr match {
-            case RetCount(Some(v)) =>
-              if (df.columns.contains(s"${v}__id")) count(col(s"${v}__id"))
-              else count(col(s"${v}__src")) // edge-bound variable
-            case RetCount(None) => count(lit(1))
-            case other => throw new IllegalStateException(s"unexpected $other")
-          }).as(i.name)
-        }
+        val aggCols = aggItems.map(i => aggCol(i.expr.asInstanceOf[RetAgg]).as(i.name))
         val grouped =
           if (keyItems.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keyItems.map(i => itemCol(i.expr).as(i.name)): _*)

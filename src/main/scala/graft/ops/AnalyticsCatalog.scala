@@ -603,6 +603,56 @@ object AnalyticsCatalog {
            |FROM documents GROUP BY source
            |ORDER BY n_articles DESC, publisher""".stripMargin))
 
+  private val c06 = Entry("c06_cypher_with_having",
+    (s, dir) => {
+      // WITH aggregation pipeline: boolean WHERE tree (OR) on the scan,
+      // implicit grouping at the WITH horizon, alias HAVING after it — the
+      // aggregate runs partial map-side like any groupBy.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)
+                 |WHERE a.lang = 'en' OR a.lang = 'de'
+                 |WITH p.name AS publisher, count(a) AS n_articles
+                 |WHERE n_articles >= 15 OR publisher = 'src10'
+                 |RETURN publisher, n_articles
+                 |ORDER BY n_articles DESC, publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH g AS (
+           |  SELECT source AS publisher, COUNT(*) AS n_articles
+           |  FROM documents WHERE lang = 'en' OR lang = 'de'
+           |  GROUP BY source)
+           |SELECT publisher, n_articles FROM g
+           |WHERE n_articles >= 15 OR publisher = 'src10'
+           |ORDER BY n_articles DESC, publisher""".stripMargin))
+
+  private val c07 = Entry("c07_cypher_pipeline_collect",
+    (s, dir) => {
+      // MATCH…WITH…MATCH pipeline: the publisher binding carries across the
+      // WITH horizon and the second MATCH extends from it (no re-scan
+      // cross join — the pattern join starts at the bound id); NOT/OR
+      // predicate tree; sum routes the string property bag through DOUBLE
+      // (integer-valued, so order-independent); collect is canonical-sorted.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |WITH p
+                 |MATCH (p)<-[:WRITTEN_BY]-(a:Article)
+                 |WHERE NOT (a.lang = 'fr' OR a.lang = 'es')
+                 |RETURN p.name AS publisher, count(a) AS n_docs,
+                 |       sum(a.doc_id) AS id_sum,
+                 |       collect(DISTINCT a.lang) AS langs
+                 |ORDER BY publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher, COUNT(*) AS n_docs,
+           |  SUM(CAST(doc_id AS DOUBLE)) AS id_sum,
+           |  list_sort(list(DISTINCT lang)) AS langs
+           |FROM documents WHERE NOT (lang = 'fr' OR lang = 'es')
+           |GROUP BY source ORDER BY publisher""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -775,7 +825,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05,
     s01, s02, s03,
     i01, i02, i03, i04,
-    c01, c02, c03, c04, c05,
+    c01, c02, c03, c04, c05, c06, c07,
     x01, x02, x03, x04,
     m01, m02)
 }

@@ -71,6 +71,88 @@ class CypherSpec extends SparkTestBase {
     assert(counts === Seq(("alice", 1L), ("bob", 0L)))
   }
 
+  test("WITH aggregation pipeline: implicit grouping + alias HAVING + OR") {
+    val sess = freshSession
+    Seq(("u1", "spark"), ("u2", "spark"), ("u3", "flink"), ("u1", "flink"),
+      ("u4", "duck")).foreach { case (u, t) =>
+      sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                 |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+        Map("u" -> u, "t" -> t))
+    }
+    val rows = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t:Tech)
+        |WITH t.name AS tech, count(u) AS n
+        |WHERE n >= 2 OR tech = 'duck'
+        |RETURN tech, n ORDER BY n DESC, tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("flink", 2L), ("spark", 2L), ("duck", 1L)))
+  }
+
+  test("MATCH...WITH...MATCH: node bindings carry across the horizon") {
+    val sess = freshSession
+    Seq(("u1", "spark"), ("u1", "flink"), ("u2", "spark"), ("u3", "flink"))
+      .foreach { case (u, t) =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> t))
+      }
+    // users interested in spark → ALL their interests (second MATCH extends
+    // from the carried binding; collect is canonical-sorted)
+    val rows = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t:Tech)
+        |WHERE t.name = 'spark'
+        |WITH u
+        |MATCH (u)-[:INTERESTED_IN]->(t2:Tech)
+        |RETURN u.name AS user, collect(t2.name) AS techs ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Seq[String])].collect().toSeq
+    assert(rows === Seq(("u1", Seq("flink", "spark")), ("u2", Seq("spark"))))
+  }
+
+  test("NOT and parenthesized OR predicates") {
+    val sess = freshSession
+    Seq("spark", "flink", "duck").foreach(t =>
+      sess.run("MERGE (t:Tech {name: $t})", Map("t" -> t)))
+    val rows = sess.run(
+      """MATCH (t:Tech)
+        |WHERE NOT (t.name = 'spark' OR t.name = 'duck')
+        |RETURN t.name AS tech ORDER BY tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(rows === Seq("flink"))
+  }
+
+  test("sum/avg/min/max/collect DISTINCT aggregates") {
+    val sess = freshSession
+    Seq(("u1", "10"), ("u2", "20"), ("u3", "30")).foreach { case (u, age) =>
+      sess.run(s"MERGE (u:User {name: $$u}) SET u.age = $$age",
+        Map("u" -> u, "age" -> age))
+    }
+    val row = sess.run(
+      """MATCH (u:User)
+        |RETURN sum(u.age) AS total, avg(u.age) AS mean,
+        |       min(u.name) AS first_name, max(u.name) AS last_name,
+        |       count(DISTINCT u) AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(row.getDouble(0) === 60.0 && row.getDouble(1) === 20.0)
+    assert(row.getString(2) === "u1" && row.getString(3) === "u3")
+    assert(row.getLong(4) === 3L)
+  }
+
+  test("variable-length paths on a NON-bipartite graph: non-empty 2-hop term") {
+    val sess = freshSession
+    // follows chain a→b→c→d: same label on both sides, so 2-hop walks exist
+    Seq(("a", "b"), ("b", "c"), ("c", "d")).foreach { case (x, y) =>
+      sess.run("""MERGE (x:User {name: $x}) MERGE (y:User {name: $y})
+                 |MERGE (x)-[:FOLLOWS]->(y)""".stripMargin,
+        Map("x" -> x, "y" -> y))
+    }
+    val rows = sess.run(
+      """MATCH (x:User)-[:FOLLOWS*1..2]->(y)
+        |RETURN x.name AS src, y.name AS dst ORDER BY src, dst""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(rows === Seq( // 1-hop: ab bc cd; 2-hop: ac bd — both terms non-empty
+      ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
   test("count() aggregation with Cypher's implicit grouping") {
     val sess = freshSession
     Seq(("u1", "spark"), ("u2", "spark"), ("u3", "flink")).foreach { case (u, t) =>
