@@ -33,6 +33,51 @@ class NewsFeedSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  private def readFeedWith(opts: (String, String)*): DataFrame = {
+    var r = spark.readStream.format("graft.streaming.newsfeed.NewsFeedProvider")
+      .option("pages", 3).option("articlesPerPage", 10).option("pagesPerTrigger", 3)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private def collectFeed(df: DataFrame): Seq[(Int, String)] = {
+    var rows = Vector.empty[(Int, String)]
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows = rows ++ b.select("page", "page_status")
+          .collect().map(r => (r.getInt(0), r.getString(1)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    rows
+  }
+
+  test("HTTP 429 aborts the crawl, like the reference's rate-limit branch") {
+    val q = readFeedWith("failPages" -> "1:429")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }.start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val causes = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    assert(causes.exists(_.isInstanceOf[graft.streaming.newsfeed.NewsFeedRateLimitedException]),
+      causes.map(_.toString).mkString(" | "))
+  }
+
+  test("parse failure dead-letters the page; the crawl continues") {
+    val rows = collectFeed(readFeedWith("failPages" -> "1:parse"))
+    assert(rows.count(_._2 == "ok") === 20) // pages 0 and 2 deliver fully
+    assert(rows.filter(_._2 != "ok") === Seq((1, "dead_letter:parse_failure")))
+  }
+
+  test("transient 503 recovers after backoff; with retries=0 it dead-letters") {
+    val recovered = collectFeed(readFeedWith("failPages" -> "1:503"))
+    assert(recovered.count(_._2 == "ok") === 30) // retry succeeded, no loss
+    val exhausted = collectFeed(readFeedWith("failPages" -> "1:503", "retries" -> "0"))
+    assert(exhausted.count(_._2 == "ok") === 20)
+    assert(exhausted.filter(_._2 != "ok") === Seq((1, "dead_letter:http_503")))
+  }
+
   test("crawl -> clean -> MERGE -> read-back, end to end") {
     var graph = PropertyGraph.empty(spark)
     val q = readFeed(pages = 3, perPage = 10, perTrigger = 2)
