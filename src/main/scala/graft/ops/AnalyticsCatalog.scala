@@ -15,23 +15,29 @@ import QueryCatalog.Entry
   */
 object AnalyticsCatalog {
 
-  /** One materialized document-graph per fixture dir — a session holds its
-    * graph; rebuilding the MERGE plan per query would re-run the upsert
-    * joins every time. Persisted so the 8 graph-backed queries share one
-    * ingest. */
+  /** One document-graph per fixture dir, ingested once and round-tripped
+    * through [[graft.graph.GraphStore]]: every graph-backed query reads the
+    * PERSISTED layout — nodes partitioned by label, edges by relType — so
+    * label scans and typed pattern matches prune partitions exactly as they
+    * would against the production store (asserted in PlanSpec). This also
+    * replaces the old never-unpersisted in-memory cache: the parquet store
+    * is the materialization. */
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.graph.PropertyGraph]()
   private def docGraph(s: org.apache.spark.sql.SparkSession, dir: String): graft.graph.PropertyGraph =
     graphCache.computeIfAbsent(dir, d => {
+      val store = System.getProperty("java.io.tmpdir") +
+        "/graft_docgraph_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val g = GraphIngest.fromDocuments(Tables(s, d, "documents"))
-      graft.graph.PropertyGraph(g.nodes.persist(), g.edges.persist())
+      graft.graph.GraphStore.write(g, store)
+      graft.graph.GraphStore.read(s, store)
     })
 
-  /** Materialize the shared document graph (counts force the persisted
-    * node/edge Datasets). Bench calls this before timing so graph queries
-    * measure query cost against a populated store — the reference's
-    * analytics likewise run against an already-loaded Neo4j; upsert cost
-    * itself is what i03 measures. */
+  /** Materialize the shared document graph (runs the ingest and writes the
+    * store). Bench calls this before timing so graph queries measure query
+    * cost against a populated store — the reference's analytics likewise
+    * run against an already-loaded Neo4j; upsert cost itself is what i03
+    * measures. */
   def warmGraph(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val g = docGraph(s, dir)
     g.nodes.count(); g.edges.count()

@@ -60,6 +60,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join"), p)
   }
 
+  test("graph queries read the persisted store with partition-pruned scans") {
+    // label scan (DSL and Cypher front end) prunes to label=Article
+    val g = plan("g01_graph_label_scan")
+    assert(g.contains("PartitionFilters") && g.contains("Article"), g)
+    val c = plan("c01_cypher_label_scan")
+    assert(c.contains("PartitionFilters") && c.contains("Article"), c)
+    // typed pattern match prunes the edge store to relType=WRITTEN_BY
+    val hop = plan("g03_graph_one_hop")
+    assert(hop.contains("PartitionFilters") && hop.contains("WRITTEN_BY"), hop)
+  }
+
   test("d06 embedding near-dup runs as a tiled equi-join, never a cartesian") {
     val p = plan("d06_embedding_near_dup")
     assert(!p.contains("CartesianProduct"), p)
