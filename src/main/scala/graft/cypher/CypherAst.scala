@@ -75,7 +75,11 @@ object CypherAst {
     distinct: Boolean = false) extends Statement
 
   sealed trait MutClause
-  final case class MergeNode(pat: NodePat) extends MutClause
+  /** Node MERGE with optional path-dependent SET handlers
+    * (`ON CREATE SET …` / `ON MATCH SET …`). */
+  final case class MergeNode(pat: NodePat,
+    onCreate: Seq[(PropRef, Value)] = Nil,
+    onMatch: Seq[(PropRef, Value)] = Nil) extends MutClause
   final case class MergeEdge(srcVar: String, relType: String, dstVar: String) extends MutClause
   final case class SetItems(items: Seq[(PropRef, Value)]) extends MutClause
   final case class WithVars(vars: Seq[String]) extends MutClause

@@ -13,7 +13,7 @@ object CypherParser {
 
   private val keywords = Set("MATCH", "MERGE", "WHERE", "RETURN", "ORDER", "BY",
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
-    "OPTIONAL", "DISTINCT")
+    "OPTIONAL", "DISTINCT", "ON", "CREATE")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
 
@@ -168,8 +168,27 @@ object CypherParser {
         case Some(Kw("MERGE")) =>
           next()
           val p = path()
-          if (p.edges.isEmpty) clauses += MergeNode(p.nodes.head)
+          // trailing path-dependent handlers: ON CREATE SET … / ON MATCH SET …
+          var onCreate = Seq.empty[(PropRef, Value)]
+          var onMatch = Seq.empty[(PropRef, Value)]
+          def handlerItems(): Seq[(PropRef, Value)] = {
+            expectKw("SET")
+            val items = ArrayBuffer(setItem())
+            while (peek.contains(Sym(","))) { next(); items += setItem() }
+            items.toSeq
+          }
+          while (peek.contains(Kw("ON"))) {
+            next()
+            next() match {
+              case Kw("CREATE") => onCreate = onCreate ++ handlerItems()
+              case Kw("MATCH") => onMatch = onMatch ++ handlerItems()
+              case t => fail(s"expected CREATE or MATCH after ON, got $t")
+            }
+          }
+          if (p.edges.isEmpty) clauses += MergeNode(p.nodes.head, onCreate, onMatch)
           else {
+            if (onCreate.nonEmpty || onMatch.nonEmpty)
+              fail("ON CREATE/ON MATCH handlers are supported on node MERGE only")
             // MERGE (a)-[:T]->(b): endpoints may be bare bound vars or full
             // patterns (then they imply node merges too)
             p.nodes.foreach { npat => if (npat.label.isDefined) clauses += MergeNode(npat) }

@@ -60,7 +60,9 @@ final class CypherSession(
 
   private case class NodeBinding(variable: String, label: String,
     keyValue: Value, patProps: Map[String, Value],
-    var setProps: Vector[(String, Value)])
+    var setProps: Vector[(String, Value)],
+    var createProps: Vector[(String, Value)] = Vector.empty,
+    var matchProps: Vector[(String, Value)] = Vector.empty)
 
   private def executeMutation(m: MutateStatement, paramsDf: DataFrame): CypherResult = {
     val bindings = scala.collection.mutable.LinkedHashMap.empty[String, NodeBinding]
@@ -68,7 +70,7 @@ final class CypherSession(
     var returns: Seq[ReturnItem] = Nil
 
     m.clauses.foreach {
-      case MergeNode(pat) =>
+      case MergeNode(pat, onCreate, onMatch) =>
         val v = pat.variable.getOrElse(s"__anon${bindings.size}")
         val label = pat.label.getOrElse(
           throw new IllegalArgumentException("MERGE node needs a label"))
@@ -76,8 +78,13 @@ final class CypherSession(
         val keyValue = pat.props.getOrElse(keyProp,
           throw new IllegalArgumentException(
             s"MERGE ($v:$label) must bind key property '$keyProp'"))
-        bindings.getOrElseUpdate(v,
+        val b = bindings.getOrElseUpdate(v,
           NodeBinding(v, label, keyValue, pat.props - keyProp, Vector.empty))
+        (onCreate ++ onMatch).foreach { case (PropRef(hv, _), _) =>
+          require(hv == v, s"ON CREATE/ON MATCH SET must target the merged variable $v, got $hv")
+        }
+        b.createProps = b.createProps ++ onCreate.map { case (PropRef(_, p), value) => (p, value) }
+        b.matchProps = b.matchProps ++ onMatch.map { case (PropRef(_, p), value) => (p, value) }
       case SetItems(items) =>
         items.foreach { case (PropRef(v, p), value) =>
           val b = bindings.getOrElse(v,
@@ -93,16 +100,18 @@ final class CypherSession(
     }
 
     val nodeBatches = bindings.values.map { b =>
-      val propEntries = (b.patProps.toSeq ++ b.setProps).flatMap { case (k, value) =>
-        Seq(lit(k), valueCol(value, paramsDf).cast("string"))
+      def mapCol(entries: Seq[(String, Value)]): Column = {
+        val flat = entries.flatMap { case (k, value) =>
+          Seq(lit(k), valueCol(value, paramsDf).cast("string"))
+        }
+        if (flat.isEmpty) typedlit(Map.empty[String, String]) else map(flat: _*)
       }
-      val propsCol =
-        if (propEntries.isEmpty) typedlit(Map.empty[String, String])
-        else map(propEntries: _*)
       paramsDf.select(
         lit(b.label).as("label"),
         valueCol(b.keyValue, paramsDf).cast("string").as("key"),
-        propsCol.as("props"))
+        mapCol(b.patProps.toSeq ++ b.setProps).as("props"),
+        mapCol(b.createProps).as("create_props"),
+        mapCol(b.matchProps).as("match_props"))
     }.reduce(_ unionByName _)
 
     val (created, matched) = graph.mergeNodeCounts(nodeBatches)

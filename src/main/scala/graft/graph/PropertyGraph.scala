@@ -51,11 +51,19 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     * reference writes one record per transaction, so batch-internal order is
     * not observable; we keep one deterministic winner via max_by on props
     * rendered canonical — callers needing last-write-wins pass an `ord`).
+    *
+    * Path-dependent SET (Neo4j's `ON CREATE SET` / `ON MATCH SET`): pass the
+    * optional map columns `create_props` / `match_props` — applied on top of
+    * `props`, but only on the path that fired for that key.
     */
   def mergeNodes(batch: DataFrame, ord: Option[Column] = None): PropertyGraph = {
-    val withId = batch.withColumn("id", GraphSchema.stableId(col("label"), col("key")))
+    val pathed = Seq("create_props", "match_props").foldLeft(batch) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, typedlit(Map.empty[String, String]))
+    }
+    val withId = pathed.withColumn("id", GraphSchema.stableId(col("label"), col("key")))
     val deduped = dedupOne(withId, Seq("id"), ord)
-      .select("id", "label", "key", "props")
+      .select("id", "label", "key", "props", "create_props", "match_props")
     val joined = nodes.alias("old").join(deduped.alias("new"),
       col("old.id") === col("new.id"), "full_outer")
     val merged = joined.select(
@@ -63,8 +71,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
       coalesce(col("new.label"), col("old.label")).as("label"),
       coalesce(col("new.key"), col("old.key")).as("key"),
       when(col("new.id").isNull, col("old.props"))
-        .when(col("old.id").isNull, col("new.props"))
-        .otherwise(mergeProps(col("old.props"), col("new.props"))).as("props"))
+        .when(col("old.id").isNull,
+          mergeProps(col("new.props"), col("new.create_props")))
+        .otherwise(mergeProps(mergeProps(col("old.props"), col("new.props")),
+          col("new.match_props"))).as("props"))
     bounded(copy(nodes = merged, mergeDepth = mergeDepth + 1))
   }
 

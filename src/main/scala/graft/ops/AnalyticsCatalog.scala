@@ -659,6 +659,37 @@ object AnalyticsCatalog {
            |FROM documents WHERE NOT (lang = 'fr' OR lang = 'es')
            |GROUP BY source ORDER BY publisher""".stripMargin))
 
+  private val c08 = Entry("c08_cypher_merge_on_paths",
+    (s, dir) => {
+      // ON CREATE SET / ON MATCH SET through the front end, set-oriented
+      // (runBatch over the whole publisher dim): first batch takes the
+      // create path everywhere, the identical second batch the match path —
+      // the observable generation counters of the reference's
+      // created-vs-updated branch (crwling.py:61-64), as data.
+      val pubs = Tables(s, dir, "documents")
+        .select(col("source").as("name")).distinct()
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s))
+      val q = """MERGE (p:Publisher {name: $name})
+                |ON CREATE SET p.status = 'created'
+                |ON MATCH SET p.status = 'matched'""".stripMargin
+      def statusCounts(phase: String) =
+        sess.graph.matchLabel("Publisher")
+          .groupBy(col("props").getItem("status").as("status"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(phase).as("phase"), col("status"), col("n"))
+      sess.runBatch(q, pubs)
+      val first = statusCounts("after_first")
+      sess.runBatch(q, pubs)
+      val second = statusCounts("after_second")
+      first.unionByName(second).orderBy("phase", "status")
+    },
+    Some("""SELECT 'after_first' AS phase, 'created' AS status,
+           |       COUNT(DISTINCT source) AS n FROM documents
+           |UNION ALL
+           |SELECT 'after_second', 'matched', COUNT(DISTINCT source) FROM documents
+           |ORDER BY phase, status""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -831,7 +862,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05,
     s01, s02, s03,
     i01, i02, i03, i04,
-    c01, c02, c03, c04, c05, c06, c07,
+    c01, c02, c03, c04, c05, c06, c07, c08,
     x01, x02, x03, x04,
     m01, m02)
 }

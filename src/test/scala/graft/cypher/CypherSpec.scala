@@ -108,6 +108,24 @@ class CypherSpec extends SparkTestBase {
     assert(rows === Seq(("u1", Seq("flink", "spark")), ("u2", Seq("spark"))))
   }
 
+  test("MERGE ON CREATE SET / ON MATCH SET fire on the right path") {
+    val sess = freshSession
+    val q = """MERGE (u:User {name: $u})
+              |ON CREATE SET u.status = 'new', u.first_seen = $at
+              |ON MATCH SET u.status = 'seen'
+              |SET u.touched = $at""".stripMargin
+    sess.run(q, Map("u" -> "alice", "at" -> "t1"))
+    val after1 = sess.run("MATCH (u:User) RETURN u.status AS s, u.first_seen AS f, u.touched AS t")
+      .asInstanceOf[CypherRows].df.as[(String, String, String)].collect().toSeq
+    assert(after1 === Seq(("new", "t1", "t1")))
+    sess.run(q, Map("u" -> "alice", "at" -> "t2"))
+    val after2 = sess.run("MATCH (u:User) RETURN u.status AS s, u.first_seen AS f, u.touched AS t")
+      .asInstanceOf[CypherRows].df.as[(String, String, String)].collect().toSeq
+    // ON MATCH overwrote status, ON CREATE did not re-fire (first_seen stays
+    // t1), the unconditional SET runs on both paths
+    assert(after2 === Seq(("seen", "t1", "t2")))
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>

@@ -31,6 +31,18 @@ class PropertyGraphSpec extends SparkTestBase {
     assert(g.matchLabel("Article").count() === 20)
   }
 
+  test("mergeNodes path-dependent SET: create_props on create, match_props on match") {
+    val batch = Seq(
+      ("User", "alice", Map.empty[String, String],
+        Map("status" -> "new"), Map("status" -> "seen")))
+      .toDF("label", "key", "props", "create_props", "match_props")
+    val g1 = PropertyGraph.empty(spark).mergeNodes(batch)
+    assert(g1.nodes.select("props").as[Map[String, String]].head()("status") === "new")
+    val g2 = g1.mergeNodes(batch)
+    assert(g2.nodes.select("props").as[Map[String, String]].head()("status") === "seen")
+    assert(g2.nodes.count() === 1)
+  }
+
   test("mergeNodes creates nodes once; re-merge is idempotent") {
     val g0 = PropertyGraph.empty(spark)
     val g1 = g0.mergeNodes(articleBatch)
