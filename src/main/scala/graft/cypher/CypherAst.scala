@@ -17,6 +17,10 @@ object CypherAst {
   final case class FnCall(name: String) extends Value // datetime()
   /** property reference on the comparison RHS, e.g. `a.link < b.link`. */
   final case class RefValue(ref: PropRef) extends Value
+  /** literal list, e.g. `['en', 'de']` (UNWIND / IN-style sources). */
+  final case class ListLit(items: Seq[Value]) extends Value
+  /** bare alias on the RHS, e.g. `WHERE a.lang = lang_code` after UNWIND. */
+  final case class AliasValue(name: String) extends Value
 
   final case class NodePat(variable: Option[String], label: Option[String],
     props: Map[String, Value])
@@ -65,14 +69,18 @@ object CypherAst {
     * post-projection WHERE (Cypher's HAVING). */
   final case class WithClause(items: Seq[ReturnItem], where: Option[BoolExpr])
 
-  /** One pipeline stage: `MATCH`es (+ OPTIONAL MATCHes), an optional WHERE,
-    * and an optional WITH hand-off to the next stage. */
+  /** `UNWIND <list> AS <alias>` — one output row per list element. */
+  final case class Unwind(value: Value, alias: String)
+
+  /** One pipeline stage: `UNWIND`s, `MATCH`es (+ OPTIONAL MATCHes), an
+    * optional WHERE, and an optional WITH hand-off to the next stage. */
   final case class MatchStage(paths: Seq[PathPat], optPaths: Seq[PathPat],
-    where: Option[BoolExpr], withClause: Option[WithClause])
+    where: Option[BoolExpr], withClause: Option[WithClause],
+    unwinds: Seq[Unwind] = Nil)
 
   final case class MatchStatement(stages: Seq[MatchStage],
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
-    distinct: Boolean = false) extends Statement
+    distinct: Boolean = false, skip: Option[Int] = None) extends Statement
 
   sealed trait MutClause
   /** Node MERGE with optional path-dependent SET handlers

@@ -13,7 +13,7 @@ object CypherParser {
 
   private val keywords = Set("MATCH", "MERGE", "WHERE", "RETURN", "ORDER", "BY",
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
-    "OPTIONAL", "DISTINCT", "ON", "CREATE")
+    "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
 
@@ -93,17 +93,27 @@ object CypherParser {
       throw new IllegalArgumentException(s"cypher parse error at token $pos: $msg")
 
     def statement(): Statement = peek match {
-      case Some(Kw("MATCH")) => matchStatement()
+      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) => matchStatement()
       case Some(Kw("MERGE")) => mutateStatement()
-      case t => fail(s"statement must start with MATCH or MERGE, got $t")
+      case t => fail(s"statement must start with MATCH, UNWIND or MERGE, got $t")
     }
 
     private def matchStatement(): MatchStatement = {
       val stages = ArrayBuffer.empty[MatchStage]
       while (!peek.contains(Kw("RETURN"))) {
-        expectKw("MATCH")
-        val paths = ArrayBuffer(path())
-        while (peek.contains(Sym(","))) { next(); paths += path() }
+        val unwinds = ArrayBuffer.empty[Unwind]
+        while (peek.contains(Kw("UNWIND"))) {
+          next()
+          val v = value()
+          expectKw("AS")
+          unwinds += Unwind(v, ident())
+        }
+        val paths = ArrayBuffer.empty[PathPat]
+        if (peek.contains(Kw("MATCH"))) {
+          next()
+          paths += path()
+          while (peek.contains(Sym(","))) { next(); paths += path() }
+        } else if (unwinds.isEmpty) fail(s"expected UNWIND, MATCH or RETURN, got $peek")
         val optPaths = ArrayBuffer.empty[PathPat]
         while (peek.contains(Kw("OPTIONAL"))) {
           next(); expectKw("MATCH")
@@ -121,10 +131,11 @@ object CypherParser {
               if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None
             Some(WithClause(items.toSeq, having))
           } else None
-        stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause)
+        stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
+          unwinds.toSeq)
         if (withClause.isEmpty && !peek.contains(Kw("RETURN")) &&
-            !peek.contains(Kw("MATCH")))
-          fail(s"expected WITH, MATCH or RETURN, got $peek")
+            !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")))
+          fail(s"expected WITH, MATCH, UNWIND or RETURN, got $peek")
       }
       expectKw("RETURN")
       val distinct = peek.contains(Kw("DISTINCT"))
@@ -137,11 +148,15 @@ object CypherParser {
         order += orderItem()
         while (peek.contains(Sym(","))) { next(); order += orderItem() }
       }
+      val skip = if (peek.contains(Kw("SKIP"))) {
+        next()
+        next() match { case Num(s) => Some(s.toInt); case t => fail(s"expected int, got $t") }
+      } else None
       val limit = if (peek.contains(Kw("LIMIT"))) {
         next()
         next() match { case Num(s) => Some(s.toInt); case t => fail(s"expected int, got $t") }
       } else None
-      MatchStatement(stages.toSeq, items.toSeq, order.toSeq, limit, distinct)
+      MatchStatement(stages.toSeq, items.toSeq, order.toSeq, limit, distinct, skip)
     }
 
     // OR < AND < NOT < comparison; parentheses group
@@ -300,10 +315,19 @@ object CypherParser {
       case ParamTok(s) => Param(s)
       case Str(s) => StrLit(s)
       case Num(s) => NumLit(s.toDouble, !s.contains('.'))
+      case Sym("[") =>
+        val items = ArrayBuffer.empty[Value]
+        if (!peek.contains(Sym("]"))) {
+          items += value()
+          while (peek.contains(Sym(","))) { next(); items += value() }
+        }
+        expectSym("]")
+        ListLit(items.toSeq)
       case Ident(fn) if peek.contains(Sym("(")) =>
         next(); expectSym(")"); FnCall(fn.toLowerCase)
       case Ident(v) if peek.contains(Sym(".")) =>
         next(); RefValue(PropRef(v, ident()))
+      case Ident(v) => AliasValue(v)
       case t => fail(s"expected value, got $t")
     }
 

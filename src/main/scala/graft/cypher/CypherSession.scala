@@ -231,6 +231,7 @@ final class CypherSession(
         val c = refCol(lhs)
         val rhs = value match {
           case RefValue(PropRef(v2, p2)) => propCol(v2, p2)
+          case AliasValue(n) if scalarVars.contains(n) => col(n)
           case other => scalarCol(other, params)
         }
         op match {
@@ -324,7 +325,26 @@ final class CypherSession(
       wc.where.foreach(be => df = df.filter(compileBool(be)))
     }
 
+    /** UNWIND — one row per list element; the alias is a scalar binding. */
+    def applyUnwind(u: Unwind): Unit = {
+      val arr: Column = u.value match {
+        case ListLit(items) => array(items.map(scalarCol(_, params)): _*)
+        case Param(name) => params.getOrElse(name,
+          throw new IllegalArgumentException(s"missing parameter $$$name")) match {
+          case s: Seq[_] => array(s.map(x => lit(x)): _*)
+          case other => array(lit(other))
+        }
+        case other => array(scalarCol(other, params))
+      }
+      df =
+        if (df == null)
+          graph.nodes.sparkSession.range(1).select(explode(arr).as(u.alias))
+        else df.select(col("*"), explode(arr).as(u.alias))
+      scalarVars += u.alias
+    }
+
     m.stages.foreach { st =>
+      st.unwinds.foreach(applyUnwind)
       st.paths.foreach(compilePath(_, optional = false))
       st.optPaths.foreach(compilePath(_, optional = true))
       st.where.foreach(be => df = df.filter(compileBool(be)))
@@ -361,6 +381,7 @@ final class CypherSession(
       }
       out = out.orderBy(keys: _*)
     }
+    m.skip.foreach(n => out = out.offset(n))
     m.limit.foreach(n => out = out.limit(n))
     out
   }
@@ -382,6 +403,10 @@ final class CypherSession(
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
     case RefValue(r) => throw new IllegalArgumentException(
       s"property reference ${r.variable}.${r.prop} not valid here")
+    case AliasValue(n) => throw new IllegalArgumentException(
+      s"unknown alias '$n' (not introduced by WITH/UNWIND)")
+    case ListLit(_) => throw new IllegalArgumentException(
+      "list literal only valid in UNWIND")
   }
 
   private def valueCol(v: Value, paramsDf: DataFrame): Column = v match {
@@ -392,6 +417,10 @@ final class CypherSession(
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
     case RefValue(r) => throw new IllegalArgumentException(
       s"property reference ${r.variable}.${r.prop} not valid in MERGE values")
+    case AliasValue(n) => throw new IllegalArgumentException(
+      s"alias '$n' not valid in MERGE values")
+    case ListLit(_) => throw new IllegalArgumentException(
+      "list literal not valid in MERGE values")
   }
 }
 

@@ -690,6 +690,24 @@ object AnalyticsCatalog {
            |SELECT 'after_second', 'matched', COUNT(DISTINCT source) FROM documents
            |ORDER BY phase, status""".stripMargin))
 
+  private val c09 = Entry("c09_cypher_unwind_skip",
+    (s, dir) => {
+      // UNWIND a literal language list into a per-element pipeline (alias
+      // joins against the label scan), aggregate per element, then paginate
+      // with ORDER BY + SKIP + LIMIT.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""UNWIND ['en', 'de', 'fr', 'es'] AS lang_code
+                 |MATCH (a:Article) WHERE a.lang = lang_code
+                 |RETURN lang_code, count(a) AS n_docs
+                 |ORDER BY lang_code SKIP 1 LIMIT 2""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang AS lang_code, COUNT(*) AS n_docs
+           |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+           |GROUP BY lang ORDER BY lang_code LIMIT 2 OFFSET 1""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -862,7 +880,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05,
     s01, s02, s03,
     i01, i02, i03, i04,
-    c01, c02, c03, c04, c05, c06, c07, c08,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09,
     x01, x02, x03, x04,
     m01, m02)
 }

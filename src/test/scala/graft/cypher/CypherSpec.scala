@@ -126,6 +126,35 @@ class CypherSpec extends SparkTestBase {
     assert(after2 === Seq(("seen", "t1", "t2")))
   }
 
+  test("UNWIND drives a per-element pipeline; SKIP paginates after ORDER BY") {
+    val sess = freshSession
+    Seq("spark", "flink", "duck", "ray").foreach(t =>
+      sess.run("MERGE (t:Tech {name: $t})", Map("t" -> t)))
+    // literal-list UNWIND joined against the store by alias equality
+    val unwound = sess.run(
+      """UNWIND ['spark', 'flink', 'absent'] AS wanted
+        |MATCH (t:Tech) WHERE t.name = wanted
+        |RETURN wanted, count(t) AS n ORDER BY wanted""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(unwound === Seq(("flink", 1L), ("spark", 1L))) // 'absent' matches nothing
+    // standalone UNWIND without MATCH
+    val standalone = sess.run(
+      "UNWIND [3, 1, 2, 3] AS n RETURN count(DISTINCT n) AS c")
+      .asInstanceOf[CypherRows].df.as[Long].head()
+    assert(standalone === 3L)
+    // parameterized list UNWIND
+    val viaParam = sess.run(
+      "UNWIND $xs AS x RETURN collect(x) AS xs",
+      Map("xs" -> Seq("b", "a")))
+      .asInstanceOf[CypherRows].df.as[Seq[String]].head()
+    assert(viaParam === Seq("a", "b")) // canonical-sorted collect
+    // SKIP between ORDER BY and LIMIT
+    val page = sess.run(
+      "MATCH (t:Tech) RETURN t.name AS tech ORDER BY tech SKIP 1 LIMIT 2")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(page === Seq("flink", "ray")) // duck | flink ray | spark
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
