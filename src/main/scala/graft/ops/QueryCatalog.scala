@@ -540,8 +540,134 @@ object QueryCatalog {
            |ORDER BY tag, p""".stripMargin))
 
   /** Ordered catalog. Extended batch-by-batch as operators land. */
+  // --------------------------------------------- classic TPC-H query shapes --
+
+  private val q28 = Entry("q28_shipping_priority",
+    (s, dir) => {
+      // TPC-H Q3 shape: segment-filtered customers, unshipped-window orders,
+      // revenue per order, top 10. Filters reach the scans (pushdown);
+      // fact-fact joins shuffle on their keys; top-k lowers to
+      // TakeOrderedAndProject.
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(asDouble(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01'
+           |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  private val q29 = Entry("q29_local_supplier_volume",
+    (s, dir) => {
+      // TPC-H Q5 shape: revenue from LOCAL supply chains (customer and
+      // supplier share a nation) within one region — a 5-way join where
+      // supplier/nation/region broadcast and the locality predicate rides
+      // the supplier join condition.
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(asDouble(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
+  private val q30 = Entry("q30_returned_items",
+    (s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+      // returnflag filter pushes to the lineitem scan before the joins.
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val nat = t(s, dir, "nation")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(asDouble(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_returned"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_returned
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  private val q31 = Entry("q31_order_priority_late",
+    (s, dir) => {
+      // TPC-H Q4 shape: orders with at least one lineitem shipped >90 days
+      // after the order date, counted by priority — an EXISTS lowered to a
+      // left-semi join on the order key (asserted semi, not a re-scan).
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val late = ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      late.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+           |FROM orders o
+           |WHERE EXISTS (
+           |  SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey
+           |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27)
+    q25, q26, q27, q28, q29, q30, q31)
 }
