@@ -82,6 +82,13 @@ object CypherAst {
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
     distinct: Boolean = false, skip: Option[Int] = None) extends Statement
 
+  /** MATCH-driven write: `MATCH … SET/REMOVE …` property rewrites and
+    * `MATCH … [DETACH] DELETE var` removals, applied to the pre-statement
+    * graph state. */
+  final case class UpdateStatement(stages: Seq[MatchStage],
+    sets: Seq[(PropRef, Value)], removes: Seq[PropRef],
+    deletes: Seq[String], detach: Boolean) extends Statement
+
   sealed trait MutClause
   /** Node MERGE with optional path-dependent SET handlers
     * (`ON CREATE SET …` / `ON MATCH SET …`). */

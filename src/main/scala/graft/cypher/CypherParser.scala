@@ -13,7 +13,8 @@ object CypherParser {
 
   private val keywords = Set("MATCH", "MERGE", "WHERE", "RETURN", "ORDER", "BY",
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
-    "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP")
+    "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
+    "DETACH", "REMOVE")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
 
@@ -98,9 +99,15 @@ object CypherParser {
       case t => fail(s"statement must start with MATCH, UNWIND or MERGE, got $t")
     }
 
-    private def matchStatement(): MatchStatement = {
+    /** Clauses that end the MATCH/UNWIND/WITH pipeline. */
+    private def pipelineEnd(t: Option[Tok]): Boolean = t match {
+      case Some(Kw(k)) => Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH")(k)
+      case _ => false
+    }
+
+    private def matchStatement(): Statement = {
       val stages = ArrayBuffer.empty[MatchStage]
-      while (!peek.contains(Kw("RETURN"))) {
+      while (!pipelineEnd(peek)) {
         val unwinds = ArrayBuffer.empty[Unwind]
         while (peek.contains(Kw("UNWIND"))) {
           next()
@@ -133,10 +140,12 @@ object CypherParser {
           } else None
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
           unwinds.toSeq)
-        if (withClause.isEmpty && !peek.contains(Kw("RETURN")) &&
+        if (withClause.isEmpty && !pipelineEnd(peek) &&
             !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")))
-          fail(s"expected WITH, MATCH, UNWIND or RETURN, got $peek")
+          fail(s"expected WITH, MATCH, UNWIND, RETURN or a write clause, got $peek")
       }
+      if (!peek.contains(Kw("RETURN")))
+        return updateTail(stages.toSeq)
       expectKw("RETURN")
       val distinct = peek.contains(Kw("DISTINCT"))
       if (distinct) next()
@@ -157,6 +166,36 @@ object CypherParser {
         next() match { case Num(s) => Some(s.toInt); case t => fail(s"expected int, got $t") }
       } else None
       MatchStatement(stages.toSeq, items.toSeq, order.toSeq, limit, distinct, skip)
+    }
+
+    /** `MATCH … SET/REMOVE/[DETACH] DELETE` write tail. */
+    private def updateTail(stages: Seq[MatchStage]): UpdateStatement = {
+      val sets = ArrayBuffer.empty[(PropRef, Value)]
+      val removes = ArrayBuffer.empty[PropRef]
+      val deletes = ArrayBuffer.empty[String]
+      var detach = false
+      var done = false
+      while (!done) peek match {
+        case Some(Kw("SET")) =>
+          next()
+          sets += setItem()
+          while (peek.contains(Sym(","))) { next(); sets += setItem() }
+        case Some(Kw("REMOVE")) =>
+          next()
+          removes += propRef()
+          while (peek.contains(Sym(","))) { next(); removes += propRef() }
+        case Some(Kw("DETACH")) =>
+          next(); expectKw("DELETE"); detach = true
+          deletes += ident()
+          while (peek.contains(Sym(","))) { next(); deletes += ident() }
+        case Some(Kw("DELETE")) =>
+          next()
+          deletes += ident()
+          while (peek.contains(Sym(","))) { next(); deletes += ident() }
+        case None => done = true
+        case t => fail(s"unexpected token in write clause: $t")
+      }
+      UpdateStatement(stages, sets.toSeq, removes.toSeq, deletes.toSeq, detach)
     }
 
     // OR < AND < NOT < comparison; parentheses group

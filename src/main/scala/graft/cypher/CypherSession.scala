@@ -20,6 +20,10 @@ sealed trait CypherResult
 final case class CypherRows(df: DataFrame) extends CypherResult
 final case class CypherMutation(graph: PropertyGraph, nodesCreated: Long,
   nodesMatched: Long) extends CypherResult
+/** Result of a `MATCH … SET/REMOVE/DELETE` write. */
+final case class CypherWrite(graph: PropertyGraph, propertiesSet: Long,
+  propertiesRemoved: Long, nodesDeleted: Long,
+  relationshipsDeleted: Long) extends CypherResult
 
 final class CypherSession(
     initial: PropertyGraph,
@@ -34,6 +38,7 @@ final class CypherSession(
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult =
     CypherParser.parse(query) match {
       case m: MatchStatement => CypherRows(compileMatch(m, params))
+      case u: UpdateStatement => executeUpdate(u, params)
       case m: MutateStatement =>
         val spark = graph.nodes.sparkSession
         val paramsDf =
@@ -136,7 +141,71 @@ final class CypherSession(
     CypherMutation(g2, created, matched)
   }
 
-  // --------------------------------------------------------------- match --
+  // ------------------------------------------------------- match + write --
+
+  /** `MATCH … SET/REMOVE/[DETACH] DELETE`: compile the pattern once against
+    * the pre-statement graph, derive the target id sets, then apply the
+    * rewrites set-oriented (anti-joins for DELETE, a props-map rewrite join
+    * for SET/REMOVE). All counters read the pre-statement state. */
+  private def executeUpdate(u: UpdateStatement, params: Map[String, Any]): CypherResult = {
+    val targets = (u.sets.map(_._1.variable) ++ u.removes.map(_.variable) ++
+      u.deletes).distinct
+    require(targets.nonEmpty, "write statement needs SET, REMOVE or DELETE targets")
+    val mm = MatchStatement(u.stages,
+      targets.map(v => ReturnItem(RetVar(v), None)), Nil, None)
+    val out = compileMatch(mm, params)
+    def idsOf(v: String): DataFrame =
+      out.select(out(v).getField("id").as("id")).distinct()
+
+    var g = graph
+    var propsSet = 0L
+    var propsRemoved = 0L
+    var nodesDeleted = 0L
+    var relsDeleted = 0L
+
+    val rewrites = (u.sets.map(s => (s._1.variable, Left(s))) ++
+      u.removes.map(r => (r.variable, Right(r)))).groupBy(_._1)
+    rewrites.toSeq.sortBy(_._1).foreach { case (v, items) =>
+      val ids = idsOf(v).localCheckpoint(true) // pin to pre-statement state
+      val n = ids.count()
+      val setPairs = items.collect { case (_, Left((PropRef(_, p), value))) => (p, value) }
+      val removeKeys = items.collect { case (_, Right(PropRef(_, p))) => p }
+      val rewrite: Column => Column = { old0 =>
+        val old = coalesce(old0, map())
+        val afterRemove =
+          if (removeKeys.isEmpty) old
+          else map_filter(old, (k, _) => !k.isInCollection(removeKeys))
+        if (setPairs.isEmpty) afterRemove
+        else {
+          val entries = setPairs.flatMap { case (p, value) =>
+            Seq(lit(p), scalarCol(value, params).cast("string"))
+          }
+          map_concat(
+            map_filter(afterRemove, (k, _) => !k.isInCollection(setPairs.map(_._1))),
+            map(entries: _*))
+        }
+      }
+      g = g.updateNodeProps(ids, rewrite)
+      propsSet += n * setPairs.size
+      propsRemoved += n * removeKeys.size
+    }
+
+    if (u.deletes.nonEmpty) {
+      val ids = u.deletes.map(idsOf).reduce(_ unionByName _).distinct()
+        .localCheckpoint(true)
+      nodesDeleted = ids.count()
+      if (u.detach)
+        relsDeleted = g.edges
+          .join(ids.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+          .unionByName(g.edges
+            .join(ids.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi"))
+          .dropDuplicates().count()
+      g = g.deleteNodes(ids, u.detach)
+    }
+
+    graph = g
+    CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted)
+  }
 
   private def compileMatch(m: MatchStatement, params: Map[String, Any]): DataFrame = {
     var df: DataFrame = null

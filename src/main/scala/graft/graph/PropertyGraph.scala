@@ -95,6 +95,36 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     mergeEdges(resolved)
   }
 
+  /** Cypher `DELETE` / `DETACH DELETE`: remove the nodes whose ids appear in
+    * `ids` (single `id` column). Plain DELETE follows Neo4j and refuses when
+    * a targeted node still has relationships; DETACH also removes every
+    * touching edge. Set-oriented: anti-joins only. */
+  def deleteNodes(ids: DataFrame, detach: Boolean): PropertyGraph = {
+    val keep = nodes.join(ids, Seq("id"), "left_anti")
+    val newEdges =
+      if (detach)
+        edges.join(ids.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_anti")
+          .join(ids.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_anti")
+          .select(edges.columns.map(col).toIndexedSeq: _*)
+      else {
+        val touching = edges.join(ids.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+          .unionByName(edges.join(ids.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi"))
+        require(touching.isEmpty,
+          "cannot DELETE nodes that still have relationships — use DETACH DELETE")
+        edges
+      }
+    bounded(PropertyGraph(keep, newEdges, mergeDepth + 1))
+  }
+
+  /** Cypher `MATCH … SET/REMOVE`: rewrite the property bag of the nodes in
+    * `ids` through `f` (old props column → new props column). */
+  def updateNodeProps(ids: DataFrame, f: Column => Column): PropertyGraph = {
+    val marked = nodes.join(ids.withColumn("__hit", lit(true)), Seq("id"), "left")
+    val updated = marked.select(col("id"), col("label"), col("key"),
+      when(col("__hit").isNotNull, f(col("props"))).otherwise(col("props")).as("props"))
+    bounded(copy(nodes = updated, mergeDepth = mergeDepth + 1))
+  }
+
   /** Q14 — mutation counters: (created, matched) for a node batch, computed
     * the way the reference's consumer branches on `nodes_created`
     * (/root/reference/src/crwling.py:61-64). Set-oriented: one anti-join. */

@@ -708,6 +708,32 @@ object AnalyticsCatalog {
            |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
            |GROUP BY lang ORDER BY lang_code LIMIT 2 OFFSET 1""".stripMargin))
 
+  private val c10 = Entry("c10_cypher_write_surface",
+    (s, dir) => {
+      // The full MATCH-driven write surface against a seeded store: SET +
+      // REMOVE rewrite the matched subset's property bags, DETACH DELETE
+      // removes a different subset — final state oracle-checked, all
+      // operations set-oriented joins over the pre-statement state.
+      val pubs = Tables(s, dir, "documents")
+        .select(col("source").as("name")).distinct()
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s))
+      sess.runBatch("MERGE (p:Publisher {name: $name}) SET p.seeded = 'y'", pubs)
+      sess.run("MATCH (p:Publisher) WHERE p.name CONTAINS '1' SET p.flagged = 'y' REMOVE p.seeded")
+      sess.run("MATCH (p:Publisher) WHERE p.name CONTAINS '9' DETACH DELETE p")
+      sess.graph.matchLabel("Publisher")
+        .select(col("key").as("name"),
+          col("props").getItem("flagged").as("flagged"),
+          col("props").getItem("seeded").as("seeded"))
+        .orderBy("name")
+    },
+    Some("""WITH p AS (SELECT DISTINCT source AS name FROM documents)
+           |SELECT name,
+           |  CASE WHEN contains(name, '1') THEN 'y' END AS flagged,
+           |  CASE WHEN contains(name, '1') THEN NULL ELSE 'y' END AS seeded
+           |FROM p WHERE NOT contains(name, '9')
+           |ORDER BY name""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -880,7 +906,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05,
     s01, s02, s03,
     i01, i02, i03, i04,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
     x01, x02, x03, x04,
     m01, m02)
 }

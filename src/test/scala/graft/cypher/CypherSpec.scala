@@ -155,6 +155,40 @@ class CypherSpec extends SparkTestBase {
     assert(page === Seq("flink", "ray")) // duck | flink ray | spark
   }
 
+  test("MATCH SET / REMOVE / DELETE / DETACH DELETE rewrite the store") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("bob", "flink"), ("carol", "spark")).foreach { case (u, t) =>
+      sess.run("""MERGE (u:User {name: $u}) SET u.age = '30'
+                 |MERGE (t:Tech {name: $t})
+                 |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+        Map("u" -> u, "t" -> t))
+    }
+    // property rewrite on the matched subset only
+    val w1 = sess.run(
+      "MATCH (u:User) WHERE u.name = 'alice' SET u.tier = 'gold' REMOVE u.age")
+      .asInstanceOf[CypherWrite]
+    assert(w1.propertiesSet === 1L && w1.propertiesRemoved === 1L)
+    val alice = sess.run(
+      "MATCH (u:User) WHERE u.name = 'alice' RETURN u.tier AS tier, u.age AS age")
+      .asInstanceOf[CypherRows].df.as[(String, Option[String])].head()
+    assert(alice === (("gold", None)))
+    val bob = sess.run(
+      "MATCH (u:User) WHERE u.name = 'bob' RETURN u.tier AS tier, u.age AS age")
+      .asInstanceOf[CypherRows].df.as[(Option[String], Option[String])].head()
+    assert(bob === ((None, Some("30")))) // untouched
+    // plain DELETE refuses while relationships exist
+    intercept[IllegalArgumentException] {
+      sess.run("MATCH (u:User) WHERE u.name = 'bob' DELETE u")
+        .asInstanceOf[CypherWrite].graph.nodes.count()
+    }
+    // DETACH DELETE removes node + its edges
+    val w2 = sess.run("MATCH (u:User) WHERE u.name = 'bob' DETACH DELETE u")
+      .asInstanceOf[CypherWrite]
+    assert(w2.nodesDeleted === 1L && w2.relationshipsDeleted === 1L)
+    assert(sess.graph.matchLabel("User").count() === 2)
+    assert(sess.graph.edges.count() === 2)
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
