@@ -43,4 +43,31 @@ object AsOfJoin {
       .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` within the same key. Same union+window shape as
+    * [[backward]], mirrored: at equal timestamps left rows sort before right
+    * rows so ties match, and the frame looks forward. */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      prefix: String = "r_"): DataFrame = {
+    val reserved = Seq("__ts", "__src", "__payload", "__match")
+    require(!left.columns.exists(reserved.contains),
+      s"left side must not contain reserved columns ${reserved.mkString(", ")}")
+    val rightSel = right.select(
+      (on.map(col) :+ col(rightTs).as("__ts") :+
+        struct(payload.map(col): _*).as("__payload")): _*)
+      .withColumn("__src", lit(0))
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__src", lit(1))
+    val all = leftTagged.unionByName(rightSel, allowMissingColumns = true)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts"), col("__src").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    all.withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
+  }
 }

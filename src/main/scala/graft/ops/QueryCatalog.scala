@@ -666,8 +666,38 @@ object QueryCatalog {
            |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  private val q32 = Entry("q32_asof_forward",
+    (s, dir) => {
+      // Forward temporal alignment: each click joined to the user's NEXT
+      // purchase at-or-after it — the mirror of q22, same single-shuffle
+      // union+window plan (no range theta join). DuckDB's ASOF supports the
+      // forward inequality directly, so the oracle is symmetric.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("purchase_id"))
+      val rightDedup = purchases.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      AsOfJoin.forward(clicks, rightDedup, Seq("user_id"), "ts", "ts",
+          payload = Seq("purchase_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("r_purchase_id").as("purchase_id"),
+          col("r_value").as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |p AS (
+           |  SELECT user_id, ts, event_id AS purchase_id, value
+           |  FROM events WHERE event_type = 'purchase'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1)
+           |SELECT c.event_id, c.user_id, p.purchase_id, p.value AS purchase_value
+           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+           |ORDER BY c.event_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q32)
 }

@@ -4,6 +4,21 @@ import graft.SparkTestBase
 import java.sql.Timestamp
 
 class AsOfJoinSpec extends SparkTestBase {
+
+  test("forward as-of join: earliest right at-or-after each left row, per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, "a", 10L), (2L, "a", 25L), (3L, "b", 5L), (4L, "a", 100L))
+      .toDF("id", "k", "t").withColumn("ts", col("t").cast("timestamp"))
+    val right = Seq(("a", 10L, "p1"), ("a", 30L, "p2"), ("b", 50L, "p3"))
+      .toDF("k", "t2", "v").withColumn("ts", col("t2").cast("timestamp"))
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select($"id", $"r_v").as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("p1")) // tie at t=10 matches forward
+    assert(out(2L) === Some("p2")) // next at-or-after 25 is 30
+    assert(out(3L) === Some("p3"))
+    assert(out(4L) === None)       // nothing after t=100
+  }
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
