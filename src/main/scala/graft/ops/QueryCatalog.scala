@@ -696,8 +696,34 @@ object QueryCatalog {
            |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
            |ORDER BY c.event_id""".stripMargin))
 
+  private val q33 = Entry("q33_skew_salted_join",
+    (s, dir) => {
+      // The salting operator as a catalog citizen: lineitem's 3-value
+      // returnflag is the textbook giant-key distribution (every row lands
+      // on one of 3 join keys). SkewJoin spreads each key over `salt`
+      // buckets via a per-row round-robin while the tiny dim replicates —
+      // results must equal the plain join, which is exactly what the oracle
+      // checks.
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+      val dim = Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
+        .toDF("l_returnflag", "flag_name")
+      SkewJoin.saltedInner(li, dim, Seq("l_returnflag"), salt = 8)
+        .groupBy("flag_name")
+        .agg(asDouble(sum(dec(col("l_quantity")))).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("flag_name")
+    },
+    Some("""WITH dim(l_returnflag, flag_name) AS (
+           |  VALUES ('A', 'accepted'), ('N', 'neutral'), ('R', 'returned'))
+           |SELECT flag_name,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           |  COUNT(*) AS n_items
+           |FROM lineitem JOIN dim USING (l_returnflag)
+           |GROUP BY flag_name ORDER BY flag_name""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }

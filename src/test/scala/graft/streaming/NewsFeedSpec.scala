@@ -78,6 +78,35 @@ class NewsFeedSpec extends SparkTestBase {
     assert(exhausted.filter(_._2 != "ok") === Seq((1, "dead_letter:http_503")))
   }
 
+  test("stream -> clean -> enrich -> MERGE composes the whole reference dataflow") {
+    import graft.ingest.{DetailRequest, Enrichment}
+    var graph = PropertyGraph.empty(spark)
+    val q = readFeed(pages = 2, perPage = 10, perTrigger = 2)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val accepted = ArticleIngest.accepted(df.filter(col("page_status") === "ok"))
+        // I5 enrichment between the filters and the upsert: fetch each
+        // surviving link's body through the per-partition client
+        val reqs = accepted.select(lit(0L).as("doc_id"), col("link")).as[DetailRequest]
+        val bodies = Enrichment.enrichArticles(reqs).toDF()
+          .select(col("link"), col("content").as("body"))
+        val enriched = accepted.drop("content").join(bodies, "link")
+          .withColumnRenamed("body", "content")
+        graph = ArticleIngest.upsert(graph, enriched)
+        graph.nodes.count()
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val contents = graph.matchLabel("Article")
+        .select(col("props").getItem("content").as("c")).as[String].collect()
+      assert(contents.nonEmpty)
+      // every stored body came from the enrichment fetch (or a degraded "")
+      assert(contents.forall(c => c.startsWith("Body ") || c.isEmpty))
+      assert(contents.exists(_.startsWith("Body ")))
+    } finally q.stop()
+  }
+
   test("crawl -> clean -> MERGE -> read-back, end to end") {
     var graph = PropertyGraph.empty(spark)
     val q = readFeed(pages = 3, perPage = 10, perTrigger = 2)
