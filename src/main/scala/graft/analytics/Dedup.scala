@@ -120,6 +120,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cluster-level dedup: near-dup PAIRS promoted to transitive CLUSTERS
+    * (min-label propagation over the pair graph) with one survivor per
+    * cluster — the minimum id, so survivorship is deterministic and
+    * engine-independent. This is the step an actual training-data pipeline
+    * runs after pair generation: A≈B and B≈C must drop two of {A,B,C}, not
+    * one. Returns the input rows plus (component, is_survivor). */
+  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = GraphAlgorithms.minLabelPropagation(
+      df.select(idCol), pairs.select("id_a", "id_b"))
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("is_survivor", col(idCol) === col("component"))
+  }
+
   /** 64-bit SimHash over tokens: per-bit vote of token-hash bits, one pass
     * per row ([[graft.functions.SimHash64]] native expression). */
   def simHash64(text: Column): Column =

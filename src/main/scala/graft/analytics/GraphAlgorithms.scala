@@ -77,19 +77,19 @@ object GraphAlgorithms {
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
   }
 
-  /** Connected components as pure DataFrame min-label propagation: each
-    * iteration is one edge⋈label join + a map-side-combining `min` aggregate,
-    * with `localCheckpoint` truncating lineage so plans stay O(1) across
-    * iterations. Iteration count is bounded by graph diameter — the right
-    * trade at 100 TB for the short-diameter graphs ingest produces
-    * (publisher stars, social graphs); for high-diameter graphs use the
-    * Pregel [[connectedComponents]] instead. No driver-side state beyond the
-    * loop counter and a per-iteration `changed` count. */
-  def connectedComponentsDF(g: PropertyGraph, maxIter: Int = 50): DataFrame = {
-    val e = g.edges.select(col("srcId").as("a"), col("dstId").as("b"))
+  /** Generic min-label propagation over an undirected pair list: returns
+    * (id, component) where component = lowest id reachable. Each iteration
+    * is one edge⋈label join + a map-side-combining `min` aggregate, with
+    * `localCheckpoint` truncating lineage so plans stay O(1) across
+    * iterations; iteration count is bounded by graph diameter. No
+    * driver-side state beyond the loop counter and a per-iteration
+    * `changed` count. */
+  def minLabelPropagation(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = g.nodes.select(col("id"), col("id").as("comp"))
+    var labels = ids.toDF("id").select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -104,8 +104,19 @@ object GraphAlgorithms {
       labels = next.select("id", "comp")
       i += 1
     }
-    labels.join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
-      .withColumnRenamed("comp", "component")
+    labels.withColumnRenamed("comp", "component")
+  }
+
+  /** Connected components as pure DataFrame min-label propagation (see
+    * [[minLabelPropagation]]) — the right trade at 100 TB for the
+    * short-diameter graphs ingest produces (publisher stars, social
+    * graphs); for high-diameter graphs use the Pregel
+    * [[connectedComponents]] instead. */
+  def connectedComponentsDF(g: PropertyGraph, maxIter: Int = 50): DataFrame = {
+    val comps = minLabelPropagation(
+      g.nodes.select("id"),
+      g.edges.select(col("srcId"), col("dstId")), maxIter)
+    comps.join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
   }
 
   /** Per-component roll-up with engine-independent identity: each component

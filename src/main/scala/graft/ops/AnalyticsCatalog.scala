@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.analytics.{Dedup, Similarity, TextAnalysis}
 import graft.graph.GraphIngest
@@ -298,6 +299,105 @@ object AnalyticsCatalog {
         .orderBy("source")
     },
     None)
+
+  private val d08 = Entry("d08_neardup_cluster_dedup",
+    (s, dir) => {
+      // Pairs → transitive clusters → one survivor per cluster (min id):
+      // the dedup decision a pipeline actually ships. Components via
+      // DataFrame min-label propagation; the oracle recomputes the
+      // transitive closure with a recursive CTE from the same exact-Jaccard
+      // pair set, independently.
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        blockCol = "source", shingleN = 1, threshold = 0.9)
+      Dedup.clusterSurvivors(docs, "doc_id", pairs.select("id_a", "id_b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_survivor"), 1)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+           |sym AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (
+           |  SELECT d.doc_id, d.lang,
+           |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+           |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |  GROUP BY d.doc_id, d.lang)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  COUNT(*) FILTER (doc_id = component) AS n_kept
+           |FROM comp GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val t07 = Entry("t07_train_val_test_split",
+    (s, dir) => {
+      // Deterministic document-level split: bucket = first md5 byte of the
+      // id — stable across runs, engines, partitionings and scale-ups (a
+      // held-out set that stays held out). test ≈ 20/256, val ≈ 40/256.
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          when(h < "14", "test").when(h < "3c", "validation")
+            .otherwise("train").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    },
+    Some("""WITH s AS (
+           |  SELECT lang,
+           |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'test'
+           |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '3c' THEN 'validation'
+           |         ELSE 'train' END AS split
+           |  FROM documents)
+           |SELECT split, lang, COUNT(*) AS n_docs
+           |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin))
+
+  private val t08 = Entry("t08_sequence_packing",
+    (s, dir) => {
+      // Token-budget sequence packing (the pre-tokenization batching step):
+      // docs stream per language in id order into 4096-token sequences;
+      // a doc's sequence = exclusive running token count ÷ budget. One
+      // window per language — integer arithmetic end to end, and division
+      // by 2^12 is exact in doubles, so the bucket ids hash-match.
+      val docs = Tables(s, dir, "documents")
+      val toks = TextAnalysis.tokenCount(col("text"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("lang"), col("doc_id"), toks.as("n_toks"))
+        .withColumn("seq_id",
+          floor(coalesce(sum(col("n_toks")).over(w), lit(0L)).cast("double") / 4096.0)
+            .cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_tokens"))
+        .orderBy("lang", "seq_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT lang, n_toks,
+           |    CAST(FLOOR(CAST(COALESCE(SUM(n_toks) OVER (
+           |      PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           |      / 4096.0) AS BIGINT) AS seq_id
+           |  FROM d)
+           |SELECT lang, seq_id, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+           |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin))
 
   // ------------------------------------------------------------- vectors --
 
@@ -901,8 +1001,8 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06,
-    d01, d02, d03, d04, d05, d06, d07,
+    t01, t02, t03, t04, t05, t06, t07, t08,
+    d01, d02, d03, d04, d05, d06, d07, d08,
     v01, v02, v03, v04, v05,
     s01, s02, s03,
     i01, i02, i03, i04,

@@ -4,6 +4,20 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
+
+  test("cluster survivors: A~B and B~C collapse transitively to min-id survivor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "txt")
+    // pair list is NOT transitive: (1,2) and (2,3) only — clustering must
+    // still put 1,2,3 in one component
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSurvivors(docs, "doc_id", pairs)
+      .select($"doc_id", $"component", $"is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (9L, 9L, true)))
+  }
   import spark.implicits._
 
   private def docs = Seq(
