@@ -514,6 +514,31 @@ object AnalyticsCatalog {
            |FROM s GROUP BY user_id, sid
            |ORDER BY user_id, session_start""".stripMargin))
 
+  private val s04 = Entry("s04_interval_join_batch",
+    (s, dir) => {
+      // Batch-equivalent of the stream-stream interval join (StreamingSpec
+      // runs the watermarked streaming twin): each click paired with the
+      // same user's purchases in the preceding 30 minutes. Equi-join on
+      // user_id with the range riding as a post-join filter — never a
+      // nested-loop range probe.
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      clicks.join(purchases, Seq("user_id"))
+        .filter(col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("ts"))
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id
+           |FROM events c JOIN events p
+           |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+           | AND c.user_id = p.user_id
+           | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+           |ORDER BY click_id, purchase_id""".stripMargin))
+
   // ----------------------------------------------------- ingest dataflow --
 
   /** Deterministic crawler-shaped raw records synthesized from `documents`:
@@ -1004,7 +1029,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08,
     d01, d02, d03, d04, d05, d06, d07, d08,
     v01, v02, v03, v04, v05,
-    s01, s02, s03,
+    s01, s02, s03, s04,
     i01, i02, i03, i04,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
     x01, x02, x03, x04,
