@@ -67,16 +67,50 @@ object Similarity {
     * [[lshTopK]]: the corpus is partitioned into `nlist` Voronoi cells
     * around centroids, each query probes only its `nprobe` nearest cells, so
     * scored candidates shrink by ~nprobe/nlist. Centroids here are a
-    * deterministic sample (first `nlist` corpus vectors by id — a real
-    * deployment trains k-means; the partition/probe machinery is identical).
-    * Cell assignment is a broadcast argmin, candidate generation an
-    * equi-join on cell id — never a corpus×corpus product. */
+    * deterministic sample (first `nlist` corpus vectors by id);
+    * [[ivfTopKTrained]] uses real MLlib k-means centroids with the same
+    * partition/probe machinery. Cell assignment is a broadcast argmin,
+    * candidate generation an equi-join on cell id — never a corpus×corpus
+    * product. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
       corpusId: String = "id", corpusVec: String = "vec",
-      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
-    val centroids = broadcast(
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame =
+    ivfTopKWith(
       corpus.orderBy(col(corpusId)).limit(nlist)
-        .select(col(corpusId).as("__cent_id"), col(corpusVec).as("__cent_vec")))
+        .select(col(corpusId).as("__cent_id"), col(corpusVec).as("__cent_vec")),
+      corpus, queries, k, nprobe, corpusId, corpusVec, queryId, queryVec)
+
+  /** Real k-means centroids for IVF (Spark MLlib `KMeans`, fixed seed → the
+    * standard trained variant of [[ivfTopK]]'s deterministic sample).
+    * Returns (__cent_id, __cent_vec). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("__cent_id", "__cent_vec")
+  }
+
+  /** [[ivfTopK]] with k-means-trained cells instead of the sampled ones. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, seed: Long = 42L,
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame =
+    ivfTopKWith(kmeansCentroids(corpus, corpusVec, nlist, seed),
+      corpus, queries, k, nprobe, corpusId, corpusVec, queryId, queryVec)
+
+  private def ivfTopKWith(centroidDf: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String): DataFrame = {
+    val centroids = broadcast(centroidDf)
     def nearestCells(df: DataFrame, idC: String, vecC: String, n: Int): DataFrame = {
       val scored = df.crossJoin(centroids)
         .withColumn("__sim", VectorFunctions.cosine(col(vecC), col("__cent_vec")))

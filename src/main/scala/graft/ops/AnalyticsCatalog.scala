@@ -650,6 +650,34 @@ object AnalyticsCatalog {
            |       ELSE 'ok' END AS fetch_status
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val i05 = Entry("i05_format_roundtrip",
+    (s, dir) => {
+      // Source/sink breadth beyond parquet: the same records written to and
+      // read back from JSON-lines and CSV (quoted/escaped, multiline-safe),
+      // unioned, then aggregated — the oracle sees exactly double the
+      // parquet-side counts iff both round trips preserve every row and
+      // every text byte.
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_roundtrip_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.write.mode("overwrite").json(tmp + "/json")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp + "/csv")
+      val j = s.read.schema(docs.schema).json(tmp + "/json")
+      val c = s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true").option("escape", "\"")
+        .csv(tmp + "/csv")
+      j.unionByName(c)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, 2 * COUNT(*) AS n_docs,
+           |  CAST(2 * SUM(length(text)) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   // ------------------------------------------------------- cypher front end --
 
   private val c01 = Entry("c01_cypher_label_scan",
@@ -1006,6 +1034,21 @@ object AnalyticsCatalog {
     },
     None)
 
+  private val v06 = Entry("v06_ann_ivf_kmeans",
+    (s, dir) => {
+      // IVF with REAL k-means centroids (MLlib, fixed seed) — the trained
+      // variant of v04's sampled cells; same broadcast-argmin assignment and
+      // cell equi-join probe. Training is engine-specific → no cross-engine
+      // oracle; SimilaritySpec asserts recall vs brute force.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKTrained(corpus, queries, k = 3, nlist = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
   private val t05 = Entry("t05_bpe_token_count",
     (s, dir) => {
       // BPE-ish subword pretokenization (GPT-2-style pattern: contractions,
@@ -1028,9 +1071,9 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08,
     d01, d02, d03, d04, d05, d06, d07, d08,
-    v01, v02, v03, v04, v05,
+    v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
-    i01, i02, i03, i04,
+    i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
     x01, x02, x03, x04,
     m01, m02)

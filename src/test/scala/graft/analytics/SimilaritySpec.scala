@@ -59,6 +59,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("IVF with trained k-means centroids achieves high recall vs brute force") {
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("q_id"), $"vec".as("q_vec"))
+    val brute = Similarity.cosineTopK(corpus, queries, k = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKTrained(corpus, queries, k = 3, nlist = 8, nprobe = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"trained-IVF recall $recall too low")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDupPairs(
       clustered.select($"id", $"vec"), "id", "vec", 0.99)
