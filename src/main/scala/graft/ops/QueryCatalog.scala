@@ -722,8 +722,36 @@ object QueryCatalog {
            |FROM lineitem JOIN dim USING (l_returnflag)
            |GROUP BY flag_name ORDER BY flag_name""".stripMargin))
 
+  private val q34 = Entry("q34_window_value_family",
+    (s, dir) => {
+      // The remaining analytic-window family: first_value/last_value/
+      // nth_value over a full frame plus ntile bucketing — all
+      // pass-through values (no arithmetic), deterministic under the
+      // total per-partition order.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(wf).as("first_price"),
+        last(col("o_totalprice")).over(wf).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  first_value(o_totalprice) OVER w_all AS first_price,
+           |  last_value(o_totalprice) OVER w_all AS last_price,
+           |  nth_value(o_totalprice, 2) OVER w_all AS second_price,
+           |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+           |FROM orders
+           |WINDOW w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_orderkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

@@ -79,6 +79,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("round-2 query shapes keep their intended plans") {
+    // TPC-H Q3 shape: top-k lowers to TakeOrderedAndProject
+    assert(plan("q28_shipping_priority").contains("TakeOrderedAndProject"))
+    // EXISTS with a date-arithmetic condition stays a semi join
+    assert(plan("q31_order_priority_late").contains("LeftSemi"))
+    // interval join = equi join + range filter, never a nested loop
+    val s = plan("s04_interval_join_batch")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    // salted skew join replicates the dim via the exploded salt equi-join
+    val k = plan("q33_skew_salted_join")
+    assert(!k.contains("CartesianProduct"), k)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
