@@ -29,7 +29,8 @@ object CypherAst {
     * Bare `*` defaults to 1..5 (an unbounded expansion has no place in a
     * distributed plan — the bound is the blast-radius control). */
   final case class EdgePat(variable: Option[String], relType: Option[String],
-    leftToRight: Boolean, minHops: Int = 1, maxHops: Int = 1)
+    leftToRight: Boolean, minHops: Int = 1, maxHops: Int = 1,
+    props: Map[String, Value] = Map.empty)
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
 
   final case class PropRef(variable: String, prop: String)
@@ -95,7 +96,8 @@ object CypherAst {
   final case class MergeNode(pat: NodePat,
     onCreate: Seq[(PropRef, Value)] = Nil,
     onMatch: Seq[(PropRef, Value)] = Nil) extends MutClause
-  final case class MergeEdge(srcVar: String, relType: String, dstVar: String) extends MutClause
+  final case class MergeEdge(srcVar: String, relType: String, dstVar: String,
+    props: Map[String, Value] = Map.empty) extends MutClause
   final case class SetItems(items: Seq[(PropRef, Value)]) extends MutClause
   final case class WithVars(vars: Seq[String]) extends MutClause
   final case class ReturnVars(items: Seq[ReturnItem]) extends MutClause

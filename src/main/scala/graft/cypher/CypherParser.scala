@@ -252,7 +252,8 @@ object CypherParser {
             clauses += MergeEdge(
               src.variable.getOrElse(fail("edge endpoint needs a variable")),
               e.relType.getOrElse(fail("MERGE edge needs a type")),
-              dst.variable.getOrElse(fail("edge endpoint needs a variable")))
+              dst.variable.getOrElse(fail("edge endpoint needs a variable")),
+              e.props)
           }
         case Some(Kw("SET")) =>
           next()
@@ -297,11 +298,13 @@ object CypherParser {
       PathPat(nodes.toSeq, edges.toSeq)
     }
 
-    // after the leading '-' or '<-': '[' var? (':' TYPE)? ('*' (m ('..' n)?)?)? ']'
+    // after the leading '-' or '<-':
+    // '[' var? (':' TYPE)? ('*' (m ('..' n)?)?)? ('{' props '}')? ']'
     private def edgeBody(): EdgePat = {
       expectSym("[")
       var v: Option[String] = None
       var t: Option[String] = None
+      var props = Map.empty[String, Value]
       var hops = (1, 1)
       peek match {
         case Some(Ident(s)) => next(); v = Some(s)
@@ -323,8 +326,16 @@ object CypherParser {
           case _ => (1, 5) // bare '*': bounded default — see CypherAst scaladoc
         }
       }
+      if (peek.contains(Sym("{"))) {
+        next()
+        def kv(): (String, Value) = { val k = ident(); expectSym(":"); (k, value()) }
+        props += kv()
+        while (peek.contains(Sym(","))) { next(); props += kv() }
+        expectSym("}")
+      }
       expectSym("]")
-      EdgePat(v, t, leftToRight = true, minHops = hops._1, maxHops = hops._2)
+      EdgePat(v, t, leftToRight = true, minHops = hops._1, maxHops = hops._2,
+        props = props)
     }
 
     private def nodePat(): NodePat = {

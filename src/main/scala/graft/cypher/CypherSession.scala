@@ -99,18 +99,19 @@ final class CypherSession(
       case e: MergeEdge =>
         require(bindings.contains(e.srcVar) && bindings.contains(e.dstVar),
           s"MERGE edge references unbound variables ${e.srcVar}/${e.dstVar}")
-        edges += e
+        edges += e // pattern props ride on the clause
       case WithVars(_) => // pure scoping: bindings carry through
       case ReturnVars(items) => returns = items
     }
 
-    val nodeBatches = bindings.values.map { b =>
-      def mapCol(entries: Seq[(String, Value)]): Column = {
-        val flat = entries.flatMap { case (k, value) =>
-          Seq(lit(k), valueCol(value, paramsDf).cast("string"))
-        }
-        if (flat.isEmpty) typedlit(Map.empty[String, String]) else map(flat: _*)
+    def mapCol(entries: Seq[(String, Value)]): Column = {
+      val flat = entries.flatMap { case (k, value) =>
+        Seq(lit(k), valueCol(value, paramsDf).cast("string"))
       }
+      if (flat.isEmpty) typedlit(Map.empty[String, String]) else map(flat: _*)
+    }
+
+    val nodeBatches = bindings.values.map { b =>
       paramsDf.select(
         lit(b.label).as("label"),
         valueCol(b.keyValue, paramsDf).cast("string").as("key"),
@@ -132,7 +133,8 @@ final class CypherSession(
           valueCol(src.keyValue, paramsDf).cast("string").as("srcKey"),
           lit(e.relType).as("relType"),
           lit(dst.label).as("dstLabel"),
-          valueCol(dst.keyValue, paramsDf).cast("string").as("dstKey"))
+          valueCol(dst.keyValue, paramsDf).cast("string").as("dstKey"),
+          mapCol(e.props.toSeq).as("props"))
       }.reduce(_ unionByName _)
       g2 = g2.mergeEdgesByKey(edgeBatches)
     }
@@ -199,7 +201,9 @@ final class CypherSession(
           .join(ids.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
           .unionByName(g.edges
             .join(ids.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi"))
-          .dropDuplicates().count()
+          // edges are unique by their key triple; dedup on it (the props
+          // map can't go through a set operation)
+          .select("srcId", "dstId", "relType").dropDuplicates().count()
       g = g.deleteNodes(ids, u.detach)
     }
 
@@ -241,10 +245,14 @@ final class CypherSession(
         val eVar = e.variable.getOrElse(freshVar())
         var es = graph.edges
         e.relType.foreach(t => es = es.filter(col("relType") === t))
+        e.props.foreach { case (k, value) =>
+          es = es.filter(col("props").getItem(k) === scalarCol(value, params))
+        }
         val eDf =
           if (e.minHops == 1 && e.maxHops == 1)
             es.select(col("srcId").as(s"${eVar}__src"),
-              col("dstId").as(s"${eVar}__dst"), col("relType").as(s"${eVar}__type"))
+              col("dstId").as(s"${eVar}__dst"), col("relType").as(s"${eVar}__type"),
+              col("props").as(s"${eVar}__props"))
           else {
             // variable-length expansion: union of h-hop reachability for
             // h in [minHops, maxHops] — each extra hop is one more equi-join
@@ -262,7 +270,8 @@ final class CypherSession(
               if (h >= e.minHops) acc = if (acc == null) cur else acc.unionByName(cur)
             }
             acc.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
-              lit(e.relType.orNull).as(s"${eVar}__type"))
+              lit(e.relType.orNull).as(s"${eVar}__type"),
+              typedlit(Map.empty[String, String]).as(s"${eVar}__props"))
           }
         val leftSide = if (e.leftToRight) s"${eVar}__src" else s"${eVar}__dst"
         val rightSide = if (e.leftToRight) s"${eVar}__dst" else s"${eVar}__src"
@@ -286,7 +295,10 @@ final class CypherSession(
       }
     }
     def propCol(v: String, p: String): Column =
-      propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
+      // edge bindings have no key/label columns; read their bag directly
+      if (df != null && df.columns.contains(s"${v}__type"))
+        col(s"${v}__props").getItem(p)
+      else propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
 
     def refCol(lhs: Either[String, PropRef]): Column = lhs match {
       case Left(name) if scalarVars.contains(name) => col(name)
@@ -322,7 +334,7 @@ final class CypherSession(
       case RetVar(v) if scalarVars.contains(v) => col(v)
       case RetVar(v) if df.columns.contains(s"${v}__type") =>
         struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
-          col(s"${v}__type").as("relType"))
+          col(s"${v}__type").as("relType"), col(s"${v}__props").as("props"))
       case RetVar(v) =>
         struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
           col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))

@@ -31,7 +31,9 @@ object GraphIngest {
       col("doc_id").cast("string").as("srcKey"),
       lit("WRITTEN_BY").as("relType"),
       lit("Publisher").as("dstLabel"),
-      col("source").as("dstKey"))
+      col("source").as("dstKey"),
+      // relationship property: the language the article was written in
+      map(lit("lang"), col("lang")).as("props"))
 
   /** Full ingest: one node MERGE batch + one edge MERGE batch. */
   def fromDocuments(docs: DataFrame): PropertyGraph =

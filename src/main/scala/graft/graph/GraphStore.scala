@@ -29,12 +29,17 @@ object GraphStore {
       .write.mode("overwrite").partitionBy("relType").parquet(s"$path/edges")
   }
 
-  def read(spark: SparkSession, path: String): PropertyGraph =
+  def read(spark: SparkSession, path: String): PropertyGraph = {
+    import org.apache.spark.sql.functions.typedlit
+    val e = spark.read.parquet(s"$path/edges")
+    val ewp = // tolerate prop-less layouts written before edge properties
+      if (e.columns.contains("props")) e
+      else e.withColumn("props", typedlit(Map.empty[String, String]))
     PropertyGraph(
       spark.read.parquet(s"$path/nodes")
         .select("id", "label", "key", "props"),
-      spark.read.parquet(s"$path/edges")
-        .select("srcId", "dstId", "relType"))
+      ewp.select("srcId", "dstId", "relType", "props"))
+  }
 
   /** Catalog-backed bucketed layout: nodes and edges hash-bucketed (and
     * sorted) by their join keys, so MERGE anti-joins and pattern joins read

@@ -78,21 +78,37 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     bounded(copy(nodes = merged, mergeDepth = mergeDepth + 1))
   }
 
-  /** Q5 — edge MERGE: create iff absent on (srcId, dstId, relType). */
+  /** Q5 — edge MERGE: match-or-create on (srcId, dstId, relType). An
+    * optional `props` map column carries relationship properties with the
+    * node SET semantics: listed keys overwrite, unlisted existing keys
+    * survive. */
   def mergeEdges(batch: DataFrame): PropertyGraph = {
-    val deduped = batch.select("srcId", "dstId", "relType").dropDuplicates()
-    val fresh = deduped.join(edges, Seq("srcId", "dstId", "relType"), "left_anti")
-    bounded(copy(edges = edges.unionByName(fresh), mergeDepth = mergeDepth + 1))
+    val withProps =
+      if (batch.columns.contains("props")) batch
+      else batch.withColumn("props", typedlit(Map.empty[String, String]))
+    val deduped = dedupOne(
+      withProps.select("srcId", "dstId", "relType", "props"),
+      Seq("srcId", "dstId", "relType"), None)
+    val merged = edges.withColumn("__old", lit(true))
+      .join(deduped
+          .withColumnRenamed("props", "__nprops").withColumn("__new", lit(true)),
+        Seq("srcId", "dstId", "relType"), "full_outer")
+      .select(col("srcId"), col("dstId"), col("relType"),
+        when(col("__new").isNull, col("props"))
+          .when(col("__old").isNull, col("__nprops"))
+          .otherwise(mergeProps(col("props"), col("__nprops"))).as("props"))
+    bounded(copy(edges = merged, mergeDepth = mergeDepth + 1))
   }
 
   /** Edge MERGE addressed by endpoint (label,key) pairs, as the reference's
     * `MERGE (a)-[:WRITTEN_BY]->(p)` addresses bound nodes. */
   def mergeEdgesByKey(batch: DataFrame): PropertyGraph = {
-    val resolved = batch.select(
-      GraphSchema.stableId(col("srcLabel"), col("srcKey")).as("srcId"),
-      GraphSchema.stableId(col("dstLabel"), col("dstKey")).as("dstId"),
-      col("relType"))
-    mergeEdges(resolved)
+    val base = batch.select(
+      (Seq(GraphSchema.stableId(col("srcLabel"), col("srcKey")).as("srcId"),
+        GraphSchema.stableId(col("dstLabel"), col("dstKey")).as("dstId"),
+        col("relType")) ++
+        (if (batch.columns.contains("props")) Seq(col("props")) else Nil)): _*)
+    mergeEdges(base)
   }
 
   /** Cypher `DELETE` / `DETACH DELETE`: remove the nodes whose ids appear in
@@ -153,10 +169,12 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     val dst = matchLabel(dstLabel).select(
       col("id").as("dst_id"), col("key").as("dst_key"), col("props").as("dst_props"))
     val es = edges.filter(col("relType") === relType)
+      .withColumnRenamed("props", "rel_props")
     src.join(es, col("src_id") === col("srcId"))
       .join(dst, col("dstId") === col("dst_id"))
       .select(col("src_id"), col("src_key"), col("src_props"),
-        col("relType"), col("dst_id"), col("dst_key"), col("dst_props"))
+        col("relType"), col("rel_props"),
+        col("dst_id"), col("dst_key"), col("dst_props"))
   }
 
   /** Two-hop pattern `(a)-[:r1]->(b)<-[:r2]-(c)` (extension beyond the

@@ -19,12 +19,13 @@ import org.apache.spark.sql.types._
   */
 final case class Node(id: Long, label: String, key: String, props: Map[String, String])
 
-/** Directed typed relationship. The reference's edges carry no properties
-  * (/root/reference/src/crwling.py:54, /root/reference/src/ingest.py:7); a
-  * `props` map is still carried for forward-compatibility with property-rich
-  * graphs, defaulting to empty.
+/** Directed typed relationship with a flat property map (Neo4j
+  * relationships carry properties; the reference's own edges happen to use
+  * none — /root/reference/src/crwling.py:54, /root/reference/src/ingest.py:7
+  * — so `props` defaults to empty).
   */
-final case class Edge(srcId: Long, dstId: Long, relType: String)
+final case class Edge(srcId: Long, dstId: Long, relType: String,
+  props: Map[String, String] = Map.empty)
 
 object GraphSchema {
   val nodeSchema: StructType = StructType(Seq(
@@ -36,7 +37,8 @@ object GraphSchema {
   val edgeSchema: StructType = StructType(Seq(
     StructField("srcId", LongType, nullable = false),
     StructField("dstId", LongType, nullable = false),
-    StructField("relType", StringType, nullable = false)))
+    StructField("relType", StringType, nullable = false),
+    StructField("props", MapType(StringType, StringType), nullable = true)))
 
   /** Deterministic node identity: same (label, key) → same id everywhere. */
   def stableId(label: Column, key: Column): Column = xxhash64(label, key)

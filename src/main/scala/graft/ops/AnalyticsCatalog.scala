@@ -887,6 +887,23 @@ object AnalyticsCatalog {
            |FROM p WHERE NOT contains(name, '9')
            |ORDER BY name""".stripMargin))
 
+  private val c11 = Entry("c11_cypher_rel_props",
+    (s, dir) => {
+      // Relationship properties end to end: the ingested WRITTEN_BY edges
+      // carry {lang}; the pattern-prop filter pushes onto the (relType-
+      // partition-pruned) edge scan before the pattern joins.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[r:WRITTEN_BY {lang: 'en'}]->(p:Publisher)
+                 |RETURN p.name AS publisher, count(a) AS n_en
+                 |ORDER BY publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher, COUNT(*) AS n_en
+           |FROM documents WHERE lang = 'en'
+           |GROUP BY source ORDER BY publisher""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1074,7 +1091,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     x01, x02, x03, x04,
     m01, m02)
 }

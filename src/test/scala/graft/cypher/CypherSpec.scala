@@ -189,6 +189,40 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.edges.count() === 2)
   }
 
+  test("relationship properties: MERGE pattern props, MATCH filters, SET semantics") {
+    val sess = freshSession
+    val q = """MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+              |MERGE (u)-[:INTERESTED_IN {level: $lvl}]->(t)""".stripMargin
+    sess.run(q, Map("u" -> "alice", "t" -> "spark", "lvl" -> "expert"))
+    sess.run(q, Map("u" -> "bob", "t" -> "spark", "lvl" -> "casual"))
+    // pattern-prop filter on the relationship
+    val experts = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN {level: 'expert'}]->(t:Tech)
+        |RETURN u.name AS user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(experts === Seq("alice"))
+    // WHERE on a relationship property
+    val casual = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        |WHERE r.level = 'casual' RETURN u.name AS user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(casual === Seq("bob"))
+    // RETURN r carries the property bag
+    val rel = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        |WHERE u.name = 'alice' RETURN r""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head.getAs[Row]("r")
+    assert(rel.getAs[Map[String, String]]("props")("level") === "expert")
+    // edge re-MERGE matches (no duplicate) and overwrites the listed prop
+    sess.run(q, Map("u" -> "alice", "t" -> "spark", "lvl" -> "master"))
+    assert(sess.graph.edges.count() === 2)
+    val after = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        |WHERE u.name = 'alice' RETURN r.level AS level""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(after === Seq("master"))
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
