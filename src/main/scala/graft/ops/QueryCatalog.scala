@@ -750,8 +750,41 @@ object QueryCatalog {
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            |ORDER BY o_orderkey""".stripMargin))
 
+  private val q35 = Entry("q35_sql_surface",
+    (s, dir) => {
+      // The SQL-text surface end to end: the engine's native expressions
+      // registered through GraftRuntime (same registrations as the
+      // SparkSessionExtensions path), fixture registered as a view, and the
+      // query is a plain SQL string — consecutive same-source documents
+      // scored with the codegen'd jaccard_sim.
+      graft.extensions.GraftRuntime.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""WITH nxt AS (
+              |  SELECT doc_id, source, text,
+              |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS next_id,
+              |    LEAD(text) OVER (PARTITION BY source ORDER BY doc_id) AS next_text
+              |  FROM documents_v)
+              |SELECT doc_id AS id_a, next_id AS id_b,
+              |  jaccard_sim(split(trim(text), '\\s+'),
+              |              split(trim(next_text), '\\s+')) AS sim
+              |FROM nxt WHERE next_id IS NOT NULL
+              |ORDER BY id_a""".stripMargin)
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh,
+           |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS next_id,
+           |    LEAD(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           |      OVER (PARTITION BY source ORDER BY doc_id) AS next_sh
+           |  FROM documents)
+           |SELECT doc_id AS id_a, next_id AS id_b,
+           |  CAST(len(list_intersect(sh, next_sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(sh, next_sh))) AS sim
+           |FROM t WHERE next_id IS NOT NULL
+           |ORDER BY id_a""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }
