@@ -783,8 +783,113 @@ object QueryCatalog {
            |FROM t WHERE next_id IS NOT NULL
            |ORDER BY id_a""".stripMargin))
 
+  private val q36 = Entry("q36_forecast_revenue",
+    (s, dir) => {
+      // TPC-H Q6 shape: pure scan-side predicates (date window, discount
+      // band, quantity cap) into one global aggregate — everything pushes to
+      // the parquet scan, partial-combines map-side, one row out.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  private val q37 = Entry("q37_customer_distribution",
+    (s, dir) => {
+      // TPC-H Q13 shape: two stacked aggregations — orders per customer
+      // (left join keeps zero-order customers), then the histogram of those
+      // counts. The second groupBy reuses nothing from the first's
+      // partitioning; both partial-combine.
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist
+           |FROM (
+           |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  private val q38 = Entry("q38_promo_revenue_share",
+    (s, dir) => {
+      // TPC-H Q14 shape: conditional aggregate ratio — the PROMO share of
+      // one month's revenue. Both sums route through decimal; the final
+      // percentage is one double multiply + divide, identical on both
+      // engines.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val part = t(s, dir, "part")
+      val discPrice = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            asDouble(sum(when(col("p_type") === "PROMO", discPrice)
+              .otherwise(lit(0).cast(DecimalType(12, 2))))) /
+            asDouble(sum(discPrice))).as("promo_share_pct"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT
+           |  CAST(100 AS DOUBLE) *
+           |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+           |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+           |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           |    AS promo_share_pct,
+           |  COUNT(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin))
+
+  private val q39 = Entry("q39_disjunctive_predicates",
+    (s, dir) => {
+      // TPC-H Q19 shape: disjunctive multi-column predicate blocks riding
+      // the join condition — each OR arm pairs a brand with its own size and
+      // quantity band; Catalyst distributes the common partkey equality so
+      // the join stays an equi-join with the disjunction as a post filter.
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))))
+        .agg(asDouble(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
