@@ -32,6 +32,11 @@ object GraftRuntime {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // typed Aggregator surfaced to SQL (udaf registration is session-scoped,
+    // so it lives here rather than on the extensions-injection path)
+    spark.udf.register("centroid", org.apache.spark.sql.functions.udaf(
+      graft.functions.CentroidAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
     if (!spark.experimental.extraOptimizations.contains(JaccardRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ JaccardRewriteRule

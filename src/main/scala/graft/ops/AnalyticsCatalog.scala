@@ -399,6 +399,22 @@ object AnalyticsCatalog {
            |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
            |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin))
 
+  private val d09 = Entry("d09_approx_quantile_sketch",
+    (s, dir) => {
+      // Mergeable quantile sketch next to d07's HLL: approx_percentile per
+      // event_type plus the exact percentiles beside it. Sketch estimates
+      // are engine-specific → no cross-engine oracle; DedupSpec bounds the
+      // approx-vs-exact gap on the same data.
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as("approx_q"),
+          expr("percentile(value, array(0.25, 0.5, 0.75))").as("exact_q"))
+        .orderBy("event_type")
+    },
+    None)
+
   // ------------------------------------------------------------- vectors --
 
   private val v01 = Entry("v01_vector_norms",
@@ -1087,7 +1103,7 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08,
-    d01, d02, d03, d04, d05, d06, d07, d08,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09,
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
 
+  test("approx quantile sketch tracks exact percentiles on fixture events") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables(spark, sfDir, "events")
+    val row = ev.agg(
+      percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("approx"),
+      expr("percentile(value, array(0.25, 0.5, 0.75))").as("exact"))
+      .head()
+    val approx = row.getSeq[Double](0)
+    val exact = row.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= math.max(1.0, math.abs(e) * 0.05),
+        s"approx $a drifted from exact $e")
+    }
+  }
+
   test("cluster survivors: A~B and B~C collapse transitively to min-id survivor") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -20,6 +20,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Int]("m") === 16)
   }
 
+  test("typed centroid Aggregator is callable from SQL") {
+    GraftRuntime.register(spark)
+    Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f)), (1, Seq(10f, 20f)))
+      .toDF("label", "vec").createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT label, centroid(vec) AS c FROM vecs GROUP BY label ORDER BY label")
+      .as[(Int, Seq[Double])].collect().toSeq
+    assert(rows === Seq((0, Seq(2.0, 3.0)), (1, Seq(10.0, 20.0))))
+  }
+
   test("optimizer rule rewrites the stock Jaccard idiom to JaccardSim") {
     GraftRuntime.register(spark)
     // non-foldable input (parquet scan) so the idiom survives to the
