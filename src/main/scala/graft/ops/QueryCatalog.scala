@@ -888,8 +888,69 @@ object QueryCatalog {
            |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
            |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
 
+  private val q40 = Entry("q40_large_orders",
+    (s, dir) => {
+      // TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+      // an aggregate-then-join (the HAVING side reduces lineitem before the
+      // 3-way join touches it), top 20 by order value.
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(asDouble(sum(dec(col("l_quantity")))).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""WITH big AS (
+           |  SELECT l_orderkey,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250)
+           |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN big ON o_orderkey = l_orderkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  private val q41 = Entry("q41_dormant_rich_customers",
+    (s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers with no RECENT
+      // orders — a scalar aggregate (broadcast, not collected) feeding a
+      // filter, then an anti join on the date-windowed orders, rolled up
+      // per nation. The average routes through decimal so both engines
+      // agree on the exact threshold.
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((asDouble(sum(dec(col("c_acctbal")))) / count(lit(1))).as("__avg"))
+      val recent = ord.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          asDouble(sum(dec(col("c_acctbal")))).as("total_bal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH a AS (
+           |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+           |  FROM customer WHERE c_acctbal > 0)
+           |SELECT c_nationkey, COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+           |FROM customer, a
+           |WHERE c_acctbal > a.avg_bal
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41)
 }
