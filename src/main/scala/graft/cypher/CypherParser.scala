@@ -14,7 +14,7 @@ object CypherParser {
   private val keywords = Set("MATCH", "MERGE", "WHERE", "RETURN", "ORDER", "BY",
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
-    "DETACH", "REMOVE")
+    "DETACH", "REMOVE", "IS", "NULL")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
 
@@ -394,6 +394,12 @@ object CypherParser {
       val op = next() match {
         case Sym(s @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) => s
         case Kw("CONTAINS") => "CONTAINS"
+        case Kw("IS") => next() match {
+          case Kw("NULL") => return Predicate(lhs, "IS NULL", NumLit(0, isInt = true))
+          case Kw("NOT") => expectKw("NULL")
+            return Predicate(lhs, "IS NOT NULL", NumLit(0, isInt = true))
+          case t => fail(s"expected NULL or NOT NULL after IS, got $t")
+        }
         case t => fail(s"expected comparison operator, got $t")
       }
       Predicate(lhs, op, value())

@@ -308,6 +308,8 @@ final class CypherSession(
     }
 
     def compileBool(be: BoolExpr): Column = be match {
+      case Cmp(Predicate(lhs, "IS NULL", _)) => refCol(lhs).isNull
+      case Cmp(Predicate(lhs, "IS NOT NULL", _)) => refCol(lhs).isNotNull
       case Cmp(Predicate(lhs, op, value)) =>
         val c = refCol(lhs)
         val rhs = value match {

@@ -920,6 +920,27 @@ object AnalyticsCatalog {
            |FROM documents WHERE lang = 'en'
            |GROUP BY source ORDER BY publisher""".stripMargin))
 
+  private val c12 = Entry("c12_cypher_optional_is_null",
+    (s, dir) => {
+      // The Cypher anti-join idiom: OPTIONAL MATCH then IS NULL on the
+      // optional binding — publishers with no French articles. Lowers to a
+      // left join + null filter, which Catalyst turns into an anti
+      // semantics plan; the oracle is NOT EXISTS.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |OPTIONAL MATCH (p)<-[:WRITTEN_BY {lang: 'fr'}]-(a:Article)
+                 |WHERE a.doc_id IS NULL
+                 |RETURN p.name AS publisher ORDER BY publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT s.source AS publisher
+           |FROM (SELECT DISTINCT source FROM documents) s
+           |WHERE NOT EXISTS (SELECT 1 FROM documents d
+           |  WHERE d.source = s.source AND d.lang = 'fr')
+           |ORDER BY publisher""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1107,7 +1128,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
     x01, x02, x03, x04,
     m01, m02)
 }

@@ -223,6 +223,26 @@ class CypherSpec extends SparkTestBase {
     assert(after === Seq("master"))
   }
 
+  test("IS NULL / IS NOT NULL with OPTIONAL MATCH (anti-join idiom)") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+      Map("u" -> "alice", "t" -> "spark"))
+    sess.run("MERGE (u:User {name: $u})", Map("u" -> "bob")) // no interests
+    val without = sess.run(
+      """MATCH (u:User) OPTIONAL MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |WHERE t.name IS NULL
+        |RETURN u.name AS user ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(without === Seq("bob"))
+    val withSome = sess.run(
+      """MATCH (u:User) OPTIONAL MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |WHERE t.name IS NOT NULL
+        |RETURN u.name AS user ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(withSome === Seq("alice"))
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
