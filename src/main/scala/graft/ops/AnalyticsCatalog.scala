@@ -1023,6 +1023,59 @@ object AnalyticsCatalog {
            |SELECT CAST(deg AS INT) AS deg, COUNT(*) AS n_publishers
            |FROM d GROUP BY deg ORDER BY deg""".stripMargin))
 
+  private val x05 = Entry("x05_triangle_count",
+    (s, dir) => {
+      // Triangle counting (GraphX TriangleCount over the exact near-dup
+      // pair graph — dedup output feeding graph analytics). The oracle
+      // recounts triangles relationally: a 3-way self-join over the ordered
+      // pair list. GraphX reports per-vertex membership; total = sum / 3.
+      val spark = s
+      import spark.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        blockCol = "source", shingleN = 1, threshold = 0.9)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      val gx = org.apache.spark.graphx.Graph.fromEdgeTuples(
+        pairs.as[(Long, Long)].rdd, defaultValue = 1)
+        .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      val perVertex = org.apache.spark.graphx.lib.TriangleCount.run(gx)
+        .vertices.map(_._2.toLong).toDF("n")
+      perVertex.agg((sum(col("n")) / 3).cast("long").as("n_triangles"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           |FROM pairs ab
+           |JOIN pairs bc ON ab.id_b = bc.id_a
+           |JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b""".stripMargin))
+
+  private val t09 = Entry("t09_vocabulary_doc_freq",
+    (s, dir) => {
+      // Vocabulary extraction: document frequency per term (distinct tokens
+      // per doc → explode → count docs), top 20 — the df side of tf-idf and
+      // the first pass of every tokenizer-training pipeline.
+      Tables(s, dir, "documents")
+        .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("term"))
+        .limit(20)
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+           |  FROM documents)
+           |SELECT term, COUNT(*) AS doc_freq
+           |FROM t GROUP BY term
+           |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin))
+
   // ----------------------------------------------------------- multimodal --
 
   private val m01 = Entry("m01_binary_media_meta",
@@ -1123,12 +1176,12 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06, t07, t08,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
-    x01, x02, x03, x04,
+    x01, x02, x03, x04, x05,
     m01, m02)
 }
