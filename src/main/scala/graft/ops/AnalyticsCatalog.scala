@@ -415,6 +415,68 @@ object AnalyticsCatalog {
     },
     None)
 
+  private val d10 = Entry("d10_benchmark_decontamination",
+    (s, dir) => {
+      // Benchmark decontamination: flag corpus documents sharing any
+      // 3-gram shingle with a held-out "benchmark" set (first 25 docs stand
+      // in for the eval set). Benchmark shingles broadcast into a left-semi
+      // join over the corpus's exploded shingles — the standard n-gram
+      // overlap pass every training pipeline runs before shipping data.
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 25)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 25)
+      val flagged = corpus
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      corpus.join(flagged.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__hit")).as("n_contaminated"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, lang,
+           |    list_distinct([array_to_string(tk[i:i+2], ' ')
+           |      for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+           |  FROM toks),
+           |bench AS (
+           |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 25),
+           |flagged AS (
+           |  SELECT DISTINCT c.doc_id
+           |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 25) c
+           |  JOIN bench ON c.s = bench.s)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM flagged)) AS n_contaminated
+           |FROM sh WHERE doc_id >= 25
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val t10 = Entry("t10_lexical_diversity",
+    (s, dir) => {
+      // Type-token ratio per document (repetition signal — the quality
+      // heuristic that catches boilerplate/template spam): distinct tokens
+      // over total tokens, one IEEE division.
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_unique"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("diversity"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(tk) AS INT) AS n_tokens,
+           |  CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+           |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity
+           |FROM t ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------------- vectors --
 
   private val v01 = Entry("v01_vector_norms",
@@ -1176,8 +1238,8 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
