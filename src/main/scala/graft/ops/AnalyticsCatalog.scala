@@ -1174,6 +1174,25 @@ object AnalyticsCatalog {
            |WHERE len - frame_idx * chunk > 0
            |ORDER BY id, frame_idx""".stripMargin))
 
+  private val m03 = Entry("m03_binary_payload_dedup",
+    (s, dir) => {
+      // Exact dedup over OPAQUE binary payloads (the multimodal variant of
+      // d01): duplicates detected by content digest of the bytes — the same
+      // groupBy-on-hash shape a real pipeline runs over image/audio blobs,
+      // where no text-side normalization exists.
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"),
+        "doc_id", "text", "blob")
+      media.groupBy("kind")
+        .agg(count(lit(1)).as("n_payloads"),
+          countDistinct(md5(col("payload"))).as("n_unique"))
+        .withColumn("n_dups", col("n_payloads") - col("n_unique"))
+        .orderBy("kind")
+    },
+    Some("""SELECT 'blob' AS kind, COUNT(*) AS n_payloads,
+           |  COUNT(DISTINCT md5(text)) AS n_unique,
+           |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+           |FROM documents""".stripMargin))
+
   private val v03 = Entry("v03_ann_lsh",
     (s, dir) => {
       // LSH-bucketed ANN — the scale path for v02's brute force: candidates
@@ -1245,5 +1264,5 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
     x01, x02, x03, x04, x05,
-    m01, m02)
+    m01, m02, m03)
 }
