@@ -994,14 +994,13 @@ object AnalyticsCatalog {
       sess.run("""MATCH (p:Publisher)
                  |OPTIONAL MATCH (p)<-[:WRITTEN_BY {lang: 'fr'}]-(a:Article)
                  |WHERE a.doc_id IS NULL
-                 |RETURN p.name AS publisher ORDER BY publisher""".stripMargin)
+                 |RETURN count(p) AS n_without_fr""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df
     },
-    Some("""SELECT s.source AS publisher
+    Some("""SELECT COUNT(*) AS n_without_fr
            |FROM (SELECT DISTINCT source FROM documents) s
            |WHERE NOT EXISTS (SELECT 1 FROM documents d
-           |  WHERE d.source = s.source AND d.lang = 'fr')
-           |ORDER BY publisher""".stripMargin))
+           |  WHERE d.source = s.source AND d.lang = 'fr')""".stripMargin))
 
   // ------------------------------------------------- graph analytics (x) --
 
