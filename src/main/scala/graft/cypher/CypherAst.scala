@@ -24,13 +24,15 @@ object CypherAst {
 
   final case class NodePat(variable: Option[String], label: Option[String],
     props: Map[String, Value])
-  /** leftToRight: (a)-[:T]->(b) vs (a)<-[:T]-(b). Variable-length patterns
-    * `-[:T*m..n]->` carry (minHops, maxHops); fixed single hop is (1, 1).
-    * Bare `*` defaults to 1..5 (an unbounded expansion has no place in a
-    * distributed plan — the bound is the blast-radius control). */
+  /** leftToRight: (a)-[:T]->(b) vs (a)<-[:T]-(b); `undirected` for
+    * (a)-[:T]-(b) — matches the edge in either orientation (one row per
+    * matching direction, like Neo4j). Variable-length patterns `-[:T*m..n]->`
+    * carry (minHops, maxHops); fixed single hop is (1, 1). Bare `*` defaults
+    * to 1..5 (an unbounded expansion has no place in a distributed plan —
+    * the bound is the blast-radius control). */
   final case class EdgePat(variable: Option[String], relType: Option[String],
     leftToRight: Boolean, minHops: Int = 1, maxHops: Int = 1,
-    props: Map[String, Value] = Map.empty)
+    props: Map[String, Value] = Map.empty, undirected: Boolean = false)
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
 
   final case class PropRef(variable: String, prop: String)

@@ -241,6 +241,8 @@ object CypherParser {
           }
           if (p.edges.isEmpty) clauses += MergeNode(p.nodes.head, onCreate, onMatch)
           else {
+            if (p.edges.head.undirected)
+              fail("MERGE relationships must be directed")
             if (onCreate.nonEmpty || onMatch.nonEmpty)
               fail("ON CREATE/ON MATCH handlers are supported on node MERGE only")
             // MERGE (a)-[:T]->(b): endpoints may be bare bound vars or full
@@ -284,8 +286,11 @@ object CypherParser {
         case Some(Sym("-")) =>
           next()
           val e = edgeBody()
-          expectSym("->")
-          edges += e.copy(leftToRight = true)
+          next() match {
+            case Sym("->") => edges += e.copy(leftToRight = true)
+            case Sym("-") => edges += e.copy(leftToRight = true, undirected = true)
+            case t => fail(s"expected -> or - after relationship, got $t")
+          }
           nodes += nodePat()
         case Some(Sym("<-")) =>
           next()

@@ -248,6 +248,11 @@ final class CypherSession(
         e.props.foreach { case (k, value) =>
           es = es.filter(col("props").getItem(k) === scalarCol(value, params))
         }
+        // undirected (a)-[:T]-(b): the edge matches in either orientation —
+        // union the reversed edge set, then treat as left-to-right
+        if (e.undirected)
+          es = es.unionByName(es.select(col("dstId").as("srcId"),
+            col("srcId").as("dstId"), col("relType"), col("props")))
         val eDf =
           if (e.minHops == 1 && e.maxHops == 1)
             es.select(col("srcId").as(s"${eVar}__src"),

@@ -1002,6 +1002,27 @@ object AnalyticsCatalog {
            |WHERE NOT EXISTS (SELECT 1 FROM documents d
            |  WHERE d.source = s.source AND d.lang = 'fr')""".stripMargin))
 
+  private val c13 = Entry("c13_cypher_undirected_siblings",
+    (s, dir) => {
+      // Undirected pattern semantics: sibling articles reached by walking
+      // WRITTEN_BY in both orientations through the shared publisher —
+      // the co-authorship idiom `(a)-[:R]-(p)-[:R]-(b)` on a graph whose
+      // edges all point one way; equals g04's directed formulation.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY]-(p:Publisher)-[:WRITTEN_BY]-(b:Article)
+                 |WHERE a.doc_id < b.doc_id
+                 |RETURN p.name AS publisher, count(a) AS n_pairs
+                 |ORDER BY publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT d1.source AS publisher, COUNT(*) AS n_pairs
+           |FROM documents d1 JOIN documents d2
+           |  ON d1.source = d2.source
+           | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
+           |GROUP BY d1.source ORDER BY publisher""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1261,7 +1282,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
     x01, x02, x03, x04, x05,
     m01, m02, m03)
 }

@@ -243,6 +243,22 @@ class CypherSpec extends SparkTestBase {
     assert(withSome === Seq("alice"))
   }
 
+  test("undirected relationship patterns match both orientations") {
+    val sess = freshSession
+    sess.run("""MERGE (a:User {name: 'a'}) MERGE (b:User {name: 'b'})
+               |MERGE (a)-[:FOLLOWS]->(b)""".stripMargin)
+    // one edge, undirected pattern → one row per direction
+    val rows = sess.run(
+      """MATCH (x:User)-[:FOLLOWS]-(y:User)
+        |RETURN x.name AS src, y.name AS dst ORDER BY src""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(rows === Seq(("a", "b"), ("b", "a")))
+    // undirected MERGE is rejected, like Neo4j
+    intercept[IllegalArgumentException] {
+      sess.run("MERGE (a:User {name: 'a'})-[:FOLLOWS]-(b:User {name: 'b'})")
+    }
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
