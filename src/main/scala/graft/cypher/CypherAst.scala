@@ -49,20 +49,25 @@ object CypherAst {
   sealed trait ReturnExpr
   final case class RetVar(variable: String) extends ReturnExpr
   final case class RetProp(ref: PropRef) extends ReturnExpr
+  /** Scalar function over a nested expression (composable):
+    * toLower/toUpper/trim/size. */
+  final case class RetFn(fn: String, arg: ReturnExpr) extends ReturnExpr
   /** Aggregate call: fn ∈ count|sum|avg|min|max|collect. `arg` is None for
     * `count(*)`, a bare variable/alias, or a property ref; Cypher groups
     * implicitly by every non-aggregate return item. */
   final case class RetAgg(fn: String, arg: Option[Either[String, PropRef]],
     distinct: Boolean = false) extends ReturnExpr
   final case class ReturnItem(expr: ReturnExpr, alias: Option[String]) {
-    def name: String = alias.getOrElse(expr match {
+    private def exprName(e: ReturnExpr): String = e match {
       case RetVar(v) => v
       case RetProp(PropRef(v, p)) => s"$v.$p"
+      case RetFn(fn, a) => s"$fn(${exprName(a)})"
       case RetAgg(fn, None, _) => s"$fn(*)"
       case RetAgg(fn, Some(Left(v)), d) => s"$fn(${if (d) "DISTINCT " else ""}$v)"
       case RetAgg(fn, Some(Right(PropRef(v, p))), d) =>
         s"$fn(${if (d) "DISTINCT " else ""}$v.$p)"
-    })
+    }
+    def name: String = alias.getOrElse(exprName(expr))
   }
   final case class OrderItem(key: Either[String, PropRef], ascending: Boolean)
 

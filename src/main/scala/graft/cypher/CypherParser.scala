@@ -17,6 +17,7 @@ object CypherParser {
     "DETACH", "REMOVE", "IS", "NULL")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
+  private val scalarFns = Set("tolower", "toupper", "trim", "size")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -425,6 +426,11 @@ object CypherParser {
           }
           expectSym(")")
           RetAgg(fn.toLowerCase, arg, distinct)
+        case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
+          next()
+          val arg = retExpr() // composable: size(trim(u.name))
+          expectSym(")")
+          RetFn(fn.toLowerCase, arg)
         case Ident(v) if peek.contains(Sym(".")) =>
           next(); RetProp(PropRef(v, ident()))
         case Ident(v) => RetVar(v)
@@ -432,6 +438,20 @@ object CypherParser {
       }
       val alias = if (peek.contains(Kw("AS"))) { next(); Some(ident()) } else None
       ReturnItem(expr, alias)
+    }
+
+    /** Bare return expression (no alias) — the recursive body of
+      * [[returnItem]], reused for scalar-function arguments. */
+    private def retExpr(): ReturnExpr = next() match {
+      case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
+        next()
+        val arg = retExpr()
+        expectSym(")")
+        RetFn(fn.toLowerCase, arg)
+      case Ident(v) if peek.contains(Sym(".")) =>
+        next(); RetProp(PropRef(v, ident()))
+      case Ident(v) => RetVar(v)
+      case t => fail(s"expected expression, got $t")
     }
 
     private def orderItem(): OrderItem = {

@@ -346,6 +346,15 @@ final class CypherSession(
         struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
           col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))
       case RetProp(PropRef(v, p)) => propCol(v, p)
+      case RetFn(fn, arg) =>
+        val c = itemCol(arg)
+        fn match {
+          case "tolower" => lower(c)
+          case "toupper" => upper(c)
+          case "trim" => trim(c)
+          case "size" => length(c)
+          case other => throw new IllegalArgumentException(s"unsupported function $other()")
+        }
       case _: RetAgg => throw new IllegalStateException("aggregate handled separately")
     }
 

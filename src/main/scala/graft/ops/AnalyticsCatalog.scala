@@ -1023,6 +1023,24 @@ object AnalyticsCatalog {
            | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
            |GROUP BY d1.source ORDER BY publisher""".stripMargin))
 
+  private val c14 = Entry("c14_cypher_scalar_fns",
+    (s, dir) => {
+      // Scalar functions as WITH grouping keys: toUpper over the property
+      // feeds the implicit grouping; size() in the final projection.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH toUpper(a.lang) AS lang_uc, count(a) AS n_docs
+                 |RETURN lang_uc, size(lang_uc) AS code_len, n_docs
+                 |ORDER BY lang_uc""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT upper(lang) AS lang_uc,
+           |  CAST(length(upper(lang)) AS INT) AS code_len,
+           |  COUNT(*) AS n_docs
+           |FROM documents GROUP BY lang ORDER BY lang_uc""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1282,7 +1300,7 @@ object AnalyticsCatalog {
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     x01, x02, x03, x04, x05,
     m01, m02, m03)
 }

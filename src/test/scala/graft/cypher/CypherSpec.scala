@@ -259,6 +259,19 @@ class CypherSpec extends SparkTestBase {
     }
   }
 
+  test("scalar functions in projections: toUpper/toLower/trim/size") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: $u})", Map("u" -> "  Alice  "))
+    val row = sess.run(
+      """MATCH (u:User)
+        |RETURN toUpper(u.name) AS uc, toLower(u.name) AS lc,
+        |       size(trim(u.name)) AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(row.getString(0) === "  ALICE  ")
+    assert(row.getString(1) === "  alice  ")
+    assert(row.getInt(2) === 5)
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
