@@ -79,7 +79,10 @@ object Enrichment {
     import requests.sparkSession.implicits._
     requests.mapPartitions { it =>
       val client = clientFactory()
-      val results = it.map { req =>
+      // close when the task ends, drained or not (limits, failures)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+      it.map { req =>
         val (content, status) =
           try {
             client.fetchHtml(req.link, timeoutMs) match {
@@ -93,15 +96,6 @@ object Enrichment {
             case scala.util.control.NonFatal(_) => ("", "error")
           }
         DetailResult(req.doc_id, req.link, content, status)
-      }
-      // close the client after the last row without materializing the batch
-      new Iterator[DetailResult] {
-        override def hasNext: Boolean = {
-          val h = results.hasNext
-          if (!h) client.close()
-          h
-        }
-        override def next(): DetailResult = results.next()
       }
     }
   }
