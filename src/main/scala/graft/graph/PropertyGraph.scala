@@ -227,11 +227,14 @@ object PropertyGraph {
       coalesce(fresh, map()))
 
   /** Deterministic one-row-per-key dedup: highest `ord` wins (ties broken by
-    * a canonical rendering of props so re-runs agree); without `ord`, the
-    * canonical rendering alone decides. */
+    * a canonical rendering of every property-bag column present — props plus
+    * any path-dependent create_props/match_props — so re-runs agree even
+    * when rows differ only in a handler bag); without `ord`, the canonical
+    * rendering alone decides. */
   private[graph] def dedupOne(df: DataFrame, keys: Seq[String], ord: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canon = to_json(map_entries(coalesce(col("props"), map())))
+    val bagCols = Seq("props", "create_props", "match_props").filter(df.columns.contains)
+    val canon = to_json(array(bagCols.map(c => map_entries(coalesce(col(c), map()))): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord.map(_.desc).toSeq :+ canon.desc: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
