@@ -53,6 +53,13 @@ final class CypherSession(
         executeMutation(m, paramsDf)
     }
 
+  /** Run a semicolon-separated script of statements in order (the
+    * interactive usage pattern of /root/reference/cypher.txt), returning
+    * each statement's result. Statement splitting is syntactic on `;` —
+    * string literals containing semicolons are not supported in scripts. */
+  def runScript(script: String, params: Map[String, Any] = Map.empty): Seq[CypherResult] =
+    script.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map(run(_, params))
+
   /** Set-oriented execution of a parameterized MERGE statement over a whole
     * batch of parameter rows (columns named like the `$params`). */
   def runBatch(query: String, paramsDf: DataFrame): CypherResult =

@@ -272,6 +272,20 @@ class CypherSpec extends SparkTestBase {
     assert(row.getInt(2) === 5)
   }
 
+  test("runScript executes a semicolon-separated statement sequence") {
+    val sess = freshSession
+    val results = sess.runScript(
+      """MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+        |MERGE (u)-[:INTERESTED_IN]->(t);
+        |MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) RETURN u, r, t;
+        |MATCH (n) RETURN n LIMIT 25""".stripMargin,
+      Map("u" -> "Beomzh", "t" -> "GraphRAG"))
+    assert(results.length === 3)
+    assert(results.head.isInstanceOf[CypherMutation])
+    assert(results(1).asInstanceOf[CypherRows].df.count() === 1)
+    assert(results(2).asInstanceOf[CypherRows].df.count() === 2)
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>
