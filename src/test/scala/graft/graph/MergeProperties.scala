@@ -26,6 +26,36 @@ class MergeProperties extends SparkTestBase {
 
   private val batchGen = Gen.listOfN(12, nodeGen)
 
+  private val edgeGen = for {
+    src <- Gen.choose(1, 6).map(i => s"u$i")
+    dst <- Gen.choose(1, 6).map(i => s"t$i")
+    lvl <- Gen.oneOf("low", "mid", "high")
+  } yield ("User", src, "INTERESTED_IN", "Tech", dst, Map("level" -> lvl))
+
+  private val edgeBatchGen = Gen.listOfN(15, edgeGen)
+
+  test("mergeEdges with props is idempotent and batch-order independent") {
+    (1L to 5L).foreach { seed =>
+      val batch = sample(edgeBatchGen, seed)
+      val df = batch.toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey", "props")
+      val g1 = PropertyGraph.empty(spark).mergeEdgesByKey(df)
+      val g2 = g1.mergeEdgesByKey(df)
+      // idempotent: second merge changes nothing, including the prop bags
+      def canon(g: PropertyGraph) = g.edges
+        .select(col("srcId"), col("dstId"), col("relType"),
+          to_json(map_entries(col("props"))).as("p"))
+        .orderBy("srcId", "dstId", "relType").collect().toSeq
+      assert(canon(g2) === canon(g1), s"seed=$seed")
+      // batch order never changes the merged edge set (dedup tie-break is
+      // canonical, not positional)
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(seed)).shuffle(batch)
+      val g3 = PropertyGraph.empty(spark).mergeEdgesByKey(
+        shuffled.toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey", "props"))
+      assert(canon(g3) === canon(g1), s"seed=$seed (order dependence)")
+    }
+  }
+
   test("mergeNodes is idempotent: merge(merge(g, b), b) == merge(g, b)") {
     (1L to 5L).foreach { seed =>
       val batch = sample(batchGen, seed)
