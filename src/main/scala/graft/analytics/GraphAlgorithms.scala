@@ -16,13 +16,48 @@ import graft.graph.PropertyGraph
   */
 object GraphAlgorithms {
 
+  /** Partition count for the GraphX bridge, derived from the optimizer's
+    * size estimates of the node+edge *leaf* relations (plan statistics —
+    * no job runs): one partition per `targetBytes` of estimated input,
+    * floored at `floor` and capped at 64k. Leaf stats (parquet file sizes,
+    * local relation sizes) are the reliable part of non-CBO statistics —
+    * whole-plan sizeInBytes inflates multiplicatively through joins, which
+    * a MERGE-built graph's lineage is full of. Pregel shuffles every
+    * superstep, so the count must track graph size: a fixture-sized graph
+    * lands on the floor, a 100 TB store derives thousands — the hardcoded
+    * 8 this replaces was right for sf0.1 and a bottleneck at any real
+    * scale. */
+  def sizedPartitions(g: PropertyGraph, targetBytes: Long = 64L << 20,
+      floor: Int = 8): Int = {
+    // Leaves with no real estimate (LogicalRDD from localCheckpoint)
+    // report defaultSizeInBytes ≈ Long.MaxValue — treat those as unknown
+    // rather than letting one sentinel saturate the count.
+    val unknown = BigInt(Long.MaxValue) / 4
+    def leafBytes(df: DataFrame): Seq[BigInt] =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).filter(_ < unknown)
+    val known = leafBytes(g.nodes) ++ leafBytes(g.edges)
+    if (known.nonEmpty)
+      (known.sum / targetBytes).min(BigInt(1 << 16)).toInt.max(floor)
+    else // checkpointed lineage: the RDD's own partitioning tracked the
+         // shuffles that built it — use it as the size signal
+      math.max(floor, g.edges.rdd.getNumPartitions)
+  }
+
+  /** Resolve a caller partition request: negative = derive from size. */
+  private def resolveParts(g: PropertyGraph, requested: Int): Int =
+    if (requested < 0) sizedPartitions(g) else requested
+
   /** Static PageRank, `numIter` supersteps (deterministic iteration count;
-    * ranks unnormalized, reset probability 0.15 as published). */
+    * ranks unnormalized, reset probability 0.15 as published).
+    * `numPartitions`: -1 = derive from graph size ([[sizedPartitions]]),
+    * 0 = keep natural partitioning, >0 = explicit. */
   def pageRank(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15,
-      numPartitions: Int = 8): DataFrame = {
+      numPartitions: Int = -1): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val ranks = g.toGraphX(numPartitions).staticPageRank(numIter, resetProb)
+    val ranks = g.toGraphX(resolveParts(g, numPartitions))
+      .staticPageRank(numIter, resetProb)
       .vertices.map { case (id, rank) => (id, rank) }
     ranks.toDF("id", "rank")
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
@@ -68,10 +103,10 @@ object GraphAlgorithms {
 
   /** Connected components (Pregel min-id propagation): (id, label, key,
     * component) where component = lowest vertex id in the component. */
-  def connectedComponents(g: PropertyGraph, numPartitions: Int = 8): DataFrame = {
+  def connectedComponents(g: PropertyGraph, numPartitions: Int = -1): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val cc = g.toGraphX(numPartitions).connectedComponents()
+    val cc = g.toGraphX(resolveParts(g, numPartitions)).connectedComponents()
       .vertices.map { case (id, comp) => (id, comp) }
     cc.toDF("id", "component")
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
@@ -159,7 +194,7 @@ object GraphAlgorithms {
       batches: Iterator[Seq[Long]]): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val gx = g.toGraphX(8)
+    val gx = g.toGraphX(sizedPartitions(g))
     gx.cache() // each batch re-traverses the same graph
     val parts = batches.map { batch =>
       org.apache.spark.graphx.lib.ShortestPaths.run(gx, batch)

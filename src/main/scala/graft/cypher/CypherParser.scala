@@ -49,9 +49,10 @@ object CypherParser {
         val s = q.substring(i, j)
         if (keywords.contains(s.toUpperCase)) out += Kw(s.toUpperCase) else out += Ident(s)
         i = j
-      } else if (c == '\'') {
+      } else if (c == '\'' || c == '"') { // Cypher strings: either quote char
+        val quote = c
         val sb = new StringBuilder; i += 1
-        while (i < n && q(i) != '\'') {
+        while (i < n && q(i) != quote) {
           if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 } else { sb += q(i); i += 1 }
         }
         i += 1 // closing quote

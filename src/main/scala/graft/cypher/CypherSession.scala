@@ -55,10 +55,11 @@ final class CypherSession(
 
   /** Run a semicolon-separated script of statements in order (the
     * interactive usage pattern of /root/reference/cypher.txt), returning
-    * each statement's result. Statement splitting is syntactic on `;` —
-    * string literals containing semicolons are not supported in scripts. */
+    * each statement's result. Splitting is quote-aware: a `;` inside a
+    * single- or double-quoted string literal (backslash escapes honored)
+    * does not terminate the statement. */
   def runScript(script: String, params: Map[String, Any] = Map.empty): Seq[CypherResult] =
-    script.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map(run(_, params))
+    CypherSession.splitStatements(script).map(run(_, params))
 
   /** Set-oriented execution of a parameterized MERGE statement over a whole
     * batch of parameter rows (columns named like the `$params`). */
@@ -533,4 +534,30 @@ object CypherSession {
     * (/root/reference/src/crwling.py:48,53; /root/reference/src/ingest.py:5-6). */
   val referenceKeyProps: Map[String, String] = Map(
     "Article" -> "link", "Publisher" -> "name", "User" -> "name", "Tech" -> "name")
+
+  /** Quote-aware statement splitter: one pass tracking whether the cursor
+    * is inside a `'…'` or `"…"` literal, honoring backslash escapes; only
+    * top-level semicolons split. Driver-side string work on the query text
+    * — never touches data. */
+  private[cypher] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == '\\' && i + 1 < script.length) { cur += script.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case ';' => out += cur.result(); cur.clear()
+        case '\'' | '"' => quote = c; cur += c
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 }

@@ -56,8 +56,14 @@ object GraphStore {
       .saveAsTable(s"${tablePrefix}_edges")
   }
 
-  def readBucketed(spark: SparkSession, tablePrefix: String): PropertyGraph =
+  def readBucketed(spark: SparkSession, tablePrefix: String): PropertyGraph = {
+    import org.apache.spark.sql.functions.typedlit
+    val e = spark.table(s"${tablePrefix}_edges")
+    val ewp = // tolerate prop-less layouts written before edge properties
+      if (e.columns.contains("props")) e
+      else e.withColumn("props", typedlit(Map.empty[String, String]))
     PropertyGraph(
       spark.table(s"${tablePrefix}_nodes").select("id", "label", "key", "props"),
-      spark.table(s"${tablePrefix}_edges").select("srcId", "dstId", "relType"))
+      ewp.select("srcId", "dstId", "relType", "props"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, GraphAlgorithms, Similarity, TextAnalysis}
 import graft.graph.GraphIngest
 import graft.multimodal.Multimodal
 import graft.streaming.EventWindows
@@ -212,14 +212,24 @@ object AnalyticsCatalog {
 
   private val d02 = Entry("d02_approx_distinct",
     (s, dir) => {
-      // HLL sketch vs exact — engine-internal check (sketch estimates are
-      // engine-specific, so no cross-engine oracle; spec asserts rsd bound).
+      // HLL sketch vs exact. The raw estimate is engine-specific (DuckDB's
+      // HLL differs from Spark's), but Spark's HLL is a deterministic,
+      // order-independent function of the input set — so the *error bound*
+      // is a stable, hashable fact: |approx - exact| <= 20% of exact (rsd
+      // is 0.05; 20% is 4 sigma of slack). The oracle asserts the bound as
+      // a constant TRUE and hash-matches the exact count, keeping the
+      // sketch in the checked path without chasing cross-engine registers.
       Tables(s, dir, "documents").groupBy("lang")
         .agg(approx_count_distinct(col("text"), 0.05).as("approx_uniq"),
           countDistinct(col("text")).as("exact_uniq"))
+        .select(col("lang"), col("exact_uniq"),
+          (abs(col("approx_uniq") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.2).as("approx_within_20pct"))
         .orderBy("lang")
     },
-    None)
+    Some("""SELECT lang, COUNT(DISTINCT text) AS exact_uniq,
+           |  TRUE AS approx_within_20pct
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   private val d03 = Entry("d03_minhash_lsh_pairs",
     (s, dir) => {
@@ -402,18 +412,44 @@ object AnalyticsCatalog {
   private val d09 = Entry("d09_approx_quantile_sketch",
     (s, dir) => {
       // Mergeable quantile sketch next to d07's HLL: approx_percentile per
-      // event_type plus the exact percentiles beside it. Sketch estimates
-      // are engine-specific → no cross-engine oracle; DedupSpec bounds the
-      // approx-vs-exact gap on the same data.
+      // event_type with the exact percentiles beside it, exploded to one
+      // scalar row per (event_type, p) — array columns crash the driver's
+      // row canonicalization, and scalars are what a sketch consumer reads
+      // anyway. Oracle-checkable because at harness scale (n_group <<
+      // accuracy=10000) Greenwald–Khanna keeps every sample, so the
+      // estimate IS the exact order statistic — which DuckDB's
+      // quantile_disc reproduces bitwise, as does quantile_cont for the
+      // interpolated exact percentile (probed at sf0.01: all 30 values
+      // equal to full double precision). At cluster scale the estimate
+      // degrades gracefully to the epsilon-rank guarantee; DedupSpec
+      // bounds that gap independently of the oracle.
       Tables(s, dir, "events")
         .groupBy("event_type")
         .agg(
           percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(10000)).as("approx_q"),
-          expr("percentile(value, array(0.25, 0.5, 0.75))").as("exact_q"))
-        .orderBy("event_type")
+            lit(10000)).as("aq"),
+          expr("percentile(value, array(0.25, 0.5, 0.75))").as("eq"))
+        .select(col("event_type"),
+          expr("""stack(3,
+                 |  0.25D, aq[0], eq[0],
+                 |  0.5D,  aq[1], eq[1],
+                 |  0.75D, aq[2], eq[2]) AS (p, approx_value, exact_value)"""
+            .stripMargin))
+        .orderBy("event_type", "p")
     },
-    None)
+    Some("""WITH q AS (
+           |  SELECT event_type,
+           |    quantile_disc(value, 0.25) AS a25, quantile_cont(value, 0.25) AS e25,
+           |    quantile_disc(value, 0.5)  AS a50, quantile_cont(value, 0.5)  AS e50,
+           |    quantile_disc(value, 0.75) AS a75, quantile_cont(value, 0.75) AS e75
+           |  FROM events GROUP BY event_type)
+           |SELECT event_type, CAST(0.25 AS DOUBLE) AS p,
+           |       a25 AS approx_value, e25 AS exact_value FROM q
+           |UNION ALL
+           |SELECT event_type, CAST(0.5 AS DOUBLE), a50, e50 FROM q
+           |UNION ALL
+           |SELECT event_type, CAST(0.75 AS DOUBLE), a75, e75 FROM q
+           |ORDER BY event_type, p""".stripMargin))
 
   private val d10 = Entry("d10_benchmark_decontamination",
     (s, dir) => {
@@ -883,10 +919,15 @@ object AnalyticsCatalog {
                  |       collect(DISTINCT a.lang) AS langs
                  |ORDER BY publisher""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df
+        // The Cypher surface returns collect() as a real array; the catalog
+        // entry flattens it to a joined string because the driver's row
+        // canonicalization cannot sort array cells. collect is already
+        // canonical-sorted, so the join is deterministic.
+        .withColumn("langs", array_join(col("langs"), ","))
     },
     Some("""SELECT source AS publisher, COUNT(*) AS n_docs,
            |  SUM(CAST(doc_id AS DOUBLE)) AS id_sum,
-           |  list_sort(list(DISTINCT lang)) AS langs
+           |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
            |FROM documents WHERE NOT (lang = 'fr' OR lang = 'es')
            |GROUP BY source ORDER BY publisher""".stripMargin))
 
@@ -1113,7 +1154,8 @@ object AnalyticsCatalog {
       val g = docGraph(s, dir)
       val spark = s
       import spark.implicits._
-      val inDeg = g.toGraphX(8).inDegrees.toDF("id", "deg")
+      val inDeg = g.toGraphX(GraphAlgorithms.sizedPartitions(g))
+        .inDegrees.toDF("id", "deg")
       inDeg.join(g.matchLabel("Publisher").select(col("id")), Seq("id"))
         .groupBy("deg").agg(count(lit(1)).as("n_publishers"))
         .select(col("deg"), col("n_publishers"))

@@ -80,6 +80,25 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(!sp.contains("u1")) // unreachable: no path to landmark
   }
 
+  test("GraphX partition count derives from estimated graph size") {
+    // fixture-sized graph sits on the floor
+    assert(GraphAlgorithms.sizedPartitions(graph) === 8)
+    // a graph whose leaf-scan stats say ~3.2 GB derives more partitions —
+    // spark.range leaves carry exact size estimates (8 bytes/row), so no
+    // data materializes here (plan statistics only, no job)
+    val bigNodes = spark.range(200000000L)
+      .select(col("id"), lit("N").as("label"),
+        concat(lit("k"), col("id")).as("key"),
+        typedLit(Map.empty[String, String]).as("props"))
+    val bigEdges = spark.range(200000000L)
+      .select(col("id").as("srcId"), (col("id") + 1).as("dstId"),
+        lit("NEXT").as("relType"), typedLit(Map.empty[String, String]).as("props"))
+    val big = PropertyGraph(bigNodes, bigEdges)
+    val p = GraphAlgorithms.sizedPartitions(big)
+    assert(p > 8, s"expected size-derived count above the floor, got $p")
+    assert(p <= (1 << 16))
+  }
+
   test("shortest paths: batched landmarks equal one unbatched run") {
     import org.apache.spark.sql.functions.col
     val landmarks = graph.nodes.select(col("id"))

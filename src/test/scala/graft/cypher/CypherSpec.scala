@@ -286,6 +286,29 @@ class CypherSpec extends SparkTestBase {
     assert(results(2).asInstanceOf[CypherRows].df.count() === 2)
   }
 
+  test("runScript keeps semicolons inside string literals intact") {
+    val sess = freshSession
+    val results = sess.runScript(
+      """MERGE (a:Article {link: 'x'}) SET a.title = 'Graphs; a love story';
+        |MERGE (a:Article {link: 'y'}) SET a.title = "semi;colons; everywhere";
+        |MATCH (a:Article) RETURN a.title AS title""".stripMargin)
+    assert(results.length === 3)
+    val titles = results(2).asInstanceOf[CypherRows].df
+      .collect().map(_.getString(0)).sorted
+    assert(titles === Array("Graphs; a love story", "semi;colons; everywhere"))
+  }
+
+  test("statement splitter handles escapes and unterminated gracefully") {
+    import CypherSession.splitStatements
+    assert(splitStatements("A;B ; ;C") === Seq("A", "B", "C"))
+    assert(splitStatements("SET x = 'a;b';RETURN 1") ===
+      Seq("SET x = 'a;b'", "RETURN 1"))
+    assert(splitStatements("SET x = 'a\\';b';RETURN 1") ===
+      Seq("SET x = 'a\\';b'", "RETURN 1"))
+    // unterminated literal: rest of script is one statement, nothing lost
+    assert(splitStatements("SET x = 'a;b") === Seq("SET x = 'a;b"))
+  }
+
   test("NOT and parenthesized OR predicates") {
     val sess = freshSession
     Seq("spark", "flink", "duck").foreach(t =>

@@ -40,4 +40,33 @@ class BucketedStoreSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bspec_edges")
     }
   }
+
+  test("bucketed store round-trips relationship properties bit-for-bit") {
+    // The c11 surface: edges carrying property bags. A store layout that
+    // drops them silently corrupts any graph that round-trips through it.
+    val nodes = Seq(
+      ("Article", "a1", Map("t" -> "x")),
+      ("Article", "a2", Map("t" -> "y")),
+      ("Publisher", "p1", Map.empty[String, String]))
+      .toDF("label", "key", "props")
+    val edges = Seq(
+      ("Article", "a1", "Publisher", "p1", "WRITTEN_BY", Map("since" -> "2020", "w" -> "0.5")),
+      ("Article", "a2", "Publisher", "p1", "WRITTEN_BY", Map("since" -> "2021")))
+      .toDF("srcLabel", "srcKey", "dstLabel", "dstKey", "relType", "props")
+    val g = PropertyGraph.empty(spark).mergeNodes(nodes).mergeEdgesByKey(edges)
+    try {
+      GraphStore.writeBucketed(g, "bspec_rt", buckets = 2)
+      val stored = GraphStore.readBucketed(spark, "bspec_rt")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("srcId"), col("dstId"), col("relType"),
+            map_entries(col("props")).cast("array<struct<key:string,value:string>>").as("pe"))
+          .withColumn("pe", array_sort(col("pe")))
+          .collect().toSet
+      assert(canon(stored.edges) === canon(g.edges))
+      assert(stored.nodes.count() === 3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_rt_nodes")
+      spark.sql("DROP TABLE IF EXISTS bspec_rt_edges")
+    }
+  }
 }
