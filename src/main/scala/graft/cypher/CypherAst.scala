@@ -13,6 +13,7 @@ object CypherAst {
   sealed trait Value
   final case class Param(name: String) extends Value
   final case class StrLit(v: String) extends Value
+  case object NullLit extends Value
   final case class NumLit(v: Double, isInt: Boolean) extends Value
   final case class FnCall(name: String) extends Value // datetime()
   /** property reference on the comparison RHS, e.g. `a.link < b.link`. */
@@ -36,8 +37,11 @@ object CypherAst {
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
 
   final case class PropRef(variable: String, prop: String)
-  /** LHS is a property (`a.lang`) or a bare WITH-alias (`n_articles`). */
-  final case class Predicate(lhs: Either[String, PropRef], op: String, value: Value)
+  /** Comparison over full scalar expressions on both sides: `a.score * 10
+    * >= b.score + 1`, `a.title STARTS WITH 'Spark'`. `op` ∈ the six
+    * comparisons, CONTAINS, STARTS WITH, ENDS WITH, IS [NOT] NULL (rhs
+    * ignored for the null tests). */
+  final case class Predicate(lhs: ReturnExpr, op: String, rhs: ReturnExpr)
 
   /** WHERE expression tree; AND binds tighter than OR, NOT tightest. */
   sealed trait BoolExpr
@@ -52,16 +56,47 @@ object CypherAst {
   /** Scalar function over a nested expression (composable):
     * toLower/toUpper/trim/size. */
   final case class RetFn(fn: String, arg: ReturnExpr) extends ReturnExpr
+  /** Literal / parameter leaf inside a scalar expression (`a.score + 1`,
+    * `CASE … ELSE 'other' END`). */
+  final case class RetLit(value: Value) extends ReturnExpr
+  /** Binary arithmetic: `+ - * / %`. `+` over a string operand
+    * concatenates (Cypher overload); numeric arithmetic reads string
+    * property-bag values through DOUBLE (same policy as sum/avg). */
+  final case class RetBin(op: String, l: ReturnExpr, r: ReturnExpr)
+    extends ReturnExpr
+  /** Searched CASE: `CASE WHEN <pred> THEN <expr> … [ELSE <expr>] END`
+    * (no ELSE → NULL, as in Cypher/SQL). */
+  final case class RetCase(whens: Seq[(BoolExpr, ReturnExpr)],
+    default: Option[ReturnExpr]) extends ReturnExpr
   /** Aggregate call: fn ∈ count|sum|avg|min|max|collect. `arg` is None for
     * `count(*)`, a bare variable/alias, or a property ref; Cypher groups
-    * implicitly by every non-aggregate return item. */
+    * implicitly by every non-aggregate return item. Aggregates may sit
+    * inside arithmetic (`count(a) * 2`) — classification walks the tree
+    * ([[containsAgg]]). */
   final case class RetAgg(fn: String, arg: Option[Either[String, PropRef]],
     distinct: Boolean = false) extends ReturnExpr
+
+  /** True when the expression tree contains an aggregate call — such an
+    * item is an aggregation output, everything else is an implicit
+    * grouping key. */
+  def containsAgg(e: ReturnExpr): Boolean = e match {
+    case _: RetAgg => true
+    case RetBin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case RetFn(_, a) => containsAgg(a)
+    case RetCase(ws, d) => ws.exists(w => containsAgg(w._2)) || d.exists(containsAgg)
+    case _ => false
+  }
+
   final case class ReturnItem(expr: ReturnExpr, alias: Option[String]) {
     private def exprName(e: ReturnExpr): String = e match {
       case RetVar(v) => v
       case RetProp(PropRef(v, p)) => s"$v.$p"
       case RetFn(fn, a) => s"$fn(${exprName(a)})"
+      case RetLit(StrLit(s)) => s"'$s'"
+      case RetLit(NumLit(d, isInt)) => if (isInt) d.toLong.toString else d.toString
+      case RetLit(_) => "expr"
+      case RetBin(op, l, r) => s"${exprName(l)} $op ${exprName(r)}"
+      case _: RetCase => "case"
       case RetAgg(fn, None, _) => s"$fn(*)"
       case RetAgg(fn, Some(Left(v)), d) => s"$fn(${if (d) "DISTINCT " else ""}$v)"
       case RetAgg(fn, Some(Right(PropRef(v, p))), d) =>

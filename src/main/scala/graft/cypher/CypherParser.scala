@@ -14,7 +14,8 @@ object CypherParser {
   private val keywords = Set("MATCH", "MERGE", "WHERE", "RETURN", "ORDER", "BY",
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
-    "DETACH", "REMOVE", "IS", "NULL")
+    "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
+    "THEN", "ELSE", "END")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
   private val scalarFns = Set("tolower", "toupper", "trim", "size")
@@ -213,7 +214,13 @@ object CypherParser {
     }
     private def notExpr(): BoolExpr = peek match {
       case Some(Kw("NOT")) => next(); NotE(notExpr())
-      case Some(Sym("(")) => next(); val e = boolExpr(); expectSym(")"); e
+      case Some(Sym("(")) =>
+        // '(' is ambiguous: a grouped boolean (`(a.x > 1) OR …`) or a
+        // parenthesized arithmetic operand (`(a.x + 1) > 2`). Try the
+        // boolean reading; on failure rewind and parse a comparison.
+        val save = pos
+        try { next(); val e = boolExpr(); expectSym(")"); e }
+        catch { case _: IllegalArgumentException => pos = save; Cmp(predicate()) }
       case _ => Cmp(predicate())
     }
 
@@ -393,66 +400,101 @@ object CypherParser {
     }
 
     private def predicate(): Predicate = {
-      val lhs: Either[String, PropRef] = next() match {
-        case Ident(v) if peek.contains(Sym(".")) => next(); Right(PropRef(v, ident()))
-        case Ident(v) => Left(v) // bare WITH-alias, e.g. `n_articles > 5`
-        case t => fail(s"expected property or alias, got $t")
-      }
+      val dummy = RetLit(NumLit(0, isInt = true))
+      val lhs = addExpr()
       val op = next() match {
         case Sym(s @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) => s
         case Kw("CONTAINS") => "CONTAINS"
+        case Kw("STARTS") => expectKw("WITH"); "STARTS WITH"
+        case Kw("ENDS") => expectKw("WITH"); "ENDS WITH"
         case Kw("IS") => next() match {
-          case Kw("NULL") => return Predicate(lhs, "IS NULL", NumLit(0, isInt = true))
+          case Kw("NULL") => return Predicate(lhs, "IS NULL", dummy)
           case Kw("NOT") => expectKw("NULL")
-            return Predicate(lhs, "IS NOT NULL", NumLit(0, isInt = true))
+            return Predicate(lhs, "IS NOT NULL", dummy)
           case t => fail(s"expected NULL or NOT NULL after IS, got $t")
         }
         case t => fail(s"expected comparison operator, got $t")
       }
-      Predicate(lhs, op, value())
+      Predicate(lhs, op, addExpr())
     }
 
     private def returnItem(): ReturnItem = {
-      val expr = next() match {
-        case Ident(fn) if aggFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
-          next()
-          val distinct = peek.contains(Kw("DISTINCT"))
-          if (distinct) next()
-          val arg: Option[Either[String, PropRef]] = next() match {
-            case Sym("*") if fn.equalsIgnoreCase("count") => None
-            case Ident(v) if peek.contains(Sym(".")) =>
-              next(); Some(Right(PropRef(v, ident())))
-            case Ident(v) => Some(Left(v))
-            case t => fail(s"expected aggregate argument in $fn(), got $t")
-          }
-          expectSym(")")
-          RetAgg(fn.toLowerCase, arg, distinct)
-        case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
-          next()
-          val arg = retExpr() // composable: size(trim(u.name))
-          expectSym(")")
-          RetFn(fn.toLowerCase, arg)
-        case Ident(v) if peek.contains(Sym(".")) =>
-          next(); RetProp(PropRef(v, ident()))
-        case Ident(v) => RetVar(v)
-        case t => fail(s"expected return item, got $t")
-      }
+      val expr = addExpr()
       val alias = if (peek.contains(Kw("AS"))) { next(); Some(ident()) } else None
       ReturnItem(expr, alias)
     }
 
-    /** Bare return expression (no alias) — the recursive body of
-      * [[returnItem]], reused for scalar-function arguments. */
-    private def retExpr(): ReturnExpr = next() match {
+    // scalar expression grammar, standard precedence:
+    //   addExpr := mulExpr (('+'|'-') mulExpr)*
+    //   mulExpr := factor (('*'|'/'|'%') factor)*
+    //   factor  := '-' factor | '(' addExpr ')' | CASE … END | literal
+    //            | param | agg(…) | scalarFn(expr) | var '.' prop | var
+    private def addExpr(): ReturnExpr = {
+      var e = mulExpr()
+      var more = true
+      while (more) peek match {
+        case Some(Sym(op @ ("+" | "-"))) => next(); e = RetBin(op, e, mulExpr())
+        case _ => more = false
+      }
+      e
+    }
+    private def mulExpr(): ReturnExpr = {
+      var e = factor()
+      var more = true
+      while (more) peek match {
+        case Some(Sym(op @ ("*" | "/" | "%"))) => next(); e = RetBin(op, e, factor())
+        case _ => more = false
+      }
+      e
+    }
+    private def factor(): ReturnExpr = next() match {
+      case Sym("-") => RetBin("-", RetLit(NumLit(0, isInt = true)), factor())
+      case Sym("(") => val e = addExpr(); expectSym(")"); e
+      case Kw("CASE") => caseExpr()
+      case ParamTok(s) => RetLit(Param(s))
+      case Str(s) => RetLit(StrLit(s))
+      case Num(s) => RetLit(NumLit(s.toDouble, !s.contains('.')))
+      case Kw("NULL") => RetLit(NullLit)
+      case Ident(fn) if aggFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
+        next()
+        val distinct = peek.contains(Kw("DISTINCT"))
+        if (distinct) next()
+        val arg: Option[Either[String, PropRef]] = next() match {
+          case Sym("*") if fn.equalsIgnoreCase("count") => None
+          case Ident(v) if peek.contains(Sym(".")) =>
+            next(); Some(Right(PropRef(v, ident())))
+          case Ident(v) => Some(Left(v))
+          case t => fail(s"expected aggregate argument in $fn(), got $t")
+        }
+        expectSym(")")
+        RetAgg(fn.toLowerCase, arg, distinct)
       case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
-        val arg = retExpr()
+        val arg = addExpr() // composable: size(trim(u.name))
         expectSym(")")
         RetFn(fn.toLowerCase, arg)
       case Ident(v) if peek.contains(Sym(".")) =>
         next(); RetProp(PropRef(v, ident()))
       case Ident(v) => RetVar(v)
       case t => fail(s"expected expression, got $t")
+    }
+
+    /** Searched CASE (the `CASE` keyword is already consumed):
+      * `WHEN <bool> THEN <expr> … [ELSE <expr>] END`. */
+    private def caseExpr(): RetCase = {
+      val whens = ArrayBuffer.empty[(BoolExpr, ReturnExpr)]
+      if (!peek.contains(Kw("WHEN")))
+        fail("only searched CASE (CASE WHEN …) is supported")
+      while (peek.contains(Kw("WHEN"))) {
+        next()
+        val cond = boolExpr()
+        expectKw("THEN")
+        whens += ((cond, addExpr()))
+      }
+      val default =
+        if (peek.contains(Kw("ELSE"))) { next(); Some(addExpr()) } else None
+      expectKw("END")
+      RetCase(whens.toSeq, default)
     }
 
     private def orderItem(): OrderItem = {

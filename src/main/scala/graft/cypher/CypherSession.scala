@@ -313,31 +313,22 @@ final class CypherSession(
         col(s"${v}__props").getItem(p)
       else propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
 
-    def refCol(lhs: Either[String, PropRef]): Column = lhs match {
-      case Left(name) if scalarVars.contains(name) => col(name)
-      case Left(name) => throw new IllegalArgumentException(
-        s"unknown alias '$name' in WHERE (not introduced by WITH)")
-      case Right(PropRef(v, p)) => propCol(v, p)
-    }
-
     def compileBool(be: BoolExpr): Column = be match {
-      case Cmp(Predicate(lhs, "IS NULL", _)) => refCol(lhs).isNull
-      case Cmp(Predicate(lhs, "IS NOT NULL", _)) => refCol(lhs).isNotNull
-      case Cmp(Predicate(lhs, op, value)) =>
-        val c = refCol(lhs)
-        val rhs = value match {
-          case RefValue(PropRef(v2, p2)) => propCol(v2, p2)
-          case AliasValue(n) if scalarVars.contains(n) => col(n)
-          case other => scalarCol(other, params)
-        }
+      case Cmp(Predicate(lhs, "IS NULL", _)) => itemCol(lhs).isNull
+      case Cmp(Predicate(lhs, "IS NOT NULL", _)) => itemCol(lhs).isNotNull
+      case Cmp(Predicate(lhs, op, rhs)) =>
+        val c = itemCol(lhs)
+        val r = itemCol(rhs)
         op match {
-          case "=" => c === rhs
-          case "<>" => c =!= rhs
-          case "<" => c < rhs
-          case "<=" => c <= rhs
-          case ">" => c > rhs
-          case ">=" => c >= rhs
-          case "CONTAINS" => c.contains(rhs)
+          case "=" => c === r
+          case "<>" => c =!= r
+          case "<" => c < r
+          case "<=" => c <= r
+          case ">" => c > r
+          case ">=" => c >= r
+          case "CONTAINS" => c.contains(r)
+          case "STARTS WITH" => c.startsWith(r)
+          case "ENDS WITH" => c.endsWith(r)
         }
       case AndE(l, r) => compileBool(l) && compileBool(r)
       case OrE(l, r) => compileBool(l) || compileBool(r)
@@ -347,13 +338,44 @@ final class CypherSession(
     /** scalar (non-struct) value of a return expression. */
     def itemCol(expr: ReturnExpr): Column = expr match {
       case RetVar(v) if scalarVars.contains(v) => col(v)
-      case RetVar(v) if df.columns.contains(s"${v}__type") =>
+      case RetVar(v) if df != null && df.columns.contains(s"${v}__type") =>
         struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
           col(s"${v}__type").as("relType"), col(s"${v}__props").as("props"))
-      case RetVar(v) =>
+      case RetVar(v) if df != null && df.columns.contains(s"${v}__id") =>
         struct(col(s"${v}__id").as("id"), col(s"${v}__label").as("label"),
           col(s"${v}__key").as("key"), col(s"${v}__props").as("props"))
+      case RetVar(v) => throw new IllegalArgumentException(
+        s"unknown variable or alias '$v' (not bound by MATCH/WITH/UNWIND)")
       case RetProp(PropRef(v, p)) => propCol(v, p)
+      case RetLit(v) => scalarCol(v, params)
+      case RetBin(op, l, r) =>
+        // numeric arithmetic reads string property-bag values through
+        // DOUBLE (the sum/avg policy); `+` with a string-literal operand is
+        // Cypher's concatenation overload
+        def stringy(e: ReturnExpr): Boolean = e match {
+          case RetLit(StrLit(_)) => true
+          case RetFn(f, _) => f != "size"
+          case RetBin("+", a, b) => stringy(a) || stringy(b)
+          case _ => false
+        }
+        def num(e: ReturnExpr): Column = e match {
+          case RetProp(_) => itemCol(e).cast("double")
+          case _ => itemCol(e)
+        }
+        op match {
+          case "+" if stringy(l) || stringy(r) => concat(itemCol(l), itemCol(r))
+          case "+" => num(l) + num(r)
+          case "-" => num(l) - num(r)
+          case "*" => num(l) * num(r)
+          case "/" => num(l) / num(r)
+          case "%" => num(l) % num(r)
+        }
+      case RetCase(whens, default) =>
+        val first = when(compileBool(whens.head._1), itemCol(whens.head._2))
+        val chained = whens.tail.foldLeft(first) { case (acc, (c, v)) =>
+          acc.when(compileBool(c), itemCol(v))
+        }
+        default.map(d => chained.otherwise(itemCol(d))).getOrElse(chained)
       case RetFn(fn, arg) =>
         val c = itemCol(arg)
         fn match {
@@ -363,7 +385,7 @@ final class CypherSession(
           case "size" => length(c)
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
-      case _: RetAgg => throw new IllegalStateException("aggregate handled separately")
+      case a: RetAgg => aggCol(a)
     }
 
     def aggCol(a: RetAgg): Column = {
@@ -394,7 +416,7 @@ final class CypherSession(
       * following MATCH can extend from them); an aggregating WITH groups by
       * its scalar items, after which only aliases remain in scope. */
     def applyWith(wc: WithClause): Unit = {
-      val (aggs, keys) = wc.items.partition(_.expr.isInstanceOf[RetAgg])
+      val (aggs, keys) = wc.items.partition(i => containsAgg(i.expr))
       if (aggs.isEmpty) {
         val keepNodes = Vector.newBuilder[String]
         val newScalars = Vector.newBuilder[String]
@@ -420,7 +442,7 @@ final class CypherSession(
             s"aggregating WITH groups by scalar items; project '${i.name}' as a property first")
           itemCol(i.expr).as(i.name)
         }
-        val aggCols = aggs.map(i => aggCol(i.expr.asInstanceOf[RetAgg]).as(i.name))
+        val aggCols = aggs.map(i => itemCol(i.expr).as(i.name))
         df =
           if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -456,12 +478,12 @@ final class CypherSession(
       st.withClause.foreach(applyWith)
     }
 
-    val (aggItems, keyItems) = m.ret.partition(_.expr.isInstanceOf[RetAgg])
+    val (aggItems, keyItems) = m.ret.partition(i => containsAgg(i.expr))
     var out =
       if (aggItems.isEmpty) df.select(m.ret.map(i => itemCol(i.expr).as(i.name)): _*)
       else {
         // Cypher's implicit grouping: every non-aggregate return item is a key
-        val aggCols = aggItems.map(i => aggCol(i.expr.asInstanceOf[RetAgg]).as(i.name))
+        val aggCols = aggItems.map(i => itemCol(i.expr).as(i.name))
         val grouped =
           if (keyItems.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keyItems.map(i => itemCol(i.expr).as(i.name)): _*)
@@ -502,6 +524,7 @@ final class CypherSession(
   private def scalarCol(v: Value, params: Map[String, Any]): Column = v match {
     case Param(name) => lit(params.getOrElse(name,
       throw new IllegalArgumentException(s"missing parameter $$$name")))
+    case NullLit => lit(null)
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case FnCall("datetime") => clock()
@@ -516,6 +539,7 @@ final class CypherSession(
 
   private def valueCol(v: Value, paramsDf: DataFrame): Column = v match {
     case Param(name) => col(name)
+    case NullLit => lit(null)
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case FnCall("datetime") => clock()

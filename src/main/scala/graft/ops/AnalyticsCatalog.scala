@@ -1082,6 +1082,55 @@ object AnalyticsCatalog {
            |  COUNT(*) AS n_docs
            |FROM documents GROUP BY lang ORDER BY lang_uc""".stripMargin))
 
+  private val c15 = Entry("c15_cypher_case_arith",
+    (s, dir) => {
+      // Expression depth round 3: searched CASE as an implicit grouping
+      // key, arithmetic in WHERE (modulo over a string-bag property via
+      // the DOUBLE read policy) and over an aggregate (`count(a)*2+1`).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WHERE a.doc_id % 2 = 0
+                 |RETURN a.lang AS lang,
+                 |  CASE WHEN a.lang = 'en' THEN 'core'
+                 |       WHEN a.lang = 'de' OR a.lang = 'fr' THEN 'eu'
+                 |       ELSE 'other' END AS bucket,
+                 |  count(a) AS n_docs,
+                 |  count(a) * 2 + 1 AS n_scaled
+                 |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang,
+           |  CASE WHEN lang = 'en' THEN 'core'
+           |       WHEN lang = 'de' OR lang = 'fr' THEN 'eu'
+           |       ELSE 'other' END AS bucket,
+           |  COUNT(*) AS n_docs,
+           |  CAST(COUNT(*) * 2 + 1 AS BIGINT) AS n_scaled
+           |FROM documents WHERE doc_id % 2 = 0
+           |GROUP BY 1, 2 ORDER BY lang""".stripMargin))
+
+  private val c16 = Entry("c16_cypher_string_predicates",
+    (s, dir) => {
+      // STARTS WITH / ENDS WITH / CONTAINS in a boolean tree, plus the `+`
+      // concatenation overload building the grouping key.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)
+                 |WHERE a.title STARTS WITH 'the '
+                 |   OR (a.title CONTAINS 'spark' AND a.title ENDS WITH 'a')
+                 |RETURN p.name + ':' + a.lang AS pub_lang, count(a) AS n_docs
+                 |ORDER BY pub_lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source || ':' || lang AS pub_lang, COUNT(*) AS n_docs
+           |FROM documents
+           |WHERE substring(text, 1, 30) LIKE 'the %'
+           |   OR (substring(text, 1, 30) LIKE '%spark%'
+           |       AND substring(text, 1, 30) LIKE '%a')
+           |GROUP BY 1 ORDER BY pub_lang""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1343,6 +1392,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
+    c15, c16,
     x01, x02, x03, x04, x05,
     m01, m02, m03)
 }

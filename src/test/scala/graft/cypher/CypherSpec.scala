@@ -286,6 +286,74 @@ class CypherSpec extends SparkTestBase {
     assert(results(2).asInstanceOf[CypherRows].df.count() === 2)
   }
 
+  test("arithmetic in RETURN and WHERE with standard precedence") {
+    val sess = freshSession
+    Seq(("a", "2"), ("b", "5"), ("c", "8")).foreach { case (n, s) =>
+      sess.run("MERGE (u:User {name: $n}) SET u.score = $s",
+        Map("n" -> n, "s" -> s))
+    }
+    val rows = sess.run(
+      """MATCH (u:User)
+        |WHERE u.score * 2 + 1 >= 11
+        |RETURN u.name AS name, u.score * 10 - 1 AS scaled, -u.score AS neg
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("b", "c"))
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(49.0, 79.0))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(-5.0, -8.0))
+    // parenthesized arithmetic inside a boolean tree
+    val n = sess.run(
+      """MATCH (u:User)
+        |WHERE (u.score + 1) / 3 >= 2 AND NOT u.name = 'c'
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.count()
+    assert(n === 1) // only b: (5+1)/3 = 2
+  }
+
+  test("searched CASE in RETURN, as grouping key, and arithmetic over aggregates") {
+    val sess = freshSession
+    Seq(("d1", "en"), ("d2", "en"), ("d3", "de"), ("d4", "zh")).foreach {
+      case (l, lang) =>
+        sess.run("MERGE (a:Article {link: $l}) SET a.lang = $lang",
+          Map("l" -> l, "lang" -> lang))
+    }
+    val rows = sess.run(
+      """MATCH (a:Article)
+        |RETURN CASE WHEN a.lang = 'en' THEN 'core'
+        |            WHEN a.lang = 'de' THEN 'eu'
+        |            ELSE 'other' END AS bucket,
+        |       count(a) AS n, count(a) * 2 AS n2
+        |ORDER BY bucket""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("core", 2L, 4L), ("eu", 1L, 2L), ("other", 1L, 2L)))
+    // no ELSE → NULL bucket
+    val withNull = sess.run(
+      """MATCH (a:Article)
+        |RETURN a.link AS link,
+        |       CASE WHEN a.lang = 'en' THEN 1 END AS flag
+        |ORDER BY link""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(withNull.count(_.isNullAt(1)) === 2)
+  }
+
+  test("STARTS WITH / ENDS WITH predicates and + concatenation") {
+    val sess = freshSession
+    Seq("spark sql", "spark streaming", "flink sql").foreach { t =>
+      sess.run("MERGE (a:Article {link: $t})", Map("t" -> t))
+    }
+    val starts = sess.run(
+      """MATCH (a:Article) WHERE a.link STARTS WITH 'spark'
+        |RETURN a.link AS link ORDER BY link""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(starts === Seq("spark sql", "spark streaming"))
+    val ends = sess.run(
+      """MATCH (a:Article) WHERE a.link ENDS WITH 'sql'
+        |RETURN 'doc:' + a.link AS tagged ORDER BY tagged""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(ends === Seq("doc:flink sql", "doc:spark sql"))
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(
