@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal for the heavy dedup/graph path (VERDICT r2 §7).
+  *
+  * Derives an sf1-sized fixture from sf0.1 — 50k documents / 20k
+  * embeddings — and runs the four most expensive pipeline queries against
+  * it once, printing per-query wall times. The derivation models a corpus
+  * 10× larger at the SAME duplication rate: each replica's vocabulary is
+  * suffixed per replica (`word` → `word_rK`), so near-dup clusters
+  * multiply in COUNT but keep their size — replicating verbatim would
+  * instead grow each cluster 10× and the true-pair count 100×, which is
+  * not what a bigger crawl looks like. Embeddings are circularly shifted
+  * per replica for the same reason.
+  *
+  * Usage: `runMain graft.ScaleRehearsal [baseSfDir] [outDir]`
+  * (defaults: /root/testdata/sf0.1 → target/sf1_rehearsal).
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/sf1_rehearsal"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val docs = ops.Tables(spark, base, "documents")
+      (0 until 10).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_r$k").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      val emb = ops.Tables(spark, base, "embeddings")
+      (0 until 10).map { k =>
+        if (k == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          concat(slice(col("embedding"), k + 1, 64 - k),
+            slice(col("embedding"), 1, k)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
+    ops.AnalyticsCatalog.warmGraph(spark, out)
+    val heavy = Seq("d03_minhash_lsh_pairs", "d06_embedding_near_dup",
+      "d08_neardup_cluster_dedup", "x01_connected_components")
+    val results = heavy.map { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, out).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> ((secs, n))
+    }
+    val qs = results.map { case (k, (s, n)) =>
+      s"\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf1_rehearsal","queries":$qs,"docs":50000,"embeddings":20000}""")
+    spark.stop()
+  }
+}
