@@ -34,7 +34,10 @@ object CypherAst {
   final case class EdgePat(variable: Option[String], relType: Option[String],
     leftToRight: Boolean, minHops: Int = 1, maxHops: Int = 1,
     props: Map[String, Value] = Map.empty, undirected: Boolean = false)
-  final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
+  /** `pathVar`: the binding in `MATCH p = (a)-[…]->(b)` — queryable via
+    * `length(p)` (hop count, per matched walk). */
+  final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
+    pathVar: Option[String] = None)
 
   final case class PropRef(variable: String, prop: String)
   /** Comparison over full scalar expressions on both sides: `a.score * 10
@@ -53,9 +56,10 @@ object CypherAst {
   sealed trait ReturnExpr
   final case class RetVar(variable: String) extends ReturnExpr
   final case class RetProp(ref: PropRef) extends ReturnExpr
-  /** Scalar function over a nested expression (composable):
-    * toLower/toUpper/trim/size. */
-  final case class RetFn(fn: String, arg: ReturnExpr) extends ReturnExpr
+  /** Scalar function over nested expressions (composable): toLower,
+    * toUpper, trim, size, coalesce, toInteger, toFloat, abs, round,
+    * length (strings and path variables), id, labels, type. */
+  final case class RetFn(fn: String, args: Seq[ReturnExpr]) extends ReturnExpr
   /** Literal / parameter leaf inside a scalar expression (`a.score + 1`,
     * `CASE … ELSE 'other' END`). */
   final case class RetLit(value: Value) extends ReturnExpr
@@ -82,7 +86,7 @@ object CypherAst {
   def containsAgg(e: ReturnExpr): Boolean = e match {
     case _: RetAgg => true
     case RetBin(_, l, r) => containsAgg(l) || containsAgg(r)
-    case RetFn(_, a) => containsAgg(a)
+    case RetFn(_, as) => as.exists(containsAgg)
     case RetCase(ws, d) => ws.exists(w => containsAgg(w._2)) || d.exists(containsAgg)
     case _ => false
   }
@@ -91,7 +95,7 @@ object CypherAst {
     private def exprName(e: ReturnExpr): String = e match {
       case RetVar(v) => v
       case RetProp(PropRef(v, p)) => s"$v.$p"
-      case RetFn(fn, a) => s"$fn(${exprName(a)})"
+      case RetFn(fn, as) => s"$fn(${as.map(exprName).mkString(", ")})"
       case RetLit(StrLit(s)) => s"'$s'"
       case RetLit(NumLit(d, isInt)) => if (isInt) d.toLong.toString else d.toString
       case RetLit(_) => "expr"

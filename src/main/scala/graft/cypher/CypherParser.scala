@@ -15,10 +15,11 @@ object CypherParser {
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
     "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
-    "THEN", "ELSE", "END")
+    "THEN", "ELSE", "END", "IN")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
-  private val scalarFns = Set("tolower", "toupper", "trim", "size")
+  private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
+    "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -214,6 +215,13 @@ object CypherParser {
     }
     private def notExpr(): BoolExpr = peek match {
       case Some(Kw("NOT")) => next(); NotE(notExpr())
+      case Some(Ident(f)) if f.equalsIgnoreCase("exists") &&
+          pos + 1 < ts.length && ts(pos + 1) == Sym("(") =>
+        // exists(n.prop) — property-presence test
+        next(); next()
+        val e = addExpr()
+        expectSym(")")
+        Cmp(Predicate(e, "IS NOT NULL", RetLit(NumLit(0, isInt = true))))
       case Some(Sym("(")) =>
         // '(' is ambiguous: a grouped boolean (`(a.x > 1) OR …`) or a
         // parenthesized arithmetic operand (`(a.x + 1) > 2`). Try the
@@ -288,6 +296,12 @@ object CypherParser {
     }
 
     private def path(): PathPat = {
+      // `p = (a)-[…]->(b)` binds the whole path; length(p) reads hop count
+      val pathVar = peek match {
+        case Some(Ident(v)) if pos + 1 < ts.length && ts(pos + 1) == Sym("=") =>
+          next(); next(); Some(v)
+        case _ => None
+      }
       val nodes = ArrayBuffer(nodePat())
       val edges = ArrayBuffer.empty[EdgePat]
       var more = true
@@ -309,7 +323,7 @@ object CypherParser {
           nodes += nodePat()
         case _ => more = false
       }
-      PathPat(nodes.toSeq, edges.toSeq)
+      PathPat(nodes.toSeq, edges.toSeq, pathVar)
     }
 
     // after the leading '-' or '<-':
@@ -407,6 +421,9 @@ object CypherParser {
         case Kw("CONTAINS") => "CONTAINS"
         case Kw("STARTS") => expectKw("WITH"); "STARTS WITH"
         case Kw("ENDS") => expectKw("WITH"); "ENDS WITH"
+        case Kw("IN") =>
+          // list literal or $param — value() handles both
+          return Predicate(lhs, "IN", RetLit(value()))
         case Kw("IS") => next() match {
           case Kw("NULL") => return Predicate(lhs, "IS NULL", dummy)
           case Kw("NOT") => expectKw("NULL")
@@ -470,9 +487,10 @@ object CypherParser {
         RetAgg(fn.toLowerCase, arg, distinct)
       case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
-        val arg = addExpr() // composable: size(trim(u.name))
+        val fnArgs = ArrayBuffer(addExpr()) // composable: size(trim(u.name))
+        while (peek.contains(Sym(","))) { next(); fnArgs += addExpr() }
         expectSym(")")
-        RetFn(fn.toLowerCase, arg)
+        RetFn(fn.toLowerCase, fnArgs.toSeq)
       case Ident(v) if peek.contains(Sym(".")) =>
         next(); RetProp(PropRef(v, ident()))
       case Ident(v) => RetVar(v)

@@ -224,6 +224,9 @@ final class CypherSession(
     var bound = Set.empty[String]
     /** scalar columns introduced by WITH aliases (projection horizons). */
     var scalarVars = Set.empty[String]
+    /** path-variable hop counts (`MATCH p = …` → `length(p)`); per matched
+      * walk — variable-length edges contribute their actual hop column. */
+    var pathHops = Map.empty[String, Column]
     var anon = 0
     def freshVar(): String = { anon += 1; s"__n$anon" }
 
@@ -241,6 +244,7 @@ final class CypherSession(
     def compilePath(p: PathPat, optional: Boolean): Unit = {
       val vars = p.nodes.map(n => n.variable.getOrElse(freshVar()))
       val joinType = if (optional) "left" else "inner"
+      val hopCols = Vector.newBuilder[Column]
       if (!bound.contains(vars.head)) {
         require(!optional, "OPTIONAL MATCH must start at a bound variable")
         val part = nodeDf(p.nodes.head, vars.head)
@@ -275,17 +279,23 @@ final class CypherSession(
               "variable-length relationships cannot be bound to a variable")
             val base = es.select(col("srcId").as("s"), col("dstId").as("d"))
             var cur = base
-            var acc = if (e.minHops <= 1) base else null
+            var acc = if (e.minHops <= 1) base.withColumn("h", lit(1)) else null
             for (h <- 2 to e.maxHops) {
               cur = cur.select(col("s"), col("d").as("m"))
                 .join(base.select(col("s").as("m"), col("d")), Seq("m"))
                 .select("s", "d")
-              if (h >= e.minHops) acc = if (acc == null) cur else acc.unionByName(cur)
+              if (h >= e.minHops) {
+                val tagged = cur.withColumn("h", lit(h))
+                acc = if (acc == null) tagged else acc.unionByName(tagged)
+              }
             }
             acc.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
               lit(e.relType.orNull).as(s"${eVar}__type"),
-              typedlit(Map.empty[String, String]).as(s"${eVar}__props"))
+              typedlit(Map.empty[String, String]).as(s"${eVar}__props"),
+              col("h").as(s"${eVar}__hops"))
           }
+        hopCols += (if (e.minHops == 1 && e.maxHops == 1) lit(1)
+          else col(s"${eVar}__hops"))
         val leftSide = if (e.leftToRight) s"${eVar}__src" else s"${eVar}__dst"
         val rightSide = if (e.leftToRight) s"${eVar}__dst" else s"${eVar}__src"
         if (!bound.contains(rightV)) {
@@ -306,6 +316,10 @@ final class CypherSession(
         }
         bound += eVar
       }
+      p.pathVar.foreach { pv =>
+        val hs = hopCols.result()
+        pathHops += pv -> (if (hs.isEmpty) lit(0) else hs.reduce(_ + _))
+      }
     }
     def propCol(v: String, p: String): Column =
       // edge bindings have no key/label columns; read their bag directly
@@ -316,6 +330,25 @@ final class CypherSession(
     def compileBool(be: BoolExpr): Column = be match {
       case Cmp(Predicate(lhs, "IS NULL", _)) => itemCol(lhs).isNull
       case Cmp(Predicate(lhs, "IS NOT NULL", _)) => itemCol(lhs).isNotNull
+      case Cmp(Predicate(lhs, "IN", RetLit(rhsVal))) =>
+        val values: Seq[Any] = rhsVal match {
+          case ListLit(items) => items.map {
+            case StrLit(s) => s
+            case NumLit(d, isInt) => if (isInt) d.toLong else d
+            case Param(n) => params.getOrElse(n,
+              throw new IllegalArgumentException(s"missing parameter $$$n"))
+            case other => throw new IllegalArgumentException(
+              s"unsupported IN list element $other")
+          }
+          case Param(n) => params.getOrElse(n,
+            throw new IllegalArgumentException(s"missing parameter $$$n")) match {
+            case s: Seq[_] => s
+            case o => Seq(o)
+          }
+          case other => throw new IllegalArgumentException(
+            s"IN expects a list literal or $$param, got $other")
+        }
+        itemCol(lhs).isInCollection(values)
       case Cmp(Predicate(lhs, op, rhs)) =>
         val c = itemCol(lhs)
         val r = itemCol(rhs)
@@ -354,7 +387,7 @@ final class CypherSession(
         // Cypher's concatenation overload
         def stringy(e: ReturnExpr): Boolean = e match {
           case RetLit(StrLit(_)) => true
-          case RetFn(f, _) => f != "size"
+          case RetFn(f, _) => Set("tolower", "toupper", "trim", "type")(f)
           case RetBin("+", a, b) => stringy(a) || stringy(b)
           case _ => false
         }
@@ -376,13 +409,33 @@ final class CypherSession(
           acc.when(compileBool(c), itemCol(v))
         }
         default.map(d => chained.otherwise(itemCol(d))).getOrElse(chained)
-      case RetFn(fn, arg) =>
-        val c = itemCol(arg)
+      case RetFn(fn, fnArgs) =>
+        lazy val c = itemCol(fnArgs.head)
+        // graph-introspection functions take a bound variable, not a value
+        def boundVar(what: String): String = fnArgs.head match {
+          case RetVar(v) => v
+          case other => throw new IllegalArgumentException(
+            s"$fn() takes a bound $what variable, got $other")
+        }
         fn match {
           case "tolower" => lower(c)
           case "toupper" => upper(c)
           case "trim" => trim(c)
           case "size" => length(c)
+          case "coalesce" => coalesce(fnArgs.map(itemCol): _*)
+          case "tointeger" => c.cast("long")
+          case "tofloat" => c.cast("double")
+          case "abs" => abs(c.cast("double"))
+          case "round" => round(c.cast("double"))
+          case "length" => fnArgs.head match {
+            // length(p) on a path variable = hop count; on anything else,
+            // Neo4j's legacy string length
+            case RetVar(v) if pathHops.contains(v) => pathHops(v)
+            case _ => length(c)
+          }
+          case "id" => col(s"${boundVar("node")}__id")
+          case "labels" => array(col(s"${boundVar("node")}__label"))
+          case "type" => col(s"${boundVar("relationship")}__type")
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case a: RetAgg => aggCol(a)
@@ -435,6 +488,7 @@ final class CypherSession(
         df = df.select(sel.result(): _*)
         bound = keepNodes.result().toSet
         scalarVars = newScalars.result().toSet
+        pathHops = Map.empty // path bindings do not cross a WITH horizon
       } else {
         val keyCols = keys.map { i =>
           require(!i.expr.isInstanceOf[RetVar] ||
@@ -448,6 +502,7 @@ final class CypherSession(
           else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
         bound = Set.empty
         scalarVars = wc.items.map(_.name).toSet
+        pathHops = Map.empty
       }
       wc.where.foreach(be => df = df.filter(compileBool(be)))
     }

@@ -1131,6 +1131,29 @@ object AnalyticsCatalog {
            |       AND substring(text, 1, 30) LIKE '%a')
            |GROUP BY 1 ORDER BY pub_lang""".stripMargin))
 
+  private val c17 = Entry("c17_cypher_path_length",
+    (s, dir) => {
+      // Path variables over an undirected variable-length pattern:
+      // `p = (a:Article)-[:WRITTEN_BY*1..2]-(x)` walks article→publisher
+      // (1 hop) and article→publisher→article (2 hops, walk semantics —
+      // includes the return to the start, as Neo4j's walk counting does
+      // for distinct relationships per step... here steps reuse the edge
+      // table so counts follow the closed form: Σ_pub deg² at 2 hops).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH p = (a:Article)-[:WRITTEN_BY*1..2]-(x)
+                 |RETURN length(p) AS hops, count(*) AS n_walks
+                 |ORDER BY hops""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(1 AS INT) AS hops, COUNT(*) AS n_walks FROM documents
+           |UNION ALL
+           |SELECT CAST(2 AS INT),
+           |       CAST(SUM(cnt * cnt) AS BIGINT)
+           |FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
+           |ORDER BY hops""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1392,7 +1415,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16,
+    c15, c16, c17,
     x01, x02, x03, x04, x05,
     m01, m02, m03)
 }

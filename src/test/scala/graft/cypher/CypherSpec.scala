@@ -354,6 +354,69 @@ class CypherSpec extends SparkTestBase {
     assert(ends === Seq("doc:flink sql", "doc:spark sql"))
   }
 
+  test("IN list predicate, exists(), and coalesce/toInteger/abs/round") {
+    val sess = freshSession
+    Seq(("d1", "en", "3"), ("d2", "de", "-7"), ("d3", "zh", null), ("d4", "fr", "2"))
+      .foreach { case (l, lang, sc) =>
+        sess.run("MERGE (a:Article {link: $l}) SET a.lang = $lang",
+          Map("l" -> l, "lang" -> lang))
+        if (sc != null)
+          sess.run("MERGE (a:Article {link: $l}) ON MATCH SET a.score = $s",
+            Map("l" -> l, "s" -> sc))
+      }
+    val inList = sess.run(
+      """MATCH (a:Article) WHERE a.lang IN ['en', 'de']
+        |RETURN a.link AS link ORDER BY link""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(inList === Seq("d1", "d2"))
+    val inParam = sess.run(
+      "MATCH (a:Article) WHERE a.lang IN $langs RETURN count(a) AS n",
+      Map("langs" -> Seq("zh", "fr")))
+      .asInstanceOf[CypherRows].df.as[Long].head()
+    assert(inParam === 2L)
+    val scored = sess.run(
+      """MATCH (a:Article) WHERE exists(a.score)
+        |RETURN a.link AS link, abs(a.score) AS mag,
+        |       toInteger(coalesce(a.score, '0')) + 1 AS bumped
+        |ORDER BY link""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(scored.map(_.getString(0)).toSeq === Seq("d1", "d2", "d4"))
+    assert(scored.map(_.getDouble(1)).toSeq === Seq(3.0, 7.0, 2.0))
+    assert(scored.map(_.getLong(2)).toSeq === Seq(4L, -6L, 3L))
+  }
+
+  test("id()/labels()/type() graph introspection functions") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    val row = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        |RETURN id(u) AS uid, labels(u) AS ul, type(r) AS rt""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(row.getLong(0) != 0L)
+    assert(row.getSeq[String](1) === Seq("User"))
+    assert(row.getString(2) === "INTERESTED_IN")
+  }
+
+  test("path variables: length(p) counts hops, including variable-length walks") {
+    val sess = freshSession
+    // chain a -> b -> c
+    sess.run("""MERGE (a:Tech {name: 'a'}) MERGE (b:Tech {name: 'b'})
+               |MERGE (a)-[:NEXT]->(b)""".stripMargin)
+    sess.run("""MERGE (b:Tech {name: 'b'}) MERGE (c:Tech {name: 'c'})
+               |MERGE (b)-[:NEXT]->(c)""".stripMargin)
+    val fixed = sess.run(
+      """MATCH p = (a:Tech {name: 'a'})-[:NEXT]->(b)-[:NEXT]->(c)
+        |RETURN length(p) AS hops""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[Int].collect().toSeq
+    assert(fixed === Seq(2))
+    val varlen = sess.run(
+      """MATCH p = (a:Tech {name: 'a'})-[:NEXT*1..2]->(x)
+        |RETURN length(p) AS hops ORDER BY hops""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[Int].collect().toSeq
+    assert(varlen === Seq(1, 2)) // a->b (1 hop), a->b->c (2 hops)
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(
