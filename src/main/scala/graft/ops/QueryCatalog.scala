@@ -948,9 +948,141 @@ object QueryCatalog {
            |      AND o_orderdate >= TIMESTAMP '1999-01-01')
            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
+  private val q42 = Entry("q42_small_quantity_revenue",
+    (s, dir) => {
+      // TPC-H Q17 shape: correlated `l_quantity < 0.2 * avg(quantity for
+      // this part)` — written in its decorrelated 100 TB form: the per-part
+      // average is ONE partial-combining aggregate over lineitem (not a
+      // per-row subquery), broadcast-joined back with the brand dim filter.
+      // The threshold compare is exact cross-engine: integer sum / count in
+      // doubles is deterministic IEEE on both sides.
+      val li = t(s, dir, "lineitem")
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#11").select("p_partkey")
+      val qtyCap = li.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(qtyCap, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg(asDouble(sum(dec(col("l_extendedprice"))) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0 AS DOUBLE) AS avg_yearly,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem l
+           |JOIN part p ON p.p_partkey = l.l_partkey
+           |WHERE p.p_brand = 'Brand#11'
+           |  AND l.l_quantity < (
+           |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+           |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin))
+
+  private val q43 = Entry("q43_priority_shipping_classes",
+    (s, dir) => {
+      // TPC-H Q12 shape (no shipmode column in the fixture — returnflag
+      // plays the class axis): conditional aggregation, two SUM(CASE …)
+      // branches in one pass over the fact join; late-shipped lines only.
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate > o_orderdate
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val q44 = Entry("q44_sole_blame_suppliers",
+    (s, dir) => {
+      // TPC-H Q21 shape: EXISTS + NOT EXISTS chain as left-semi and
+      // left-anti joins. Suppliers with a returned line on a multi-supplier
+      // order where NO other supplier on that order had returns — the
+      // "sole blame" pattern. Both existence probes are set-oriented joins
+      // on l_orderkey, shuffling once each; no per-row subquery execution.
+      val li = t(s, dir, "lineitem")
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").dropDuplicates()
+      val allPairs = li.select("l_orderkey", "l_suppkey").dropDuplicates()
+      // EXISTS: another supplier on the same order
+      val othersExist = returned.alias("r").join(
+        allPairs.alias("o"),
+        col("r.l_orderkey") === col("o.l_orderkey") &&
+          col("r.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+      // NOT EXISTS: no OTHER supplier with returns on the same order
+      val soleBlame = othersExist.alias("r").join(
+        returned.alias("o2"),
+        col("r.l_orderkey") === col("o2.l_orderkey") &&
+          col("r.l_suppkey") =!= col("o2.l_suppkey"), "left_anti")
+      soleBlame.join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+           |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           |      WHERE l_returnflag = 'R') r
+           |JOIN supplier ON s_suppkey = r.l_suppkey
+           |WHERE EXISTS (
+           |    SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey
+           |                   FROM lineitem) o
+           |    WHERE o.l_orderkey = r.l_orderkey
+           |      AND o.l_suppkey <> r.l_suppkey)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey
+           |                   FROM lineitem WHERE l_returnflag = 'R') o2
+           |    WHERE o2.l_orderkey = r.l_orderkey
+           |      AND o2.l_suppkey <> r.l_suppkey)
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
+
+  private val q45 = Entry("q45_top_supplier_revenue",
+    (s, dir) => {
+      // TPC-H Q15 shape: a revenue "view" (one aggregate over a quarter of
+      // lineitem), then the max-revenue supplier via a broadcast scalar —
+      // revenue computed in DECIMAL so the max-equality filter is exact on
+      // both engines.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          asDouble(col("total_revenue")).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH revenue AS (
+           |  SELECT l_suppkey,
+           |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |        (1.0 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate < TIMESTAMP '1997-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+           |FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+           |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+           |ORDER BY s_suppkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41)
+    q40, q41, q42, q43, q44, q45)
 }
