@@ -513,6 +513,71 @@ object AnalyticsCatalog {
            |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity
            |FROM t ORDER BY doc_id""".stripMargin))
 
+  private val t11 = Entry("t11_stratified_sample",
+    (s, dir) => {
+      // Deterministic stratified (quota) sampling — the data-mixing step of
+      // corpus assembly: keep the 50 docs per language with the lowest
+      // md5(id), a sample that is reproducible across runs, engines,
+      // partitionings and scale-ups (same property as t07's splits). One
+      // window per stratum; id_sum proves the sample identity, not just
+      // its size.
+      val w = Window.partitionBy("lang")
+        .orderBy(col("__h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 50)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
+    Some("""WITH r AS (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM documents)
+           |SELECT lang, COUNT(*) AS n_sampled,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM r WHERE rk <= 50
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val t12 = Entry("t12_chunk_dedup",
+    (s, dir) => {
+      // Chunk-level exact dedup (finer than d01's whole-doc digests, the
+      // pass that catches shared boilerplate across otherwise-distinct
+      // docs): split every document into fixed 32-token chunks, count
+      // duplicate chunks corpus-wide. Explode + hash-groupBy — map-side
+      // partial aggregation, shuffles only (chunk, count) pairs; the same
+      // plan at 100 TB, with the chunk text replaced by its hash if the
+      // shuffle width ever mattered.
+      val chunked = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(ceil(size(tk) / 32.0) AS INT) - 1),
+            |          i -> array_join(slice(tk, i * 32 + 1, 32), ' '))"""
+            .stripMargin)).as("chunk"))
+      chunked.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).cast("long").as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occurrences"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents),
+           |u AS (SELECT doc_id, unnest(tk) AS w,
+           |        generate_subscripts(tk, 1) AS i FROM t),
+           |c AS (SELECT doc_id, (i - 1) // 32 AS chunk_id,
+           |        string_agg(w, ' ' ORDER BY i) AS chunk
+           |      FROM u GROUP BY doc_id, (i - 1) // 32),
+           |g AS (SELECT chunk, COUNT(*) AS cnt FROM c GROUP BY chunk)
+           |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           |  COUNT(*) AS n_distinct_chunks,
+           |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occurrences
+           |FROM g""".stripMargin))
+
   // ------------------------------------------------------------- vectors --
 
   private val v01 = Entry("v01_vector_norms",
@@ -1409,7 +1474,7 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06,
     s01, s02, s03, s04,
