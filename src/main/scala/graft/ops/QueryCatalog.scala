@@ -1005,27 +1005,25 @@ object QueryCatalog {
 
   private val q44 = Entry("q44_sole_blame_suppliers",
     (s, dir) => {
-      // TPC-H Q21 shape: EXISTS + NOT EXISTS chain as left-semi and
-      // left-anti joins. Suppliers with a returned line on a multi-supplier
+      // TPC-H Q21 shape: suppliers with a returned line on a multi-supplier
       // order where NO other supplier on that order had returns — the
-      // "sole blame" pattern. Both existence probes are set-oriented joins
-      // on l_orderkey, shuffling once each; no per-row subquery execution.
+      // "sole blame" pattern. The EXISTS + NOT EXISTS pair decorrelates
+      // into ONE per-order aggregate (distinct-supplier and
+      // distinct-returning-supplier counts) joined back on the order key:
+      // `n_supps > 1` is the EXISTS, `n_ret_supps = 1` is the NOT EXISTS
+      // (the probing supplier is itself the one returner). One shuffle by
+      // order key instead of two dedup shuffles + two theta-joins — the
+      // form that survives a 100× fact table.
       val li = t(s, dir, "lineitem")
-      val returned = li.filter(col("l_returnflag") === "R")
+      val orderStats = li.groupBy("l_orderkey").agg(
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supps"))
+      li.filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_suppkey").dropDuplicates()
-      val allPairs = li.select("l_orderkey", "l_suppkey").dropDuplicates()
-      // EXISTS: another supplier on the same order
-      val othersExist = returned.alias("r").join(
-        allPairs.alias("o"),
-        col("r.l_orderkey") === col("o.l_orderkey") &&
-          col("r.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
-      // NOT EXISTS: no OTHER supplier with returns on the same order
-      val soleBlame = othersExist.alias("r").join(
-        returned.alias("o2"),
-        col("r.l_orderkey") === col("o2.l_orderkey") &&
-          col("r.l_suppkey") =!= col("o2.l_suppkey"), "left_anti")
-      soleBlame.join(t(s, dir, "supplier"),
-          col("l_suppkey") === col("s_suppkey"))
+        .join(orderStats, Seq("l_orderkey"))
+        .filter(col("n_supps") > 1 && col("n_ret_supps") === 1)
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(10)
     },
