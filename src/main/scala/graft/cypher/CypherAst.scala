@@ -112,9 +112,13 @@ object CypherAst {
 
   sealed trait Statement
 
-  /** One `WITH` horizon: projected/aggregated items plus an optional
-    * post-projection WHERE (Cypher's HAVING). */
-  final case class WithClause(items: Seq[ReturnItem], where: Option[BoolExpr])
+  /** One `WITH` horizon: projected/aggregated items, optional ORDER BY /
+    * SKIP / LIMIT pagination of the projected rows (Cypher's pipeline
+    * top-k), then an optional WHERE (Cypher's HAVING — applied after the
+    * pagination, as Neo4j does). */
+  final case class WithClause(items: Seq[ReturnItem], where: Option[BoolExpr],
+    orderBy: Seq[OrderItem] = Nil, skip: Option[Int] = None,
+    limit: Option[Int] = None)
 
   /** `UNWIND <list> AS <alias>` — one output row per list element. */
   final case class Unwind(value: Value, alias: String)

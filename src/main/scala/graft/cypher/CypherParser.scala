@@ -138,9 +138,31 @@ object CypherParser {
             next()
             val items = ArrayBuffer(returnItem())
             while (peek.contains(Sym(","))) { next(); items += returnItem() }
+            // Neo4j clause order: ORDER BY / SKIP / LIMIT paginate the
+            // projection, a trailing WHERE filters afterwards
+            val order = ArrayBuffer.empty[OrderItem]
+            if (peek.contains(Kw("ORDER"))) {
+              next(); expectKw("BY")
+              order += orderItem()
+              while (peek.contains(Sym(","))) { next(); order += orderItem() }
+            }
+            val skip = if (peek.contains(Kw("SKIP"))) {
+              next()
+              next() match {
+                case Num(s) => Some(s.toInt)
+                case t => fail(s"expected int, got $t")
+              }
+            } else None
+            val limit = if (peek.contains(Kw("LIMIT"))) {
+              next()
+              next() match {
+                case Num(s) => Some(s.toInt)
+                case t => fail(s"expected int, got $t")
+              }
+            } else None
             val having =
               if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None
-            Some(WithClause(items.toSeq, having))
+            Some(WithClause(items.toSeq, having, order.toSeq, skip, limit))
           } else None
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
           unwinds.toSeq)

@@ -504,6 +504,19 @@ final class CypherSession(
         scalarVars = wc.items.map(_.name).toSet
         pathHops = Map.empty
       }
+      // pagination of the projected rows, then the trailing WHERE
+      if (wc.orderBy.nonEmpty) {
+        val keys = wc.orderBy.map { o =>
+          val c = o.key match {
+            case Left(name) => col(name)
+            case Right(PropRef(v, p)) => propCol(v, p)
+          }
+          if (o.ascending) c.asc else c.desc
+        }
+        df = df.orderBy(keys: _*)
+      }
+      wc.skip.foreach(n => df = df.offset(n))
+      wc.limit.foreach(n => df = df.limit(n))
       wc.where.foreach(be => df = df.filter(compileBool(be)))
     }
 

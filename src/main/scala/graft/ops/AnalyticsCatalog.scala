@@ -1219,6 +1219,25 @@ object AnalyticsCatalog {
            |FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
            |ORDER BY hops""".stripMargin))
 
+  private val c18 = Entry("c18_cypher_with_topk",
+    (s, dir) => {
+      // Pipeline top-k: aggregate at a WITH horizon, ORDER BY + LIMIT the
+      // aggregated rows, project past the page. Compiles to
+      // TakeOrderedAndProject over the partial-combining aggregate — the
+      // pagination never materializes the full group list.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher)
+                 |WITH p.name AS publisher, count(a) AS n_docs
+                 |ORDER BY n_docs DESC, publisher LIMIT 3
+                 |RETURN publisher, n_docs""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher, COUNT(*) AS n_docs
+           |FROM documents GROUP BY source
+           |ORDER BY n_docs DESC, publisher LIMIT 3""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1480,7 +1499,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16, c17,
+    c15, c16, c17, c18,
     x01, x02, x03, x04, x05,
     m01, m02, m03)
 }

@@ -417,6 +417,42 @@ class CypherSpec extends SparkTestBase {
     assert(varlen === Seq(1, 2)) // a->b (1 hop), a->b->c (2 hops)
   }
 
+  test("WITH ORDER BY / SKIP / LIMIT paginates the pipeline") {
+    val sess = freshSession
+    Seq(("d1", "en"), ("d2", "en"), ("d3", "de"), ("d4", "zh")).foreach {
+      case (l, lang) =>
+        sess.run("MERGE (a:Article {link: $l}) SET a.lang = $lang",
+          Map("l" -> l, "lang" -> lang))
+    }
+    // aggregated WITH + top-k, then a trailing WHERE over the page
+    val top = sess.run(
+      """MATCH (a:Article)
+        |WITH a.lang AS lang, count(a) AS n ORDER BY n DESC, lang LIMIT 2
+        |RETURN lang, n""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("en", 2L), ("de", 1L)))
+    // node binding carried through an ordered LIMIT into a following MATCH
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("""MERGE (u:User {name: 'bob'}) MERGE (t:Tech {name: 'flink'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    val first = sess.run(
+      """MATCH (u:User)
+        |WITH u ORDER BY u.name LIMIT 1
+        |MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |RETURN t.name AS tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(first === Seq("spark"))
+    // SKIP pages past the first row
+    val second = sess.run(
+      """MATCH (u:User)
+        |WITH u.name AS name ORDER BY name SKIP 1 LIMIT 1
+        |RETURN name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(second === Seq("bob"))
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(
