@@ -35,9 +35,11 @@ object CypherAst {
     leftToRight: Boolean, minHops: Int = 1, maxHops: Int = 1,
     props: Map[String, Value] = Map.empty, undirected: Boolean = false)
   /** `pathVar`: the binding in `MATCH p = (a)-[…]->(b)` — queryable via
-    * `length(p)` (hop count, per matched walk). */
+    * `length(p)` (hop count, per matched walk). `shortest`: the pattern was
+    * wrapped in `shortestPath(…)` — one row per endpoint pair, minimum hop
+    * count (ties collapse, as Neo4j returns a single shortest path). */
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
-    pathVar: Option[String] = None)
+    pathVar: Option[String] = None, shortest: Boolean = false)
 
   final case class PropRef(variable: String, prop: String)
   /** Comparison over full scalar expressions on both sides: `a.score * 10

@@ -324,6 +324,13 @@ object CypherParser {
           next(); next(); Some(v)
         case _ => None
       }
+      // shortestPath((a)-[…]-(b)) wraps the whole pattern
+      val shortest = peek match {
+        case Some(Ident(f)) if f.equalsIgnoreCase("shortestPath") &&
+            pos + 1 < ts.length && ts(pos + 1) == Sym("(") =>
+          next(); next(); true
+        case _ => false
+      }
       val nodes = ArrayBuffer(nodePat())
       val edges = ArrayBuffer.empty[EdgePat]
       var more = true
@@ -345,7 +352,8 @@ object CypherParser {
           nodes += nodePat()
         case _ => more = false
       }
-      PathPat(nodes.toSeq, edges.toSeq, pathVar)
+      if (shortest) expectSym(")")
+      PathPat(nodes.toSeq, edges.toSeq, pathVar, shortest)
     }
 
     // after the leading '-' or '<-':

@@ -289,7 +289,13 @@ final class CypherSession(
                 acc = if (acc == null) tagged else acc.unionByName(tagged)
               }
             }
-            acc.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
+            // shortestPath(): one row per endpoint pair at the minimum hop
+            // count — a map-side-combining min aggregate over the walk
+            // expansion (ties and longer walks collapse before the join)
+            val reduced =
+              if (p.shortest) acc.groupBy("s", "d").agg(min(col("h")).as("h"))
+              else acc
+            reduced.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
               lit(e.relType.orNull).as(s"${eVar}__type"),
               typedlit(Map.empty[String, String]).as(s"${eVar}__props"),
               col("h").as(s"${eVar}__hops"))

@@ -1238,6 +1238,27 @@ object AnalyticsCatalog {
            |FROM documents GROUP BY source
            |ORDER BY n_docs DESC, publisher LIMIT 3""".stripMargin))
 
+  private val c19 = Entry("c19_cypher_shortest_path",
+    (s, dir) => {
+      // shortestPath() over an undirected *1..3 expansion: per endpoint
+      // pair, the walk multiplicity collapses to the minimum hop count
+      // (articles reach their publisher at 1 hop — the 3-hop revisit walks
+      // collapse — and same-publisher articles, themselves included, at
+      // 2). Closed-form oracle on the publisher-star topology.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH p = shortestPath((a:Article)-[:WRITTEN_BY*1..3]-(x))
+                 |RETURN length(p) AS hops, count(*) AS n_pairs
+                 |ORDER BY hops""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(1 AS INT) AS hops, COUNT(*) AS n_pairs FROM documents
+           |UNION ALL
+           |SELECT CAST(2 AS INT), CAST(SUM(cnt * cnt) AS BIGINT)
+           |FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
+           |ORDER BY hops""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1499,7 +1520,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16, c17, c18,
+    c15, c16, c17, c18, c19,
     x01, x02, x03, x04, x05,
     m01, m02, m03)
 }

@@ -453,6 +453,27 @@ class CypherSpec extends SparkTestBase {
     assert(second === Seq("bob"))
   }
 
+  test("shortestPath collapses walk multiplicity to one row per endpoint pair") {
+    val sess = freshSession
+    // diamond: a->b->d and a->c->d — two 2-hop walks from a to d
+    for ((s, d) <- Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")))
+      sess.run(s"""MERGE (x:Tech {name: '$s'}) MERGE (y:Tech {name: '$d'})
+                  |MERGE (x)-[:NEXT]->(y)""".stripMargin)
+    val walks = sess.run(
+      """MATCH p = (a:Tech {name: 'a'})-[:NEXT*1..3]->(x)
+        |RETURN x.name AS dest, length(p) AS hops""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(walks.count(_ == ("d", 2)) === 2) // both diamond arms
+    val shortest = sess.run(
+      """MATCH p = shortestPath((a:Tech {name: 'a'})-[:NEXT*1..3]->(x))
+        |RETURN x.name AS dest, length(p) AS hops
+        |ORDER BY dest""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(shortest === Seq(("b", 1), ("c", 1), ("d", 2))) // one row per dest
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(
