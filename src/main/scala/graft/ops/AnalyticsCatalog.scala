@@ -718,6 +718,38 @@ object AnalyticsCatalog {
            | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
            |ORDER BY click_id, purchase_id""".stripMargin))
 
+  private val s05 = Entry("s05_interval_join_outer",
+    (s, dir) => {
+      // Batch twin of the stream-stream LEFT OUTER interval join (the
+      // watermark-bounded outer join Structured Streaming emits once the
+      // unmatched side expires): every click, matched purchases within the
+      // trailing 30 minutes or NULL — rolled up per user so the output is
+      // small and total-ordered. Same equi-join + range-filter shape as
+      // s04; the outer rows are what the streaming engine holds in state.
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      clicks.join(purchases,
+          clicks("user_id") === purchases("user_id") &&
+            col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+            col("p_ts") <= col("ts"),
+          "left")
+        .groupBy(clicks("user_id").as("user_id"))
+        .agg(count_distinct(col("click_id")).as("n_clicks"),
+          count(col("purchase_id")).as("n_matched_purchases"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT c.user_id, COUNT(DISTINCT c.event_id) AS n_clicks,
+           |  COUNT(p.event_id) AS n_matched_purchases
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           |  ON c.user_id = p.user_id
+           | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+           |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+
   // ----------------------------------------------------- ingest dataflow --
 
   /** Deterministic crawler-shaped raw records synthesized from `documents`:
@@ -1450,6 +1482,35 @@ object AnalyticsCatalog {
            |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
            |FROM documents""".stripMargin))
 
+  private val m04 = Entry("m04_training_manifest",
+    (s, dir) => {
+      // Cross-modality manifest assembly — the "build the training shard
+      // index" step: text docs LEFT JOIN their embedding (by id) LEFT JOIN
+      // the binary payload stats, rolled up per language with modality
+      // coverage counts and total payload bytes. Both joins are on the id
+      // key a real manifest would carry; the embedding side broadcasts at
+      // fixture scale and hash-joins at 100 TB.
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), lit(1).as("__has_vec"))
+      val payloadBytes = Multimodal.asMedia(docs, "doc_id", "text", "blob")
+        .select(col("id").as("doc_id"), length(col("payload")).as("n_bytes"))
+      docs.join(emb, col("doc_id") === col("vec_id"), "left")
+        .join(payloadBytes, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__has_vec")).as("n_with_embedding"),
+          sum(col("n_bytes")).cast("long").as("total_payload_bytes"))
+        .orderBy("lang")
+    },
+    Some("""SELECT d.lang, COUNT(*) AS n_docs,
+           |  COUNT(e.vec_id) AS n_with_embedding,
+           |  CAST(SUM(octet_length(CAST(d.text AS BLOB))) AS BIGINT)
+           |    AS total_payload_bytes
+           |FROM documents d
+           |LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+
   private val v03 = Entry("v03_ann_lsh",
     (s, dir) => {
       // LSH-bucketed ANN — the scale path for v02's brute force: candidates
@@ -1517,10 +1578,10 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06,
-    s01, s02, s03, s04,
+    s01, s02, s03, s04, s05,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19,
     x01, x02, x03, x04, x05,
-    m01, m02, m03)
+    m01, m02, m03, m04)
 }

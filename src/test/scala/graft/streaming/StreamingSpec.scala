@@ -139,6 +139,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null rows after watermark expiry") {
+    implicit val sc = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long)]
+    val purchMem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val clicks = clicksMem.toDF().toDF("click_id", "c_ts", "user_id")
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = purchMem.toDF().toDF("purchase_id", "p_ts", "p_user_id", "value")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("user_id = p_user_id AND p_ts <= c_ts AND p_ts >= c_ts - INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_outer_out").start()
+    try {
+      clicksMem.addData((1L, ts("2024-01-01 10:00:00"), 1L), // will match
+        (2L, ts("2024-01-01 10:00:00"), 2L))                 // will NOT match
+      purchMem.addData((100L, ts("2024-01-01 09:30:00"), 1L, 5.0))
+      q.processAllAvailable()
+      // advance both watermarks far enough that click 2's unmatched state
+      // expires — the outer (null) row is only emitted then
+      clicksMem.addData((3L, ts("2024-01-01 14:00:00"), 9L))
+      purchMem.addData((999L, ts("2024-01-01 14:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer_out")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 100L)))  // matched pair
+      assert(rows.contains((2L, -1L)))   // outer row with null purchase
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enriched from a static dim table") {
     implicit val sc = spark.sqlContext
     val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
