@@ -730,14 +730,14 @@ object AnalyticsCatalog {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"),
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
           col("event_id").as("purchase_id"))
       clicks.join(purchases,
-          clicks("user_id") === purchases("user_id") &&
+          col("user_id") === col("p_user_id") &&
             col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
             col("p_ts") <= col("ts"),
           "left")
-        .groupBy(clicks("user_id").as("user_id"))
+        .groupBy("user_id")
         .agg(count_distinct(col("click_id")).as("n_clicks"),
           count(col("purchase_id")).as("n_matched_purchases"))
         .orderBy("user_id")
