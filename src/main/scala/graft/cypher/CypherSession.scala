@@ -278,23 +278,45 @@ final class CypherSession(
             require(e.variable.isEmpty,
               "variable-length relationships cannot be bound to a variable")
             val base = es.select(col("srcId").as("s"), col("dstId").as("d"))
-            var cur = base
-            var acc = if (e.minHops <= 1) base.withColumn("h", lit(1)) else null
-            for (h <- 2 to e.maxHops) {
-              cur = cur.select(col("s"), col("d").as("m"))
-                .join(base.select(col("s").as("m"), col("d")), Seq("m"))
-                .select("s", "d")
-              if (h >= e.minHops) {
-                val tagged = cur.withColumn("h", lit(h))
-                acc = if (acc == null) tagged else acc.unionByName(tagged)
+            val reduced = if (p.shortest && e.minHops <= 1) {
+              // shortestPath(): BFS frontier expansion instead of walk
+              // enumeration — each level is deduped and anti-joined against
+              // already-reached pairs, so the per-level row count is bounded
+              // by reachable PAIRS, not walks (walk counts grow
+              // combinatorially with hop depth; pair counts don't). The
+              // result is one row per endpoint pair at its minimum hop.
+              val b = base.dropDuplicates()
+              var frontier = b
+              var seen = b
+              var acc = b.withColumn("h", lit(1))
+              for (h <- 2 to e.maxHops) {
+                frontier = frontier.select(col("s"), col("d").as("m"))
+                  .join(b.select(col("s").as("m"), col("d")), Seq("m"))
+                  .select("s", "d").dropDuplicates()
+                  .join(seen, Seq("s", "d"), "left_anti")
+                seen = seen.unionByName(frontier)
+                acc = acc.unionByName(frontier.withColumn("h", lit(h)))
               }
-            }
-            // shortestPath(): one row per endpoint pair at the minimum hop
-            // count — a map-side-combining min aggregate over the walk
-            // expansion (ties and longer walks collapse before the join)
-            val reduced =
+              acc
+            } else {
+              var cur = base
+              var acc = if (e.minHops <= 1) base.withColumn("h", lit(1)) else null
+              for (h <- 2 to e.maxHops) {
+                cur = cur.select(col("s"), col("d").as("m"))
+                  .join(base.select(col("s").as("m"), col("d")), Seq("m"))
+                  .select("s", "d")
+                if (h >= e.minHops) {
+                  val tagged = cur.withColumn("h", lit(h))
+                  acc = if (acc == null) tagged else acc.unionByName(tagged)
+                }
+              }
+              // shortestPath with a lower hop bound > 1: min-collapse over
+              // the allowed range (pairs reachable below the bound stay in,
+              // at their minimum IN-RANGE hop count — walk enumeration is
+              // the defined semantics here)
               if (p.shortest) acc.groupBy("s", "d").agg(min(col("h")).as("h"))
               else acc
+            }
             reduced.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
               lit(e.relType.orNull).as(s"${eVar}__type"),
               typedlit(Map.empty[String, String]).as(s"${eVar}__props"),
