@@ -135,6 +135,12 @@ object CypherAst {
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
     distinct: Boolean = false, skip: Option[Int] = None) extends Statement
 
+  /** `<query> UNION [ALL] <query> …` — parts must project the same column
+    * names (Neo4j's rule). A trailing ORDER BY / SKIP / LIMIT parsed with
+    * the last part applies to the combined result. */
+  final case class UnionStatement(parts: Seq[MatchStatement],
+    all: Boolean) extends Statement
+
   /** MATCH-driven write: `MATCH … SET/REMOVE …` property rewrites and
     * `MATCH … [DETACH] DELETE var` removals, applied to the pre-statement
     * graph state. */

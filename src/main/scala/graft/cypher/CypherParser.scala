@@ -15,7 +15,7 @@ object CypherParser {
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
     "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
-    "THEN", "ELSE", "END", "IN")
+    "THEN", "ELSE", "END", "IN", "UNION", "ALL")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
@@ -98,7 +98,29 @@ object CypherParser {
       throw new IllegalArgumentException(s"cypher parse error at token $pos: $msg")
 
     def statement(): Statement = peek match {
-      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) => matchStatement()
+      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) =>
+        val first = matchStatement()
+        if (!peek.contains(Kw("UNION"))) first
+        else first match {
+          case m: MatchStatement =>
+            val parts = ArrayBuffer(m)
+            var all = false
+            var first = true
+            while (peek.contains(Kw("UNION"))) {
+              next()
+              val thisAll = peek.contains(Kw("ALL"))
+              if (thisAll) next()
+              if (first) { all = thisAll; first = false }
+              else if (all != thisAll)
+                fail("cannot mix UNION and UNION ALL in one query")
+              matchStatement() match {
+                case p: MatchStatement => parts += p
+                case _ => fail("UNION parts must be read queries")
+              }
+            }
+            UnionStatement(parts.toSeq, all)
+          case _ => fail("UNION parts must be read queries")
+        }
       case Some(Kw("MERGE")) => mutateStatement()
       case t => fail(s"statement must start with MATCH, UNWIND or MERGE, got $t")
     }

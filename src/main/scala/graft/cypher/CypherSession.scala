@@ -38,6 +38,30 @@ final class CypherSession(
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult =
     CypherParser.parse(query) match {
       case m: MatchStatement => CypherRows(compileMatch(m, params))
+      case u: UnionStatement =>
+        // pagination parsed with the last part applies to the combined rows
+        val last = u.parts.last
+        val inner = u.parts.init :+ last.copy(orderBy = Nil, limit = None, skip = None)
+        var out = inner.map(compileMatch(_, params)).reduce(_ unionByName _)
+        if (!u.all) out = out.distinct()
+        if (last.orderBy.nonEmpty) {
+          val keys = last.orderBy.map { o =>
+            val c = o.key match {
+              case Left(name) => col(name)
+              case Right(PropRef(v, p)) =>
+                last.ret.collectFirst {
+                  case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
+                    col(item.name)
+                }.getOrElse(throw new IllegalArgumentException(
+                  s"ORDER BY $v.$p must appear in RETURN"))
+            }
+            if (o.ascending) c.asc else c.desc
+          }
+          out = out.orderBy(keys: _*)
+        }
+        last.skip.foreach(n => out = out.offset(n))
+        last.limit.foreach(n => out = out.limit(n))
+        CypherRows(out)
       case u: UpdateStatement => executeUpdate(u, params)
       case m: MutateStatement =>
         val spark = graph.nodes.sparkSession

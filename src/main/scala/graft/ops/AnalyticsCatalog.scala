@@ -1291,6 +1291,28 @@ object AnalyticsCatalog {
            |FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
            |ORDER BY hops""".stripMargin))
 
+  private val c20 = Entry("c20_cypher_union",
+    (s, dir) => {
+      // Statement-level UNION ALL with string-literal projections and a
+      // trailing ORDER BY spanning the combined result — the node
+      // directory-listing idiom.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher) RETURN p.name AS name, 'publisher' AS kind
+                 |UNION ALL
+                 |MATCH (a:Article) WHERE a.lang = 'en'
+                 |RETURN a.doc_id AS name, 'article' AS kind
+                 |ORDER BY kind, name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT name, kind FROM (
+           |  SELECT DISTINCT source AS name, 'publisher' AS kind FROM documents
+           |  UNION ALL
+           |  SELECT CAST(doc_id AS VARCHAR) AS name, 'article' AS kind
+           |  FROM documents WHERE lang = 'en')
+           |ORDER BY kind, name""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1581,7 +1603,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04, s05,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16, c17, c18, c19,
+    c15, c16, c17, c18, c19, c20,
     x01, x02, x03, x04, x05,
     m01, m02, m03, m04)
 }

@@ -474,6 +474,34 @@ class CypherSpec extends SparkTestBase {
     assert(shortest === Seq(("b", 1), ("c", 1), ("d", 2))) // one row per dest
   }
 
+  test("UNION dedups, UNION ALL keeps duplicates, trailing ORDER BY spans the union") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'spark'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("MERGE (t:Tech {name: 'flink'})")
+    val all = sess.run(
+      """MATCH (t:Tech) RETURN t.name AS name
+        |UNION ALL
+        |MATCH (u:User) RETURN u.name AS name
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(all === Seq("flink", "spark", "spark"))
+    val dedup = sess.run(
+      """MATCH (t:Tech) RETURN t.name AS name
+        |UNION
+        |MATCH (u:User) RETURN u.name AS name
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(dedup === Seq("flink", "spark"))
+    intercept[IllegalArgumentException] {
+      sess.run("""MATCH (t:Tech) RETURN t.name AS name
+                 |UNION
+                 |MATCH (u:User) RETURN u.name AS name
+                 |UNION ALL
+                 |MATCH (u:User) RETURN u.name AS name""".stripMargin)
+    }
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(

@@ -92,6 +92,25 @@ class PlanSpec extends SparkTestBase {
     assert(!k.contains("CartesianProduct"), k)
   }
 
+  test("round-3 query shapes keep their intended plans") {
+    // Q17 shape: brand dim broadcast; the per-part average is an aggregate,
+    // not a re-executed subquery
+    val q42 = plan("q42_small_quantity_revenue")
+    assert(q42.contains("BroadcastHashJoin"), q42)
+    assert(!q42.contains("ScalarSubquery"), q42)
+    // WITH ... ORDER BY ... LIMIT lowers to TakeOrderedAndProject
+    assert(plan("c18_cypher_with_topk").contains("TakeOrderedAndProject"))
+    // Q15 shape: the 1-row max is broadcast, never a cartesian
+    val q45 = plan("q45_top_supplier_revenue")
+    assert(!q45.contains("CartesianProduct"), q45)
+    // outer interval join stays an equi join + range filter
+    val s05 = plan("s05_interval_join_outer")
+    assert(!s05.contains("BroadcastNestedLoopJoin") && !s05.contains("CartesianProduct"), s05)
+    // manifest joins prune: only the id column is read from embeddings
+    val m04 = plan("m04_training_manifest")
+    assert(!m04.contains("embedding#") || !m04.contains("label#"), m04)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
