@@ -141,12 +141,14 @@ object CypherAst {
   final case class UnionStatement(parts: Seq[MatchStatement],
     all: Boolean) extends Statement
 
-  /** MATCH-driven write: `MATCH … SET/REMOVE …` property rewrites and
-    * `MATCH … [DETACH] DELETE var` removals, applied to the pre-statement
-    * graph state. */
+  /** MATCH-driven write: `MATCH … SET/REMOVE …` property rewrites,
+    * `MATCH … [DETACH] DELETE var` removals, and `MATCH … MERGE
+    * (a)-[:T]->(b)` relationship creation between bound endpoints — all
+    * applied to the pre-statement graph state. */
   final case class UpdateStatement(stages: Seq[MatchStage],
     sets: Seq[(PropRef, Value)], removes: Seq[PropRef],
-    deletes: Seq[String], detach: Boolean) extends Statement
+    deletes: Seq[String], detach: Boolean,
+    merges: Seq[PathPat] = Nil) extends Statement
 
   sealed trait MutClause
   /** Node MERGE with optional path-dependent SET handlers

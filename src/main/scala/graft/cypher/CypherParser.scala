@@ -127,7 +127,8 @@ object CypherParser {
 
     /** Clauses that end the MATCH/UNWIND/WITH pipeline. */
     private def pipelineEnd(t: Option[Tok]): Boolean = t match {
-      case Some(Kw(k)) => Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH")(k)
+      case Some(Kw(k)) =>
+        Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH", "MERGE")(k)
       case _ => false
     }
 
@@ -216,14 +217,27 @@ object CypherParser {
       MatchStatement(stages.toSeq, items.toSeq, order.toSeq, limit, distinct, skip)
     }
 
-    /** `MATCH … SET/REMOVE/[DETACH] DELETE` write tail. */
+    /** `MATCH … SET/REMOVE/[DETACH] DELETE/MERGE` write tail. */
     private def updateTail(stages: Seq[MatchStage]): UpdateStatement = {
       val sets = ArrayBuffer.empty[(PropRef, Value)]
       val removes = ArrayBuffer.empty[PropRef]
       val deletes = ArrayBuffer.empty[String]
+      val merges = ArrayBuffer.empty[PathPat]
       var detach = false
       var done = false
       while (!done) peek match {
+        case Some(Kw("MERGE")) =>
+          // MATCH-driven relationship MERGE between bound endpoints
+          next()
+          val p = path()
+          if (p.edges.length != 1)
+            fail("MATCH … MERGE expects a single relationship pattern")
+          if (p.edges.head.undirected)
+            fail("MERGE relationships must be directed")
+          if (p.nodes.exists(n => n.variable.isEmpty || n.label.isDefined ||
+              n.props.nonEmpty))
+            fail("MATCH … MERGE endpoints must be bare bound variables")
+          merges += p
         case Some(Kw("SET")) =>
           next()
           sets += setItem()
@@ -243,7 +257,8 @@ object CypherParser {
         case None => done = true
         case t => fail(s"unexpected token in write clause: $t")
       }
-      UpdateStatement(stages, sets.toSeq, removes.toSeq, deletes.toSeq, detach)
+      UpdateStatement(stages, sets.toSeq, removes.toSeq, deletes.toSeq, detach,
+        merges.toSeq)
     }
 
     // OR < AND < NOT < comparison; parentheses group

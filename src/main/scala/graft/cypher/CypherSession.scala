@@ -20,10 +20,10 @@ sealed trait CypherResult
 final case class CypherRows(df: DataFrame) extends CypherResult
 final case class CypherMutation(graph: PropertyGraph, nodesCreated: Long,
   nodesMatched: Long) extends CypherResult
-/** Result of a `MATCH … SET/REMOVE/DELETE` write. */
+/** Result of a `MATCH … SET/REMOVE/DELETE/MERGE` write. */
 final case class CypherWrite(graph: PropertyGraph, propertiesSet: Long,
   propertiesRemoved: Long, nodesDeleted: Long,
-  relationshipsDeleted: Long) extends CypherResult
+  relationshipsDeleted: Long, relationshipsCreated: Long = 0L) extends CypherResult
 
 final class CypherSession(
     initial: PropertyGraph,
@@ -182,9 +182,11 @@ final class CypherSession(
     * rewrites set-oriented (anti-joins for DELETE, a props-map rewrite join
     * for SET/REMOVE). All counters read the pre-statement state. */
   private def executeUpdate(u: UpdateStatement, params: Map[String, Any]): CypherResult = {
+    val mergeVars = u.merges.flatMap(_.nodes.flatMap(_.variable))
     val targets = (u.sets.map(_._1.variable) ++ u.removes.map(_.variable) ++
-      u.deletes).distinct
-    require(targets.nonEmpty, "write statement needs SET, REMOVE or DELETE targets")
+      u.deletes ++ mergeVars).distinct
+    require(targets.nonEmpty,
+      "write statement needs SET, REMOVE, DELETE or MERGE targets")
     val mm = MatchStatement(u.stages,
       targets.map(v => ReturnItem(RetVar(v), None)), Nil, None)
     val out = compileMatch(mm, params)
@@ -224,6 +226,35 @@ final class CypherSession(
       propsRemoved += n * removeKeys.size
     }
 
+    // MATCH-driven relationship MERGE: one set-oriented edge-merge batch
+    // per pattern — the matched (src, dst) id pairs, deduped, with any
+    // pattern props as the edge bag (crwling.py's relate step, driven by a
+    // match instead of parameters)
+    var relsCreated = 0L
+    if (u.merges.nonEmpty) {
+      val before = g.edges.count()
+      u.merges.foreach { p =>
+        val e = p.edges.head
+        val (srcV, dstV) =
+          if (e.leftToRight) (p.nodes(0).variable.get, p.nodes(1).variable.get)
+          else (p.nodes(1).variable.get, p.nodes(0).variable.get)
+        val relType = e.relType.getOrElse(
+          throw new IllegalArgumentException("MERGE edge needs a type"))
+        var batch = out.select(
+            out(srcV).getField("id").as("srcId"),
+            out(dstV).getField("id").as("dstId")).distinct()
+          .withColumn("relType", lit(relType))
+        if (e.props.nonEmpty) {
+          val entries = e.props.toSeq.flatMap { case (k, v) =>
+            Seq(lit(k), scalarCol(v, params).cast("string"))
+          }
+          batch = batch.withColumn("props", map(entries: _*))
+        }
+        g = g.mergeEdges(batch)
+      }
+      relsCreated = g.edges.count() - before
+    }
+
     if (u.deletes.nonEmpty) {
       val ids = u.deletes.map(idsOf).reduce(_ unionByName _).distinct()
         .localCheckpoint(true)
@@ -240,7 +271,7 @@ final class CypherSession(
     }
 
     graph = g
-    CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted)
+    CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted, relsCreated)
   }
 
   private def compileMatch(m: MatchStatement, params: Map[String, Any]): DataFrame = {

@@ -750,6 +750,51 @@ object AnalyticsCatalog {
            | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
            |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
 
+  private val s06 = Entry("s06_funnel_steps",
+    (s, dir) => {
+      // Sequential funnel over the event stream: users who clicked, then
+      // purchased strictly after their first click, then signed up strictly
+      // after that first qualifying purchase. Each step is one aggregate +
+      // one equi-join on user_id — the strictly-ordered semantics (NOT
+      // min-per-type, which miscounts users whose purchases straddle the
+      // first click) without any per-user sequence scan.
+      val ev = Tables(s, dir, "events")
+      def step(evType: String) = ev.filter(col("event_type") === evType)
+      val s1 = step("click").groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = step("purchase").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = step("signup").join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val one = (df: org.apache.spark.sql.DataFrame, n: Int, label: String) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("step"), lit(label).as("event"), col("n_users"))
+      one(s1, 1, "click")
+        .unionByName(one(s2, 2, "purchase"))
+        .unionByName(one(s3, 3, "signup"))
+        .orderBy("step")
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id, MIN(ts) AS t1 FROM events
+           |  WHERE event_type = 'click' GROUP BY user_id),
+           |s2 AS (
+           |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           |  JOIN s1 ON e.user_id = s1.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+           |  GROUP BY e.user_id),
+           |s3 AS (
+           |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           |  JOIN s2 ON e.user_id = s2.user_id
+           |  WHERE e.event_type = 'signup' AND e.ts > s2.t2
+           |  GROUP BY e.user_id)
+           |SELECT 1 AS step, 'click' AS event, COUNT(*) AS n_users FROM s1
+           |UNION ALL
+           |SELECT 2, 'purchase', COUNT(*) FROM s2
+           |UNION ALL
+           |SELECT 3, 'signup', COUNT(*) FROM s3
+           |ORDER BY step""".stripMargin))
+
   // ----------------------------------------------------- ingest dataflow --
 
   /** Deterministic crawler-shaped raw records synthesized from `documents`:
@@ -1600,7 +1645,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06,
-    s01, s02, s03, s04, s05,
+    s01, s02, s03, s04, s05, s06,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20,

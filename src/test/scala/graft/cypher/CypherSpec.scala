@@ -502,6 +502,26 @@ class CypherSpec extends SparkTestBase {
     }
   }
 
+  test("MATCH ... MERGE creates relationships between matched endpoints, idempotently") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'alice'})")
+    sess.run("MERGE (u:User {name: 'bob'})")
+    sess.run("MERGE (t:Tech {name: 'spark'})")
+    val q = """MATCH (u:User), (t:Tech)
+              |WHERE u.name <> 'bob'
+              |MERGE (u)-[:INTERESTED_IN {since: '2026'}]->(t)""".stripMargin
+    val w = sess.run(q).asInstanceOf[CypherWrite]
+    assert(w.relationshipsCreated === 1)
+    val w2 = sess.run(q).asInstanceOf[CypherWrite]
+    assert(w2.relationshipsCreated === 0) // MERGE semantics: no duplicate edge
+    val rows = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        |RETURN u.name AS name, r.since AS since""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("alice", "2026")))
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(
