@@ -1014,13 +1014,16 @@ object QueryCatalog {
       // (the probing supplier is itself the one returner). One shuffle by
       // order key instead of two dedup shuffles + two theta-joins — the
       // form that survives a 100× fact table.
+      // One shuffle to (order, supplier) pairs; everything downstream —
+      // the per-order counts AND the returned-pair probe side — reuses
+      // that aggregate (no double count_distinct Expand, no re-scan).
       val li = t(s, dir, "lineitem")
-      val orderStats = li.groupBy("l_orderkey").agg(
-        count_distinct(col("l_suppkey")).as("n_supps"),
-        count_distinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supps"))
-      li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey").dropDuplicates()
+      val pairs = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_ret"))
+      val orderStats = pairs.groupBy("l_orderkey").agg(
+        count(lit(1)).as("n_supps"),
+        sum(col("has_ret")).as("n_ret_supps"))
+      pairs.filter(col("has_ret") === 1)
         .join(orderStats, Seq("l_orderkey"))
         .filter(col("n_supps") > 1 && col("n_ret_supps") === 1)
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
