@@ -120,7 +120,7 @@ object CypherAst {
     * pagination, as Neo4j does). */
   final case class WithClause(items: Seq[ReturnItem], where: Option[BoolExpr],
     orderBy: Seq[OrderItem] = Nil, skip: Option[Int] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, distinct: Boolean = false)
 
   /** `UNWIND <list> AS <alias>` — one output row per list element. */
   final case class Unwind(value: Value, alias: String)

@@ -159,6 +159,8 @@ object CypherParser {
         val withClause =
           if (peek.contains(Kw("WITH"))) {
             next()
+            val wDistinct = peek.contains(Kw("DISTINCT"))
+            if (wDistinct) next()
             val items = ArrayBuffer(returnItem())
             while (peek.contains(Sym(","))) { next(); items += returnItem() }
             // Neo4j clause order: ORDER BY / SKIP / LIMIT paginate the
@@ -185,7 +187,8 @@ object CypherParser {
             } else None
             val having =
               if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None
-            Some(WithClause(items.toSeq, having, order.toSeq, skip, limit))
+            Some(WithClause(items.toSeq, having, order.toSeq, skip, limit,
+              wDistinct))
           } else None
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
           unwinds.toSeq)

@@ -569,6 +569,12 @@ final class CypherSession(
           }
         }
         df = df.select(sel.result(): _*)
+        if (wc.distinct) {
+          // node identity = id; the props map rides along as payload
+          // (map columns cannot be set-operation keys)
+          val keys = df.columns.filterNot(_.endsWith("__props"))
+          df = df.dropDuplicates(keys.head, keys.tail: _*)
+        }
         bound = keepNodes.result().toSet
         scalarVars = newScalars.result().toSet
         pathHops = Map.empty // path bindings do not cross a WITH horizon

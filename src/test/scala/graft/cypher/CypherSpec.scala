@@ -522,6 +522,20 @@ class CypherSpec extends SparkTestBase {
       Seq(("alice", "2026")))
   }
 
+  test("WITH DISTINCT dedups the projection mid-pipeline") {
+    val sess = freshSession
+    Seq(("d1", "en"), ("d2", "en"), ("d3", "de")).foreach { case (l, lang) =>
+      sess.run("MERGE (a:Article {link: $l}) SET a.lang = $lang",
+        Map("l" -> l, "lang" -> lang))
+    }
+    val langs = sess.run(
+      """MATCH (a:Article)
+        |WITH DISTINCT a.lang AS lang
+        |RETURN count(lang) AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[Long].head()
+    assert(langs === 2L)
+  }
+
   test("runScript keeps semicolons inside string literals intact") {
     val sess = freshSession
     val results = sess.runScript(
