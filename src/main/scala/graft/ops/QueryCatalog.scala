@@ -1081,9 +1081,108 @@ object QueryCatalog {
            |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
            |ORDER BY s_suppkey""".stripMargin))
 
+  private val q46 = Entry("q46_volume_shipping",
+    (s, dir) => {
+      // TPC-H Q7 shape: bilateral cross-border trade volume by shipment
+      // year, restricted to intra-EUROPE pairs (a single nation pair is
+      // empty at the smallest fixture — the regional matrix keeps the
+      // query scale-robust). Nation and region dims broadcast against the
+      // customer⋈orders⋈lineitem⋈supplier fact spine; the pair predicate
+      // rides the broadcast join output.
+      val li = t(s, dir, "lineitem")
+      val eurNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      val n1 = eurNations.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = eurNations.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(asDouble(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS INT) AS l_year,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+           |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+           |WHERE r1.r_name = 'EUROPE' AND r2.r_name = 'EUROPE'
+           |  AND n1.n_name <> n2.n_name
+           |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  private val q47 = Entry("q47_market_share",
+    (s, dir) => {
+      // TPC-H Q8 shape: NATION_1 suppliers' share of STANDARD-part revenue
+      // sold to EUROPE customers, by order year. The share is a conditional
+      // aggregate over ONE pass of the fact join (no second scan); both
+      // sums stay decimal-exact until the final double division, which is
+      // deterministic IEEE on both engines.
+      val li = t(s, dir, "lineitem")
+      val stdParts = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      val nations = t(s, dir, "nation")
+      val europe = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      li.join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nations.select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey").as("c_rk"))), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(europe.select("r_regionkey")),
+          col("c_rk") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nations.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (asDouble(sum(when(col("supp_nation") === "NATION_1", rev)
+            .otherwise(lit(0).cast(DecimalType(12, 2))))) /
+            asDouble(sum(rev))).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+           |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |             (1 - CAST(l_discount AS DECIMAL(12,2)))
+           |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           |    AS mkt_share,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |JOIN region ON n1.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+           |GROUP BY CAST(year(o_orderdate) AS INT)
+           |ORDER BY o_year""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45)
+    q40, q41, q42, q43, q44, q45, q46, q47)
 }
