@@ -142,13 +142,14 @@ object CypherAst {
     all: Boolean) extends Statement
 
   /** MATCH-driven write: `MATCH … SET/REMOVE …` property rewrites,
-    * `MATCH … [DETACH] DELETE var` removals, and `MATCH … MERGE
-    * (a)-[:T]->(b)` relationship creation between bound endpoints — all
-    * applied to the pre-statement graph state. */
+    * `MATCH … [DETACH] DELETE var` removals, `MATCH … MERGE (a)-[:T]->(b)`
+    * relationship upserts and `MATCH … CREATE (a)-[:T]->(b)` append-only
+    * relationship creation between bound endpoints — all applied to the
+    * pre-statement graph state. */
   final case class UpdateStatement(stages: Seq[MatchStage],
     sets: Seq[(PropRef, Value)], removes: Seq[PropRef],
     deletes: Seq[String], detach: Boolean,
-    merges: Seq[PathPat] = Nil) extends Statement
+    merges: Seq[PathPat] = Nil, creates: Seq[PathPat] = Nil) extends Statement
 
   sealed trait MutClause
   /** Node MERGE with optional path-dependent SET handlers
@@ -157,6 +158,14 @@ object CypherAst {
     onCreate: Seq[(PropRef, Value)] = Nil,
     onMatch: Seq[(PropRef, Value)] = Nil) extends MutClause
   final case class MergeEdge(srcVar: String, relType: String, dstVar: String,
+    props: Map[String, Value] = Map.empty) extends MutClause
+  /** Plain `CREATE (n:L {…})` — append-only: always creates a new node,
+    * even when an identical (label,key) exists (run twice ⇒ two nodes,
+    * unlike MERGE). */
+  final case class CreateNode(pat: NodePat) extends MutClause
+  /** `CREATE (a)-[:T]->(b)` between variables bound by MERGE/CREATE
+    * clauses of the same statement — appends without a match probe. */
+  final case class CreateEdge(srcVar: String, relType: String, dstVar: String,
     props: Map[String, Value] = Map.empty) extends MutClause
   final case class SetItems(items: Seq[(PropRef, Value)]) extends MutClause
   final case class WithVars(vars: Seq[String]) extends MutClause

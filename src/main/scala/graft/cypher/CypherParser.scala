@@ -19,7 +19,9 @@ object CypherParser {
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
-    "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type")
+    "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type",
+    "substring", "split", "replace", "left", "right", "tostring",
+    "relationships", "nodes")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -121,14 +123,14 @@ object CypherParser {
             UnionStatement(parts.toSeq, all)
           case _ => fail("UNION parts must be read queries")
         }
-      case Some(Kw("MERGE")) => mutateStatement()
-      case t => fail(s"statement must start with MATCH, UNWIND or MERGE, got $t")
+      case Some(Kw("MERGE")) | Some(Kw("CREATE")) => mutateStatement()
+      case t => fail(s"statement must start with MATCH, UNWIND, MERGE or CREATE, got $t")
     }
 
     /** Clauses that end the MATCH/UNWIND/WITH pipeline. */
     private def pipelineEnd(t: Option[Tok]): Boolean = t match {
       case Some(Kw(k)) =>
-        Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH", "MERGE")(k)
+        Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH", "MERGE", "CREATE")(k)
       case _ => false
     }
 
@@ -147,7 +149,8 @@ object CypherParser {
           next()
           paths += path()
           while (peek.contains(Sym(","))) { next(); paths += path() }
-        } else if (unwinds.isEmpty) fail(s"expected UNWIND, MATCH or RETURN, got $peek")
+        } else if (unwinds.isEmpty && !peek.contains(Kw("OPTIONAL")))
+          fail(s"expected UNWIND, MATCH, OPTIONAL MATCH or RETURN, got $peek")
         val optPaths = ArrayBuffer.empty[PathPat]
         while (peek.contains(Kw("OPTIONAL"))) {
           next(); expectKw("MATCH")
@@ -193,7 +196,8 @@ object CypherParser {
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
           unwinds.toSeq)
         if (withClause.isEmpty && !pipelineEnd(peek) &&
-            !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")))
+            !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")) &&
+            !peek.contains(Kw("OPTIONAL")))
           fail(s"expected WITH, MATCH, UNWIND, RETURN or a write clause, got $peek")
       }
       if (!peek.contains(Kw("RETURN")))
@@ -226,21 +230,30 @@ object CypherParser {
       val removes = ArrayBuffer.empty[PropRef]
       val deletes = ArrayBuffer.empty[String]
       val merges = ArrayBuffer.empty[PathPat]
+      val creates = ArrayBuffer.empty[PathPat]
       var detach = false
       var done = false
+      def relBetweenBoundVars(clause: String): PathPat = {
+        val p = path()
+        if (p.edges.length != 1)
+          fail(s"MATCH … $clause expects a single relationship pattern")
+        if (p.edges.head.undirected)
+          fail(s"$clause relationships must be directed")
+        if (p.nodes.exists(n => n.variable.isEmpty || n.label.isDefined ||
+            n.props.nonEmpty))
+          fail(s"MATCH … $clause endpoints must be bare bound variables")
+        p
+      }
       while (!done) peek match {
         case Some(Kw("MERGE")) =>
           // MATCH-driven relationship MERGE between bound endpoints
           next()
-          val p = path()
-          if (p.edges.length != 1)
-            fail("MATCH … MERGE expects a single relationship pattern")
-          if (p.edges.head.undirected)
-            fail("MERGE relationships must be directed")
-          if (p.nodes.exists(n => n.variable.isEmpty || n.label.isDefined ||
-              n.props.nonEmpty))
-            fail("MATCH … MERGE endpoints must be bare bound variables")
-          merges += p
+          merges += relBetweenBoundVars("MERGE")
+        case Some(Kw("CREATE")) =>
+          // MATCH-driven relationship CREATE: appends one relationship per
+          // matched row, no match probe (Neo4j's non-idempotent twin)
+          next()
+          creates += relBetweenBoundVars("CREATE")
         case Some(Kw("SET")) =>
           next()
           sets += setItem()
@@ -261,7 +274,7 @@ object CypherParser {
         case t => fail(s"unexpected token in write clause: $t")
       }
       UpdateStatement(stages, sets.toSeq, removes.toSeq, deletes.toSeq, detach,
-        merges.toSeq)
+        merges.toSeq, creates.toSeq)
     }
 
     // OR < AND < NOT < comparison; parentheses group
@@ -297,7 +310,40 @@ object CypherParser {
     private def mutateStatement(): MutateStatement = {
       val clauses = ArrayBuffer.empty[MutClause]
       var done = false
+      var anonCreate = 0
+      // CREATE pattern: every labeled node pattern creates a node; every
+      // relationship appends between the path's (or earlier clauses')
+      // bound variables. Comma-separated patterns share one statement.
+      def createPath(): Unit = {
+        val p = path()
+        if (p.edges.exists(e => e.minHops != 1 || e.maxHops != 1))
+          fail("CREATE does not accept variable-length relationships")
+        if (p.edges.exists(_.undirected))
+          fail("CREATE relationships must be directed")
+        val vs = p.nodes.map { n =>
+          if (n.label.isDefined) {
+            val v = n.variable.getOrElse { anonCreate += 1; s"__create$anonCreate" }
+            clauses += CreateNode(n.copy(variable = Some(v)))
+            v
+          } else {
+            if (n.props.nonEmpty)
+              fail("CREATE endpoints without a label must be bare bound variables")
+            n.variable.getOrElse(fail("CREATE endpoint needs a variable or label"))
+          }
+        }
+        p.edges.zipWithIndex.foreach { case (e, i) =>
+          val (src, dst) =
+            if (e.leftToRight) (vs(i), vs(i + 1)) else (vs(i + 1), vs(i))
+          clauses += CreateEdge(src,
+            e.relType.getOrElse(fail("CREATE relationship needs a type")),
+            dst, e.props)
+        }
+      }
       while (!done) peek match {
+        case Some(Kw("CREATE")) =>
+          next()
+          createPath()
+          while (peek.contains(Sym(","))) { next(); createPath() }
         case Some(Kw("MERGE")) =>
           next()
           val p = path()

@@ -111,6 +111,49 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     mergeEdges(base)
   }
 
+  /** Cypher `CREATE` — append-only node insertion (the non-idempotent twin
+    * of [[mergeNodes]]): every batch row becomes a NEW node even when a
+    * (label,key) already exists, as Neo4j CREATE does. Identity stays
+    * deterministic and coordination-free: the FIRST instance of a
+    * (label,key) gets the stable id (so MERGE and CREATE agree on
+    * singleton identity) and later instances get a sequence-salted hash —
+    * seq = prior instance count + within-batch rank. Returns the graph
+    * plus the batch with its assigned `id` column, so callers can attach
+    * relationships to the exact instances they created.
+    * (/root/reference/cypher.txt documents the browser MERGE workflow;
+    * CREATE is the same surface without the match probe.) */
+  def createNodes(batch: DataFrame): (PropertyGraph, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = nodes.groupBy("label", "key").agg(count(lit(1)).as("__prior"))
+    // within-batch rank among rows creating the same (label,key): ordered
+    // by the canonical props rendering so re-runs assign the same ids
+    val w = Window.partitionBy("label", "key")
+      .orderBy(to_json(map_entries(coalesce(col("props"), map()))))
+    val withId = batch.join(prior, Seq("label", "key"), "left")
+      .withColumn("__seq",
+        coalesce(col("__prior"), lit(0L)) + row_number().over(w) - 1)
+      .withColumn("id",
+        when(col("__seq") === 0, GraphSchema.stableId(col("label"), col("key")))
+          .otherwise(xxhash64(col("label"), col("key"), col("__seq"))))
+      .drop("__prior", "__seq")
+    val g2 = bounded(copy(
+      nodes = nodes.unionByName(withId.select("id", "label", "key", "props")),
+      mergeDepth = mergeDepth + 1))
+    (g2, withId)
+  }
+
+  /** Cypher `CREATE (a)-[:T]->(b)` — append-only edge insertion: no
+    * match probe, no dedup; parallel relationships are kept, as Neo4j
+    * keeps one relationship per CREATE. */
+  def createEdges(batch: DataFrame): PropertyGraph = {
+    val withProps =
+      if (batch.columns.contains("props")) batch
+      else batch.withColumn("props", typedlit(Map.empty[String, String]))
+    bounded(copy(
+      edges = edges.unionByName(withProps.select("srcId", "dstId", "relType", "props")),
+      mergeDepth = mergeDepth + 1))
+  }
+
   /** Cypher `DELETE` / `DETACH DELETE`: remove the nodes whose ids appear in
     * `ids` (single `id` column). Plain DELETE follows Neo4j and refuses when
     * a targeted node still has relationships; DETACH also removes every
@@ -204,8 +247,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     var es = edges.select("srcId", "dstId", "relType").rdd
       .map(r => XEdge(r.getLong(0), r.getLong(1), r.getString(2)))
     if (numPartitions > 0) {
-      vs = vs.coalesce(numPartitions)
-      es = es.coalesce(numPartitions)
+      // coalesce can only SHRINK — after a localCheckpoint the parent RDD
+      // may have few partitions, and a size-derived target in the thousands
+      // must still take effect, so growing uses a real repartition.
+      def resize[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+        if (rdd.getNumPartitions >= numPartitions) rdd.coalesce(numPartitions)
+        else rdd.repartition(numPartitions)
+      vs = resize(vs)
+      es = resize(es)
     }
     XGraph(vs, es)
   }

@@ -299,16 +299,32 @@ object AnalyticsCatalog {
     (s, dir) => {
       // Mergeable HLL sketches (Apache DataSketches): per-source sketch,
       // global estimate from sketch UNION only — the roll-up never re-reads
-      // raw data. Estimates are sketch-impl specific → no cross-engine
-      // oracle; DedupSpec bounds per-group and merged error vs exact.
-      val sketches = Dedup.hllPerGroup(Tables(s, dir, "documents"), "source", "text")
+      // raw data. Raw estimates are sketch-impl specific, but the sketch is
+      // a deterministic, order-independent function of the input SET (HLL
+      // registers are maxes over hash values), so the error bound vs the
+      // exact count is a stable, hashable fact — same promotion trick as
+      // d02: hash the exact counts, assert the bound as constant TRUE.
+      val docs = Tables(s, dir, "documents")
+      val sketches = Dedup.hllPerGroup(docs, "source", "text")
+      val perGroup = sketches
+        .join(docs.groupBy("source")
+          .agg(countDistinct(col("text")).as("exact_uniq")), Seq("source"))
+        .select(col("source"), col("exact_uniq"),
+          (abs(col("estimate") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.2).as("sketch_within_20pct"))
       val merged = Dedup.hllMergedEstimate(sketches)
-        .select(lit("__ALL__").as("source"), col("merged_estimate").as("estimate"))
-      sketches.select(col("source"), col("estimate"))
-        .unionByName(merged)
-        .orderBy("source")
+        .crossJoin(docs.agg(countDistinct(col("text")).as("exact_uniq")))
+        .select(lit("__ALL__").as("source"), col("exact_uniq"),
+          (abs(col("merged_estimate") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.2).as("sketch_within_20pct"))
+      perGroup.unionByName(merged).orderBy("source")
     },
-    None)
+    Some("""SELECT source, COUNT(DISTINCT text) AS exact_uniq,
+           |  TRUE AS sketch_within_20pct
+           |FROM documents GROUP BY source
+           |UNION ALL
+           |SELECT '__ALL__', COUNT(DISTINCT text), TRUE FROM documents
+           |ORDER BY source""".stripMargin))
 
   private val d08 = Entry("d08_neardup_cluster_dedup",
     (s, dir) => {

@@ -951,18 +951,21 @@ object QueryCatalog {
   private val q42 = Entry("q42_small_quantity_revenue",
     (s, dir) => {
       // TPC-H Q17 shape: correlated `l_quantity < 0.2 * avg(quantity for
-      // this part)` — written in its decorrelated 100 TB form: the per-part
-      // average is ONE partial-combining aggregate over lineitem (not a
-      // per-row subquery), broadcast-joined back with the brand dim filter.
-      // The threshold compare is exact cross-engine: integer sum / count in
-      // doubles is deterministic IEEE on both sides.
+      // this part)` — written in its decorrelated 100 TB form: the brand
+      // dim semi-joins the fact FIRST (the correlated subquery only ever
+      // evaluates at brand partkeys, so the pre-aggregate shuffles the
+      // brand's ~1/1000 slice, not all of lineitem), then ONE
+      // partial-combining per-part average joins back. The threshold
+      // compare is exact cross-engine: integer sum / count in doubles is
+      // deterministic IEEE on both sides.
       val li = t(s, dir, "lineitem")
       val brandParts = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#11").select("p_partkey")
-      val qtyCap = li.groupBy("l_partkey")
+      val liBrand = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val qtyCap = liBrand.groupBy("l_partkey")
         .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
-      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
-        .join(qtyCap, Seq("l_partkey"))
+      liBrand.join(qtyCap, Seq("l_partkey"))
         .filter(col("l_quantity") < col("qty_cap"))
         .agg(asDouble(sum(dec(col("l_extendedprice"))) / 7.0).as("avg_yearly"),
           count(lit(1)).as("n_lines"))

@@ -111,6 +111,25 @@ class PlanSpec extends SparkTestBase {
     assert(!m04.contains("embedding#") || !m04.contains("label#"), m04)
   }
 
+  test("q42 per-part average aggregates the brand's semi-joined slice only") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val e = QueryCatalog.entries.find(_.name == "q42_small_quantity_revenue").get
+    val df = e.fn(spark, sfDir)
+    // the per-part pre-aggregate (groupBy l_partkey) must sit ABOVE the
+    // brand semi-join — a full-lineitem Exchange feeding the avg is the
+    // 100 TB mistake this guards against
+    val perPartAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.references.exists(
+        _.name == "l_partkey")) => a
+    }
+    assert(perPartAggs.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    perPartAggs.foreach { a =>
+      assert(a.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        s"per-part aggregate not fed by the brand semi-join:\n$a")
+    }
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
