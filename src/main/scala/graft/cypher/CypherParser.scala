@@ -100,7 +100,7 @@ object CypherParser {
       throw new IllegalArgumentException(s"cypher parse error at token $pos: $msg")
 
     def statement(): Statement = peek match {
-      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) =>
+      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) =>
         val first = matchStatement()
         if (!peek.contains(Kw("UNION"))) first
         else first match {

@@ -99,29 +99,42 @@ final class CypherSession(
     keyValue: Value, patProps: Map[String, Value],
     var setProps: Vector[(String, Value)],
     var createProps: Vector[(String, Value)] = Vector.empty,
-    var matchProps: Vector[(String, Value)] = Vector.empty)
+    var matchProps: Vector[(String, Value)] = Vector.empty,
+    create: Boolean = false)
 
   private def executeMutation(m: MutateStatement, paramsDf: DataFrame): CypherResult = {
     val bindings = scala.collection.mutable.LinkedHashMap.empty[String, NodeBinding]
     val edges = Vector.newBuilder[MergeEdge]
+    val createEdges = Vector.newBuilder[CreateEdge]
     var returns: Seq[ReturnItem] = Nil
+
+    def bindNode(pat: NodePat, clause: String, create: Boolean): NodeBinding = {
+      val v = pat.variable.getOrElse(s"__anon${bindings.size}")
+      val label = pat.label.getOrElse(
+        throw new IllegalArgumentException(s"$clause node needs a label"))
+      val keyProp = keyProps.getOrElse(label, "name")
+      val keyValue = pat.props.getOrElse(keyProp,
+        throw new IllegalArgumentException(
+          s"$clause ($v:$label) must bind key property '$keyProp'"))
+      if (create) require(!bindings.contains(v),
+        s"CREATE cannot re-bind variable $v")
+      bindings.getOrElseUpdate(v,
+        NodeBinding(v, label, keyValue, pat.props - keyProp, Vector.empty,
+          create = create))
+    }
 
     m.clauses.foreach {
       case MergeNode(pat, onCreate, onMatch) =>
         val v = pat.variable.getOrElse(s"__anon${bindings.size}")
-        val label = pat.label.getOrElse(
-          throw new IllegalArgumentException("MERGE node needs a label"))
-        val keyProp = keyProps.getOrElse(label, "name")
-        val keyValue = pat.props.getOrElse(keyProp,
-          throw new IllegalArgumentException(
-            s"MERGE ($v:$label) must bind key property '$keyProp'"))
-        val b = bindings.getOrElseUpdate(v,
-          NodeBinding(v, label, keyValue, pat.props - keyProp, Vector.empty))
+        val b = bindNode(pat, "MERGE", create = false)
+        require(!b.create, s"variable $v is CREATE-bound; MERGE cannot reuse it")
         (onCreate ++ onMatch).foreach { case (PropRef(hv, _), _) =>
           require(hv == v, s"ON CREATE/ON MATCH SET must target the merged variable $v, got $hv")
         }
         b.createProps = b.createProps ++ onCreate.map { case (PropRef(_, p), value) => (p, value) }
         b.matchProps = b.matchProps ++ onMatch.map { case (PropRef(_, p), value) => (p, value) }
+      case CreateNode(pat) =>
+        bindNode(pat, "CREATE", create = true)
       case SetItems(items) =>
         items.foreach { case (PropRef(v, p), value) =>
           val b = bindings.getOrElse(v,
@@ -132,6 +145,10 @@ final class CypherSession(
         require(bindings.contains(e.srcVar) && bindings.contains(e.dstVar),
           s"MERGE edge references unbound variables ${e.srcVar}/${e.dstVar}")
         edges += e // pattern props ride on the clause
+      case e: CreateEdge =>
+        require(bindings.contains(e.srcVar) && bindings.contains(e.dstVar),
+          s"CREATE edge references unbound variables ${e.srcVar}/${e.dstVar}")
+        createEdges += e
       case WithVars(_) => // pure scoping: bindings carry through
       case ReturnVars(items) => returns = items
     }
@@ -143,33 +160,85 @@ final class CypherSession(
       if (flat.isEmpty) typedlit(Map.empty[String, String]) else map(flat: _*)
     }
 
-    val nodeBatches = bindings.values.map { b =>
-      paramsDf.select(
-        lit(b.label).as("label"),
-        valueCol(b.keyValue, paramsDf).cast("string").as("key"),
-        mapCol(b.patProps.toSeq ++ b.setProps).as("props"),
-        mapCol(b.createProps).as("create_props"),
-        mapCol(b.matchProps).as("match_props"))
-    }.reduce(_ unionByName _)
+    val (mergeBindings, createBindings) = bindings.values.partition(!_.create)
+    // CREATE instances need per-parameter-row identity (a duplicate key in
+    // one batch is two distinct new nodes, and its edges must attach to the
+    // exact instance) — a deterministic row tag gives the correspondence.
+    // Parameter batches are by nature bounded (one row per reference write),
+    // so the single-partition row_number window is not a scale concern.
+    val pdf =
+      if (createBindings.isEmpty) paramsDf
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val ordCols = paramsDf.columns.map(c => col(c).cast("string"))
+        val w = Window.orderBy(ordCols.toIndexedSeq: _*)
+        paramsDf.withColumn("__row", row_number().over(w))
+      }
 
-    val (created, matched) = graph.mergeNodeCounts(nodeBatches)
-    var g2 = graph.mergeNodes(nodeBatches)
+    var g2 = graph
+    var created = 0L
+    var matched = 0L
+
+    if (mergeBindings.nonEmpty) {
+      val nodeBatches = mergeBindings.map { b =>
+        paramsDf.select(
+          lit(b.label).as("label"),
+          valueCol(b.keyValue, paramsDf).cast("string").as("key"),
+          mapCol(b.patProps.toSeq ++ b.setProps).as("props"),
+          mapCol(b.createProps).as("create_props"),
+          mapCol(b.matchProps).as("match_props"))
+      }.reduce(_ unionByName _)
+      val counts = g2.mergeNodeCounts(nodeBatches)
+      created += counts._1
+      matched += counts._2
+      g2 = g2.mergeNodes(nodeBatches)
+    }
+
+    // append-only CREATE path: one createNodes call per binding (sequential,
+    // so a second CREATE of the same key in one statement sees the first);
+    // the returned id frame keys edge construction by __row
+    var createdIdFrames = Map.empty[String, DataFrame]
+    if (createBindings.nonEmpty) {
+      val rowsPerBinding = pdf.count()
+      createBindings.foreach { b =>
+        val batch = pdf.select(
+          lit(b.label).as("label"),
+          valueCol(b.keyValue, pdf).cast("string").as("key"),
+          mapCol(b.patProps.toSeq ++ b.setProps).as("props"),
+          col("__row"))
+        val (g3, withId) = g2.createNodes(batch)
+        g2 = g3
+        createdIdFrames += b.variable ->
+          withId.select(col("__row"), col("id").as(s"__id_${b.variable}"))
+        created += rowsPerBinding
+      }
+    }
+
+    def endpointId(v: String): Column = {
+      val b = bindings(v)
+      if (b.create) col(s"__id_$v")
+      else graft.model.GraphSchema.stableId(
+        lit(b.label), valueCol(b.keyValue, pdf).cast("string"))
+    }
+    def edgeBatch(srcVar: String, relType: String, dstVar: String,
+        props: Map[String, Value]): DataFrame = {
+      val needIds = Seq(srcVar, dstVar).filter(v => bindings(v).create).distinct
+      val base = needIds.foldLeft(pdf)((d, v) => d.join(createdIdFrames(v), Seq("__row")))
+      base.select(
+        endpointId(srcVar).as("srcId"),
+        endpointId(dstVar).as("dstId"),
+        lit(relType).as("relType"),
+        mapCol(props.toSeq).as("props"))
+    }
 
     val edgeList = edges.result()
-    if (edgeList.nonEmpty) {
-      val edgeBatches = edgeList.map { e =>
-        val src = bindings(e.srcVar)
-        val dst = bindings(e.dstVar)
-        paramsDf.select(
-          lit(src.label).as("srcLabel"),
-          valueCol(src.keyValue, paramsDf).cast("string").as("srcKey"),
-          lit(e.relType).as("relType"),
-          lit(dst.label).as("dstLabel"),
-          valueCol(dst.keyValue, paramsDf).cast("string").as("dstKey"),
-          mapCol(e.props.toSeq).as("props"))
-      }.reduce(_ unionByName _)
-      g2 = g2.mergeEdgesByKey(edgeBatches)
-    }
+    if (edgeList.nonEmpty)
+      g2 = g2.mergeEdges(edgeList.map(e =>
+        edgeBatch(e.srcVar, e.relType, e.dstVar, e.props)).reduce(_ unionByName _))
+    val createEdgeList = createEdges.result()
+    if (createEdgeList.nonEmpty)
+      g2 = g2.createEdges(createEdgeList.map(e =>
+        edgeBatch(e.srcVar, e.relType, e.dstVar, e.props)).reduce(_ unionByName _))
 
     graph = g2
     CypherMutation(g2, created, matched)
@@ -182,11 +251,11 @@ final class CypherSession(
     * rewrites set-oriented (anti-joins for DELETE, a props-map rewrite join
     * for SET/REMOVE). All counters read the pre-statement state. */
   private def executeUpdate(u: UpdateStatement, params: Map[String, Any]): CypherResult = {
-    val mergeVars = u.merges.flatMap(_.nodes.flatMap(_.variable))
+    val mergeVars = (u.merges ++ u.creates).flatMap(_.nodes.flatMap(_.variable))
     val targets = (u.sets.map(_._1.variable) ++ u.removes.map(_.variable) ++
       u.deletes ++ mergeVars).distinct
     require(targets.nonEmpty,
-      "write statement needs SET, REMOVE, DELETE or MERGE targets")
+      "write statement needs SET, REMOVE, DELETE, MERGE or CREATE targets")
     val mm = MatchStatement(u.stages,
       targets.map(v => ReturnItem(RetVar(v), None)), Nil, None)
     val out = compileMatch(mm, params)
@@ -255,6 +324,30 @@ final class CypherSession(
       relsCreated = g.edges.count() - before
     }
 
+    // MATCH-driven relationship CREATE: one appended relationship per
+    // matched row — no dedup, no match probe (Neo4j keeps parallel rels)
+    u.creates.foreach { p =>
+      val e = p.edges.head
+      val (srcV, dstV) =
+        if (e.leftToRight) (p.nodes(0).variable.get, p.nodes(1).variable.get)
+        else (p.nodes(1).variable.get, p.nodes(0).variable.get)
+      val relType = e.relType.getOrElse(
+        throw new IllegalArgumentException("CREATE edge needs a type"))
+      var batch = out.select(
+          out(srcV).getField("id").as("srcId"),
+          out(dstV).getField("id").as("dstId"))
+        .withColumn("relType", lit(relType))
+      if (e.props.nonEmpty) {
+        val entries = e.props.toSeq.flatMap { case (k, v) =>
+          Seq(lit(k), scalarCol(v, params).cast("string"))
+        }
+        batch = batch.withColumn("props", map(entries: _*))
+      }
+      val pinned = batch.localCheckpoint(true) // pin to pre-statement match
+      relsCreated += pinned.count()
+      g = g.createEdges(pinned)
+    }
+
     if (u.deletes.nonEmpty) {
       val ids = u.deletes.map(idsOf).reduce(_ unionByName _).distinct()
         .localCheckpoint(true)
@@ -282,8 +375,38 @@ final class CypherSession(
     /** path-variable hop counts (`MATCH p = …` → `length(p)`); per matched
       * walk — variable-length edges contribute their actual hop column. */
     var pathHops = Map.empty[String, Column]
+    /** per-path relationship lists / node-id lists (`relationships(p)` /
+      * `nodes(p)`) — only materialized when the statement asks for them
+      * (carrying an array per walk through a million-row expansion is pure
+      * cost otherwise). */
+    var pathRels = Map.empty[String, Column]
+    var pathNodes = Map.empty[String, Column]
     var anon = 0
     def freshVar(): String = { anon += 1; s"__n$anon" }
+
+    // pre-scan: does anything in the statement read relationships()/nodes()?
+    def exprWantsPathArrays(e: ReturnExpr): Boolean = e match {
+      case RetFn(f, as) =>
+        Set("relationships", "nodes")(f) || as.exists(exprWantsPathArrays)
+      case RetBin(_, l, r) => exprWantsPathArrays(l) || exprWantsPathArrays(r)
+      case RetCase(ws, d) => ws.exists { case (c, v) =>
+        boolWantsPathArrays(c) || exprWantsPathArrays(v) } ||
+        d.exists(exprWantsPathArrays)
+      case _ => false
+    }
+    def boolWantsPathArrays(b: BoolExpr): Boolean = b match {
+      case Cmp(Predicate(l, _, r)) => exprWantsPathArrays(l) || exprWantsPathArrays(r)
+      case AndE(l, r) => boolWantsPathArrays(l) || boolWantsPathArrays(r)
+      case OrE(l, r) => boolWantsPathArrays(l) || boolWantsPathArrays(r)
+      case NotE(e) => boolWantsPathArrays(e)
+    }
+    val needPathArrays =
+      m.ret.exists(i => exprWantsPathArrays(i.expr)) ||
+      m.stages.exists { st =>
+        st.where.exists(boolWantsPathArrays) ||
+        st.withClause.exists(w => w.items.exists(i => exprWantsPathArrays(i.expr)) ||
+          w.where.exists(boolWantsPathArrays))
+      }
 
     def nodeDf(pat: NodePat, v: String): DataFrame = {
       var base = graph.nodes
@@ -297,9 +420,33 @@ final class CypherSession(
     }
 
     def compilePath(p: PathPat, optional: Boolean): Unit = {
+      if (optional && !p.nodes.exists(_.variable.exists(bound.contains))) {
+        // free-standing OPTIONAL MATCH (no variable shared with the bound
+        // rows): compile the pattern standalone, then attach it with an
+        // unconditional left join — every current row survives, null-
+        // extended when the pattern matches nothing (Neo4j semantics). A
+        // query OPENING with OPTIONAL MATCH left-joins from a 1-row seed.
+        val savedDf = df; val savedBound = bound
+        df = null; bound = Set.empty
+        compilePath(p, optional = false)
+        val part = df; val partBound = bound
+        df = savedDf; bound = savedBound
+        df =
+          if (df == null) {
+            val seed = graph.nodes.sparkSession.range(1).select(lit(1).as("__seed"))
+            seed.join(part, lit(true), "left").drop("__seed")
+          } else df.join(part, lit(true), "left")
+        bound = savedBound ++ partBound
+        return
+      }
       val vars = p.nodes.map(n => n.variable.getOrElse(freshVar()))
       val joinType = if (optional) "left" else "inner"
       val hopCols = Vector.newBuilder[Column]
+      /** per-edge relationship-array / node-id-array contributions (pattern
+        * order), built only when the statement reads them. */
+      val relArrCols = Vector.newBuilder[Column]
+      val nodeArrCols = Vector.newBuilder[Column]
+      val trackPath = needPathArrays && p.pathVar.isDefined && !p.shortest
       if (!bound.contains(vars.head)) {
         require(!optional, "OPTIONAL MATCH must start at a bound variable")
         val part = nodeDf(p.nodes.head, vars.head)
@@ -330,9 +477,22 @@ final class CypherSession(
             // h in [minHops, maxHops] — each extra hop is one more equi-join
             // on the typed edge table (walk semantics; one row per walk,
             // matching Neo4j's per-path rows on acyclic graphs)
-            require(e.variable.isEmpty,
-              "variable-length relationships cannot be bound to a variable")
-            val base = es.select(col("srcId").as("s"), col("dstId").as("d"))
+            if (p.shortest) require(e.variable.isEmpty,
+              "shortestPath() collapses walks and carries no relationship " +
+                "list — bind the variable on a plain variable-length pattern")
+            // carry per-walk relationship/node arrays only when something
+            // reads them (r binding, relationships(p), nodes(p))
+            val track = e.variable.isDefined || trackPath
+            val base = {
+              val b0 = es.select(col("srcId").as("s"), col("dstId").as("d"),
+                col("relType").as("t"))
+              if (track)
+                b0.withColumn("rels", array(struct(col("s").as("srcId"),
+                    col("d").as("dstId"), col("t").as("relType"))))
+                  .withColumn("nds", array(col("s"), col("d")))
+                  .drop("t")
+              else b0.drop("t")
+            }
             val reduced = if (p.shortest && e.minHops <= 1) {
               // shortestPath(): BFS frontier expansion instead of walk
               // enumeration — each level is deduped and anti-joined against
@@ -340,26 +500,62 @@ final class CypherSession(
               // by reachable PAIRS, not walks (walk counts grow
               // combinatorially with hop depth; pair counts don't). The
               // result is one row per endpoint pair at its minimum hop.
+              //
+              // A label/prop-anchored endpoint seeds the frontier from the
+              // anchored node set instead of every edge — the landmark-BFS
+              // shape of GraphAlgorithms.shortestPaths: per-level work is
+              // bounded by the anchor set's reach, not the whole graph's
+              // pair count (the common real query anchors on a selective
+              // label; the unanchored form stays available but is answer-
+              // set quadratic by definition).
               val b = base.dropDuplicates()
-              var frontier = b
-              var seen = b
-              var acc = b.withColumn("h", lit(1))
+              def anchoredPat(np: NodePat) = np.label.isDefined || np.props.nonEmpty
+              val leftPat = p.nodes(i); val rightPat = p.nodes(i + 1)
+              // (anchor pattern, does it sit on the expansion's s side?)
+              val anchor: Option[(NodePat, Boolean)] =
+                if (anchoredPat(leftPat)) Some((leftPat, e.leftToRight))
+                else if (anchoredPat(rightPat)) Some((rightPat, !e.leftToRight))
+                else None
+              val (bb, seed0) = anchor match {
+                case Some((np, matchesS)) =>
+                  val ids = nodeDf(np, "__anchor")
+                    .select(col("__anchor__id").as("s"))
+                  val oriented = if (matchesS) b
+                    else b.select(col("d").as("s"), col("s").as("d"))
+                  (oriented, oriented.join(ids, Seq("s"), "left_semi"))
+                case None => (b, b)
+              }
+              var frontier = seed0
+              var seen = seed0
+              var acc = seed0.withColumn("h", lit(1))
               for (h <- 2 to e.maxHops) {
                 frontier = frontier.select(col("s"), col("d").as("m"))
-                  .join(b.select(col("s").as("m"), col("d")), Seq("m"))
+                  .join(bb.select(col("s").as("m"), col("d")), Seq("m"))
                   .select("s", "d").dropDuplicates()
                   .join(seen, Seq("s", "d"), "left_anti")
                 seen = seen.unionByName(frontier)
                 acc = acc.unionByName(frontier.withColumn("h", lit(h)))
               }
-              acc
+              // undo the orientation flip for a d-side anchor
+              if (anchor.exists { case (_, matchesS) => !matchesS })
+                acc.select(col("d").as("s"), col("s").as("d"), col("h"))
+              else acc
             } else {
               var cur = base
               var acc = if (e.minHops <= 1) base.withColumn("h", lit(1)) else null
               for (h <- 2 to e.maxHops) {
-                cur = cur.select(col("s"), col("d").as("m"))
-                  .join(base.select(col("s").as("m"), col("d")), Seq("m"))
-                  .select("s", "d")
+                cur =
+                  if (track)
+                    cur.select(col("s"), col("d").as("m"), col("rels"), col("nds"))
+                      .join(base.select(col("s").as("m"), col("d"),
+                        col("rels").as("__r2")), Seq("m"))
+                      .select(col("s"), col("d"),
+                        concat(col("rels"), col("__r2")).as("rels"),
+                        concat(col("nds"), array(col("d"))).as("nds"))
+                  else
+                    cur.select(col("s"), col("d").as("m"))
+                      .join(base.select(col("s").as("m"), col("d")), Seq("m"))
+                      .select("s", "d")
                 if (h >= e.minHops) {
                   val tagged = cur.withColumn("h", lit(h))
                   acc = if (acc == null) tagged else acc.unionByName(tagged)
@@ -372,13 +568,42 @@ final class CypherSession(
               if (p.shortest) acc.groupBy("s", "d").agg(min(col("h")).as("h"))
               else acc
             }
-            reduced.select(col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
+            val cols = Vector(
+              col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),
               lit(e.relType.orNull).as(s"${eVar}__type"),
               typedlit(Map.empty[String, String]).as(s"${eVar}__props"),
-              col("h").as(s"${eVar}__hops"))
+              col("h").as(s"${eVar}__hops")) ++
+              (if (track && !p.shortest)
+                Vector(col("rels").as(s"${eVar}__rels"),
+                  col("nds").as(s"${eVar}__nds"))
+              else Vector.empty)
+            reduced.select(cols: _*)
           }
         hopCols += (if (e.minHops == 1 && e.maxHops == 1) lit(1)
           else col(s"${eVar}__hops"))
+        if (trackPath) {
+          if (e.minHops == 1 && e.maxHops == 1) {
+            // single hop: one-struct array + the next bound endpoint
+            relArrCols += array(struct(col(s"${eVar}__src").as("srcId"),
+              col(s"${eVar}__dst").as("dstId"),
+              col(s"${eVar}__type").as("relType")))
+            nodeArrCols += array(col(s"${vars(i + 1)}__id"))
+          } else {
+            // variable-length: the expansion's accumulated arrays are in
+            // edge-traversal order; a reversed pattern segment flips them
+            // into pattern order. `nds` includes both endpoints — drop the
+            // pattern-left one (already contributed by the previous step).
+            val rels = col(s"${eVar}__rels")
+            val nds = col(s"${eVar}__nds")
+            if (e.leftToRight) {
+              relArrCols += rels
+              nodeArrCols += slice(nds, lit(2), size(nds) - 1)
+            } else {
+              relArrCols += reverse(rels)
+              nodeArrCols += slice(reverse(nds), lit(2), size(nds) - 1)
+            }
+          }
+        }
         val leftSide = if (e.leftToRight) s"${eVar}__src" else s"${eVar}__dst"
         val rightSide = if (e.leftToRight) s"${eVar}__dst" else s"${eVar}__src"
         if (!bound.contains(rightV)) {
@@ -402,6 +627,12 @@ final class CypherSession(
       p.pathVar.foreach { pv =>
         val hs = hopCols.result()
         pathHops += pv -> (if (hs.isEmpty) lit(0) else hs.reduce(_ + _))
+        if (trackPath) {
+          val rs = relArrCols.result()
+          pathRels += pv -> (if (rs.isEmpty) array() else concat(rs: _*))
+          pathNodes += pv ->
+            concat((array(col(s"${vars.head}__id")) +: nodeArrCols.result()): _*)
+        }
       }
     }
     def propCol(v: String, p: String): Column =
@@ -454,6 +685,9 @@ final class CypherSession(
     /** scalar (non-struct) value of a return expression. */
     def itemCol(expr: ReturnExpr): Column = expr match {
       case RetVar(v) if scalarVars.contains(v) => col(v)
+      case RetVar(v) if df != null && df.columns.contains(s"${v}__rels") =>
+        // `r` bound on a variable-length pattern is the relationship LIST
+        col(s"${v}__rels")
       case RetVar(v) if df != null && df.columns.contains(s"${v}__type") =>
         struct(col(s"${v}__src").as("srcId"), col(s"${v}__dst").as("dstId"),
           col(s"${v}__type").as("relType"), col(s"${v}__props").as("props"))
@@ -504,7 +738,15 @@ final class CypherSession(
           case "tolower" => lower(c)
           case "toupper" => upper(c)
           case "trim" => trim(c)
-          case "size" => length(c)
+          case "size" => fnArgs.head match {
+            // size() over a relationship list / relationships() / nodes()
+            // / split() is the array length; otherwise string length
+            case RetVar(v) if df != null && df.columns.contains(s"${v}__rels") =>
+              size(col(s"${v}__rels"))
+            case RetFn(f2, _) if Set("relationships", "nodes", "split")(f2) =>
+              size(c)
+            case _ => length(c)
+          }
           case "coalesce" => coalesce(fnArgs.map(itemCol): _*)
           case "tointeger" => c.cast("long")
           case "tofloat" => c.cast("double")
@@ -519,6 +761,37 @@ final class CypherSession(
           case "id" => col(s"${boundVar("node")}__id")
           case "labels" => array(col(s"${boundVar("node")}__label"))
           case "type" => col(s"${boundVar("relationship")}__type")
+          // Cypher string toolkit: substring is 0-based (Spark's is 1-based)
+          case "substring" =>
+            val start = itemCol(fnArgs(1)).cast("int") + 1
+            if (fnArgs.size >= 3) c.substr(start, itemCol(fnArgs(2)).cast("int"))
+            else c.substr(start, lit(Int.MaxValue))
+          case "split" => fnArgs(1) match {
+            // Cypher split is a LITERAL delimiter; Spark's is a regex —
+            // quote it
+            case RetLit(StrLit(d)) =>
+              split(c, java.util.regex.Pattern.quote(d))
+            case other => throw new IllegalArgumentException(
+              s"split() needs a string-literal delimiter, got $other")
+          }
+          case "replace" => replace(c, itemCol(fnArgs(1)), itemCol(fnArgs(2)))
+          case "left" => left(c, itemCol(fnArgs(1)).cast("int"))
+          case "right" => right(c, itemCol(fnArgs(1)).cast("int"))
+          case "tostring" => c.cast("string")
+          case "relationships" => fnArgs.head match {
+            case RetVar(v) if pathRels.contains(v) => pathRels(v)
+            case RetVar(v) if df != null && df.columns.contains(s"${v}__rels") =>
+              col(s"${v}__rels")
+            case other => throw new IllegalArgumentException(
+              s"relationships() takes a path variable bound in this " +
+                s"statement (shortestPath paths collapse walks and carry " +
+                s"no relationship list), got $other")
+          }
+          case "nodes" => fnArgs.head match {
+            case RetVar(v) if pathNodes.contains(v) => pathNodes(v)
+            case other => throw new IllegalArgumentException(
+              s"nodes() takes a path variable bound in this statement, got $other")
+          }
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case a: RetAgg => aggCol(a)
@@ -577,7 +850,8 @@ final class CypherSession(
         }
         bound = keepNodes.result().toSet
         scalarVars = newScalars.result().toSet
-        pathHops = Map.empty // path bindings do not cross a WITH horizon
+        // path bindings do not cross a WITH horizon
+        pathHops = Map.empty; pathRels = Map.empty; pathNodes = Map.empty
       } else {
         val keyCols = keys.map { i =>
           require(!i.expr.isInstanceOf[RetVar] ||
@@ -591,7 +865,7 @@ final class CypherSession(
           else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
         bound = Set.empty
         scalarVars = wc.items.map(_.name).toSet
-        pathHops = Map.empty
+        pathHops = Map.empty; pathRels = Map.empty; pathNodes = Map.empty
       }
       // pagination of the projected rows, then the trailing WHERE
       if (wc.orderBy.nonEmpty) {

@@ -1,6 +1,7 @@
 package graft.graph
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Columnar persistence for the graph, laid out for the access paths the
   * query surface needs at 100 TB:
@@ -39,6 +40,66 @@ object GraphStore {
       spark.read.parquet(s"$path/nodes")
         .select("id", "label", "key", "props"),
       ewp.select("srcId", "dstId", "relType", "props"))
+  }
+
+  /** Durable micro-batch node upsert — the streaming `foreachBatch` write
+    * path (the reference's per-record Bolt MERGE, as one partition-scoped
+    * job per batch). Reads ONLY the label partitions the batch touches
+    * (partition-pruned scan), merges set-oriented, and rewrites ONLY those
+    * partitions via dynamic partition overwrite — the rest of the store is
+    * never read or written, which is what makes a durable upsert viable
+    * when the store dwarfs every batch. Returns (created, matched).
+    *
+    * The touched-label `collect` is a per-batch driver list of label
+    * STRINGS (bounded by the schema, not the data) — not a data collect. */
+  def upsertNodes(spark: SparkSession, path: String, batch: DataFrame): (Long, Long) = {
+    val nodesPath = s"$path/nodes"
+    val touched = batch.select("label").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val existing =
+      try spark.read.parquet(nodesPath)
+        .select("id", "label", "key", "props")
+        .filter(col("label").isin(touched.map(x => x: Any): _*))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        graft.model.GraphSchema.emptyNodes(spark) // first batch: empty store
+      }
+    val scoped = PropertyGraph(existing, graft.model.GraphSchema.emptyEdges(spark))
+    val counts = scoped.mergeNodeCounts(batch)
+    // localCheckpoint cuts lineage from the files being overwritten (Spark
+    // refuses to overwrite a path it is still reading from)
+    val merged = scoped.mergeNodes(batch).nodes.localCheckpoint(true)
+    merged.repartition(col("label")).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("label").parquet(nodesPath)
+    counts
+  }
+
+  /** Durable micro-batch edge upsert: same partition-scoped shape as
+    * [[upsertNodes]], keyed by the batch's relType partitions. */
+  def upsertEdges(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val edgesPath = s"$path/edges"
+    val withProps =
+      if (batch.columns.contains("props")) batch
+      else batch.withColumn("props", typedlit(Map.empty[String, String]))
+    val touched = withProps.select("relType").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val existing =
+      try {
+        val e = spark.read.parquet(edgesPath)
+        (if (e.columns.contains("props")) e
+         else e.withColumn("props", typedlit(Map.empty[String, String])))
+          .select("srcId", "dstId", "relType", "props")
+          .filter(col("relType").isin(touched.map(x => x: Any): _*))
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        graft.model.GraphSchema.emptyEdges(spark)
+      }
+    val scoped = PropertyGraph(graft.model.GraphSchema.emptyNodes(spark), existing)
+    val merged = scoped.mergeEdges(withProps).edges.localCheckpoint(true)
+    merged.repartition(col("relType")).sortWithinPartitions("srcId", "dstId")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("relType").parquet(edgesPath)
   }
 
   /** Catalog-backed bucketed layout: nodes and edges hash-bucketed (and

@@ -1374,6 +1374,96 @@ object AnalyticsCatalog {
            |  FROM documents WHERE lang = 'en')
            |ORDER BY kind, name""".stripMargin))
 
+  private val c21 = Entry("c21_cypher_create",
+    (s, dir) => {
+      // Plain CREATE — the append-only twin of MERGE (c08 is the
+      // idempotent path): the same Tag batch CREATEd twice yields TWO node
+      // instances per name with distinct ids; MATCH…CREATE then wires
+      // every instance to a CREATE-built hub, one edge per matched row.
+      // count(DISTINCT t) proves the duplicate instances carry distinct
+      // identities, count(*) that each got its own relationship.
+      val pubs = Tables(s, dir, "documents")
+        .select(col("source").as("name")).distinct()
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s),
+        keyProps = Map("Tag" -> "name", "Hub" -> "name"))
+      sess.runBatch("CREATE (t:Tag {name: $name})", pubs)
+      sess.runBatch("CREATE (t:Tag {name: $name})", pubs)
+      sess.run("CREATE (h:Hub {name: 'root'})")
+      sess.run("MATCH (t:Tag), (h:Hub) CREATE (t)-[:POINTS_AT]->(h)")
+      sess.run("""MATCH (t:Tag)-[:POINTS_AT]->(h:Hub)
+                 |RETURN t.name AS name, count(DISTINCT t) AS n_nodes,
+                 |       count(*) AS n_links
+                 |ORDER BY name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS name, CAST(2 AS BIGINT) AS n_nodes,
+           |  CAST(2 AS BIGINT) AS n_links
+           |FROM documents GROUP BY source ORDER BY name""".stripMargin))
+
+  private val c22 = Entry("c22_cypher_optional_unanchored",
+    (s, dir) => {
+      // Free-standing OPTIONAL MATCH (no variable shared with the bound
+      // rows): every publisher row survives null-extended when the
+      // pattern matches nothing — count(g) sees zero ghosts while the
+      // publisher cardinality is intact (Neo4j's unanchored semantics).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |OPTIONAL MATCH (g:Ghost)
+                 |RETURN count(DISTINCT p) AS n_pubs, count(g) AS n_ghosts""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT COUNT(DISTINCT source) AS n_pubs,
+           |  CAST(0 AS BIGINT) AS n_ghosts FROM documents""".stripMargin))
+
+  private val c23 = Entry("c23_cypher_anchored_shortest",
+    (s, dir) => {
+      // shortestPath anchored on a selective label+key: the BFS frontier
+      // seeds from the ONE anchored publisher instead of every edge — the
+      // landmark shape whose per-level work is bounded by the anchor's
+      // reach (src10's star: its articles at 1 hop, itself at 2, nothing
+      // new at 3). The unanchored c19 stays the all-pairs reference.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH p = shortestPath((pub:Publisher {name: 'src10'})-[:WRITTEN_BY*1..3]-(x))
+                 |RETURN length(p) AS hops, count(*) AS n_pairs
+                 |ORDER BY hops""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(1 AS INT) AS hops, COUNT(*) AS n_pairs
+           |FROM documents WHERE source = 'src10'
+           |UNION ALL
+           |SELECT CAST(2 AS INT), CAST(1 AS BIGINT)
+           |ORDER BY hops""".stripMargin))
+
+  private val c24 = Entry("c24_cypher_string_toolkit",
+    (s, dir) => {
+      // The remaining string toolkit a browser user reaches for next:
+      // substring (0-based in Cypher), left/right, literal replace, split
+      // (literal delimiter) and toString — all lowered to codegen'd
+      // column expressions over the label-pruned scan.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |RETURN a.doc_id AS key, substring(a.title, 0, 8) AS prefix8,
+                 |  left(a.title, 3) AS l3, right(a.title, 4) AS r4,
+                 |  replace(a.lang, 'e', 'E') AS lang_up,
+                 |  toString(size(split(a.title, ' '))) AS n_tokens
+                 |ORDER BY key LIMIT 200""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS key,
+           |  substring(text, 1, 30) AS title, lang FROM documents)
+           |SELECT key, substring(title, 1, 8) AS prefix8,
+           |  left(title, 3) AS l3, right(title, 4) AS r4,
+           |  replace(lang, 'e', 'E') AS lang_up,
+           |  CAST(len(string_split(title, ' ')) AS VARCHAR) AS n_tokens
+           |FROM t ORDER BY key LIMIT 200""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1664,7 +1754,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04, s05, s06,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16, c17, c18, c19, c20,
+    c15, c16, c17, c18, c19, c20, c21, c22, c23, c24,
     x01, x02, x03, x04, x05,
     m01, m02, m03, m04)
 }

@@ -751,4 +751,155 @@ class CypherSpec extends SparkTestBase {
       .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
     assert(rows === Seq(("l1", "l2")))
   }
+
+  test("CREATE is append-only: run twice creates two nodes, unlike MERGE") {
+    val sess = freshSession
+    val r1 = sess.run("CREATE (t:Tech {name: 'spark'})").asInstanceOf[CypherMutation]
+    assert(r1.nodesCreated === 1 && r1.nodesMatched === 0)
+    val r2 = sess.run("CREATE (t:Tech {name: 'spark'})").asInstanceOf[CypherMutation]
+    assert(r2.nodesCreated === 1 && r2.nodesMatched === 0)
+    val techs = sess.graph.matchLabel("Tech")
+    assert(techs.count() === 2)
+    assert(techs.select("id").distinct().count() === 2) // distinct identities
+    // MERGE on the same key is still the idempotent path
+    val r3 = sess.run("MERGE (t:Tech {name: 'flink'})").asInstanceOf[CypherMutation]
+    val r4 = sess.run("MERGE (t:Tech {name: 'flink'})").asInstanceOf[CypherMutation]
+    assert(r3.nodesCreated === 1 && r4.nodesCreated === 0 && r4.nodesMatched === 1)
+  }
+
+  test("CREATE node-relationship pattern, and CREATE appends parallel rels") {
+    val sess = freshSession
+    val r = sess.run(
+      "CREATE (u:User {name: 'kim'})-[:LIKES {since: '2026'}]->(t:Tech {name: 'flink'})")
+      .asInstanceOf[CypherMutation]
+    assert(r.nodesCreated === 2)
+    val rows = sess.run(
+      """MATCH (u:User)-[r:LIKES]->(t:Tech)
+        |RETURN u.name AS u, r.since AS since, t.name AS t""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq ===
+      Seq(("kim", "2026", "flink")))
+    // CREATE between MERGE-bound vars appends a parallel rel on every run
+    val q = """MERGE (u:User {name: 'kim'}) MERGE (t:Tech {name: 'flink'})
+              |CREATE (u)-[:LIKES]->(t)""".stripMargin
+    sess.run(q); sess.run(q)
+    assert(sess.graph.edges.filter(col("relType") === "LIKES").count() === 3)
+  }
+
+  test("duplicate CREATE attaches edges to the exact instance it created") {
+    val sess = freshSession
+    val q = "CREATE (u:User {name: 'dup'})-[:OWNS]->(t:Tech {name: 'x'})"
+    sess.run(q); sess.run(q)
+    val users = sess.graph.matchLabel("User")
+    assert(users.count() === 2 && users.select("id").distinct().count() === 2)
+    // each duplicate instance owns exactly ONE edge — the one its own
+    // CREATE statement made
+    val perSrc = sess.graph.edges.filter(col("relType") === "OWNS")
+      .groupBy("srcId").count().as[(Long, Long)].collect().toMap
+    assert(perSrc.size === 2 && perSrc.values.forall(_ == 1L))
+  }
+
+  test("MATCH ... CREATE appends one relationship per matched row, never dedups") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'a1'})")
+    sess.run("MERGE (u:User {name: 'a2'})")
+    sess.run("MERGE (t:Tech {name: 'spark'})")
+    val q = "MATCH (u:User), (t:Tech) CREATE (u)-[:USES]->(t)"
+    val w = sess.run(q).asInstanceOf[CypherWrite]
+    assert(w.relationshipsCreated === 2)
+    val w2 = sess.run(q).asInstanceOf[CypherWrite]
+    assert(w2.relationshipsCreated === 2) // CREATE never dedups
+    assert(sess.graph.edges.count() === 4)
+  }
+
+  test("free-standing OPTIONAL MATCH null-extends; opening OPTIONAL MATCH seeds one row") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'alice'})")
+    sess.run("MERGE (u:User {name: 'bob'})")
+    // empty pattern: every user row survives with a null ghost
+    val rows = sess.run(
+      """MATCH (u:User) OPTIONAL MATCH (g:Ghost)
+        |RETURN u.name AS user, g.name AS ghost ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Option[String])].collect().toSeq
+    assert(rows === Seq(("alice", None), ("bob", None)))
+    // a query OPENING with OPTIONAL MATCH yields one null-extended row
+    val opening = sess.run("OPTIONAL MATCH (g:Ghost) RETURN count(g) AS n")
+      .asInstanceOf[CypherRows].df.as[Long].collect().toSeq
+    assert(opening === Seq(0L))
+    // non-empty free-standing pattern cross-products the matches
+    sess.run("MERGE (t:Tech {name: 'spark'})")
+    val cross = sess.run(
+      """MATCH (u:User) OPTIONAL MATCH (t:Tech)
+        |RETURN u.name AS user, t.name AS tech ORDER BY user""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Option[String])].collect().toSeq
+    assert(cross === Seq(("alice", Some("spark")), ("bob", Some("spark"))))
+  }
+
+  test("variable-length relationship binding: r is the list; relationships(p)/nodes(p)") {
+    val sess = freshSession
+    // chain a -> b -> c
+    sess.run("""MERGE (a:Tech {name: 'a'}) MERGE (b:Tech {name: 'b'})
+               |MERGE (a)-[:NEXT]->(b)""".stripMargin)
+    sess.run("""MERGE (b:Tech {name: 'b'}) MERGE (c:Tech {name: 'c'})
+               |MERGE (b)-[:NEXT]->(c)""".stripMargin)
+    val rows = sess.run(
+      """MATCH p = (a:Tech {name: 'a'})-[r:NEXT*1..2]->(x)
+        |RETURN x.name AS dest, length(p) AS hops, size(r) AS n_rels,
+        |       size(relationships(p)) AS n_rels2, size(nodes(p)) AS n_nodes
+        |ORDER BY hops""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // the relationship list length always equals length(p); nodes = hops+1
+    assert(rows.toSeq === Seq(("b", 1, 1, 1, 2), ("c", 2, 2, 2, 3)))
+    // reversed pattern: arrays flip into pattern order — nodes(p) starts
+    // at the pattern-left endpoint
+    val rev = sess.run(
+      """MATCH p = (c:Tech {name: 'c'})<-[r:NEXT*2..2]-(a)
+        |RETURN a.name AS src, size(r) AS n_rels, nodes(p) AS ns, id(c) AS cid""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rev.length === 1)
+    assert(rev.head.getString(0) === "a")
+    assert(rev.head.getInt(1) === 2)
+    assert(rev.head.getSeq[Long](2).length === 3)
+    assert(rev.head.getSeq[Long](2).head === rev.head.getLong(3))
+  }
+
+  test("anchored shortestPath seeds the BFS and matches unanchored semantics") {
+    val sess = freshSession
+    // diamond + tail: a->b->d, a->c->d, d->e
+    for ((s, d) <- Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")))
+      sess.run(s"""MERGE (x:Tech {name: '$s'}) MERGE (y:Tech {name: '$d'})
+                  |MERGE (x)-[:NEXT]->(y)""".stripMargin)
+    val anchored = sess.run(
+      """MATCH p = shortestPath((a:Tech {name: 'a'})-[:NEXT*1..3]->(x))
+        |RETURN x.name AS dest, length(p) AS hops ORDER BY dest""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(anchored === Seq(("b", 1), ("c", 1), ("d", 2), ("e", 3)))
+    // right-side anchor: BFS runs over the flipped edges from the target set
+    val revAnchored = sess.run(
+      """MATCH p = shortestPath((s)-[:NEXT*1..3]->(x:Tech {name: 'e'}))
+        |RETURN s.name AS src, length(p) AS hops ORDER BY src""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(revAnchored === Seq(("a", 3), ("b", 2), ("c", 2), ("d", 1)))
+  }
+
+  test("string toolkit: substring/split/replace/left/right/toString") {
+    val sess = freshSession
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'hello spark world'")
+    val r = sess.run(
+      """MATCH (a:Article)
+        |RETURN substring(a.title, 0, 5) AS sub, left(a.title, 2) AS l,
+        |       right(a.title, 5) AS r, replace(a.title, 'spark', 'flink') AS rep,
+        |       size(split(a.title, ' ')) AS n_tokens,
+        |       toString(size(a.title)) AS len_str""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getString(0) === "hello")
+    assert(r.getString(1) === "he")
+    assert(r.getString(2) === "world")
+    assert(r.getString(3) === "hello flink world")
+    assert(r.getInt(4) === 3)
+    assert(r.getString(5) === "17")
+  }
 }

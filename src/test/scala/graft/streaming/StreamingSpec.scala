@@ -214,4 +214,50 @@ class StreamingSpec extends SparkTestBase {
       assert(title === "t1-updated")
     } finally q.stop()
   }
+
+  test("durable streaming MERGE: partition-scoped store upsert across 3 micro-batches") {
+    import graft.graph.GraphStore
+    import graft.model.GraphSchema
+    implicit val sc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    // seed a partition no batch touches — it must never be rewritten
+    GraphStore.write(PropertyGraph.empty(spark).mergeNodes(
+      Seq(("Publisher", "P0", Map("seed" -> "y")))
+        .toDF("label", "key", "props")), store)
+    def pubFiles() = new java.io.File(s"$store/nodes/label=Publisher")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = pubFiles()
+    val counters = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("key", "title")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val nodes = batch.select(lit("Article").as("label"), col("key"),
+          map(lit("title"), col("title")).as("props"))
+        counters += GraphStore.upsertNodes(spark, store, nodes)
+        GraphStore.upsertEdges(spark, store, batch.select(
+          GraphSchema.stableId(lit("Article"), col("key")).as("srcId"),
+          GraphSchema.stableId(lit("Publisher"), lit("P0")).as("dstId"),
+          lit("WRITTEN_BY").as("relType")))
+        ()
+      }.start()
+    try {
+      mem.addData(("a", "t1"), ("b", "t2")); q.processAllAvailable()
+      mem.addData(("a", "t1-updated"), ("c", "t3")); q.processAllAvailable()
+      mem.addData(("d", "t4")); q.processAllAvailable()
+    } finally q.stop()
+    // per-batch created/matched counters, the reference's branch signal
+    assert(counters.toSeq === Seq((2L, 0L), (1L, 1L), (1L, 0L)))
+    val g = GraphStore.read(spark, store)
+    assert(g.matchLabel("Article").count() === 4)
+    assert(g.matchLabel("Publisher").count() === 1)
+    assert(g.edges.count() === 4)
+    // the re-merged key carries the LAST batch's property
+    assert(g.matchLabel("Article").filter(col("key") === "a")
+      .select(element_at(col("props"), "title")).as[String].head() === "t1-updated")
+    // partition-scoped writes: the untouched Publisher partition's files
+    // are bit-identical across all three batches (no full-store rewrite)
+    assert(pubFiles() === before)
+  }
 }
