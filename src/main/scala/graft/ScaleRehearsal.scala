@@ -58,7 +58,8 @@ object ScaleRehearsal {
     ops.AnalyticsCatalog.warmGraph(spark, out)
     val heavy = Seq("d03_minhash_lsh_pairs", "d06_embedding_near_dup",
       "d08_neardup_cluster_dedup", "x01_connected_components",
-      "c19_cypher_shortest_path", "t12_chunk_dedup")
+      "c19_cypher_shortest_path", "c23_cypher_anchored_shortest",
+      "t12_chunk_dedup")
     val results = heavy.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()

@@ -1183,9 +1183,141 @@ object QueryCatalog {
            |GROUP BY CAST(year(o_orderdate) AS INT)
            |ORDER BY o_year""".stripMargin))
 
+  private val q48 = Entry("q48_product_type_profit",
+    (s, dir) => {
+      // TPC-H Q9 shape (profit by supplier nation and order year, for
+      // name-matched parts). The part predicate semi-joins the fact FIRST
+      // (the q42 lesson applied from the start: the ~1/8 'red' slice is
+      // what shuffles through the joins, never all of lineitem); revenue
+      // stays decimal-exact until the final double cast.
+      val li = t(s, dir, "lineitem")
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select("p_partkey")
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      li.join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(asDouble(sum(rev)).as("sum_profit"), count(lit(1)).as("n_lines"))
+        .orderBy("nation", "o_year")
+    },
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_profit,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE contains(p_name, 'red'))
+           |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+           |ORDER BY nation, o_year""".stripMargin))
+
+  private val q49 = Entry("q49_top_supplier_per_brand",
+    (s, dir) => {
+      // TPC-H Q2 shape: a correlated max subquery (the best supplier per
+      // brand) decorrelated to ONE per-(brand,supplier) aggregate plus a
+      // per-brand max joined back — no per-row re-execution, the form
+      // that survives a 100× fact table. Revenue comparisons are exact
+      // (decimal = decimal); ties collapse deterministically by min
+      // suppkey.
+      val li = t(s, dir, "lineitem")
+      val parts = t(s, dir, "part").select("p_partkey", "p_brand")
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      val perPair = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey").agg(sum(rev).as("brand_rev"))
+      val best = perPair.groupBy("p_brand").agg(max(col("brand_rev")).as("best_rev"))
+      perPair.join(best, Seq("p_brand"))
+        .filter(col("brand_rev") === col("best_rev"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(min(col("l_suppkey")).as("best_suppkey"),
+          asDouble(max(col("best_rev"))).as("best_rev"))
+        .orderBy("brand")
+    },
+    Some("""WITH pp AS (
+           |  SELECT p_brand, l_suppkey,
+           |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS brand_rev
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  GROUP BY p_brand, l_suppkey),
+           |b AS (SELECT p_brand, MAX(brand_rev) AS best_rev FROM pp GROUP BY p_brand)
+           |SELECT pp.p_brand AS brand, MIN(pp.l_suppkey) AS best_suppkey,
+           |  CAST(MAX(b.best_rev) AS DOUBLE) AS best_rev
+           |FROM pp JOIN b ON pp.p_brand = b.p_brand AND pp.brand_rev = b.best_rev
+           |GROUP BY pp.p_brand ORDER BY brand""".stripMargin))
+
+  private val q50 = Entry("q50_surplus_suppliers",
+    (s, dir) => {
+      // TPC-H Q20 shape: the nested semi-join chain — suppliers who moved
+      // more than an eighth of a 'red' part's total volume. Both
+      // aggregates run over the SAME semi-join-reduced slice; quantities
+      // sum as decimals and the 0.125 threshold is a power-of-2 multiply,
+      // so the comparison is exact cross-engine.
+      val li = t(s, dir, "lineitem")
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select("p_partkey")
+      val red = li.join(broadcast(redParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPair = red.groupBy("l_partkey", "l_suppkey")
+        .agg(asDouble(sum(dec(col("l_quantity")))).as("pair_qty"))
+      val perPart = red.groupBy("l_partkey")
+        .agg((asDouble(sum(dec(col("l_quantity")))) * 0.125).as("qty_bar"))
+      val qualified = perPair.join(perPart, Seq("l_partkey"))
+        .filter(col("pair_qty") > col("qty_bar"))
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    },
+    Some("""WITH red AS (
+           |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+           |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE contains(p_name, 'red'))),
+           |pp AS (SELECT l_partkey, l_suppkey,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS pair_qty
+           |  FROM red GROUP BY 1, 2),
+           |pt AS (SELECT l_partkey,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.125 AS qty_bar
+           |  FROM red GROUP BY 1)
+           |SELECT s_suppkey, s_name FROM supplier
+           |WHERE s_suppkey IN (
+           |  SELECT pp.l_suppkey FROM pp JOIN pt ON pp.l_partkey = pt.l_partkey
+           |  WHERE pp.pair_qty > pt.qty_bar)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  private val q51 = Entry("q51_important_parts",
+    (s, dir) => {
+      // TPC-H Q11 shape: per-part value with a HAVING over a GLOBAL
+      // threshold (here 1.5× the average part value — scale-invariant,
+      // where Q11's fixed fraction only selects rows at one SF). The
+      // global scalar is a 1-row broadcast crossJoin — the threshold
+      // never re-scans the fact and nothing collects to the driver. Sums
+      // stay decimal; the final multiply/divide is double, written in
+      // the SAME operation order as the oracle (deterministic IEEE).
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("value"))
+      val threshold = perPart.agg(
+        (asDouble(sum(col("value"))) * 1.5 / count(lit(1))).as("__bar"))
+      perPart.crossJoin(broadcast(threshold))
+        .filter(asDouble(col("value")) > col("__bar"))
+        .select(col("l_partkey"), asDouble(col("value")).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+    Some("""WITH pv AS (
+           |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+           |  FROM lineitem GROUP BY l_partkey)
+           |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+           |FROM pv, (SELECT CAST(SUM(value) AS DOUBLE) * 1.5 / COUNT(*) AS bar FROM pv) t
+           |WHERE CAST(value AS DOUBLE) > t.bar
+           |ORDER BY part_value DESC, l_partkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -111,6 +111,24 @@ class PlanSpec extends SparkTestBase {
     assert(!m04.contains("embedding#") || !m04.contains("label#"), m04)
   }
 
+  test("round-4 query shapes keep their intended plans") {
+    // Q9 shape: the part predicate reaches the fact as a semi-join
+    // BEFORE the wide joins
+    assert(plan("q48_product_type_profit").contains("LeftSemi"))
+    // Q2 shape: decorrelated argmax join-back, no cartesian
+    val q49 = plan("q49_top_supplier_per_brand")
+    assert(!q49.contains("CartesianProduct"), q49)
+    // Q20 shape: nested semi-join chain stays semi joins
+    val q50 = plan("q50_surplus_suppliers")
+    assert(q50.contains("LeftSemi"), q50)
+    // Q11 shape: the global threshold is a broadcast 1-row scalar
+    val q51 = plan("q51_important_parts")
+    assert(q51.contains("BroadcastExchange"), q51)
+    // anchored shortestPath: the BFS seed semi-joins the anchor's node ids
+    val c23 = plan("c23_cypher_anchored_shortest")
+    assert(c23.contains("LeftSemi"), c23)
+  }
+
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
