@@ -145,9 +145,11 @@ object CypherAst {
     * `MATCH … [DETACH] DELETE var` removals, `MATCH … MERGE (a)-[:T]->(b)`
     * relationship upserts and `MATCH … CREATE (a)-[:T]->(b)` append-only
     * relationship creation between bound endpoints — all applied to the
-    * pre-statement graph state. */
+    * pre-statement graph state. SET values are full scalar EXPRESSIONS
+    * over the bound pattern (`SET n.views = toInteger(n.views) + 1`),
+    * computed per matched row by the same compiler as RETURN items. */
   final case class UpdateStatement(stages: Seq[MatchStage],
-    sets: Seq[(PropRef, Value)], removes: Seq[PropRef],
+    sets: Seq[(PropRef, ReturnExpr)], removes: Seq[PropRef],
     deletes: Seq[String], detach: Boolean,
     merges: Seq[PathPat] = Nil, creates: Seq[PathPat] = Nil) extends Statement
 

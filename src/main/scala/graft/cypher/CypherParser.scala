@@ -226,7 +226,7 @@ object CypherParser {
 
     /** `MATCH … SET/REMOVE/[DETACH] DELETE/MERGE` write tail. */
     private def updateTail(stages: Seq[MatchStage]): UpdateStatement = {
-      val sets = ArrayBuffer.empty[(PropRef, Value)]
+      val sets = ArrayBuffer.empty[(PropRef, ReturnExpr)]
       val removes = ArrayBuffer.empty[PropRef]
       val deletes = ArrayBuffer.empty[String]
       val merges = ArrayBuffer.empty[PathPat]
@@ -352,8 +352,8 @@ object CypherParser {
           var onMatch = Seq.empty[(PropRef, Value)]
           def handlerItems(): Seq[(PropRef, Value)] = {
             expectKw("SET")
-            val items = ArrayBuffer(setItem())
-            while (peek.contains(Sym(","))) { next(); items += setItem() }
+            val items = ArrayBuffer(setItemValue())
+            while (peek.contains(Sym(","))) { next(); items += setItemValue() }
             items.toSeq
           }
           while (peek.contains(Kw("ON"))) {
@@ -384,8 +384,8 @@ object CypherParser {
           }
         case Some(Kw("SET")) =>
           next()
-          val items = ArrayBuffer(setItem())
-          while (peek.contains(Sym(","))) { next(); items += setItem() }
+          val items = ArrayBuffer(setItemValue())
+          while (peek.contains(Sym(","))) { next(); items += setItemValue() }
           clauses += SetItems(items.toSeq)
         case Some(Kw("WITH")) =>
           next()
@@ -607,6 +607,10 @@ object CypherParser {
         while (peek.contains(Sym(","))) { next(); fnArgs += addExpr() }
         expectSym(")")
         RetFn(fn.toLowerCase, fnArgs.toSeq)
+      case Ident(fn) if peek.contains(Sym("(")) &&
+          pos + 1 < ts.length && ts(pos + 1) == Sym(")") =>
+        // zero-arg function call (datetime()) — a Value-grammar leaf
+        next(); next(); RetLit(FnCall(fn.toLowerCase))
       case Ident(v) if peek.contains(Sym(".")) =>
         next(); RetProp(PropRef(v, ident()))
       case Ident(v) => RetVar(v)
@@ -646,8 +650,21 @@ object CypherParser {
       OrderItem(key, asc)
     }
 
-    private def setItem(): (PropRef, Value) = {
-      val ref = propRef(); expectSym("="); (ref, value())
+    /** `n.prop = <scalar expression>` — MATCH-driven SET takes the full
+      * expression grammar; MERGE handler contexts narrow it back to a
+      * Value via [[exprValue]] (set-oriented parameter batches). */
+    private def setItem(): (PropRef, ReturnExpr) = {
+      val ref = propRef(); expectSym("="); (ref, addExpr())
+    }
+
+    private def exprValue(e: ReturnExpr): Value = e match {
+      case RetLit(v) => v
+      case RetProp(r) => RefValue(r)
+      case RetVar(n) => AliasValue(n)
+      case other => fail(s"MERGE SET values must be literals or parameters, got $other")
+    }
+    private def setItemValue(): (PropRef, Value) = {
+      val (ref, e) = setItem(); (ref, exprValue(e))
     }
   }
 }

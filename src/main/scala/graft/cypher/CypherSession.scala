@@ -256,8 +256,14 @@ final class CypherSession(
       u.deletes ++ mergeVars).distinct
     require(targets.nonEmpty,
       "write statement needs SET, REMOVE, DELETE, MERGE or CREATE targets")
+    // SET values are full expressions over the bound pattern — compile
+    // them as extra (aliased) return items so the SAME compiler that
+    // lowers RETURN produces the per-row assigned values
     val mm = MatchStatement(u.stages,
-      targets.map(v => ReturnItem(RetVar(v), None)), Nil, None)
+      targets.map(v => ReturnItem(RetVar(v), None)) ++
+        u.sets.zipWithIndex.map { case ((_, expr), i) =>
+          ReturnItem(expr, Some(s"__set_$i")) },
+      Nil, None)
     val out = compileMatch(mm, params)
     def idsOf(v: String): DataFrame =
       out.select(out(v).getField("id").as("id")).distinct()
@@ -268,32 +274,35 @@ final class CypherSession(
     var nodesDeleted = 0L
     var relsDeleted = 0L
 
-    val rewrites = (u.sets.map(s => (s._1.variable, Left(s))) ++
-      u.removes.map(r => (r.variable, Right(r)))).groupBy(_._1)
-    rewrites.toSeq.sortBy(_._1).foreach { case (v, items) =>
+    // REMOVE first, SET second (same key → the SET wins, as before); both
+    // read the pre-statement match
+    u.removes.groupBy(_.variable).toSeq.sortBy(_._1).foreach { case (v, refs) =>
       val ids = idsOf(v).localCheckpoint(true) // pin to pre-statement state
-      val n = ids.count()
-      val setPairs = items.collect { case (_, Left((PropRef(_, p), value))) => (p, value) }
-      val removeKeys = items.collect { case (_, Right(PropRef(_, p))) => p }
-      val rewrite: Column => Column = { old0 =>
-        val old = coalesce(old0, map())
-        val afterRemove =
-          if (removeKeys.isEmpty) old
-          else map_filter(old, (k, _) => !k.isInCollection(removeKeys))
-        if (setPairs.isEmpty) afterRemove
-        else {
-          val entries = setPairs.flatMap { case (p, value) =>
-            Seq(lit(p), scalarCol(value, params).cast("string"))
-          }
-          map_concat(
-            map_filter(afterRemove, (k, _) => !k.isInCollection(setPairs.map(_._1))),
-            map(entries: _*))
-        }
-      }
-      g = g.updateNodeProps(ids, rewrite)
-      propsSet += n * setPairs.size
-      propsRemoved += n * removeKeys.size
+      val removeKeys = refs.map(_.prop)
+      g = g.updateNodeProps(ids, { old0 =>
+        map_filter(coalesce(old0, map()), (k, _) => !k.isInCollection(removeKeys))
+      })
+      propsRemoved += ids.count() * removeKeys.size
     }
+
+    // expression-valued SET: the compiled __set_i columns carry the per-row
+    // values; one deterministic value per id (max over matched rows — Neo4j
+    // leaves multi-match assignment order unspecified, a set-oriented
+    // engine pins it), merged back by id in one join
+    u.sets.zipWithIndex.groupBy(_._1._1.variable).toSeq.sortBy(_._1)
+      .foreach { case (v, items) =>
+        val aggs = items.map { case (_, i) =>
+          max(col(s"__set_$i").cast("string")).as(s"__v_$i") }
+        val entries = items.flatMap { case ((PropRef(_, p), _), i) =>
+          Seq(lit(p), col(s"__v_$i")) }
+        val vals = out.select(out(v).getField("id").as("id") +:
+            items.map { case (_, i) => col(s"__set_$i") }: _*)
+          .groupBy("id").agg(aggs.head, aggs.tail: _*)
+          .select(col("id"), map(entries: _*).as("__new"))
+          .localCheckpoint(true) // pin to pre-statement state
+        propsSet += vals.count() * items.size
+        g = g.updateNodePropsWith(vals)
+      }
 
     // MATCH-driven relationship MERGE: one set-oriented edge-merge batch
     // per pattern — the matched (src, dst) id pairs, deduped, with any

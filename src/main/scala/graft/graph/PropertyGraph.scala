@@ -184,6 +184,18 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     bounded(copy(nodes = updated, mergeDepth = mergeDepth + 1))
   }
 
+  /** Cypher `MATCH … SET n.p = <expression>`: per-id COMPUTED property
+    * assignments. `vals` has one row per id with a `__new` map of the
+    * assigned entries; listed keys overwrite, unlisted survive (SET
+    * semantics) — one left join over the store, no driver round trips. */
+  def updateNodePropsWith(vals: DataFrame): PropertyGraph = {
+    val marked = nodes.join(vals.select("id", "__new"), Seq("id"), "left")
+    val updated = marked.select(col("id"), col("label"), col("key"),
+      when(col("__new").isNotNull, mergeProps(col("props"), col("__new")))
+        .otherwise(col("props")).as("props"))
+    bounded(copy(nodes = updated, mergeDepth = mergeDepth + 1))
+  }
+
   /** Q14 — mutation counters: (created, matched) for a node batch, computed
     * the way the reference's consumer branches on `nodes_created`
     * (/root/reference/src/crwling.py:61-64). Set-oriented: one anti-join. */

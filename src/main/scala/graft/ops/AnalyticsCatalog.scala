@@ -1464,6 +1464,28 @@ object AnalyticsCatalog {
            |  CAST(len(string_split(title, ' ')) AS VARCHAR) AS n_tokens
            |FROM t ORDER BY key LIMIT 200""".stripMargin))
 
+  private val c25 = Entry("c25_cypher_expression_set",
+    (s, dir) => {
+      // Expression-valued SET across the whole label: the assigned values
+      // are computed per matched row by the same compiler that lowers
+      // RETURN (toUpper / size over the bound node), then merged back by
+      // id in ONE join — the reference's per-record SET loop
+      // (crwling.py:50-52), set-oriented and content-derived.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |SET a.caps_lang = toUpper(a.lang), a.title_len = size(a.title)""".stripMargin)
+      sess.run("""MATCH (a:Article)
+                 |RETURN a.caps_lang AS caps_lang, count(a) AS n_docs,
+                 |       sum(a.title_len) AS total_len
+                 |ORDER BY caps_lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT upper(lang) AS caps_lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(length(substring(text, 1, 30))) AS DOUBLE) AS total_len
+           |FROM documents GROUP BY upper(lang) ORDER BY caps_lang""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1754,7 +1776,7 @@ object AnalyticsCatalog {
     s01, s02, s03, s04, s05, s06,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16, c17, c18, c19, c20, c21, c22, c23, c24,
+    c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25,
     x01, x02, x03, x04, x05,
     m01, m02, m03, m04)
 }

@@ -885,6 +885,31 @@ class CypherSpec extends SparkTestBase {
     assert(revAnchored === Seq(("a", 3), ("b", 2), ("c", 2), ("d", 1)))
   }
 
+  test("SET with expressions: computed per matched row, merged by id") {
+    val sess = freshSession
+    Seq(("d1", "en", "1"), ("d2", "de", "2")).foreach { case (l, lang, v) =>
+      sess.run("MERGE (a:Article {link: $l}) SET a.lang = $lang, a.views = $v",
+        Map("l" -> l, "lang" -> lang, "v" -> v))
+    }
+    val w = sess.run(
+      "MATCH (a:Article) SET a.caps = toUpper(a.lang), a.views = toInteger(a.views) + 10")
+      .asInstanceOf[CypherWrite]
+    assert(w.propertiesSet === 4) // 2 nodes x 2 items
+    val rows = sess.run(
+      """MATCH (a:Article)
+        |RETURN a.link AS link, a.caps AS caps, a.views AS views
+        |ORDER BY link""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, String)].collect().toSeq
+    assert(rows === Seq(("d1", "EN", "11"), ("d2", "DE", "12")))
+    // CASE in SET, gated by WHERE — untouched rows keep their bag
+    sess.run("""MATCH (a:Article) WHERE a.lang = 'en'
+               |SET a.tier = CASE WHEN toInteger(a.views) > 11 THEN 'hot' ELSE 'warm' END""".stripMargin)
+    val tiers = sess.run(
+      """MATCH (a:Article) RETURN a.link AS link, a.tier AS tier ORDER BY link""")
+      .asInstanceOf[CypherRows].df.as[(String, Option[String])].collect().toSeq
+    assert(tiers === Seq(("d1", Some("warm")), ("d2", None)))
+  }
+
   test("string toolkit: substring/split/replace/left/right/toString") {
     val sess = freshSession
     sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'hello spark world'")
