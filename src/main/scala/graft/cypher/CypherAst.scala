@@ -54,6 +54,12 @@ object CypherAst {
   final case class AndE(l: BoolExpr, r: BoolExpr) extends BoolExpr
   final case class OrE(l: BoolExpr, r: BoolExpr) extends BoolExpr
   final case class NotE(e: BoolExpr) extends BoolExpr
+  /** `EXISTS { (n)-[:R]->(:L) [WHERE …] }` pattern predicate — lowers to a
+    * LEFT SEMI join of the bound rows against the subquery pattern
+    * (NOT EXISTS → LEFT ANTI). Only valid as a top-level WHERE conjunct,
+    * optionally under one NOT — a semi-join is a plan shape, not a column. */
+  final case class ExistsPat(path: PathPat,
+    where: Option[BoolExpr] = None) extends BoolExpr
 
   sealed trait ReturnExpr
   final case class RetVar(variable: String) extends ReturnExpr
@@ -81,6 +87,12 @@ object CypherAst {
     * ([[containsAgg]]). */
   final case class RetAgg(fn: String, arg: Option[Either[String, PropRef]],
     distinct: Boolean = false) extends ReturnExpr
+  /** `COUNT { (n)-[:R]->(m) [WHERE …] }` subquery expression — the match
+    * count of the subquery pattern per outer row. NOT an aggregate over the
+    * current rows: it pre-materializes as a grouped count left-joined back
+    * on the shared variables' ids (0 when nothing matches). */
+  final case class RetCountSub(path: PathPat,
+    where: Option[BoolExpr] = None) extends ReturnExpr
 
   /** True when the expression tree contains an aggregate call — such an
     * item is an aggregation output, everything else is an implicit
@@ -107,6 +119,7 @@ object CypherAst {
       case RetAgg(fn, Some(Left(v)), d) => s"$fn(${if (d) "DISTINCT " else ""}$v)"
       case RetAgg(fn, Some(Right(PropRef(v, p))), d) =>
         s"$fn(${if (d) "DISTINCT " else ""}$v.$p)"
+      case _: RetCountSub => "count_sub"
     }
     def name: String = alias.getOrElse(exprName(expr))
   }

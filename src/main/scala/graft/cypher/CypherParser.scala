@@ -15,13 +15,13 @@ object CypherParser {
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
     "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
-    "THEN", "ELSE", "END", "IN", "UNION", "ALL")
+    "THEN", "ELSE", "END", "IN", "UNION", "ALL", "EXISTS")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
     "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type",
     "substring", "split", "replace", "left", "right", "tostring",
-    "relationships", "nodes")
+    "relationships", "nodes", "properties", "keys")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -290,13 +290,25 @@ object CypherParser {
     }
     private def notExpr(): BoolExpr = peek match {
       case Some(Kw("NOT")) => next(); NotE(notExpr())
-      case Some(Ident(f)) if f.equalsIgnoreCase("exists") &&
-          pos + 1 < ts.length && ts(pos + 1) == Sym("(") =>
-        // exists(n.prop) — property-presence test
-        next(); next()
-        val e = addExpr()
-        expectSym(")")
-        Cmp(Predicate(e, "IS NOT NULL", RetLit(NumLit(0, isInt = true))))
+      case Some(Kw("EXISTS")) =>
+        next()
+        peek match {
+          case Some(Sym("{")) =>
+            // EXISTS { <pattern> [WHERE …] } — pattern-predicate subquery
+            next()
+            val p = path()
+            val w = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
+              else None
+            expectSym("}")
+            ExistsPat(p, w)
+          case Some(Sym("(")) =>
+            // legacy exists(n.prop) — property-presence test
+            next()
+            val e = addExpr()
+            expectSym(")")
+            Cmp(Predicate(e, "IS NOT NULL", RetLit(NumLit(0, isInt = true))))
+          case t => fail(s"expected {{ or ( after EXISTS, got $t")
+        }
       case Some(Sym("(")) =>
         // '(' is ambiguous: a grouped boolean (`(a.x > 1) OR …`) or a
         // parenthesized arithmetic operand (`(a.x + 1) > 2`). Try the
@@ -588,6 +600,14 @@ object CypherParser {
       case Str(s) => RetLit(StrLit(s))
       case Num(s) => RetLit(NumLit(s.toDouble, !s.contains('.')))
       case Kw("NULL") => RetLit(NullLit)
+      case Ident(fn) if fn.equalsIgnoreCase("count") && peek.contains(Sym("{")) =>
+        // COUNT { <pattern> [WHERE …] } — subquery match count per outer row
+        next()
+        val p = path()
+        val w = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
+          else None
+        expectSym("}")
+        RetCountSub(p, w)
       case Ident(fn) if aggFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
         val distinct = peek.contains(Kw("DISTINCT"))
@@ -617,15 +637,22 @@ object CypherParser {
       case t => fail(s"expected expression, got $t")
     }
 
-    /** Searched CASE (the `CASE` keyword is already consumed):
-      * `WHEN <bool> THEN <expr> … [ELSE <expr>] END`. */
+    /** CASE (the `CASE` keyword is already consumed). Searched form
+      * `CASE WHEN <bool> THEN <expr> … [ELSE] END`, or the simple form
+      * `CASE <subject> WHEN <value> THEN <expr> … [ELSE] END` — desugared
+      * to the searched form with `<subject> = <value>` conditions. */
     private def caseExpr(): RetCase = {
+      val subject: Option[ReturnExpr] =
+        if (peek.contains(Kw("WHEN"))) None else Some(addExpr())
       val whens = ArrayBuffer.empty[(BoolExpr, ReturnExpr)]
       if (!peek.contains(Kw("WHEN")))
-        fail("only searched CASE (CASE WHEN …) is supported")
+        fail("CASE needs at least one WHEN")
       while (peek.contains(Kw("WHEN"))) {
         next()
-        val cond = boolExpr()
+        val cond = subject match {
+          case Some(subj) => Cmp(Predicate(subj, "=", addExpr()))
+          case None => boolExpr()
+        }
         expectKw("THEN")
         whens += ((cond, addExpr()))
       }

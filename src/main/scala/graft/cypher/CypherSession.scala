@@ -392,6 +392,10 @@ final class CypherSession(
     var pathNodes = Map.empty[String, Column]
     var anon = 0
     def freshVar(): String = { anon += 1; s"__n$anon" }
+    /** COUNT {} subqueries already attached to the bound rows (AST node →
+      * generated column carrying the per-row match count). */
+    var countSubs = Map.empty[RetCountSub, String]
+    var csAnon = 0
 
     // pre-scan: does anything in the statement read relationships()/nodes()?
     def exprWantsPathArrays(e: ReturnExpr): Boolean = e match {
@@ -408,6 +412,7 @@ final class CypherSession(
       case AndE(l, r) => boolWantsPathArrays(l) || boolWantsPathArrays(r)
       case OrE(l, r) => boolWantsPathArrays(l) || boolWantsPathArrays(r)
       case NotE(e) => boolWantsPathArrays(e)
+      case _: ExistsPat => false
     }
     val needPathArrays =
       m.ret.exists(i => exprWantsPathArrays(i.expr)) ||
@@ -650,6 +655,16 @@ final class CypherSession(
         col(s"${v}__props").getItem(p)
       else propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
 
+    /** Full property map of a bound entity. Edges carry their bag as-is;
+      * nodes fold the out-of-band merge-key property back in per label. */
+    def entityPropsCol(v: String): Column =
+      if (df != null && df.columns.contains(s"${v}__type")) col(s"${v}__props")
+      else keyProps.foldLeft(col(s"${v}__props")) { case (acc, (lbl, kp)) =>
+        when(col(s"${v}__label") === lbl,
+          map_concat(col(s"${v}__props"), map(lit(kp), col(s"${v}__key"))))
+          .otherwise(acc)
+      }
+
     def compileBool(be: BoolExpr): Column = be match {
       case Cmp(Predicate(lhs, "IS NULL", _)) => itemCol(lhs).isNull
       case Cmp(Predicate(lhs, "IS NOT NULL", _)) => itemCol(lhs).isNotNull
@@ -689,6 +704,9 @@ final class CypherSession(
       case AndE(l, r) => compileBool(l) && compileBool(r)
       case OrE(l, r) => compileBool(l) || compileBool(r)
       case NotE(e) => !compileBool(e)
+      case _: ExistsPat => throw new IllegalArgumentException(
+        "EXISTS { } is a plan shape (semi-join), not a column — use it as a " +
+          "top-level WHERE conjunct, optionally under a single NOT")
     }
 
     /** scalar (non-struct) value of a return expression. */
@@ -752,7 +770,7 @@ final class CypherSession(
             // / split() is the array length; otherwise string length
             case RetVar(v) if df != null && df.columns.contains(s"${v}__rels") =>
               size(col(s"${v}__rels"))
-            case RetFn(f2, _) if Set("relationships", "nodes", "split")(f2) =>
+            case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys")(f2) =>
               size(c)
             case _ => length(c)
           }
@@ -801,9 +819,20 @@ final class CypherSession(
             case other => throw new IllegalArgumentException(
               s"nodes() takes a path variable bound in this statement, got $other")
           }
+          // properties(n) = the full bag INCLUDING the merge-key property
+          // (stored out-of-band in the key column for its label); keys(n)
+          // is its sorted key list (Neo4j leaves order unspecified — a
+          // set-oriented engine pins it for reproducibility)
+          case "properties" => entityPropsCol(boundVar("node or relationship"))
+          case "keys" =>
+            array_sort(map_keys(entityPropsCol(boundVar("node or relationship"))))
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case a: RetAgg => aggCol(a)
+      case cs: RetCountSub =>
+        val cname = countSubs.getOrElse(cs, throw new IllegalStateException(
+          "COUNT { } subquery was not pre-materialized for this scope"))
+        coalesce(col(cname), lit(0L))
     }
 
     def aggCol(a: RetAgg): Column = {
@@ -910,13 +939,103 @@ final class CypherSession(
       scalarVars += u.alias
     }
 
+    /** Compile a subquery pattern standalone (fresh binding scope), apply
+      * its inner WHERE, and hand back (rows, bound vars) with the outer
+      * scope restored. Shared machinery for EXISTS {} and COUNT {}. */
+    def compileSubPattern(p: PathPat, where: Option[BoolExpr]): (DataFrame, Set[String]) = {
+      val savedDf = df; val savedBound = bound
+      df = null; bound = Set.empty
+      compilePath(p, optional = false)
+      where.foreach(be => df = df.filter(compileBool(be)))
+      val part = df; val partBound = bound
+      df = savedDf; bound = savedBound
+      (part, partBound)
+    }
+    def sharedIdVars(part: DataFrame, partBound: Set[String], what: String): Seq[String] = {
+      val shared = (partBound & bound).toSeq.sorted
+        .filter(v => part.columns.contains(s"${v}__id") &&
+          df.columns.contains(s"${v}__id"))
+      require(shared.nonEmpty,
+        s"$what must share at least one bound variable with the outer pattern")
+      shared
+    }
+
+    /** EXISTS {} / NOT EXISTS {} conjunct → LEFT SEMI / LEFT ANTI join of
+      * the bound rows against the subquery pattern on the shared ids. The
+      * probe side carries ONLY the distinct shared-id columns — at scale the
+      * join ships a key list, never the subquery's full expansion. */
+    def applyPatternPredicate(p: PathPat, innerWhere: Option[BoolExpr],
+        anti: Boolean): Unit = {
+      val (part, partBound) = compileSubPattern(p, innerWhere)
+      val shared = sharedIdVars(part, partBound, "EXISTS { }")
+      val probe = part
+        .select(shared.map(v => col(s"${v}__id").as(s"__ex_$v")): _*).distinct()
+      val cond = shared.map(v => col(s"${v}__id") === col(s"__ex_$v")).reduce(_ && _)
+      df = df.join(probe, cond, if (anti) "left_anti" else "left_semi")
+    }
+
+    /** WHERE application: EXISTS-pattern conjuncts become joins, the rest
+      * compiles to one Column filter. */
+    def applyWhere(be: BoolExpr): Unit = {
+      def conj(b: BoolExpr): Seq[BoolExpr] = b match {
+        case AndE(l, r) => conj(l) ++ conj(r)
+        case o => Seq(o)
+      }
+      val plain = Vector.newBuilder[BoolExpr]
+      conj(be).foreach {
+        case ExistsPat(p, w) => applyPatternPredicate(p, w, anti = false)
+        case NotE(ExistsPat(p, w)) => applyPatternPredicate(p, w, anti = true)
+        case o => plain += o
+      }
+      val rest = plain.result()
+      if (rest.nonEmpty) df = df.filter(compileBool(rest.reduce(AndE.apply)))
+    }
+
+    // COUNT {} subqueries: pre-materialized as a grouped count left-joined
+    // back on the shared ids; itemCol then reads the attached column.
+    def collectCountSubs(e: ReturnExpr): Seq[RetCountSub] = e match {
+      case cs: RetCountSub => Seq(cs)
+      case RetBin(_, l, r) => collectCountSubs(l) ++ collectCountSubs(r)
+      case RetFn(_, as) => as.flatMap(collectCountSubs)
+      case RetCase(ws, d) => ws.flatMap { case (c, v) =>
+        collectCountSubsBool(c) ++ collectCountSubs(v) } ++
+        d.toSeq.flatMap(collectCountSubs)
+      case _ => Nil
+    }
+    def collectCountSubsBool(b: BoolExpr): Seq[RetCountSub] = b match {
+      case Cmp(Predicate(l, _, r)) => collectCountSubs(l) ++ collectCountSubs(r)
+      case AndE(l, r) => collectCountSubsBool(l) ++ collectCountSubsBool(r)
+      case OrE(l, r) => collectCountSubsBool(l) ++ collectCountSubsBool(r)
+      case NotE(e) => collectCountSubsBool(e)
+      case _: ExistsPat => Nil
+    }
+    def materializeCountSub(cs: RetCountSub): Unit = if (!countSubs.contains(cs)) {
+      val (part, partBound) = compileSubPattern(cs.path, cs.where)
+      val shared = sharedIdVars(part, partBound, "COUNT { }")
+      csAnon += 1
+      val cname = s"__cntsub$csAnon"
+      val grouped = part
+        .groupBy(shared.map(v => col(s"${v}__id").as(s"__cs_$v")): _*)
+        .agg(count(lit(1)).as(cname))
+      val cond = shared.map(v => col(s"${v}__id") === col(s"__cs_$v")).reduce(_ && _)
+      df = df.join(grouped, cond, "left")
+        .drop(shared.map(v => s"__cs_$v"): _*)
+      countSubs += cs -> cname
+    }
+
     m.stages.foreach { st =>
       st.unwinds.foreach(applyUnwind)
       st.paths.foreach(compilePath(_, optional = false))
       st.optPaths.foreach(compilePath(_, optional = true))
-      st.where.foreach(be => df = df.filter(compileBool(be)))
+      st.where.toSeq.flatMap(collectCountSubsBool).foreach(materializeCountSub)
+      st.withClause.foreach { w =>
+        (w.items.flatMap(i => collectCountSubs(i.expr)) ++
+          w.where.toSeq.flatMap(collectCountSubsBool)).foreach(materializeCountSub)
+      }
+      st.where.foreach(applyWhere)
       st.withClause.foreach(applyWith)
     }
+    m.ret.flatMap(i => collectCountSubs(i.expr)).foreach(materializeCountSub)
 
     val (aggItems, keyItems) = m.ret.partition(i => containsAgg(i.expr))
     var out =

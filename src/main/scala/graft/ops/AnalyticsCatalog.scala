@@ -594,6 +594,50 @@ object AnalyticsCatalog {
            |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occurrences
            |FROM g""".stripMargin))
 
+  private val t13 = Entry("t13_repetition_signals",
+    (s, dir) => {
+      // Gopher-style repetition quality signals, word-level (the fixture
+      // corpus is single-line): duplicate-word fraction (1 − distinct/total),
+      // top-unigram mass, and mean word length — the cheap filters a
+      // training pipeline applies before any fuzzy dedup. Two chained hash
+      // aggregates over the exploded token stream: per-(doc, word) counts
+      // partial-aggregate map-side, so the shuffle carries (doc, word,
+      // count) — never a word instance twice. All fractions are one IEEE
+      // division of exact integers, written in the same operation order as
+      // the oracle.
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      words.groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("c"), sum(length(col("word"))).as("chars"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"),
+          sum(col("chars")).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_words"),
+          ((col("n_words") - col("n_distinct")).cast("double") /
+            col("n_words").cast("double")).as("dup_word_frac"),
+          (col("top_c").cast("double") /
+            col("n_words").cast("double")).as("top_word_frac"),
+          (col("n_chars").cast("double") /
+            col("n_words").cast("double")).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           |  FROM documents),
+           |pc AS (SELECT doc_id, word, COUNT(*) AS c, SUM(length(word)) AS chars
+           |       FROM w GROUP BY 1, 2),
+           |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+           |        COUNT(*) AS n_distinct, MAX(c) AS top_c,
+           |        CAST(SUM(chars) AS BIGINT) AS n_chars
+           |      FROM pc GROUP BY 1)
+           |SELECT doc_id, n_words,
+           |  CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+           |  CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
+           |FROM a ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------------- vectors --
 
   private val v01 = Entry("v01_vector_norms",
@@ -663,6 +707,54 @@ object AnalyticsCatalog {
            |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS centroid_v
            |FROM e WHERE dim < 8
            |GROUP BY label, dim ORDER BY label, dim""".stripMargin))
+
+  private val v07 = Entry("v07_int8_quantization",
+    (s, dir) => {
+      // Per-vector symmetric int8 quantization (scale = max|x| / 127) with
+      // its reconstruction-error profile — the storage-shrink pass an
+      // embedding pipeline runs before ANN indexing (4x smaller vectors,
+      // bounded error). Everything is per-row higher-order column
+      // expressions inside whole-stage codegen — no shuffle at all until
+      // the final presentation sort, and at 100 TB the quantized arrays
+      // write straight back to parquet partition-parallel. Rounding is
+      // floor(x + 0.5) on BOTH engines (sidesteps HALF_UP-vs-banker's
+      // divergence); folds are left folds; zero cross-row double sums, so
+      // every double is bitwise-reproducible.
+      Tables(s, dir, "embeddings")
+        .withColumn("scale", expr(
+          """aggregate(transform(embedding, v -> abs(CAST(v AS DOUBLE))),
+            |          0D, (s, v) -> greatest(s, v))""".stripMargin) / 127.0)
+        .withColumn("qs", expr(
+          "transform(embedding, v -> floor(CAST(v AS DOUBLE) / scale + 0.5D))"))
+        .withColumn("errs", expr(
+          "zip_with(qs, embedding, (q, v) -> abs(q * scale - CAST(v AS DOUBLE)))"))
+        .select(col("vec_id"), col("scale"),
+          element_at(col("qs"), 1).cast("long").as("q_first"),
+          expr("aggregate(errs, 0D, (s, e) -> greatest(s, e))").as("max_err"),
+          (expr("aggregate(errs, 0D, (s, e) -> s + e)") /
+            size(col("embedding")).cast("double")).as("mean_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    list_reduce(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))),
+           |                (p, q) -> greatest(p, q)) / 127.0 AS scale
+           |  FROM embeddings),
+           |q AS (
+           |  SELECT vec_id, scale, embedding,
+           |    list_transform(embedding,
+           |                   v -> floor(CAST(v AS DOUBLE) / scale + 0.5)) AS qs
+           |  FROM b),
+           |e AS (
+           |  SELECT vec_id, scale, qs, embedding,
+           |    list_transform(list_zip(qs, embedding),
+           |      x -> abs(CAST(x[1] AS DOUBLE) * scale - CAST(x[2] AS DOUBLE))) AS errs
+           |  FROM q)
+           |SELECT vec_id, scale, CAST(qs[1] AS BIGINT) AS q_first,
+           |  list_reduce(errs, (p, q2) -> greatest(p, q2)) AS max_err,
+           |  list_reduce(errs, (p, q2) -> p + q2)
+           |    / CAST(len(embedding) AS DOUBLE) AS mean_err
+           |FROM e ORDER BY vec_id""".stripMargin))
 
   // -------------------------------------------- streaming (batch-checked) --
 
@@ -810,6 +902,38 @@ object AnalyticsCatalog {
            |UNION ALL
            |SELECT 3, 'signup', COUNT(*) FROM s3
            |ORDER BY step""".stripMargin))
+
+  private val s07 = Entry("s07_cumulative_users",
+    (s, dir) => {
+      // Daily active users + running cumulative distinct users — the
+      // growth dashboard every event stream feeds. The cumulative count
+      // is NOT a running count-distinct (unbounded state): each user
+      // collapses to a first-seen day (exactly the state a streaming
+      // `dropDuplicates("user_id")` would keep), then a per-day new-user
+      // count and a running sum. The only window runs over the per-DAY
+      // rows — ~30 here, bounded by the calendar at any scale — so the
+      // single-partition window is a non-issue; everything user-sized is
+      // a hash aggregate.
+      val ev = Tables(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dau = ev.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+      val newUsers = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      dau.join(newUsers, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+           |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1),
+           |fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+           |nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+           |SELECT d.day, d.dau, COALESCE(nu.new_users, 0) AS new_users,
+           |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+           |FROM dau d LEFT JOIN nu ON d.day = nu.day
+           |ORDER BY d.day""".stripMargin))
 
   // ----------------------------------------------------- ingest dataflow --
 
@@ -1486,6 +1610,58 @@ object AnalyticsCatalog {
            |  CAST(SUM(length(substring(text, 1, 30))) AS DOUBLE) AS total_len
            |FROM documents GROUP BY upper(lang) ORDER BY caps_lang""".stripMargin))
 
+  private val c26 = Entry("c26_cypher_exists_subquery",
+    (s, dir) => {
+      // EXISTS { } / NOT EXISTS { } pattern predicates (Neo4j 5 subquery
+      // syntax): publishers with at least one English article, minus the
+      // one that published document 0. Each conjunct lowers to a
+      // semi/anti join whose probe side is the DISTINCT shared-id list —
+      // at scale the join ships a key set, never the subquery's
+      // expansion. (Predicates chosen scale-invariant: every publisher
+      // has an English article at every SF and doc 0 always exists, so
+      // the semi-join keeps all rows and the anti-join prunes exactly
+      // one, at any scale.)
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |WHERE EXISTS { (a:Article)-[:WRITTEN_BY]->(p) WHERE a.lang = 'en' }
+                 |  AND NOT EXISTS { (b:Article {doc_id: '0'})-[:WRITTEN_BY]->(p) }
+                 |RETURN p.name AS name
+                 |ORDER BY name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS name FROM documents GROUP BY source
+           |HAVING COUNT(*) FILTER (lang = 'en') > 0
+           |   AND COUNT(*) FILTER (doc_id = 0) = 0
+           |ORDER BY name""".stripMargin))
+
+  private val c27 = Entry("c27_cypher_count_subquery",
+    (s, dir) => {
+      // COUNT { } subquery expression + simple-form CASE + keys():
+      // per-publisher English-article count (0 when none — the subquery
+      // pre-materializes as ONE grouped count left-joined back on the
+      // shared id, never a per-row re-execution), a value-matched CASE
+      // bucket, and the sorted property-key list's size (the merge-key
+      // property folds back into the bag).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |RETURN p.name AS name,
+                 |  COUNT { (a:Article)-[:WRITTEN_BY]->(p) WHERE a.lang = 'en' } AS n_en,
+                 |  CASE p.name WHEN 'src0' THEN 'zero' WHEN 'src1' THEN 'one'
+                 |    ELSE 'rest' END AS bucket,
+                 |  size(keys(p)) AS n_props
+                 |ORDER BY name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS name, COUNT(*) FILTER (lang = 'en') AS n_en,
+           |  CASE source WHEN 'src0' THEN 'zero' WHEN 'src1' THEN 'one'
+           |    ELSE 'rest' END AS bucket,
+           |  CAST(1 AS INT) AS n_props
+           |FROM documents GROUP BY source ORDER BY name""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1770,13 +1946,13 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    v01, v02, v03, v04, v05, v06,
-    s01, s02, s03, s04, s05, s06,
+    v01, v02, v03, v04, v05, v06, v07,
+    s01, s02, s03, s04, s05, s06, s07,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
-    c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25,
+    c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     x01, x02, x03, x04, x05,
     m01, m02, m03, m04)
 }

@@ -1315,9 +1315,42 @@ object QueryCatalog {
            |WHERE CAST(value AS DOUBLE) > t.bar
            |ORDER BY part_value DESC, l_partkey""".stripMargin))
 
+  private val q52 = Entry("q52_supplier_diversity",
+    (s, dir) => {
+      // TPC-H Q16 shape — the last of the 22. How many DISTINCT suppliers
+      // can deliver each qualifying (brand, type, size)? The fixtures have
+      // no partsupp table, so the part-supplier relation is the distinct
+      // (l_partkey, l_suppkey) pairs observed in lineitem; Q16's
+      // "customer complaints" exclusion becomes the negative-balance
+      // suppliers (no s_comment column). Scale posture: the part
+      // predicate reduces lineitem FIRST (broadcast inner join on the
+      // filtered dimension), so the pair-distinct shuffle carries only
+      // the qualifying slice; the excluded-supplier set is a broadcast
+      // anti-join (6 rows at sf0.01 — never a shuffle).
+      val qualParts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#21" && col("p_type") =!= "ECONOMY" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complainers = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(qualParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#21' AND p_type <> 'ECONOMY'
+           |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }

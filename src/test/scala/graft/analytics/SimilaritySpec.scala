@@ -115,4 +115,25 @@ class SimilaritySpec extends SparkTestBase {
     val recall = exact.count(lsh.contains).toDouble / exact.size
     assert(recall >= 0.9, s"LSH pair recall $recall too low")
   }
+
+  test("int8 quantization: codes stay in [-127, 127], error bounded by scale/2") {
+    // the v07 catalog shape, checked against its mathematical guarantees:
+    // symmetric scale = max|x|/127 keeps every floor(x/scale + 0.5) code in
+    // the int8 range, and reconstruction error is at most half a step
+    val rows = graft.ops.AnalyticsCatalog.entries
+      .find(_.name == "v07_int8_quantization").get
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val qFirst = r.getAs[Long]("q_first")
+      val maxErr = r.getAs[Double]("max_err")
+      assert(scale > 0.0)
+      assert(math.abs(qFirst) <= 127, s"code $qFirst out of int8 range")
+      assert(maxErr <= scale / 2 + 1e-12,
+        s"max_err $maxErr exceeds half-step ${scale / 2}")
+      assert(r.getAs[Double]("mean_err") <= maxErr + 1e-12)
+    }
+  }
 }

@@ -927,4 +927,109 @@ class CypherSpec extends SparkTestBase {
     assert(r.getInt(4) === 3)
     assert(r.getString(5) === "17")
   }
+
+  test("EXISTS { } / NOT EXISTS { } pattern predicates lower to semi/anti joins") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("alice", "flink"), ("bob", "duck")).foreach {
+      case (u, t) =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> t))
+    }
+    sess.run("MERGE (u:User {name: 'carol'})") // no interests at all
+    val withSpark = sess.run(
+      """MATCH (u:User)
+        |WHERE EXISTS { (u)-[:INTERESTED_IN]->(t:Tech) WHERE t.name = 'spark' }
+        |RETURN u.name AS name ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(withSpark === Seq("alice"))
+    val withoutSpark = sess.run(
+      """MATCH (u:User)
+        |WHERE NOT EXISTS { (u)-[:INTERESTED_IN]->(t:Tech) WHERE t.name = 'spark' }
+        |RETURN u.name AS name ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(withoutSpark === Seq("bob", "carol"))
+    // mixes with plain conjuncts; anti path composes with other predicates
+    val mixed = sess.run(
+      """MATCH (u:User)
+        |WHERE EXISTS { (u)-[:INTERESTED_IN]->(t:Tech) } AND u.name <> 'alice'
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(mixed === Seq("bob"))
+    // under OR it is not a column — the compiler says so, not a MatchError
+    val err = intercept[IllegalArgumentException] {
+      sess.run("""MATCH (u:User)
+                 |WHERE EXISTS { (u)-[:INTERESTED_IN]->(t:Tech) } OR u.name = 'x'
+                 |RETURN u.name AS name""".stripMargin)
+        .asInstanceOf[CypherRows].df.collect()
+    }
+    assert(err.getMessage.contains("top-level WHERE conjunct"))
+  }
+
+  test("COUNT { } subquery: per-row match count, 0 when nothing matches") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("alice", "flink"), ("bob", "duck")).foreach {
+      case (u, t) =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> t))
+    }
+    sess.run("MERGE (u:User {name: 'carol'})")
+    val counts = sess.run(
+      """MATCH (u:User)
+        |RETURN u.name AS name, COUNT { (u)-[:INTERESTED_IN]->(t:Tech) } AS n
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(counts === Seq(("alice", 2L), ("bob", 1L), ("carol", 0L)))
+    // with an inner WHERE, and usable inside arithmetic + outer WHERE
+    val filtered = sess.run(
+      """MATCH (u:User)
+        |WHERE COUNT { (u)-[:INTERESTED_IN]->(t:Tech) WHERE t.name <> 'duck' } + 1 > 1
+        |RETURN u.name AS name ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(filtered === Seq("alice"))
+  }
+
+  test("simple-form CASE desugars to searched CASE") {
+    val sess = freshSession
+    Seq("spark", "flink", "duck").foreach { t =>
+      sess.run("MERGE (t:Tech {name: $t})", Map("t" -> t))
+    }
+    val rows = sess.run(
+      """MATCH (t:Tech)
+        |RETURN t.name AS name,
+        |  CASE t.name WHEN 'spark' THEN 'jvm' WHEN 'flink' THEN 'jvm'
+        |    ELSE 'native' END AS runtime
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(rows === Seq(("duck", "native"), ("flink", "jvm"), ("spark", "jvm")))
+    // no ELSE → NULL (same as the searched form)
+    val noElse = sess.run(
+      """MATCH (t:Tech)
+        |RETURN t.name AS name, CASE t.name WHEN 'spark' THEN 1 END AS flag
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Option[Long])].collect().toSeq
+    assert(noElse === Seq(("duck", None), ("flink", None), ("spark", Some(1L))))
+  }
+
+  test("properties() folds the merge key into the bag; keys() is its sorted key list") {
+    val sess = freshSession
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'T', a.lang = 'en'")
+    val r = sess.run(
+      """MATCH (a:Article)
+        |RETURN properties(a) AS props, keys(a) AS ks, size(keys(a)) AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getMap[String, String](0).toMap ===
+      Map("link" -> "d1", "title" -> "T", "lang" -> "en"))
+    assert(r.getSeq[String](1) === Seq("lang", "link", "title"))
+    assert(r.getInt(2) === 3)
+    // relationship bags pass through as-is
+    sess.run("""MERGE (u:User {name: 'u1'}) MERGE (t:Tech {name: 's'})
+               |MERGE (u)-[:INTERESTED_IN {level: 'high'}]->(t)""".stripMargin)
+    val er = sess.run(
+      """MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        |RETURN keys(r) AS ks""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(er.getSeq[String](0) === Seq("level"))
+  }
 }

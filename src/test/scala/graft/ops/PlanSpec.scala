@@ -127,6 +127,18 @@ class PlanSpec extends SparkTestBase {
     // anchored shortestPath: the BFS seed semi-joins the anchor's node ids
     val c23 = plan("c23_cypher_anchored_shortest")
     assert(c23.contains("LeftSemi"), c23)
+    // Q16 shape: the part predicate broadcasts into the fact, the
+    // complaint exclusion is a broadcast anti-join — distinct shuffles
+    // only the qualifying slice
+    val q52 = plan("q52_supplier_diversity")
+    assert(q52.contains("LeftAnti") && q52.contains("BroadcastExchange"), q52)
+    // Cypher EXISTS { } lowers to a semi-join, NOT EXISTS to an anti-join
+    val c26 = plan("c26_cypher_exists_subquery")
+    assert(c26.contains("LeftSemi") && c26.contains("LeftAnti"), c26)
+    // v07 quantization is pure per-row expressions: no Exchange at all
+    // before the presentation sort
+    val v07 = plan("v07_int8_quantization")
+    assert(!v07.replaceAll("(?s)Sort.*", "").contains("Exchange"), v07)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
