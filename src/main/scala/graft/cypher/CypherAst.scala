@@ -87,6 +87,11 @@ object CypherAst {
     * ([[containsAgg]]). */
   final case class RetAgg(fn: String, arg: Option[Either[String, PropRef]],
     distinct: Boolean = false) extends ReturnExpr
+  /** Aggregate over a full scalar expression (`min(head(ws))`,
+    * `sum(size(a.title))`) — the general form [[RetAgg]]'s simple-argument
+    * fast path doesn't cover. */
+  final case class RetAggExpr(fn: String, arg: ReturnExpr,
+    distinct: Boolean = false) extends ReturnExpr
   /** `COUNT { (n)-[:R]->(m) [WHERE …] }` subquery expression — the match
     * count of the subquery pattern per outer row. NOT an aggregate over the
     * current rows: it pre-materializes as a grouped count left-joined back
@@ -94,14 +99,34 @@ object CypherAst {
   final case class RetCountSub(path: PathPat,
     where: Option[BoolExpr] = None) extends ReturnExpr
 
+  /** List literal in expression position: `[e1, e2, …]` — unlike
+    * [[ListLit]] (the Value-grammar leaf used by IN / parameters), elements
+    * are full scalar expressions. */
+  final case class RetListLit(items: Seq[ReturnExpr]) extends ReturnExpr
+  /** List comprehension `[x IN src WHERE pred | proj]` — both the filter
+    * and the projection are optional (`[x IN src]` copies). Compiles to
+    * Spark's higher-order `filter`/`transform` — per-row lambdas that stay
+    * inside codegen, never a UDF. */
+  final case class RetListComp(variable: String, src: ReturnExpr,
+    where: Option[BoolExpr], proj: Option[ReturnExpr]) extends ReturnExpr
+  /** `reduce(acc = init, x IN src | expr)` — Cypher's list fold. Compiles
+    * to Spark's higher-order `aggregate`. */
+  final case class RetReduce(acc: String, init: ReturnExpr,
+    variable: String, src: ReturnExpr, body: ReturnExpr) extends ReturnExpr
+
   /** True when the expression tree contains an aggregate call — such an
     * item is an aggregation output, everything else is an implicit
-    * grouping key. */
+    * grouping key. Lambda bodies (comprehension/reduce) cannot aggregate;
+    * their *source* lists can (`reduce(… IN collect(x) | …)`). */
   def containsAgg(e: ReturnExpr): Boolean = e match {
     case _: RetAgg => true
+    case _: RetAggExpr => true
     case RetBin(_, l, r) => containsAgg(l) || containsAgg(r)
     case RetFn(_, as) => as.exists(containsAgg)
     case RetCase(ws, d) => ws.exists(w => containsAgg(w._2)) || d.exists(containsAgg)
+    case RetListLit(items) => items.exists(containsAgg)
+    case RetListComp(_, src, _, _) => containsAgg(src)
+    case RetReduce(_, init, _, src, _) => containsAgg(init) || containsAgg(src)
     case _ => false
   }
 
@@ -119,7 +144,12 @@ object CypherAst {
       case RetAgg(fn, Some(Left(v)), d) => s"$fn(${if (d) "DISTINCT " else ""}$v)"
       case RetAgg(fn, Some(Right(PropRef(v, p))), d) =>
         s"$fn(${if (d) "DISTINCT " else ""}$v.$p)"
+      case RetAggExpr(fn, a, d) =>
+        s"$fn(${if (d) "DISTINCT " else ""}${exprName(a)})"
       case _: RetCountSub => "count_sub"
+      case RetListLit(items) => s"[${items.map(exprName).mkString(", ")}]"
+      case _: RetListComp => "list_comp"
+      case _: RetReduce => "reduce"
     }
     def name: String = alias.getOrElse(exprName(expr))
   }
@@ -135,8 +165,10 @@ object CypherAst {
     orderBy: Seq[OrderItem] = Nil, skip: Option[Int] = None,
     limit: Option[Int] = None, distinct: Boolean = false)
 
-  /** `UNWIND <list> AS <alias>` — one output row per list element. */
-  final case class Unwind(value: Value, alias: String)
+  /** `UNWIND <list> AS <alias>` — one output row per list element. The
+    * source is a full scalar expression (list literal, `$param`, `range()`,
+    * a comprehension, `split(…)` …). */
+  final case class Unwind(expr: ReturnExpr, alias: String)
 
   /** One pipeline stage: `UNWIND`s, `MATCH`es (+ OPTIONAL MATCHes), an
     * optional WHERE, and an optional WITH hand-off to the next stage. */

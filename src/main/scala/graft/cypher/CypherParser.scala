@@ -21,7 +21,7 @@ object CypherParser {
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
     "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type",
     "substring", "split", "replace", "left", "right", "tostring",
-    "relationships", "nodes", "properties", "keys")
+    "relationships", "nodes", "properties", "keys", "range", "head", "last")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -73,6 +73,7 @@ object CypherParser {
       else if (c == '<' && peek(1) == '>') { out += Sym("<>"); i += 2 }
       else if (c == '<' && peek(1) == '=') { out += Sym("<="); i += 2 }
       else if (c == '>' && peek(1) == '=') { out += Sym(">="); i += 2 }
+      else if (c == '=' && peek(1) == '~') { out += Sym("=~"); i += 2 }
       else { out += Sym(c.toString); i += 1 }
     }
     out.toVector
@@ -100,7 +101,9 @@ object CypherParser {
       throw new IllegalArgumentException(s"cypher parse error at token $pos: $msg")
 
     def statement(): Statement = peek match {
-      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) =>
+      // a bare `RETURN <expr>` query (Neo4j's calculator form)
+      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) |
+           Some(Kw("RETURN")) =>
         val first = matchStatement()
         if (!peek.contains(Kw("UNION"))) first
         else first match {
@@ -124,7 +127,7 @@ object CypherParser {
           case _ => fail("UNION parts must be read queries")
         }
       case Some(Kw("MERGE")) | Some(Kw("CREATE")) => mutateStatement()
-      case t => fail(s"statement must start with MATCH, UNWIND, MERGE or CREATE, got $t")
+      case t => fail(s"statement must start with MATCH, UNWIND, MERGE, CREATE or RETURN, got $t")
     }
 
     /** Clauses that end the MATCH/UNWIND/WITH pipeline. */
@@ -140,17 +143,20 @@ object CypherParser {
         val unwinds = ArrayBuffer.empty[Unwind]
         while (peek.contains(Kw("UNWIND"))) {
           next()
-          val v = value()
+          val e = addExpr()
           expectKw("AS")
-          unwinds += Unwind(v, ident())
+          unwinds += Unwind(e, ident())
         }
         val paths = ArrayBuffer.empty[PathPat]
         if (peek.contains(Kw("MATCH"))) {
           next()
           paths += path()
           while (peek.contains(Sym(","))) { next(); paths += path() }
-        } else if (unwinds.isEmpty && !peek.contains(Kw("OPTIONAL")))
-          fail(s"expected UNWIND, MATCH, OPTIONAL MATCH or RETURN, got $peek")
+        } else if (unwinds.isEmpty && !peek.contains(Kw("OPTIONAL")) &&
+            !peek.contains(Kw("WITH")))
+          // a bare WITH is a legal stage: consecutive projection horizons
+          // (`WITH … WITH …`) re-shape without a fresh MATCH
+          fail(s"expected UNWIND, MATCH, OPTIONAL MATCH, WITH or RETURN, got $peek")
         val optPaths = ArrayBuffer.empty[PathPat]
         while (peek.contains(Kw("OPTIONAL"))) {
           next(); expectKw("MATCH")
@@ -545,7 +551,7 @@ object CypherParser {
       val dummy = RetLit(NumLit(0, isInt = true))
       val lhs = addExpr()
       val op = next() match {
-        case Sym(s @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) => s
+        case Sym(s @ ("=" | "<>" | "<" | "<=" | ">" | ">=" | "=~")) => s
         case Kw("CONTAINS") => "CONTAINS"
         case Kw("STARTS") => expectKw("WITH"); "STARTS WITH"
         case Kw("ENDS") => expectKw("WITH"); "ENDS WITH"
@@ -596,6 +602,38 @@ object CypherParser {
       case Sym("-") => RetBin("-", RetLit(NumLit(0, isInt = true)), factor())
       case Sym("(") => val e = addExpr(); expectSym(")"); e
       case Kw("CASE") => caseExpr()
+      case Sym("[") =>
+        // `[x IN src …]` (comprehension) vs `[e1, e2, …]` (literal):
+        // decided by one token of lookahead after the opening bracket
+        val isComp = peek.exists(_.isInstanceOf[Ident]) &&
+          pos + 1 < ts.length && ts(pos + 1) == Kw("IN")
+        if (isComp) {
+          val v = ident(); expectKw("IN")
+          val src = addExpr()
+          val where = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
+            else None
+          val proj = if (peek.contains(Sym("|"))) { next(); Some(addExpr()) }
+            else None
+          expectSym("]")
+          RetListComp(v, src, where, proj)
+        } else {
+          val items = ArrayBuffer.empty[ReturnExpr]
+          if (!peek.contains(Sym("]"))) {
+            items += addExpr()
+            while (peek.contains(Sym(","))) { next(); items += addExpr() }
+          }
+          expectSym("]")
+          RetListLit(items.toSeq)
+        }
+      case Ident(fn) if fn.equalsIgnoreCase("reduce") && peek.contains(Sym("(")) =>
+        // reduce(acc = init, x IN list | expr)
+        next()
+        val acc = ident(); expectSym("=")
+        val init = addExpr(); expectSym(",")
+        val v = ident(); expectKw("IN")
+        val src = addExpr(); expectSym("|")
+        val body = addExpr(); expectSym(")")
+        RetReduce(acc, init, v, src, body)
       case ParamTok(s) => RetLit(Param(s))
       case Str(s) => RetLit(StrLit(s))
       case Num(s) => RetLit(NumLit(s.toDouble, !s.contains('.')))
@@ -612,15 +650,20 @@ object CypherParser {
         next()
         val distinct = peek.contains(Kw("DISTINCT"))
         if (distinct) next()
-        val arg: Option[Either[String, PropRef]] = next() match {
-          case Sym("*") if fn.equalsIgnoreCase("count") => None
-          case Ident(v) if peek.contains(Sym(".")) =>
-            next(); Some(Right(PropRef(v, ident())))
-          case Ident(v) => Some(Left(v))
-          case t => fail(s"expected aggregate argument in $fn(), got $t")
+        if (peek.contains(Sym("*")) && fn.equalsIgnoreCase("count")) {
+          next(); expectSym(")")
+          RetAgg(fn.toLowerCase, None, distinct)
+        } else {
+          // full expression argument; re-derive the simple forms so the
+          // rest of the pipeline keeps its fast paths
+          val e = addExpr()
+          expectSym(")")
+          e match {
+            case RetVar(v) => RetAgg(fn.toLowerCase, Some(Left(v)), distinct)
+            case RetProp(pr) => RetAgg(fn.toLowerCase, Some(Right(pr)), distinct)
+            case other => RetAggExpr(fn.toLowerCase, other, distinct)
+          }
         }
-        expectSym(")")
-        RetAgg(fn.toLowerCase, arg, distinct)
       case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
         val fnArgs = ArrayBuffer(addExpr()) // composable: size(trim(u.name))

@@ -390,6 +390,9 @@ final class CypherSession(
       * cost otherwise). */
     var pathRels = Map.empty[String, Column]
     var pathNodes = Map.empty[String, Column]
+    /** lambda bindings in scope while compiling a comprehension / reduce
+      * body — innermost shadows MATCH/WITH bindings of the same name. */
+    var lambdaVars = Map.empty[String, Column]
     var anon = 0
     def freshVar(): String = { anon += 1; s"__n$anon" }
     /** COUNT {} subqueries already attached to the bound rows (AST node →
@@ -700,6 +703,9 @@ final class CypherSession(
           case "CONTAINS" => c.contains(r)
           case "STARTS WITH" => c.startsWith(r)
           case "ENDS WITH" => c.endsWith(r)
+          // Cypher `=~` matches the WHOLE string (Neo4j semantics); Spark's
+          // rlike/regexp_like finds — anchor via a non-capturing group
+          case "=~" => regexp_like(c, concat(lit("^(?:"), r, lit(")$")))
         }
       case AndE(l, r) => compileBool(l) && compileBool(r)
       case OrE(l, r) => compileBool(l) || compileBool(r)
@@ -709,8 +715,17 @@ final class CypherSession(
           "top-level WHERE conjunct, optionally under a single NOT")
     }
 
+    /** Compile `body` with `bindings` added to the lambda scope (and
+      * removed again after) — the comprehension/reduce body compiler. */
+    def inLambda(bindings: (String, Column)*)(body: => Column): Column = {
+      val saved = lambdaVars
+      lambdaVars = lambdaVars ++ bindings
+      try body finally lambdaVars = saved
+    }
+
     /** scalar (non-struct) value of a return expression. */
     def itemCol(expr: ReturnExpr): Column = expr match {
+      case RetVar(v) if lambdaVars.contains(v) => lambdaVars(v)
       case RetVar(v) if scalarVars.contains(v) => col(v)
       case RetVar(v) if df != null && df.columns.contains(s"${v}__rels") =>
         // `r` bound on a variable-length pattern is the relationship LIST
@@ -767,11 +782,19 @@ final class CypherSession(
           case "trim" => trim(c)
           case "size" => fnArgs.head match {
             // size() over a relationship list / relationships() / nodes()
-            // / split() is the array length; otherwise string length
+            // / split() / range() / a list literal or comprehension is the
+            // array length; otherwise string length
             case RetVar(v) if df != null && df.columns.contains(s"${v}__rels") =>
               size(col(s"${v}__rels"))
-            case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys")(f2) =>
+            // a WITH alias whose resolved type is a list (collect()/split()
+            // hand-offs) — the schema knows what the AST can't
+            case RetVar(v) if scalarVars.contains(v) && df != null &&
+              df.schema.fields.exists(f => f.name == v &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
               size(c)
+            case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys",
+              "range")(f2) => size(c)
+            case _: RetListLit | _: RetListComp => size(c)
             case _ => length(c)
           }
           case "coalesce" => coalesce(fnArgs.map(itemCol): _*)
@@ -826,9 +849,35 @@ final class CypherSession(
           case "properties" => entityPropsCol(boundVar("node or relationship"))
           case "keys" =>
             array_sort(map_keys(entityPropsCol(boundVar("node or relationship"))))
+          // range(start, stop[, step]) — inclusive on both ends, like
+          // Neo4j; Spark's sequence() has the same closed-interval contract
+          case "range" =>
+            val step = if (fnArgs.size >= 3) itemCol(fnArgs(2)).cast("long")
+              else lit(1L)
+            sequence(c.cast("long"), itemCol(fnArgs(1)).cast("long"), step)
+          case "head" => element_at(c, 1)
+          case "last" => element_at(c, -1)
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
+      case RetListLit(items) => array(items.map(itemCol): _*)
+      case RetListComp(v, src, where, proj) =>
+        // higher-order filter/transform: the lambda body is compiled by the
+        // same expression compiler with `v` bound to the element — stays
+        // inside codegen, no UDF
+        val srcCol = itemCol(src)
+        val filtered = where match {
+          case Some(b) => filter(srcCol, x => inLambda(v -> x)(compileBool(b)))
+          case None => srcCol
+        }
+        proj match {
+          case Some(p) => transform(filtered, x => inLambda(v -> x)(itemCol(p)))
+          case None => filtered
+        }
+      case RetReduce(acc, init, v, src, body) =>
+        aggregate(itemCol(src), itemCol(init),
+          (a, x) => inLambda(acc -> a, v -> x)(itemCol(body)))
       case a: RetAgg => aggCol(a)
+      case RetAggExpr(fn, arg, distinct) => aggOf(fn, itemCol(arg), distinct)
       case cs: RetCountSub =>
         val cname = countSubs.getOrElse(cs, throw new IllegalStateException(
           "COUNT { } subquery was not pre-materialized for this scope"))
@@ -843,8 +892,12 @@ final class CypherSession(
         case Some(Left(v)) => col(s"${v}__id")
         case Some(Right(PropRef(v, p))) => propCol(v, p)
       }
-      a.fn match {
-        case "count" => if (a.distinct) count_distinct(base) else count(base)
+      aggOf(a.fn, base, a.distinct)
+    }
+
+    def aggOf(fn: String, base: Column, distinct: Boolean): Column =
+      fn match {
+        case "count" => if (distinct) count_distinct(base) else count(base)
         // numeric aggregates read string property-bag values through DOUBLE
         case "sum" => sum(base.cast("double"))
         case "avg" => avg(base.cast("double"))
@@ -853,10 +906,9 @@ final class CypherSession(
         // canonical (sorted) collect: Cypher leaves list order unspecified;
         // a set-oriented engine pins it for reproducibility
         case "collect" =>
-          sort_array(if (a.distinct) collect_set(base) else collect_list(base))
+          sort_array(if (distinct) collect_set(base) else collect_list(base))
         case other => throw new IllegalArgumentException(s"unsupported aggregate $other()")
       }
-    }
 
     /** A WITH horizon: project or aggregate, then re-scope bindings. Node
       * variables carry their full binding through a pure projection (so a
@@ -923,14 +975,18 @@ final class CypherSession(
 
     /** UNWIND — one row per list element; the alias is a scalar binding. */
     def applyUnwind(u: Unwind): Unit = {
-      val arr: Column = u.value match {
-        case ListLit(items) => array(items.map(scalarCol(_, params)): _*)
-        case Param(name) => params.getOrElse(name,
+      val arr: Column = u.expr match {
+        case RetLit(ListLit(items)) => array(items.map(scalarCol(_, params)): _*)
+        case RetLit(Param(name)) => params.getOrElse(name,
           throw new IllegalArgumentException(s"missing parameter $$$name")) match {
           case s: Seq[_] => array(s.map(x => lit(x)): _*)
           case other => array(lit(other))
         }
-        case other => array(scalarCol(other, params))
+        case RetLit(other) => array(scalarCol(other, params))
+        // general list expression: range(), a comprehension, split(), a
+        // WITH alias carrying collect(…) — compiled by the same expression
+        // compiler and exploded
+        case e => itemCol(e)
       }
       df =
         if (df == null)
@@ -1036,6 +1092,9 @@ final class CypherSession(
       st.withClause.foreach(applyWith)
     }
     m.ret.flatMap(i => collectCountSubs(i.expr)).foreach(materializeCountSub)
+
+    // a bare `RETURN <expr>` query evaluates over one seed row
+    if (df == null) df = graph.nodes.sparkSession.range(1).toDF("__seed")
 
     val (aggItems, keyItems) = m.ret.partition(i => containsAgg(i.expr))
     var out =

@@ -1662,6 +1662,74 @@ object AnalyticsCatalog {
            |  CAST(1 AS INT) AS n_props
            |FROM documents GROUP BY source ORDER BY name""".stripMargin))
 
+  private val c28 = Entry("c28_cypher_list_comprehension",
+    (s, dir) => {
+      // List comprehension + reduce(): `[w IN split(…) WHERE … | …]`
+      // compiles to Spark's higher-order filter/transform and the fold to
+      // `aggregate` — per-row lambdas that stay inside codegen (no UDF, no
+      // explode/re-group round trip). Consecutive WITH horizons re-shape
+      // without a fresh MATCH, as in Neo4j.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH a.lang AS lang,
+                 |  [w IN split(a.title, ' ') WHERE size(w) > 3 | toUpper(w)] AS big
+                 |WITH lang, size(big) AS n_big,
+                 |  reduce(acc = 0, w IN big | acc + size(w)) AS chars
+                 |RETURN lang, sum(n_big) AS n_big_words, sum(chars) AS n_big_chars
+                 |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang,
+           |  CAST(sum(len(list_filter(string_split(substring(text,1,30), ' '),
+           |    w -> len(w) > 3))) AS DOUBLE) AS n_big_words,
+           |  CAST(sum(COALESCE(list_sum(list_transform(
+           |    list_filter(string_split(substring(text,1,30), ' '), w -> len(w) > 3),
+           |    w -> len(w))), 0)) AS DOUBLE) AS n_big_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val c29 = Entry("c29_cypher_regex_head_last",
+    (s, dir) => {
+      // `=~` whole-string regex (compiled to an anchored regexp_like) with
+      // head()/last() over a split list inside general-expression
+      // aggregates (min/max over a computed argument).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WHERE a.title =~ '(the|a) .*'
+                 |WITH a.lang AS lang, split(a.title, ' ') AS ws
+                 |RETURN lang, count(*) AS n_match,
+                 |  min(head(ws)) AS first_word, max(last(ws)) AS last_word
+                 |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang, count(*) AS n_match,
+           |  min(string_split(substring(text,1,30), ' ')[1]) AS first_word,
+           |  max(string_split(substring(text,1,30), ' ')[-1]) AS last_word
+           |FROM documents
+           |WHERE regexp_full_match(substring(text,1,30), '(the|a) .*')
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val c30 = Entry("c30_cypher_unwind_range",
+    (s, dir) => {
+      // UNWIND over a general list expression — range() compiles to
+      // Spark's sequence() (closed interval, like Neo4j) and explodes;
+      // no driver-side list construction.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""UNWIND range(1, 100) AS n
+                 |WITH n WHERE n % 7 = 0
+                 |RETURN sum(n) AS s_mult7, count(*) AS n_mult7,
+                 |  min(n) AS lo, max(n) AS hi""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(sum(n) AS DOUBLE) AS s_mult7, count(*) AS n_mult7,
+           |  min(n) AS lo, max(n) AS hi
+           |FROM range(1, 101) t(n) WHERE n % 7 = 0""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -1953,6 +2021,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
+    c28, c29, c30,
     x01, x02, x03, x04, x05,
     m01, m02, m03, m04)
 }

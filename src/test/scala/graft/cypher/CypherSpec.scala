@@ -1032,4 +1032,104 @@ class CypherSpec extends SparkTestBase {
       .asInstanceOf[CypherRows].df.collect().head
     assert(er.getSeq[String](0) === Seq("level"))
   }
+
+  test("UNWIND range() explodes a closed interval; general expressions unwind") {
+    val sess = freshSession
+    val r = sess.run("UNWIND range(1, 5) AS n RETURN n AS n, n * n AS sq ORDER BY n")
+      .asInstanceOf[CypherRows].df.collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 4L, 9L, 16L, 25L))
+    // step variant, and range() inside size()
+    val s = sess.run("UNWIND range(0, 10, 2) AS n RETURN count(*) AS c, size(range(1, 3)) AS k")
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(s.getLong(0) === 6L && s.getInt(1) === 3)
+    // splitting a property unwinds its words
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'alpha beta gamma'")
+    val words = sess.run(
+      """MATCH (a:Article) UNWIND split(a.title, ' ') AS w
+        |RETURN w ORDER BY w""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(words === Seq("alpha", "beta", "gamma"))
+  }
+
+  test("list comprehension: filter and projection lambdas compile to HOFs") {
+    val sess = freshSession
+    val r = sess.run(
+      """UNWIND [x IN range(1, 10) WHERE x % 2 = 0 | x * 10] AS v
+        |RETURN v ORDER BY v""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[Long].collect().toSeq
+    assert(r === Seq(20L, 40L, 60L, 80L, 100L))
+    // filter-only and projection-only forms; literal list source
+    val row = sess.run(
+      """RETURN size([x IN [1, 2, 3, 4] WHERE x > 2]) AS nf,
+        |  [x IN [1, 2, 3] | x + 1] AS mapped""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(row.getInt(0) === 2)
+    assert(row.getSeq[Any](1).map(_.toString.toDouble) === Seq(2.0, 3.0, 4.0))
+    // the lambda variable shadows an outer binding of the same name
+    val shadow = sess.run(
+      """UNWIND [9] AS x
+        |RETURN [x IN [1, 2] | x * 2] AS doubled, x AS outer_x""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(shadow.getSeq[Any](0).map(_.toString.toDouble) === Seq(2.0, 4.0))
+    assert(shadow.getLong(1) === 9L)
+  }
+
+  test("reduce() folds a list; head()/last() pick its ends") {
+    val sess = freshSession
+    val r = sess.run(
+      """RETURN reduce(acc = 0, x IN range(1, 10) | acc + x) AS tri,
+        |  head(range(3, 7)) AS h, last(range(3, 7)) AS l""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getLong(0) === 55L && r.getLong(1) === 3L && r.getLong(2) === 7L)
+    // fold over a comprehension of split() words — string lengths
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'ab cde f ghij'")
+    val n = sess.run(
+      """MATCH (a:Article)
+        |RETURN reduce(acc = 0, w IN [w IN split(a.title, ' ')
+        |  WHERE size(w) > 1 | w] | acc + size(w)) AS chars""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head.getLong(0)
+    assert(n === 9L) // ab + cde + ghij
+  }
+
+  test("=~ regex matches the WHOLE string, as in Neo4j") {
+    val sess = freshSession
+    Seq("spark rocks", "sparkly", "SPARK").foreach { t =>
+      sess.run("MERGE (a:Article {link: $l}) SET a.title = $l", Map("l" -> t))
+    }
+    val full = sess.run(
+      """MATCH (a:Article) WHERE a.title =~ 'spark.*'
+        |RETURN a.title AS t ORDER BY t""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(full === Seq("spark rocks", "sparkly")) // case-sensitive, anchored
+    // partial patterns do NOT match unless they span the whole string
+    val none = sess.run(
+      """MATCH (a:Article) WHERE a.title =~ 'spark'
+        |RETURN count(*) AS c""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head.getLong(0)
+    assert(none === 0L)
+    // case-insensitive flag syntax passes through to the Java regex engine
+    val ci = sess.run(
+      """MATCH (a:Article) WHERE a.title =~ '(?i)spark.*'
+        |RETURN count(*) AS c""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head.getLong(0)
+    assert(ci === 3L)
+  }
+
+  test("aggregates over general expressions; consecutive WITH horizons") {
+    val sess = freshSession
+    Seq("alpha beta", "gamma d").foreach { t =>
+      sess.run("MERGE (a:Article {link: $l}) SET a.title = $l", Map("l" -> t))
+    }
+    val r = sess.run(
+      """MATCH (a:Article)
+        |WITH split(a.title, ' ') AS ws
+        |WITH ws, size(ws) AS n
+        |RETURN sum(n) AS words, min(head(ws)) AS first_w,
+        |  max(size(last(ws))) AS max_last_len""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getString(1) === "alpha")
+    assert(r.getInt(2) === 4) // 'beta'
+  }
 }
