@@ -170,11 +170,20 @@ object CypherAst {
     * a comprehension, `split(…)` …). */
   final case class Unwind(expr: ReturnExpr, alias: String)
 
-  /** One pipeline stage: `UNWIND`s, `MATCH`es (+ OPTIONAL MATCHes), an
-    * optional WHERE, and an optional WITH hand-off to the next stage. */
+  /** `CALL { [WITH v1, v2] <read pipeline> RETURN items }` — a scoped
+    * subquery. With an importing WITH it executes logically per outer row
+    * (compiled set-oriented: the inner pipeline runs once over the DISTINCT
+    * imported bindings and joins back — including per-outer-row top-k via a
+    * window when the inner has ORDER BY/LIMIT). Without imports it runs
+    * once and its rows join each outer row (Neo4j's uncorrelated CALL). */
+  final case class CallSub(imports: Seq[String], inner: MatchStatement)
+
+  /** One pipeline stage: `UNWIND`s, `CALL { }` subqueries, `MATCH`es
+    * (+ OPTIONAL MATCHes), an optional WHERE, and an optional WITH
+    * hand-off to the next stage. */
   final case class MatchStage(paths: Seq[PathPat], optPaths: Seq[PathPat],
     where: Option[BoolExpr], withClause: Option[WithClause],
-    unwinds: Seq[Unwind] = Nil)
+    unwinds: Seq[Unwind] = Nil, calls: Seq[CallSub] = Nil)
 
   final case class MatchStatement(stages: Seq[MatchStage],
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],

@@ -15,7 +15,7 @@ object CypherParser {
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
     "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
-    "THEN", "ELSE", "END", "IN", "UNION", "ALL", "EXISTS")
+    "THEN", "ELSE", "END", "IN", "UNION", "ALL", "EXISTS", "CALL")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
@@ -103,7 +103,7 @@ object CypherParser {
     def statement(): Statement = peek match {
       // a bare `RETURN <expr>` query (Neo4j's calculator form)
       case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) |
-           Some(Kw("RETURN")) =>
+           Some(Kw("RETURN")) | Some(Kw("CALL")) =>
         val first = matchStatement()
         if (!peek.contains(Kw("UNION"))) first
         else first match {
@@ -147,16 +147,33 @@ object CypherParser {
           expectKw("AS")
           unwinds += Unwind(e, ident())
         }
+        val calls = ArrayBuffer.empty[CallSub]
+        while (peek.contains(Kw("CALL"))) {
+          next(); expectSym("{")
+          // importing WITH: bare variable names only (Neo4j's rule)
+          val imports =
+            if (peek.contains(Kw("WITH"))) {
+              next()
+              val vs = ArrayBuffer(ident())
+              while (peek.contains(Sym(","))) { next(); vs += ident() }
+              vs.toSeq
+            } else Nil
+          matchStatement() match {
+            case inner: MatchStatement => calls += CallSub(imports, inner)
+            case _ => fail("CALL { } must contain a read pipeline")
+          }
+          expectSym("}")
+        }
         val paths = ArrayBuffer.empty[PathPat]
         if (peek.contains(Kw("MATCH"))) {
           next()
           paths += path()
           while (peek.contains(Sym(","))) { next(); paths += path() }
-        } else if (unwinds.isEmpty && !peek.contains(Kw("OPTIONAL")) &&
-            !peek.contains(Kw("WITH")))
+        } else if (unwinds.isEmpty && calls.isEmpty &&
+            !peek.contains(Kw("OPTIONAL")) && !peek.contains(Kw("WITH")))
           // a bare WITH is a legal stage: consecutive projection horizons
           // (`WITH … WITH …`) re-shape without a fresh MATCH
-          fail(s"expected UNWIND, MATCH, OPTIONAL MATCH, WITH or RETURN, got $peek")
+          fail(s"expected UNWIND, CALL, MATCH, OPTIONAL MATCH, WITH or RETURN, got $peek")
         val optPaths = ArrayBuffer.empty[PathPat]
         while (peek.contains(Kw("OPTIONAL"))) {
           next(); expectKw("MATCH")
@@ -200,11 +217,12 @@ object CypherParser {
               wDistinct))
           } else None
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
-          unwinds.toSeq)
+          unwinds.toSeq, calls.toSeq)
         if (withClause.isEmpty && !pipelineEnd(peek) &&
             !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")) &&
-            !peek.contains(Kw("OPTIONAL")))
-          fail(s"expected WITH, MATCH, UNWIND, RETURN or a write clause, got $peek")
+            !peek.contains(Kw("OPTIONAL")) && !peek.contains(Kw("CALL")) &&
+            !peek.contains(Sym("}")))
+          fail(s"expected WITH, MATCH, UNWIND, CALL, RETURN or a write clause, got $peek")
       }
       if (!peek.contains(Kw("RETURN")))
         return updateTail(stages.toSeq)

@@ -995,6 +995,111 @@ final class CypherSession(
       scalarVars += u.alias
     }
 
+    /** `CALL { }` subquery. Uncorrelated: the inner pipeline compiles
+      * standalone and its rows join every outer row (it runs ONCE — Neo4j
+      * semantics). Correlated (`CALL { WITH p … }`): set-oriented per-row
+      * execution — the inner pipeline runs over the DISTINCT imported
+      * bindings, aggregates group by the imported ids, inner ORDER
+      * BY/SKIP/LIMIT become a per-binding window top-k (the distributed
+      * form of "top 3 per publisher"), and the result joins back on the
+      * imported ids. A pure-aggregate inner left-joins (count→0, sum→0 on
+      * empty groups, as Neo4j returns); row-returning inners inner-join
+      * (a row with no inner rows is eliminated, as in Neo4j). */
+    def applyCall(cs: CallSub): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      if (cs.imports.isEmpty) {
+        val innerDf = compileMatch(cs.inner, params)
+        df = if (df == null) innerDf else df.crossJoin(innerDf)
+        scalarVars ++= cs.inner.ret.map(_.name)
+      } else {
+        require(df != null, "CALL { WITH … } needs bound rows to import from")
+        def colsOf(v: String): Seq[String] =
+          if (scalarVars.contains(v)) Seq(v)
+          else {
+            val entity = df.columns.filter(_.startsWith(s"${v}__")).toSeq
+            require(entity.nonEmpty, s"CALL { } imports unbound variable '$v'")
+            entity
+          }
+        def idColOf(v: String): String =
+          if (scalarVars.contains(v)) v
+          else if (df.columns.contains(s"${v}__id")) s"${v}__id"
+          else s"${v}__src"
+        val importCols = cs.imports.flatMap(colsOf).distinct
+        val idCols = cs.imports.map(idColOf).distinct
+
+        val savedDf = df; val savedBound = bound; val savedScalar = scalarVars
+        // dedup on the identity columns only — props is a MAP (no set ops)
+        df = savedDf.select(importCols.map(col): _*).dropDuplicates(idCols)
+        bound = cs.imports.filterNot(savedScalar.contains).toSet
+        scalarVars = cs.imports.filter(savedScalar.contains).toSet
+
+        cs.inner.stages.foreach { st =>
+          st.unwinds.foreach(applyUnwind)
+          st.calls.foreach(applyCall)
+          st.paths.foreach(compilePath(_, optional = false))
+          st.optPaths.foreach(compilePath(_, optional = true))
+          st.where.foreach(applyWhere)
+          st.withClause.foreach(applyWith)
+        }
+        val ret = cs.inner.ret
+        val (aggItems, keyItems) = ret.partition(i => containsAgg(i.expr))
+        val idKeep = idCols.map(c => col(c).as(s"__call_$c"))
+        val paginated = cs.inner.orderBy.nonEmpty || cs.inner.limit.nonEmpty ||
+          cs.inner.skip.nonEmpty
+        var inner =
+          if (aggItems.isEmpty) df.select(
+            idKeep ++ ret.map(i => itemCol(i.expr).as(i.name)): _*)
+          else {
+            require(!paginated, "ORDER BY/SKIP/LIMIT combined with " +
+              "aggregation inside a correlated CALL { } is not supported")
+            val aggCols = aggItems.map(i => itemCol(i.expr).as(i.name))
+            df.groupBy(idKeep ++ keyItems.map(i =>
+              itemCol(i.expr).as(i.name)): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+              .select((idCols.map(c => col(s"__call_$c")) ++
+                ret.map(i => col(i.name))): _*)
+          }
+        if (aggItems.isEmpty && paginated) {
+          require(cs.inner.orderBy.nonEmpty,
+            "LIMIT/SKIP inside a correlated CALL { } needs ORDER BY — an " +
+              "unordered per-row limit is nondeterministic")
+          val orderCols = cs.inner.orderBy.map { o =>
+            val c = o.key match {
+              case Left(name) => col(name)
+              case Right(PropRef(v, p)) => ret.collectFirst {
+                case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
+                  col(item.name)
+              }.getOrElse(throw new IllegalArgumentException(
+                s"ORDER BY $v.$p must appear in the CALL's RETURN"))
+            }
+            if (o.ascending) c.asc else c.desc
+          }
+          val w = Window.partitionBy(idCols.map(c => col(s"__call_$c")): _*)
+            .orderBy(orderCols: _*)
+          val lo = cs.inner.skip.getOrElse(0)
+          val hi = cs.inner.limit.map(l => lo.toLong + l).getOrElse(Long.MaxValue)
+          inner = inner.withColumn("__call_rn", row_number().over(w))
+            .filter(col("__call_rn") > lo && col("__call_rn") <= hi)
+            .drop("__call_rn")
+        }
+        df = savedDf; bound = savedBound; scalarVars = savedScalar
+        val joinType = if (keyItems.isEmpty && aggItems.nonEmpty) "left" else "inner"
+        val cond = idCols.map(c => col(c) === inner(s"__call_$c")).reduce(_ && _)
+        var joined = df.join(inner, cond, joinType)
+        if (joinType == "left") ret.foreach { i =>
+          i.expr match {
+            case RetAgg("count", _, _) | RetAggExpr("count", _, _) =>
+              joined = joined.withColumn(i.name, coalesce(col(i.name), lit(0L)))
+            case RetAgg("sum", _, _) | RetAggExpr("sum", _, _) =>
+              joined = joined.withColumn(i.name, coalesce(col(i.name), lit(0.0)))
+            case _ => // min/max/avg/collect of an empty group stay null
+          }
+        }
+        df = joined.drop(idCols.map(c => s"__call_$c"): _*)
+        scalarVars = savedScalar ++ ret.map(_.name)
+      }
+    }
+
     /** Compile a subquery pattern standalone (fresh binding scope), apply
       * its inner WHERE, and hand back (rows, bound vars) with the outer
       * scope restored. Shared machinery for EXISTS {} and COUNT {}. */
@@ -1081,6 +1186,7 @@ final class CypherSession(
 
     m.stages.foreach { st =>
       st.unwinds.foreach(applyUnwind)
+      st.calls.foreach(applyCall)
       st.paths.foreach(compilePath(_, optional = false))
       st.optPaths.foreach(compilePath(_, optional = true))
       st.where.toSeq.flatMap(collectCountSubsBool).foreach(materializeCountSub)

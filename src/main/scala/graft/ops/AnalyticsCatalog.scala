@@ -638,6 +638,65 @@ object AnalyticsCatalog {
            |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
            |FROM a ORDER BY doc_id""".stripMargin))
 
+  private val t14 = Entry("t14_corpus_pipeline",
+    (s, dir) => {
+      // The composed training-corpus pipeline, end to end in ONE plan:
+      // quality gate → exact dup collapse (min-id survivor per
+      // normalized-content hash) → deterministic split assignment →
+      // per-(split, lang) doc and token budget. Each stage is an already
+      // verified operator (t02 / d01 / t07 / t01) — this entry checks their
+      // COMPOSITION, the shape a real pipeline deploys. One scan, one
+      // window shuffle on the content hash, one aggregate shuffle; the
+      // quality gate prunes before any shuffle, so the expensive stages see
+      // only survivors. At 100 TB every stage is hash-partitioned on
+      // uniformly distributed keys — no skew, no driver state.
+      val docs = Tables(s, dir, "documents")
+      val scored = docs
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.3)
+      val survivors = scored
+        .withColumn("h", Dedup.contentHash(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      survivors
+        .select(col("lang"),
+          when(bucket < "14", "test").when(bucket < "3c", "validation")
+            .otherwise("train").as("split"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("split", "lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, lang,
+           |    regexp_split_to_array(trim(text), '\s+') AS toks,
+           |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits,
+           |    len(regexp_extract_all(text, '[.,!?;:]')) AS punct
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+           |    0.5 * (CAST(stop_hits AS DOUBLE) / len(toks))
+           |    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
+           |    + 0.2 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+           |    AS quality
+           |  FROM t),
+           |f AS (SELECT * FROM q WHERE quality >= 0.3),
+           |s AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           |    ORDER BY doc_id) AS rk
+           |  FROM f)
+           |SELECT
+           |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'test'
+           |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '3c' THEN 'validation'
+           |       ELSE 'train' END AS split,
+           |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |FROM s WHERE rk = 1
+           |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin))
+
   // ------------------------------------------------------------- vectors --
 
   private val v01 = Entry("v01_vector_norms",
@@ -934,6 +993,30 @@ object AnalyticsCatalog {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
            |FROM dau d LEFT JOIN nu ON d.day = nu.day
            |ORDER BY d.day""".stripMargin))
+
+  private val s08 = Entry("s08_stream_static_enrich",
+    (s, dir) => {
+      // Stream-static enrichment, batch twin: each event joined to the
+      // static customer dimension (user_id = custkey) and rolled up per
+      // (market segment, event type). The dim side is BROADCAST — in the
+      // streaming form (StreamingSpec runs the readStream twin) Spark
+      // re-broadcasts the static side per micro-batch and the stream side
+      // never shuffles, which is exactly the 100 TB shape: a fact stream
+      // enriched by a small dimension must never hash-partition the fact.
+      val ev = Tables(s, dir, "events")
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      ev.join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        .orderBy("segment", "event_type")
+    },
+    Some("""SELECT c.c_mktsegment AS segment, e.event_type,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin))
 
   // ----------------------------------------------------- ingest dataflow --
 
@@ -1712,6 +1795,39 @@ object AnalyticsCatalog {
            |WHERE regexp_full_match(substring(text,1,30), '(the|a) .*')
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val c31 = Entry("c31_cypher_call_subquery",
+    (s, dir) => {
+      // CALL { } subqueries, both workhorse shapes chained in one query:
+      // a correlated aggregate (per-publisher English count — grouped once
+      // by the imported ids and left-joined back, count 0 on empty groups)
+      // and a correlated top-k (first 2 titles per publisher — a window
+      // over the imported id, the distributed form of "top N per group";
+      // never a per-row re-execution).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |CALL { WITH p MATCH (a:Article)-[:WRITTEN_BY]->(p)
+                 |       WHERE a.lang = 'en' RETURN count(a) AS n_en }
+                 |CALL { WITH p MATCH (b:Article)-[:WRITTEN_BY]->(p)
+                 |       RETURN b.title AS title ORDER BY title LIMIT 2 }
+                 |RETURN p.name AS pub, n_en, title
+                 |ORDER BY pub, title""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH en AS (
+           |  SELECT source, COUNT(*) FILTER (lang = 'en') AS n_en
+           |  FROM documents GROUP BY source),
+           |top2 AS (
+           |  SELECT source, title FROM (
+           |    SELECT source, substring(text, 1, 30) AS title,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY substring(text, 1, 30)) AS rn
+           |    FROM documents) WHERE rn <= 2)
+           |SELECT e.source AS pub, e.n_en, t.title
+           |FROM en e JOIN top2 t ON e.source = t.source
+           |ORDER BY pub, title""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2014,14 +2130,14 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06, v07,
-    s01, s02, s03, s04, s05, s06, s07,
+    s01, s02, s03, s04, s05, s06, s07, s08,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30,
+    c28, c29, c30, c31,
     x01, x02, x03, x04, x05,
     m01, m02, m03, m04)
 }

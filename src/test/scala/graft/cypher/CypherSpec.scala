@@ -1116,6 +1116,65 @@ class CypherSpec extends SparkTestBase {
     assert(ci === 3L)
   }
 
+  test("CALL { WITH … }: correlated aggregate, empty groups keep the row with count 0") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("alice", "flink"), ("bob", "spark")).foreach { case (u, t) =>
+      sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                 |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+        Map("u" -> u, "t" -> t))
+    }
+    sess.run("MERGE (u:User {name: 'carol'})") // no interests
+    val rows = sess.run(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:INTERESTED_IN]->(t:Tech) RETURN count(t) AS n }
+        |RETURN u.name AS name, n ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("alice", 2L), ("bob", 1L), ("carol", 0L)))
+  }
+
+  test("CALL { WITH … } with ORDER BY/LIMIT: per-outer-row top-k via a window") {
+    val sess = freshSession
+    Seq("alice" -> Seq("c", "a", "b"), "bob" -> Seq("z", "y")).foreach { case (u, ts) =>
+      ts.foreach { t =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> t))
+      }
+    }
+    val rows = sess.run(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |       RETURN t.name AS tech ORDER BY tech LIMIT 2 }
+        |RETURN u.name AS name, tech ORDER BY name, tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("alice", "a"), ("alice", "b"), ("bob", "y"), ("bob", "z")))
+    // row-returning CALL eliminates outer rows with no inner rows
+    sess.run("MERGE (u:User {name: 'carol'})")
+    val n = sess.run(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:INTERESTED_IN]->(t:Tech)
+        |       RETURN t.name AS tech ORDER BY tech LIMIT 1 }
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.count()
+    assert(n === 2) // carol dropped, alice+bob keep 1 row each
+  }
+
+  test("uncorrelated CALL { } runs once and joins every outer row") {
+    val sess = freshSession
+    Seq("a", "b", "c").foreach { u =>
+      sess.run("MERGE (u:User {name: $u})", Map("u" -> u))
+    }
+    val rows = sess.run(
+      """MATCH (u:User)
+        |CALL { MATCH (x:User) RETURN count(x) AS total }
+        |RETURN u.name AS name, total ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getLong(1) === 3L))
+  }
+
   test("aggregates over general expressions; consecutive WITH horizons") {
     val sess = freshSession
     Seq("alpha beta", "gamma d").foreach { t =>

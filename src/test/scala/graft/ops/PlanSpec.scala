@@ -139,6 +139,20 @@ class PlanSpec extends SparkTestBase {
     // before the presentation sort
     val v07 = plan("v07_int8_quantization")
     assert(!v07.replaceAll("(?s)Sort.*", "").contains("Exchange"), v07)
+    // c28's list comprehension + reduce stay higher-order expressions —
+    // no Python/Scala UDF node anywhere in the plan
+    val c28 = plan("c28_cypher_list_comprehension")
+    assert(c28.contains("transform") && c28.contains("aggregate"), c28)
+    assert(!c28.contains("BatchEvalPython") && !c28.toLowerCase.contains("scalaudf"), c28)
+    // s08 broadcasts the customer dim: the event fact is never
+    // hash-partitioned for the join
+    val s08 = plan("s08_stream_static_enrich")
+    assert(s08.contains("BroadcastHashJoin"), s08)
+    // t14's composed pipeline reads `documents` exactly ONCE — the four
+    // stages fuse into one linear plan, no self-join, no re-scan
+    val t14 = plan("t14_corpus_pipeline")
+    assert("documents\\.parquet".r.findAllIn(t14).size <= 1, t14)
+    assert(!t14.contains("CartesianProduct"), t14)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
