@@ -113,6 +113,11 @@ object CypherAst {
     * to Spark's higher-order `aggregate`. */
   final case class RetReduce(acc: String, init: ReturnExpr,
     variable: String, src: ReturnExpr, body: ReturnExpr) extends ReturnExpr
+  /** Map projection `n {.p1, .p2}` / `n {.*}` — a MAP column of the
+    * selected properties (all=true takes the whole bag, merge key folded
+    * in). */
+  final case class RetMapProj(variable: String, props: Seq[String],
+    all: Boolean = false) extends ReturnExpr
 
   /** True when the expression tree contains an aggregate call — such an
     * item is an aggregation output, everything else is an implicit
@@ -150,6 +155,7 @@ object CypherAst {
       case RetListLit(items) => s"[${items.map(exprName).mkString(", ")}]"
       case _: RetListComp => "list_comp"
       case _: RetReduce => "reduce"
+      case _: RetMapProj => "map_proj"
     }
     def name: String = alias.getOrElse(exprName(expr))
   }

@@ -15,7 +15,7 @@ object CypherParser {
     "LIMIT", "SET", "WITH", "AS", "AND", "OR", "NOT", "ASC", "DESC", "CONTAINS",
     "OPTIONAL", "DISTINCT", "ON", "CREATE", "UNWIND", "SKIP", "DELETE",
     "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
-    "THEN", "ELSE", "END", "IN", "UNION", "ALL", "EXISTS", "CALL")
+    "THEN", "ELSE", "END", "IN", "UNION", "ALL", "EXISTS", "CALL", "FOREACH")
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
@@ -133,7 +133,8 @@ object CypherParser {
     /** Clauses that end the MATCH/UNWIND/WITH pipeline. */
     private def pipelineEnd(t: Option[Tok]): Boolean = t match {
       case Some(Kw(k)) =>
-        Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH", "MERGE", "CREATE")(k)
+        Set("RETURN", "SET", "REMOVE", "DELETE", "DETACH", "MERGE", "CREATE",
+          "FOREACH")(k)
       case _ => false
     }
 
@@ -249,7 +250,8 @@ object CypherParser {
     }
 
     /** `MATCH … SET/REMOVE/[DETACH] DELETE/MERGE` write tail. */
-    private def updateTail(stages: Seq[MatchStage]): UpdateStatement = {
+    private def updateTail(stages0: Seq[MatchStage]): UpdateStatement = {
+      var stages = stages0
       val sets = ArrayBuffer.empty[(PropRef, ReturnExpr)]
       val removes = ArrayBuffer.empty[PropRef]
       val deletes = ArrayBuffer.empty[String]
@@ -282,6 +284,21 @@ object CypherParser {
           next()
           sets += setItem()
           while (peek.contains(Sym(","))) { next(); sets += setItem() }
+        case Some(Kw("FOREACH")) =>
+          // FOREACH (x IN <list> | SET …) desugars to an UNWIND stage plus
+          // the SET items: per matched row, per list element, assign —
+          // rows whose list is empty are skipped, which is exactly Neo4j's
+          // `FOREACH (_ IN CASE WHEN cond THEN [1] ELSE [] END | SET …)`
+          // conditional-write idiom. Only SET bodies are supported.
+          next(); expectSym("(")
+          val v = ident(); expectKw("IN")
+          val listE = addExpr(); expectSym("|")
+          expectKw("SET")
+          sets += setItem()
+          while (peek.contains(Sym(","))) { next(); sets += setItem() }
+          expectSym(")")
+          stages = stages :+ MatchStage(Nil, Nil, None, None,
+            unwinds = Seq(Unwind(listE, v)))
         case Some(Kw("REMOVE")) =>
           next()
           removes += propRef()
@@ -334,12 +351,24 @@ object CypherParser {
           case t => fail(s"expected {{ or ( after EXISTS, got $t")
         }
       case Some(Sym("(")) =>
-        // '(' is ambiguous: a grouped boolean (`(a.x > 1) OR …`) or a
-        // parenthesized arithmetic operand (`(a.x + 1) > 2`). Try the
-        // boolean reading; on failure rewind and parse a comparison.
+        // '(' is ambiguous: a grouped boolean (`(a.x > 1) OR …`), a bare
+        // pattern predicate (`WHERE (a)-[:R]->(b)` — Neo4j's shorthand for
+        // EXISTS), or a parenthesized arithmetic operand (`(a.x + 1) > 2`).
+        // Try the boolean reading; then the pattern (it must have at least
+        // one relationship); finally a comparison.
         val save = pos
         try { next(); val e = boolExpr(); expectSym(")"); e }
-        catch { case _: IllegalArgumentException => pos = save; Cmp(predicate()) }
+        catch {
+          case _: IllegalArgumentException =>
+            pos = save
+            try {
+              val p = path()
+              if (p.edges.isEmpty) fail("a pattern predicate needs a relationship")
+              ExistsPat(p, None)
+            } catch {
+              case _: IllegalArgumentException => pos = save; Cmp(predicate())
+            }
+        }
       case _ => Cmp(predicate())
     }
 
@@ -692,6 +721,20 @@ object CypherParser {
           pos + 1 < ts.length && ts(pos + 1) == Sym(")") =>
         // zero-arg function call (datetime()) — a Value-grammar leaf
         next(); next(); RetLit(FnCall(fn.toLowerCase))
+      case Ident(v) if peek.contains(Sym("{")) &&
+          pos + 1 < ts.length && ts(pos + 1) == Sym(".") =>
+        // map projection: v {.p1, .p2} or v {.*}
+        next() // {
+        var all = false
+        val props = ArrayBuffer.empty[String]
+        def item(): Unit = {
+          expectSym(".")
+          if (peek.contains(Sym("*"))) { next(); all = true } else props += ident()
+        }
+        item()
+        while (peek.contains(Sym(","))) { next(); item() }
+        expectSym("}")
+        RetMapProj(v, props.toSeq, all)
       case Ident(v) if peek.contains(Sym(".")) =>
         next(); RetProp(PropRef(v, ident()))
       case Ident(v) => RetVar(v)

@@ -859,6 +859,9 @@ final class CypherSession(
           case "last" => element_at(c, -1)
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
+      case RetMapProj(v, props, all) =>
+        if (all) entityPropsCol(v)
+        else map(props.flatMap(p => Seq(lit(p), propCol(v, p))): _*)
       case RetListLit(items) => array(items.map(itemCol): _*)
       case RetListComp(v, src, where, proj) =>
         // higher-order filter/transform: the lambda body is compiled by the

@@ -714,6 +714,34 @@ object AnalyticsCatalog {
            |  CAST(embedding[1] AS DOUBLE) AS first_val
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  private val v08 = Entry("v08_matryoshka_energy",
+    (s, dir) => {
+      // Matryoshka-style truncation audit: how much L2 energy the first 16
+      // dimensions of each embedding retain — the go/no-go check before
+      // serving truncated vectors from an MRL-trained model. Pure per-row
+      // arithmetic over the codegen'd dot-product expression; at 100 TB
+      // this is a map-only pass, no shuffle before the presentation sort.
+      import graft.functions.VectorFunctions
+      val emb = Tables(s, dir, "embeddings")
+      val t16 = slice(col("embedding"), 1, 16)
+      emb.select(col("vec_id"),
+        VectorFunctions.norm(col("embedding")).as("norm_full"),
+        VectorFunctions.norm(t16).as("norm_16"),
+        (VectorFunctions.normSq(t16) / VectorFunctions.normSq(col("embedding")))
+          .as("energy_16"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+           |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |       (p,q) -> p + q)) AS norm_full,
+           |  sqrt(list_reduce(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * x),
+           |       (p,q) -> p + q)) AS norm_16,
+           |  list_reduce(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * x),
+           |       (p,q) -> p + q)
+           |  / list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |       (p,q) -> p + q) AS energy_16
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
   private val v02 = Entry("v02_cosine_topk",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1828,6 +1856,27 @@ object AnalyticsCatalog {
            |FROM en e JOIN top2 t ON e.source = t.source
            |ORDER BY pub, title""".stripMargin))
 
+  private val c32 = Entry("c32_cypher_foreach_conditional",
+    (s, dir) => {
+      // FOREACH's conditional-write idiom (the empty-list skip), then a
+      // read-back: tag English articles, count by tag. The FOREACH
+      // desugars to an UNWIND stage feeding the set-oriented SET merge —
+      // one id-keyed join against the store, never per-row round trips.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |FOREACH (x IN CASE WHEN a.lang = 'en' THEN [1] ELSE [] END |
+                 |  SET a.is_en = 'y')""".stripMargin)
+      sess.run("""MATCH (a:Article)
+                 |RETURN coalesce(a.is_en, 'n') AS is_en, count(*) AS n_docs
+                 |ORDER BY is_en""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CASE WHEN lang = 'en' THEN 'y' ELSE 'n' END AS is_en,
+           |  COUNT(*) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY is_en""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -1961,6 +2010,63 @@ object AnalyticsCatalog {
            |FROM pairs ab
            |JOIN pairs bc ON ab.id_b = bc.id_a
            |JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b""".stripMargin))
+
+  private val x06 = Entry("x06_local_clustering",
+    (s, dir) => {
+      // Per-node local clustering coefficient over the exact near-dup pair
+      // graph: 2·t(u) / (deg(u)·(deg(u)−1)), where t(u) counts connected
+      // neighbor pairs. Pure DataFrame joins — the neighbor-pair candidate
+      // join keys on the hub node and the closing edge probes the ORDERED
+      // pair list, so work is Σ deg² (the same bound as any triangle
+      // enumeration), hash-partitioned on node id at every step; no
+      // GraphX round trip, no driver state. deg<2 nodes report 0.0, as
+      // networkx does.
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        blockCol = "source", shingleN = 1, threshold = 0.9)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      val cand = und.select(col("u"), col("v").as("n1"))
+        .join(und.select(col("u"), col("v").as("n2")), Seq("u"))
+        .filter(col("n1") < col("n2"))
+      val tri = cand.join(pairs,
+          cand("n1") === pairs("id_a") && cand("n2") === pairs("id_b"))
+        .groupBy("u").agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("u"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .select(col("u").as("doc_id"), col("deg"), col("tri"),
+          when(col("deg") < 2, lit(0.0))
+            .otherwise((col("tri") * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+            .as("clustering"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+           |und AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+           |tri AS (
+           |  SELECT a.u, COUNT(*) AS tri
+           |  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+           |  JOIN pairs p ON p.id_a = a.v AND p.id_b = b.v
+           |  GROUP BY a.u)
+           |SELECT d.u AS doc_id, d.deg, COALESCE(tri.tri, 0) AS tri,
+           |  CASE WHEN d.deg < 2 THEN 0.0
+           |       ELSE CAST(COALESCE(tri.tri, 0) * 2 AS DOUBLE)
+           |            / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clustering
+           |FROM deg d LEFT JOIN tri ON d.u = tri.u
+           |ORDER BY doc_id""".stripMargin))
 
   private val t09 = Entry("t09_vocabulary_doc_freq",
     (s, dir) => {
@@ -2132,12 +2238,12 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    v01, v02, v03, v04, v05, v06, v07,
+    v01, v02, v03, v04, v05, v06, v07, v08,
     s01, s02, s03, s04, s05, s06, s07, s08,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31,
-    x01, x02, x03, x04, x05,
+    c28, c29, c30, c31, c32,
+    x01, x02, x03, x04, x05, x06,
     m01, m02, m03, m04)
 }

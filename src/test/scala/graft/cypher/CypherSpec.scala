@@ -1116,6 +1116,69 @@ class CypherSpec extends SparkTestBase {
     assert(ci === 3L)
   }
 
+  test("FOREACH (x IN list | SET …): per-element writes and the conditional-write idiom") {
+    val sess = freshSession
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.score = '5'")
+    sess.run("MERGE (a:Article {link: 'd2'}) SET a.score = '1'")
+    // the classic conditional write: empty list = skip the row
+    sess.run(
+      """MATCH (a:Article)
+        |FOREACH (x IN CASE WHEN toInteger(a.score) > 3 THEN [1] ELSE [] END |
+        |  SET a.tier = 'high')""".stripMargin)
+    val tiers = sess.run(
+      """MATCH (a:Article)
+        |RETURN a.link AS link, coalesce(a.tier, 'none') AS tier
+        |ORDER BY link""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tiers === Seq(("d1", "high"), ("d2", "none")))
+    // element-referencing body: the unwound variable feeds the SET value
+    sess.run(
+      """MATCH (a:Article {link: 'd2'})
+        |FOREACH (x IN [10] | SET a.score = toString(x))""".stripMargin)
+    val s2 = sess.run("MATCH (a:Article {link: 'd2'}) RETURN a.score AS s")
+      .asInstanceOf[CypherRows].df.collect().head.getString(0)
+    assert(s2 === "10")
+  }
+
+  test("bare pattern predicates: WHERE (a)-[:R]->(b) is EXISTS shorthand") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("bob", "flink")).foreach { case (u, t) =>
+      sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                 |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+        Map("u" -> u, "t" -> t))
+    }
+    sess.run("MERGE (u:User {name: 'carol'})")
+    val has = sess.run(
+      """MATCH (u:User) WHERE (u)-[:INTERESTED_IN]->(:Tech)
+        |RETURN u.name AS name ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(has === Seq("alice", "bob"))
+    val hasNot = sess.run(
+      """MATCH (u:User) WHERE NOT (u)-[:INTERESTED_IN]->(:Tech)
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(hasNot === Seq("carol"))
+    // combined with a plain conjunct
+    val both = sess.run(
+      """MATCH (u:User) WHERE (u)-[:INTERESTED_IN]->(:Tech) AND u.name STARTS WITH 'a'
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(both === Seq("alice"))
+  }
+
+  test("map projections: n {.p1, .p2} and n {.*}") {
+    val sess = freshSession
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'T', a.lang = 'en'")
+    val r = sess.run(
+      """MATCH (a:Article)
+        |RETURN a {.title, .lang} AS slim, a {.*} AS full""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getMap[String, String](0).toMap === Map("title" -> "T", "lang" -> "en"))
+    assert(r.getMap[String, String](1).toMap ===
+      Map("link" -> "d1", "title" -> "T", "lang" -> "en"))
+  }
+
   test("CALL { WITH … }: correlated aggregate, empty groups keep the row with count 0") {
     val sess = freshSession
     Seq(("alice", "spark"), ("alice", "flink"), ("bob", "spark")).foreach { case (u, t) =>
