@@ -118,6 +118,13 @@ object CypherAst {
     * in). */
   final case class RetMapProj(variable: String, props: Seq[String],
     all: Boolean = false) extends ReturnExpr
+  /** List index `xs[i]` — 0-based; negative indexes from the end, out of
+    * range is NULL (Cypher semantics). */
+  final case class RetIndex(src: ReturnExpr, idx: ReturnExpr) extends ReturnExpr
+  /** List slice `xs[a..b]` — 0-based, end-exclusive; either bound may be
+    * omitted (`xs[..2]`, `xs[2..]`). */
+  final case class RetSlice(src: ReturnExpr, lo: Option[ReturnExpr],
+    hi: Option[ReturnExpr]) extends ReturnExpr
 
   /** True when the expression tree contains an aggregate call — such an
     * item is an aggregation output, everything else is an implicit
@@ -132,6 +139,9 @@ object CypherAst {
     case RetListLit(items) => items.exists(containsAgg)
     case RetListComp(_, src, _, _) => containsAgg(src)
     case RetReduce(_, init, _, src, _) => containsAgg(init) || containsAgg(src)
+    case RetIndex(src, idx) => containsAgg(src) || containsAgg(idx)
+    case RetSlice(src, lo, hi) => containsAgg(src) ||
+      lo.exists(containsAgg) || hi.exists(containsAgg)
     case _ => false
   }
 
@@ -156,10 +166,17 @@ object CypherAst {
       case _: RetListComp => "list_comp"
       case _: RetReduce => "reduce"
       case _: RetMapProj => "map_proj"
+      case RetIndex(s, i) => s"${exprName(s)}[${exprName(i)}]"
+      case _: RetSlice => "slice"
     }
     def name: String = alias.getOrElse(exprName(expr))
   }
-  final case class OrderItem(key: Either[String, PropRef], ascending: Boolean)
+  /** ORDER BY key: a bare alias, a property ref, or (when `expr` is set) a
+    * full scalar expression (`ORDER BY count(*) DESC`, `ORDER BY
+    * size(ws)`); expression keys matching a projected item sort its output
+    * column, others are computed as hidden sort columns and dropped. */
+  final case class OrderItem(key: Either[String, PropRef], ascending: Boolean,
+    expr: Option[ReturnExpr] = None)
 
   sealed trait Statement
 

@@ -645,7 +645,37 @@ object CypherParser {
       }
       e
     }
-    private def factor(): ReturnExpr = next() match {
+    /** postfix `[i]` index / `[a..b]` slice chain after any factor. */
+    private def factor(): ReturnExpr = {
+      var e = factorBase()
+      while (peek.contains(Sym("["))) {
+        next()
+        // `[..hi]`, `[lo..]`, `[lo..hi]`, or `[idx]` — `..` lexes as two
+        // Sym(".") tokens
+        def dots(): Boolean =
+          if (peek.contains(Sym(".")) && pos + 1 < ts.length &&
+              ts(pos + 1) == Sym(".")) { next(); next(); true }
+          else false
+        if (dots()) { // [..hi]
+          val hi = if (peek.contains(Sym("]"))) None else Some(addExpr())
+          expectSym("]")
+          e = RetSlice(e, None, hi)
+        } else {
+          val first = addExpr()
+          if (dots()) {
+            val hi = if (peek.contains(Sym("]"))) None else Some(addExpr())
+            expectSym("]")
+            e = RetSlice(e, Some(first), hi)
+          } else {
+            expectSym("]")
+            e = RetIndex(e, first)
+          }
+        }
+      }
+      e
+    }
+
+    private def factorBase(): ReturnExpr = next() match {
       case Sym("-") => RetBin("-", RetLit(NumLit(0, isInt = true)), factor())
       case Sym("(") => val e = addExpr(); expectSym(")"); e
       case Kw("CASE") => caseExpr()
@@ -767,18 +797,17 @@ object CypherParser {
     }
 
     private def orderItem(): OrderItem = {
-      val key = next() match {
-        case Ident(v) if peek.contains(Sym(".")) =>
-          next(); Right(PropRef(v, ident()))
-        case Ident(v) => Left(v)
-        case t => fail(s"expected order key, got $t")
-      }
+      val e = addExpr()
       val asc = peek match {
         case Some(Kw("DESC")) => next(); false
         case Some(Kw("ASC")) => next(); true
         case _ => true
       }
-      OrderItem(key, asc)
+      e match {
+        case RetVar(v) => OrderItem(Left(v), asc)
+        case RetProp(pr) => OrderItem(Right(pr), asc)
+        case other => OrderItem(Left("__ord_expr"), asc, Some(other))
+      }
     }
 
     /** `n.prop = <scalar expression>` — MATCH-driven SET takes the full

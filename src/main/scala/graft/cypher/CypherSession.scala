@@ -46,14 +46,20 @@ final class CypherSession(
         if (!u.all) out = out.distinct()
         if (last.orderBy.nonEmpty) {
           val keys = last.orderBy.map { o =>
-            val c = o.key match {
-              case Left(name) => col(name)
-              case Right(PropRef(v, p)) =>
-                last.ret.collectFirst {
-                  case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
-                    col(item.name)
-                }.getOrElse(throw new IllegalArgumentException(
-                  s"ORDER BY $v.$p must appear in RETURN"))
+            val c = o.expr match {
+              case Some(e) => last.ret.collectFirst {
+                case item if item.expr == e => col(item.name)
+              }.getOrElse(throw new IllegalArgumentException(
+                "a UNION's trailing ORDER BY expression must appear in RETURN"))
+              case None => o.key match {
+                case Left(name) => col(name)
+                case Right(PropRef(v, p)) =>
+                  last.ret.collectFirst {
+                    case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
+                      col(item.name)
+                  }.getOrElse(throw new IllegalArgumentException(
+                    s"ORDER BY $v.$p must appear in RETURN"))
+              }
             }
             if (o.ascending) c.asc else c.desc
           }
@@ -794,7 +800,7 @@ final class CypherSession(
               size(c)
             case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys",
               "range")(f2) => size(c)
-            case _: RetListLit | _: RetListComp => size(c)
+            case _: RetListLit | _: RetListComp | _: RetSlice => size(c)
             case _ => length(c)
           }
           case "coalesce" => coalesce(fnArgs.map(itemCol): _*)
@@ -879,6 +885,20 @@ final class CypherSession(
       case RetReduce(acc, init, v, src, body) =>
         aggregate(itemCol(src), itemCol(init),
           (a, x) => inLambda(acc -> a, v -> x)(itemCol(body)))
+      case RetIndex(src, idx) =>
+        // Cypher: 0-based, negative from the end, out-of-range → NULL.
+        // `get` is Spark's 0-based null-safe accessor; element_at handles
+        // the negative (from-end) branch
+        val c0 = itemCol(src)
+        val i = itemCol(idx).cast("int")
+        when(i < 0, element_at(c0, i)).otherwise(get(c0, i))
+      case RetSlice(src, lo, hi) =>
+        // 0-based, end-exclusive → slice(1-based start, length); an
+        // omitted bound falls to the list's edge
+        val c0 = itemCol(src)
+        val loC = lo.map(e => itemCol(e).cast("int")).getOrElse(lit(0))
+        val hiC = hi.map(e => itemCol(e).cast("int")).getOrElse(size(c0))
+        slice(c0, loC + 1, greatest(hiC - loC, lit(0)))
       case a: RetAgg => aggCol(a)
       case RetAggExpr(fn, arg, distinct) => aggOf(fn, itemCol(arg), distinct)
       case cs: RetCountSub =>
@@ -963,9 +983,14 @@ final class CypherSession(
       // pagination of the projected rows, then the trailing WHERE
       if (wc.orderBy.nonEmpty) {
         val keys = wc.orderBy.map { o =>
-          val c = o.key match {
-            case Left(name) => col(name)
-            case Right(PropRef(v, p)) => propCol(v, p)
+          val c = o.expr match {
+            // expression key — compiled in the horizon's scope (aliases
+            // after an aggregation, full bindings after a projection)
+            case Some(e) => itemCol(e)
+            case None => o.key match {
+              case Left(name) => col(name)
+              case Right(PropRef(v, p)) => propCol(v, p)
+            }
           }
           if (o.ascending) c.asc else c.desc
         }
@@ -1067,13 +1092,19 @@ final class CypherSession(
             "LIMIT/SKIP inside a correlated CALL { } needs ORDER BY — an " +
               "unordered per-row limit is nondeterministic")
           val orderCols = cs.inner.orderBy.map { o =>
-            val c = o.key match {
-              case Left(name) => col(name)
-              case Right(PropRef(v, p)) => ret.collectFirst {
-                case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
-                  col(item.name)
+            val c = o.expr match {
+              case Some(e) => ret.collectFirst {
+                case item if item.expr == e => col(item.name)
               }.getOrElse(throw new IllegalArgumentException(
-                s"ORDER BY $v.$p must appear in the CALL's RETURN"))
+                "a correlated CALL's ORDER BY expression must appear in its RETURN"))
+              case None => o.key match {
+                case Left(name) => col(name)
+                case Right(PropRef(v, p)) => ret.collectFirst {
+                  case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
+                    col(item.name)
+                }.getOrElse(throw new IllegalArgumentException(
+                  s"ORDER BY $v.$p must appear in the CALL's RETURN"))
+              }
             }
             if (o.ascending) c.asc else c.desc
           }
@@ -1205,9 +1236,24 @@ final class CypherSession(
     // a bare `RETURN <expr>` query evaluates over one seed row
     if (df == null) df = graph.nodes.sparkSession.range(1).toDF("__seed")
 
-    val (aggItems, keyItems) = m.ret.partition(i => containsAgg(i.expr))
+    // expression ORDER BY keys that don't match a projected item become
+    // hidden sort columns, computed alongside the projection and dropped
+    // after the sort (aggregate expressions join the aggregation list,
+    // scalar ones the grouping keys — same groups, since they're functions
+    // of the keys)
+    val hiddenOrd: Seq[(OrderItem, ReturnItem)] =
+      m.orderBy.zipWithIndex.collect {
+        case (o @ OrderItem(_, _, Some(e)), i)
+            if !m.ret.exists(_.expr == e) =>
+          o -> ReturnItem(e, Some(s"__ord_$i"))
+      }
+    require(hiddenOrd.isEmpty || !m.distinct,
+      "ORDER BY in a DISTINCT query must sort projected items")
+    val retAll = m.ret ++ hiddenOrd.map(_._2)
+
+    val (aggItems, keyItems) = retAll.partition(i => containsAgg(i.expr))
     var out =
-      if (aggItems.isEmpty) df.select(m.ret.map(i => itemCol(i.expr).as(i.name)): _*)
+      if (aggItems.isEmpty) df.select(retAll.map(i => itemCol(i.expr).as(i.name)): _*)
       else {
         // Cypher's implicit grouping: every non-aggregate return item is a key
         val aggCols = aggItems.map(i => itemCol(i.expr).as(i.name))
@@ -1216,20 +1262,28 @@ final class CypherSession(
           else df.groupBy(keyItems.map(i => itemCol(i.expr).as(i.name)): _*)
             .agg(aggCols.head, aggCols.tail: _*)
         // restore the declared column order
-        grouped.select(m.ret.map(i => col(i.name)): _*)
+        grouped.select(retAll.map(i => col(i.name)): _*)
       }
     if (m.distinct) out = out.distinct()
 
     if (m.orderBy.nonEmpty) {
       val keys = m.orderBy.map { o =>
-        val c = o.key match {
-          case Left(name) => col(name)
-          case Right(PropRef(v, p)) =>
-            // order on the RETURN alias carrying this property
-            m.ret.collectFirst {
-              case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) => col(item.name)
-            }.getOrElse(throw new IllegalArgumentException(
-              s"ORDER BY $v.$p must appear in RETURN"))
+        val c = o.expr match {
+          case Some(e) =>
+            hiddenOrd.collectFirst { case (`o`, item) => col(item.name) }
+              .orElse(m.ret.collectFirst {
+                case item if item.expr == e => col(item.name)
+              })
+              .getOrElse(throw new IllegalStateException("unresolved ORDER BY"))
+          case None => o.key match {
+            case Left(name) => col(name)
+            case Right(PropRef(v, p)) =>
+              // order on the RETURN alias carrying this property
+              m.ret.collectFirst {
+                case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) => col(item.name)
+              }.getOrElse(throw new IllegalArgumentException(
+                s"ORDER BY $v.$p must appear in RETURN"))
+          }
         }
         if (o.ascending) c.asc else c.desc
       }
@@ -1237,6 +1291,7 @@ final class CypherSession(
     }
     m.skip.foreach(n => out = out.offset(n))
     m.limit.foreach(n => out = out.limit(n))
+    if (hiddenOrd.nonEmpty) out = out.drop(hiddenOrd.map(_._2.name): _*)
     out
   }
 

@@ -1877,6 +1877,27 @@ object AnalyticsCatalog {
            |  COUNT(*) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY is_en""".stripMargin))
 
+  private val c33 = Entry("c33_cypher_index_order_expr",
+    (s, dir) => {
+      // List indexing (`ws[0]`) feeding an implicit group key, ordered by
+      // an aggregate EXPRESSION (`ORDER BY count(*) DESC`) — the sort key
+      // rides the aggregated output column, no recomputation, hidden sort
+      // columns dropped from the projection.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH split(a.title, ' ') AS ws, a.lang AS lang
+                 |RETURN lang, ws[0] AS first_word, count(*) AS n
+                 |ORDER BY count(*) DESC, lang, first_word
+                 |LIMIT 20""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang, string_split(substring(text, 1, 30), ' ')[1] AS first_word,
+           |  COUNT(*) AS n
+           |FROM documents GROUP BY 1, 2
+           |ORDER BY n DESC, lang, first_word LIMIT 20""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2243,7 +2264,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32,
+    c28, c29, c30, c31, c32, c33,
     x01, x02, x03, x04, x05, x06,
     m01, m02, m03, m04)
 }

@@ -1116,6 +1116,61 @@ class CypherSpec extends SparkTestBase {
     assert(ci === 3L)
   }
 
+  test("ORDER BY expressions: aggregates, scalars, hidden sort columns dropped") {
+    val sess = freshSession
+    Seq(("alice", 3), ("bo", 1), ("carolina", 2)).foreach { case (u, n) =>
+      (1 to n).foreach { i =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> s"t$i"))
+      }
+    }
+    // ORDER BY an aggregate that IS projected — sorts its output column
+    val byCount = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t)
+        |RETURN u.name AS name, count(t) AS n ORDER BY count(t) DESC""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().map(_.getString(0)).toSeq
+    assert(byCount === Seq("alice", "carolina", "bo"))
+    // ORDER BY a scalar expression NOT projected — hidden column, dropped
+    val r = sess.run(
+      """MATCH (u:User)
+        |RETURN u.name AS name ORDER BY size(u.name) DESC""".stripMargin)
+      .asInstanceOf[CypherRows].df
+    assert(r.columns.toSeq === Seq("name"))
+    assert(r.collect().map(_.getString(0)).toSeq === Seq("carolina", "alice", "bo"))
+    // ORDER BY an aggregate NOT projected
+    val r2 = sess.run(
+      """MATCH (u:User)-[:INTERESTED_IN]->(t)
+        |RETURN u.name AS name ORDER BY count(t) ASC""".stripMargin)
+      .asInstanceOf[CypherRows].df
+    assert(r2.columns.toSeq === Seq("name"))
+    assert(r2.collect().map(_.getString(0)).toSeq === Seq("bo", "carolina", "alice"))
+  }
+
+  test("list indexing and slicing: xs[i], xs[-1], xs[a..b], open bounds") {
+    val sess = freshSession
+    val r = sess.run(
+      """RETURN range(10, 50, 10)[0] AS first, range(10, 50, 10)[-1] AS last_,
+        |  range(10, 50, 10)[9] AS oob,
+        |  range(0, 9)[2..5] AS mid, range(0, 9)[..2] AS lo_,
+        |  range(0, 9)[7..] AS hi_, size(range(0, 9)[2..5]) AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 50L)
+    assert(r.isNullAt(2)) // out of range → NULL
+    assert(r.getSeq[Long](3) === Seq(2L, 3L, 4L))
+    assert(r.getSeq[Long](4) === Seq(0L, 1L))
+    assert(r.getSeq[Long](5) === Seq(7L, 8L, 9L))
+    assert(r.getInt(6) === 3)
+    // indexing a split() property and a collect() aggregate
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'alpha beta gamma'")
+    val w = sess.run(
+      """MATCH (a:Article)
+        |RETURN split(a.title, ' ')[1] AS second,
+        |  collect(a.link)[0] AS first_link""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(w.getString(0) === "beta" && w.getString(1) === "d1")
+  }
+
   test("FOREACH (x IN list | SET …): per-element writes and the conditional-write idiom") {
     val sess = freshSession
     sess.run("MERGE (a:Article {link: 'd1'}) SET a.score = '5'")
