@@ -89,9 +89,10 @@ object CypherAst {
     distinct: Boolean = false) extends ReturnExpr
   /** Aggregate over a full scalar expression (`min(head(ws))`,
     * `sum(size(a.title))`) — the general form [[RetAgg]]'s simple-argument
-    * fast path doesn't cover. */
+    * fast path doesn't cover. `pct` carries the percentile for
+    * percentileCont/percentileDisc (Neo4j's two-argument aggregates). */
   final case class RetAggExpr(fn: String, arg: ReturnExpr,
-    distinct: Boolean = false) extends ReturnExpr
+    distinct: Boolean = false, pct: Option[Double] = None) extends ReturnExpr
   /** `COUNT { (n)-[:R]->(m) [WHERE …] }` subquery expression — the match
     * count of the subquery pattern per outer row. NOT an aggregate over the
     * current rows: it pre-materializes as a grouped count left-joined back
@@ -159,7 +160,7 @@ object CypherAst {
       case RetAgg(fn, Some(Left(v)), d) => s"$fn(${if (d) "DISTINCT " else ""}$v)"
       case RetAgg(fn, Some(Right(PropRef(v, p))), d) =>
         s"$fn(${if (d) "DISTINCT " else ""}$v.$p)"
-      case RetAggExpr(fn, a, d) =>
+      case RetAggExpr(fn, a, d, _) =>
         s"$fn(${if (d) "DISTINCT " else ""}${exprName(a)})"
       case _: RetCountSub => "count_sub"
       case RetListLit(items) => s"[${items.map(exprName).mkString(", ")}]"

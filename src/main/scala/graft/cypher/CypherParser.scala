@@ -17,7 +17,8 @@ object CypherParser {
     "DETACH", "REMOVE", "IS", "NULL", "STARTS", "ENDS", "CASE", "WHEN",
     "THEN", "ELSE", "END", "IN", "UNION", "ALL", "EXISTS", "CALL", "FOREACH")
 
-  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect")
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
     "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type",
     "substring", "split", "replace", "left", "right", "tostring",
@@ -734,11 +735,25 @@ object CypherParser {
           // full expression argument; re-derive the simple forms so the
           // rest of the pipeline keeps its fast paths
           val e = addExpr()
-          expectSym(")")
-          e match {
-            case RetVar(v) => RetAgg(fn.toLowerCase, Some(Left(v)), distinct)
-            case RetProp(pr) => RetAgg(fn.toLowerCase, Some(Right(pr)), distinct)
-            case other => RetAggExpr(fn.toLowerCase, other, distinct)
+          val lf = fn.toLowerCase
+          if (lf == "percentilecont" || lf == "percentiledisc") {
+            // Neo4j's two-argument aggregates: the percentile must be a
+            // numeric literal (it parameterizes the aggregate, it is not
+            // itself aggregated)
+            expectSym(",")
+            val p = addExpr() match {
+              case RetLit(NumLit(d, _)) => d
+              case other => fail(s"$fn() needs a numeric percentile literal, got $other")
+            }
+            expectSym(")")
+            RetAggExpr(lf, e, distinct, Some(p))
+          } else {
+            expectSym(")")
+            e match {
+              case RetVar(v) => RetAgg(lf, Some(Left(v)), distinct)
+              case RetProp(pr) => RetAgg(lf, Some(Right(pr)), distinct)
+              case other => RetAggExpr(lf, other, distinct)
+            }
           }
         }
       case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>

@@ -807,7 +807,13 @@ final class CypherSession(
           case "tointeger" => c.cast("long")
           case "tofloat" => c.cast("double")
           case "abs" => abs(c.cast("double"))
-          case "round" => round(c.cast("double"))
+          case "round" =>
+            // optional literal precision: round(x, 6) — Neo4j's 2-arg form
+            if (fnArgs.size >= 2) fnArgs(1) match {
+              case RetLit(NumLit(d, true)) => round(c.cast("double"), d.toInt)
+              case other => throw new IllegalArgumentException(
+                s"round() precision must be an integer literal, got $other")
+            } else round(c.cast("double"))
           case "length" => fnArgs.head match {
             // length(p) on a path variable = hop count; on anything else,
             // Neo4j's legacy string length
@@ -900,7 +906,8 @@ final class CypherSession(
         val hiC = hi.map(e => itemCol(e).cast("int")).getOrElse(size(c0))
         slice(c0, loC + 1, greatest(hiC - loC, lit(0)))
       case a: RetAgg => aggCol(a)
-      case RetAggExpr(fn, arg, distinct) => aggOf(fn, itemCol(arg), distinct)
+      case RetAggExpr(fn, arg, distinct, pct) =>
+        aggOf(fn, itemCol(arg), distinct, pct)
       case cs: RetCountSub =>
         val cname = countSubs.getOrElse(cs, throw new IllegalStateException(
           "COUNT { } subquery was not pre-materialized for this scope"))
@@ -918,7 +925,8 @@ final class CypherSession(
       aggOf(a.fn, base, a.distinct)
     }
 
-    def aggOf(fn: String, base: Column, distinct: Boolean): Column =
+    def aggOf(fn: String, base: Column, distinct: Boolean,
+        pct: Option[Double] = None): Column =
       fn match {
         case "count" => if (distinct) count_distinct(base) else count(base)
         // numeric aggregates read string property-bag values through DOUBLE
@@ -926,6 +934,17 @@ final class CypherSession(
         case "avg" => avg(base.cast("double"))
         case "min" => min(base)
         case "max" => max(base)
+        case "stdev" => stddev_samp(base.cast("double"))
+        case "stdevp" => stddev_pop(base.cast("double"))
+        // exact linear-interpolation percentile (Neo4j percentileCont)
+        case "percentilecont" => percentile(base.cast("double"), lit(pct.get))
+        // Neo4j percentileDisc = nearest-rank: the element at rank
+        // ceil(p*n). Buffers the group's values like Spark's own
+        // percentile aggregate does — per-group, not per-partition
+        case "percentiledisc" =>
+          val arr = sort_array(collect_list(base.cast("double")))
+          element_at(arr,
+            greatest(ceil(lit(pct.get) * size(arr)), lit(1)).cast("int"))
         // canonical (sorted) collect: Cypher leaves list order unspecified;
         // a set-oriented engine pins it for reproducibility
         case "collect" =>
@@ -1122,9 +1141,9 @@ final class CypherSession(
         var joined = df.join(inner, cond, joinType)
         if (joinType == "left") ret.foreach { i =>
           i.expr match {
-            case RetAgg("count", _, _) | RetAggExpr("count", _, _) =>
+            case RetAgg("count", _, _) | RetAggExpr("count", _, _, _) =>
               joined = joined.withColumn(i.name, coalesce(col(i.name), lit(0L)))
-            case RetAgg("sum", _, _) | RetAggExpr("sum", _, _) =>
+            case RetAgg("sum", _, _) | RetAggExpr("sum", _, _, _) =>
               joined = joined.withColumn(i.name, coalesce(col(i.name), lit(0.0)))
             case _ => // min/max/avg/collect of an empty group stay null
           }

@@ -1898,6 +1898,36 @@ object AnalyticsCatalog {
            |FROM documents GROUP BY 1, 2
            |ORDER BY n DESC, lang, first_word LIMIT 20""".stripMargin))
 
+  private val c34 = Entry("c34_cypher_statistical_aggregates",
+    (s, dir) => {
+      // Neo4j's statistical aggregate family: stDev/stDevP (sample and
+      // population), percentileCont (exact linear interpolation — Spark's
+      // `percentile`, not the approx sketch) and percentileDisc
+      // (nearest-rank, matching DuckDB quantile_disc). Doubles quantized
+      // to 6 dp on both engines (x02's policy).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH a.lang AS lang, size(a.title) AS len
+                 |RETURN lang, count(*) AS n,
+                 |  round(stDev(len), 6) AS sd,
+                 |  round(stDevP(len), 6) AS sdp,
+                 |  round(percentileCont(len, 0.5), 6) AS p50,
+                 |  percentileDisc(len, 0.9) AS p90
+                 |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang, COUNT(*) AS n,
+           |  round(stddev_samp(len), 6) AS sd,
+           |  round(stddev_pop(len), 6) AS sdp,
+           |  round(quantile_cont(len, 0.5), 6) AS p50,
+           |  quantile_disc(len, 0.9) AS p90
+           |FROM (SELECT lang,
+           |        CAST(length(substring(text, 1, 30)) AS DOUBLE) AS len
+           |      FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2264,7 +2294,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33,
+    c28, c29, c30, c31, c32, c33, c34,
     x01, x02, x03, x04, x05, x06,
     m01, m02, m03, m04)
 }

@@ -1171,6 +1171,34 @@ class CypherSpec extends SparkTestBase {
     assert(w.getString(0) === "beta" && w.getString(1) === "d1")
   }
 
+  test("statistical aggregates: stDev/stDevP, percentileCont/percentileDisc") {
+    val sess = freshSession
+    // scores 2,4,4,4,5,5,7,9 — textbook population sd = 2, sample sd ≈ 2.138
+    Seq(2, 4, 4, 4, 5, 5, 7, 9).zipWithIndex.foreach { case (v, i) =>
+      sess.run(s"CREATE (a:Article {link: 'd$i'}) SET a.score = '$v'")
+    }
+    val r = sess.run(
+      """MATCH (a:Article)
+        |RETURN round(stDevP(a.score), 6) AS sdp,
+        |  round(stDev(a.score), 3) AS sd,
+        |  percentileCont(a.score, 0.5) AS p50,
+        |  percentileDisc(a.score, 0.5) AS p50d,
+        |  percentileDisc(a.score, 1.0) AS pmax""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 2.138)
+    assert(r.getDouble(2) === 4.5) // interpolated between 4 and 5
+    assert(r.getDouble(3) === 4.0) // nearest-rank: ceil(0.5*8) = 4th = 4
+    assert(r.getDouble(4) === 9.0)
+    // grouped form with a WITH horizon feeding the aggregate
+    val g = sess.run(
+      """MATCH (a:Article)
+        |WITH a.score AS s
+        |RETURN percentileDisc(s, 0.25) AS q1""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(g.getDouble(0) === 4.0) // ceil(0.25*8) = 2nd = 4
+  }
+
   test("FOREACH (x IN list | SET …): per-element writes and the conditional-write idiom") {
     val sess = freshSession
     sess.run("MERGE (a:Article {link: 'd1'}) SET a.score = '5'")
