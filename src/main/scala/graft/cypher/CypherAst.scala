@@ -37,9 +37,12 @@ object CypherAst {
   /** `pathVar`: the binding in `MATCH p = (a)-[…]->(b)` — queryable via
     * `length(p)` (hop count, per matched walk). `shortest`: the pattern was
     * wrapped in `shortestPath(…)` — one row per endpoint pair, minimum hop
-    * count (ties collapse, as Neo4j returns a single shortest path). */
+    * count (ties collapse, as Neo4j returns a single shortest path).
+    * `allShortest`: `allShortestPaths(…)` — every tying minimum-hop walk
+    * survives, one row each, with relationship/node lists intact. */
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
-    pathVar: Option[String] = None, shortest: Boolean = false)
+    pathVar: Option[String] = None, shortest: Boolean = false,
+    allShortest: Boolean = false)
 
   final case class PropRef(variable: String, prop: String)
   /** Comparison over full scalar expressions on both sides: `a.score * 10

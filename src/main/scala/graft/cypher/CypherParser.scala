@@ -476,12 +476,15 @@ object CypherParser {
           next(); next(); Some(v)
         case _ => None
       }
-      // shortestPath((a)-[…]-(b)) wraps the whole pattern
-      val shortest = peek match {
+      // shortestPath((a)-[…]-(b)) / allShortestPaths(…) wrap the pattern
+      val (shortest, allShortest) = peek match {
         case Some(Ident(f)) if f.equalsIgnoreCase("shortestPath") &&
             pos + 1 < ts.length && ts(pos + 1) == Sym("(") =>
-          next(); next(); true
-        case _ => false
+          next(); next(); (true, false)
+        case Some(Ident(f)) if f.equalsIgnoreCase("allShortestPaths") &&
+            pos + 1 < ts.length && ts(pos + 1) == Sym("(") =>
+          next(); next(); (false, true)
+        case _ => (false, false)
       }
       val nodes = ArrayBuffer(nodePat())
       val edges = ArrayBuffer.empty[EdgePat]
@@ -504,8 +507,8 @@ object CypherParser {
           nodes += nodePat()
         case _ => more = false
       }
-      if (shortest) expectSym(")")
-      PathPat(nodes.toSeq, edges.toSeq, pathVar, shortest)
+      if (shortest || allShortest) expectSym(")")
+      PathPat(nodes.toSeq, edges.toSeq, pathVar, shortest, allShortest)
     }
 
     // after the leading '-' or '<-':

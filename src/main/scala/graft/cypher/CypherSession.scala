@@ -589,7 +589,17 @@ final class CypherSession(
               // at their minimum IN-RANGE hop count — walk enumeration is
               // the defined semantics here)
               if (p.shortest) acc.groupBy("s", "d").agg(min(col("h")).as("h"))
-              else acc
+              else if (p.allShortest) {
+                // allShortestPaths(): every walk tying the pair's minimum
+                // hop count survives, relationship/node lists intact —
+                // window-min per endpoint pair, then filter (the window
+                // shuffles on the same (s,d) key the expansion just joined
+                // on; walks stay enumerated, which is the result shape)
+                import org.apache.spark.sql.expressions.Window
+                val w = Window.partitionBy("s", "d")
+                acc.withColumn("__hmin", min(col("h")).over(w))
+                  .filter(col("h") === col("__hmin")).drop("__hmin")
+              } else acc
             }
             val cols = Vector(
               col("s").as(s"${eVar}__src"), col("d").as(s"${eVar}__dst"),

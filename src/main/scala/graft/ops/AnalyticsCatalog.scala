@@ -1928,6 +1928,38 @@ object AnalyticsCatalog {
            |      FROM documents)
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val c35 = Entry("c35_cypher_all_shortest_paths",
+    (s, dir) => {
+      // allShortestPaths(): every tying minimum-hop walk survives as its
+      // own row (shortestPath collapses to one). A per-source diamond —
+      // start → mid_<source> → end — gives exactly one 2-hop tying walk
+      // per distinct publisher; a 3-hop decoy chain start→d1→d2→end
+      // proves longer walks are filtered by the per-pair window min.
+      val mids = Tables(s, dir, "documents")
+        .select(concat(lit("mid_"), col("source")).as("name")).distinct()
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s),
+        keyProps = Map("N" -> "name"))
+      sess.run("CREATE (a:N {name: 'start'})")
+      sess.run("CREATE (e:N {name: 'end'})")
+      sess.run("CREATE (d1:N {name: 'd1'})")
+      sess.run("CREATE (d2:N {name: 'd2'})")
+      sess.runBatch("CREATE (m:N {name: $name})", mids)
+      sess.run("""MATCH (a:N {name: 'start'}), (m:N) WHERE m.name STARTS WITH 'mid_'
+                 |CREATE (a)-[:HOP]->(m)""".stripMargin)
+      sess.run("""MATCH (m:N), (e:N {name: 'end'}) WHERE m.name STARTS WITH 'mid_'
+                 |CREATE (m)-[:HOP]->(e)""".stripMargin)
+      sess.runScript(
+        """MATCH (a:N {name: 'start'}), (d:N {name: 'd1'}) CREATE (a)-[:HOP]->(d);
+          |MATCH (d:N {name: 'd1'}), (d2:N {name: 'd2'}) CREATE (d)-[:HOP]->(d2);
+          |MATCH (d2:N {name: 'd2'}), (e:N {name: 'end'}) CREATE (d2)-[:HOP]->(e);""".stripMargin)
+      sess.run("""MATCH p = allShortestPaths((a:N {name: 'start'})-[:HOP*1..4]->(e:N {name: 'end'}))
+                 |RETURN length(p) AS len, count(*) AS n_paths""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(2 AS INT) AS len, COUNT(DISTINCT source) AS n_paths
+           |FROM documents""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2294,7 +2326,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34,
+    c28, c29, c30, c31, c32, c33, c34, c35,
     x01, x02, x03, x04, x05, x06,
     m01, m02, m03, m04)
 }

@@ -1171,6 +1171,32 @@ class CypherSpec extends SparkTestBase {
     assert(w.getString(0) === "beta" && w.getString(1) === "d1")
   }
 
+  test("allShortestPaths: every tying minimum-hop walk survives, with rel lists") {
+    val sess = freshSession
+    // diamond a→{b1,b2}→c plus a 3-hop decoy a→x→y→c
+    sess.runScript(
+      """MERGE (a:Article {link: 'a'}); MERGE (b1:Article {link: 'b1'});
+        |MERGE (b2:Article {link: 'b2'}); MERGE (c:Article {link: 'c'});
+        |MERGE (x:Article {link: 'x'}); MERGE (y:Article {link: 'y'});""".stripMargin)
+    Seq("a" -> "b1", "a" -> "b2", "b1" -> "c", "b2" -> "c",
+        "a" -> "x", "x" -> "y", "y" -> "c").foreach { case (s, d) =>
+      sess.run(s"MATCH (s:Article {link: '$s'}), (d:Article {link: '$d'}) " +
+        "MERGE (s)-[:LINK]->(d)")
+    }
+    val all = sess.run(
+      """MATCH p = allShortestPaths((s:Article {link: 'a'})-[:LINK*1..4]->(t:Article {link: 'c'}))
+        |RETURN length(p) AS len, size(relationships(p)) AS nrels""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(all.length === 2) // both 2-hop walks tie; the 3-hop decoy is out
+    assert(all.forall(r => r.getInt(0) === 2 && r.getInt(1) === 2))
+    // shortestPath collapses the same pair to ONE row
+    val one = sess.run(
+      """MATCH p = shortestPath((s:Article {link: 'a'})-[:LINK*1..4]->(t:Article {link: 'c'}))
+        |RETURN length(p) AS len""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+    assert(one.length === 1 && one.head.getInt(0) === 2)
+  }
+
   test("statistical aggregates: stDev/stDevP, percentileCont/percentileDisc") {
     val sess = freshSession
     // scores 2,4,4,4,5,5,7,9 — textbook population sd = 2, sample sd ≈ 2.138
