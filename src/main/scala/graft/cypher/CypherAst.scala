@@ -232,7 +232,11 @@ object CypherAst {
   final case class UpdateStatement(stages: Seq[MatchStage],
     sets: Seq[(PropRef, ReturnExpr)], removes: Seq[PropRef],
     deletes: Seq[String], detach: Boolean,
-    merges: Seq[PathPat] = Nil, creates: Seq[PathPat] = Nil) extends Statement
+    merges: Seq[PathPat] = Nil, creates: Seq[PathPat] = Nil,
+    /** variables from `SET n = {map}` — the replace form clears the
+      * property bag before the map's entries (desugared into [[sets]])
+      * apply; `SET n += {map}` desugars to sets alone. */
+    replaceVars: Seq[String] = Nil) extends Statement
 
   sealed trait MutClause
   /** Node MERGE with optional path-dependent SET handlers

@@ -254,6 +254,29 @@ object CypherParser {
     private def updateTail(stages0: Seq[MatchStage]): UpdateStatement = {
       var stages = stages0
       val sets = ArrayBuffer.empty[(PropRef, ReturnExpr)]
+      val replaces = ArrayBuffer.empty[String]
+      /** one SET item: `n.p = expr`, `n += {map}` (merge the map's keys
+        * into the bag) or `n = {map}` (replace — clear the bag first).
+        * Both map forms desugar to per-key expression items. */
+      def setItemOrMap(): Unit = peek match {
+        case Some(Ident(v)) if pos + 1 < ts.length && ts(pos + 1) != Sym(".") =>
+          next()
+          next() match {
+            case Sym("=") => replaces += v
+            case Sym("+") => expectSym("=")
+            case t => fail(s"expected = or += after SET $v, got $t")
+          }
+          expectSym("{")
+          var first = true
+          while (!peek.contains(Sym("}"))) {
+            if (!first) expectSym(",")
+            first = false
+            val k = ident(); expectSym(":")
+            sets += ((PropRef(v, k), addExpr()))
+          }
+          expectSym("}")
+        case _ => sets += setItem()
+      }
       val removes = ArrayBuffer.empty[PropRef]
       val deletes = ArrayBuffer.empty[String]
       val merges = ArrayBuffer.empty[PathPat]
@@ -283,8 +306,8 @@ object CypherParser {
           creates += relBetweenBoundVars("CREATE")
         case Some(Kw("SET")) =>
           next()
-          sets += setItem()
-          while (peek.contains(Sym(","))) { next(); sets += setItem() }
+          setItemOrMap()
+          while (peek.contains(Sym(","))) { next(); setItemOrMap() }
         case Some(Kw("FOREACH")) =>
           // FOREACH (x IN <list> | SET …) desugars to an UNWIND stage plus
           // the SET items: per matched row, per list element, assign —
@@ -316,7 +339,7 @@ object CypherParser {
         case t => fail(s"unexpected token in write clause: $t")
       }
       UpdateStatement(stages, sets.toSeq, removes.toSeq, deletes.toSeq, detach,
-        merges.toSeq, creates.toSeq)
+        merges.toSeq, creates.toSeq, replaces.toSeq)
     }
 
     // OR < AND < NOT < comparison; parentheses group

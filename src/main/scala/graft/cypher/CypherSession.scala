@@ -259,7 +259,7 @@ final class CypherSession(
   private def executeUpdate(u: UpdateStatement, params: Map[String, Any]): CypherResult = {
     val mergeVars = (u.merges ++ u.creates).flatMap(_.nodes.flatMap(_.variable))
     val targets = (u.sets.map(_._1.variable) ++ u.removes.map(_.variable) ++
-      u.deletes ++ mergeVars).distinct
+      u.deletes ++ mergeVars ++ u.replaceVars).distinct
     require(targets.nonEmpty,
       "write statement needs SET, REMOVE, DELETE, MERGE or CREATE targets")
     // SET values are full expressions over the bound pattern — compile
@@ -279,6 +279,18 @@ final class CypherSession(
     var propsRemoved = 0L
     var nodesDeleted = 0L
     var relsDeleted = 0L
+
+    // SET n = {map}: the replace form clears the whole bag first; the
+    // map's entries then apply through the normal SET path below. The
+    // merge-key property lives out-of-band in the key column, so node
+    // identity survives (Neo4j likewise keeps the node itself).
+    u.replaceVars.distinct.sorted.foreach { v =>
+      val ids = idsOf(v).localCheckpoint(true) // pin to pre-statement state
+      g = g.updateNodeProps(ids, { old0 =>
+        map_filter(coalesce(old0, map()), (_, _) => lit(false))
+      })
+      propsRemoved += ids.count()
+    }
 
     // REMOVE first, SET second (same key → the SET wins, as before); both
     // read the pre-statement match

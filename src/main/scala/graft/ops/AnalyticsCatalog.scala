@@ -1960,6 +1960,30 @@ object AnalyticsCatalog {
     Some("""SELECT CAST(2 AS INT) AS len, COUNT(DISTINCT source) AS n_paths
            |FROM documents""".stripMargin))
 
+  private val c36 = Entry("c36_cypher_set_property_maps",
+    (s, dir) => {
+      // SET += (merge a property map; values are full expressions over
+      // the bound row) then SET = (replace — the bag is cleared before the
+      // map applies; the merge key survives out-of-band). The read-back
+      // groups the replaced subset under 'cleared' via its vanished lang.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |SET a += {nw: toString(size(split(a.title, ' ')))}""".stripMargin)
+      sess.run("MATCH (a:Article) WHERE a.lang = 'zh' SET a = {nw: '-1'}")
+      sess.run("""MATCH (a:Article)
+                 |RETURN coalesce(a.lang, 'cleared') AS lang,
+                 |  sum(toInteger(a.nw)) AS words, count(*) AS n
+                 |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CASE WHEN lang = 'zh' THEN 'cleared' ELSE lang END AS lang,
+           |  CAST(SUM(CASE WHEN lang = 'zh' THEN -1 ELSE
+           |    length(string_split(substring(text, 1, 30), ' ')) END) AS DOUBLE) AS words,
+           |  COUNT(*) AS n
+           |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2326,7 +2350,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34, c35,
+    c28, c29, c30, c31, c32, c33, c34, c35, c36,
     x01, x02, x03, x04, x05, x06,
     m01, m02, m03, m04)
 }

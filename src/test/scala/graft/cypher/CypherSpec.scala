@@ -1171,6 +1171,26 @@ class CypherSpec extends SparkTestBase {
     assert(w.getString(0) === "beta" && w.getString(1) === "d1")
   }
 
+  test("SET n += {map} merges keys; SET n = {map} replaces the bag") {
+    val sess = freshSession
+    sess.run("MERGE (a:Article {link: 'd1'}) SET a.title = 'old', a.views = '3'")
+    // += overwrites listed keys, keeps the rest; values are full expressions
+    sess.run("""MATCH (a:Article {link: 'd1'})
+               |SET a += {title: 'new', lang: 'en', views: toInteger(a.views) + 1}""".stripMargin)
+    val r = sess.run(
+      """MATCH (a:Article {link: 'd1'})
+        |RETURN a.title AS t, a.views AS v, a.lang AS l""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getString(0) === "new" && r.getString(1) === "4" && r.getString(2) === "en")
+    // = clears the bag first: views/lang vanish, the merge key survives
+    sess.run("MATCH (a:Article {link: 'd1'}) SET a = {title: 'solo'}")
+    val r2 = sess.run(
+      """MATCH (a:Article {link: 'd1'})
+        |RETURN a.title AS t, a.views AS v, a.link AS k""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r2.getString(0) === "solo" && r2.isNullAt(1) && r2.getString(2) === "d1")
+  }
+
   test("allShortestPaths: every tying minimum-hop walk survives, with rel lists") {
     val sess = freshSession
     // diamond a→{b1,b2}→c plus a 3-hop decoy a→x→y→c
