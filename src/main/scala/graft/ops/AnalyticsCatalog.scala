@@ -638,6 +638,48 @@ object AnalyticsCatalog {
            |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
            |FROM a ORDER BY doc_id""".stripMargin))
 
+  private val t15 = Entry("t15_domain_mixture_sampler",
+    (s, dir) => {
+      // Domain-mixture sampling — the data-mixing op of corpus assembly:
+      // hit a target per-language share of a global character budget
+      // (en 50%, the rest 12.5% each, budget = 25% of the corpus), taking
+      // each language's lowest-md5 docs until its budget slice is spent.
+      // The exclusive running sum admits the first doc that crosses the
+      // line (deterministic overshoot ≤ 1 doc, same property as t08's
+      // packing). The budget is a broadcast 1-row scalar (q51's idiom);
+      // weights/fractions are binary fractions so the double math is
+      // bit-exact cross-engine. At 100 TB the per-stratum sort window
+      // becomes an approximate md5 *threshold* (percentile of the hash) —
+      // same sample up to the boundary doc, no global sort.
+      val docs = Tables(s, dir, "documents")
+      val budget = docs.agg((sum(col("n_chars")) * lit(0.25)).as("__budget"))
+      val weights = typedlit(Map(
+        "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("__h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .withColumn("__cum", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .crossJoin(broadcast(budget))
+        .filter(col("__cum") < element_at(weights, col("lang")) * col("__budget"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("chars_kept"))
+        .orderBy("lang")
+    },
+    Some("""WITH b AS (SELECT 0.25 * SUM(n_chars) AS budget FROM documents),
+           |r AS (SELECT lang, doc_id, n_chars,
+           |  COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+           |FROM r, b
+           |WHERE cum < (CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END) * budget
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val t14 = Entry("t14_corpus_pipeline",
     (s, dir) => {
       // The composed training-corpus pipeline, end to end in ONE plan:
@@ -2343,7 +2385,7 @@ object AnalyticsCatalog {
 
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06, v07, v08,
     s01, s02, s03, s04, s05, s06, s07, s08,
