@@ -190,6 +190,37 @@ object GraphAlgorithms {
     shortestPathBatches(g, ids.grouped(landmarkBatch))
   }
 
+  /** Weighted single-source shortest paths, bounded at `rounds` edges —
+    * frontier-based Bellman-Ford over a `(src, dst, w)` edge DataFrame.
+    * Each round relaxes OUT OF THE FRONTIER ONLY (the nodes whose distance
+    * improved last round), merges the candidates into the running
+    * distances with a per-node min, and re-derives the frontier — the
+    * delta form whose per-round shuffle is proportional to the improving
+    * edge set, not the whole graph. `localCheckpoint` truncates the
+    * iterative lineage (x01's pattern). Distances are exact for all paths
+    * of ≤ `rounds` edges; with `rounds` ≥ diameter that is exact SSSP. */
+  def weightedSSSP(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true) // re-joined every round
+    var dist = spark.range(1).select(lit(source).as("node"), lit(0L).as("dist"))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val merged = dist.unionByName(cand)
+        .groupBy("node").agg(min("dist").as("dist")).localCheckpoint(true)
+      frontier = merged.join(dist.withColumnRenamed("dist", "__old"),
+          Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("node", "dist").localCheckpoint(true)
+      dist = merged
+    }
+    dist
+  }
+
   private def shortestPathBatches(g: PropertyGraph,
       batches: Iterator[Seq[Long]]): DataFrame = {
     val spark = g.nodes.sparkSession

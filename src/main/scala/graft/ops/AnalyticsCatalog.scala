@@ -2160,6 +2160,40 @@ object AnalyticsCatalog {
            |JOIN pairs bc ON ab.id_b = bc.id_a
            |JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b""".stripMargin))
 
+  private val x07 = Entry("x07_weighted_sssp",
+    (s, dir) => {
+      // Weighted single-source shortest paths (≤6 edges) via
+      // GraphAlgorithms.weightedSSSP — frontier-only Bellman-Ford
+      // relaxation, the delta form whose per-round shuffle tracks the
+      // improving edge set. The graph is a deterministic two-out-degree
+      // expander over the contiguous doc_ids (successor ring + ×3 skip
+      // edge, weights from id residues) so the oracle can replay it as a
+      // recursive CTE; the relaxation itself never assumes that shape.
+      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = ids.count()
+      val edges = ids.select(col("id").as("src"),
+          ((col("id") + 1) % n).as("dst"), (col("id") % 7 + 1).as("w"))
+        .unionByName(ids.select(col("id").as("src"),
+          ((col("id") * 3 + 1) % n).as("dst"), (col("id") % 5 + 2).as("w")))
+      GraphAlgorithms.weightedSSSP(edges, source = 0L, rounds = 6)
+        .orderBy("dist", "node").limit(25)
+    },
+    Some("""WITH RECURSIVE
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst,
+           |    doc_id % 7 + 1 AS w FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 3 + 1) % n.n, doc_id % 5 + 2
+           |  FROM documents, n),
+           |p(node, dist, hops) AS (
+           |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+           |  UNION ALL
+           |  SELECT e.dst, p.dist + e.w, p.hops + 1
+           |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 6)
+           |SELECT node, MIN(dist) AS dist FROM p
+           |GROUP BY node ORDER BY dist, node LIMIT 25""".stripMargin))
+
   private val x06 = Entry("x06_local_clustering",
     (s, dir) => {
       // Per-node local clustering coefficient over the exact near-dup pair
@@ -2393,6 +2427,6 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36,
-    x01, x02, x03, x04, x05, x06,
+    x01, x02, x03, x04, x05, x06, x07,
     m01, m02, m03, m04)
 }

@@ -110,4 +110,20 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(batched.nonEmpty)
     assert(batched === wide)
   }
+
+  test("weightedSSSP: multi-hop cheap route beats the direct heavy edge") {
+    // 0→3 direct costs 10; 0→1→2→3 costs 1+1+1 = 3; node 4 unreachable
+    // within the round bound from 0's component; 5 is disconnected
+    val edges = Seq(
+      (0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 2L), (5L, 0L, 1L)
+    ).toDF("src", "dst", "w")
+    val d = GraphAlgorithms.weightedSSSP(edges, source = 0L, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 5L))
+    // a 1-round bound only sees direct edges
+    val d1 = GraphAlgorithms.weightedSSSP(edges, source = 0L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 === Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
+  }
 }
