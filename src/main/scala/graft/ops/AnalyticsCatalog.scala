@@ -1064,6 +1064,48 @@ object AnalyticsCatalog {
            |FROM dau d LEFT JOIN nu ON d.day = nu.day
            |ORDER BY d.day""".stripMargin))
 
+  private val s09 = Entry("s09_late_data_audit",
+    (s, dir) => {
+      // Watermark late-data accounting, batch twin: how many rows would a
+      // streaming watermark have dropped? Arrival is simulated with a
+      // deterministic per-event network delay (event_id % 37 minutes) and
+      // bucketed into hourly arrival batches; the watermark advances
+      // per batch exactly as Structured Streaming's does — max event time
+      // seen in PRIOR batches minus the 10-minute delay. The running max
+      // runs over the tiny per-batch summary (one row per hour), never
+      // over events, and broadcasts back — the only per-event work is a
+      // batch-key join and a comparison.
+      val ev = Tables(s, dir, "events")
+        .withColumn("batch", date_trunc("hour",
+          expr("ts + (event_id % 37) * INTERVAL '1' MINUTE")))
+      val perBatch = ev.groupBy("batch").agg(max("ts").as("bmax"))
+      val wmW = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = perBatch
+        .withColumn("wm", max(col("bmax")).over(wmW) - expr("INTERVAL '10' MINUTE"))
+        .select("batch", "wm")
+      ev.join(broadcast(wm), Seq("batch"))
+        .withColumn("late", col("wm").isNotNull && col("ts") < col("wm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+           |    date_trunc('hour', CAST(ts AS TIMESTAMP)
+           |      + (event_id % 37) * INTERVAL 1 MINUTE) AS batch
+           |  FROM events),
+           |m AS (SELECT batch, MAX(ts) AS bmax FROM b GROUP BY batch),
+           |w AS (SELECT batch, MAX(bmax) OVER (ORDER BY batch
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |  - INTERVAL 10 MINUTE AS wm FROM m)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |  CAST(SUM(CASE WHEN w.wm IS NOT NULL AND b.ts < w.wm
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+           |FROM b JOIN w USING (batch)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   private val s08 = Entry("s08_stream_static_enrich",
     (s, dir) => {
       // Stream-static enrichment, batch twin: each event joined to the
@@ -2422,7 +2464,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06, v07, v08,
-    s01, s02, s03, s04, s05, s06, s07, s08,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09,
     i01, i02, i03, i04, i05,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
