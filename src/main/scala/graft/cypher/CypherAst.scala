@@ -63,6 +63,12 @@ object CypherAst {
     * optionally under one NOT — a semi-join is a plan shape, not a column. */
   final case class ExistsPat(path: PathPat,
     where: Option[BoolExpr] = None) extends BoolExpr
+  /** List predicate `any/all/none/single(x IN <list> WHERE <pred>)` —
+    * Cypher's quantifiers over a list expression. Compiles to Spark's
+    * higher-order `exists`/`forall` (codegen lambdas, no UDF); `single`
+    * counts the filtered survivors. */
+  final case class ListPred(fn: String, variable: String, src: ReturnExpr,
+    where: BoolExpr) extends BoolExpr
 
   sealed trait ReturnExpr
   final case class RetVar(variable: String) extends ReturnExpr

@@ -22,7 +22,12 @@ object CypherParser {
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
     "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type",
     "substring", "split", "replace", "left", "right", "tostring",
-    "relationships", "nodes", "properties", "keys", "range", "head", "last")
+    "relationships", "nodes", "properties", "keys", "range", "head", "last",
+    "sqrt", "sign", "ceil", "floor", "exp", "log", "log10", "toboolean",
+    "isempty", "reverse", "tail") // pi()/e() are zero-arg FnCall leaves
+
+  /** the four list quantifiers (`all` lexes as the UNION ALL keyword). */
+  private val listPredFns = Set("any", "none", "single")
 
   sealed trait Tok
   final case class Kw(s: String) extends Tok
@@ -353,8 +358,25 @@ object CypherParser {
       while (peek.contains(Kw("AND"))) { next(); e = AndE(e, notExpr()) }
       e
     }
+    /** `fn(x IN <list> WHERE <pred>)` body, after the name was consumed. */
+    private def listPred(fn: String): BoolExpr = {
+      expectSym("(")
+      val v = ident()
+      expectKw("IN")
+      val src = addExpr()
+      expectKw("WHERE") // Neo4j requires the predicate in all four quantifiers
+      val w = boolExpr()
+      expectSym(")")
+      ListPred(fn, v, src, w)
+    }
+
     private def notExpr(): BoolExpr = peek match {
       case Some(Kw("NOT")) => next(); NotE(notExpr())
+      case Some(Ident(f)) if listPredFns.contains(f.toLowerCase) &&
+          ts.lift(pos + 1).contains(Sym("(")) =>
+        next(); listPred(f.toLowerCase)
+      case Some(Kw("ALL")) if ts.lift(pos + 1).contains(Sym("(")) =>
+        next(); listPred("all")
       case Some(Kw("EXISTS")) =>
         next()
         peek match {

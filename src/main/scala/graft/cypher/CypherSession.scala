@@ -433,6 +433,8 @@ final class CypherSession(
       case AndE(l, r) => boolWantsPathArrays(l) || boolWantsPathArrays(r)
       case OrE(l, r) => boolWantsPathArrays(l) || boolWantsPathArrays(r)
       case NotE(e) => boolWantsPathArrays(e)
+      case ListPred(_, _, src, w) =>
+        exprWantsPathArrays(src) || boolWantsPathArrays(w)
       case _: ExistsPat => false
     }
     val needPathArrays =
@@ -738,6 +740,18 @@ final class CypherSession(
       case AndE(l, r) => compileBool(l) && compileBool(r)
       case OrE(l, r) => compileBool(l) || compileBool(r)
       case NotE(e) => !compileBool(e)
+      case ListPred(fn, v, src, where) =>
+        // Cypher's list quantifiers lower to Spark's higher-order
+        // exists/forall — per-row codegen lambdas, never a UDF, so they
+        // stay inside whole-stage codegen at any scale
+        val srcCol = itemCol(src)
+        def pred(x: Column): Column = inLambda(v -> x)(compileBool(where))
+        fn match {
+          case "any" => exists(srcCol, pred)
+          case "all" => forall(srcCol, pred)
+          case "none" => !exists(srcCol, pred)
+          case "single" => size(filter(srcCol, pred(_))) === 1
+        }
       case _: ExistsPat => throw new IllegalArgumentException(
         "EXISTS { } is a plan shape (semi-join), not a column — use it as a " +
           "top-level WHERE conjunct, optionally under a single NOT")
@@ -891,6 +905,32 @@ final class CypherSession(
             sequence(c.cast("long"), itemCol(fnArgs(1)).cast("long"), step)
           case "head" => element_at(c, 1)
           case "last" => element_at(c, -1)
+          // math family — numeric args read through DOUBLE (the arithmetic
+          // policy); sign() pins LONG (Neo4j returns an integer) and
+          // ceil/floor pin DOUBLE (Neo4j returns a float; Spark's ceil
+          // would narrow to LONG)
+          case "sqrt" => sqrt(c.cast("double"))
+          case "sign" => signum(c.cast("double")).cast("long")
+          case "ceil" => ceil(c.cast("double")).cast("double")
+          case "floor" => floor(c.cast("double")).cast("double")
+          case "exp" => exp(c.cast("double"))
+          case "log" => log(c.cast("double")) // natural log, as in Neo4j
+          case "log10" => log10(c.cast("double"))
+          case "toboolean" => c.cast("boolean")
+          case "reverse" => reverse(c) // strings and lists both
+          case "tail" => slice(c, lit(2), greatest(size(c) - 1, lit(0)))
+          case "isempty" => fnArgs.head match {
+            // list-typed argument → element count; otherwise string length
+            // (mirrors size()'s dispatch)
+            case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys",
+              "range", "tail", "reverse")(f2) => size(c) === 0
+            case _: RetListLit | _: RetListComp | _: RetSlice => size(c) === 0
+            case RetVar(v) if scalarVars.contains(v) && df != null &&
+              df.schema.fields.exists(f => f.name == v &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+              size(c) === 0
+            case _ => length(c) === 0
+          }
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case RetMapProj(v, props, all) =>
@@ -1243,6 +1283,8 @@ final class CypherSession(
       case AndE(l, r) => collectCountSubsBool(l) ++ collectCountSubsBool(r)
       case OrE(l, r) => collectCountSubsBool(l) ++ collectCountSubsBool(r)
       case NotE(e) => collectCountSubsBool(e)
+      case ListPred(_, _, src, w) =>
+        collectCountSubs(src) ++ collectCountSubsBool(w)
       case _: ExistsPat => Nil
     }
     def materializeCountSub(cs: RetCountSub): Unit = if (!countSubs.contains(cs)) {
@@ -1351,6 +1393,8 @@ final class CypherSession(
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case FnCall("datetime") => clock()
+    case FnCall("pi") => lit(math.Pi)
+    case FnCall("e") => lit(math.E)
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
     case RefValue(r) => throw new IllegalArgumentException(
       s"property reference ${r.variable}.${r.prop} not valid here")
@@ -1366,6 +1410,8 @@ final class CypherSession(
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case FnCall("datetime") => clock()
+    case FnCall("pi") => lit(math.Pi)
+    case FnCall("e") => lit(math.E)
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
     case RefValue(r) => throw new IllegalArgumentException(
       s"property reference ${r.variable}.${r.prop} not valid in MERGE values")

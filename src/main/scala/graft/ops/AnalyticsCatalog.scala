@@ -1269,6 +1269,34 @@ object AnalyticsCatalog {
            |  CAST(2 * SUM(length(text)) AS BIGINT) AS total_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val i06 = Entry("i06_orc_roundtrip",
+    (s, dir) => {
+      // Columnar-sink breadth: ORC (Spark's second first-class columnar
+      // format — predicate pushdown, column pruning, zlib). Write the
+      // fact slice to ORC, read it back, aggregate — counts and exact
+      // decimal sums survive iff the round trip preserves every row and
+      // the timestamp/decimal encodings agree.
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      li.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("total_qty"),
+          sum(col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)))
+            .cast("double").as("total_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_lines,
+           |  SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+           |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   // ------------------------------------------------------- cypher front end --
 
   private val c01 = Entry("c01_cypher_label_scan",
@@ -2068,6 +2096,80 @@ object AnalyticsCatalog {
            |  COUNT(*) AS n
            |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin))
 
+  private val c37 = Entry("c37_cypher_list_predicates",
+    (s, dir) => {
+      // Cypher's four list quantifiers — any/all/none/single(x IN list
+      // WHERE pred) — as CASE conditions over the title's word list.
+      // Each lowers to a higher-order exists/forall/filter lambda that
+      // stays inside whole-stage codegen; nothing leaves the row.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH a.lang AS lang, split(a.title, ' ') AS ws
+                 |RETURN lang,
+                 |  sum(CASE WHEN any(w IN ws WHERE size(w) > 6) THEN 1 ELSE 0 END) AS has_long,
+                 |  sum(CASE WHEN all(w IN ws WHERE size(w) > 1) THEN 1 ELSE 0 END) AS all_gt1,
+                 |  sum(CASE WHEN none(w IN ws WHERE w = 'the') THEN 1 ELSE 0 END) AS no_the,
+                 |  sum(CASE WHEN single(w IN ws WHERE size(w) = 3) THEN 1 ELSE 0 END) AS one_len3,
+                 |  count(*) AS n
+                 |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, string_split(substring(text, 1, 30), ' ') AS ws
+           |  FROM documents)
+           |SELECT lang,
+           |  CAST(SUM(CASE WHEN len(list_filter(ws, w -> length(w) > 6)) > 0
+           |    THEN 1 ELSE 0 END) AS DOUBLE) AS has_long,
+           |  CAST(SUM(CASE WHEN len(list_filter(ws, w -> NOT length(w) > 1)) = 0
+           |    THEN 1 ELSE 0 END) AS DOUBLE) AS all_gt1,
+           |  CAST(SUM(CASE WHEN len(list_filter(ws, w -> w = 'the')) = 0
+           |    THEN 1 ELSE 0 END) AS DOUBLE) AS no_the,
+           |  CAST(SUM(CASE WHEN len(list_filter(ws, w -> length(w) = 3)) = 1
+           |    THEN 1 ELSE 0 END) AS DOUBLE) AS one_len3,
+           |  COUNT(*) AS n
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val c38 = Entry("c38_cypher_math_fns",
+    (s, dir) => {
+      // The math scalar family: sqrt/log/log10/exp/ceil/floor/sign plus
+      // the pi()/e() constants and toBoolean — aggregated so the result
+      // is one row, with irrational sums pinned to 6 dp on both engines
+      // (x02's cross-engine float policy). ceil/floor stay DOUBLE
+      // (Neo4j's contract; Spark's ceil would narrow to LONG).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH toFloat(size(a.title)) AS len
+                 |RETURN count(*) AS n,
+                 |  round(sum(sqrt(len)), 6) AS s_sqrt,
+                 |  round(sum(log(len + 1)), 6) AS s_log,
+                 |  round(sum(log10(len + 1)), 6) AS s_log10,
+                 |  round(sum(exp(len / 30.0)), 6) AS s_exp,
+                 |  sum(ceil(len / 7.0)) AS s_ceil,
+                 |  sum(floor(len / 7.0)) AS s_floor,
+                 |  sum(sign(len - 15.0)) AS s_sign,
+                 |  round(pi() * e(), 6) AS pi_e,
+                 |  sum(toInteger(toBoolean('true'))) AS n_true""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(length(substring(text, 1, 30)) AS DOUBLE) AS len
+           |  FROM documents)
+           |SELECT COUNT(*) AS n,
+           |  round(SUM(sqrt(len)), 6) AS s_sqrt,
+           |  round(SUM(ln(len + 1)), 6) AS s_log,
+           |  round(SUM(log10(len + 1)), 6) AS s_log10,
+           |  round(SUM(exp(len / 30.0)), 6) AS s_exp,
+           |  CAST(SUM(ceil(len / 7.0)) AS DOUBLE) AS s_ceil,
+           |  CAST(SUM(floor(len / 7.0)) AS DOUBLE) AS s_floor,
+           |  CAST(SUM(sign(len - 15.0)) AS DOUBLE) AS s_sign,
+           |  round(pi() * exp(1.0), 6) AS pi_e,
+           |  CAST(SUM(1) AS DOUBLE) AS n_true
+           |FROM d""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2235,6 +2337,34 @@ object AnalyticsCatalog {
            |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 6)
            |SELECT node, MIN(dist) AS dist FROM p
            |GROUP BY node ORDER BY dist, node LIMIT 25""".stripMargin))
+
+  private val x08 = Entry("x08_node_similarity",
+    (s, dir) => {
+      // GDS-style nodeSimilarity: pairwise Jaccard of out-neighbor sets.
+      // Here the bipartite projection publisher → title-vocabulary word:
+      // two publishers are similar when their articles share opening
+      // vocabulary. The kernel (GraphAlgorithms.nodeSimilarity) joins on
+      // the SHARED neighbor — work is Σ co-degree², the co-occurrence
+      // bound — then one degree aggregate; the division is exact IEEE.
+      val edges = Tables(s, dir, "documents")
+        .select(col("source").as("src"),
+          explode(split(substring(col("text"), 1, 30), " ")).as("dst"))
+        .filter(col("dst") =!= "")
+      GraphAlgorithms.nodeSimilarity(edges).orderBy("n1", "n2")
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT source AS src, w AS dst
+           |  FROM (SELECT source, unnest(string_split(substring(text, 1, 30), ' ')) AS w
+           |        FROM documents)
+           |  WHERE w <> ''),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+           |i AS (SELECT a.src AS n1, b.src AS n2, COUNT(*) AS inter
+           |      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+           |      GROUP BY 1, 2)
+           |SELECT i.n1, i.n2,
+           |  CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter) AS jaccard
+           |FROM i JOIN deg d1 ON d1.src = i.n1 JOIN deg d2 ON d2.src = i.n2
+           |ORDER BY n1, n2""".stripMargin))
 
   private val x06 = Entry("x06_local_clustering",
     (s, dir) => {
@@ -2465,10 +2595,10 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06, v07, v08,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    i01, i02, i03, i04, i05,
+    i01, i02, i03, i04, i05, i06,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34, c35, c36,
-    x01, x02, x03, x04, x05, x06, x07,
+    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38,
+    x01, x02, x03, x04, x05, x06, x07, x08,
     m01, m02, m03, m04)
 }

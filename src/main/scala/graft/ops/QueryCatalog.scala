@@ -1348,9 +1348,81 @@ object QueryCatalog {
            |GROUP BY p_brand, p_type, p_size
            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
 
+  private val q53 = Entry("q53_gap_fill_daily",
+    (s, dir) => {
+      // Time-series gap filling: a calendar spine built with sequence()
+      // + explode (generated distributively — no driver loop, no
+      // collect) cross-joined with the small priority dim, left-joined
+      // by the observed daily revenue; missing (day, priority) cells
+      // surface as explicit zeros. At 100 TB the spine is tiny (days ×
+      // priorities) and broadcasts onto the aggregated daily stream —
+      // the fact table is touched once, by the aggregate.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val daily = ord
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          col("o_orderpriority").as("priority"))
+        .agg(asDouble(sum(dec(col("o_totalprice")))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val spine = s.range(1).select(explode(sequence(
+          lit("1997-01-01").cast("date"), lit("1997-03-31").cast("date"),
+          expr("interval 1 day"))).as("day"))
+        .crossJoin(ord.select(col("o_orderpriority").as("priority")).distinct())
+      spine.join(daily, Seq("day", "priority"), "left")
+        .select(col("day").cast("timestamp").as("day"), col("priority"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day", "priority")
+    },
+    Some("""WITH w AS (
+           |  SELECT * FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+           |spine AS (
+           |  SELECT CAST(unnest(generate_series(DATE '1997-01-01',
+           |    DATE '1997-03-31', INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+           |prios AS (SELECT DISTINCT o_orderpriority AS priority FROM w),
+           |daily AS (
+           |  SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+           |    o_orderpriority AS priority,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           |    COUNT(*) AS n_orders
+           |  FROM w GROUP BY 1, 2)
+           |SELECT s.day AS day, p.priority AS priority,
+           |  COALESCE(d.revenue, 0.0) AS revenue,
+           |  COALESCE(d.n_orders, 0) AS n_orders
+           |FROM spine s CROSS JOIN prios p
+           |LEFT JOIN daily d ON d.day = s.day AND d.priority = p.priority
+           |ORDER BY s.day, p.priority""".stripMargin))
+
+  private val q54 = Entry("q54_window_distribution",
+    (s, dir) => {
+      // The distribution window family: percent_rank and cume_dist over
+      // account balance within each market segment. Both are single
+      // integer-ratio divisions over window counts — exact IEEE on any
+      // engine, safe to hash-match without rounding. rank() pins the
+      // tie policy explicitly.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        rank().over(w).cast("long").as("bal_rank"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+           |  rank() OVER w AS bal_rank,
+           |  percent_rank() OVER w AS pct_rank,
+           |  cume_dist() OVER w AS cume
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

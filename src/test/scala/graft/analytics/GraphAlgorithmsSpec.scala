@@ -126,4 +126,24 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(d1 === Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
   }
+
+  test("nodeSimilarity: Jaccard over out-neighbor sets, no-overlap pairs absent") {
+    // a: {x,y,z}  b: {x,y}    → 2/3
+    // c: {x}                  → with a: 1/3, with b: 1/2
+    // d: {q}                  → shares nothing — must emit NO row
+    // duplicate edges must not inflate intersection or degree
+    val edges = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y"),
+      ("c", "x"), ("c", "x"), ("d", "q")
+    ).toDF("src", "dst")
+    val sim = GraphAlgorithms.nodeSimilarity(edges)
+      .as[(String, String, Double)].collect()
+      .map { case (n1, n2, j) => ((n1, n2), j) }.toMap
+    assert(sim === Map(
+      ("a", "b") -> 2.0 / 3.0, ("a", "c") -> 1.0 / 3.0, ("b", "c") -> 0.5))
+    // minScore prunes the tail before the result shuffle
+    val pruned = GraphAlgorithms.nodeSimilarity(edges, minScore = 0.5)
+      .as[(String, String, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(pruned === Set(("a", "b"), ("b", "c")))
+  }
 }

@@ -1092,6 +1092,57 @@ class CypherSpec extends SparkTestBase {
     assert(n === 9L) // ab + cde + ghij
   }
 
+  test("list quantifiers any/all/none/single lower to HOF lambdas") {
+    val sess = freshSession
+    val rows = sess.run(
+      """UNWIND [1, 4, 7] AS n
+        |WITH n, range(1, n) AS xs
+        |RETURN n,
+        |  CASE WHEN any(x IN xs WHERE x > 3) THEN 1 ELSE 0 END AS has_gt3,
+        |  CASE WHEN all(x IN xs WHERE x < 5) THEN 1 ELSE 0 END AS all_lt5,
+        |  CASE WHEN none(x IN xs WHERE x = 2) THEN 1 ELSE 0 END AS no_two,
+        |  CASE WHEN single(x IN xs WHERE x % 3 = 0) THEN 1 ELSE 0 END AS one_m3
+        |ORDER BY n""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (1L, 0L, 1L, 1L, 0L),   // [1]: no >3; all <5; no 2; zero mult-of-3
+      (4L, 1L, 1L, 0L, 1L),   // [1..4]: 4>3; all <5; has 2; exactly {3}
+      (7L, 1L, 0L, 0L, 0L)))  // [1..7]: 7>3; 5,6,7 ≥5; has 2; {3,6} is two
+    // quantifiers in WHERE position (top-level and under NOT)
+    val n = sess.run(
+      """UNWIND range(1, 9) AS n
+        |WITH n WHERE any(x IN range(1, n) WHERE x * x = 9) AND
+        |  NOT all(x IN range(1, n) WHERE x < 9)
+        |RETURN count(*) AS c""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head.getLong(0)
+    assert(n === 1L) // only n=9 reaches x=3 (square 9) AND x=9 (not <9)
+  }
+
+  test("math scalar family, constants, toBoolean, reverse/tail/isEmpty") {
+    val sess = freshSession
+    val r = sess.run(
+      """RETURN sqrt(16) AS sq, sign(-3) AS sg, ceil(2.1) AS ce,
+        |  floor(2.9) AS fl, round(exp(1), 6) AS ex, round(log(e()), 6) AS ln1,
+        |  round(log10(1000), 6) AS lg, round(pi(), 4) AS p4,
+        |  toBoolean('true') AS tb, reverse('abc') AS rev,
+        |  reverse([1, 2]) AS revl, tail(range(1, 4)) AS tl,
+        |  head(tail(range(5, 9))) AS h2, isEmpty(tail([1])) AS emp,
+        |  isEmpty(trim(' ')) AS emps, isEmpty('x') AS nonemp""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getDouble(0) === 4.0 && r.getLong(1) === -1L)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 2.0) // DOUBLE, not LONG
+    assert(r.getDouble(4) === 2.718282 && r.getDouble(5) === 1.0)
+    assert(r.getDouble(6) === 3.0 && r.getDouble(7) === 3.1416)
+    assert(r.getBoolean(8))
+    assert(r.getString(9) === "cba")
+    assert(r.getSeq[Long](10) === Seq(2L, 1L))
+    assert(r.getSeq[Long](11) === Seq(2L, 3L, 4L))
+    assert(r.getLong(12) === 6L)
+    assert(r.getBoolean(13) && r.getBoolean(14) && !r.getBoolean(15))
+  }
+
   test("=~ regex matches the WHOLE string, as in Neo4j") {
     val sess = freshSession
     Seq("spark rocks", "sparkly", "SPARK").foreach { t =>
