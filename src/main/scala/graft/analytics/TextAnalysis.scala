@@ -67,6 +67,23 @@ object TextAnalysis {
   def avgTokenLen(c: Column): Column =
     length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
 
+  /** Shannon entropy (bits per character) of the character distribution —
+    * the perplexity-proxy quality signal (CCNet-style): low-entropy text
+    * is repetitive/boilerplate, suspiciously high entropy is noise.
+    * Map-only — a per-row HOF fold over the SORTED distinct character
+    * list (identical left-fold order on any engine, so results are
+    * cross-engine stable up to one libm log2 ulp), no shuffle, stays in
+    * whole-stage codegen. */
+  def charEntropy(c: Column): Column = {
+    val cs = split(c, "")
+    val n = size(cs).cast("double")
+    val terms = transform(array_sort(array_distinct(cs)), ch => {
+      val p = size(filter(cs, x => x === ch)).cast("double") / n
+      p * log(2.0, p)
+    })
+    -aggregate(terms, lit(0.0), (a, b) => a + b)
+  }
+
   /** PII scrub for training corpora: emails, URLs, and long digit runs
     * (phone/account-shaped) replaced by typed placeholder tokens. Patterns
     * stay in the RE2-compatible subset so the same regexes run on any

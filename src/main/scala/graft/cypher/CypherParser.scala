@@ -106,6 +106,23 @@ object CypherParser {
     private def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"cypher parse error at token $pos: $msg")
 
+    /** Inline node-pattern predicates `(n:L WHERE <pred>)` (modern Cypher)
+      * are collected here during path() parsing and DESUGARED: the
+      * enclosing filter-bearing context (MATCH stage, EXISTS/COUNT
+      * subquery, bare pattern predicate) drains its slice and ANDs it
+      * into its own WHERE. Write-clause patterns reject them. */
+    private val nodeWheres = ArrayBuffer.empty[BoolExpr]
+    private def drainNodeWheres(base: Int): Option[BoolExpr] = {
+      val drained = nodeWheres.drop(base).toSeq
+      nodeWheres.dropRightInPlace(nodeWheres.length - base)
+      drained.reduceOption(AndE.apply)
+    }
+    private def andOpt(a: Option[BoolExpr], b: Option[BoolExpr]): Option[BoolExpr] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(AndE(x, y))
+        case _ => a.orElse(b)
+      }
+
     def statement(): Statement = peek match {
       // a bare `RETURN <expr>` query (Neo4j's calculator form)
       case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) |
@@ -172,6 +189,7 @@ object CypherParser {
           expectSym("}")
         }
         val paths = ArrayBuffer.empty[PathPat]
+        val wBase = nodeWheres.length
         if (peek.contains(Kw("MATCH"))) {
           next()
           paths += path()
@@ -181,14 +199,18 @@ object CypherParser {
           // a bare WITH is a legal stage: consecutive projection horizons
           // (`WITH … WITH …`) re-shape without a fresh MATCH
           fail(s"expected UNWIND, CALL, MATCH, OPTIONAL MATCH, WITH or RETURN, got $peek")
+        val inlineW = drainNodeWheres(wBase)
         val optPaths = ArrayBuffer.empty[PathPat]
         while (peek.contains(Kw("OPTIONAL"))) {
           next(); expectKw("MATCH")
           optPaths += path()
           while (peek.contains(Sym(","))) { next(); optPaths += path() }
         }
-        val where =
-          if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None
+        if (nodeWheres.length > wBase)
+          fail("inline WHERE is not supported in OPTIONAL MATCH patterns " +
+            "(its null-extension scope is ambiguous) — use a post-pattern WHERE")
+        val where = andOpt(inlineW,
+          if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) } else None)
         val withClause =
           if (peek.contains(Kw("WITH"))) {
             next()
@@ -289,7 +311,10 @@ object CypherParser {
       var detach = false
       var done = false
       def relBetweenBoundVars(clause: String): PathPat = {
+        val base = nodeWheres.length
         val p = path()
+        if (nodeWheres.length > base)
+          fail(s"inline WHERE is not allowed in $clause patterns")
         if (p.edges.length != 1)
           fail(s"MATCH … $clause expects a single relationship pattern")
         if (p.edges.head.undirected)
@@ -383,11 +408,12 @@ object CypherParser {
           case Some(Sym("{")) =>
             // EXISTS { <pattern> [WHERE …] } — pattern-predicate subquery
             next()
+            val base = nodeWheres.length
             val p = path()
             val w = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
               else None
             expectSym("}")
-            ExistsPat(p, w)
+            ExistsPat(p, andOpt(drainNodeWheres(base), w))
           case Some(Sym("(")) =>
             // legacy exists(n.prop) — property-presence test
             next()
@@ -403,16 +429,20 @@ object CypherParser {
         // Try the boolean reading; then the pattern (it must have at least
         // one relationship); finally a comparison.
         val save = pos
+        val saveW = nodeWheres.length
+        def restoreW(): Unit =
+          nodeWheres.dropRightInPlace(nodeWheres.length - saveW)
         try { next(); val e = boolExpr(); expectSym(")"); e }
         catch {
           case _: IllegalArgumentException =>
-            pos = save
+            pos = save; restoreW()
             try {
               val p = path()
               if (p.edges.isEmpty) fail("a pattern predicate needs a relationship")
-              ExistsPat(p, None)
+              ExistsPat(p, drainNodeWheres(saveW))
             } catch {
-              case _: IllegalArgumentException => pos = save; Cmp(predicate())
+              case _: IllegalArgumentException =>
+                pos = save; restoreW(); Cmp(predicate())
             }
         }
       case _ => Cmp(predicate())
@@ -426,7 +456,10 @@ object CypherParser {
       // relationship appends between the path's (or earlier clauses')
       // bound variables. Comma-separated patterns share one statement.
       def createPath(): Unit = {
+        val base = nodeWheres.length
         val p = path()
+        if (nodeWheres.length > base)
+          fail("inline WHERE is not allowed in CREATE patterns")
         if (p.edges.exists(e => e.minHops != 1 || e.maxHops != 1))
           fail("CREATE does not accept variable-length relationships")
         if (p.edges.exists(_.undirected))
@@ -457,7 +490,10 @@ object CypherParser {
           while (peek.contains(Sym(","))) { next(); createPath() }
         case Some(Kw("MERGE")) =>
           next()
+          val mergeBase = nodeWheres.length
           val p = path()
+          if (nodeWheres.length > mergeBase)
+            fail("inline WHERE is not allowed in MERGE patterns")
           // trailing path-dependent handlers: ON CREATE SET … / ON MATCH SET …
           var onCreate = Seq.empty[(PropRef, Value)]
           var onMatch = Seq.empty[(PropRef, Value)]
@@ -615,6 +651,11 @@ object CypherParser {
         while (peek.contains(Sym(","))) { next(); props += kv() }
         expectSym("}")
       }
+      if (peek.contains(Kw("WHERE"))) { // inline predicate (modern Cypher)
+        if (v.isEmpty) fail("an inline WHERE needs a named node variable")
+        next()
+        nodeWheres += boolExpr()
+      }
       expectSym(")")
       NodePat(v, l, props)
     }
@@ -767,11 +808,12 @@ object CypherParser {
       case Ident(fn) if fn.equalsIgnoreCase("count") && peek.contains(Sym("{")) =>
         // COUNT { <pattern> [WHERE …] } — subquery match count per outer row
         next()
+        val base = nodeWheres.length
         val p = path()
         val w = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
           else None
         expectSym("}")
-        RetCountSub(p, w)
+        RetCountSub(p, andOpt(drainNodeWheres(base), w))
       case Ident(fn) if aggFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
         val distinct = peek.contains(Kw("DISTINCT"))

@@ -638,6 +638,91 @@ object AnalyticsCatalog {
            |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
            |FROM a ORDER BY doc_id""".stripMargin))
 
+  private val t16 = Entry("t16_filter_funnel",
+    (s, dir) => {
+      // The quality-gate FUNNEL AUDIT every production corpus pipeline
+      // ships next to its filters: per-stage in/out/rejected counts for a
+      // sequential filter chain. ONE scan computes all stage flags, ONE
+      // aggregate row holds the conditional sums, and stack() unpivots it
+      // to the per-stage report — no re-scan per filter, which is the
+      // difference between 1× and 4× the corpus read at 100 TB.
+      val toks = TextAnalysis.tokens(col("text"))
+      val flagged = Tables(s, dir, "documents").select(
+        (length(col("text")) >= 200).as("f1"),
+        (size(toks) >= 30).as("f2"),
+        (TextAnalysis.punctCount(col("text")) * 10 <= length(col("text"))).as("f3"),
+        (size(array_distinct(toks)) * 10 >= size(toks) * 3).as("f4"))
+      flagged.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("s3"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+            .otherwise(0L)).as("s4"))
+        .selectExpr("""stack(4,
+          1L, 'min_length',        n0, s1,
+          2L, 'min_tokens',        s1, s2,
+          3L, 'punct_ratio',       s2, s3,
+          4L, 'lexical_diversity', s3, s4) AS (stage_idx, stage, n_in, n_out)""")
+        .withColumn("n_rejected", col("n_in") - col("n_out"))
+        .orderBy("stage_idx")
+    },
+    Some("""WITH f AS (
+           |  SELECT length(text) >= 200 AS f1,
+           |    len(regexp_split_to_array(trim(text), '\s+')) >= 30 AS f2,
+           |    len(regexp_extract_all(text, '[.,!?;:]')) * 10 <= length(text) AS f3,
+           |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 10
+           |      >= len(regexp_split_to_array(trim(text), '\s+')) * 3 AS f4
+           |  FROM documents),
+           |a AS (SELECT COUNT(*) AS n0,
+           |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+           |  FROM f)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_length' AS stage,
+           |    n0 AS n_in, s1 AS n_out, n0 - s1 AS n_rejected FROM a
+           |  UNION ALL SELECT 2, 'min_tokens', s1, s2, s1 - s2 FROM a
+           |  UNION ALL SELECT 3, 'punct_ratio', s2, s3, s2 - s3 FROM a
+           |  UNION ALL SELECT 4, 'lexical_diversity', s3, s4, s3 - s4 FROM a)
+           |ORDER BY stage_idx""".stripMargin))
+
+  private val t17 = Entry("t17_char_entropy",
+    (s, dir) => {
+      // Perplexity-proxy quality signal: Shannon entropy of the character
+      // distribution (CCNet's cheap stand-in), bucketed head/middle/tail
+      // per language by fixed thresholds. charEntropy is map-only (HOF
+      // fold over the sorted distinct chars — no shuffle); the only
+      // shuffle here is the final per-(lang, bucket) count.
+      val docs = Tables(s, dir, "documents")
+      val ent = round(TextAnalysis.charEntropy(substring(col("text"), 1, 120)), 6)
+      docs.select(col("lang"), ent.as("h"))
+        .withColumn("bucket",
+          when(col("h") < 3.7, "tail")
+            .when(col("h") < 4.0, "middle").otherwise("head"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("h")), 6).as("mean_entropy"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, regexp_split_to_array(substring(text, 1, 120), '') AS cs,
+           |    length(substring(text, 1, 120)) AS n
+           |  FROM documents),
+           |e AS (
+           |  SELECT lang, round(-list_reduce(
+           |    list_prepend(0.0, list_transform(list_sort(list_distinct(cs)),
+           |      c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+           |           * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n))),
+           |    (a, b) -> a + b), 6) AS h
+           |  FROM d),
+           |b AS (SELECT lang, h,
+           |  CASE WHEN h < 3.7 THEN 'tail' WHEN h < 4.0 THEN 'middle'
+           |    ELSE 'head' END AS bucket FROM e)
+           |SELECT lang, bucket, COUNT(*) AS n_docs,
+           |  round(AVG(h), 6) AS mean_entropy
+           |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+
   private val t15 = Entry("t15_domain_mixture_sampler",
     (s, dir) => {
       // Domain-mixture sampling — the data-mixing op of corpus assembly:
@@ -1268,6 +1353,29 @@ object AnalyticsCatalog {
     Some("""SELECT lang, 2 * COUNT(*) AS n_docs,
            |  CAST(2 * SUM(length(text)) AS BIGINT) AS total_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val s10 = Entry("s10_two_level_window",
+    (s, dir) => {
+      // Chained windowed aggregation: 5-minute partials → hourly
+      // re-aggregate (sum/max/count over the fine windows). The batch
+      // twin of the streaming ladder StreamingSpec runs with a
+      // watermark; the coarse stage reads one row per fine window, not
+      // per event — the 100 TB pre-aggregation shape.
+      EventWindows.twoLevel(Tables(s, dir, "events"), "5 minutes", "1 hour")
+        .orderBy("window_start", "event_type")
+    },
+    Some("""WITH f AS (
+           |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS fw, event_type,
+           |    COUNT(*) AS n_fine_events,
+           |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS fine_value
+           |  FROM events GROUP BY 1, 2)
+           |SELECT CAST(time_bucket(INTERVAL '1 hour', fw) AS TIMESTAMP) AS window_start,
+           |  event_type,
+           |  SUM(n_fine_events) AS n_events,
+           |  CAST(SUM(CAST(fine_value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           |  COUNT(*) AS n_fine_windows,
+           |  MAX(n_fine_events) AS peak_fine_events
+           |FROM f GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
   private val i06 = Entry("i06_orc_roundtrip",
     (s, dir) => {
@@ -2170,6 +2278,27 @@ object AnalyticsCatalog {
            |  CAST(SUM(1) AS DOUBLE) AS n_true
            |FROM d""".stripMargin))
 
+  private val c39 = Entry("c39_cypher_pattern_where",
+    (s, dir) => {
+      // Modern Cypher inline pattern predicates — `(n:L WHERE <pred>)`
+      // inside the MATCH pattern. Desugared at parse time into the stage
+      // WHERE, so Catalyst still pushes each predicate below the pattern
+      // joins (same plan as the post-pattern spelling).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article WHERE a.lang IN ['en', 'de'])
+                 |      -[:WRITTEN_BY]->
+                 |      (p:Publisher WHERE p.name ENDS WITH '1')
+                 |RETURN p.name AS publisher, a.lang AS lang, count(*) AS n
+                 |ORDER BY publisher, lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher, lang, COUNT(*) AS n
+           |FROM documents
+           |WHERE lang IN ('en', 'de') AND source LIKE '%1'
+           |GROUP BY source, lang ORDER BY publisher, lang""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2592,13 +2721,14 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
+    t16, t17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06, v07, v08,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     i01, i02, i03, i04, i05, i06,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38,
+    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39,
     x01, x02, x03, x04, x05, x06, x07, x08,
     m01, m02, m03, m04)
 }

@@ -39,6 +39,31 @@ object EventWindows {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("total_value"))
 
+  /** Two-level windowed reaggregation: fine-grain partial windows
+    * re-windowed to a coarser grain through `window_time()` — the chained
+    * stateful-aggregation shape Structured Streaming executes natively
+    * (each level keeps its own state, keyed by its window; the fine level
+    * emits on watermark close and feeds the coarse level's event time).
+    * At scale this is the pre-aggregation ladder: the coarse shuffle sees
+    * one row per (fine window × key), not one per event. The coarse
+    * re-sum routes back through DECIMAL so accumulation order still
+    * cannot matter. */
+  def twoLevel(events: DataFrame, fine: String, coarse: String): DataFrame = {
+    val fineAgg = events
+      .groupBy(window(col("ts"), fine), col("event_type"))
+      .agg(count(lit(1)).as("n_fine_events"),
+        sum(dec(col("value"))).cast("double").as("fine_value"))
+    fineAgg
+      .groupBy(window(window_time(col("window")), coarse), col("event_type"))
+      .agg(sum(col("n_fine_events")).as("n_events"),
+        sum(dec(col("fine_value"))).cast("double").as("total_value"),
+        count(lit(1)).as("n_fine_windows"),
+        max(col("n_fine_events")).as("peak_fine_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"), col("n_fine_windows"),
+        col("peak_fine_events"))
+  }
+
   /** Streaming variant with a watermark for late data — the batch functions
     * above compose on top unchanged. */
   def withLateDataBound(stream: DataFrame, delay: String): DataFrame =

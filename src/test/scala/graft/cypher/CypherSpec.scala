@@ -1092,6 +1092,43 @@ class CypherSpec extends SparkTestBase {
     assert(n === 9L) // ab + cde + ghij
   }
 
+  test("inline pattern WHERE desugars into the stage filter") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("bob", "spark"), ("alice", "flink")).foreach {
+      case (u, t) =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> t))
+    }
+    val rows = sess.run(
+      """MATCH (u:User WHERE u.name STARTS WITH 'a')
+        |      -[:INTERESTED_IN]->(t:Tech WHERE t.name = 'spark')
+        |RETURN u.name AS name, t.name AS tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(rows === Seq(("alice", "spark")))
+    // combines (ANDs) with an explicit post-pattern WHERE
+    val both = sess.run(
+      """MATCH (u:User WHERE u.name CONTAINS 'o')-[:INTERESTED_IN]->(t)
+        |WHERE t.name = 'spark'
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(both === Seq("bob"))
+    // inside EXISTS { } subpatterns the predicate scopes to the subquery
+    val ex = sess.run(
+      """MATCH (u:User)
+        |WHERE EXISTS { (u)-[:INTERESTED_IN]->(x:Tech WHERE x.name = 'flink') }
+        |RETURN u.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(ex === Seq("alice"))
+    // write-clause patterns reject it; anonymous nodes need a variable
+    intercept[IllegalArgumentException] {
+      sess.run("MERGE (x:Tech {name: 'y'} WHERE x.name = 'y')")
+    }
+    intercept[IllegalArgumentException] {
+      sess.run("MATCH (:User WHERE name = 'alice') RETURN 1")
+    }
+  }
+
   test("list quantifiers any/all/none/single lower to HOF lambdas") {
     val sess = freshSession
     val rows = sess.run(

@@ -39,6 +39,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("two-level window ladder: streaming (append) equals batch on closed windows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // chained stateful aggregation (5 min → 1 hour) — append mode; the fine
+    // level's window_time feeds the coarse level's event time
+    val agg = EventWindows.twoLevel(
+      EventWindows.withLateDataBound(stream, "10 minutes"), "5 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("twolevel_out").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      // push the watermark past every fixture hour so both levels close
+      mem.addData((99L, ts("2024-01-02 00:00:00"), 9L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("twolevel_out")
+        .filter($"window_start" < ts("2024-01-01 12:00:00")) // exclude flush
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventWindows.twoLevel(eventDf, "5 minutes", "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows merge by gap in batch mode") {
     val sessions = EventWindows.sessions(eventDf, "30 minutes")
       .orderBy("user_id", "session_start")
