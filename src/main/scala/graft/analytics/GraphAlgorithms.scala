@@ -252,6 +252,42 @@ object GraphAlgorithms {
       .filter(col("jaccard") >= minScore)
   }
 
+  /** Newman modularity Q of a community assignment over an undirected
+    * edge list: Q = Σ_c [ e_c/m − (d_c / 2m)² ] (e_c = intra-community
+    * edges, d_c = total degree of c, m = |edges|). Every term is ratios
+    * of exact integer counts (no pow, no libm); the cross-community sum
+    * is pinned to 6 dp for cross-engine stability. All aggregates are
+    * hash-partitioned; the edge total rides as a broadcast scalar, not a
+    * driver-side count. Returns one row:
+    * (modularity, n_communities, n_edges). */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val a = assign.toDF("node", "community")
+    val tot = e.agg(count(lit(1)).cast("double").as("__m"))
+    val tagged = e
+      .join(a.select(col("node"), col("community").as("__c_src")),
+        col("src") === col("node")).drop("node")
+      .join(a.select(col("node"), col("community").as("__c_dst")),
+        col("dst") === col("node")).drop("node")
+    val intra = tagged.filter(col("__c_src") === col("__c_dst"))
+      .groupBy(col("__c_src").as("community"))
+      .agg(count(lit(1)).cast("double").as("e_c"))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dc = a.join(deg, Seq("node"))
+      .groupBy("community").agg(sum("deg").cast("double").as("d_c"))
+    dc.join(intra, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_c"), lit(0.0)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(tot))
+      .select((col("e_c") / col("__m") -
+        (col("d_c") / (lit(2.0) * col("__m"))) *
+        (col("d_c") / (lit(2.0) * col("__m")))).as("__term"), col("__m"))
+      .agg(round(sum(col("__term")), 6).as("modularity"),
+        count(lit(1)).as("n_communities"),
+        max(col("__m")).cast("long").as("n_edges"))
+  }
+
   private def shortestPathBatches(g: PropertyGraph,
       batches: Iterator[Seq[Long]]): DataFrame = {
     val spark = g.nodes.sparkSession

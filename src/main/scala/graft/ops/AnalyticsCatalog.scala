@@ -2299,6 +2299,30 @@ object AnalyticsCatalog {
            |WHERE lang IN ('en', 'de') AND source LIKE '%1'
            |GROUP BY source, lang ORDER BY publisher, lang""".stripMargin))
 
+  private val c40 = Entry("c40_cypher_parameters",
+    (s, dir) => {
+      // Named parameters through the public API — the reference's own
+      // calling convention (kwargs → $params, ingest.py:4-8): a list
+      // parameter behind IN, a scalar behind a comparison, and a string
+      // inside CONTAINS, all supplied at run() time (no re-parse per
+      // value set; literals stay out of the query text).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WHERE a.lang IN $langs AND size(a.title) >= $minlen
+                 |  AND a.title CONTAINS $needle
+                 |RETURN a.lang AS lang, count(*) AS n
+                 |ORDER BY lang""".stripMargin,
+        Map("langs" -> Seq("en", "fr", "de"), "minlen" -> 10, "needle" -> "e"))
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang, COUNT(*) AS n FROM documents
+           |WHERE lang IN ('en', 'fr', 'de')
+           |  AND length(substring(text, 1, 30)) >= 10
+           |  AND substring(text, 1, 30) LIKE '%e%'
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2495,6 +2519,32 @@ object AnalyticsCatalog {
            |FROM i JOIN deg d1 ON d1.src = i.n1 JOIN deg d2 ON d2.src = i.n2
            |ORDER BY n1, n2""".stripMargin))
 
+  private val x09 = Entry("x09_modularity",
+    (s, dir) => {
+      // Community-quality metric: Newman modularity of the publisher
+      // partition over the Article—Publisher graph (each star is one
+      // community — the x01 components). Generic operator: edge list +
+      // assignment in, one (Q, n_communities, n_edges) row out; every
+      // term is a ratio of integer counts, no libm.
+      val docs = Tables(s, dir, "documents")
+      val edges = docs.select(
+        concat(lit("a"), col("doc_id")).as("src"),
+        concat(lit("p"), col("source")).as("dst"))
+      val assign = docs.select(
+          concat(lit("a"), col("doc_id")).as("node"), col("source").as("community"))
+        .unionByName(docs.select(
+          concat(lit("p"), col("source")).as("node"), col("source").as("community"))
+          .distinct())
+      GraphAlgorithms.modularity(edges, assign)
+    },
+    Some("""WITH pub AS (SELECT source, COUNT(*) AS k FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(SUM(k) AS DOUBLE) AS m FROM pub)
+           |SELECT round(SUM(k / m - (2.0 * k / (2.0 * m)) * (2.0 * k / (2.0 * m))), 6)
+           |    AS modularity,
+           |  COUNT(*) AS n_communities,
+           |  CAST(MAX(m) AS BIGINT) AS n_edges
+           |FROM pub, tot""".stripMargin))
+
   private val x06 = Entry("x06_local_clustering",
     (s, dir) => {
       // Per-node local clustering coefficient over the exact near-dup pair
@@ -2656,6 +2706,43 @@ object AnalyticsCatalog {
            |LEFT JOIN embeddings e ON e.vec_id = d.doc_id
            |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
 
+  private val m05 = Entry("m05_shard_packing",
+    (s, dir) => {
+      // WebDataset-style shard assembly: binary payloads packed into
+      // ~16 KiB shards per modality by an exclusive running byte sum
+      // (t08's packing law on bytes — the doc that crosses the boundary
+      // starts the next shard deterministically). The window partitions
+      // by modality, so at 100 TB each modality stream packs
+      // independently; report is per-shard payload count and bytes.
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"),
+        "doc_id", "text", "blob")
+        .withColumn("modality",
+          when(col("id") % 2 === 0, "image").otherwise("audio"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+      val w = Window.partitionBy("modality").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      media
+        .withColumn("__cum", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+        .withColumn("shard", floor(col("__cum") / 16384L).cast("long"))
+        .groupBy("modality", "shard")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_bytes")).cast("long").as("shard_bytes"))
+        .orderBy("modality", "shard")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           |  FROM documents),
+           |c AS (
+           |  SELECT modality, n_bytes,
+           |    COALESCE(SUM(n_bytes) OVER (PARTITION BY modality ORDER BY id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM m)
+           |SELECT modality, CAST(floor(cum / 16384) AS BIGINT) AS shard,
+           |  COUNT(*) AS n_payloads, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+           |FROM c GROUP BY 1, 2 ORDER BY modality, shard""".stripMargin))
+
   private val v03 = Entry("v03_ann_lsh",
     (s, dir) => {
       // LSH-bucketed ANN — the scale path for v02's brute force: candidates
@@ -2728,7 +2815,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05, i06,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39,
-    x01, x02, x03, x04, x05, x06, x07, x08,
-    m01, m02, m03, m04)
+    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09,
+    m01, m02, m03, m04, m05)
 }

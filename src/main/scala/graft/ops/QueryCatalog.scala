@@ -1420,9 +1420,36 @@ object QueryCatalog {
            |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
            |ORDER BY c_custkey""".stripMargin))
 
+  private val q55 = Entry("q55_banded_range_join",
+    (s, dir) => {
+      // Range-condition join through RangeJoin.banded: customers matched
+      // to balance tiers by c_acctbal BETWEEN lo AND hi. Bucketized into
+      // an equi-join + residual filter — no BroadcastNestedLoopJoin, no
+      // cartesian product (PlanSpec asserts), which is what survives when
+      // BOTH sides are large. Tier bounds are exact binary doubles.
+      val tiers = s.range(0, 12).select(col("id").as("tier_id"),
+        (lit(-2000.0) + col("id") * lit(1000.0)).as("lo"),
+        (lit(-2000.0) + col("id") * lit(1000.0) + lit(999.0)).as("hi"))
+      RangeJoin.banded(t(s, dir, "customer"), "c_acctbal", tiers,
+          "lo", "hi", bucketWidth = 250.0)
+        .groupBy("tier_id", "lo", "hi")
+        .agg(count(lit(1)).as("n_customers"),
+          asDouble(sum(dec(col("c_acctbal")))).as("total_bal"))
+        .orderBy("tier_id")
+    },
+    Some("""WITH tiers AS (
+           |  SELECT i AS tier_id, -2000.0 + 1000.0 * i AS lo,
+           |    -2000.0 + 1000.0 * i + 999.0 AS hi
+           |  FROM range(0, 12) t(i))
+           |SELECT tier_id, lo, hi, COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+           |FROM customer JOIN tiers ON c_acctbal BETWEEN lo AND hi
+           |GROUP BY tier_id, lo, hi ORDER BY tier_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q55)
 }

@@ -153,6 +153,21 @@ class PlanSpec extends SparkTestBase {
     val t14 = plan("t14_corpus_pipeline")
     assert("documents\\.parquet".r.findAllIn(t14).size <= 1, t14)
     assert(!t14.contains("CartesianProduct"), t14)
+    // q55's range condition runs as a bucketized hash EQUI-join — never a
+    // nested-loop range probe or cartesian (the shape that survives when
+    // both sides are large)
+    val q55 = plan("q55_banded_range_join")
+    assert(!q55.contains("BroadcastNestedLoopJoin"), q55)
+    assert(!q55.contains("CartesianProduct"), q55)
+    assert(q55.contains("HashJoin") || q55.contains("SortMergeJoin"), q55)
+    // t16's funnel is ONE scan + ONE aggregate: no re-scan per filter stage
+    val t16 = plan("t16_filter_funnel")
+    assert("documents\\.parquet".r.findAllIn(t16).size <= 1, t16)
+    // x08 similarity joins on the shared neighbor then on the pair — all
+    // equi-joins, no cartesian candidate generation
+    val x08 = plan("x08_node_similarity")
+    assert(!x08.contains("CartesianProduct") &&
+      !x08.contains("BroadcastNestedLoopJoin"), x08)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
