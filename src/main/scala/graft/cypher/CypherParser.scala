@@ -331,9 +331,14 @@ object CypherParser {
           merges += relBetweenBoundVars("MERGE")
         case Some(Kw("CREATE")) =>
           // MATCH-driven relationship CREATE: appends one relationship per
-          // matched row, no match probe (Neo4j's non-idempotent twin)
+          // matched row, no match probe (Neo4j's non-idempotent twin).
+          // Comma-separated patterns append per matched row in order —
+          // one statement, one MATCH, several edges.
           next()
           creates += relBetweenBoundVars("CREATE")
+          while (peek.contains(Sym(","))) {
+            next(); creates += relBetweenBoundVars("CREATE")
+          }
         case Some(Kw("SET")) =>
           next()
           setItemOrMap()

@@ -689,13 +689,19 @@ final class CypherSession(
       else propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
 
     /** Full property map of a bound entity. Edges carry their bag as-is;
-      * nodes fold the out-of-band merge-key property back in per label. */
+      * nodes fold the out-of-band merge-key property back in per label —
+      * labels absent from keyProps keyed on "name" (the write-path
+      * fallback), so their bag folds the default key in too. */
     def entityPropsCol(v: String): Column =
       if (df != null && df.columns.contains(s"${v}__type")) col(s"${v}__props")
-      else keyProps.foldLeft(col(s"${v}__props")) { case (acc, (lbl, kp)) =>
-        when(col(s"${v}__label") === lbl,
-          map_concat(col(s"${v}__props"), map(lit(kp), col(s"${v}__key"))))
-          .otherwise(acc)
+      else {
+        val dflt = map_concat(col(s"${v}__props"),
+          map(lit("name"), col(s"${v}__key")))
+        keyProps.foldLeft(dflt) { case (acc, (lbl, kp)) =>
+          when(col(s"${v}__label") === lbl,
+            map_concat(col(s"${v}__props"), map(lit(kp), col(s"${v}__key"))))
+            .otherwise(acc)
+        }
       }
 
     def compileBool(be: BoolExpr): Column = be match {
@@ -1380,10 +1386,20 @@ final class CypherSession(
 
   private def propOf(key: Column, props: Column, label: Column, prop: String): Column = {
     // the merge-key property reads from the key column for its label;
-    // anything else from the property bag
+    // anything else from the property bag. Labels absent from keyProps
+    // key on "name" (the write path's fallback, executeMutation) — the
+    // read side must honor the same default or unregistered labels can
+    // never be matched by their key property.
     val keyLabels = keyProps.filter(_._2 == prop).keys.toSeq
-    if (keyLabels.isEmpty) props.getItem(prop)
-    else when(label.isin(keyLabels.map(x => x: Any): _*), key).otherwise(props.getItem(prop))
+    val explicitHit =
+      if (keyLabels.isEmpty) lit(false)
+      else label.isin(keyLabels.map(x => x: Any): _*)
+    val knownLabels = keyProps.keys.toSeq
+    val defaultHit =
+      if (prop != "name") lit(false)
+      else if (knownLabels.isEmpty) lit(true)
+      else !label.isin(knownLabels.map(x => x: Any): _*)
+    when(explicitHit || defaultHit, key).otherwise(props.getItem(prop))
   }
 
   private def scalarCol(v: Value, params: Map[String, Any]): Column = v match {

@@ -2155,24 +2155,26 @@ object AnalyticsCatalog {
       // start → mid_<source> → end — gives exactly one 2-hop tying walk
       // per distinct publisher; a 3-hop decoy chain start→d1→d2→end
       // proves longer walks are filtered by the per-pair window min.
+      // Fixture construction is batched set-oriented (one CREATE batch for
+      // ALL nodes, one statement per edge family, the 3-hop decoy chain as
+      // ONE comma-separated MATCH…CREATE) — each statement is a full write
+      // pass over the graph, so statement count, not row count, is the
+      // fixture-build cost.
       val mids = Tables(s, dir, "documents")
         .select(concat(lit("mid_"), col("source")).as("name")).distinct()
+      val specials = s.createDataFrame(
+        Seq("start", "end", "d1", "d2").map(Tuple1.apply)).toDF("name")
       val sess = new graft.cypher.CypherSession(
         graft.graph.PropertyGraph.empty(s),
         keyProps = Map("N" -> "name"))
-      sess.run("CREATE (a:N {name: 'start'})")
-      sess.run("CREATE (e:N {name: 'end'})")
-      sess.run("CREATE (d1:N {name: 'd1'})")
-      sess.run("CREATE (d2:N {name: 'd2'})")
-      sess.runBatch("CREATE (m:N {name: $name})", mids)
+      sess.runBatch("CREATE (m:N {name: $name})", mids.unionByName(specials))
       sess.run("""MATCH (a:N {name: 'start'}), (m:N) WHERE m.name STARTS WITH 'mid_'
                  |CREATE (a)-[:HOP]->(m)""".stripMargin)
       sess.run("""MATCH (m:N), (e:N {name: 'end'}) WHERE m.name STARTS WITH 'mid_'
                  |CREATE (m)-[:HOP]->(e)""".stripMargin)
-      sess.runScript(
-        """MATCH (a:N {name: 'start'}), (d:N {name: 'd1'}) CREATE (a)-[:HOP]->(d);
-          |MATCH (d:N {name: 'd1'}), (d2:N {name: 'd2'}) CREATE (d)-[:HOP]->(d2);
-          |MATCH (d2:N {name: 'd2'}), (e:N {name: 'end'}) CREATE (d2)-[:HOP]->(e);""".stripMargin)
+      sess.run("""MATCH (a:N {name: 'start'}), (d1:N {name: 'd1'}),
+                 |      (d2:N {name: 'd2'}), (e:N {name: 'end'})
+                 |CREATE (a)-[:HOP]->(d1), (d1)-[:HOP]->(d2), (d2)-[:HOP]->(e)""".stripMargin)
       sess.run("""MATCH p = allShortestPaths((a:N {name: 'start'})-[:HOP*1..4]->(e:N {name: 'end'}))
                  |RETURN length(p) AS len, count(*) AS n_paths""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df

@@ -1092,6 +1092,23 @@ class CypherSpec extends SparkTestBase {
     assert(n === 9L) // ab + cde + ghij
   }
 
+  test("MATCH ... CREATE accepts comma-separated relationship patterns") {
+    val sess = freshSession
+    sess.run("MERGE (a:N {name: 'a'}) MERGE (b:N {name: 'b'}) MERGE (c:N {name: 'c'})")
+    sess.run("""MATCH (a:N {name: 'a'}), (b:N {name: 'b'}), (c:N {name: 'c'})
+               |CREATE (a)-[:HOP]->(b), (b)-[:HOP]->(c)""".stripMargin)
+    assert(sess.graph.edges.count() === 2)
+    val chain = sess.run(
+      """MATCH (a:N {name: 'a'})-[:HOP]->(b)-[:HOP]->(c)
+        |RETURN c.name AS dst""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(chain === Seq("c"))
+    // CREATE (not MERGE): re-running appends duplicate edges
+    sess.run("""MATCH (a:N {name: 'a'}), (b:N {name: 'b'}), (c:N {name: 'c'})
+               |CREATE (a)-[:HOP]->(b), (b)-[:HOP]->(c)""".stripMargin)
+    assert(sess.graph.edges.count() === 4)
+  }
+
   test("inline pattern WHERE desugars into the stage filter") {
     val sess = freshSession
     Seq(("alice", "spark"), ("bob", "spark"), ("alice", "flink")).foreach {
