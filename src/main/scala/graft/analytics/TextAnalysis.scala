@@ -72,8 +72,9 @@ object TextAnalysis {
     * is repetitive/boilerplate, suspiciously high entropy is noise.
     * Map-only — a per-row HOF fold over the SORTED distinct character
     * list (identical left-fold order on any engine, so results are
-    * cross-engine stable up to one libm log2 ulp), no shuffle, stays in
-    * whole-stage codegen. */
+    * cross-engine stable up to one libm log2 ulp), no shuffle, no UDF.
+    * Spark evaluates HOFs as CodegenFallback (interpreted) — still
+    * native ArrayData, no serialization boundary. */
   def charEntropy(c: Column): Column = {
     val cs = split(c, "")
     val n = size(cs).cast("double")

@@ -115,8 +115,8 @@ object CypherAst {
   final case class RetListLit(items: Seq[ReturnExpr]) extends ReturnExpr
   /** List comprehension `[x IN src WHERE pred | proj]` — both the filter
     * and the projection are optional (`[x IN src]` copies). Compiles to
-    * Spark's higher-order `filter`/`transform` — per-row lambdas that stay
-    * inside codegen, never a UDF. */
+    * Spark's higher-order `filter`/`transform` — native per-row lambda
+    * expressions, never a UDF or serialization boundary. */
   final case class RetListComp(variable: String, src: ReturnExpr,
     where: Option[BoolExpr], proj: Option[ReturnExpr]) extends ReturnExpr
   /** `reduce(acc = init, x IN src | expr)` — Cypher's list fold. Compiles

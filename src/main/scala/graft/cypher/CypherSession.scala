@@ -748,8 +748,9 @@ final class CypherSession(
       case NotE(e) => !compileBool(e)
       case ListPred(fn, v, src, where) =>
         // Cypher's list quantifiers lower to Spark's higher-order
-        // exists/forall — per-row codegen lambdas, never a UDF, so they
-        // stay inside whole-stage codegen at any scale
+        // exists/forall — native Catalyst expressions over unboxed
+        // ArrayData, never a UDF or serialization boundary (HOFs are
+        // CodegenFallback: evaluated interpreted, inside the same stage)
         val srcCol = itemCol(src)
         def pred(x: Column): Column = inLambda(v -> x)(compileBool(where))
         fn match {
@@ -945,8 +946,9 @@ final class CypherSession(
       case RetListLit(items) => array(items.map(itemCol): _*)
       case RetListComp(v, src, where, proj) =>
         // higher-order filter/transform: the lambda body is compiled by the
-        // same expression compiler with `v` bound to the element — stays
-        // inside codegen, no UDF
+        // same expression compiler with `v` bound to the element — a native
+        // Catalyst expression (CodegenFallback, but no UDF and no
+        // serialization boundary)
         val srcCol = itemCol(src)
         val filtered = where match {
           case Some(b) => filter(srcCol, x => inLambda(v -> x)(compileBool(b)))

@@ -694,7 +694,9 @@ object AnalyticsCatalog {
       // distribution (CCNet's cheap stand-in), bucketed head/middle/tail
       // per language by fixed thresholds. charEntropy is map-only (HOF
       // fold over the sorted distinct chars — no shuffle); the only
-      // shuffle here is the final per-(lang, bucket) count.
+      // shuffle here is the final per-(lang, bucket) count. (Spark HOFs
+      // are CodegenFallback — interpreted, which is the honest cost of
+      // this entry — but still per-partition map work with no exchange.)
       val docs = Tables(s, dir, "documents")
       val ent = round(TextAnalysis.charEntropy(substring(col("text"), 1, 120)), 6)
       docs.select(col("lang"), ent.as("h"))
@@ -722,6 +724,57 @@ object AnalyticsCatalog {
            |SELECT lang, bucket, COUNT(*) AS n_docs,
            |  round(AVG(h), 6) AS mean_entropy
            |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+
+  private val t18 = Entry("t18_ngram_novelty",
+    (s, dir) => {
+      // Corpus-order n-gram novelty: per document, how many of its
+      // distinct 3-grams are FIRST seen at this document (first
+      // occurrence = min doc_id corpus-wide) — the marginal-contribution
+      // curve dedup curricula read to decide when more same-source data
+      // stops adding anything. One explode, two hash aggregates
+      // (gram → first doc, then (lang, half) → rates); the early/late
+      // split threshold is a broadcast scalar, and novelty decaying from
+      // the early to the late half is the expected signature.
+      val docs = Tables(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), col("lang"),
+        explode(Dedup.shingles(col("text"), 3)).as("g"))
+      val mx = docs.agg(max("doc_id").as("__mx"))
+      // first occurrence via ONE window shuffle on the gram key — a
+      // groupBy + join-back would shuffle the same rows twice and scan
+      // the corpus twice (the explode recomputes per branch)
+      val wFirst = Window.partitionBy("g")
+      grams.withColumn("first_doc", min("doc_id").over(wFirst))
+        .crossJoin(broadcast(mx))
+        .withColumn("half",
+          when(col("doc_id") * 2 <= col("__mx"), "early").otherwise("late"))
+        .groupBy("lang", "half")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .withColumn("novelty_rate",
+          col("n_novel").cast("double") / col("n_grams"))
+        .orderBy("lang", "half")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, lang,
+           |    list_distinct([array_to_string(tk[i:i+2], ' ')
+           |      for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+           |  FROM toks),
+           |gr AS (SELECT doc_id, lang, unnest(shingles) AS g FROM sh),
+           |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g),
+           |mx AS (SELECT MAX(doc_id) AS mx FROM documents)
+           |SELECT gr.lang,
+           |  CASE WHEN gr.doc_id * 2 <= mx.mx THEN 'early' ELSE 'late' END AS half,
+           |  COUNT(*) AS n_grams,
+           |  CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_novel,
+           |  CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS novelty_rate
+           |FROM gr JOIN fs ON fs.g = gr.g, mx
+           |GROUP BY 1, 2 ORDER BY lang, half""".stripMargin))
 
   private val t15 = Entry("t15_domain_mixture_sampler",
     (s, dir) => {
@@ -1404,6 +1457,32 @@ object AnalyticsCatalog {
            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
            |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val i07 = Entry("i07_partitioned_sink",
+    (s, dir) => {
+      // Hive-style partitioned sink + partition-pruned read-back: orders
+      // written partitionBy(o_orderpriority), then ONE priority read
+      // back — the scan touches only that partition directory
+      // (PartitionFilters asserted in PlanSpec). This is the layout
+      // every warehouse fact table ships with; at 100 TB the prune is
+      // the difference between reading 1/5th and reading everything.
+      val ord = Tables(s, dir, "orders")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_part_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      ord.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)))
+            .cast("double").as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+           |FROM orders WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   // ------------------------------------------------------- cypher front end --
 
@@ -2210,8 +2289,8 @@ object AnalyticsCatalog {
     (s, dir) => {
       // Cypher's four list quantifiers — any/all/none/single(x IN list
       // WHERE pred) — as CASE conditions over the title's word list.
-      // Each lowers to a higher-order exists/forall/filter lambda that
-      // stays inside whole-stage codegen; nothing leaves the row.
+      // Each lowers to a higher-order exists/forall/filter lambda — a
+      // native Catalyst expression, no UDF, nothing leaves the row.
       val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
@@ -2810,11 +2889,11 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17,
+    t16, t17, t18,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     v01, v02, v03, v04, v05, v06, v07, v08,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    i01, i02, i03, i04, i05, i06,
+    i01, i02, i03, i04, i05, i06, i07,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40,

@@ -168,6 +168,9 @@ class PlanSpec extends SparkTestBase {
     val x08 = plan("x08_node_similarity")
     assert(!x08.contains("CartesianProduct") &&
       !x08.contains("BroadcastNestedLoopJoin"), x08)
+    // i07's read-back prunes to the one selected partition directory
+    val i07 = plan("i07_partitioned_sink")
+    assert(i07.contains("PartitionFilters: [isnotnull(o_orderpriority"), i07)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
