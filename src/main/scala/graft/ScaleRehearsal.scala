@@ -56,10 +56,15 @@ object ScaleRehearsal {
     }
 
     ops.AnalyticsCatalog.warmGraph(spark, out)
-    val heavy = Seq("d03_minhash_lsh_pairs", "d06_embedding_near_dup",
-      "d08_neardup_cluster_dedup", "x01_connected_components",
-      "c19_cypher_shortest_path", "c23_cypher_anchored_shortest",
-      "t12_chunk_dedup")
+    // args beyond [baseSfDir, outDir] select the queries to rehearse —
+    // lets a round re-measure only its additions without paying the
+    // all-pairs c19 reference (434 s at sf1) every time
+    val heavy =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("d03_minhash_lsh_pairs", "d06_embedding_near_dup",
+        "d08_neardup_cluster_dedup", "x01_connected_components",
+        "c19_cypher_shortest_path", "c23_cypher_anchored_shortest",
+        "t12_chunk_dedup")
     val results = heavy.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()

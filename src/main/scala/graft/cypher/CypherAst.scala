@@ -108,6 +108,11 @@ object CypherAst {
     * on the shared variables' ids (0 when nothing matches). */
   final case class RetCountSub(path: PathPat,
     where: Option[BoolExpr] = None) extends ReturnExpr
+  /** `EXISTS { pattern [WHERE …] }` in EXPRESSION position (Neo4j 5's
+    * boolean subquery form, e.g. `RETURN EXISTS { (n)--() } AS has`) —
+    * rides the COUNT { } pre-materialization: the attached per-row count
+    * compared to zero. */
+  final case class RetExistsSub(sub: RetCountSub) extends ReturnExpr
 
   /** List literal in expression position: `[e1, e2, …]` — unlike
     * [[ListLit]] (the Value-grammar leaf used by IN / parameters), elements
@@ -172,6 +177,7 @@ object CypherAst {
       case RetAggExpr(fn, a, d, _) =>
         s"$fn(${if (d) "DISTINCT " else ""}${exprName(a)})"
       case _: RetCountSub => "count_sub"
+      case _: RetExistsSub => "exists_sub"
       case RetListLit(items) => s"[${items.map(exprName).mkString(", ")}]"
       case _: RetListComp => "list_comp"
       case _: RetReduce => "reduce"

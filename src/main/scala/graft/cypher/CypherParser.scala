@@ -819,6 +819,16 @@ object CypherParser {
           else None
         expectSym("}")
         RetCountSub(p, andOpt(drainNodeWheres(base), w))
+      case Kw("EXISTS") if peek.contains(Sym("{")) =>
+        // EXISTS { } as a boolean EXPRESSION (Neo4j 5) — same subquery
+        // machinery as COUNT { }, compared to zero at read time
+        next()
+        val base = nodeWheres.length
+        val p = path()
+        val w = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
+          else None
+        expectSym("}")
+        RetExistsSub(RetCountSub(p, andOpt(drainNodeWheres(base), w)))
       case Ident(fn) if aggFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
         val distinct = peek.contains(Kw("DISTINCT"))

@@ -982,6 +982,10 @@ final class CypherSession(
         val cname = countSubs.getOrElse(cs, throw new IllegalStateException(
           "COUNT { } subquery was not pre-materialized for this scope"))
         coalesce(col(cname), lit(0L))
+      case RetExistsSub(cs) =>
+        val cname = countSubs.getOrElse(cs, throw new IllegalStateException(
+          "EXISTS { } subquery was not pre-materialized for this scope"))
+        coalesce(col(cname), lit(0L)) > 0
     }
 
     def aggCol(a: RetAgg): Column = {
@@ -1279,6 +1283,7 @@ final class CypherSession(
     // back on the shared ids; itemCol then reads the attached column.
     def collectCountSubs(e: ReturnExpr): Seq[RetCountSub] = e match {
       case cs: RetCountSub => Seq(cs)
+      case RetExistsSub(cs) => Seq(cs)
       case RetBin(_, l, r) => collectCountSubs(l) ++ collectCountSubs(r)
       case RetFn(_, as) => as.flatMap(collectCountSubs)
       case RetCase(ws, d) => ws.flatMap { case (c, v) =>

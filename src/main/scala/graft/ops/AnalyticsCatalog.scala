@@ -2404,6 +2404,30 @@ object AnalyticsCatalog {
            |  AND substring(text, 1, 30) LIKE '%e%'
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val c41 = Entry("c41_cypher_exists_expression",
+    (s, dir) => {
+      // EXISTS { } as a boolean EXPRESSION (Neo4j 5) — in RETURN
+      // position, not a WHERE conjunct. Rides the COUNT { }
+      // pre-materialization: one grouped count per subquery left-joined
+      // back on the shared ids, read as count > 0 — never a per-row
+      // re-match.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |RETURN p.name AS publisher,
+                 |  EXISTS { (a:Article)-[:WRITTEN_BY]->(p) WHERE a.lang = 'zh' } AS has_zh,
+                 |  EXISTS { (a:Article)-[:WRITTEN_BY]->(p)
+                 |           WHERE size(a.title) > 28 } AS has_long
+                 |ORDER BY publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher,
+           |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) > 0 AS has_zh,
+           |  COUNT(CASE WHEN length(substring(text, 1, 30)) > 28 THEN 1 END) > 0
+           |    AS has_long
+           |FROM documents GROUP BY source ORDER BY publisher""".stripMargin))
+
   private val c30 = Entry("c30_cypher_unwind_range",
     (s, dir) => {
       // UNWIND over a general list expression — range() compiles to
@@ -2896,7 +2920,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05, i06, i07,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40,
+    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     m01, m02, m03, m04, m05)
 }

@@ -1446,10 +1446,39 @@ object QueryCatalog {
            |FROM customer JOIN tiers ON c_acctbal BETWEEN lo AND hi
            |GROUP BY tier_id, lo, hi ORDER BY tier_id""".stripMargin))
 
+  private val q56 = Entry("q56_dynamic_partition_pruning",
+    (s, dir) => {
+      // Dynamic partition pruning: the fact is STORED partitioned by
+      // priority and the filter arrives through a JOIN (the qualifying
+      // priorities are derived from the data — not a literal the
+      // optimizer could fold), so the prune must happen at runtime. DPP
+      // plants a dynamicpruning subquery in the fact scan's
+      // PartitionFilters (PlanSpec asserts) — at 100 TB the difference
+      // between reading 2/5ths of the table and all of it.
+      val ord = t(s, dir, "orders")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_dpp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(tmp + "/_SUCCESS").exists())
+        ord.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      val fact = s.read.parquet(tmp)
+      val dim = ord.select(col("o_orderpriority").as("prio")).distinct()
+        .filter(substring(col("prio"), 1, 1).isin("1", "2"))
+      fact.join(dim, fact("o_orderpriority") === dim("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+           |FROM orders
+           |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2')
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55)
+    q55, q56)
 }

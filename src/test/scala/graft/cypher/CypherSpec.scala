@@ -1092,6 +1092,29 @@ class CypherSpec extends SparkTestBase {
     assert(n === 9L) // ab + cde + ghij
   }
 
+  test("EXISTS { } as an expression returns per-row booleans") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("MERGE (u:User {name: 'bob'})") // no interests
+    val rows = sess.run(
+      """MATCH (u:User)
+        |RETURN u.name AS name,
+        |  EXISTS { (u)-[:INTERESTED_IN]->(t:Tech) } AS has
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().toSeq
+    assert(rows === Seq(("alice", true), ("bob", false)))
+    // the subquery's own WHERE narrows the probe
+    val narrowed = sess.run(
+      """MATCH (u:User)
+        |RETURN u.name AS name,
+        |  EXISTS { (u)-[:INTERESTED_IN]->(t:Tech)
+        |           WHERE t.name = 'flink' } AS has_flink
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().toSeq
+    assert(narrowed === Seq(("alice", false), ("bob", false)))
+  }
+
   test("MATCH ... CREATE accepts comma-separated relationship patterns") {
     val sess = freshSession
     sess.run("MERGE (a:N {name: 'a'}) MERGE (b:N {name: 'b'}) MERGE (c:N {name: 'c'})")

@@ -171,6 +171,10 @@ class PlanSpec extends SparkTestBase {
     // i07's read-back prunes to the one selected partition directory
     val i07 = plan("i07_partitioned_sink")
     assert(i07.contains("PartitionFilters: [isnotnull(o_orderpriority"), i07)
+    // q56's join-derived filter reaches the partitioned fact scan as a
+    // DYNAMIC pruning subquery — the runtime prune DPP exists for
+    val q56 = plan("q56_dynamic_partition_pruning")
+    assert(q56.contains("dynamicpruning"), q56)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
