@@ -260,6 +260,42 @@ object AnalyticsCatalog {
            |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
            |ORDER BY id_a, id_b""".stripMargin))
 
+  private val d11 = Entry("d11_dup_cluster_histogram",
+    (s, dir) => {
+      // Duplicate-depth profile — the dedup telemetry table: how many
+      // content clusters have exactly k copies, and how many documents
+      // that accounts for. The fixture corpus is dup-free, so the
+      // re-crawl is simulated: every 10th doc arrives twice and every
+      // 20th three times, with whitespace mangled — the canonical
+      // content hash must see through that (normText), which is the
+      // point. Two hash aggregates on uniform keys; the histogram
+      // decides whether a corpus needs cluster-level dedup (d08) or
+      // exact is enough.
+      val docs = Tables(s, dir, "documents")
+      val second = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("  "), col("text"), lit(" ")))
+      val third = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("text", regexp_replace(col("text"), " ", "   "))
+      docs.unionByName(second).unionByName(third)
+        .groupBy(Dedup.contentHash(col("text")).as("h"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("k") * count(lit(1))).as("n_docs"))
+        .orderBy("k")
+    },
+    Some("""WITH crawl AS (
+           |  SELECT text FROM documents
+           |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL SELECT text FROM documents WHERE doc_id % 20 = 0),
+           |c AS (
+           |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+           |    COUNT(*) AS k
+           |  FROM crawl GROUP BY 1)
+           |SELECT k, COUNT(*) AS n_clusters,
+           |  CAST(k * COUNT(*) AS BIGINT) AS n_docs
+           |FROM c GROUP BY k ORDER BY k""".stripMargin))
+
   private val d05 = Entry("d05_simhash_pairs",
     (s, dir) => {
       // SimHash near-dups (hash-family dependent → engine-internal; see
@@ -1430,6 +1466,35 @@ object AnalyticsCatalog {
            |  MAX(n_fine_events) AS peak_fine_events
            |FROM f GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
+  private val s11 = Entry("s11_stream_dedup_batch",
+    (s, dir) => {
+      // Batch twin of streaming dropDuplicates-within-watermark: the
+      // fixture re-delivers every 5th event 7 minutes later; dedup keeps
+      // the FIRST arrival per event_id (exactly the state the streaming
+      // operator holds until the watermark passes). The report carries
+      // both the ingested and the deduped counts so the dedup is
+      // observable, not assumed. One window shuffle on event_id.
+      val ev = Tables(s, dir, "events")
+      val redelivered = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("ts", col("ts") + expr("interval 7 minutes"))
+      val all = ev.unionByName(redelivered)
+      val w = Window.partitionBy("event_id").orderBy(col("ts"))
+      val deduped = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      deduped.groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("value").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)))
+            .cast("double").as("total_value"))
+        .join(all.groupBy("event_type").agg(count(lit(1)).as("n_ingested")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_unique,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           |  COUNT(*) + COUNT(CASE WHEN event_id % 5 = 0 THEN 1 END) AS n_ingested
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   private val i06 = Entry("i06_orc_roundtrip",
     (s, dir) => {
       // Columnar-sink breadth: ORC (Spark's second first-class columnar
@@ -1483,6 +1548,33 @@ object AnalyticsCatalog {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
            |FROM orders WHERE o_orderpriority = '1-URGENT'
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  private val i08 = Entry("i08_small_file_compaction",
+    (s, dir) => {
+      // The small-files problem, end to end: a fragmented landing zone
+      // (64 shuffle-partition files for a tiny table — exactly what a
+      // high-parallelism streaming sink leaves behind) compacted to
+      // size-appropriate files, then read back. Correctness = the
+      // compacted store returns byte-identical aggregates; the file-count
+      // drop itself is asserted in IngestSpec. At 100 TB compaction is a
+      // maintenance pass every table needs or NameNode/listing costs eat
+      // the cluster.
+      val docs = Tables(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_compact_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.repartition(64).write.mode("overwrite").parquet(tmp + "/landing")
+      s.read.parquet(tmp + "/landing")
+        .coalesce(1) // fixture-sized target; real stores size by bytes
+        .write.mode("overwrite").parquet(tmp + "/compacted")
+      s.read.parquet(tmp + "/compacted")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   // ------------------------------------------------------- cypher front end --
 
@@ -2650,6 +2742,43 @@ object AnalyticsCatalog {
            |  CAST(MAX(m) AS BIGINT) AS n_edges
            |FROM pub, tot""".stripMargin))
 
+  private val x10 = Entry("x10_harmonic_closeness",
+    (s, dir) => {
+      // Harmonic closeness of a source node: Σ 1/d over nodes reachable
+      // within 6 hops — the centrality that stays defined on
+      // disconnected graphs. Distances come from the same frontier
+      // relaxation as x07 with unit weights (hop counts); the aggregate
+      // is one pass over the distance table. Same deterministic
+      // expander, so the oracle replays it as a recursive CTE.
+      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = ids.count()
+      val edges = ids.select(col("id").as("src"),
+          ((col("id") + 1) % n).as("dst"), lit(1L).as("w"))
+        .unionByName(ids.select(col("id").as("src"),
+          ((col("id") * 3 + 1) % n).as("dst"), lit(1L).as("w")))
+      GraphAlgorithms.weightedSSSP(edges, source = 0L, rounds = 6)
+        .filter(col("dist") > 0)
+        .agg(count(lit(1)).as("n_reached"),
+          round(sum(lit(1.0) / col("dist")), 6).as("harmonic"),
+          max(col("dist")).as("eccentricity_6"))
+    },
+    Some("""WITH RECURSIVE
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 3 + 1) % n.n FROM documents, n),
+           |p(node, dist, hops) AS (
+           |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+           |  UNION ALL
+           |  SELECT e.dst, p.dist + 1, p.hops + 1
+           |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 6),
+           |d AS (SELECT node, MIN(dist) AS dist FROM p GROUP BY node)
+           |SELECT COUNT(*) AS n_reached,
+           |  round(SUM(1.0 / dist), 6) AS harmonic,
+           |  MAX(dist) AS eccentricity_6
+           |FROM d WHERE dist > 0""".stripMargin))
+
   private val x06 = Entry("x06_local_clustering",
     (s, dir) => {
       // Per-node local clustering coefficient over the exact near-dup pair
@@ -2914,13 +3043,13 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     v01, v02, v03, v04, v05, v06, v07, v08,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    i01, i02, i03, i04, i05, i06, i07,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+    i01, i02, i03, i04, i05, i06, i07, i08,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     m01, m02, m03, m04, m05)
 }

@@ -102,6 +102,23 @@ class IngestSpec extends SparkTestBase {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("label"), plan)
   }
+
+  test("small-file compaction reduces file count and preserves content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("id", "body")
+    rows.repartition(32).write.mode("overwrite").parquet(s"$dir/landing")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/landing") === 32)
+    spark.read.parquet(s"$dir/landing").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/compacted")
+    assert(parquetFiles(s"$dir/compacted") === 2)
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.count() === 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head()
+      === (1 to 200).map(_.toLong).sum)
+  }
 }
 
 /** Client whose fetch throws on one URL — the row-isolation fixture. */
