@@ -2977,6 +2977,58 @@ object AnalyticsCatalog {
            |  COUNT(*) AS n_payloads, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
            |FROM c GROUP BY 1, 2 ORDER BY modality, shard""".stripMargin))
 
+  /** Sign-bit word: dims [from, from+32) packed little-endian into one
+    * long — a static fold of 32 conditional adds (exact powers of two, no
+    * libm), codegen-friendly, identical on any engine. */
+  private def packWord(vec: org.apache.spark.sql.Column, from: Int) =
+    (0 until 32).map(i =>
+      when(element_at(vec, from + i) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private val v09 = Entry("v09_binary_hamming_topk",
+    (s, dir) => {
+      // Binary embedding compression + Hamming ANN: 64 float dims pack
+      // into two 32-bit sign words (64 B → 8 B, the 32× compression that
+      // makes billion-vector indexes RAM-resident), and the distance
+      // becomes two XOR+popcount integer ops — exact, deterministic,
+      // orders of magnitude cheaper than float dot products. Query side
+      // broadcasts (v02's shape); the scan stays linear in the corpus.
+      val emb = Tables(s, dir, "embeddings")
+      val packed = emb.select(col("vec_id").as("id"),
+        packWord(col("embedding"), 1).as("w0"),
+        packWord(col("embedding"), 33).as("w1"))
+      val qs = packed.filter(col("id") < 5)
+        .select(col("id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+      val w = Window.partitionBy("q_id").orderBy(col("hamming"), col("id"))
+      packed.crossJoin(broadcast(qs))
+        .filter(col("id") =!= col("q_id"))
+        .withColumn("hamming",
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("id"), col("hamming"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH p AS (
+           |  SELECT vec_id AS id,
+           |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN 2**i ELSE 0 END
+           |      for i in range(0, 32)]) AS BIGINT) AS w0,
+           |    CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN 2**i ELSE 0 END
+           |      for i in range(0, 32)]) AS BIGINT) AS w1
+           |  FROM embeddings),
+           |q AS (SELECT id AS q_id, w0 AS q0, w1 AS q1 FROM p WHERE id < 5),
+           |h AS (
+           |  SELECT q.q_id, p.id,
+           |    CAST(bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS BIGINT)
+           |      AS hamming
+           |  FROM p CROSS JOIN q WHERE p.id <> q.q_id),
+           |r AS (SELECT q_id, id, hamming,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY hamming, id) AS rnk
+           |  FROM h)
+           |SELECT q_id, CAST(rnk AS INT) AS rank, id, hamming
+           |FROM r WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin))
+
   private val v03 = Entry("v03_ann_lsh",
     (s, dir) => {
       // LSH-bucketed ANN — the scale path for v02's brute force: candidates
@@ -3044,7 +3096,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
-    v01, v02, v03, v04, v05, v06, v07, v08,
+    v01, v02, v03, v04, v05, v06, v07, v08, v09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
