@@ -1576,6 +1576,37 @@ object AnalyticsCatalog {
            |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val i09 = Entry("i09_schema_evolution",
+    (s, dir) => {
+      // Schema evolution across landing batches: batch 1 wrote the
+      // original 3 columns, batch 2 arrives with two new ones
+      // (n_chars, source). mergeSchema reconciles the union schema at
+      // read time; old rows surface NULLs for the new columns and the
+      // aggregate COALESCEs around them — the additive-evolution
+      // contract a long-lived lakehouse table lives by.
+      val docs = Tables(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_evol_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(tmp + "/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "text", "n_chars", "source")
+        .write.mode("overwrite").parquet(tmp + "/b2")
+      s.read.option("mergeSchema", "true").parquet(tmp + "/b1", tmp + "/b2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_with_source"),
+          sum(coalesce(col("n_chars"), length(col("text")).cast("long")))
+            .cast("long").as("chars_est"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_source,
+           |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars
+           |    ELSE length(text) END) AS BIGINT) AS chars_est
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   // ------------------------------------------------------- cypher front end --
 
   private val c01 = Entry("c01_cypher_label_scan",
@@ -2779,6 +2810,45 @@ object AnalyticsCatalog {
            |  MAX(dist) AS eccentricity_6
            |FROM d WHERE dist > 0""".stripMargin))
 
+  private val x11 = Entry("x11_degree_assortativity",
+    (s, dir) => {
+      // Degree assortativity: Pearson correlation of endpoint total
+      // degrees over the edge list — do high-degree nodes attach to each
+      // other? One degree aggregate joined twice onto the edge stream,
+      // then a single corr() pass (Spark's distributed co-moment
+      // aggregation); 6-dp pinned for the cross-engine compare. The
+      // graph is ring + hub edges (every node also points at id % 50):
+      // hubs accumulate ~n/50 in-edges, so degrees VARY — x07's expander
+      // is 2-in/2-out regular, where the statistic is undefined (zero
+      // variance; ANSI corr correctly refuses to divide).
+      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = ids.count()
+      val edges = ids.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .unionByName(ids.select(col("id").as("src"),
+          (col("id") % 50).as("dst")))
+      val deg = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      edges
+        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+        .agg(round(corr(col("sdeg").cast("double"), col("ddeg").cast("double")), 6)
+            .as("assortativity"),
+          count(lit(1)).as("n_edges"))
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, doc_id % 50 FROM documents),
+           |d AS (SELECT node, COUNT(*) AS deg FROM
+           |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+           |  GROUP BY node)
+           |SELECT round(corr(CAST(d1.deg AS DOUBLE), CAST(d2.deg AS DOUBLE)), 6)
+           |    AS assortativity,
+           |  COUNT(*) AS n_edges
+           |FROM e JOIN d d1 ON d1.node = e.src JOIN d d2 ON d2.node = e.dst""".stripMargin))
+
   private val x06 = Entry("x06_local_clustering",
     (s, dir) => {
       // Per-node local clustering coefficient over the exact near-dup pair
@@ -3098,10 +3168,10 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     v01, v02, v03, v04, v05, v06, v07, v08, v09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-    i01, i02, i03, i04, i05, i06, i07, i08,
+    i01, i02, i03, i04, i05, i06, i07, i08, i09,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     m01, m02, m03, m04, m05)
 }
