@@ -1475,10 +1475,48 @@ object QueryCatalog {
            |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2')
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  private val q57 = Entry("q57_cdc_upsert_view",
+    (s, dir) => {
+      // Merge-on-read CDC: a base snapshot plus a changelog of updates
+      // and deletes, resolved to the latest-row-wins view by ONE window
+      // over (key, version DESC) — the lakehouse upsert pattern
+      // (Hudi/Delta merge-on-read) without rewriting the base. The
+      // changelog is derived deterministically: every 7th customer gets
+      // a balance update (v2), every 21st a delete tombstone (v3).
+      // At 100 TB the window shuffle carries base + delta keyed on the
+      // primary key — linear, no full rewrite.
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(1L).as("__v"), lit(false).as("__deleted"))
+      val updates = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"),
+          lit(2L).as("__v"), lit(false).as("__deleted"))
+      val deletes = t(s, dir, "customer")
+        .filter(col("c_custkey") % 21 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(3L).as("__v"), lit(true).as("__deleted"))
+      val w = Window.partitionBy("c_custkey").orderBy(col("__v").desc)
+      base.unionByName(updates).unionByName(deletes)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("__deleted"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          asDouble(sum(dec(col("c_acctbal")))).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(CASE WHEN c_custkey % 7 = 0
+           |    THEN c_acctbal + 1000.0 ELSE c_acctbal END
+           |    AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+           |FROM customer WHERE c_custkey % 21 <> 0
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56)
+    q55, q56, q57)
 }

@@ -30,6 +30,33 @@ class RangeJoinSpec extends SparkTestBase {
     assert(neg === Set((5L, "n")))
   }
 
+  test("banded equals brute-force BETWEEN on randomized bands (fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      values <- Gen.listOfN(40, Gen.chooseNum(-100.0, 100.0))
+      nBands <- Gen.chooseNum(1, 8)
+      los <- Gen.listOfN(nBands, Gen.chooseNum(-120.0, 110.0))
+      widths <- Gen.listOfN(nBands, Gen.chooseNum(0.0, 60.0))
+      bw <- Gen.oneOf(3.0, 17.5, 64.0, 1e5)
+    } yield (values, los.zip(widths).map { case (lo, w) => (lo, lo + w) }, bw)
+    (1L to 12L).foreach { seed =>
+      val (values, bands, bw) = genCase(Gen.Parameters.default, Seed(seed)).get
+      val probe = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val bandDf = bands.zipWithIndex.map { case ((lo, hi), i) =>
+        (s"b$i", lo, hi) }.toDF("band", "lo", "hi")
+      val got = RangeJoin.banded(probe, "v", bandDf, "lo", "hi", bw)
+        .select($"id", $"band").as[(Long, String)].collect().toSet
+      val want = (for {
+        (v, i) <- values.zipWithIndex
+        ((lo, hi), bi) <- bands.zipWithIndex
+        if v >= lo && v <= hi
+      } yield (i.toLong, s"b$bi")).toSet
+      assert(got === want, s"seed $seed (bucketWidth $bw)")
+    }
+  }
+
   test("modularity: perfect partition of two cliques scores higher than a merge") {
     import graft.analytics.GraphAlgorithms
     // two triangles; perfect communities {1,2,3} {4,5,6}
