@@ -1513,10 +1513,40 @@ object QueryCatalog {
            |FROM customer WHERE c_custkey % 21 <> 0
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  private val q58 = Entry("q58_bucketed_join",
+    (s, dir) => {
+      // Bucket-bucket co-located join: both tables stored bucketBy the
+      // join key with the same bucket count, so the SortMergeJoin reads
+      // each bucket pair directly — NO Exchange on either join key
+      // (PlanSpec asserts). At 100 TB this is the standing answer to the
+      // repeated fact⋈fact shuffle: pay the partitioning once at write
+      // time, never again per query. The merge hint pins SMJ so the
+      // demonstration doesn't degenerate to a broadcast at fixture scale.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_buck_" + tag
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", tmp + "/orders").saveAsTable(s"ord_bucketed_$tag")
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", tmp + "/customer").saveAsTable(s"cust_bucketed_$tag")
+      s.table(s"ord_bucketed_$tag").hint("merge")
+        .join(s.table(s"cust_bucketed_$tag"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          asDouble(sum(dec(col("o_totalprice")))).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57)
+    q55, q56, q57, q58)
 }

@@ -175,6 +175,12 @@ class PlanSpec extends SparkTestBase {
     // DYNAMIC pruning subquery — the runtime prune DPP exists for
     val q56 = plan("q56_dynamic_partition_pruning")
     assert(q56.contains("dynamicpruning"), q56)
+    // q58's bucket-bucket join runs WITHOUT an Exchange on either join
+    // key — the bucketed layout already co-locates matching keys
+    val q58 = plan("q58_bucketed_join")
+    assert(q58.contains("SortMergeJoin"), q58)
+    assert(!q58.contains("hashpartitioning(o_custkey"), q58)
+    assert(!q58.contains("hashpartitioning(c_custkey"), q58)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
