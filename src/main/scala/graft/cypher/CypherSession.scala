@@ -1051,8 +1051,8 @@ final class CypherSession(
         if (wc.distinct) {
           // node identity = id; the props map rides along as payload
           // (map columns cannot be set-operation keys)
-          val keys = df.columns.filterNot(_.endsWith("__props"))
-          df = df.dropDuplicates(keys.head, keys.tail: _*)
+          val keys = df.columns.filterNot(_.endsWith("__props")).toIndexedSeq
+          df = df.dropDuplicates(keys)
         }
         bound = keepNodes.result().toSet
         scalarVars = newScalars.result().toSet
