@@ -812,6 +812,45 @@ object AnalyticsCatalog {
            |FROM gr JOIN fs ON fs.g = gr.g, mx
            |GROUP BY 1, 2 ORDER BY lang, half""".stripMargin))
 
+  private val t19 = Entry("t19_tokenizer_fertility",
+    (s, dir) => {
+      // Tokenizer-fertility profile per language: characters per word
+      // and tokenizer pieces per word (pieces = whitespace words +
+      // punctuation marks, the t05 BPE-ish segmentation law) — the
+      // numbers that decide per-language token budgets. Pure column
+      // arithmetic over one scan; ratios are single divisions of exact
+      // integer sums. No lookaround regexes: the piece law is
+      // arithmetic, so it runs identically on RE2-only engines.
+      val docs = Tables(s, dir, "documents")
+      val words = TextAnalysis.tokenCount(col("text")).cast("long")
+      val pieces = (TextAnalysis.tokenCount(col("text")) +
+        TextAnalysis.punctCount(col("text"))).cast("long")
+      docs.select(col("lang"), length(col("text")).cast("long").as("chars"),
+          words.as("words"), pieces.as("pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("total_chars"),
+          sum(col("words")).as("total_words"),
+          sum(col("pieces")).as("total_pieces"),
+          (sum(col("chars")).cast("double") / sum(col("words")))
+            .as("chars_per_word"),
+          (sum(col("pieces")).cast("double") / sum(col("words")))
+            .as("fertility"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |      + len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pieces
+           |  FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  SUM(chars) AS total_chars, SUM(words) AS total_words,
+           |  SUM(pieces) AS total_pieces,
+           |  CAST(SUM(chars) AS DOUBLE) / SUM(words) AS chars_per_word,
+           |  CAST(SUM(pieces) AS DOUBLE) / SUM(words) AS fertility
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val t15 = Entry("t15_domain_mixture_sampler",
     (s, dir) => {
       // Domain-mixture sampling — the data-mixing op of corpus assembly:
@@ -3164,7 +3203,7 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18,
+    t16, t17, t18, t19,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     v01, v02, v03, v04, v05, v06, v07, v08, v09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
