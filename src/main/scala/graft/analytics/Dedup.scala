@@ -23,7 +23,13 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles. n=1 → distinct token set. */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NativeExpressions.wordShingles(text, n)
+
+  /** Reference HOF formulation of [[shingles]] (equivalence spec): the
+    * native kernel must reproduce this exactly, including first-occurrence
+    * distinct order and the short-window tail behavior. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     if (n == 1) array_distinct(toks)
     else array_distinct(transform(

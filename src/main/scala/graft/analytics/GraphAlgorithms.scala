@@ -275,8 +275,12 @@ object GraphAlgorithms {
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val dc = a.join(deg, Seq("node"))
-      .groupBy("community").agg(sum("deg").cast("double").as("d_c"))
+    // Left join keeps communities made only of isolated (edge-free)
+    // nodes — their d_c is 0, their Q term is 0, but they still count
+    // in n_communities.
+    val dc = a.join(deg, Seq("node"), "left")
+      .groupBy("community")
+      .agg(sum(coalesce(col("deg"), lit(0L))).cast("double").as("d_c"))
     dc.join(intra, Seq("community"), "left")
       .select(col("community"), coalesce(col("e_c"), lit(0.0)).as("e_c"), col("d_c"))
       .crossJoin(broadcast(tot))

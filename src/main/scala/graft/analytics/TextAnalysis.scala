@@ -75,7 +75,13 @@ object TextAnalysis {
     * cross-engine stable up to one libm log2 ulp), no shuffle, no UDF.
     * Spark evaluates HOFs as CodegenFallback (interpreted) — still
     * native ArrayData, no serialization boundary. */
-  def charEntropy(c: Column): Column = {
+  def charEntropy(c: Column): Column =
+    graft.functions.NativeExpressions.charEntropy(c)
+
+  /** Reference HOF formulation of [[charEntropy]] (equivalence spec): the
+    * native kernel must reproduce this bitwise, including the ascending
+    * code-point fold order and the -0.0 of degenerate input. */
+  def charEntropyHof(c: Column): Column = {
     val cs = split(c, "")
     val n = size(cs).cast("double")
     val terms = transform(array_sort(array_distinct(cs)), ch => {

@@ -926,18 +926,32 @@ final class CypherSession(
           case "toboolean" => c.cast("boolean")
           case "reverse" => reverse(c) // strings and lists both
           case "tail" => slice(c, lit(2), greatest(size(c) - 1, lit(0)))
-          case "isempty" => fnArgs.head match {
-            // list-typed argument → element count; otherwise string length
-            // (mirrors size()'s dispatch)
-            case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys",
-              "range", "tail", "reverse")(f2) => size(c) === 0
-            case _: RetListLit | _: RetListComp | _: RetSlice => size(c) === 0
-            case RetVar(v) if scalarVars.contains(v) && df != null &&
-              df.schema.fields.exists(f => f.name == v &&
-                f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
-              size(c) === 0
-            case _ => length(c) === 0
-          }
+          case "isempty" =>
+            // Resolve the argument's Catalyst type when possible — the
+            // robust path that handles isEmpty(coalesce(...)), nested
+            // function results, and anything else the syntactic dispatch
+            // below can't see. Resolution fails only when the column
+            // references a lambda-bound variable (no standalone plan);
+            // then fall back to AST-shape dispatch.
+            {
+              import org.apache.spark.sql.types.{ArrayType, MapType}
+              val resolved =
+                if (df == null) None
+                else scala.util.Try(df.select(c).schema.head.dataType).toOption
+              resolved match {
+                case Some(_: ArrayType) | Some(_: MapType) => size(c) === 0
+                case Some(_) => length(c) === 0
+                case None => fnArgs.head match {
+                  // list-typed argument → element count; otherwise string
+                  // length (mirrors size()'s dispatch)
+                  case RetFn(f2, _) if Set("relationships", "nodes", "split",
+                    "keys", "range", "tail", "reverse")(f2) => size(c) === 0
+                  case _: RetListLit | _: RetListComp | _: RetSlice =>
+                    size(c) === 0
+                  case _ => length(c) === 0
+                }
+              }
+            }
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case RetMapProj(v, props, all) =>

@@ -38,6 +38,145 @@ object NativeExpressions {
     GraftSqlBridge.column(EarlierArrayMatch(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
       GraftSqlBridge.expression(n)))
+
+  def charEntropy(c: Column): Column =
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(c)))
+
+  def wordShingles(c: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), n))
+}
+
+/** Static per-row kernels shared by the interpreted eval and the generated
+  * code of [[CharEntropy]] / [[WordShingles]] (the generated Java calls these
+  * directly — a plain static call inside the WholeStageCodegen function, the
+  * same shape as Spark's own UTF8String-backed string expressions).
+  */
+object TextKernels {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Shannon entropy (bits/char) of the code-point distribution, summed in
+    * ascending code-point order — the exact fold order of the HOF
+    * formulation `-aggregate(transform(array_sort(array_distinct(split(s,
+    * ""))), ...))` (UTF-8 binary sort of single-code-point strings IS
+    * code-point order), so results are bitwise identical, including the
+    * `-0.0` of empty / single-symbol input. */
+  def charEntropy(u: UTF8String): Double = {
+    val str = u.toString
+    val len = str.length
+    var sum = 0.0
+    if (len == 0) return -sum // split("","") = [""]: one symbol, p=1, H=-0.0
+    val cps = new Array[Int](len)
+    var i = 0
+    var m = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(m) = cp
+      m += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps, 0, m)
+    val n = m.toDouble
+    var start = 0
+    while (start < m) {
+      var end = start + 1
+      while (end < m && cps(end) == cps(start)) end += 1
+      val p = (end - start) / n
+      // StrictMath, not Math: Spark's Logarithm evaluates via
+      // StrictMath.log, and the two differ by 1 ulp on some inputs
+      sum += p * (java.lang.StrictMath.log(p) / java.lang.StrictMath.log(2.0))
+      start = end
+    }
+    -sum
+  }
+
+  /** Distinct word n-grams in first-occurrence order — exactly
+    * `array_distinct(transform(sequence(0, greatest(size(toks)-n, 0)),
+    * i => concat_ws(" ", slice(toks, i+1, n))))` over
+    * `toks = split(trim(s), "\s+")`: Spark's trim strips U+0020 only, the
+    * regex split keeps Java semantics (leading token may be "", trailing
+    * empties retained at limit -1), and windows shorter than n (at the
+    * array tail or when the doc has < n tokens) join what exists. */
+  def wordShingles(u: UTF8String, n: Int): ArrayData = {
+    var str = u.toString
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    str = str.substring(lo, hi)
+    val toks = Whitespace.split(str, -1)
+    val m = toks.length
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val last = math.max(m - n, 0)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, m)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
+/** Codegen'd twin of the HOF char-entropy formulation (t17's hot path): one
+  * O(len·log len) pass per row instead of an interpreted
+  * filter-per-distinct-char chain that is O(distinct·len) with a fresh array
+  * allocation per distinct character.
+  */
+case class CharEntropy(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_entropy requires string, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.charEntropy(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd twin of the HOF word-shingle formulation (t18 + the dedup
+  * family's shingling step): one tokenizer pass + one LinkedHashSet per row
+  * instead of an interpreted sequence/slice/concat_ws chain that re-slices
+  * the token array per window.
+  */
+case class WordShingles(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires string, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.wordShingles(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** k-permutation MinHash signature in ONE pass over the shingle array

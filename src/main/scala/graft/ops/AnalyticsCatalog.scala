@@ -728,11 +728,10 @@ object AnalyticsCatalog {
     (s, dir) => {
       // Perplexity-proxy quality signal: Shannon entropy of the character
       // distribution (CCNet's cheap stand-in), bucketed head/middle/tail
-      // per language by fixed thresholds. charEntropy is map-only (HOF
-      // fold over the sorted distinct chars — no shuffle); the only
-      // shuffle here is the final per-(lang, bucket) count. (Spark HOFs
-      // are CodegenFallback — interpreted, which is the honest cost of
-      // this entry — but still per-partition map work with no exchange.)
+      // per language by fixed thresholds. charEntropy is map-only and
+      // codegen'd (native CharEntropy expression — one sort per row, no
+      // interpreted HOF chain); the only shuffle here is the final
+      // per-(lang, bucket) count.
       val docs = Tables(s, dir, "documents")
       val ent = round(TextAnalysis.charEntropy(substring(col("text"), 1, 120)), 6)
       docs.select(col("lang"), ent.as("h"))
@@ -845,8 +844,9 @@ object AnalyticsCatalog {
            |      + len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS pieces
            |  FROM documents)
            |SELECT lang, COUNT(*) AS n_docs,
-           |  SUM(chars) AS total_chars, SUM(words) AS total_words,
-           |  SUM(pieces) AS total_pieces,
+           |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+           |  CAST(SUM(words) AS BIGINT) AS total_words,
+           |  CAST(SUM(pieces) AS BIGINT) AS total_pieces,
            |  CAST(SUM(chars) AS DOUBLE) / SUM(words) AS chars_per_word,
            |  CAST(SUM(pieces) AS DOUBLE) / SUM(words) AS fertility
            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
@@ -1499,7 +1499,7 @@ object AnalyticsCatalog {
            |  FROM events GROUP BY 1, 2)
            |SELECT CAST(time_bucket(INTERVAL '1 hour', fw) AS TIMESTAMP) AS window_start,
            |  event_type,
-           |  SUM(n_fine_events) AS n_events,
+           |  CAST(SUM(n_fine_events) AS BIGINT) AS n_events,
            |  CAST(SUM(CAST(fine_value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
            |  COUNT(*) AS n_fine_windows,
            |  MAX(n_fine_events) AS peak_fine_events
@@ -1557,7 +1557,7 @@ object AnalyticsCatalog {
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n_lines,
-           |  SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
            |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))

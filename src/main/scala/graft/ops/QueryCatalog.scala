@@ -1458,8 +1458,9 @@ object QueryCatalog {
       val ord = t(s, dir, "orders")
       val tmp = System.getProperty("java.io.tmpdir") +
         "/graft_dpp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(tmp + "/_SUCCESS").exists())
-        ord.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      // Always overwrite: a cached copy keyed only on the dir path would
+      // silently serve stale data if the fixture is regenerated in place.
+      ord.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
       val fact = s.read.parquet(tmp)
       val dim = ord.select(col("o_orderpriority").as("prio")).distinct()
         .filter(substring(col("prio"), 1, 1).isin("1", "2"))

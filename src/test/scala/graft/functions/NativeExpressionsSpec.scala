@@ -48,4 +48,53 @@ class NativeExpressionsSpec extends SparkTestBase {
     ).toDF("a", "b").select(Dedup.jaccard($"a", $"b").as("j"))
     assert(df.as[Double].collect().toSeq === Seq(0.5, 0.0))
   }
+
+  // Adversarial strings for the text kernels: empty, all-space, unicode
+  // (incl. a non-BMP code point that must count as ONE symbol), interior
+  // tabs/newlines that trim() must NOT strip, repeated tokens, < n tokens.
+  private val trickyTexts = Seq(
+    "", " ", "   ", "a", "aا", "héllo wörld", "x🙂y",
+    "a b", "a b c", "a b c d e", "a  b\tc\nd", " a b ", "a b\n",
+    "\ta b", "same same same same", "the quick brown fox", "a.b,c!d",
+    "ab " * 50, "tail of document with many words " * 8)
+
+  test("CharEntropy == HOF formulation bitwise on fixture docs + tricky strings") {
+    import graft.analytics.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(substring($"text", 1, 120).as("t"))
+      .union(trickyTexts.toDF("t"))
+    val cmp = docs.select(
+      TextAnalysis.charEntropy($"t").as("native"),
+      TextAnalysis.charEntropyHof($"t").as("hof"))
+      .as[(Double, Double)].collect()
+    // raw-bits comparison — catches 0.0 vs -0.0 and NaN payloads, the
+    // cases <=> cannot see
+    val diff = cmp.count { case (n, h) =>
+      java.lang.Double.doubleToRawLongBits(n) !=
+        java.lang.Double.doubleToRawLongBits(h) }
+    assert(diff === 0)
+  }
+
+  test("WordShingles == HOF formulation exactly (order included) for n=1,2,3") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text".as("t"))
+      .union(trickyTexts.toDF("t"))
+    for (n <- Seq(1, 2, 3)) {
+      val cmp = docs.select(
+        Dedup.shingles($"t", n).as("native"),
+        Dedup.shinglesHof($"t", n).as("hof"))
+      val diff = cmp.filter(not($"native" <=> $"hof")).count()
+      assert(diff === 0, s"shingle width $n diverged from HOF reference")
+    }
+  }
+
+  test("t17/t18 text kernels run inside whole-stage codegen") {
+    import graft.analytics.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = docs.select(TextAnalysis.charEntropy($"text").as("h"),
+      Dedup.shingles($"text", 3).as("sh"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // WholeStageCodegen marker — no fallback
+  }
 }
