@@ -13,6 +13,13 @@ object Bench {
     // Populate the shared document-graph store outside the timed loop —
     // graph queries measure query cost, not store load; i03 times the upsert.
     graft.ops.AnalyticsCatalog.warmGraph(spark, sfDir)
+    // the previous run's per-query times, for the regression guard below
+    val prevPath = java.nio.file.Paths.get("target", "bench_prev.json")
+    val outPath = java.nio.file.Paths.get("target", "bench.json")
+    val prev: Map[String, Double] =
+      if (java.nio.file.Files.exists(prevPath)) parseQueryTimes(prevPath)
+      else if (java.nio.file.Files.exists(outPath)) parseQueryTimes(outPath)
+      else Map.empty
     // min of two runs per query: steady-state cost, not first-run JIT/IO noise
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
@@ -25,14 +32,43 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Per-query regression guard: any query >=2x slower than the previous
+    // recorded run AND past the noise floor is listed in the artifact —
+    // the same keep-the-record-honest role the driver artifact plays for
+    // correctness counts. Empty array = clean round.
+    val noiseFloorSec = 0.5
+    val regressions = results.flatMap { case (name, t) =>
+      prev.get(name).collect {
+        case p if p > 0 && t >= 2.0 * p && t > noiseFloorSec =>
+          f"""{"query":"$name","prev":$p%.3f,"now":$t%.3f,"ratio":${t / p}%.2f}"""
+      }
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
     println(json)
+    if (regressions.nonEmpty)
+      System.err.println(s"[bench] ${regressions.size} quer(ies) regressed >=2x " +
+        "vs target/bench_prev.json — see the regressions array in target/bench.json")
     // Self-contained artifact: stdout capture can truncate/wrap long lines
     // (it did in round 3, which manufactured a false regression alarm), so
     // the full per-query JSON is also durably written for the record.
-    val out = java.nio.file.Paths.get("target", "bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    // keep the previous artifact as the next run's comparison base
+    if (java.nio.file.Files.exists(outPath))
+      java.nio.file.Files.copy(outPath, prevPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
+  }
+
+  /** Minimal extraction of the `"queries":{...}` object from a prior bench
+    * artifact — flat `"name":seconds` pairs, no nested objects. */
+  private def parseQueryTimes(p: java.nio.file.Path): Map[String, Double] = {
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val at = s.indexOf("\"queries\":{")
+    if (at < 0) return Map.empty
+    val body = s.substring(at + 11, s.indexOf('}', at))
+    val entry = """"([^"]+)":([0-9.Ee+-]+)""".r
+    entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 }

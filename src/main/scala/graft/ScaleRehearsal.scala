@@ -64,7 +64,12 @@ object ScaleRehearsal {
       else Seq("d03_minhash_lsh_pairs", "d06_embedding_near_dup",
         "d08_neardup_cluster_dedup", "x01_connected_components",
         "c19_cypher_shortest_path", "c23_cypher_anchored_shortest",
-        "t12_chunk_dedup")
+        "t12_chunk_dedup",
+        // write path — the reference's core loop (I8): CREATE actions,
+        // the full write surface, MERGE on matched paths. Every earlier
+        // rehearsal measured read/dedup only; these pin the upsert story.
+        "c21_cypher_create", "c10_cypher_write_surface",
+        "c08_cypher_merge_on_paths")
     val results = heavy.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()

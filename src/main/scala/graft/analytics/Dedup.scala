@@ -108,6 +108,76 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---------------------------------------------------- portable family --
+  // The md5-affine hash family shared bit-for-bit with the DuckDB oracle
+  // ([[graft.functions.PortableHashFamily]]): base(s) = 60-bit md5 prefix
+  // (conv is codegen'd; the hex prefix parses identically in every SQL
+  // engine), reduced mod P for MinHash. Slightly slower than the xxhash64
+  // family above, but the LSH pair set becomes fully oracle-checkable —
+  // use it when cross-engine reproducibility matters more than raw speed.
+
+  private val P = graft.functions.PortableHashFamily.P
+
+  /** 60-bit md5 prefix of a string as a long (the portable base hash). */
+  def md5Base60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Portable hashed shingle set: sorted distinct md5-60 values mod P. */
+  def portableHashedShingles(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(shingles(text, n), s => md5Base60(s) % P)))
+
+  /** MinHash+LSH near-dup pairs in the PORTABLE family — same banded
+    * shape as [[nearDupPairsMinhash]] (bucket equi-join, first-collision
+    * dedup via DISTINCT, exact verify on candidates only), every step
+    * reproducible by the DuckDB oracle. Bucket keys are the band index
+    * plus the band's signature values rendered as a string — no second
+    * hash, so the oracle needs no hash function beyond md5. */
+  def nearDupPairsMinhashPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 1, k: Int = 64, bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val rowsPerBand = k / bands
+    val base = df.select(col(idCol).as("id"),
+      portableHashedShingles(col(textCol), shingleN).as("sh"))
+    // materialize the signature ONCE per row before fanning out to band
+    // keys — referencing the MinHashAffine expression inside each of the
+    // `bands` bucket strings would re-run the k×|sh| pass per band
+    val withSig = base.select(col("id"),
+      graft.functions.NativeExpressions.minHashAffine(col("sh"), k).as("sig"))
+    val buckets = withSig
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val cand = buckets.select(col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.NativeExpressions.jaccardSortedLong(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs in the PORTABLE family: packed `bits`-wide
+    * signatures from md5-60 token hashes, blocked all-pairs Hamming —
+    * reproducible by the oracle with md5 + bit arithmetic alone. */
+  def nearDupPairsSimhashPortable(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, bits: Int = 48, maxHamming: Int = 16): DataFrame = {
+    val hashes = transform(TextAnalysis.tokens(col(textCol)), s => md5Base60(s))
+    val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      graft.functions.NativeExpressions.simHashBits(hashes, bits).as("sig"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact all-pairs n-gram Jaccard within a blocking column (oracle-friendly
     * ground truth; the blocked join bounds pair volume). Shingle sets are
     * hashed to sorted longs once per row so the per-pair kernel is the

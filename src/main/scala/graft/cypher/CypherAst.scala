@@ -133,6 +133,13 @@ object CypherAst {
     * in). */
   final case class RetMapProj(variable: String, props: Seq[String],
     all: Boolean = false) extends ReturnExpr
+  /** Temporal constructor with a map argument —
+    * `datetime({epochMillis: e})`, `date({epochSeconds: e})`,
+    * `duration({days: 1, hours: 6})` (Neo4j's map-form temporal ctors,
+    * the next thing the browser workflow reaches for after `datetime()`;
+    * /root/reference/cypher.txt:1-8). Keys are matched case-insensitively. */
+  final case class RetTemporalCtor(fn: String,
+    pairs: Seq[(String, ReturnExpr)]) extends ReturnExpr
   /** List index `xs[i]` — 0-based; negative indexes from the end, out of
     * range is NULL (Cypher semantics). */
   final case class RetIndex(src: ReturnExpr, idx: ReturnExpr) extends ReturnExpr
@@ -157,6 +164,7 @@ object CypherAst {
     case RetIndex(src, idx) => containsAgg(src) || containsAgg(idx)
     case RetSlice(src, lo, hi) => containsAgg(src) ||
       lo.exists(containsAgg) || hi.exists(containsAgg)
+    case RetTemporalCtor(_, pairs) => pairs.exists(p => containsAgg(p._2))
     case _ => false
   }
 
@@ -184,6 +192,7 @@ object CypherAst {
       case _: RetMapProj => "map_proj"
       case RetIndex(s, i) => s"${exprName(s)}[${exprName(i)}]"
       case _: RetSlice => "slice"
+      case RetTemporalCtor(fn, _) => s"$fn({...})"
     }
     def name: String = alias.getOrElse(exprName(expr))
   }

@@ -861,6 +861,39 @@ object CypherParser {
             }
           }
         }
+      // temporal surface: duration.between(a, b); date/datetime/duration
+      // with a map argument ({epochMillis: e} / {days: 1, hours: 6}) or a
+      // single parse-string argument. Zero-arg date()/datetime() stay on
+      // the FnCall-leaf path below.
+      case Ident(fn0) if fn0.equalsIgnoreCase("duration") &&
+          peek.contains(Sym(".")) && pos + 1 < ts.length &&
+          (ts(pos + 1) match {
+            case Ident(x) => x.equalsIgnoreCase("between")
+            case _ => false
+          }) =>
+        next(); next() // . between
+        expectSym("(")
+        val a = addExpr(); expectSym(","); val b = addExpr()
+        expectSym(")")
+        RetFn("duration.between", Seq(a, b))
+      case Ident(fn0) if Set("date", "datetime", "duration")(fn0.toLowerCase) &&
+          peek.contains(Sym("(")) && pos + 1 < ts.length &&
+          ts(pos + 1) != Sym(")") =>
+        val f = fn0.toLowerCase
+        next() // (
+        if (peek.contains(Sym("{"))) {
+          next() // {
+          val pairs = ArrayBuffer.empty[(String, ReturnExpr)]
+          def pair(): Unit = { val k = ident(); expectSym(":"); pairs += k -> addExpr() }
+          pair()
+          while (peek.contains(Sym(","))) { next(); pair() }
+          expectSym("}"); expectSym(")")
+          RetTemporalCtor(f, pairs.toSeq)
+        } else {
+          val arg = addExpr()
+          expectSym(")")
+          RetFn(f, Seq(arg))
+        }
       case Ident(fn) if scalarFns.contains(fn.toLowerCase) && peek.contains(Sym("(")) =>
         next()
         val fnArgs = ArrayBuffer(addExpr()) // composable: size(trim(u.name))

@@ -803,7 +803,19 @@ final class CypherSession(
           case RetProp(_) => itemCol(e).cast("double")
           case _ => itemCol(e)
         }
+        // temporal arithmetic must NOT route through the DOUBLE read
+        // policy: timestamp ± interval and interval ± interval are native
+        // Catalyst operations on their own types
+        def temporal(e: ReturnExpr): Boolean = e match {
+          case RetLit(FnCall("datetime" | "date")) => true
+          case _: RetTemporalCtor => true
+          case RetFn("duration.between" | "datetime" | "date", _) => true
+          case RetBin("+" | "-", a, b) => temporal(a) || temporal(b)
+          case _ => false
+        }
         op match {
+          case "+" if temporal(l) || temporal(r) => itemCol(l) + itemCol(r)
+          case "-" if temporal(l) || temporal(r) => itemCol(l) - itemCol(r)
           case "+" if stringy(l) || stringy(r) => concat(itemCol(l), itemCol(r))
           case "+" => num(l) + num(r)
           case "-" => num(l) - num(r)
@@ -952,11 +964,46 @@ final class CypherSession(
                 }
               }
             }
+          // temporal parse/convert forms: datetime('2024-01-01T00:00:00'),
+          // date(ts); duration.between(a, b) = the ANSI interval b - a
+          // (Spark's timestamp subtraction yields DayTimeIntervalType)
+          case "datetime" => c.cast("timestamp")
+          case "date" => to_date(c)
+          case "duration.between" =>
+            itemCol(fnArgs(1)).cast("timestamp") - c.cast("timestamp")
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case RetMapProj(v, props, all) =>
         if (all) entityPropsCol(v)
         else map(props.flatMap(p => Seq(lit(p), propCol(v, p))): _*)
+      case RetTemporalCtor(fn, pairs) =>
+        def part(name: String): Option[Column] = pairs.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(name) => itemCol(v)
+        }
+        fn match {
+          case "datetime" | "date" =>
+            val base = part("epochMillis").map(c => timestamp_millis(c.cast("long")))
+              .orElse(part("epochSeconds").map(c => timestamp_seconds(c.cast("long"))))
+              .getOrElse(throw new IllegalArgumentException(
+                s"$fn({...}) supports epochMillis/epochSeconds keys, got " +
+                  pairs.map(_._1).mkString(", ")))
+            if (fn == "date") to_date(base) else base
+          case "duration" =>
+            val bad = pairs.map(_._1).filterNot(k => Seq("weeks", "days",
+              "hours", "minutes", "seconds").exists(k.equalsIgnoreCase))
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              "duration({...}) supports day-time keys (weeks/days/hours/" +
+                s"minutes/seconds); calendar units (${bad.mkString(", ")}) " +
+                "are not representable as an ANSI day-time interval")
+            def num(name: String): Column =
+              part(name).map(_.cast("long")).getOrElse(lit(0L))
+            // one DayTimeIntervalType value — adds/subtracts against
+            // TIMESTAMP natively and comparisons order by physical length
+            make_dt_interval(
+              (num("days") + num("weeks") * 7).cast("int"),
+              num("hours").cast("int"), num("minutes").cast("int"),
+              num("seconds").cast("double"))
+        }
       case RetListLit(items) => array(items.map(itemCol): _*)
       case RetListComp(v, src, where, proj) =>
         // higher-order filter/transform: the lambda body is compiled by the
@@ -1430,6 +1477,7 @@ final class CypherSession(
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case FnCall("datetime") => clock()
+    case FnCall("date") => to_date(clock())
     case FnCall("pi") => lit(math.Pi)
     case FnCall("e") => lit(math.E)
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
@@ -1447,6 +1495,7 @@ final class CypherSession(
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case FnCall("datetime") => clock()
+    case FnCall("date") => to_date(clock())
     case FnCall("pi") => lit(math.Pi)
     case FnCall("e") => lit(math.E)
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")

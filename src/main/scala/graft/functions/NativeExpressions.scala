@@ -44,6 +44,112 @@ object NativeExpressions {
 
   def wordShingles(c: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), n))
+
+  def minHashAffine(a: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashAffine(GraftSqlBridge.expression(a), k))
+
+  def simHashBits(a: Column, bits: Int): Column =
+    GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(a), bits))
+}
+
+/** The PORTABLE hash family shared with the DuckDB oracle: 60-bit md5
+  * prefixes mixed by an affine universal family mod a 30-bit prime. Every
+  * step is expressible in plain SQL on any engine (md5 + integer
+  * arithmetic), which is what makes MinHash-LSH and SimHash pair sets
+  * oracle-checkable cross-engine — unlike the xxhash64 family, which is
+  * faster but engine-internal. Constants are part of the family's
+  * definition; the oracle SQL must use the same three formulas.
+  */
+object PortableHashFamily {
+  /** Largest prime below 2^30 — keeps a_i * x + b_i inside 2^52. */
+  val P: Long = 1073741789L
+  def a(i: Int): Long = (48271L * (i + 1)) % P
+  def b(i: Int): Long = (16807L * i + 12345L) % P
+}
+
+/** k-permutation MinHash signature over PRE-HASHED base values (md5-60bit
+  * mod P, computed upstream with built-in md5/conv columns): one pass, k
+  * affine mixes per element — the portable-family twin of [[MinHashSig]].
+  */
+case class MinHashAffine(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_affine requires array<bigint>, got $t")
+    }
+
+  private lazy val as: Array[Long] = Array.tabulate(k)(PortableHashFamily.a)
+  private lazy val bs: Array[Long] = Array.tabulate(k)(PortableHashFamily.b)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val p = PortableHashFamily.P
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (as(j) * x + bs(j)) % p
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash over PRE-HASHED 60-bit token values: each of the low `bits`
+  * bits votes ±1 per token occurrence; the signature packs the vote signs.
+  * Portable-family twin of [[SimHash64]] — the oracle rebuilds the same
+  * packed value from the same md5 prefixes with plain bit arithmetic.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_bits requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Static per-row kernels shared by the interpreted eval and the generated

@@ -21,6 +21,70 @@ import org.apache.spark.sql.functions._
   */
 object GraphStore {
 
+  /** Writer model: SINGLE writer per store path, enforced by a lease file.
+    *
+    * The durable upsert is read-merge-overwrite on the touched partitions;
+    * two interleaved writers on the same path would both read the same
+    * base, each merge its own batch, and the second overwrite would erase
+    * the first's rows (lost update) — the transactional property the
+    * reference delegates to Neo4j's MERGE (crwling.py:48, counters
+    * :61-64) has to be enforced here. [[upsertNodes]]/[[upsertEdges]]
+    * acquire `<path>/_writer.lock` via atomic create-if-absent (atomic on
+    * HDFS and local FS; object stores need their conditional-put layer) and
+    * release it when the commit finishes. Concurrent callers spin until the
+    * holder releases; a crashed holder's lease is broken after
+    * [[LeaseStaleMs]]. Readers never look at the lock file — reads stay
+    * lock-free. Streaming ingest already serializes per query (one
+    * foreachBatch at a time); the lease extends the same guarantee to
+    * multiple jobs sharing a store. */
+  private[graph] val LeaseStaleMs: Long = 5 * 60 * 1000L
+  private val LeaseWaitSliceMs = 50L
+  private val LeaseTimeoutMs = 120 * 1000L
+
+  private def withWriterLease[T](spark: SparkSession, path: String)(body: => T): T = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val lockPath = new org.apache.hadoop.fs.Path(s"$path/_writer.lock")
+    val fs = lockPath.getFileSystem(hconf)
+    fs.mkdirs(lockPath.getParent)
+    // The atomic claim: on HDFS, create(overwrite = false) — exactly one
+    // contender's create succeeds. Hadoop's LOCAL FileSystem implements
+    // that flag as check-then-create (not atomic), so local paths go
+    // through File.createNewFile (O_CREAT|O_EXCL — atomic at the OS level).
+    val localFile: Option[java.io.File] = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        Some(new java.io.File(lockPath.toUri.getPath))
+      case _ => None
+    }
+    def tryAcquire(): Boolean = localFile match {
+      case Some(f) => f.createNewFile()
+      case None =>
+        try { fs.create(lockPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    val deadline = System.currentTimeMillis() + LeaseTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      if (tryAcquire()) acquired = true
+      else {
+        // lease held — break it if stale (crashed holder), else wait
+        val stale =
+          try {
+            val st = fs.getFileStatus(lockPath)
+            System.currentTimeMillis() - st.getModificationTime > LeaseStaleMs
+          } catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lockPath, false)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"writer lease on $path not released within ${LeaseTimeoutMs / 1000}s " +
+              "(another writer is active; the store is single-writer per path)")
+        else Thread.sleep(LeaseWaitSliceMs)
+      }
+    }
+    try body
+    finally fs.delete(lockPath, false)
+  }
+
   def write(g: PropertyGraph, path: String): Unit = {
     g.nodes.repartition(org.apache.spark.sql.functions.col("label"))
       .sortWithinPartitions("id")
@@ -52,7 +116,10 @@ object GraphStore {
     *
     * The touched-label `collect` is a per-batch driver list of label
     * STRINGS (bounded by the schema, not the data) — not a data collect. */
-  def upsertNodes(spark: SparkSession, path: String, batch: DataFrame): (Long, Long) = {
+  def upsertNodes(spark: SparkSession, path: String, batch: DataFrame): (Long, Long) =
+    withWriterLease(spark, path) { upsertNodesLocked(spark, path, batch) }
+
+  private def upsertNodesLocked(spark: SparkSession, path: String, batch: DataFrame): (Long, Long) = {
     val nodesPath = s"$path/nodes"
     val touched = batch.select("label").distinct()
       .collect().map(_.getString(0)).toSeq
@@ -77,7 +144,10 @@ object GraphStore {
 
   /** Durable micro-batch edge upsert: same partition-scoped shape as
     * [[upsertNodes]], keyed by the batch's relType partitions. */
-  def upsertEdges(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+  def upsertEdges(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    withWriterLease(spark, path) { upsertEdgesLocked(spark, path, batch) }
+
+  private def upsertEdgesLocked(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val edgesPath = s"$path/edges"
     val withProps =
       if (batch.columns.contains("props")) batch

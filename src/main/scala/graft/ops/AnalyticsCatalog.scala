@@ -233,14 +233,45 @@ object AnalyticsCatalog {
 
   private val d03 = Entry("d03_minhash_lsh_pairs",
     (s, dir) => {
-      // MinHash+LSH near-dup candidates, exact-verified. Hash-family
-      // dependent → no cross-engine oracle; recall vs d04's exact output is
-      // asserted in DedupSpec.
-      Dedup.nearDupPairsMinhash(Tables(s, dir, "documents"),
+      // MinHash+LSH near-dup pairs in the PORTABLE hash family (md5-60
+      // base + affine mixes mod a 30-bit prime): the full banded pipeline
+      // — shingle → signature → band bucket → bucket equi-join → exact
+      // Jaccard verify — reproduced statement-for-statement by the DuckDB
+      // oracle, so the LSH pair set itself is hash-checked cross-engine
+      // (the xxhash64 family variant stays in Dedup for raw speed;
+      // recall equivalence asserted in DedupSpec).
+      Dedup.nearDupPairsMinhashPortable(Tables(s, dir, "documents"),
           "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some("""WITH t AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_transform(
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')),
+           |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741789))) AS sh
+           |  FROM documents),
+           |sig AS (
+           |  SELECT t.doc_id, r.i,
+           |    list_aggregate(list_transform(t.sh,
+           |      x -> ((48271 * (r.i + 1)) % 1073741789 * x
+           |            + (16807 * r.i + 12345) % 1073741789) % 1073741789),
+           |      'min') AS mv
+           |  FROM t, range(0, 64) r(i)),
+           |bk AS (
+           |  SELECT doc_id, CAST(i // 8 AS VARCHAR) || ':' ||
+           |    string_agg(CAST(mv AS VARCHAR), ':' ORDER BY i) AS bucket
+           |  FROM sig GROUP BY doc_id, i // 8),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           |SELECT c.id_a, c.id_b,
+           |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+           |FROM cand c
+           |JOIN t ta ON ta.doc_id = c.id_a
+           |JOIN t tb ON tb.doc_id = c.id_b
+           |WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin))
 
   private val d04 = Entry("d04_jaccard_pairs",
     (s, dir) => {
@@ -298,13 +329,37 @@ object AnalyticsCatalog {
 
   private val d05 = Entry("d05_simhash_pairs",
     (s, dir) => {
-      // SimHash near-dups (hash-family dependent → engine-internal; see
-      // DedupSpec for the correctness assertion against exact Jaccard).
-      Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"),
-          "doc_id", "text", blockCol = "source", maxHamming = 20)
+      // SimHash near-dups in the PORTABLE hash family: 48-bit packed
+      // vote signatures over md5-60 token hashes, blocked Hamming join —
+      // the oracle rebuilds identical signatures with md5 + bit
+      // arithmetic, so the pair set hash-checks cross-engine (the
+      // xxhash64 SimHash64 variant stays in Dedup; DedupSpec asserts
+      // both track exact Jaccard).
+      Dedup.nearDupPairsSimhashPortable(Tables(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", bits = 48, maxHamming = 16)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some("""WITH tok AS (
+           |  SELECT doc_id, source,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents),
+           |tv AS (
+           |  SELECT doc_id, source,
+           |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS v
+           |  FROM tok),
+           |bitv AS (
+           |  SELECT doc_id, source, r.b,
+           |    CASE WHEN SUM(CASE WHEN ((v >> r.b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+           |      THEN CAST(1 AS BIGINT) << r.b ELSE 0 END AS bitval
+           |  FROM tv, range(0, 48) r(b) GROUP BY doc_id, source, r.b),
+           |sg AS (
+           |  SELECT doc_id, source, CAST(SUM(bitval) AS BIGINT) AS sig
+           |  FROM bitv GROUP BY doc_id, source)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |FROM sg a JOIN sg b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 16
+           |ORDER BY id_a, id_b""".stripMargin))
 
   private val d06 = Entry("d06_embedding_near_dup",
     (s, dir) => {
@@ -2608,6 +2663,39 @@ object AnalyticsCatalog {
            |  min(n) AS lo, max(n) AS hi
            |FROM range(1, 101) t(n) WHERE n % 7 = 0""".stripMargin))
 
+  private val c42 = Entry("c42_cypher_temporal",
+    (s, dir) => {
+      // Temporal function breadth (the browser workflow's next reach after
+      // datetime(), cypher.txt:1-8): map-form constructors
+      // datetime({epochMillis}), date() conversion, duration({...}) as a
+      // native DayTimeIntervalType value, timestamp ± duration arithmetic,
+      // and duration.between comparison — all deterministic (epoch inputs,
+      // no wall clock), so the full oracle hash applies. Intervals stay
+      // INTERNAL (comparisons/arithmetic); projected columns are
+      // timestamp/date/long, the types every engine renders identically.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""UNWIND range(0, 9) AS i
+                 |WITH i, datetime({epochMillis: 1700000000000 + i * 5400000}) AS t
+                 |RETURN i, t AS ts, date(t) AS d,
+                 |  t + duration({days: 1, hours: 6}) AS shifted,
+                 |  t - duration({minutes: 90}) AS back,
+                 |  CASE WHEN duration.between(t, datetime({epochMillis: 1700020000000}))
+                 |            > duration({hours: 2}) THEN 1 ELSE 0 END AS long_gap
+                 |ORDER BY i""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT i,
+           |  epoch_ms(1700000000000 + i * 5400000) AS ts,
+           |  CAST(epoch_ms(1700000000000 + i * 5400000) AS DATE) AS d,
+           |  epoch_ms(1700000000000 + i * 5400000) + INTERVAL 30 HOUR AS shifted,
+           |  epoch_ms(1700000000000 + i * 5400000) - INTERVAL 90 MINUTE AS back,
+           |  CAST(CASE WHEN (epoch_ms(1700020000000)
+           |                  - epoch_ms(1700000000000 + i * 5400000))
+           |                 > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS BIGINT) AS long_gap
+           |FROM range(0, 10) t(i) ORDER BY i""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -3210,7 +3298,7 @@ object AnalyticsCatalog {
     i01, i02, i03, i04, i05, i06, i07, i08, i09,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
-    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41,
+    c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     m01, m02, m03, m04, m05)
 }

@@ -71,6 +71,31 @@ class DedupSpec extends SparkTestBase {
     assert(exact.subsetOf(lsh))
   }
 
+  test("portable-family LSH (d03's oracle path) recalls exact pairs like xxhash64") {
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairsMinhashPortable(fixture, "doc_id", "text", 1, 64, 8, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recalled = exact.count(lsh.contains)
+    assert(exact.isEmpty || recalled.toDouble / exact.size >= 0.9,
+      s"recall $recalled/${exact.size}")
+  }
+
+  test("portable-family SimHash pairs track exact Jaccard like xxhash64 SimHash") {
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val portable = Dedup.nearDupPairsSimhashPortable(
+        fixture, "doc_id", "text", "source", bits = 48, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // near-identical docs have near-identical vote profiles: the high-J
+    // pairs must sit within the Hamming radius
+    val recalled = exact.count(portable.contains)
+    assert(exact.isEmpty || recalled.toDouble / exact.size >= 0.9,
+      s"recall $recalled/${exact.size}")
+  }
+
   test("minhash LSH on fixture documents recalls >=90% of exact pairs") {
     val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)

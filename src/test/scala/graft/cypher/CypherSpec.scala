@@ -1511,4 +1511,57 @@ class CypherSpec extends SparkTestBase {
     assert(r.getString(1) === "alpha")
     assert(r.getInt(2) === 4) // 'beta'
   }
+
+  test("temporal breadth: map ctors, date(), duration arithmetic, between") {
+    val sess = freshSession
+    val df = sess.run(
+      """UNWIND range(0, 2) AS i
+        |WITH i, datetime({epochMillis: 1700000000000 + i * 3600000}) AS t
+        |RETURN i, t AS ts, date(t) AS d,
+        |  t + duration({days: 1, hours: 6}) AS shifted,
+        |  t - duration({minutes: 90}) AS back,
+        |  CASE WHEN duration.between(t, datetime({epochMillis: 1700003600000}))
+        |            > duration({minutes: 30}) THEN 1 ELSE 0 END AS gap
+        |ORDER BY i""".stripMargin).asInstanceOf[CypherRows].df
+    val rows = df.collect()
+    assert(rows.length === 3)
+    // 1700000000000 ms = 2023-11-14T22:13:20Z (session TZ pinned UTC)
+    val ts0 = rows(0).getAs[java.sql.Timestamp]("ts")
+    assert(ts0.getTime === 1700000000000L)
+    assert(rows(1).getAs[java.sql.Timestamp]("ts").getTime === 1700003600000L)
+    assert(rows(0).getAs[java.sql.Date]("d").toString === "2023-11-14")
+    assert(rows(0).getAs[java.sql.Timestamp]("shifted").getTime ===
+      1700000000000L + (30L * 3600 * 1000)) // +1 day 6 hours
+    assert(rows(0).getAs[java.sql.Timestamp]("back").getTime ===
+      1700000000000L - (90L * 60 * 1000))
+    // gap to epoch 1700003600000: i=0 -> 60 min (>30), i=1 -> 0, i=2 -> -60
+    assert(rows.map(_.getAs[Long]("gap")).toSeq === Seq(1L, 0L, 0L))
+  }
+
+  test("temporal: zero-arg date() rides the injected clock like datetime()") {
+    val sess = freshSession
+    val df = sess.run("RETURN date() AS today")
+      .asInstanceOf[CypherRows].df
+    assert(df.as[java.sql.Date].head().toString === "2026-01-01")
+  }
+
+  test("temporal: datetime(string) parse form and epochSeconds ctor") {
+    val sess = freshSession
+    val df = sess.run(
+      """RETURN datetime('2024-06-01 12:30:00') AS t1,
+        |  datetime({epochSeconds: 1717245000}) AS t2""".stripMargin)
+      .asInstanceOf[CypherRows].df
+    val r = df.collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("t1").toString === "2024-06-01 12:30:00.0")
+    assert(r.getAs[java.sql.Timestamp]("t2").getTime === 1717245000000L)
+  }
+
+  test("temporal: calendar units in duration({...}) are rejected with a clear error") {
+    val sess = freshSession
+    val e = intercept[IllegalArgumentException] {
+      sess.run("RETURN datetime({epochMillis: 0}) + duration({months: 1}) AS x")
+        .asInstanceOf[CypherRows].df.collect()
+    }
+    assert(e.getMessage.contains("day-time"))
+  }
 }
