@@ -20,14 +20,24 @@ object Bench {
       if (java.nio.file.Files.exists(prevPath)) parseQueryTimes(prevPath)
       else if (java.nio.file.Files.exists(outPath)) parseQueryTimes(outPath)
       else Map.empty
+    // Optional args (dev only; the driver passes none): comma-separated
+    // query names — time only those, print, and DON'T touch the artifacts.
+    val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
     // min of two runs per query: steady-state cost, not first-run JIT/IO noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
+    }
+    if (only.isDefined) {
+      results.foreach { case (n, t) => println(f"$n $t%.2f s") }
+      spark.stop()
+      return
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -118,13 +118,18 @@ object Dedup {
 
   private val P = graft.functions.PortableHashFamily.P
 
-  /** 60-bit md5 prefix of a string as a long (the portable base hash). */
+  /** 60-bit md5 prefix of a string as a long (the portable base hash) —
+    * the column formulation, kept as the equivalence-spec reference for
+    * the one-pass native kernel below. */
   def md5Base60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Portable hashed shingle set: sorted distinct md5-60 values mod P. */
+  /** Portable hashed shingle set: sorted distinct md5-60 values mod P
+    * (native one-pass array kernel; bitwise equal to
+    * `transform(sh, s => md5Base60(s) % P)`). */
   def portableHashedShingles(text: Column, n: Int): Column =
-    sort_array(array_distinct(transform(shingles(text, n), s => md5Base60(s) % P)))
+    sort_array(array_distinct(
+      graft.functions.NativeExpressions.md5Base60Array(shingles(text, n), modP = true)))
 
   /** MinHash+LSH near-dup pairs in the PORTABLE family — same banded
     * shape as [[nearDupPairsMinhash]] (bucket equi-join, first-collision
@@ -143,16 +148,33 @@ object Dedup {
     // `bands` bucket strings would re-run the k×|sh| pass per band
     val withSig = base.select(col("id"),
       graft.functions.NativeExpressions.minHashAffine(col("sh"), k).as("sig"))
-    val buckets = withSig
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
-        concat_ws(":", lit(b.toString) +:
+    // Band bucket keys are the md5-60 of "band:sig:sig:...": a NARROW
+    // 8-byte join key the oracle computes identically (hashing the
+    // ~80-char concat key directly was measured 2x slower — the bucket
+    // self-join shuffles every candidate row's key). The band index rides
+    // in the hash pre-image, so buckets never collide across bands
+    // (mod a 2^-60 md5-prefix collision, which would only add a candidate
+    // pair BOTH engines see and exact-verification filters anyway).
+    // First-collision dedup via the codegen'd EarlierArrayMatch over the
+    // bands-long bucket arrays — same pair SET as the oracle's DISTINCT,
+    // no shuffle of the pre-dedup candidate stream.
+    val withBuckets = withSig
+      .select(col("id"), array((0 until bands).map { b =>
+        val key = concat_ws(":", lit(b.toString) +:
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
-      }: _*)).as(Seq("band", "bucket")))
-    val cand = buckets.select(col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+        md5Base60(key)
+      }: _*).as("bks"))
+    val buckets = withBuckets
+      .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val cand = buckets
+      .select(col("band"), col("bucket"), col("id").as("id_a"), col("bks").as("bks_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("bks").as("bks_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bks_a"), col("bks_b"), col("band")))
+      .select("id_a", "id_b")
     cand
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -167,7 +189,8 @@ object Dedup {
     * reproducible by the oracle with md5 + bit arithmetic alone. */
   def nearDupPairsSimhashPortable(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, bits: Int = 48, maxHamming: Int = 16): DataFrame = {
-    val hashes = transform(TextAnalysis.tokens(col(textCol)), s => md5Base60(s))
+    val hashes = graft.functions.NativeExpressions.md5Base60Array(
+      TextAnalysis.tokens(col(textCol)), modP = false)
     val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       graft.functions.NativeExpressions.simHashBits(hashes, bits).as("sig"))
     val a = t.select(col("blk"), col("id").as("id_a"), col("sig").as("sig_a"))

@@ -48,6 +48,9 @@ object NativeExpressions {
   def minHashAffine(a: Column, k: Int): Column =
     GraftSqlBridge.column(MinHashAffine(GraftSqlBridge.expression(a), k))
 
+  def md5Base60Array(a: Column, modP: Boolean): Column =
+    GraftSqlBridge.column(Md5Base60Array(GraftSqlBridge.expression(a), modP))
+
   def simHashBits(a: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(a), bits))
 }
@@ -63,8 +66,61 @@ object NativeExpressions {
 object PortableHashFamily {
   /** Largest prime below 2^30 — keeps a_i * x + b_i inside 2^52. */
   val P: Long = 1073741789L
+  /** floor(2^64 / P) for Barrett reduction (P does not divide 2^64, so
+    * floor((2^64-1)/P) — what divideUnsigned(-1, P) computes — equals it). */
+  val BarrettM: Long = java.lang.Long.divideUnsigned(-1L, P)
   def a(i: Int): Long = (48271L * (i + 1)) % P
   def b(i: Int): Long = (16807L * i + 12345L) % P
+}
+
+/** The portable family's base hash over a whole string array in one pass:
+  * per element, md5 of the UTF-8 bytes, first 15 hex digits (= top 60
+  * bits) as a long, optionally reduced mod P. Value-identical to the
+  * column formulation `conv(substring(md5(s), 1, 15), 16, 10)` — which
+  * allocates two strings per element inside an interpreted `transform` —
+  * but digests bytes directly (d03's profile is dominated by exactly
+  * this step).
+  */
+case class Md5Base60Array(child: Expression, modP: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_base60 requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val md = Md5Base60Array.digest.get()
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      val h = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 bytes big-endian, top nibble of byte 7 kept → 15 hex digits
+      var v64 = 0L
+      var j = 0
+      while (j < 8) { v64 = (v64 << 8) | (h(j) & 0xffL); j += 1 }
+      val base = v64 >>> 4
+      out(i) = if (modP) base % PortableHashFamily.P else base
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Base60Array {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** k-permutation MinHash signature over PRE-HASHED base values (md5-60bit
@@ -89,13 +145,22 @@ case class MinHashAffine(child: Expression, k: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val p = PortableHashFamily.P
+    // Barrett reduction: the inner loop runs k divisions per element if
+    // written as `% p` (the JIT cannot strength-reduce a non-constant
+    // divisor) — |sh|·k hardware divides dominated this expression's
+    // profile. q = floor(x·M / 2^64) with M = floor(2^64/P) is off by at
+    // most 1 for x < 2^52 (error term x·(2^64 mod P)/(P·2^64) < 2^-12),
+    // so one conditional subtract yields the EXACT `% p` value.
+    val m = PortableHashFamily.BarrettM
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       val x = arr.getLong(i)
       var j = 0
       while (j < k) {
-        val h = (as(j) * x + bs(j)) % p
+        val t = as(j) * x + bs(j) // < 2^52: a < 2^22, x < 2^30, b < 2^30
+        var h = t - java.lang.Math.multiplyHigh(t, m) * p
+        if (h >= p) h -= p
         if (h < mins(j)) mins(j) = h
         j += 1
       }

@@ -257,8 +257,10 @@ object AnalyticsCatalog {
            |      'min') AS mv
            |  FROM t, range(0, 64) r(i)),
            |bk AS (
-           |  SELECT doc_id, CAST(i // 8 AS VARCHAR) || ':' ||
-           |    string_agg(CAST(mv AS VARCHAR), ':' ORDER BY i) AS bucket
+           |  SELECT doc_id, CAST('0x' || substr(md5(
+           |      CAST(i // 8 AS VARCHAR) || ':' ||
+           |      string_agg(CAST(mv AS VARCHAR), ':' ORDER BY i)
+           |    ), 1, 15) AS BIGINT) AS bucket
            |  FROM sig GROUP BY doc_id, i // 8),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -904,6 +906,79 @@ object AnalyticsCatalog {
            |  CAST(SUM(pieces) AS BIGINT) AS total_pieces,
            |  CAST(SUM(chars) AS DOUBLE) / SUM(words) AS chars_per_word,
            |  CAST(SUM(pieces) AS DOUBLE) / SUM(words) AS fertility
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val t20 = Entry("t20_chunk_dedup_reassembly",
+    (s, dir) => {
+      // C4-style shared-chunk REMOVAL with reassembly accounting — t12
+      // counts duplicate chunks; this op performs the edit a pipeline
+      // actually ships: every 32-token chunk keeps only its FIRST corpus
+      // occurrence (min (doc_id, position)), and each document's retained
+      // token mass is re-totalled from its surviving chunks. The winner
+      // per chunk comes from a hash-groupBy `min(struct(doc_id, pos))` —
+      // NOT a row_number window — because min() partial-aggregates
+      // map-side: a boilerplate chunk repeated 10^9 times at 100 TB
+      // arrives at the reducer as one pre-combined row per map partition,
+      // where a window over the same key would funnel every occurrence
+      // into one task. The join back is on the chunk's md5 (16 bytes),
+      // never the text; AQE skew-join splits any residual hot hash.
+      val docs = Tables(s, dir, "documents")
+      val occ = docs
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("lang"), posexplode(expr(
+          """transform(sequence(0, CAST(ceil(size(tk) / 32.0) AS INT) - 1),
+            |          i -> array_join(slice(tk, i * 32 + 1, 32), ' '))"""
+            .stripMargin)).as(Seq("pos", "chunk")))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"))
+      val winners = occ.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+        .select(col("h"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+      val perDoc = occ.join(winners, Seq("h"))
+        .withColumn("kept",
+          col("doc_id") === col("w_doc") && col("pos") === col("w_pos"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_chunks"),
+          sum(col("n_tok")).as("toks"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_toks"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept_chunks") === col("chunks"), 1L).otherwise(0L))
+            .as("n_intact"),
+          sum(col("chunks")).as("n_chunks"),
+          sum(col("kept_chunks")).as("n_kept"),
+          sum(col("toks")).as("n_toks"),
+          sum(col("kept_toks")).as("kept_toks"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents
+           |  WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+           |u AS (SELECT doc_id, lang, unnest(tk) AS w,
+           |        generate_subscripts(tk, 1) AS i FROM t),
+           |c AS (SELECT doc_id, lang, (i - 1) // 32 AS pos,
+           |        string_agg(w, ' ' ORDER BY i) AS chunk,
+           |        CAST(COUNT(*) AS BIGINT) AS n_tok
+           |      FROM u GROUP BY doc_id, lang, (i - 1) // 32),
+           |r AS (SELECT doc_id, lang, n_tok,
+           |        ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+           |      FROM c),
+           |d AS (SELECT doc_id, lang, COUNT(*) AS chunks,
+           |        SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_chunks,
+           |        SUM(n_tok) AS toks,
+           |        SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS kept_toks
+           |      FROM r GROUP BY doc_id, lang)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN kept_chunks = chunks THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_intact,
+           |  CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(kept_chunks) AS BIGINT) AS n_kept,
+           |  CAST(SUM(toks) AS BIGINT) AS n_toks,
+           |  CAST(SUM(kept_toks) AS BIGINT) AS kept_toks
            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
 
   private val t15 = Entry("t15_domain_mixture_sampler",
@@ -3291,7 +3366,7 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19,
+    t16, t17, t18, t19, t20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     v01, v02, v03, v04, v05, v06, v07, v08, v09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,

@@ -88,6 +88,40 @@ class NativeExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("Md5Base60Array == conv(substring(md5)) column formulation, both mod paths") {
+    import graft.analytics.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text".as("t"))
+      .union(trickyTexts.toDF("t"))
+    val toks = TextAnalysis.tokens($"t")
+    val P = graft.functions.PortableHashFamily.P
+    val cmp = docs.select(
+      graft.functions.NativeExpressions
+        .md5Base60Array(toks, modP = true).as("native_p"),
+      transform(toks, s => Dedup.md5Base60(s) % P).as("hof_p"),
+      graft.functions.NativeExpressions.md5Base60Array(toks, modP = false).as("native_raw"),
+      transform(toks, s => Dedup.md5Base60(s)).as("hof_raw"))
+    assert(cmp.filter(not($"native_p" <=> $"hof_p") ||
+      not($"native_raw" <=> $"hof_raw")).count() === 0)
+  }
+
+  test("MinHashAffine Barrett reduction equals plain % across the input domain") {
+    val P = graft.functions.PortableHashFamily.P
+    val rnd = new scala.util.Random(42)
+    val edge = Seq(0L, 1L, P - 1, P - 2)
+    val xs = (edge ++ Seq.fill(5000)(rnd.nextLong(P))).toArray
+    val k = 64
+    val df = Seq(Tuple1(xs)).toDF("sh")
+      .select(graft.functions.NativeExpressions.minHashAffine($"sh", k).as("sig"))
+    val sig = df.as[Seq[Long]].head()
+    val expected = (0 until k).map { j =>
+      val a = graft.functions.PortableHashFamily.a(j)
+      val b = graft.functions.PortableHashFamily.b(j)
+      xs.map(x => (a * x + b) % P).min
+    }
+    assert(sig === expected)
+  }
+
   test("t17/t18 text kernels run inside whole-stage codegen") {
     import graft.analytics.TextAnalysis
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
