@@ -113,6 +113,15 @@ object CypherAst {
     * rides the COUNT { } pre-materialization: the attached per-row count
     * compared to zero. */
   final case class RetExistsSub(sub: RetCountSub) extends ReturnExpr
+  /** Pattern comprehension `[(n)-[:R]->(m) WHERE pred | proj]` — the list
+    * of `proj` over the subpattern's matches, per outer row. Same
+    * pre-materialization shape as [[RetCountSub]], aggregating
+    * `collect_list` instead of `count`; rows with no matches read `[]`.
+    * Neo4j leaves the list order unspecified — a set-oriented engine pins
+    * it (sorted by projection value) for reproducibility, the same policy
+    * as keys(). */
+  final case class RetPatternComp(path: PathPat, where: Option[BoolExpr],
+    proj: ReturnExpr) extends ReturnExpr
 
   /** List literal in expression position: `[e1, e2, …]` — unlike
     * [[ListLit]] (the Value-grammar leaf used by IN / parameters), elements
@@ -186,6 +195,7 @@ object CypherAst {
         s"$fn(${if (d) "DISTINCT " else ""}${exprName(a)})"
       case _: RetCountSub => "count_sub"
       case _: RetExistsSub => "exists_sub"
+      case _: RetPatternComp => "pattern_comp"
       case RetListLit(items) => s"[${items.map(exprName).mkString(", ")}]"
       case _: RetListComp => "list_comp"
       case _: RetReduce => "reduce"

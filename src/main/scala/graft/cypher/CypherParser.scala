@@ -779,6 +779,15 @@ object CypherParser {
         // decided by one token of lookahead after the opening bracket
         val isComp = peek.exists(_.isInstanceOf[Ident]) &&
           pos + 1 < ts.length && ts(pos + 1) == Kw("IN")
+        def listLit(): ReturnExpr = {
+          val items = ArrayBuffer.empty[ReturnExpr]
+          if (!peek.contains(Sym("]"))) {
+            items += addExpr()
+            while (peek.contains(Sym(","))) { next(); items += addExpr() }
+          }
+          expectSym("]")
+          RetListLit(items.toSeq)
+        }
         if (isComp) {
           val v = ident(); expectKw("IN")
           val src = addExpr()
@@ -788,15 +797,28 @@ object CypherParser {
             else None
           expectSym("]")
           RetListComp(v, src, where, proj)
-        } else {
-          val items = ArrayBuffer.empty[ReturnExpr]
-          if (!peek.contains(Sym("]"))) {
-            items += addExpr()
-            while (peek.contains(Sym(","))) { next(); items += addExpr() }
+        } else if (peek.contains(Sym("("))) {
+          // `[(a)-[:R]->(b) … | proj]` (pattern comprehension) vs a list
+          // literal whose head is parenthesized (`[(1+2), 3]`): try the
+          // pattern, backtrack to the literal on failure — the same
+          // save/restore discipline as bare pattern predicates.
+          val save = pos; val saveW = nodeWheres.length
+          try {
+            val p = path()
+            if (p.edges.isEmpty) fail("a pattern comprehension needs a relationship")
+            val w = if (peek.contains(Kw("WHERE"))) { next(); Some(boolExpr()) }
+              else None
+            expectSym("|")
+            val proj = addExpr()
+            expectSym("]")
+            RetPatternComp(p, andOpt(drainNodeWheres(saveW), w), proj)
+          } catch {
+            case _: IllegalArgumentException =>
+              pos = save
+              nodeWheres.dropRightInPlace(nodeWheres.length - saveW)
+              listLit()
           }
-          expectSym("]")
-          RetListLit(items.toSeq)
-        }
+        } else listLit()
       case Ident(fn) if fn.equalsIgnoreCase("reduce") && peek.contains(Sym("(")) =>
         // reduce(acc = init, x IN list | expr)
         next()

@@ -416,6 +416,9 @@ final class CypherSession(
     /** COUNT {} subqueries already attached to the bound rows (AST node →
       * generated column carrying the per-row match count). */
     var countSubs = Map.empty[RetCountSub, String]
+    /** Pattern comprehensions already attached (AST node → generated
+      * column carrying the per-row sorted projection list). */
+    var patSubs = Map.empty[RetPatternComp, String]
     var csAnon = 0
 
     // pre-scan: does anything in the statement read relationships()/nodes()?
@@ -855,7 +858,8 @@ final class CypherSession(
               size(c)
             case RetFn(f2, _) if Set("relationships", "nodes", "split", "keys",
               "range")(f2) => size(c)
-            case _: RetListLit | _: RetListComp | _: RetSlice => size(c)
+            case _: RetListLit | _: RetListComp | _: RetSlice |
+                 _: RetPatternComp => size(c)
             case _ => length(c)
           }
           case "coalesce" => coalesce(fnArgs.map(itemCol): _*)
@@ -958,8 +962,8 @@ final class CypherSession(
                   // length (mirrors size()'s dispatch)
                   case RetFn(f2, _) if Set("relationships", "nodes", "split",
                     "keys", "range", "tail", "reverse")(f2) => size(c) === 0
-                  case _: RetListLit | _: RetListComp | _: RetSlice =>
-                    size(c) === 0
+                  case _: RetListLit | _: RetListComp | _: RetSlice |
+                       _: RetPatternComp => size(c) === 0
                   case _ => length(c) === 0
                 }
               }
@@ -1047,6 +1051,11 @@ final class CypherSession(
         val cname = countSubs.getOrElse(cs, throw new IllegalStateException(
           "EXISTS { } subquery was not pre-materialized for this scope"))
         coalesce(col(cname), lit(0L)) > 0
+      case pc: RetPatternComp =>
+        val cname = patSubs.getOrElse(pc, throw new IllegalStateException(
+          "pattern comprehension was not pre-materialized for this scope"))
+        // no matches → left-join NULL → Cypher's empty list
+        coalesce(col(cname), array())
     }
 
     def aggCol(a: RetAgg): Column = {
@@ -1361,6 +1370,54 @@ final class CypherSession(
         collectCountSubs(src) ++ collectCountSubsBool(w)
       case _: ExistsPat => Nil
     }
+    def collectPatComps(e: ReturnExpr): Seq[RetPatternComp] = e match {
+      case pc: RetPatternComp => Seq(pc)
+      case RetBin(_, l, r) => collectPatComps(l) ++ collectPatComps(r)
+      case RetFn(_, as) => as.flatMap(collectPatComps)
+      case RetCase(ws, d) => ws.flatMap { case (c, v) =>
+        collectPatCompsBool(c) ++ collectPatComps(v) } ++
+        d.toSeq.flatMap(collectPatComps)
+      case RetListLit(items) => items.flatMap(collectPatComps)
+      case RetListComp(_, src, _, _) => collectPatComps(src)
+      case RetReduce(_, init, _, src, _) =>
+        collectPatComps(init) ++ collectPatComps(src)
+      case RetAggExpr(_, a, _, _) => collectPatComps(a)
+      case RetIndex(src, idx) => collectPatComps(src) ++ collectPatComps(idx)
+      case RetSlice(src, lo, hi) =>
+        (Seq(src) ++ lo.toSeq ++ hi.toSeq).flatMap(collectPatComps)
+      case _ => Nil
+    }
+    def collectPatCompsBool(b: BoolExpr): Seq[RetPatternComp] = b match {
+      case Cmp(Predicate(l, _, r)) => collectPatComps(l) ++ collectPatComps(r)
+      case AndE(l, r) => collectPatCompsBool(l) ++ collectPatCompsBool(r)
+      case OrE(l, r) => collectPatCompsBool(l) ++ collectPatCompsBool(r)
+      case NotE(e) => collectPatCompsBool(e)
+      case ListPred(_, _, src, w) =>
+        collectPatComps(src) ++ collectPatCompsBool(w)
+      case _ => Nil
+    }
+    /** Pattern comprehension → grouped `collect_list` of the projection
+      * over the subpattern, left-joined back on the shared ids — the
+      * COUNT {} materialization with a list payload. The shuffle carries
+      * one (id, proj) pair per match, never the outer row set. */
+    def materializePatComp(pc: RetPatternComp): Unit = if (!patSubs.contains(pc)) {
+      val (part, partBound) = compileSubPattern(pc.path, pc.where)
+      val shared = sharedIdVars(part, partBound, "pattern comprehension")
+      csAnon += 1
+      val cname = s"__patcomp$csAnon"
+      // the projection evaluates in the SUBPATTERN's scope
+      val savedDf = df; val savedBound = bound
+      df = part; bound = partBound
+      val projC = itemCol(pc.proj)
+      df = savedDf; bound = savedBound
+      val grouped = part
+        .groupBy(shared.map(v => col(s"${v}__id").as(s"__pc_$v")): _*)
+        .agg(sort_array(collect_list(projC)).as(cname))
+      val cond = shared.map(v => col(s"${v}__id") === col(s"__pc_$v")).reduce(_ && _)
+      df = df.join(grouped, cond, "left")
+        .drop(shared.map(v => s"__pc_$v"): _*)
+      patSubs += pc -> cname
+    }
     def materializeCountSub(cs: RetCountSub): Unit = if (!countSubs.contains(cs)) {
       val (part, partBound) = compileSubPattern(cs.path, cs.where)
       val shared = sharedIdVars(part, partBound, "COUNT { }")
@@ -1381,14 +1438,18 @@ final class CypherSession(
       st.paths.foreach(compilePath(_, optional = false))
       st.optPaths.foreach(compilePath(_, optional = true))
       st.where.toSeq.flatMap(collectCountSubsBool).foreach(materializeCountSub)
+      st.where.toSeq.flatMap(collectPatCompsBool).foreach(materializePatComp)
       st.withClause.foreach { w =>
         (w.items.flatMap(i => collectCountSubs(i.expr)) ++
           w.where.toSeq.flatMap(collectCountSubsBool)).foreach(materializeCountSub)
+        (w.items.flatMap(i => collectPatComps(i.expr)) ++
+          w.where.toSeq.flatMap(collectPatCompsBool)).foreach(materializePatComp)
       }
       st.where.foreach(applyWhere)
       st.withClause.foreach(applyWith)
     }
     m.ret.flatMap(i => collectCountSubs(i.expr)).foreach(materializeCountSub)
+    m.ret.flatMap(i => collectPatComps(i.expr)).foreach(materializePatComp)
 
     // a bare `RETURN <expr>` query evaluates over one seed row
     if (df == null) df = graph.nodes.sparkSession.range(1).toDF("__seed")

@@ -329,6 +329,58 @@ object AnalyticsCatalog {
            |  CAST(k * COUNT(*) AS BIGINT) AS n_docs
            |FROM c GROUP BY k ORDER BY k""".stripMargin))
 
+  private val d12 = Entry("d12_semantic_dedup",
+    (s, dir) => {
+      // SemDeDup (semantic dedup over embeddings): near-dup pairs in
+      // embedding space (exact cosine >= θ via the tiled pair join, no
+      // CartesianProduct), transitive clusters by min-label propagation,
+      // one survivor per cluster (min id), pruning summarized per label —
+      // the embedding-space twin of d08's text-cluster dedup, and the
+      // third member of the dedup ladder (exact d01 → fuzzy-text d03/d08
+      // → semantic d12). At 100 TB the pair source swaps for
+      // [[Similarity.embeddingNearDupPairsLSH]] (recall-spec'd vs this
+      // exact form); cluster and survivor stages are unchanged.
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = Similarity.embeddingNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.4)
+      Dedup.clusterSurvivors(emb, "vec_id", pairs.select("id_a", "id_b"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(not(col("is_survivor")), col("component")))
+            .as("n_pruned_clusters"))
+        .orderBy("label")
+    },
+    Some("""WITH RECURSIVE v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * x), (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+           |  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+           |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)
+           |    / (a.nrm * b.nrm) >= 0.4),
+           |sym AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (
+           |  SELECT e.vec_id, e.label,
+           |    LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS component
+           |  FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+           |  GROUP BY e.vec_id, e.label)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN vec_id = component THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  COUNT(DISTINCT CASE WHEN vec_id <> component THEN component END)
+           |    AS n_pruned_clusters
+           |FROM comp GROUP BY label ORDER BY label""".stripMargin))
+
   private val d05 = Entry("d05_simhash_pairs",
     (s, dir) => {
       // SimHash near-dups in the PORTABLE hash family: 48-bit packed
@@ -2771,6 +2823,33 @@ object AnalyticsCatalog {
            |                 > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS BIGINT) AS long_gap
            |FROM range(0, 10) t(i) ORDER BY i""".stripMargin))
 
+  private val c43 = Entry("c43_cypher_pattern_comprehension",
+    (s, dir) => {
+      // Pattern comprehension `[(a)-[:R]->(p) WHERE … | proj]` — the list
+      // of projections over a subpattern per outer row. Pre-materializes
+      // exactly like COUNT { }: ONE grouped collect_list left-joined back
+      // on the shared id — never a per-row re-match; no matches reads as
+      // Cypher's empty list (zh articles are absent for some publishers —
+      // that branch is exercised, not just declared). List order is
+      // Neo4j-unspecified; the engine pins it sorted (keys()'s policy), so
+      // the full oracle hash applies.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |RETURN p.name AS publisher,
+                 |  [(a:Article)-[:WRITTEN_BY]->(p) WHERE a.lang = 'zh'
+                 |    | a.title] AS zh_titles,
+                 |  size([(a:Article)-[:WRITTEN_BY]->(p) | a.lang]) AS n_articles
+                 |ORDER BY publisher""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT source AS publisher,
+           |  COALESCE(list_sort(list(substring(text, 1, 30))
+           |    FILTER (lang = 'zh')), []) AS zh_titles,
+           |  COUNT(*) AS n_articles
+           |FROM documents GROUP BY source ORDER BY publisher""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -3367,13 +3446,14 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     v01, v02, v03, v04, v05, v06, v07, v08, v09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
+    c43,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     m01, m02, m03, m04, m05)
 }

@@ -1564,4 +1564,36 @@ class CypherSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("day-time"))
   }
+
+  test("pattern comprehension: sorted projection list, [] when nothing matches") {
+    val sess = freshSession
+    Seq(("alice", "spark"), ("alice", "flink"), ("bob", "duck")).foreach {
+      case (u, t) =>
+        sess.run("""MERGE (u:User {name: $u}) MERGE (t:Tech {name: $t})
+                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin,
+          Map("u" -> u, "t" -> t))
+    }
+    sess.run("MERGE (u:User {name: 'carol'})") // no interests
+    val rows = sess.run(
+      """MATCH (u:User)
+        |RETURN u.name AS name,
+        |  [(u)-[:INTERESTED_IN]->(t:Tech) | t.name] AS techs,
+        |  size([(u)-[:INTERESTED_IN]->(t:Tech) WHERE t.name STARTS WITH 's'
+        |    | t.name]) AS n_s
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df
+      .as[(String, Seq[String], Int)].collect().toSeq
+    assert(rows === Seq(
+      ("alice", Seq("flink", "spark"), 1), // sorted, not insertion order
+      ("bob", Seq("duck"), 0),
+      ("carol", Seq(), 0)))                // left-join miss reads as []
+  }
+
+  test("pattern comprehension backtracks to a list literal with parenthesized head") {
+    val sess = freshSession
+    val r = sess.run("RETURN [(1 + 2), 3] AS xs, size([(1 + 2) * 2]) AS n")
+      .asInstanceOf[CypherRows].df.collect()(0)
+    assert(r.getSeq[Long](0) === Seq(3L, 3L))
+    assert(r.getInt(1) === 1)
+  }
 }

@@ -183,6 +183,25 @@ class PlanSpec extends SparkTestBase {
     assert(!q58.contains("hashpartitioning(c_custkey"), q58)
   }
 
+  test("round-5 query shapes keep their intended plans") {
+    // t20's chunk winner comes from a partial-aggregating min(struct)
+    // groupBy — NEVER a window over the chunk key (a boilerplate chunk
+    // repeated 10^9 times would funnel into one window task; min()
+    // pre-combines map-side)
+    val t20 = plan("t20_chunk_dedup_reassembly")
+    assert(!t20.contains("Window"), t20)
+    assert(t20.contains("partial_min") || t20.contains("partial min"), t20)
+    // d12's pair source is the tiled equi-join (d06's shape): no cartesian
+    val d12 = plan("d12_semantic_dedup")
+    assert(!d12.contains("CartesianProduct") &&
+      !d12.contains("BroadcastNestedLoopJoin"), d12)
+    // c43's pattern comprehensions are grouped collects joined back — the
+    // plan holds exactly two collect aggregations, not a per-row re-match
+    val c43 = plan("c43_cypher_pattern_comprehension")
+    assert(!c43.contains("CartesianProduct"), c43)
+    assert("collect_list".r.findAllIn(c43).size >= 2, c43)
+  }
+
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
