@@ -93,9 +93,29 @@ case class Md5Base60Array(child: Expression, modP: Boolean)
         s"md5_base60 requires array<string>, got $t")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val md = Md5Base60Array.digest.get()
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.md5Base60Array(v.asInstanceOf[ArrayData], modP)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupKernels.md5Base60Array($c, $modP)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static per-row kernels shared by the interpreted eval and the generated
+  * code of the portable-family dedup expressions ([[Md5Base60Array]],
+  * [[MinHashAffine]], [[SimHashBits]]) — same shape as [[TextKernels]]:
+  * the WholeStageCodegen function makes one plain static call per row. */
+object DedupKernels {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Base60Array(arr: ArrayData, modP: Boolean): ArrayData = {
+    val md = digest.get()
     val out = new Array[Long](arr.numElements())
     var i = 0
     while (i < out.length) {
@@ -112,38 +132,16 @@ case class Md5Base60Array(child: Expression, modP: Boolean)
     ArrayData.toArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
+  // per-k affine coefficient tables (k is a handful of fixed widths; the
+  // generated code cannot carry instance state, so the cache is keyed here)
+  private val coeffs =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coeffsFor(k: Int): (Array[Long], Array[Long]) =
+    coeffs.computeIfAbsent(k, kk =>
+      (Array.tabulate(kk)(PortableHashFamily.a), Array.tabulate(kk)(PortableHashFamily.b)))
 
-object Md5Base60Array {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-}
-
-/** k-permutation MinHash signature over PRE-HASHED base values (md5-60bit
-  * mod P, computed upstream with built-in md5/conv columns): one pass, k
-  * affine mixes per element — the portable-family twin of [[MinHashSig]].
-  */
-case class MinHashAffine(child: Expression, k: Int)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash_affine requires array<bigint>, got $t")
-    }
-
-  private lazy val as: Array[Long] = Array.tabulate(k)(PortableHashFamily.a)
-  private lazy val bs: Array[Long] = Array.tabulate(k)(PortableHashFamily.b)
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def minHashAffine(arr: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffsFor(k)
     val p = PortableHashFamily.P
     // Barrett reduction: the inner loop runs k divisions per element if
     // written as `% p` (the JIT cannot strength-reduce a non-constant
@@ -169,30 +167,7 @@ case class MinHashAffine(child: Expression, k: Int)
     ArrayData.toArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** SimHash over PRE-HASHED 60-bit token values: each of the low `bits`
-  * bits votes ±1 per token occurrence; the signature packs the vote signs.
-  * Portable-family twin of [[SimHash64]] — the oracle rebuilds the same
-  * packed value from the same md5 prefixes with plain bit arithmetic.
-  */
-case class SimHashBits(child: Expression, bits: Int)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
-  require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"simhash_bits requires array<bigint>, got $t")
-    }
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def simHashBits(arr: ArrayData, bits: Int): Long = {
     val votes = new Array[Int](bits)
     var i = 0
     while (i < arr.numElements()) {
@@ -212,6 +187,59 @@ case class SimHashBits(child: Expression, bits: Int)
     }
     sig
   }
+}
+
+/** k-permutation MinHash signature over PRE-HASHED base values (md5-60bit
+  * mod P, computed upstream with built-in md5/conv columns): one pass, k
+  * affine mixes per element — the portable-family twin of [[MinHashSig]].
+  */
+case class MinHashAffine(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_affine requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.minHashAffine(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupKernels.minHashAffine($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash over PRE-HASHED 60-bit token values: each of the low `bits`
+  * bits votes ±1 per token occurrence; the signature packs the vote signs.
+  * Portable-family twin of [[SimHash64]] — the oracle rebuilds the same
+  * packed value from the same md5 prefixes with plain bit arithmetic.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_bits requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.simHashBits(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupKernels.simHashBits($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -131,4 +131,18 @@ class NativeExpressionsSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p) // WholeStageCodegen marker — no fallback
   }
+
+  test("portable dedup kernels (md5-60 / minhash / simhash) codegen, no fallback") {
+    import graft.analytics.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = docs.select(
+      graft.functions.NativeExpressions.minHashAffine(
+        Dedup.portableHashedShingles($"text", 1), 64).as("sig"),
+      graft.functions.NativeExpressions.simHashBits(
+        graft.functions.NativeExpressions.md5Base60Array(
+          TextAnalysis.tokens($"text"), modP = false), 48).as("sim"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
 }
