@@ -106,6 +106,72 @@ object Similarity {
     ivfTopKWith(kmeansCentroids(corpus, corpusVec, nlist, seed),
       corpus, queries, k, nprobe, corpusId, corpusVec, queryId, queryVec)
 
+  /** Product-quantization ANN top-k — the MEMORY-compressed scale path next
+    * to [[lshTopK]]/[[ivfTopK]]'s candidate-pruning ones: each vector is
+    * encoded once as `m` sub-space centroid codes (m bytes vs dim·4 — a
+    * 32× shrink at dim=64/m=8), and query scoring reads ONLY the codes via
+    * an asymmetric-distance table (ADC): score = Σ_s dtab[s][code_s]. The
+    * codebook is a deterministic sample (sub-vectors of the first `ksub`
+    * corpus vectors by id — [[ivfTopK]]'s centroid policy); encoding is
+    * map-only over the corpus with the codebook a broadcast literal;
+    * queries carry their per-sub-space distance tables through a broadcast
+    * join, so the corpus is never shuffled. Scores are squared-L2 up to the
+    * per-query constant ‖q‖² (dropped — it cannot change any ranking). At
+    * 100 TB this composes with IVF cells (IVF-PQ): the cell equi-join
+    * prunes candidates, the codes make the scan that remains fit in
+    * memory. Approximate by construction (in-cluster members quantize to
+    * the same codes and tie) → spec'd for cluster fidelity + determinism,
+    * no deterministic oracle; exact intra-cluster ranking is a re-rank
+    * stage over the raw vectors of the ADC top-N. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, ksub: Int,
+      dim: Int, corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m sub-spaces")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = corpus.orderBy(col(corpusId)).limit(ksub)
+      .select(col(corpusVec).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= 2, "PQ codebook needs at least 2 sampled vectors")
+    // codebook(s)(c) = centroid c of sub-space s, with its ‖c‖² precomputed
+    val codebook: Array[Array[(Array[Double], Double)]] =
+      Array.tabulate(m) { s =>
+        sample.map { v =>
+          val sub = v.slice(s * dsub, (s + 1) * dsub)
+          (sub, sub.map(x => x * x).sum)
+        }
+      }
+    def codesCol(vec: Column): Column = array((0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      // argmin over ‖c‖² − 2·x·c (the ‖x‖² term is constant per argmin);
+      // ties break to the smallest code via the struct ordering
+      array_min(array(codebook(s).zipWithIndex.map { case ((cen, cc), c) =>
+        struct((lit(cc) - lit(2.0) * graft.functions.NativeExpressions
+          .dotProduct(sub, typedlit(cen.toSeq))).as("d"), lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    def dtabCol(vec: Column): Column = array((0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      array(codebook(s).map { case (cen, cc) =>
+        lit(cc) - lit(2.0) * graft.functions.NativeExpressions
+          .dotProduct(sub, typedlit(cen.toSeq))
+      }: _*)
+    }: _*)
+    val encoded = corpus.select(col(corpusId),
+      codesCol(col(corpusVec).cast("array<double>")).as("__codes"))
+    val q = queries.select(col(queryId),
+      dtabCol(col(queryVec).cast("array<double>")).as("__dtab"))
+    val score = (0 until m).map(s =>
+      element_at(element_at(col("__dtab"), s + 1),
+        element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
+    val scored = encoded.join(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score"), col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("score"))
+  }
+
   private def ivfTopKWith(centroidDf: DataFrame,
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       corpusId: String, corpusVec: String,

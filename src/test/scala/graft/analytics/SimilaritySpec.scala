@@ -71,6 +71,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"trained-IVF recall $recall too low")
   }
 
+  test("PQ (ADC) top-k: all neighbors in-cluster, deterministic re-encode") {
+    // With ksub=8 sampled codes over 4 clusters, every member of a cluster
+    // quantizes to (nearly) the same code word, so ADC guarantees CLUSTER
+    // fidelity — in-cluster members tie and cannot be ranked within the
+    // cluster (that is the accuracy/memory trade PQ makes; the exact
+    // intra-cluster ranking is what v02's brute force or an exact re-rank
+    // stage provides). The invariant spec'd here is the one the method
+    // actually offers at this codebook size.
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("q_id"), $"vec".as("q_vec"), $"cluster".as("q_cluster"))
+    val pq = Similarity.pqTopK(corpus, queries.drop("q_cluster"),
+      k = 3, m = 4, ksub = 8, dim = 16)
+    val joined = pq.join(corpus.select($"id", $"cluster"), "id")
+      .join(queries.select($"q_id", $"q_cluster"), "q_id")
+    assert(joined.count() === 8 * 3)
+    assert(joined.filter($"cluster" =!= $"q_cluster").count() === 0,
+      "a PQ neighbor left the query's cluster")
+    // deterministic: two runs encode and rank identically
+    val a = pq.select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val b = Similarity.pqTopK(corpus, queries.drop("q_cluster"),
+      k = 3, m = 4, ksub = 8, dim = 16)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDupPairs(
       clustered.select($"id", $"vec"), "id", "vec", 0.99)
