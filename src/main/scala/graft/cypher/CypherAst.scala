@@ -228,6 +228,13 @@ object CypherAst {
     * a comprehension, `split(…)` …). */
   final case class Unwind(expr: ReturnExpr, alias: String)
 
+  /** `LOAD CSV [WITH HEADERS] FROM '<url>' AS row [FIELDTERMINATOR ';']` —
+    * Neo4j's bulk-import clause. With headers the row binds as a STRUCT
+    * (`row.col`); without, as a LIST (`row[0]`). All fields read as
+    * strings, as in Neo4j — `toInteger()`/`toFloat()` convert. */
+  final case class LoadCsv(url: String, withHeaders: Boolean,
+    sep: String, alias: String)
+
   /** `CALL { [WITH v1, v2] <read pipeline> RETURN items }` — a scoped
     * subquery. With an importing WITH it executes logically per outer row
     * (compiled set-oriented: the inner pipeline runs once over the DISTINCT
@@ -241,7 +248,8 @@ object CypherAst {
     * hand-off to the next stage. */
   final case class MatchStage(paths: Seq[PathPat], optPaths: Seq[PathPat],
     where: Option[BoolExpr], withClause: Option[WithClause],
-    unwinds: Seq[Unwind] = Nil, calls: Seq[CallSub] = Nil)
+    unwinds: Seq[Unwind] = Nil, calls: Seq[CallSub] = Nil,
+    loads: Seq[LoadCsv] = Nil)
 
   final case class MatchStatement(stages: Seq[MatchStage],
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],
@@ -289,5 +297,9 @@ object CypherAst {
   final case class WithVars(vars: Seq[String]) extends MutClause
   final case class ReturnVars(items: Seq[ReturnItem]) extends MutClause
 
-  final case class MutateStatement(clauses: Seq[MutClause]) extends Statement
+  /** `loads` carries a leading `LOAD CSV … AS row` prefix (Neo4j's import
+    * loop): the mutation executes set-oriented over the csv rows as its
+    * parameter batch, `row.field` references resolving per row. */
+  final case class MutateStatement(clauses: Seq[MutClause],
+    loads: Seq[LoadCsv] = Nil) extends Statement
 }

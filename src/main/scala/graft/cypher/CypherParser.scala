@@ -126,7 +126,27 @@ object CypherParser {
     def statement(): Statement = peek match {
       // a bare `RETURN <expr>` query (Neo4j's calculator form)
       case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) |
-           Some(Kw("RETURN")) | Some(Kw("CALL")) =>
+           Some(Kw("RETURN")) | Some(Kw("CALL")) => statementFromPipeline()
+      case Some(Ident(i)) if i.equalsIgnoreCase("load") =>
+        // `LOAD CSV … MERGE/CREATE …` is Neo4j's import loop — a mutation
+        // executed set-oriented over the csv rows; anything else after the
+        // LOAD prefix is an ordinary read pipeline (backtrack and re-parse
+        // with the loads as stage clauses).
+        val save = pos
+        val loads = parseLoads()
+        peek match {
+          case Some(Kw("MERGE")) | Some(Kw("CREATE")) =>
+            mutateStatement().copy(loads = loads)
+          case _ =>
+            pos = save
+            statementFromPipeline()
+        }
+      case Some(Kw("MERGE")) | Some(Kw("CREATE")) => mutateStatement()
+      case t => fail(s"statement must start with MATCH, UNWIND, LOAD CSV, " +
+        s"MERGE, CREATE or RETURN, got $t")
+    }
+
+    private def statementFromPipeline(): Statement = {
         val first = matchStatement()
         if (!peek.contains(Kw("UNION"))) first
         else first match {
@@ -149,8 +169,6 @@ object CypherParser {
             UnionStatement(parts.toSeq, all)
           case _ => fail("UNION parts must be read queries")
         }
-      case Some(Kw("MERGE")) | Some(Kw("CREATE")) => mutateStatement()
-      case t => fail(s"statement must start with MATCH, UNWIND, MERGE, CREATE or RETURN, got $t")
     }
 
     /** Clauses that end the MATCH/UNWIND/WITH pipeline. */
@@ -161,9 +179,48 @@ object CypherParser {
       case _ => false
     }
 
+    /** Soft keyword (LOAD/CSV/HEADERS/FROM/FIELDTERMINATOR lex as idents —
+      * they are not reserved, matching Neo4j). */
+    private def peekSoft(s: String): Boolean = peek match {
+      case Some(Ident(i)) => i.equalsIgnoreCase(s)
+      case _ => false
+    }
+    private def expectSoft(s: String): Unit = next() match {
+      case Ident(i) if i.equalsIgnoreCase(s) =>
+      case t => fail(s"expected $s, got $t")
+    }
+
+    private def parseLoads(): Seq[LoadCsv] = {
+      val loads = ArrayBuffer.empty[LoadCsv]
+      while (peekSoft("LOAD")) {
+        next(); expectSoft("CSV")
+        val hdr =
+          if (peek.contains(Kw("WITH"))) { next(); expectSoft("HEADERS"); true }
+          else false
+        expectSoft("FROM")
+        val url = next() match {
+          case Str(s) => s
+          case t => fail(s"LOAD CSV needs a string-literal URL, got $t")
+        }
+        expectKw("AS")
+        val alias = ident()
+        val sep =
+          if (peekSoft("FIELDTERMINATOR")) {
+            next()
+            next() match {
+              case Str(s) => s
+              case t => fail(s"FIELDTERMINATOR needs a string literal, got $t")
+            }
+          } else ","
+        loads += LoadCsv(url, hdr, sep, alias)
+      }
+      loads.toSeq
+    }
+
     private def matchStatement(): Statement = {
       val stages = ArrayBuffer.empty[MatchStage]
       while (!pipelineEnd(peek)) {
+        val loads = parseLoads()
         val unwinds = ArrayBuffer.empty[Unwind]
         while (peek.contains(Kw("UNWIND"))) {
           next()
@@ -194,7 +251,7 @@ object CypherParser {
           next()
           paths += path()
           while (peek.contains(Sym(","))) { next(); paths += path() }
-        } else if (unwinds.isEmpty && calls.isEmpty &&
+        } else if (unwinds.isEmpty && calls.isEmpty && loads.isEmpty &&
             !peek.contains(Kw("OPTIONAL")) && !peek.contains(Kw("WITH")))
           // a bare WITH is a legal stage: consecutive projection horizons
           // (`WITH … WITH …`) re-shape without a fresh MATCH
@@ -246,11 +303,11 @@ object CypherParser {
               wDistinct))
           } else None
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
-          unwinds.toSeq, calls.toSeq)
+          unwinds.toSeq, calls.toSeq, loads)
         if (withClause.isEmpty && !pipelineEnd(peek) &&
             !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")) &&
             !peek.contains(Kw("OPTIONAL")) && !peek.contains(Kw("CALL")) &&
-            !peek.contains(Sym("}")))
+            !peekSoft("LOAD") && !peek.contains(Sym("}")))
           fail(s"expected WITH, MATCH, UNWIND, CALL, RETURN or a write clause, got $peek")
       }
       if (!peek.contains(Kw("RETURN")))

@@ -80,7 +80,11 @@ final class CypherSession(
               df.withColumn(k, lit(v))
             }
           }
-        executeMutation(m, paramsDf)
+        // LOAD CSV prefix: the csv rows ARE the parameter batch — the
+        // mutation executes set-oriented over them (Neo4j's import loop)
+        val withLoads = m.loads.foldLeft(paramsDf)(
+          (d, lc) => d.crossJoin(loadCsvDf(lc)))
+        executeMutation(m, withLoads)
     }
 
   /** Run a semicolon-separated script of statements in order (the
@@ -98,6 +102,19 @@ final class CypherSession(
       case m: MutateStatement => executeMutation(m, paramsDf)
       case _ => throw new IllegalArgumentException("runBatch expects a MERGE statement")
     }
+
+  /** One LOAD CSV clause as rows of a single bound column — a STRUCT with
+    * headers (`row.col`), a LIST without (`row[0]`). All fields are strings
+    * (Neo4j's contract; toInteger()/toFloat() convert). */
+  private def loadCsvDf(lc: LoadCsv): DataFrame = {
+    val spark = graph.nodes.sparkSession
+    val raw = spark.read.option("sep", lc.sep)
+      .option("header", lc.withHeaders.toString)
+      .csv(lc.url.stripPrefix("file://"))
+    if (lc.withHeaders)
+      raw.select(struct(raw.columns.map(col): _*).as(lc.alias))
+    else raw.select(array(raw.columns.map(col): _*).as(lc.alias))
+  }
 
   // ------------------------------------------------------------ mutation --
 
@@ -689,6 +706,15 @@ final class CypherSession(
       // edge bindings have no key/label columns; read their bag directly
       if (df != null && df.columns.contains(s"${v}__type"))
         col(s"${v}__props").getItem(p)
+      // scalar struct/map bindings (LOAD CSV rows, map-projection aliases):
+      // `row.field` reads the field, not a graph property bag
+      else if (df != null && scalarVars.contains(v))
+        df.schema.fields.find(_.name == v).map(_.dataType) match {
+          case Some(_: org.apache.spark.sql.types.StructType) => col(v).getField(p)
+          case Some(_: org.apache.spark.sql.types.MapType) => col(v).getItem(p)
+          case _ => propOf(col(s"${v}__key"), col(s"${v}__props"),
+            col(s"${v}__label"), p)
+        }
       else propOf(col(s"${v}__key"), col(s"${v}__props"), col(s"${v}__label"), p)
 
     /** Full property map of a bound entity. Edges carry their bag as-is;
@@ -1165,6 +1191,17 @@ final class CypherSession(
     }
 
     /** UNWIND — one row per list element; the alias is a scalar binding. */
+    /** LOAD CSV: a distributed csv scan bound as one row variable per line
+      * — a STRUCT with headers (`row.col`), a LIST without (`row[0]`). All
+      * fields are strings (Neo4j's contract; toInteger()/toFloat()
+      * convert). Later stages see an ordinary bound scalar; a non-null df
+      * (LOAD CSV after WITH) composes as Neo4j does — per outer row. */
+    def applyLoadCsv(lc: LoadCsv): Unit = {
+      val rows = loadCsvDf(lc)
+      df = if (df == null) rows else df.crossJoin(rows)
+      scalarVars += lc.alias
+    }
+
     def applyUnwind(u: Unwind): Unit = {
       val arr: Column = u.expr match {
         case RetLit(ListLit(items)) => array(items.map(scalarCol(_, params)): _*)
@@ -1433,6 +1470,7 @@ final class CypherSession(
     }
 
     m.stages.foreach { st =>
+      st.loads.foreach(applyLoadCsv)
       st.unwinds.foreach(applyUnwind)
       st.calls.foreach(applyCall)
       st.paths.foreach(compilePath(_, optional = false))
@@ -1560,6 +1598,14 @@ final class CypherSession(
     case FnCall("pi") => lit(math.Pi)
     case FnCall("e") => lit(math.E)
     case FnCall(f) => throw new IllegalArgumentException(s"unsupported function $f()")
+    case RefValue(PropRef(v, p)) if paramsDf.columns.contains(v) =>
+      // a LOAD CSV row binding (struct with headers, map otherwise)
+      paramsDf.schema.fields.find(_.name == v).map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.StructType) => col(v).getField(p)
+        case Some(_: org.apache.spark.sql.types.MapType) => col(v).getItem(p)
+        case _ => throw new IllegalArgumentException(
+          s"property reference $v.$p needs a struct/map-bound row variable")
+      }
     case RefValue(r) => throw new IllegalArgumentException(
       s"property reference ${r.variable}.${r.prop} not valid in MERGE values")
     case AliasValue(n) => throw new IllegalArgumentException(

@@ -1664,6 +1664,35 @@ object AnalyticsCatalog {
            |  CAST(2 * SUM(length(text)) AS BIGINT) AS total_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val i10 = Entry("i10_text_binary_roundtrip",
+    (s, dir) => {
+      // The remaining built-in source pair beyond i05/i06's
+      // JSON/CSV/ORC: line-oriented `text` (write + read) and the
+      // `binaryFile` whole-file reader (the raw-bytes entry point the
+      // multimodal m-series assumes upstream of parquet). Every output
+      // fact is partitioning-independent — line count, character count,
+      // and TOTAL file bytes (= Σ utf-8 bytes + one newline per line;
+      // how many files the writer produced is deliberately NOT a fact,
+      // it changes with parallelism) — so the oracle reconstructs all
+      // three from the documents table alone. The corpus is single-line
+      // by construction, which is exactly the text source's contract.
+      val docs = Tables(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_textdir_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.select(col("text")).write.mode("overwrite").text(tmp)
+      val lines = s.read.text(tmp)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).cast("long").as("total_chars"))
+      val bytes = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(tmp)
+        .agg(sum(col("length")).cast("long").as("total_file_bytes"))
+      lines.crossJoin(bytes)
+    },
+    Some("""SELECT COUNT(*) AS n_lines,
+           |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           |  CAST(SUM(strlen(text)) + COUNT(*) AS BIGINT) AS total_file_bytes
+           |FROM documents""".stripMargin))
+
   private val s10 = Entry("s10_two_level_window",
     (s, dir) => {
       // Chained windowed aggregation: 5-minute partials → hourly
@@ -2850,6 +2879,33 @@ object AnalyticsCatalog {
            |  COUNT(*) AS n_articles
            |FROM documents GROUP BY source ORDER BY publisher""".stripMargin))
 
+  private val c44 = Entry("c44_cypher_load_csv",
+    (s, dir) => {
+      // LOAD CSV — Neo4j's bulk-import clause, here the read form: the csv
+      // scan is a distributed Spark source bound as one struct row
+      // variable, fields all strings (Neo4j's contract), converted with
+      // toInteger() and aggregated. The import-loop form (LOAD CSV +
+      // MERGE, executed set-oriented over the csv rows as the parameter
+      // batch) is CypherSpec-covered; this entry oracle-checks the scan +
+      // conversion path end to end.
+      val docs = Tables(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_loadcsv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run(s"""LOAD CSV WITH HEADERS FROM '$tmp' AS row
+                  |RETURN row.lang AS lang, count(*) AS n_docs,
+                  |  sum(toInteger(row.n_chars)) AS total_chars
+                  |ORDER BY lang""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS DOUBLE) AS total_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   // ------------------------------------------------- graph analytics (x) --
 
   private val x01 = Entry("x01_connected_components",
@@ -3466,11 +3522,11 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-    i01, i02, i03, i04, i05, i06, i07, i08, i09,
+    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43,
+    c43, c44,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     m01, m02, m03, m04, m05)
 }

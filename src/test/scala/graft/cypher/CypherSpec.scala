@@ -1565,6 +1565,39 @@ class CypherSpec extends SparkTestBase {
     assert(e.getMessage.contains("day-time"))
   }
 
+  test("LOAD CSV: headers bind row.field, no-headers binds row[i], MERGE ingests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_loadcsv").toFile
+    val f = new java.io.File(dir, "people.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "name,tech,score\nalice,spark,9\nbob,flink,7\ncarol,spark,8\n")
+    val sess = freshSession
+    // read form with headers + toInteger conversion + aggregation
+    val agg = sess.run(
+      s"""LOAD CSV WITH HEADERS FROM 'file://${f.getAbsolutePath}' AS row
+         |RETURN row.tech AS tech, count(*) AS n,
+         |  sum(toInteger(row.score)) AS total
+         |ORDER BY tech""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long, Double)].collect().toSeq
+    assert(agg === Seq(("flink", 1L, 7.0), ("spark", 2L, 17.0)))
+    // no headers: positional access, FIELDTERMINATOR
+    val g = new java.io.File(dir, "semi.csv")
+    java.nio.file.Files.writeString(g.toPath, "x;1\ny;2\n")
+    val pos = sess.run(
+      s"""LOAD CSV FROM 'file://${g.getAbsolutePath}' AS row FIELDTERMINATOR ';'
+         |RETURN row[0] AS k, toInteger(row[1]) AS v ORDER BY k""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(pos === Seq(("x", 1L), ("y", 2L)))
+    // the import loop Neo4j docs lead with: LOAD CSV + MERGE
+    sess.run(
+      s"""LOAD CSV WITH HEADERS FROM 'file://${f.getAbsolutePath}' AS row
+         |MERGE (u:User {name: row.name})
+         |MERGE (t:Tech {name: row.tech})
+         |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    assert(sess.graph.nodes.filter($"label" === "User").count() === 3)
+    assert(sess.graph.nodes.filter($"label" === "Tech").count() === 2)
+    assert(sess.graph.edges.count() === 3)
+  }
+
   test("pattern comprehension: sorted projection list, [] when nothing matches") {
     val sess = freshSession
     Seq(("alice", "spark"), ("alice", "flink"), ("bob", "duck")).foreach {
