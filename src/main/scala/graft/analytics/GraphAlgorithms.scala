@@ -124,7 +124,13 @@ object GraphAlgorithms {
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = ids.toDF("id").select(col("id"), col("id").as("comp"))
+    // Propagate over the edge-touched subgraph ONLY: an id in no pair can
+    // never change label, so iterating over it is pure per-round waste —
+    // in a near-dup corpus the overwhelming majority of ids are isolated
+    // (at 100 TB, billions of rows re-joined per round for nothing).
+    // Isolated ids rejoin as their own singleton component at the end.
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -139,7 +145,9 @@ object GraphAlgorithms {
       labels = next.select("id", "comp")
       i += 1
     }
-    labels.withColumnRenamed("comp", "component")
+    ids.toDF("id")
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
   /** Connected components as pure DataFrame min-label propagation (see
