@@ -297,9 +297,10 @@ object CypherAst {
   final case class WithVars(vars: Seq[String]) extends MutClause
   final case class ReturnVars(items: Seq[ReturnItem]) extends MutClause
 
-  /** `loads` carries a leading `LOAD CSV … AS row` prefix (Neo4j's import
-    * loop): the mutation executes set-oriented over the csv rows as its
-    * parameter batch, `row.field` references resolving per row. */
+  /** `loads` carries a leading `LOAD CSV … AS row` prefix and `unwinds` a
+    * leading `UNWIND $batch AS row` prefix (Neo4j's two import loops): the
+    * mutation executes set-oriented over the prefix rows as its parameter
+    * batch, `row.field` references resolving per row. */
   final case class MutateStatement(clauses: Seq[MutClause],
-    loads: Seq[LoadCsv] = Nil) extends Statement
+    loads: Seq[LoadCsv] = Nil, unwinds: Seq[Unwind] = Nil) extends Statement
 }

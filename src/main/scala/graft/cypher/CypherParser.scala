@@ -124,8 +124,27 @@ object CypherParser {
       }
 
     def statement(): Statement = peek match {
+      case Some(Kw("UNWIND")) =>
+        // `UNWIND $batch AS row MERGE/CREATE …` is the parameter-batch
+        // import loop — a set-oriented mutation over the list elements;
+        // any other continuation is an ordinary read pipeline.
+        val save = pos
+        val unwinds = ArrayBuffer.empty[Unwind]
+        while (peek.contains(Kw("UNWIND"))) {
+          next()
+          val e = addExpr()
+          expectKw("AS")
+          unwinds += Unwind(e, ident())
+        }
+        peek match {
+          case Some(Kw("MERGE")) | Some(Kw("CREATE")) =>
+            mutateStatement().copy(unwinds = unwinds.toSeq)
+          case _ =>
+            pos = save
+            statementFromPipeline()
+        }
       // a bare `RETURN <expr>` query (Neo4j's calculator form)
-      case Some(Kw("MATCH")) | Some(Kw("UNWIND")) | Some(Kw("OPTIONAL")) |
+      case Some(Kw("MATCH")) | Some(Kw("OPTIONAL")) |
            Some(Kw("RETURN")) | Some(Kw("CALL")) => statementFromPipeline()
       case Some(Ident(i)) if i.equalsIgnoreCase("load") =>
         // `LOAD CSV … MERGE/CREATE …` is Neo4j's import loop — a mutation

@@ -35,7 +35,51 @@ final class CypherSession(
 
   @volatile var graph: PropertyGraph = initial
 
-  def run(query: String, params: Map[String, Any] = Map.empty): CypherResult =
+  def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
+    // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
+    // EXPLAIN compiles without executing and returns the plan; PROFILE
+    // executes the read and returns the plan WITH per-operator row counts
+    // and timing (Spark's formatted executed plan carries the metrics).
+    val trimmed = query.dropWhile(_.isWhitespace)
+    val verb = trimmed.takeWhile(!_.isWhitespace).toUpperCase
+    if (verb == "EXPLAIN" || verb == "PROFILE") {
+      val inner = trimmed.drop(verb.length)
+      return run(inner, params) match {
+        case CypherRows(df) =>
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val metricLines: Seq[String] =
+            if (verb != "PROFILE") Nil
+            else {
+              df.collect() // execute so operator metrics populate
+              // AQE wraps stages in QueryStageExec nodes whose inner plan is
+              // NOT in `children` — unwrap explicitly or the walk stops at
+              // the result stage
+              import org.apache.spark.sql.execution.SparkPlan
+              import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+              def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+                case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+                case q: QueryStageExec => p +: expand(q.plan)
+                case _ => p +: p.children.flatMap(expand)
+              }
+              "" +: "== PROFILE: per-operator metrics ==" +:
+                expand(df.queryExecution.executedPlan).map { p =>
+                  val rows = p.metrics.get("numOutputRows")
+                    .map(m => s"rows=${m.value}").getOrElse("")
+                  f"${p.nodeName}%-40s $rows"
+                }
+            }
+          val spark = df.sparkSession
+          import spark.implicits._
+          CypherRows((plan.linesIterator.toSeq ++ metricLines).toDF("plan"))
+        case other => throw new IllegalArgumentException(
+          s"$verb applies to read queries")
+      }
+    }
+    runParsed(query, params)
+  }
+
+  private def runParsed(query: String, params: Map[String, Any]): CypherResult =
     CypherParser.parse(query) match {
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement =>
@@ -71,20 +115,50 @@ final class CypherSession(
       case u: UpdateStatement => executeUpdate(u, params)
       case m: MutateStatement =>
         val spark = graph.nodes.sparkSession
+        // `UNWIND $batch AS row` prefixes: each list element becomes one
+        // parameter row — a map element binds as a MAP column (row.field),
+        // a scalar element binds as a plain column. The unwound parameter
+        // itself must NOT also land as a lit() column.
+        val unwound: Seq[(String, DataFrame)] = m.unwinds.map { u =>
+          u.expr match {
+            case RetLit(Param(name)) =>
+              val seq = params.getOrElse(name, throw new IllegalArgumentException(
+                s"missing parameter $$$name")) match {
+                case s: Seq[_] => s
+                case other => Seq(other)
+              }
+              val allMaps = seq.forall(_.isInstanceOf[scala.collection.Map[_, _]])
+              import spark.implicits._
+              val df0 =
+                if (allMaps)
+                  seq.map { case mm: scala.collection.Map[_, _] =>
+                    mm.map { case (k, v) =>
+                      k.toString -> Option(v).map(_.toString).orNull }.toMap
+                  }.toDF("__u").select(col("__u").as(u.alias))
+                else
+                  seq.map(x => Option(x).map(_.toString).orNull)
+                    .toDF("__u").select(col("__u").as(u.alias))
+              name -> df0
+            case other => throw new IllegalArgumentException(
+              "UNWIND before MERGE/CREATE must unwind a $parameter list, " +
+                s"got $other")
+          }
+        }
+        val consumed = unwound.map(_._1).toSet
+        val plainParams = params.view.filterKeys(!consumed(_)).toMap
         val paramsDf =
-          if (params.isEmpty) spark.range(1).toDF()
+          if (plainParams.isEmpty) spark.range(1).toDF()
           else {
             import spark.implicits._
-            val cols = params.toSeq
-            cols.foldLeft(Seq(1).toDF("__one")) { case (df, (k, v)) =>
-              df.withColumn(k, lit(v))
+            plainParams.toSeq.foldLeft(Seq(1).toDF("__one")) {
+              case (df, (k, v)) => df.withColumn(k, lit(v))
             }
           }
         // LOAD CSV prefix: the csv rows ARE the parameter batch — the
         // mutation executes set-oriented over them (Neo4j's import loop)
-        val withLoads = m.loads.foldLeft(paramsDf)(
-          (d, lc) => d.crossJoin(loadCsvDf(lc)))
-        executeMutation(m, withLoads)
+        val withBatch = (m.loads.map(loadCsvDf) ++ unwound.map(_._2))
+          .foldLeft(paramsDf)(_ crossJoin _)
+        executeMutation(m, withBatch)
     }
 
   /** Run a semicolon-separated script of statements in order (the
@@ -1608,6 +1682,8 @@ final class CypherSession(
       }
     case RefValue(r) => throw new IllegalArgumentException(
       s"property reference ${r.variable}.${r.prop} not valid in MERGE values")
+    case AliasValue(n) if paramsDf.columns.contains(n) =>
+      col(n) // an UNWIND-bound scalar batch column
     case AliasValue(n) => throw new IllegalArgumentException(
       s"alias '$n' not valid in MERGE values")
     case ListLit(_) => throw new IllegalArgumentException(

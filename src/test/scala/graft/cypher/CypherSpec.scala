@@ -1565,6 +1565,48 @@ class CypherSpec extends SparkTestBase {
     assert(e.getMessage.contains("day-time"))
   }
 
+  test("UNWIND $batch AS row MERGE runs the import loop set-oriented, idempotent") {
+    val sess = freshSession
+    val batch = Seq(
+      Map("name" -> "alice", "tech" -> "spark"),
+      Map("name" -> "bob", "tech" -> "flink"),
+      Map("name" -> "carol", "tech" -> "spark"))
+    val q = """UNWIND $batch AS row
+              |MERGE (u:User {name: row.name})
+              |MERGE (t:Tech {name: row.tech})
+              |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin
+    val r1 = sess.run(q, Map("batch" -> batch)).asInstanceOf[CypherMutation]
+    assert(r1.nodesCreated === 5) // 3 users + 2 techs
+    assert(sess.graph.edges.count() === 3)
+    val r2 = sess.run(q, Map("batch" -> batch)).asInstanceOf[CypherMutation]
+    assert(r2.nodesCreated === 0 && r2.nodesMatched === 5)
+    // scalar batch: elements bind as a plain column under the alias
+    val r3 = sess.run("UNWIND $names AS n MERGE (u:User {name: n})",
+      Map("names" -> Seq("dave", "erin"))).asInstanceOf[CypherMutation]
+    assert(r3.nodesCreated === 2)
+    assert(sess.graph.nodes.filter($"label" === "User").count() === 5)
+  }
+
+  test("EXPLAIN returns the formatted plan; PROFILE adds executed metrics") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    val plan = sess.run(
+      "EXPLAIN MATCH (u:User)-[:INTERESTED_IN]->(t:Tech) RETURN u.name AS n")
+      .asInstanceOf[CypherRows].df.as[String].collect().mkString("\n")
+    assert(plan.contains("Physical Plan"), plan)
+    assert(plan.contains("Scan"), plan) // reaches the store scan
+    val prof = sess.run("PROFILE MATCH (u:User) RETURN u.name AS n")
+      .asInstanceOf[CypherRows].df.as[String].collect().mkString("\n")
+    assert(prof.contains("PROFILE: per-operator metrics"), prof)
+    assert(prof.contains("rows="), prof) // executed metrics populated
+    // write statements refuse the verb with a typed error, not a MatchError
+    val e = intercept[IllegalArgumentException] {
+      sess.run("EXPLAIN MERGE (u:User {name: 'x'})")
+    }
+    assert(e.getMessage.contains("read queries"))
+  }
+
   test("LOAD CSV: headers bind row.field, no-headers binds row[i], MERGE ingests") {
     val dir = java.nio.file.Files.createTempDirectory("graft_loadcsv").toFile
     val f = new java.io.File(dir, "people.csv")
