@@ -126,6 +126,79 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, ksub: Int,
       dim: Int, corpusId: String = "id", corpusVec: String = "vec",
       queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val cb = pqCodebook(corpus, corpusId, corpusVec, m, ksub, dim)
+    val encoded = corpus.select(col(corpusId),
+      cb.codesCol(col(corpusVec).cast("array<double>")).as("__codes"))
+    val q = queries.select(col(queryId),
+      cb.dtabCol(col(queryVec).cast("array<double>")).as("__dtab"))
+    val scored = encoded.join(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("score", cb.adcScore)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score"), col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("score"))
+  }
+
+  /** IVF-PQ — the composition [[pqTopK]]'s doc promises at 100 TB: IVF
+    * cells prune the candidate set (query probes only its `nprobe` nearest
+    * cells — the equi-join on cell id replaces the full broadcast scan),
+    * and PQ codes make the scan that remains read m bytes per candidate
+    * instead of the raw vector. Same deterministic-sample policies as
+    * [[ivfTopK]] (cells) and [[pqTopK]] (codebook); both corpus passes
+    * (cell assignment + encoding) are map-only against broadcast
+    * centroid literals. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, m: Int, ksub: Int, dim: Int,
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val cb = pqCodebook(corpus, corpusId, corpusVec, m, ksub, dim)
+    val centroids = broadcast(
+      corpus.orderBy(col(corpusId)).limit(nlist)
+        .select(col(corpusId).as("__cent_id"), col(corpusVec).as("__cent_vec")))
+    val corpusCells = nearestCells(centroids, corpus, corpusId, corpusVec, 1)
+      .select(col(corpusId), col("__cell"),
+        cb.codesCol(col(corpusVec).cast("array<double>")).as("__codes"))
+    val queryProbes = nearestCells(centroids, queries, queryId, queryVec, nprobe)
+      .select(col(queryId), col("__cell"),
+        cb.dtabCol(col(queryVec).cast("array<double>")).as("__dtab"))
+    val scored = corpusCells.join(broadcast(queryProbes), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("score", cb.adcScore)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score"), col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("score"))
+  }
+
+  /** Shared PQ machinery: the deterministic sampled codebook plus the
+    * column builders for corpus codes, per-query ADC distance tables, and
+    * the code-indexed score. */
+  private case class PqCodebook(m: Int, dsub: Int,
+      book: Array[Array[(Array[Double], Double)]]) {
+    def codesCol(vec: Column): Column = array((0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      // argmin over ‖c‖² − 2·x·c (the ‖x‖² term is constant per argmin);
+      // ties break to the smallest code via the struct ordering
+      array_min(array(book(s).zipWithIndex.map { case ((cen, cc), c) =>
+        struct((lit(cc) - lit(2.0) * graft.functions.NativeExpressions
+          .dotProduct(sub, typedlit(cen.toSeq))).as("d"), lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    def dtabCol(vec: Column): Column = array((0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      array(book(s).map { case (cen, cc) =>
+        lit(cc) - lit(2.0) * graft.functions.NativeExpressions
+          .dotProduct(sub, typedlit(cen.toSeq))
+      }: _*)
+    }: _*)
+    def adcScore: Column = (0 until m).map(s =>
+      element_at(element_at(col("__dtab"), s + 1),
+        element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
+  }
+
+  private def pqCodebook(corpus: DataFrame, corpusId: String,
+      corpusVec: String, m: Int, ksub: Int, dim: Int): PqCodebook = {
     require(dim % m == 0, s"dim $dim must divide into $m sub-spaces")
     val dsub = dim / m
     val sample: Array[Array[Double]] = corpus.orderBy(col(corpusId)).limit(ksub)
@@ -133,43 +206,23 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= 2, "PQ codebook needs at least 2 sampled vectors")
     // codebook(s)(c) = centroid c of sub-space s, with its ‖c‖² precomputed
-    val codebook: Array[Array[(Array[Double], Double)]] =
-      Array.tabulate(m) { s =>
-        sample.map { v =>
-          val sub = v.slice(s * dsub, (s + 1) * dsub)
-          (sub, sub.map(x => x * x).sum)
-        }
+    PqCodebook(m, dsub, Array.tabulate(m) { s =>
+      sample.map { v =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub)
+        (sub, sub.map(x => x * x).sum)
       }
-    def codesCol(vec: Column): Column = array((0 until m).map { s =>
-      val sub = slice(vec, s * dsub + 1, dsub)
-      // argmin over ‖c‖² − 2·x·c (the ‖x‖² term is constant per argmin);
-      // ties break to the smallest code via the struct ordering
-      array_min(array(codebook(s).zipWithIndex.map { case ((cen, cc), c) =>
-        struct((lit(cc) - lit(2.0) * graft.functions.NativeExpressions
-          .dotProduct(sub, typedlit(cen.toSeq))).as("d"), lit(c).as("c"))
-      }: _*)).getField("c")
-    }: _*)
-    def dtabCol(vec: Column): Column = array((0 until m).map { s =>
-      val sub = slice(vec, s * dsub + 1, dsub)
-      array(codebook(s).map { case (cen, cc) =>
-        lit(cc) - lit(2.0) * graft.functions.NativeExpressions
-          .dotProduct(sub, typedlit(cen.toSeq))
-      }: _*)
-    }: _*)
-    val encoded = corpus.select(col(corpusId),
-      codesCol(col(corpusVec).cast("array<double>")).as("__codes"))
-    val q = queries.select(col(queryId),
-      dtabCol(col(queryVec).cast("array<double>")).as("__dtab"))
-    val score = (0 until m).map(s =>
-      element_at(element_at(col("__dtab"), s + 1),
-        element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
-    val scored = encoded.join(broadcast(q))
-      .filter(col(queryId) =!= col(corpusId))
-      .withColumn("score", score)
-    val w = Window.partitionBy(col(queryId)).orderBy(col("score"), col(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col("rank"), col(corpusId), col("score"))
+    })
+  }
+
+  /** Nearest `n` centroid cells per row — broadcast-argmin against the
+    * centroid literal set; shared by the IVF family. */
+  private def nearestCells(centroids: DataFrame, df: DataFrame, idC: String,
+      vecC: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(centroids)
+      .withColumn("__sim", VectorFunctions.cosine(col(vecC), col("__cent_vec")))
+    val w = Window.partitionBy(col(idC)).orderBy(col("__sim").desc, col("__cent_id"))
+    scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= n)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("__cent_id").as("__cell"): _*)
   }
 
   private def ivfTopKWith(centroidDf: DataFrame,
@@ -177,15 +230,8 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String): DataFrame = {
     val centroids = broadcast(centroidDf)
-    def nearestCells(df: DataFrame, idC: String, vecC: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(centroids)
-        .withColumn("__sim", VectorFunctions.cosine(col(vecC), col("__cent_vec")))
-      val w = Window.partitionBy(col(idC)).orderBy(col("__sim").desc, col("__cent_id"))
-      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= n)
-        .select(df.columns.toIndexedSeq.map(col) :+ col("__cent_id").as("__cell"): _*)
-    }
-    val corpusCells = nearestCells(corpus, corpusId, corpusVec, 1)
-    val queryProbes = nearestCells(queries, queryId, queryVec, nprobe)
+    val corpusCells = nearestCells(centroids, corpus, corpusId, corpusVec, 1)
+    val queryProbes = nearestCells(centroids, queries, queryId, queryVec, nprobe)
     val scored = corpusCells.join(broadcast(queryProbes), Seq("__cell"))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cosine", VectorFunctions.cosine(col(queryVec), col(corpusVec)))

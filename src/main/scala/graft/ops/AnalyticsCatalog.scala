@@ -3497,6 +3497,24 @@ object AnalyticsCatalog {
     },
     None)
 
+  private val v11 = Entry("v11_ann_ivf_pq",
+    (s, dir) => {
+      // IVF-PQ — the composed 100 TB shape the v04/v10 docs each point at:
+      // the cell equi-join prunes candidates to nprobe/nlist of the
+      // corpus, then ADC scoring reads only the m-byte codes of what
+      // remains. Both corpus passes are map-only against broadcast
+      // centroid literals. Approximate → no cross-engine oracle;
+      // SimilaritySpec asserts cluster fidelity + determinism.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfPqTopK(corpus, queries, k = 3, nlist = 16, nprobe = 4,
+          m = 8, ksub = 16, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
   private val t05 = Entry("t05_bpe_token_count",
     (s, dir) => {
       // BPE-ish subword pretokenization (GPT-2-style pattern: contractions,
@@ -3520,7 +3538,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
-    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
+    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,

@@ -97,6 +97,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("IVF-PQ top-k: cell pruning composes with ADC, neighbors stay in-cluster") {
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("q_id"), $"vec".as("q_vec"), $"cluster".as("q_cluster"))
+    val r = Similarity.ivfPqTopK(corpus, queries.drop("q_cluster"),
+      k = 3, nlist = 8, nprobe = 3, m = 4, ksub = 8, dim = 16)
+    val joined = r.join(corpus.select($"id", $"cluster"), "id")
+      .join(queries.select($"q_id", $"q_cluster"), "q_id")
+    assert(joined.count() === 8 * 3)
+    assert(joined.filter($"cluster" =!= $"q_cluster").count() === 0,
+      "an IVF-PQ neighbor left the query's cluster")
+    val again = Similarity.ivfPqTopK(corpus, queries.drop("q_cluster"),
+      k = 3, nlist = 8, nprobe = 3, m = 4, ksub = 8, dim = 16)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(again === r.select("q_id", "rank", "id")
+      .as[(Long, Int, Long)].collect().toSet)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDupPairs(
       clustered.select($"id", $"vec"), "id", "vec", 0.99)
