@@ -259,6 +259,26 @@ object Dedup {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_estimate"))
 
+  /** Count-Min Sketch per group over a value column — the mergeable
+    * FREQUENCY twin of [[hllPerGroup]]'s cardinality sketches: each shard
+    * reduces its token stream to a fixed-size counting sketch, and any
+    * roll-up (day → month, shard → corpus) is a cheap sketch merge instead
+    * of a raw re-count. Spark's built-in `count_min_sketch` aggregate
+    * (fixed seed → deterministic). */
+  def cmsPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(groupCol).agg(
+      expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
+        .as("cms"))
+
+  /** Merge serialized CMS blobs (one per group — bounded by the grouping
+    * cardinality, the same driver-side roll-up contract as the GraphStore
+    * label lists) into one sketch for point estimates. */
+  def cmsMerge(blobs: Seq[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch =
+    blobs.map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+
   /** SimHash near-dup pairs within a blocking column: signatures whose
     * Hamming distance <= maxHamming. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,

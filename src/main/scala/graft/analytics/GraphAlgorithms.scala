@@ -240,6 +240,75 @@ object GraphAlgorithms {
     * broadcast back onto the pair stream. `minScore` prunes the long tail
     * before the result shuffle. The single integer division is exact IEEE
     * on any engine — safe for hash-matched oracles. */
+  /** Multi-source Brandes betweenness centrality (unweighted, undirected),
+    * accumulated over an explicit SOURCE SET — the sampled form that scales:
+    * exact all-sources betweenness is O(V·E), so production runs pick a
+    * source sample and the estimate is |V|/|S|-scalable; a deterministic
+    * source set makes the result reproducible and oracle-able.
+    *
+    * Both phases are set-oriented over (source, vertex) pairs — the whole
+    * sample advances through each BFS level in ONE job, never a loop over
+    * sources: forward BFS accumulates shortest-path counts σ per level
+    * (level joins + map-side-combined sums), backward accumulation folds
+    * dependencies δ(v) = Σ_w σ_v/σ_w·(1+δ(w)) down the level stack. Level
+    * count = graph diameter bounds the rounds (the doc graph's is 2);
+    * localCheckpoint cuts lineage per level like [[minLabelPropagation]].
+    */
+  def betweennessFromSources(edges: DataFrame, sources: DataFrame,
+      maxDepth: Int = 10): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var frontier = sources.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var visited = frontier.select(col("s"), col("v"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(sym, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      if (!next.isEmpty) {
+        levels += next
+        visited = visited.union(next.select("s", "v")).localCheckpoint(true)
+      }
+      frontier = next
+      depth += 1
+    }
+    // backward: fold δ from the deepest level up; δ at the deepest level = 0
+    var deltaNext = levels.last.select(col("s"), col("v"),
+      col("sigma"), lit(0.0).as("delta"))
+    val perSource = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- (levels.size - 2) to 0 by -1) {
+      val contrib = levels(d)
+        .join(sym, col("v") === col("src"))
+        .select(col("s"), col("v"), col("sigma"), col("dst").as("w"))
+        .join(deltaNext.select(col("s"), col("v").as("w"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w")), Seq("s", "w"))
+        .groupBy("s", "v", "sigma")
+        .agg(sum(col("sigma").cast("double") / col("sigma_w") *
+          (lit(1.0) + col("delta_w"))).as("delta"))
+      val level = levels(d).join(
+          contrib.select(col("s"), col("v"), col("delta")), Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      perSource += level
+      deltaNext = level
+    }
+    // the deepest level's δ is 0 by definition — it anchors the union so an
+    // edge-free source set still yields (all-zero) rows
+    val deepest = levels.last.select(col("s"), col("v"), lit(0.0).as("delta"))
+    perSource.map(_.select("s", "v", "delta"))
+      .foldLeft(deepest)(_ unionByName _)
+      .filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("id"))
+      .agg(round(sum("delta"), 6).as("betweenness"))
+  }
+
   def nodeSimilarity(edges: DataFrame, minScore: Double = 0.0): DataFrame = {
     val e = edges.select(col("src"), col("dst")).dropDuplicates()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -512,6 +512,50 @@ object AnalyticsCatalog {
            |  COUNT(*) FILTER (doc_id = component) AS n_kept
            |FROM comp GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val d13 = Entry("d13_cms_heavy_hitters",
+    (s, dir) => {
+      // Count-Min Sketch heavy hitters — the mergeable FREQUENCY sketch
+      // next to d02/d07's cardinality ones: per-source token sketches
+      // merge into a corpus sketch (shard → corpus roll-up without a raw
+      // re-count), and the exact top-20 words are checked against it. CMS
+      // guarantees estimate >= exact and, at confidence 0.99, estimate <=
+      // exact + eps·N — a deterministic bound with the fixed seed, so the
+      // d02/d07 promotion applies: hash the exact counts, assert the
+      // bound as a constant-TRUE column. The merge + 20 point estimates
+      // are driver-side over 5 sketch blobs (bounded by the source
+      // cardinality — the roll-up contract, not a data-size collect).
+      import org.apache.spark.sql.Row
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val eps = 0.001
+      val sketches = Dedup.cmsPerGroup(toks, "source", "w", eps = eps)
+      val merged = Dedup.cmsMerge(
+        sketches.collect().map(_.getAs[Array[Byte]]("cms")).toSeq)
+      val top = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("w")).limit(20).collect()
+      val total = merged.totalCount()
+      val rows = top.map { r =>
+        val w = r.getString(0); val n = r.getLong(1)
+        val est = merged.estimateCount(w)
+        Row(w, n, est >= n && est <= n + math.ceil(eps * total).toLong)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_exact",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cms_within_bound",
+            org.apache.spark.sql.types.BooleanType))))
+    },
+    Some("""WITH u AS (
+           |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents)
+           |SELECT w, COUNT(*) AS n_exact, TRUE AS cms_within_bound
+           |FROM u GROUP BY w ORDER BY n_exact DESC, w LIMIT 20""".stripMargin))
+
   private val t07 = Entry("t07_train_val_test_split",
     (s, dir) => {
       // Deterministic document-level split: bucket = first md5 byte of the
@@ -2908,6 +2952,30 @@ object AnalyticsCatalog {
 
   // ------------------------------------------------- graph analytics (x) --
 
+  private val x12 = Entry("x12_betweenness_sampled",
+    (s, dir) => {
+      // Sampled Brandes betweenness — the centrality missing from x01-x11:
+      // exact all-sources betweenness is O(V·E), so the scalable form
+      // accumulates over an explicit deterministic source set (here: every
+      // Article). Both Brandes phases run set-oriented over (source,
+      // vertex) pairs — one job per BFS level for the WHOLE sample, never
+      // a per-source loop. Cross-engine oracle via the closed form on the
+      // publisher-star graph: with article sources, each star center lies
+      // on exactly the k·(k-1) ordered sibling pairs' single shortest
+      // paths (k = its article count), and articles accumulate nothing.
+      val g = docGraph(s, dir)
+      val articles = g.nodes.filter(col("label") === "Article").select(col("id"))
+      GraphAlgorithms.betweennessFromSources(
+          g.edges.select(col("srcId"), col("dstId")), articles)
+        .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+        .filter(col("label") === "Publisher")
+        .select(col("key").as("publisher"), col("betweenness"))
+        .orderBy("publisher")
+    },
+    Some("""SELECT source AS publisher,
+           |  CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE) AS betweenness
+           |FROM documents GROUP BY source ORDER BY publisher""".stripMargin))
+
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
       // Pregel min-id propagation; reported per component as (min member
@@ -3537,7 +3605,7 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
@@ -3545,6 +3613,6 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
     m01, m02, m03, m04, m05)
 }

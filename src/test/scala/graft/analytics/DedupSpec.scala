@@ -125,6 +125,27 @@ class DedupSpec extends SparkTestBase {
       s"merged=$merged exact=$exactAll")
   }
 
+  test("CMS sketches: merged estimates bound every exact count from above") {
+    import graft.analytics.TextAnalysis
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = fixture.select($"source",
+      explode(TextAnalysis.tokens($"text")).as("w"))
+    val eps = 0.001
+    val sketches = Dedup.cmsPerGroup(toks, "source", "w", eps = eps)
+    val merged = Dedup.cmsMerge(
+      sketches.collect().map(_.getAs[Array[Byte]]("cms")).toSeq)
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val total = merged.totalCount()
+    assert(total === exact.map(_._2).sum) // merge preserves the stream length
+    exact.foreach { case (w, n) =>
+      val est = merged.estimateCount(w)
+      assert(est >= n, s"CMS underestimated '$w': $est < $n")
+      assert(est <= n + math.ceil(eps * total).toLong,
+        s"CMS over bound for '$w': $est > $n + eps*N")
+    }
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sigs = docs.select($"doc_id", Dedup.simHash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap

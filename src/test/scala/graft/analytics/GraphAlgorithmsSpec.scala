@@ -127,6 +127,30 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(d1 === Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
   }
 
+  test("betweenness: path center 2.0, star center k(k-1), triangle all 0") {
+    import org.apache.spark.sql.DataFrame
+    def bc(edges: Seq[(Long, Long)], sources: Seq[Long]): Map[Long, Double] = {
+      val e: DataFrame = edges.toDF("src", "dst")
+      GraphAlgorithms.betweennessFromSources(e, sources.toDF("s"))
+        .as[(Long, Double)].collect().toMap
+    }
+    // path a(1)-b(2)-c(3), all sources: only b lies between → 2.0 (1→3, 3→1)
+    val path = bc(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L))
+    assert(path.getOrElse(2L, 0.0) === 2.0)
+    assert(path.getOrElse(1L, 0.0) === 0.0 && path.getOrElse(3L, 0.0) === 0.0)
+    // star: center 10, leaves 1..3, leaf sources: center = k(k-1) = 6
+    val star = bc(Seq((1L, 10L), (2L, 10L), (3L, 10L)), Seq(1L, 2L, 3L))
+    assert(star.getOrElse(10L, 0.0) === 6.0)
+    assert((1L to 3L).forall(l => star.getOrElse(l, 0.0) === 0.0))
+    // triangle: every pair adjacent → nothing lies between
+    val tri = bc(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(1L, 2L, 3L))
+    assert(tri.values.forall(_ === 0.0), tri.toString)
+    // diamond 1-2-4, 1-3-4: two tying paths split the dependency — 0.5 each
+    val dia = bc(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), Seq(1L, 4L))
+    assert(dia.getOrElse(2L, 0.0) === 1.0, dia.toString) // 0.5 per direction
+    assert(dia.getOrElse(3L, 0.0) === 1.0)
+  }
+
   test("nodeSimilarity: Jaccard over out-neighbor sets, no-overlap pairs absent") {
     // a: {x,y,z}  b: {x,y}    → 2/3
     // c: {x}                  → with a: 1/3, with b: 1/2
