@@ -23,20 +23,21 @@ object Bench {
     // Optional args (dev only; the driver passes none): comma-separated
     // query names — time only those, print, and DON'T touch the artifacts.
     val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
-    // min of two runs per query: steady-state cost, not first-run JIT/IO noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // min of two runs per query: steady-state cost, not first-run JIT/IO noise.
+    // A query that throws is recorded as an ERROR, not a (meaningless)
+    // time-to-exception — round 5 closed "faster than ever" because 11 broken
+    // streaming queries posted their 0.04 s crash latency as wins. Errors go
+    // in the artifact, count as regressions, and fail the run.
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-      .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
+      .map { case (name, fn) => timeOne(name, () => fn(spark, sfDir).count()) }
+    val results = timed.collect { case (n, t, None) => n -> t }
+    val errors = timed.collect { case (n, _, Some(msg)) => n -> msg }
     if (only.isDefined) {
       results.foreach { case (n, t) => println(f"$n $t%.2f s") }
+      errors.foreach { case (n, msg) => println(s"$n ERROR $msg") }
       spark.stop()
+      if (errors.nonEmpty) sys.exit(1)
       return
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -47,17 +48,30 @@ object Bench {
     // the same keep-the-record-honest role the driver artifact plays for
     // correctness counts. Empty array = clean round.
     val noiseFloorSec = 0.5
-    val regressions = results.flatMap { case (name, t) =>
+    val slowed = results.flatMap { case (name, t) =>
       prev.get(name).collect {
         case p if p > 0 && t >= 2.0 * p && t > noiseFloorSec =>
           f"""{"query":"$name","prev":$p%.3f,"now":$t%.3f,"ratio":${t / p}%.2f}"""
       }
     }
+    // error→anything IS a regression: a query that ran before (or is declared
+    // at all) and now throws must redden the record, same as a 2x slowdown.
+    val broke = errors.map { case (name, msg) =>
+      val p = prev.getOrElse(name, -1.0)
+      f"""{"query":"$name","prev":$p%.3f,"now":"ERROR","ratio":null}"""
+    }
+    val regressions = slowed ++ broke
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
+      s""""errors":$errJson,"regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
     println(json)
-    if (regressions.nonEmpty)
-      System.err.println(s"[bench] ${regressions.size} quer(ies) regressed >=2x " +
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} quer(ies) ERRORED — see the " +
+        "errors object in target/bench.json; run exits nonzero")
+    if (slowed.nonEmpty)
+      System.err.println(s"[bench] ${slowed.size} quer(ies) regressed >=2x " +
         "vs target/bench_prev.json — see the regressions array in target/bench.json")
     // Self-contained artifact: stdout capture can truncate/wrap long lines
     // (it did in round 3, which manufactured a false regression alarm), so
@@ -69,6 +83,23 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Run one query twice (min of two = steady-state cost); an exception on
+    * either run yields `Some(message)` in the third slot and the query is
+    * recorded as an error, never as a time — a crash latency is not a result. */
+  def timeOne(name: String, run: () => Long): (String, Double, Option[String]) = {
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val err = try { run(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")
+            .linesIterator.take(1).mkString.take(160)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
   }
 
   /** Minimal extraction of the `"queries":{...}` object from a prior bench

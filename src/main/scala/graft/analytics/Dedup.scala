@@ -201,6 +201,63 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** SimHash near-dup pairs via PIGEONHOLE CHUNK BANDING — the scale path
+    * for [[nearDupPairsSimhashPortable]]'s within-block all-pairs Hamming
+    * join, which is quadratic in the hottest block. Split the `bits`-wide
+    * signature into `maxHamming + 1` contiguous chunks: two signatures
+    * within Hamming radius `maxHamming` differ in at most `maxHamming`
+    * chunks, so they MUST agree exactly on at least one (pigeonhole) —
+    * the same guarantee d03's band join gives for Jaccard. Candidates come
+    * from `maxHamming + 1` equi-joins on (block, chunk index, chunk value)
+    * — never an all-pairs join — each colliding pair emitted from its FIRST
+    * agreeing chunk only (codegen'd [[graft.functions.EarlierArrayMatch]]
+    * over the chunk arrays, no dropDuplicates shuffle), then exact Hamming
+    * verified on candidates only. Pair set is IDENTICAL to the blocked
+    * form's (property-tested), because the pigeonhole bound is exact, not
+    * probabilistic: zero false negatives, and false positives are filtered
+    * by the verify step.
+    *
+    * Pruning factor per chunk join is 2^chunkWidth (chunkWidth =
+    * bits/(maxHamming+1)), so the radius must be small relative to `bits`
+    * for banding to pay: at bits=48, maxHamming=7 → 6-bit chunks → each of
+    * the 8 joins sees ~1/64 of the block's pair volume. A radius near
+    * bits/3 (e.g. 16-of-48) leaves 2-bit chunks that prune nothing — at
+    * that looseness all-pairs is genuinely the floor and the blocked form
+    * is the right tool. */
+  def nearDupPairsSimhashBanded(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, bits: Int = 48, maxHamming: Int = 7): DataFrame = {
+    val numChunks = maxHamming + 1
+    // distribute bits as evenly as possible: first (bits % numChunks) chunks
+    // get an extra bit
+    val widths = Array.tabulate(numChunks)(i =>
+      bits / numChunks + (if (i < bits % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val hashes = graft.functions.NativeExpressions.md5Base60Array(
+      TextAnalysis.tokens(col(textCol)), modP = false)
+    val t = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      graft.functions.NativeExpressions.simHashBits(hashes, bits).as("sig"))
+    // chunk i = (sig >> offset_i) & (2^width_i - 1): a long array the
+    // first-collision filter walks; posexplode fans each row out to its
+    // numChunks (chunk index, chunk value) join keys
+    val chunks = array((0 until numChunks).map(i =>
+      shiftright(col("sig"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))): _*)
+    val keyed = t.withColumn("cks", chunks)
+      .select(col("blk"), col("id"), col("sig"), col("cks"),
+        posexplode(col("cks")).as(Seq("ci", "cv")))
+    val a = keyed.select(col("blk"), col("ci"), col("cv"),
+      col("id").as("id_a"), col("sig").as("sig_a"), col("cks").as("cks_a"))
+    val b = keyed.select(col("blk"), col("ci"), col("cv"),
+      col("id").as("id_b"), col("sig").as("sig_b"), col("cks").as("cks_b"))
+    a.join(b, Seq("blk", "ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("cks_a"), col("cks_b"), col("ci")))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact all-pairs n-gram Jaccard within a blocking column (oracle-friendly
     * ground truth; the blocked join bounds pair volume). Shingle sets are
     * hashed to sorted longs once per row so the per-pair kernel is the

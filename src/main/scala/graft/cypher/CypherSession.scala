@@ -51,7 +51,10 @@ final class CypherSession(
           val metricLines: Seq[String] =
             if (verb != "PROFILE") Nil
             else {
-              df.collect() // execute so operator metrics populate
+              // execute so operator metrics populate — foreach(noop) runs the
+              // whole plan on the executors without copying the result set to
+              // the driver (collect() here would OOM on a big PROFILEd query)
+              df.foreach(_ => ())
               // AQE wraps stages in QueryStageExec nodes whose inner plan is
               // NOT in `children` — unwrap explicitly or the walk stops at
               // the result stage

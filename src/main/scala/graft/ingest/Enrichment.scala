@@ -67,6 +67,36 @@ object Enrichment {
     }
   }
 
+  /** REAL network client for the seam — plain JDK HttpURLConnection, no
+    * extra dependency. NOT the default: the sandbox is zero-egress, so every
+    * shipped entry keeps the deterministic [[FakeDetailClient]]; deployments
+    * opt in with `enrichArticles(reqs, clientFactory = () => new
+    * HttpDetailClient)`. Contract matches the reference's fetch loop
+    * (crwling.py:71-87): timeout → None, any non-200 / connect failure →
+    * None, the caller's selector walk decides ok vs no_content. One instance
+    * per partition (the mapPartitions factory) so connection keep-alive
+    * pools per task, like the reference's reused page. Loopback-tested in
+    * IngestSpec — no external egress in CI either. */
+  final class HttpDetailClient(connectTimeoutMs: Int = 5000,
+      userAgent: String = "graft-enrichment/1.0") extends DetailClient {
+    override def fetchHtml(url: String, timeoutMs: Long): Option[String] = {
+      var conn: java.net.HttpURLConnection = null
+      try {
+        conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(math.max(1L, timeoutMs).toInt)
+        conn.setRequestProperty("User-Agent", userAgent)
+        if (conn.getResponseCode == 200) {
+          val in = conn.getInputStream
+          try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        } else None
+      } catch {
+        case scala.util.control.NonFatal(_) => None // timeout/refused/dns → degrade
+      } finally if (conn != null) conn.disconnect()
+    }
+  }
+
   /** Enrich each request with its fetched article body. `clientFactory`
     * runs once per partition (real deployments build the HTTP session /
     * browser page there); per the reference, every failure mode degrades to

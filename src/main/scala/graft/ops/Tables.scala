@@ -11,13 +11,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // outright; read it as raw nanos and truncate to microseconds — the
-      // same ns→µs truncation DuckDB applies, so oracle timestamps agree.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+      // reader surfaces only as raw longs via nanosAsLong) and TIMESTAMP(MICROS)
+      // (plain timestamp) across fixture generations. Dispatch on the schema the
+      // reader actually produces: a LongType ts gets the ns→µs truncation (the
+      // same truncation DuckDB applies, so oracle timestamps agree); a native
+      // timestamp passes through untouched.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => df
+      }
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }

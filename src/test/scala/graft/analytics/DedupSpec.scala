@@ -96,6 +96,34 @@ class DedupSpec extends SparkTestBase {
       s"recall $recalled/${exact.size}")
   }
 
+  test("pigeonhole-banded SimHash pairs EQUAL the blocked all-pairs form") {
+    // The pigeonhole bound is exact, not probabilistic: at radius r with
+    // r+1 chunks a qualifying pair must agree on >=1 chunk, so the banded
+    // candidate generator loses nothing — same (id_a, id_b, hamming) SET
+    // as the quadratic blocked join, at several radii including r=0 and a
+    // radius that doesn't divide the bit width evenly.
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (r <- Seq(0, 3, 7, 10)) {
+      val banded = Dedup.nearDupPairsSimhashBanded(
+          fixture, "doc_id", "text", "source", bits = 48, maxHamming = r)
+        .as[(Long, Long, Long)].collect().toSet
+      val blocked = Dedup.nearDupPairsSimhashPortable(
+          fixture, "doc_id", "text", "source", bits = 48, maxHamming = r)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded == blocked, s"radius $r: banded ${banded.size} pairs vs " +
+        s"blocked ${blocked.size}")
+    }
+  }
+
+  test("banded SimHash plan is equi-join only — no cartesian/broadcast-nested-loop") {
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Dedup.nearDupPairsSimhashBanded(
+        fixture, "doc_id", "text", "source", bits = 48, maxHamming = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("minhash LSH on fixture documents recalls >=90% of exact pairs") {
     val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)

@@ -89,6 +89,45 @@ class IngestSpec extends SparkTestBase {
     assert(out(4).content === "ok" && out(4).fetch_status === "ok")
   }
 
+  test("enrichment: HttpDetailClient fetches real HTTP over loopback") {
+    // The real-network implementation of the DetailClient seam, exercised
+    // against a JDK HttpServer on 127.0.0.1 (no egress): 200 + selector →
+    // ok, 200 without a known container → no_content, 500 → timeout-class
+    // degradation (None from the client), socket read timeout → timeout.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+    server.createContext("/article", (ex: com.sun.net.httpserver.HttpExchange) =>
+      respond(ex, 200, """<html><div id="dic_area">Loopback body</div></html>"""))
+    server.createContext("/bare", (ex: com.sun.net.httpserver.HttpExchange) =>
+      respond(ex, 200, """<html><div id="unrelated">no container</div></html>"""))
+    server.createContext("/boom", (ex: com.sun.net.httpserver.HttpExchange) =>
+      respond(ex, 500, "err"))
+    server.createContext("/slow", (ex: com.sun.net.httpserver.HttpExchange) => {
+      Thread.sleep(2000); respond(ex, 200, "late")
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val reqs = Seq(
+        DetailRequest(1L, s"http://127.0.0.1:$port/article"),
+        DetailRequest(2L, s"http://127.0.0.1:$port/bare"),
+        DetailRequest(3L, s"http://127.0.0.1:$port/boom"),
+        DetailRequest(4L, s"http://127.0.0.1:$port/slow")).toDS()
+      val out = Enrichment.enrichArticles(reqs, timeoutMs = 250L,
+          clientFactory = () => new Enrichment.HttpDetailClient())
+        .collect().map(r => r.doc_id -> (r.content, r.fetch_status)).toMap
+      assert(out(1L) == (("Loopback body", "ok")))
+      assert(out(2L) == (("", "no_content")))
+      assert(out(3L) == (("", "timeout"))) // non-200 → None, same degradation
+      assert(out(4L) == (("", "timeout")))
+    } finally server.stop(0)
+  }
+
   test("GraphStore round-trips and label scans prune partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val g = ArticleIngest.upsert(PropertyGraph.empty(spark), raw)
