@@ -30,7 +30,10 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // regenerate if ANY derived table is missing (the events derivation was
+    // added in round 6 — an older rehearsal dir has docs/embeddings only)
+    if (!Seq("documents", "embeddings", "events")
+        .forall(t => new java.io.File(s"$out/$t.parquet").exists())) {
       val docs = ops.Tables(spark, base, "documents")
       (0 until 10).map { k =>
         if (k == 0) docs
@@ -53,6 +56,24 @@ object ScaleRehearsal {
       }.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+      // events: 10× the users at the same per-user behavior — each replica
+      // shifts user_id/event_id into its own range and keeps timestamps, so
+      // event-time windows get 10× denser (what a 10× crawl does) while
+      // per-user session/funnel state stays the same size per group. The
+      // streaming path rehearses against the same time span, more keys —
+      // the dimension mapGroupsWithState/window state actually grows along.
+      val ev = ops.Tables(spark, base, "events")
+      (0 until 10).map { k =>
+        if (k == 0) ev
+        else ev.select(
+          (col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
     ops.AnalyticsCatalog.warmGraph(spark, out)
@@ -69,7 +90,13 @@ object ScaleRehearsal {
         // the full write surface, MERGE on matched paths. Every earlier
         // rehearsal measured read/dedup only; these pin the upsert story.
         "c21_cypher_create", "c10_cypher_write_surface",
-        "c08_cypher_merge_on_paths")
+        "c08_cypher_merge_on_paths",
+        // streaming path — first rehearsed in round 6 (the events loader
+        // breakage kept it out before): the sequential funnel (3 joins),
+        // the two-level window cascade, and watermarked stream dedup.
+        "s06_funnel_steps", "s10_two_level_window", "s11_stream_dedup_batch",
+        // the round-6 banded SimHash scale path next to d03's LSH
+        "d14_simhash_banded_pairs")
     val results = heavy.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
@@ -79,7 +106,7 @@ object ScaleRehearsal {
     val qs = results.map { case (k, (s, n)) =>
       s"\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"sf1_rehearsal","queries":$qs,"docs":50000,"embeddings":20000}""")
+    println(s"""{"metric":"sf1_rehearsal","queries":$qs,"docs":50000,"embeddings":20000,"events":1000000}""")
     spark.stop()
   }
 }
