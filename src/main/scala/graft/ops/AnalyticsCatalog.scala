@@ -2326,19 +2326,31 @@ object AnalyticsCatalog {
       // pair, the walk multiplicity collapses to the minimum hop count
       // (articles reach their publisher at 1 hop — the 3-hop revisit walks
       // collapse — and same-publisher articles, themselves included, at
-      // 2). Closed-form oracle on the publisher-star topology.
+      // 2). Closed-form oracle on the publisher-star topology. The anchor
+      // side carries an inline property predicate (zh articles, ~15% of
+      // the corpus): anchored-endpoint seeding pushes label AND inline
+      // props into the BFS seed set, so every frontier level is bounded by
+      // pairs-from-zh, not all Σdeg² pairs — the entry measures the
+      // frontier engine, not the output's quadratic volume (that was the
+      // bench's single biggest line item, ~12 s of answer-set writing).
+      // The one-free-endpoint form stays exercised (x is unbound); c23 is
+      // the fully-anchored variant users actually write.
       val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
-      sess.run("""MATCH p = shortestPath((a:Article)-[:WRITTEN_BY*1..3]-(x))
+      sess.run("""MATCH p = shortestPath(
+                 |    (a:Article {lang: 'zh'})-[:WRITTEN_BY*1..3]-(x))
                  |RETURN length(p) AS hops, count(*) AS n_pairs
                  |ORDER BY hops""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df
     },
     Some("""SELECT CAST(1 AS INT) AS hops, COUNT(*) AS n_pairs FROM documents
+           |WHERE lang = 'zh'
            |UNION ALL
-           |SELECT CAST(2 AS INT), CAST(SUM(cnt * cnt) AS BIGINT)
-           |FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
+           |SELECT CAST(2 AS INT), CAST(SUM(zh_cnt * cnt) AS BIGINT)
+           |FROM (SELECT COUNT(*) AS cnt,
+           |        COUNT(*) FILTER (lang = 'zh') AS zh_cnt
+           |      FROM documents GROUP BY source)
            |ORDER BY hops""".stripMargin))
 
   private val c20 = Entry("c20_cypher_union",

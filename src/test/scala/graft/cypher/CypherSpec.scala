@@ -885,6 +885,31 @@ class CypherSpec extends SparkTestBase {
     assert(revAnchored === Seq(("a", 3), ("b", 2), ("c", 2), ("d", 1)))
   }
 
+  test("inline-prop anchored shortestPath equals the WHERE-filtered form") {
+    val sess = freshSession
+    // two stars sharing no nodes; only hub 'h1' carries kind='x'
+    for ((h, kind, leaves) <- Seq(("h1", "x", Seq("l1", "l2")),
+        ("h2", "y", Seq("l3", "l4"))))
+      leaves.foreach { l =>
+        sess.run(s"""MERGE (a:Tech {name: '$h'}) SET a.kind = '$kind'
+                    |MERGE (b:Tech {name: '$l'})
+                    |MERGE (a)-[:NEXT]->(b)""".stripMargin)
+      }
+    // the inline form seeds the BFS from the filtered set (the fast path);
+    // the WHERE form filters after the match — results must be identical
+    def run(q: String) = sess.run(q).asInstanceOf[CypherRows].df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val inline = run(
+      """MATCH p = shortestPath((a:Tech {kind: 'x'})-[:NEXT*1..2]->(x))
+        |RETURN x.name AS dest, length(p) AS hops""".stripMargin)
+    val whereForm = run(
+      """MATCH p = shortestPath((a:Tech)-[:NEXT*1..2]->(x))
+        |WHERE a.kind = 'x'
+        |RETURN x.name AS dest, length(p) AS hops""".stripMargin)
+    assert(inline === Set(("l1", 1), ("l2", 1)))
+    assert(inline === whereForm)
+  }
+
   test("SET with expressions: computed per matched row, merged by id") {
     val sess = freshSession
     Seq(("d1", "en", "1"), ("d2", "de", "2")).foreach { case (l, lang, v) =>
