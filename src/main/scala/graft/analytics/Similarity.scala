@@ -299,6 +299,31 @@ object Similarity {
     array((0 until tables).map(t =>
       lshBucket(vec, randomHyperplanes(nBits, dim, seed + 1000L * t))): _*)
 
+  /** PORTABLE hyperplanes — the embedding-space twin of the md5-affine
+    * MinHash family: plane weight (t, i, j) = md5-60("t:i:j") / 2^59 − 1,
+    * uniform in [−1, 1). Every step is reproducible by any engine with md5
+    * (the long→double conversion and the power-of-two divide are exact
+    * IEEE ops), so the LSH bucket ids — and therefore the PAIR SET —
+    * hash-check cross-engine, the same promotion d03 got for text LSH.
+    * Sign-LSH only needs a sign-symmetric weight distribution; uniform
+    * trades the Gaussian family's angle-exact collision curve for
+    * bit-reproducibility, the right trade for a verification path. */
+  def portablePlanes(table: Int, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$table:$i:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      // divide by the 2^59 literal, not pow(): libm pow is not guaranteed
+      // correctly rounded, and the oracle must hit the identical double
+      java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0d - 1.0
+    }
+
+  /** [[lshBucketArray]] over the portable plane family. */
+  def portableLshBucketArray(vec: Column, tables: Int, nBits: Int,
+      dim: Int): Column =
+    array((0 until tables).map(t =>
+      lshBucket(vec, portablePlanes(t, nBits, dim))): _*)
+
   /** APPROXIMATE embedding-cosine near-dup pairs: candidates from a union of
     * `tables` independent sign-LSH hash tables (equi-join per table on
     * (table, bucket)), exact cosine verification, each pair emitted from its
@@ -309,9 +334,26 @@ object Similarity {
     * [[embeddingNearDupPairs]] is spec-asserted on clustered data. */
   def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int, nBits: Int, dim: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    nearDupPairsFromBuckets(df, idCol, vecCol, threshold,
+      lshBucketArray(col(vecCol), tables, nBits, dim, seed))
+
+  /** [[embeddingNearDupPairsLSH]] over the PORTABLE plane family — the
+    * fully oracle-checkable approximate path: bucket ids, candidate set,
+    * and verified cosines are all reproducible by the DuckDB oracle, so
+    * the gate hashes the approximate operator's OUTPUT, not just its
+    * recall. Same join shape and first-collision dedup as the seeded
+    * family. */
+  def embeddingNearDupPairsLSHPortable(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, tables: Int, nBits: Int,
+      dim: Int): DataFrame =
+    nearDupPairsFromBuckets(df, idCol, vecCol, threshold,
+      portableLshBucketArray(col(vecCol), tables, nBits, dim))
+
+  private def nearDupPairsFromBuckets(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bucketArray: Column): DataFrame = {
     val v = df.select(col(idCol), col(vecCol),
-      lshBucketArray(col(vecCol), tables, nBits, dim, seed).as("__bkts"),
+      bucketArray.as("__bkts"),
       VectorFunctions.norm(col(vecCol)).as("__nrm"))
     val a = v.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       col("__bkts").as("bkts_a"), col("__nrm").as("nrm_a"),

@@ -594,6 +594,60 @@ object AnalyticsCatalog {
            |WHERE bit_count(xor(a.sig, b.sig)) <= 7
            |ORDER BY id_a, id_b""".stripMargin))
 
+  private val d15 = Entry("d15_embedding_lsh_pairs",
+    (s, dir) => {
+      // Embedding near-dup via sign-LSH in the PORTABLE plane family —
+      // the approximate operator itself oracle-hashed, not just
+      // recall-spec'd: plane weight (t,i,j) = md5-60("t:i:j")/2^59 − 1 is
+      // reproducible by any engine with md5, the projection fold is the
+      // same in-order float→double walk on both sides (the d06-proven
+      // arithmetic), so bucket ids, candidate set, first-collision dedup
+      // and verified cosines all match bit-for-bit. 8 tables × 4 bits is
+      // tuned to the fixture's moderate-cosine clusters (θ≈66° →
+      // per-bit collision 0.63); production corpora with near-dup pairs
+      // at cosine ≥0.9 run more bits per table and fewer tables — the
+      // s-curve tuning, same as d03's bands. The join shape is the 100 TB
+      // one: per-table bucket equi-joins, exact verification on
+      // candidates only, vectors never shuffled in the candidate step.
+      Similarity.embeddingNearDupPairsLSHPortable(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, tables = 8, nBits = 4, dim = 64)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * x), (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 4) i(i)),
+           |bits AS (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+           |        (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bits a JOIN bits b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT * FROM (
+           |  SELECT c.id_a, c.id_b,
+           |    list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           |      (a,b) -> a + b) / (x.nrm * y.nrm) AS cosine
+           |  FROM cand c
+           |  JOIN v x ON c.id_a = x.vec_id
+           |  JOIN v y ON c.id_b = y.vec_id)
+           |WHERE cosine >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin))
+
   private val t07 = Entry("t07_train_val_test_split",
     (s, dir) => {
       // Deterministic document-level split: bucket = first md5 byte of the
@@ -3683,7 +3737,7 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,

@@ -160,6 +160,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH pair recall $recall too low")
   }
 
+  test("portable-plane LSH pairs: no false positives, useful recall, deterministic planes") {
+    val df = clustered.select($"id", $"vec")
+    val exact = Similarity.embeddingNearDupPairs(df, "id", "vec", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val portable = Similarity.embeddingNearDupPairsLSHPortable(df, "id", "vec",
+        0.99, tables = 6, nBits = 8, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(portable.subsetOf(exact)) // exact verify kills false positives
+    val recall = exact.count(portable.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"portable LSH pair recall $recall too low")
+    // plane weights are a pure function of (table, bit, dim): same values
+    // on every call, every JVM — the property the cross-engine oracle needs
+    val p1 = Similarity.portablePlanes(3, 4, 16)
+    val p2 = Similarity.portablePlanes(3, 4, 16)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+    assert(p1.flatten.forall(w => w >= -1.0 && w < 1.0))
+    assert(p1.flatten.distinct.length == 64) // not degenerate
+  }
+
   test("int8 quantization: codes stay in [-127, 127], error bounded by scale/2") {
     // the v07 catalog shape, checked against its mathematical guarantees:
     // symmetric scale = max|x|/127 keeps every floor(x/scale + 0.5) code in
