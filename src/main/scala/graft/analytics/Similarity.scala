@@ -50,8 +50,25 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
       dim: Int, seed: Long = 42L,
       corpusId: String = "id", corpusVec: String = "vec",
-      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
-    val planes = randomHyperplanes(nBits, dim, seed)
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame =
+    lshTopKWithPlanes(corpus, queries, k, randomHyperplanes(nBits, dim, seed),
+      corpusId, corpusVec, queryId, queryVec)
+
+  /** [[lshTopK]] over the PORTABLE plane family ([[portablePlanes]], table
+    * 0) — bucket assignment, candidate set and ranking all reproducible by
+    * the DuckDB oracle, promoting the approximate top-k itself to a full
+    * hash check (recall remains the LSH trade, and remains spec-asserted). */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, dim: Int,
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame =
+    lshTopKWithPlanes(corpus, queries, k, portablePlanes(0, nBits, dim),
+      corpusId, corpusVec, queryId, queryVec)
+
+  private def lshTopKWithPlanes(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Double]],
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String): DataFrame = {
     val c = corpus.withColumn("__bucket", lshBucket(col(corpusVec), planes))
     val q = queries.withColumn("__bucket", lshBucket(col(queryVec), planes))
     val scored = c.join(broadcast(q), Seq("__bucket"))

@@ -3640,22 +3640,67 @@ object AnalyticsCatalog {
     (s, dir) => {
       // LSH-bucketed ANN — the scale path for v02's brute force: candidates
       // come from an equi-join on sign-of-projection buckets instead of a
-      // cross join. Hash-family dependent → no cross-engine oracle;
-      // SimilaritySpec asserts recall vs the brute-force ground truth.
+      // cross join. Round 6 moved the entry to the PORTABLE plane family
+      // (md5-60("0:i:j")/2^59 − 1), which makes bucket ids, the candidate
+      // set, and the ranked result reproducible by the DuckDB oracle — the
+      // approximate top-k is now a full hash check, not just recall-spec'd
+      // (the Gaussian-seeded lshTopK stays in Similarity for workloads that
+      // want the angle-exact family). The result is top-k WITHIN each
+      // query's bucket: fewer than k rows for sparse buckets is correct
+      // output, and the oracle reproduces exactly that.
       val emb = Tables(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.lshTopK(corpus, queries, k = 3, nBits = 4, dim = 64)
+      Similarity.lshTopKPortable(corpus, queries, k = 3, nBits = 4, dim = 64)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT i.i, list_transform(range(0, 64), j ->
+           |    CAST(CAST('0x' || substr(md5('0:' || i.i || ':' || j), 1, 15)
+           |      AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 4) i(i)),
+           |b AS (
+           |  SELECT v.vec_id,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+           |        (a,b2) -> a + b2) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+           |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM v q
+           |  JOIN b bq ON bq.vec_id = q.vec_id
+           |  JOIN b bc ON bc.bucket = bq.bucket
+           |  JOIN v c ON c.vec_id = bc.vec_id
+           |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS INT) AS rank,
+           |  id, cosine
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
 
   private val v04 = Entry("v04_ann_ivf",
     (s, dir) => {
-      // IVF-partitioned ANN (Voronoi cells + nprobe search) — deterministic
-      // centroid sample → no cross-engine oracle for the full pipeline;
-      // SimilaritySpec asserts recall vs brute force.
+      // IVF-partitioned ANN (Voronoi cells + nprobe search). The centroid
+      // policy is a deterministic sample (first nlist corpus vectors by
+      // id), cell assignment is argmax cosine with an (sim desc, cent_id)
+      // tie-break, and candidate ranking is the v02 window — every step is
+      // plain relational algebra over the d06-proven cosine arithmetic, so
+      // since round 6 the WHOLE approximate pipeline is oracle-hashed
+      // (cells, probes, candidate set, ranks), not just recall-spec'd.
+      // The k-means-trained variant (v06) keeps its no_oracle status —
+      // Lloyd's iterations aren't reasonably SQL-expressible.
       val emb = Tables(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
@@ -3663,7 +3708,43 @@ object AnalyticsCatalog {
       Similarity.ivfTopK(corpus, queries, k = 3, nlist = 16, nprobe = 4)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |sim AS (
+           |  SELECT v.vec_id, cent.cent_id,
+           |    list_reduce(list_transform(list_zip(v.embedding, cent.cvec),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (v.nrm * cent.cnrm) AS sim,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY list_reduce(list_transform(list_zip(v.embedding, cent.cvec),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |        / (v.nrm * cent.cnrm) DESC, cent.cent_id) AS rn
+           |  FROM v CROSS JOIN cent),
+           |ccell AS (SELECT vec_id, cent_id AS cell FROM sim WHERE rn = 1),
+           |qcell AS (SELECT vec_id, cent_id AS cell FROM sim
+           |          WHERE rn <= 4 AND vec_id < 5),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+           |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM qcell
+           |  JOIN ccell ON ccell.cell = qcell.cell
+           |  JOIN v q ON q.vec_id = qcell.vec_id
+           |  JOIN v c ON c.vec_id = ccell.vec_id
+           |  WHERE q.vec_id <> c.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS INT) AS rank,
+           |  id, cosine
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
 
   private val v06 = Entry("v06_ann_ivf_kmeans",
     (s, dir) => {
@@ -3686,8 +3767,15 @@ object AnalyticsCatalog {
       // trio (v03 LSH prunes by bucket, v04/v06 IVF prune by cell, v10
       // shrinks every vector to m=8 one-byte codes and scores via an ADC
       // table without touching raw vectors). Codebook is the deterministic
-      // sample policy of v04. Approximate → no cross-engine oracle;
-      // SimilaritySpec asserts cluster fidelity + deterministic re-encode.
+      // sample policy of v04, so since round 6 the whole pipeline is
+      // oracle-hashed: the oracle rebuilds the codebook (sub-vectors of
+      // the first ksub corpus vectors, ‖c‖² as the same in-order fold),
+      // re-derives every code as argmin ‖c‖²−2·x·c with the (d, c)
+      // tie-break, assembles per-query ADC tables, and folds the m score
+      // terms in sub-space order — every double bit-identical because
+      // both sides run identical IEEE op sequences. ADC scores remain
+      // APPROXIMATE squared-L2 surrogates (that's PQ); "approximate" no
+      // longer means "unverifiable".
       val emb = Tables(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
@@ -3695,7 +3783,44 @@ object AnalyticsCatalog {
       Similarity.pqTopK(corpus, queries, k = 3, m = 8, ksub = 16, dim = 64)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |smp AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |book AS (
+           |  SELECT s.s, smp.c,
+           |    list_slice(smp.embedding, s.s * 8 + 1, s.s * 8 + 8) AS cen,
+           |    list_reduce(list_transform(
+           |      list_slice(smp.embedding, s.s * 8 + 1, s.s * 8 + 8),
+           |      x -> CAST(x AS DOUBLE) * x), (a,b) -> a + b) AS cc
+           |  FROM smp, range(0, 8) s(s)),
+           |dist AS (
+           |  SELECT x.vec_id, b.s, b.c,
+           |    b.cc - 2.0 * list_reduce(list_transform(
+           |      list_zip(list_slice(x.embedding, b.s * 8 + 1, b.s * 8 + 8), b.cen),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           |      (a,b2) -> a + b2) AS d
+           |  FROM v x, book b),
+           |codes AS (
+           |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+           |    SELECT vec_id, s, c,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+           |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+           |dtab AS (
+           |  SELECT vec_id AS q_id, list(ds ORDER BY s) AS dtab FROM (
+           |    SELECT vec_id, s, list(d ORDER BY c) AS ds
+           |    FROM dist WHERE vec_id < 5 GROUP BY vec_id, s) GROUP BY vec_id),
+           |scored AS (
+           |  SELECT q.q_id, c.vec_id AS id,
+           |    list_reduce(list_transform(range(0, 8),
+           |      s -> q.dtab[s + 1][c.codes[s + 1] + 1]), (a,b) -> a + b) AS score
+           |  FROM dtab q CROSS JOIN codes c WHERE q.q_id <> c.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, id) AS INT) AS rank,
+           |  id, score
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
 
   private val v11 = Entry("v11_ann_ivf_pq",
     (s, dir) => {
@@ -3703,8 +3828,9 @@ object AnalyticsCatalog {
       // the cell equi-join prunes candidates to nprobe/nlist of the
       // corpus, then ADC scoring reads only the m-byte codes of what
       // remains. Both corpus passes are map-only against broadcast
-      // centroid literals. Approximate → no cross-engine oracle;
-      // SimilaritySpec asserts cluster fidelity + determinism.
+      // centroid literals. Oracle-hashed since round 6 by composing the
+      // v04 cell/probe CTEs with the v10 codebook/ADC CTEs — the composed
+      // approximate pipeline verifies end to end.
       val emb = Tables(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
@@ -3713,7 +3839,65 @@ object AnalyticsCatalog {
           m = 8, ksub = 16, dim = 64)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |sim AS (
+           |  SELECT v.vec_id, cent.cent_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY list_reduce(list_transform(list_zip(v.embedding, cent.cvec),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |        / (v.nrm * cent.cnrm) DESC, cent.cent_id) AS rn
+           |  FROM v CROSS JOIN cent),
+           |ccell AS (SELECT vec_id, cent_id AS cell FROM sim WHERE rn = 1),
+           |qcell AS (SELECT vec_id, cent_id AS cell FROM sim
+           |          WHERE rn <= 4 AND vec_id < 5),
+           |smp AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |book AS (
+           |  SELECT s.s, smp.c,
+           |    list_slice(smp.embedding, s.s * 8 + 1, s.s * 8 + 8) AS cen,
+           |    list_reduce(list_transform(
+           |      list_slice(smp.embedding, s.s * 8 + 1, s.s * 8 + 8),
+           |      x -> CAST(x AS DOUBLE) * x), (a,b) -> a + b) AS cc
+           |  FROM smp, range(0, 8) s(s)),
+           |dist AS (
+           |  SELECT x.vec_id, b.s, b.c,
+           |    b.cc - 2.0 * list_reduce(list_transform(
+           |      list_zip(list_slice(x.embedding, b.s * 8 + 1, b.s * 8 + 8), b.cen),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           |      (a,b2) -> a + b2) AS d
+           |  FROM v x, book b),
+           |codes AS (
+           |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+           |    SELECT vec_id, s, c,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+           |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+           |dtab AS (
+           |  SELECT vec_id AS q_id, list(ds ORDER BY s) AS dtab FROM (
+           |    SELECT vec_id, s, list(d ORDER BY c) AS ds
+           |    FROM dist WHERE vec_id < 5 GROUP BY vec_id, s) GROUP BY vec_id),
+           |scored AS (
+           |  SELECT q.q_id, cc2.vec_id AS id,
+           |    list_reduce(list_transform(range(0, 8),
+           |      s -> q.dtab[s + 1][cc2.codes[s + 1] + 1]), (a,b) -> a + b) AS score
+           |  FROM dtab q
+           |  JOIN qcell ON qcell.vec_id = q.q_id
+           |  JOIN ccell ON ccell.cell = qcell.cell
+           |  JOIN codes cc2 ON cc2.vec_id = ccell.vec_id
+           |  WHERE q.q_id <> cc2.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, id) AS INT) AS rank,
+           |  id, score
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
 
   private val t05 = Entry("t05_bpe_token_count",
     (s, dir) => {
