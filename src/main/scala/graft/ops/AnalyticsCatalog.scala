@@ -594,6 +594,61 @@ object AnalyticsCatalog {
            |WHERE bit_count(xor(a.sig, b.sig)) <= 7
            |ORDER BY id_a, id_b""".stripMargin))
 
+  private val d16 = Entry("d16_repeated_span_stats",
+    (s, dir) => {
+      // Repeated-SPAN duplication — the finer-grained member of the dedup
+      // ladder next to t12/t20's fixed chunks: every rolling 8-token
+      // window (NOT distinct — position-level multiplicity is the signal)
+      // is hashed portable (md5-60 of the space-joined window, the d03
+      // base hash), counted corpus-wide, and rolled up per language:
+      // how much of each language's token stream sits in spans that occur
+      // more than once anywhere (what span-level dedup would cut), and
+      // how many docs are majority-duplicated. The 100 TB shape: strings
+      // leave the pipeline at the hash step, the corpus-wide count is one
+      // map-side-combinable groupBy on a uniform 8-byte key, and the
+      // rejoin is gram-hash equi — no pair joins anywhere. Docs shorter
+      // than the window carry no spans and drop out on both sides.
+      val n = 8
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("ts"))
+      val grams = toks.select(col("doc_id"), col("lang"),
+        explode(when(size(col("ts")) >= n,
+            transform(sequence(lit(0), size(col("ts")) - n),
+              i => Dedup.md5Base60(concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as("gh"))
+      val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      val perDoc = grams.join(counts, Seq("gh"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("cnt") > 1, 1)).as("dup_spans"))
+      perDoc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_spans").cast("long").as("total_spans"),
+          sum("dup_spans").cast("long").as("total_dup_spans"),
+          count(when(col("dup_spans") * 2 > col("n_spans"), 1)).as("heavy_dup_docs"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang,
+           |    regexp_split_to_array(trim(text), '\s+') AS ts
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, lang,
+           |    CAST('0x' || substr(md5(array_to_string(ts[i.i:i.i+7], ' ')),
+           |      1, 15) AS BIGINT) AS gh
+           |  FROM tok, LATERAL unnest(range(1, len(ts) - 8 + 2)) i(i)
+           |  WHERE len(ts) >= 8),
+           |c AS (SELECT gh, COUNT(*) AS cnt FROM g GROUP BY gh),
+           |pd AS (
+           |  SELECT doc_id, lang, COUNT(*) AS n_spans,
+           |    COUNT(*) FILTER (cnt > 1) AS dup_spans
+           |  FROM g JOIN c USING (gh) GROUP BY doc_id, lang)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           |  CAST(SUM(dup_spans) AS BIGINT) AS total_dup_spans,
+           |  COUNT(*) FILTER (dup_spans * 2 > n_spans) AS heavy_dup_docs
+           |FROM pd GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val d15 = Entry("d15_embedding_lsh_pairs",
     (s, dir) => {
       // Embedding near-dup via sign-LSH in the PORTABLE plane family —
@@ -3921,7 +3976,7 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,

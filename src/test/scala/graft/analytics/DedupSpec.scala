@@ -124,6 +124,39 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("repeated-span stats: shared 8-token spans counted, short docs drop out") {
+    import spark.implicits._
+    // doc 1 and 2 share their full 8-token prefix (one shared span each);
+    // doc 3 is unique; doc 4 is shorter than the window and must vanish
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "en", s"$shared alpha"), // spans: [w1..w8], [w2..alpha]
+      (2L, "en", s"$shared beta"),
+      (3L, "en", "completely different words here make one only span x"),
+      (4L, "en", "too short")).toDF("doc_id", "lang", "text")
+    val entry = graft.ops.AnalyticsCatalog.entries
+      .find(_.name == "d16_repeated_span_stats").get
+    // run the same shape inline (the entry reads fixture docs; here we
+    // check the semantics on a constructed corpus via the same helpers)
+    val n = 8
+    val toks = df.select($"doc_id", $"lang",
+      TextAnalysis.tokens($"text").as("ts"))
+    val grams = toks.select($"doc_id", $"lang",
+      explode(when(size($"ts") >= n,
+          transform(sequence(lit(0), size($"ts") - n),
+            i => Dedup.md5Base60(concat_ws(" ", slice($"ts", i + 1, lit(n))))))
+        .otherwise(array().cast("array<long>"))).as("gh"))
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+    val byDoc = grams.join(counts, Seq("gh")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(when($"cnt" > 1, 1)).as("dup_spans"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byDoc(1L) == ((2L, 1L))) // 2 spans, the shared prefix is duplicated
+    assert(byDoc(2L) == ((2L, 1L)))
+    assert(byDoc(3L)._2 == 0L)     // unique doc: no duplicated span
+    assert(!byDoc.contains(4L))    // sub-window doc has no spans
+    assert(entry.oracle.isDefined)
+  }
+
   test("minhash LSH on fixture documents recalls >=90% of exact pairs") {
     val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)
