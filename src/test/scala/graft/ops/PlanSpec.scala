@@ -202,6 +202,24 @@ class PlanSpec extends SparkTestBase {
     assert("collect_list".r.findAllIn(c43).size >= 2, c43)
   }
 
+  test("round-6 query shapes keep their intended plans") {
+    // d15's LSH candidates come from (table, bucket) equi-joins — never a
+    // cartesian/BNLJ over the vector pairs
+    val d15 = plan("d15_embedding_lsh_pairs")
+    assert(!d15.contains("CartesianProduct") &&
+      !d15.contains("BroadcastNestedLoopJoin"), d15)
+    // d16's corpus-wide gram count must pre-combine map-side: a boilerplate
+    // span repeated 10^9 times would otherwise funnel into one reduce task
+    val d16 = plan("d16_repeated_span_stats")
+    assert(d16.contains("partial_count") || d16.contains("partial count"), d16)
+    assert(!d16.contains("Window"), d16)
+    // d14's banded candidates are equi-joins only (DedupSpec also asserts on
+    // the operator directly; this pins the CATALOG entry's plan)
+    val d14 = plan("d14_simhash_banded_pairs")
+    assert(!d14.contains("CartesianProduct") &&
+      !d14.contains("BroadcastNestedLoopJoin"), d14)
+  }
+
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
