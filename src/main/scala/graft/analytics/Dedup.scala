@@ -137,27 +137,23 @@ object Dedup {
     * reproducible by the DuckDB oracle. Bucket keys are the band index
     * plus the band's signature values rendered as a string — no second
     * hash, so the oracle needs no hash function beyond md5. */
-  def nearDupPairsMinhashPortable(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 1, k: Int = 64, bands: Int = 8,
-      threshold: Double = 0.9): DataFrame = {
+  /** (base = (id, sh), buckets = (id, bks, band, bucket)) in the portable
+    * family — the shared front half of the batch pair generator and the
+    * incremental at-ingest matcher. The signature is materialized ONCE per
+    * row before fanning out to band keys (referencing MinHashAffine inside
+    * each bucket string would re-run the k×|sh| pass per band); band bucket
+    * keys are md5-60 of "band:sig:…" — a NARROW 8-byte join key the oracle
+    * computes identically, with the band index in the pre-image so buckets
+    * never collide across bands (mod a 2^-60 md5 collision, which would
+    * only add a candidate BOTH engines see and verification filters). */
+  private def portableBaseAndBuckets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int)
+      : (DataFrame, DataFrame) = {
     val rowsPerBand = k / bands
     val base = df.select(col(idCol).as("id"),
       portableHashedShingles(col(textCol), shingleN).as("sh"))
-    // materialize the signature ONCE per row before fanning out to band
-    // keys — referencing the MinHashAffine expression inside each of the
-    // `bands` bucket strings would re-run the k×|sh| pass per band
     val withSig = base.select(col("id"),
       graft.functions.NativeExpressions.minHashAffine(col("sh"), k).as("sig"))
-    // Band bucket keys are the md5-60 of "band:sig:sig:...": a NARROW
-    // 8-byte join key the oracle computes identically (hashing the
-    // ~80-char concat key directly was measured 2x slower — the bucket
-    // self-join shuffles every candidate row's key). The band index rides
-    // in the hash pre-image, so buckets never collide across bands
-    // (mod a 2^-60 md5-prefix collision, which would only add a candidate
-    // pair BOTH engines see and exact-verification filters anyway).
-    // First-collision dedup via the codegen'd EarlierArrayMatch over the
-    // bands-long bucket arrays — same pair SET as the oracle's DISTINCT,
-    // no shuffle of the pre-dedup candidate stream.
     val withBuckets = withSig
       .select(col("id"), array((0 until bands).map { b =>
         val key = concat_ws(":", lit(b.toString) +:
@@ -165,8 +161,18 @@ object Dedup {
             element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
         md5Base60(key)
       }: _*).as("bks"))
-    val buckets = withBuckets
-      .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    (base, withBuckets.select(col("id"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bucket"))))
+  }
+
+  def nearDupPairsMinhashPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 1, k: Int = 64, bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    // First-collision dedup via the codegen'd EarlierArrayMatch over the
+    // bands-long bucket arrays — same pair SET as the oracle's DISTINCT,
+    // no shuffle of the pre-dedup candidate stream.
+    val (base, buckets) =
+      portableBaseAndBuckets(df, idCol, textCol, shingleN, k, bands)
     val cand = buckets
       .select(col("band"), col("bucket"), col("id").as("id_a"), col("bks").as("bks_a"))
       .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b"),
@@ -182,6 +188,54 @@ object Dedup {
         graft.functions.NativeExpressions.jaccardSortedLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** INCREMENTAL near-dup matching — the at-ingest form of
+    * [[nearDupPairsMinhashPortable]]: a batch of `arrivals` is matched
+    * against an existing `history` corpus (both sides banded in the
+    * portable family), without ever pairing history with itself. This is
+    * the shape a streaming ingest pipeline runs per micro-batch at 100 TB:
+    * history's (band, bucket) index is computed once and persisted (or
+    * bucketed — the equi-join key is stable), each batch's candidates are
+    * bucket collisions only, and verification touches candidates. Returns
+    * one row per arrival: verified match count, best match (highest
+    * Jaccard, ties to the smallest history id) or (-1, 0.0) when none.
+    * The per-arrival window shuffles on the arrival id — uniform by
+    * construction, so no skew term. */
+  def incrementalNearDups(history: DataFrame, arrivals: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 1, k: Int = 64,
+      bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val (hBase, hBuckets) =
+      portableBaseAndBuckets(history, idCol, textCol, shingleN, k, bands)
+    val (aBase, aBuckets) =
+      portableBaseAndBuckets(arrivals, idCol, textCol, shingleN, k, bands)
+    val cand = aBuckets
+      .select(col("band"), col("bucket"), col("id").as("id_n"), col("bks").as("bks_n"))
+      .join(hBuckets.select(col("band"), col("bucket"), col("id").as("id_h"),
+        col("bks").as("bks_h")), Seq("band", "bucket"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bks_n"), col("bks_h"), col("band")))
+      .select("id_n", "id_h")
+    val verified = cand
+      .join(aBase.select(col("id").as("id_n"), col("sh").as("sh_n")), Seq("id_n"))
+      .join(hBase.select(col("id").as("id_h"), col("sh").as("sh_h")), Seq("id_h"))
+      .withColumn("jaccard",
+        graft.functions.NativeExpressions.jaccardSortedLong(col("sh_n"), col("sh_h")))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("id_n")
+    val wOrd = w.orderBy(col("jaccard").desc, col("id_h"))
+    val best = verified
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .select(col("id_n"), col("n_matches"),
+        col("id_h").as("best_match_id"), col("jaccard").as("best_jaccard"))
+    arrivals.select(col(idCol).as("id_n"))
+      .join(best, Seq("id_n"), "left")
+      .select(col("id_n").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
   }
 
   /** SimHash near-dup pairs in the PORTABLE family: packed `bits`-wide

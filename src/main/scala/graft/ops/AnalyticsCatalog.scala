@@ -649,6 +649,70 @@ object AnalyticsCatalog {
            |  COUNT(*) FILTER (dup_spans * 2 > n_spans) AS heavy_dup_docs
            |FROM pd GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val d17 = Entry("d17_incremental_neardup",
+    (s, dir) => {
+      // At-INGEST dedup — the incremental form every streaming pipeline
+      // actually runs: each arriving batch (here: doc_id % 5 == 0, ~20%)
+      // is matched against the standing corpus (the other 80%) through
+      // the portable banded MinHash index, never re-pairing history with
+      // itself. Per arrival: verified match count and the best history
+      // match (highest Jaccard, ties to the smallest id), (-1, 0.0) when
+      // clean. At 100 TB the history (band, bucket) index is computed
+      // once and persisted; per-batch cost is bucket collisions +
+      // verification on candidates only. The oracle reruns the d03 CTEs
+      // with the same split.
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_transform(
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')),
+           |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741789))) AS sh
+           |  FROM documents),
+           |sig AS (
+           |  SELECT t.doc_id, r.i,
+           |    list_aggregate(list_transform(t.sh,
+           |      x -> ((48271 * (r.i + 1)) % 1073741789 * x
+           |            + (16807 * r.i + 12345) % 1073741789) % 1073741789),
+           |      'min') AS mv
+           |  FROM t, range(0, 64) r(i)),
+           |bk AS (
+           |  SELECT doc_id, CAST('0x' || substr(md5(
+           |      CAST(i // 8 AS VARCHAR) || ':' ||
+           |      string_agg(CAST(mv AS VARCHAR), ':' ORDER BY i)
+           |    ), 1, 15) AS BIGINT) AS bucket
+           |  FROM sig GROUP BY doc_id, i // 8),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_n, h.doc_id AS id_h
+           |  FROM bk a JOIN bk h ON a.bucket = h.bucket
+           |  WHERE a.doc_id % 5 = 0 AND h.doc_id % 5 <> 0),
+           |ver AS (
+           |  SELECT c.id_n, c.id_h,
+           |    CAST(len(list_intersect(ta.sh, th.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ta.sh, th.sh))) AS jaccard
+           |  FROM cand c
+           |  JOIN t ta ON ta.doc_id = c.id_n
+           |  JOIN t th ON th.doc_id = c.id_h
+           |  WHERE CAST(len(list_intersect(ta.sh, th.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ta.sh, th.sh))) >= 0.9),
+           |best AS (
+           |  SELECT id_n, id_h, jaccard,
+           |    COUNT(*) OVER (PARTITION BY id_n) AS n_matches,
+           |    row_number() OVER (PARTITION BY id_n
+           |      ORDER BY jaccard DESC, id_h) AS rn
+           |  FROM ver)
+           |SELECT a.doc_id,
+           |  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+           |  COALESCE(b.id_h, -1) AS best_match_id,
+           |  COALESCE(b.jaccard, 0.0) AS best_jaccard
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) a
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_n = a.doc_id
+           |ORDER BY doc_id""".stripMargin))
+
   private val d15 = Entry("d15_embedding_lsh_pairs",
     (s, dir) => {
       // Embedding near-dup via sign-LSH in the PORTABLE plane family —
@@ -3976,7 +4040,7 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,

@@ -157,6 +157,30 @@ class DedupSpec extends SparkTestBase {
     assert(entry.oracle.isDefined)
   }
 
+  test("incremental near-dup: arrivals match history, clean rows report (-1, 0.0)") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated content about database engines"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // = doc 1
+      (11L, "nothing like anything in the standing corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(history, arrivals, "doc_id", "text",
+        shingleN = 1, k = 64, bands = 8, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the exact copy matches doc 1 at jaccard 1.0 (doc 2 shares 9/11 words,
+    // below the 0.9 threshold — near but not qualifying)
+    assert(out(10L)._2 == 1L && out(10L)._3 == 1.0, out(10L))
+    // a clean arrival is still reported, with the sentinel no-match row
+    assert(out(11L) == ((0L, -1L, 0.0)))
+    // exactly one row per arrival — history never pairs with itself here
+    assert(out.size == 2)
+  }
+
   test("minhash LSH on fixture documents recalls >=90% of exact pairs") {
     val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.nearDupPairsExact(fixture, "doc_id", "text", "source", 1, 0.9)
