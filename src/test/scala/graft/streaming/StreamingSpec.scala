@@ -39,6 +39,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental near-dup runs per micro-batch via foreachBatch against static history") {
+    // d17's streaming form: each micro-batch of arriving docs is matched
+    // against the standing corpus through the banded MinHash index —
+    // foreachBatch is exactly where an ingest pipeline calls it.
+    implicit val sc = spark.sqlContext
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an unrelated history document about query planners"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val arrivals = mem.toDF().toDF("doc_id", "text")
+    val results = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.analytics.Dedup.incrementalNearDups(history, batch, "doc_id", "text")
+          .collect().foreach(r => results.synchronized {
+            results += r.getLong(0) -> ((r.getLong(1), r.getLong(2)))
+          })
+      }.start()
+    try {
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      mem.addData((11L, "a clean arrival with entirely fresh content here"))
+      q.processAllAvailable()
+      assert(results(10L) == ((1L, 1L)))  // batch 1: duplicate of history doc 1
+      assert(results(11L) == ((0L, -1L))) // batch 2: clean
+    } finally q.stop()
+  }
+
   test("two-level window ladder: streaming (append) equals batch on closed windows") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
