@@ -329,6 +329,79 @@ object AnalyticsCatalog {
            |  CAST(k * COUNT(*) AS BIGINT) AS n_docs
            |FROM c GROUP BY k ORDER BY k""".stripMargin))
 
+  private val d18 = Entry("d18_semantic_dedup_lsh",
+    (s, dir) => {
+      // d12's documented 100 TB swap-in, itself gate-verified: the pair
+      // source is the PORTABLE-plane LSH (d15's operator — bucket
+      // equi-joins, no tiled n²), and the cluster/survivor stages are
+      // unchanged. Since the portable planes made the LSH pair set
+      // deterministic, the whole approximate SemDeDup pipeline — pairs →
+      // transitive closure → min-id survivors → per-label pruning
+      // summary — now hash-matches the oracle (d15's CTEs composed with
+      // d12's recursive closure). Missed-recall pairs simply yield more
+      // surviving clusters on BOTH sides identically; approximation
+      // changes the answer, not the verifiability.
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = Similarity.embeddingNearDupPairsLSHPortable(
+        emb, "vec_id", "embedding", threshold = 0.4,
+        tables = 8, nBits = 4, dim = 64)
+      Dedup.clusterSurvivors(emb, "vec_id", pairs.select("id_a", "id_b"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(not(col("is_survivor")), col("component")))
+            .as("n_pruned_clusters"))
+        .orderBy("label")
+    },
+    Some("""WITH RECURSIVE v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * x), (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 4) i(i)),
+           |bits AS (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+           |        (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bits a JOIN bits b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |pairs AS (
+           |  SELECT c.id_a, c.id_b FROM cand c
+           |  JOIN v x ON c.id_a = x.vec_id
+           |  JOIN v y ON c.id_b = y.vec_id
+           |  WHERE list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           |      (a,b) -> a + b) / (x.nrm * y.nrm) >= 0.4),
+           |sym AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (
+           |  SELECT e.vec_id, e.label,
+           |    LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS component
+           |  FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+           |  GROUP BY e.vec_id, e.label)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN vec_id = component THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  COUNT(DISTINCT CASE WHEN vec_id <> component THEN component END)
+           |    AS n_pruned_clusters
+           |FROM comp GROUP BY label ORDER BY label""".stripMargin))
+
   private val d12 = Entry("d12_semantic_dedup",
     (s, dir) => {
       // SemDeDup (semantic dedup over embeddings): near-dup pairs in
@@ -4040,7 +4113,7 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
