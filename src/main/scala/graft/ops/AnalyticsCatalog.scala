@@ -340,7 +340,12 @@ object AnalyticsCatalog {
       // summary — now hash-matches the oracle (d15's CTEs composed with
       // d12's recursive closure). Missed-recall pairs simply yield more
       // surviving clusters on BOTH sides identically; approximation
-      // changes the answer, not the verifiability.
+      // changes the answer, not the verifiability. Measured honestly: at
+      // the fixture's moderate θ=0.4 the 4-bit buckets stay dense and
+      // this costs about the same as d12's exact tiling (the d06
+      // docstring's point — LSH pays at HIGH thresholds, where more bits
+      // per table shrink buckets); the gate value here is verifying the
+      // composition, the perf value arrives with production thresholds.
       val emb = Tables(s, dir, "embeddings")
       val pairs = Similarity.embeddingNearDupPairsLSHPortable(
         emb, "vec_id", "embedding", threshold = 0.4,
