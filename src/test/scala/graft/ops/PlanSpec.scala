@@ -218,6 +218,16 @@ class PlanSpec extends SparkTestBase {
     val d14 = plan("d14_simhash_banded_pairs")
     assert(!d14.contains("CartesianProduct") &&
       !d14.contains("BroadcastNestedLoopJoin"), d14)
+    // d17's at-ingest matching: history×arrival candidates from the
+    // (band, bucket) equi-join; never a pair cross product
+    val d17 = plan("d17_incremental_neardup")
+    assert(!d17.contains("CartesianProduct") &&
+      !d17.contains("BroadcastNestedLoopJoin"), d17)
+    // d18's pair source is d15's bucket equi-join, not d12's n² tiling —
+    // and the closure stages add no cartesian either
+    val d18 = plan("d18_semantic_dedup_lsh")
+    assert(!d18.contains("CartesianProduct") &&
+      !d18.contains("BroadcastNestedLoopJoin"), d18)
   }
 
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
