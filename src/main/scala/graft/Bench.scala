@@ -48,12 +48,8 @@ object Bench {
     // the same keep-the-record-honest role the driver artifact plays for
     // correctness counts. Empty array = clean round.
     val noiseFloorSec = 0.5
-    val slowed = results.flatMap { case (name, t) =>
-      prev.get(name).collect {
-        case p if p > 0 && t >= 2.0 * p && t > noiseFloorSec =>
-          f"""{"query":"$name","prev":$p%.3f,"now":$t%.3f,"ratio":${t / p}%.2f}"""
-      }
-    }
+    val (slowed, noise) = adjudicateBreaches(results, prev, noiseFloorSec,
+      name => timeOne(name, () => SparkEntry.queries(name)(spark, sfDir).count())._2)
     // error→anything IS a regression: a query that ran before (or is declared
     // at all) and now throws must redden the record, same as a 2x slowdown.
     val broke = errors.map { case (name, msg) =>
@@ -65,14 +61,19 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
+      s""""errors":$errJson,"regressions":[${regressions.mkString(",")}],""" +
+      s""""noise":[${noise.mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer(ies) ERRORED — see the " +
         "errors object in target/bench.json; run exits nonzero")
     if (slowed.nonEmpty)
       System.err.println(s"[bench] ${slowed.size} quer(ies) regressed >=2x " +
-        "vs target/bench_prev.json — see the regressions array in target/bench.json")
+        "vs target/bench_prev.json AND survived isolation re-timing — see the " +
+        "regressions array in target/bench.json")
+    if (noise.nonEmpty)
+      System.err.println(s"[bench] ${noise.size} sweep breach(es) did NOT " +
+        "survive isolation re-timing — recorded as noise, not regressions")
     // Self-contained artifact: stdout capture can truncate/wrap long lines
     // (it did in round 3, which manufactured a false regression alarm), so
     // the full per-query JSON is also durably written for the record.
@@ -84,6 +85,32 @@ object Bench {
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Self-adjudicating sweep-breach guard (round 7): a >=2x breach measured
+    * inside the full same-JVM sweep can be GC/cache interference from the
+    * queries that ran before it — round 6's artifact flagged two such false
+    * regressions (q57 4.94x swept vs 0.72 s isolated; x10 2.90x vs 1.62 s)
+    * and each cost a manual re-time to adjudicate. So: every sweep breach is
+    * re-timed in ISOLATION (via `isolate` — a fresh timing loop at the end
+    * of the run, same JVM) before it may enter the record. Only a breach
+    * that still holds on the isolated number is a regression; the rest land
+    * in `noise` with all three numbers so the artifact self-explains.
+    * Returns (regressions, noise) as JSON object strings. */
+  def adjudicateBreaches(results: Seq[(String, Double)],
+      prev: Map[String, Double], noiseFloorSec: Double,
+      isolate: String => Double): (Seq[String], Seq[String]) = {
+    def breach(p: Double, t: Double): Boolean =
+      p > 0 && t >= 2.0 * p && t > noiseFloorSec
+    val swept = results.filter { case (name, t) =>
+      prev.get(name).exists(breach(_, t)) }
+    val adj = swept.map { case (name, t) => (name, t, isolate(name)) }
+    val (real, interference) = adj.partition { case (name, _, iso) =>
+      breach(prev(name), iso) }
+    (real.map { case (n, s, iso) =>
+      f"""{"query":"$n","prev":${prev(n)}%.3f,"swept":$s%.3f,"now":$iso%.3f,"ratio":${iso / prev(n)}%.2f}""" },
+     interference.map { case (n, s, iso) =>
+      f"""{"query":"$n","prev":${prev(n)}%.3f,"swept":$s%.3f,"isolated":$iso%.3f}""" })
   }
 
   /** Run one query twice (min of two = steady-state cost); an exception on

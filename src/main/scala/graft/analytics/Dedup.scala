@@ -281,6 +281,13 @@ object Dedup {
   def nearDupPairsSimhashBanded(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, bits: Int = 48, maxHamming: Int = 7): DataFrame = {
     val numChunks = maxHamming + 1
+    // fail fast on a radius the signature can't band: with more chunks than
+    // bits some widths become 0, the mask degenerates to 0, and every chunk
+    // equi-join silently becomes a per-block cross product (correct output,
+    // quadratic plan — the exact failure mode this operator exists to avoid)
+    require(numChunks <= bits,
+      s"maxHamming + 1 ($numChunks) must be <= bits ($bits): " +
+        "a banded chunk needs at least one bit to prune")
     // distribute bits as evenly as possible: first (bits % numChunks) chunks
     // get an extra bit
     val widths = Array.tabulate(numChunks)(i =>

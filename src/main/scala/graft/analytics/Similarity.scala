@@ -123,6 +123,61 @@ object Similarity {
     ivfTopKWith(kmeansCentroids(corpus, corpusVec, nlist, seed),
       corpus, queries, k, nprobe, corpusId, corpusVec, queryId, queryVec)
 
+  /** DETERMINISTIC bounded Lloyd's k-means — the cross-engine-reproducible
+    * twin of [[kmeansCentroids]]: init is the v04 policy (first `k` corpus
+    * vectors by id, cast to double — exact widening), then a FIXED `iters`
+    * assign/update rounds. The update routes element sums through
+    * DECIMAL(20,10) (the v05 centroid trick) so accumulation ORDER cannot
+    * change a single bit — partial aggregation, retries, and speculative
+    * re-execution all yield the identical centroid, which is also what a
+    * 100 TB run needs for reproducibility. Assignment is the shared
+    * broadcast-argmin ([[nearestCells]]); a cell that loses all members
+    * keeps its previous centroid (left-join coalesce). Centroids (k·dim
+    * doubles) are collected between rounds — the bounded-collect policy of
+    * the PQ codebook, and how any driver-iterated k-means (MLlib included)
+    * carries centroids; the corpus itself never leaves the executors.
+    * Returns (__cent_id, __cent_vec) for [[ivfTopKWith]]. */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = corpus.sparkSession
+    var cent = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__cent_id"),
+        col(vecCol).cast("array<double>").as("__cent_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = nearestCells(broadcast(cent), corpus, idCol, vecCol, 1)
+      val meanByDim = assigned
+        .select(col("__cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("__dim", "__v")))
+        .groupBy("__cell", "__dim")
+        .agg((sum(col("__v").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("__cv"))
+      val updated = meanByDim.groupBy(col("__cell").as("__cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__cv")))),
+          x => x.getField("__cv")).as("__new_vec"))
+      val next = cent.alias("c")
+        .join(updated.alias("u"), col("c.__cent_id") === col("u.__cent_id"), "left")
+        .select(col("c.__cent_id"),
+          coalesce(col("u.__new_vec"), col("c.__cent_vec")).as("__cent_vec"))
+      // k·dim doubles — bounded; truncates lineage so round r+1's broadcast
+      // doesn't re-run round r's aggregation per use
+      cent = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+    cent
+  }
+
+  /** [[ivfTopK]] with [[lloydCentroids]]-trained cells — same probe
+    * machinery, but every double in training is bit-reproducible by the
+    * DuckDB oracle (the iterations unroll into assign/avg CTEs). */
+  def ivfTopKLloyd(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, iters: Int,
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame =
+    ivfTopKWith(lloydCentroids(corpus, corpusId, corpusVec, nlist, iters),
+      corpus, queries, k, nprobe, corpusId, corpusVec, queryId, queryVec)
+
   /** Product-quantization ANN top-k — the MEMORY-compressed scale path next
     * to [[lshTopK]]/[[ivfTopK]]'s candidate-pruning ones: each vector is
     * encoded once as `m` sub-space centroid codes (m bytes vs dim·4 — a

@@ -85,7 +85,10 @@ object Enrichment {
         conn = new java.net.URL(url).openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(connectTimeoutMs)
-        conn.setReadTimeout(math.max(1L, timeoutMs).toInt)
+        // clamp BEFORE .toInt: a timeout past Int.MaxValue would overflow
+        // negative and make setReadTimeout throw — silently turning every
+        // fetch into None via the NonFatal catch below
+        conn.setReadTimeout(math.min(math.max(1L, timeoutMs), Int.MaxValue.toLong).toInt)
         conn.setRequestProperty("User-Agent", userAgent)
         if (conn.getResponseCode == 200) {
           val in = conn.getInputStream

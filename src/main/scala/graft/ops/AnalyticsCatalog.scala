@@ -3896,8 +3896,8 @@ object AnalyticsCatalog {
       // plain relational algebra over the d06-proven cosine arithmetic, so
       // since round 6 the WHOLE approximate pipeline is oracle-hashed
       // (cells, probes, candidate set, ranks), not just recall-spec'd.
-      // The k-means-trained variant (v06) keeps its no_oracle status —
-      // Lloyd's iterations aren't reasonably SQL-expressible.
+      // The k-means-trained variant (v06) unrolls its bounded Lloyd's
+      // rounds into the same CTE vocabulary since round 7.
       val emb = Tables(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
@@ -3945,18 +3945,111 @@ object AnalyticsCatalog {
 
   private val v06 = Entry("v06_ann_ivf_kmeans",
     (s, dir) => {
-      // IVF with REAL k-means centroids (MLlib, fixed seed) — the trained
-      // variant of v04's sampled cells; same broadcast-argmin assignment and
-      // cell equi-join probe. Training is engine-specific → no cross-engine
-      // oracle; SimilaritySpec asserts recall vs brute force.
+      // IVF with k-means-TRAINED centroids — v04's sampled cells refined by
+      // two deterministic Lloyd's rounds (Similarity.lloydCentroids): assign
+      // is the shared broadcast-argmin, the mean update routes element sums
+      // through DECIMAL(20,10) (the v05 trick) so accumulation order can't
+      // move a bit, and empty cells keep their previous centroid. That makes
+      // the TRAINING itself cross-engine-reproducible: the oracle below
+      // unrolls both rounds as assign/avg CTEs, so cells, probes, candidate
+      // set and ranks all hash-match — closing the last no_oracle entry.
+      // The MLlib-trained variant (ivfTopKTrained) remains in Similarity for
+      // workloads that want converged centroids; SimilaritySpec asserts both
+      // variants' recall vs brute force.
       val emb = Tables(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.ivfTopKTrained(corpus, queries, k = 3, nlist = 16, nprobe = 4)
+      Similarity.ivfTopKLloyd(corpus, queries, k = 3, nlist = 16, nprobe = 4,
+          iters = 2)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some("""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+           |  FROM embeddings),
+           |vn AS (
+           |  SELECT vec_id, dvec,
+           |    sqrt(list_reduce(list_transform(dvec, x -> x * x), (p,q) -> p + q)) AS nrm
+           |  FROM v),
+           |c0 AS (
+           |  SELECT vec_id AS cent_id, dvec AS cvec,
+           |    sqrt(list_reduce(list_transform(dvec, x -> x * x), (p,q) -> p + q)) AS cnrm
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |a1 AS (
+           |  SELECT vec_id, cent_id AS cell FROM (
+           |    SELECT vn.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+           |        list_reduce(list_transform(list_zip(vn.dvec, c.cvec),
+           |          x -> x[1] * x[2]), (p,q) -> p + q) / (vn.nrm * c.cnrm)
+           |        DESC, c.cent_id) AS rn
+           |    FROM vn CROSS JOIN c0 c) WHERE rn = 1),
+           |x1 AS (
+           |  SELECT a1.cell AS cent_id, unnest(v.dvec) AS val,
+           |    unnest(range(len(v.dvec))) AS dim
+           |  FROM a1 JOIN v USING (vec_id)),
+           |u1 AS (
+           |  SELECT cent_id, dim,
+           |    CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+           |  FROM x1 GROUP BY cent_id, dim),
+           |c1 AS (
+           |  SELECT c0.cent_id, COALESCE(u.cvec, c0.cvec) AS cvec
+           |  FROM c0 LEFT JOIN (
+           |    SELECT cent_id, list(cv ORDER BY dim) AS cvec
+           |    FROM u1 GROUP BY cent_id) u USING (cent_id)),
+           |c1n AS (
+           |  SELECT cent_id, cvec,
+           |    sqrt(list_reduce(list_transform(cvec, x -> x * x), (p,q) -> p + q)) AS cnrm
+           |  FROM c1),
+           |a2 AS (
+           |  SELECT vec_id, cent_id AS cell FROM (
+           |    SELECT vn.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+           |        list_reduce(list_transform(list_zip(vn.dvec, c.cvec),
+           |          x -> x[1] * x[2]), (p,q) -> p + q) / (vn.nrm * c.cnrm)
+           |        DESC, c.cent_id) AS rn
+           |    FROM vn CROSS JOIN c1n c) WHERE rn = 1),
+           |x2 AS (
+           |  SELECT a2.cell AS cent_id, unnest(v.dvec) AS val,
+           |    unnest(range(len(v.dvec))) AS dim
+           |  FROM a2 JOIN v USING (vec_id)),
+           |u2 AS (
+           |  SELECT cent_id, dim,
+           |    CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+           |  FROM x2 GROUP BY cent_id, dim),
+           |c2 AS (
+           |  SELECT c1.cent_id, COALESCE(u.cvec, c1.cvec) AS cvec
+           |  FROM c1 LEFT JOIN (
+           |    SELECT cent_id, list(cv ORDER BY dim) AS cvec
+           |    FROM u2 GROUP BY cent_id) u USING (cent_id)),
+           |c2n AS (
+           |  SELECT cent_id, cvec,
+           |    sqrt(list_reduce(list_transform(cvec, x -> x * x), (p,q) -> p + q)) AS cnrm
+           |  FROM c2),
+           |fa AS (
+           |  SELECT vn.vec_id, c.cent_id,
+           |    row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+           |      list_reduce(list_transform(list_zip(vn.dvec, c.cvec),
+           |        x -> x[1] * x[2]), (p,q) -> p + q) / (vn.nrm * c.cnrm)
+           |      DESC, c.cent_id) AS rn
+           |  FROM vn CROSS JOIN c2n c),
+           |ccell AS (SELECT vec_id, cent_id AS cell FROM fa WHERE rn = 1),
+           |qcell AS (SELECT vec_id, cent_id AS cell FROM fa
+           |          WHERE rn <= 4 AND vec_id < 5),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+           |    list_reduce(list_transform(list_zip(q.dvec, c.dvec),
+           |        x -> x[1] * x[2]), (p,q2) -> p + q2) / (q.nrm * c.nrm) AS cosine
+           |  FROM qcell
+           |  JOIN ccell ON ccell.cell = qcell.cell
+           |  JOIN vn q ON q.vec_id = qcell.vec_id
+           |  JOIN vn c ON c.vec_id = ccell.vec_id
+           |  WHERE q.vec_id <> c.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS INT) AS rank,
+           |  id, cosine
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
 
   private val v10 = Entry("v10_ann_pq",
     (s, dir) => {

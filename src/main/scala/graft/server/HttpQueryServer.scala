@@ -15,8 +15,20 @@ import scala.jdk.CollectionConverters._
   * `{"statements": [{"statement": "...", "parameters": {...}}]}` returns
   * `{"results": [{"columns": [...], "data": [{"row": [...]}, ...]}],
   * "errors": [...]}` — the subset a driver or the browser's query pane
-  * actually uses (implicit single-request transactions; no explicit
-  * begin/commit endpoints, which the reference's own client never calls).
+  * actually uses (no explicit begin/commit endpoints, which the
+  * reference's own client never calls).
+  *
+  * Error contract (Neo4j's HTTP shape, with one explicit divergence):
+  * statements run IN ORDER until the first failure; the response is
+  * HTTP 200 with the failure in the in-band `errors` array (Neo4j-style —
+  * clients must check `errors`, not the status code). UNLIKE Neo4j there
+  * is NO rollback: the store's writes are set-oriented idempotent MERGEs,
+  * not transactions, so the effects of statements before the failing one
+  * persist. The response makes that observable — `results` holds exactly
+  * one entry per statement that executed, and the error carries the
+  * failing statement's `offset`. Malformed requests (bad JSON, missing
+  * `statements`) also answer 200 with a `Request.InvalidFormat` error;
+  * only a non-POST method gets an out-of-band 405.
   *
   * Scale posture: the server is a thin adapter — every statement compiles
   * to the same set-oriented Spark plans the library runs everywhere else;
@@ -46,35 +58,56 @@ final class HttpQueryServer(session: CypherSession, maxRows: Int = 10000) {
   }
 
   private def handle(ex: HttpExchange): Unit = {
+    import scala.util.control.NonFatal
     val out = mapper.createObjectNode()
     val results = out.putArray("results")
     val errors = out.putArray("errors")
-    try {
-      if (ex.getRequestMethod != "POST")
-        throw new IllegalArgumentException("only POST is supported")
-      val body = mapper.readTree(ex.getRequestBody)
-      val stmts = Option(body.get("statements"))
-        .collect { case a: ArrayNode => a.elements().asScala.toSeq }
-        .getOrElse(throw new IllegalArgumentException(
-          """body must be {"statements": [{"statement": "..."}]}"""))
-      stmts.foreach { st =>
-        val q = Option(st.get("statement")).map(_.asText())
-          .getOrElse(throw new IllegalArgumentException("missing statement"))
-        val params = Option(st.get("parameters"))
-          .collect { case o: ObjectNode => o.fields().asScala
-            .map(e => e.getKey -> jsonToParam(e.getValue)).toMap }
-          .getOrElse(Map.empty[String, Any])
-        results.add(render(session.run(q, params)))
-      }
-    } catch {
-      case e: Throwable =>
-        val err = errors.addObject()
-        err.put("code", "Neo.ClientError.Statement.Error")
-        err.put("message", Option(e.getMessage).getOrElse(e.getClass.getName))
+    def addError(code: String, e: Throwable, offset: Int = -1): Unit = {
+      val err = errors.addObject()
+      err.put("code", code)
+      if (offset >= 0) err.put("offset", offset)
+      err.put("message", Option(e.getMessage).getOrElse(e.getClass.getName))
     }
+    val status =
+      if (ex.getRequestMethod != "POST") {
+        addError("Neo.ClientError.Request.Invalid",
+          new IllegalArgumentException("only POST is supported"))
+        405
+      } else {
+        try {
+          val body = mapper.readTree(ex.getRequestBody)
+          val stmts = Option(body.get("statements"))
+            .collect { case a: ArrayNode => a.elements().asScala.toSeq }
+            .getOrElse(throw new IllegalArgumentException(
+              """body must be {"statements": [{"statement": "..."}]}"""))
+          // in order, stop at first failure; earlier writes PERSIST (see
+          // class doc: idempotent MERGEs, no transaction to roll back) —
+          // NonFatal only, a JVM-fatal error must not be rendered as a
+          // statement error by a server that keeps serving
+          var failed = false
+          stmts.zipWithIndex.foreach { case (st, i) =>
+            if (!failed) try {
+              val q = Option(st.get("statement")).map(_.asText())
+                .getOrElse(throw new IllegalArgumentException("missing statement"))
+              val params = Option(st.get("parameters"))
+                .collect { case o: ObjectNode => o.fields().asScala
+                  .map(e => e.getKey -> jsonToParam(e.getValue)).toMap }
+                .getOrElse(Map.empty[String, Any])
+              results.add(render(session.run(q, params)))
+            } catch {
+              case NonFatal(e) =>
+                failed = true
+                addError("Neo.ClientError.Statement.Error", e, offset = i)
+            }
+          }
+        } catch {
+          case NonFatal(e) => addError("Neo.ClientError.Request.InvalidFormat", e)
+        }
+        200
+      }
     val bytes = mapper.writeValueAsBytes(out)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(if (errors.isEmpty) 200 else 400, bytes.length)
+    ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
   }

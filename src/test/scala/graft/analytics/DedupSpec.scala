@@ -115,6 +115,17 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("banded SimHash rejects a radius the signature can't band") {
+    // maxHamming + 1 > bits would give some chunks width 0 — mask 0, every
+    // chunk join degrades to a per-block cross product; must fail fast
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupPairsSimhashBanded(
+        fixture, "doc_id", "text", "source", bits = 8, maxHamming = 8)
+    }
+    assert(e.getMessage.contains("must be <= bits"))
+  }
+
   test("banded SimHash plan is equi-join only — no cartesian/broadcast-nested-loop") {
     val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = Dedup.nearDupPairsSimhashBanded(

@@ -71,6 +71,64 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"trained-IVF recall $recall too low")
   }
 
+  test("IVF with deterministic Lloyd's centroids achieves high recall vs brute force") {
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("q_id"), $"vec".as("q_vec"))
+    val brute = Similarity.cosineTopK(corpus, queries, k = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKLloyd(corpus, queries, k = 3, nlist = 8,
+        nprobe = 3, iters = 2)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"Lloyd-IVF recall $recall too low")
+  }
+
+  test("Lloyd's centroids: deterministic bits, converge to cluster means") {
+    val corpus = clustered
+    def run() = Similarity.lloydCentroids(corpus, "id", "vec", k = 4, iters = 2)
+      .select($"__cent_id".as[Long], $"__cent_vec".as[Seq[Double]])
+      .collect().sortBy(_._1)
+    val a = run()
+    val b = run()
+    // bitwise-identical across runs — the property the oracle hash needs
+    assert(a.map(_._2).toSeq == b.map(_._2).toSeq)
+    // ids 0..3 are one per cluster (id % 4), so each learned centroid should
+    // land on its cluster's mean direction after the assign/avg rounds
+    val means = corpus.select($"cluster", posexplode($"vec".cast("array<double>")).as(Seq("d", "v")))
+      .groupBy("cluster", "d").agg(avg($"v").as("m"))
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"d", $"m"))),
+          x => x.getField("m")).as("mean"))
+      .select($"cluster".as[Int], $"mean".as[Seq[Double]])
+      .collect().toMap
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val dot = x.lazyZip(y).map(_ * _).sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    a.foreach { case (cid, cvec) =>
+      val c = cos(cvec, means(cid.toInt % 4))
+      assert(c > 0.999, s"centroid $cid drifted from its cluster mean (cos=$c)")
+    }
+  }
+
+  test("Lloyd's centroids: a cell that loses all members keeps its previous centroid") {
+    // vec0 == vec1, so every row assigns to cent 0 or 2 (ties break to the
+    // lower cent id) and cent 1 is empty from round 1 on — it must survive
+    // with its init vector, keeping k stable
+    val dup = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0.1f)),
+      (4L, Array(1f, 0.1f, 0f, 0f))).toDF("id", "vec")
+    val cent = Similarity.lloydCentroids(dup, "id", "vec", k = 3, iters = 2)
+      .select($"__cent_id".as[Long], $"__cent_vec".as[Seq[Double]])
+      .collect().sortBy(_._1).toMap
+    assert(cent.keySet === Set(0L, 1L, 2L))
+    assert(cent(1L) === Seq(1.0, 0.0, 0.0, 0.0), "empty cell lost its centroid")
+  }
+
   test("PQ (ADC) top-k: all neighbors in-cluster, deterministic re-encode") {
     // With ksub=8 sampled codes over 4 clusters, every member of a cluster
     // quantizes to (nearly) the same code word, so ADC guarantees CLUSTER

@@ -57,11 +57,51 @@ class HttpQueryServerSpec extends SparkTestBase {
       assert(mc == 200, mbody)
       assert(mbody.contains(""""row":[2]"""), mbody)
 
-      // a broken statement reports an error payload and HTTP 400
+      // a broken statement answers 200 with the in-band errors array
+      // (Neo4j's contract: clients check `errors`, not the status code)
       val (ec, ebody) = post(port,
         """{"statements": [{"statement": "THIS IS NOT CYPHER"}]}""")
-      assert(ec == 400)
+      assert(ec == 200)
       assert(ebody.contains("Neo.ClientError"))
+    } finally server.stop()
+  }
+
+  test("multi-statement failure: earlier writes persist, offset names the failure, later statements don't run") {
+    val sess = new CypherSession(PropertyGraph.empty(spark),
+      clock = () => lit("2026-01-01 00:00:00"))
+    val server = new HttpQueryServer(sess)
+    val port = server.start()
+    try {
+      // stmt 0 writes, stmt 1 fails, stmt 2 would write again — the
+      // documented no-rollback contract: exactly one result (stmt 0), an
+      // error with offset 1, and stmt 2's node must NOT exist
+      val (c, body) = post(port,
+        """{"statements": [
+          |  {"statement": "MERGE (t:Tech {name: 'ray'})"},
+          |  {"statement": "NOT CYPHER AT ALL"},
+          |  {"statement": "MERGE (t:Tech {name: 'never'})"}
+          |]}""".stripMargin)
+      assert(c == 200, body)
+      assert(body.contains(""""offset":1"""), body)
+      assert(body.split("\\\"stats\\\"").length - 1 == 1,
+        s"expected exactly one executed statement result: $body")
+      val (_, after) = post(port,
+        """{"statements": [{"statement":
+          |  "MATCH (t:Tech) RETURN t.name AS name ORDER BY name"}]}""".stripMargin)
+      assert(after.contains(""""row":["ray"]"""), after)
+      assert(!after.contains("never"), "a statement after the failure ran")
+
+      // malformed request body: in-band InvalidFormat error, still 200
+      val (mc, mbody) = post(port, """{"nope": true}""")
+      assert(mc == 200)
+      assert(mbody.contains("Neo.ClientError.Request.InvalidFormat"), mbody)
+
+      // non-POST: out-of-band 405
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/query")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      assert(conn.getResponseCode == 405)
+      conn.disconnect()
     } finally server.stop()
   }
 
