@@ -390,8 +390,21 @@ object Similarity {
       java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0d - 1.0
     }
 
-  /** [[lshBucketArray]] over the portable plane family. */
+  /** [[lshBucketArray]] over the portable plane family — computed by the
+    * fused codegen'd kernel ([[graft.functions.PortableLshBuckets]]): one
+    * pass over the vector for ALL tables×bits projections. The
+    * compositional form below generates tables×nBits separate literal-array
+    * dot expressions whose per-row code cost dominated d19's round-7
+    * rehearsal (3× the exact tiling it should beat); the kernel is
+    * bit-identical to it (spec-asserted) and to the oracle's replay. */
   def portableLshBucketArray(vec: Column, tables: Int, nBits: Int,
+      dim: Int): Column =
+    graft.functions.NativeExpressions.portableLshBuckets(vec, tables, nBits, dim)
+
+  /** Compositional reference formulation of [[portableLshBucketArray]] —
+    * kept for the kernel-equivalence spec (the [[VectorFunctions.dotHof]]
+    * pattern). */
+  def portableLshBucketArrayComposed(vec: Column, tables: Int, nBits: Int,
       dim: Int): Column =
     array((0 until tables).map(t =>
       lshBucket(vec, portablePlanes(t, nBits, dim))): _*)

@@ -53,6 +53,10 @@ object NativeExpressions {
 
   def simHashBits(a: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHashBits(GraftSqlBridge.expression(a), bits))
+
+  def portableLshBuckets(a: Column, tables: Int, nBits: Int, dim: Int): Column =
+    GraftSqlBridge.column(PortableLshBuckets(
+      GraftSqlBridge.expression(a), tables, nBits, dim))
 }
 
 /** The PORTABLE hash family shared with the DuckDB oracle: 60-bit md5
@@ -112,6 +116,60 @@ object DedupKernels {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Plane tensors for [[PortableLshBuckets]], derived once per JVM per
+    * geometry — weight (t, i, j) = md5-60("t:i:j")/2^59 − 1, the exact
+    * [[graft.analytics.Similarity.portablePlanes]] family (one source of
+    * truth for the bytes→long step is [[md5Base60Array]]'s layout). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  private def md5Base60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val h = md.digest(s.getBytes("UTF-8"))
+    var v64 = 0L
+    var j = 0
+    while (j < 8) { v64 = (v64 << 8) | (h(j) & 0xffL); j += 1 }
+    v64 >>> 4
+  }
+
+  def lshPlanes(tables: Int, nBits: Int, dim: Int): Array[Array[Array[Double]]] =
+    planeCache.computeIfAbsent((tables, nBits, dim), _ =>
+      Array.tabulate(tables, nBits, dim) { (t, i, j) =>
+        md5Base60(s"$t:$i:$j").toDouble / 576460752303423488.0d - 1.0
+      })
+
+  def portableLshBuckets(arr: ArrayData, isFloat: Boolean,
+      tables: Int, nBits: Int, dim: Int): ArrayData = {
+    val planes = lshPlanes(tables, nBits, dim)
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      xs(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val pt = planes(t)
+      var acc = 0L
+      var i = 0
+      while (i < nBits) {
+        val w = pt(i)
+        val m = math.min(w.length, n) // DotProduct's min-length contract
+        var s = 0.0
+        var k = 0
+        while (k < m) { s += xs(k) * w(k); k += 1 }
+        if (s >= 0.0) acc |= (1L << i)
+        i += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    ArrayData.toArrayData(out)
   }
 
   def md5Base60Array(arr: ArrayData, modP: Boolean): ArrayData = {
@@ -240,6 +298,47 @@ case class SimHashBits(child: Expression, bits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.DedupKernels.simHashBits($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ALL `tables` portable sign-LSH bucket ids in ONE pass over the vector.
+  * The compositional form (`tables × nBits` separate [[DotProduct]]s, each
+  * against a dim-element literal) generates enormous per-row code — at
+  * 8 tables × 12 bits × dim 64 the round-7 d19 rehearsal measured it at
+  * 3× the cost of the exact n² tiling it exists to beat, with multi-MiB
+  * task binaries. Here the plane tensor is derived once per JVM (cached by
+  * (tables, nBits, dim) — it is a pure function of those) and the per-row
+  * work is a tight fused loop. Plane weights and per-(table, bit) fold
+  * order are EXACTLY [[graft.analytics.Similarity.portablePlanes]]'s
+  * md5-60/2^59−1 family and DotProduct's j=0..dim−1 left fold, so bucket
+  * ids are bit-identical to the compositional form (spec-asserted) and to
+  * the DuckDB oracle's replay. */
+case class PortableLshBuckets(child: Expression, tables: Int, nBits: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(tables >= 1 && nBits >= 1 && nBits <= 60 && dim >= 1,
+    s"invalid LSH geometry: tables=$tables nBits=$nBits dim=$dim")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"portable_lsh_buckets requires array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.portableLshBuckets(
+      v.asInstanceOf[ArrayData], isFloat, tables, nBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupKernels.portableLshBuckets($c, $isFloat, $tables, $nBits, $dim)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -845,6 +845,177 @@ object AnalyticsCatalog {
            |WHERE cosine >= 0.4
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Doubled high-threshold dedup corpus shared by d19/d20/d21: every
+    * fixture embedding plus a deterministically jittered twin (id + 2^40,
+    * each element × 1.02 or 0.98 by dimension parity — a ~1.1° angular
+    * perturbation, cosine ≈ 0.9998, modeling a re-encoded/re-normalized
+    * copy). The fixture's own pairs all sit in [0.4, 0.6] (measured), so at
+    * θ=0.9 the expected pair set is EXACTLY the orig↔twin pairs — which is
+    * what a production near-dup threshold looks like, and where LSH bucket
+    * pruning actually pays (the d15 docstring's s-curve point). The jitter
+    * is plain IEEE arithmetic reproducible by the oracle (both factors are
+    * exact decimal→double literals on both engines). */
+  private def hiDupCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val orig = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // twin ids live 2^40 up — far above any fixture/rehearsal id range
+    // (ScaleRehearsal replicas shift by k·10^6, so a 10^6 offset would
+    // collide with replica 1 at sf1)
+    val twin = emb.select((col("vec_id") + (1L << 40)).as("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x * when(i % 2 === 0, lit(1.02)).otherwise(lit(0.98)))
+        .as("embedding"))
+    orig.unionByName(twin)
+  }
+
+  /** The corpus CTE mirroring [[hiDupCorpus]] for the d19/d20/d21 oracles. */
+  private val hiDupCorpusSql =
+    """corpus AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1099511627776, label,
+      |    list_transform(list_zip(embedding, range(0, len(embedding))),
+      |      p -> CAST(p[1] AS DOUBLE) *
+      |        (CASE WHEN p[2] % 2 = 0 THEN CAST(1.02 AS DOUBLE)
+      |              ELSE CAST(0.98 AS DOUBLE) END)) AS dvec
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, label, dvec,
+      |    sqrt(list_reduce(list_transform(dvec, x -> x * x), (p,q) -> p + q)) AS nrm
+      |  FROM corpus)""".stripMargin
+
+  private val d19 = Entry("d19_embedding_lsh_hi_threshold",
+    (s, dir) => {
+      // d15 at PRODUCTION settings — the measurement VERDICT r6 asked for:
+      // θ=0.9 with 12-bit buckets × 8 tables (per-bit collision at the
+      // twin's ~1.1° angle is 0.994, so table collision ≈ 0.93 and 8-table
+      // recall ≈ 1 − 7e-10; for non-dup pairs at cosine ≤ 0.62 a 12-bit
+      // agreement has probability ≈ 0.8^12 ≈ 0.07 per table — buckets stay
+      // SPARSE and candidates track the true pairs, not n²). Same portable
+      // planes, so the whole thing hash-matches the oracle; d20 is the
+      // exact tiling on the identical corpus — the rehearsal pair that
+      // turns the "LSH pays at production thresholds" claim into a number.
+      Similarity.embeddingNearDupPairsLSHPortable(
+          hiDupCorpus(s, dir), "vec_id", "embedding",
+          threshold = 0.9, tables = 8, nBits = 12, dim = 64)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $hiDupCorpusSql,
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bits a JOIN bits b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT * FROM (
+           |  SELECT c.id_a, c.id_b,
+           |    list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm) AS cosine
+           |  FROM cand c
+           |  JOIN v x ON c.id_a = x.vec_id
+           |  JOIN v y ON c.id_b = y.vec_id)
+           |WHERE cosine >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  private val d20 = Entry("d20_embedding_exact_hi_threshold",
+    (s, dir) => {
+      // The EXACT reference on d19's corpus: tiled O(n²) pair join at the
+      // same θ=0.9 — the comparator that prices what d19's bucket pruning
+      // saves (sf1 rehearsal row in BASELINE.md), and the recall oracle
+      // DedupSpec checks d19 against. Same tile decomposition as d06.
+      Similarity.embeddingNearDupPairs(
+          hiDupCorpus(s, dir), "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $hiDupCorpusSql
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  list_reduce(list_transform(list_zip(a.dvec, b.dvec),
+           |    x -> x[1] * x[2]), (p,q) -> p + q) / (a.nrm * b.nrm) AS cosine
+           |FROM v a JOIN v b ON a.vec_id < b.vec_id
+           |WHERE list_reduce(list_transform(list_zip(a.dvec, b.dvec),
+           |    x -> x[1] * x[2]), (p,q) -> p + q) / (a.nrm * b.nrm) >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  private val d21 = Entry("d21_semantic_dedup_hi_threshold",
+    (s, dir) => {
+      // d18's SemDeDup composition at d19's production thresholds: the
+      // LSH pair source feeds the same transitive-closure/min-survivor
+      // stages, so each orig↔twin near-dup cluster collapses to the
+      // original and the per-label summary shows exactly half the corpus
+      // pruned. Candidates stay sparse (12-bit buckets), so unlike d18's
+      // demo-threshold economics this composition is STRICTLY cheaper
+      // than exact d12 on the same input — the claim is priced by the
+      // d19/d20 rehearsal rows.
+      val corpus = hiDupCorpus(s, dir)
+      val pairs = Similarity.embeddingNearDupPairsLSHPortable(
+        corpus, "vec_id", "embedding", threshold = 0.9,
+        tables = 8, nBits = 12, dim = 64)
+      Dedup.clusterSurvivors(corpus, "vec_id", pairs.select("id_a", "id_b"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(not(col("is_survivor")), col("component")))
+            .as("n_pruned_clusters"))
+        .orderBy("label")
+    },
+    Some(s"""WITH RECURSIVE $hiDupCorpusSql,
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bits a JOIN bits b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |pairs AS (
+           |  SELECT c.id_a, c.id_b FROM cand c
+           |  JOIN v x ON c.id_a = x.vec_id
+           |  JOIN v y ON c.id_b = y.vec_id
+           |  WHERE list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm) >= 0.9),
+           |sym AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (
+           |  SELECT e.vec_id, e.label,
+           |    LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS component
+           |  FROM corpus e LEFT JOIN reach r ON r.a = e.vec_id
+           |  GROUP BY e.vec_id, e.label)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN vec_id = component THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  COUNT(DISTINCT CASE WHEN vec_id <> component THEN component END)
+           |    AS n_pruned_clusters
+           |FROM comp GROUP BY label ORDER BY label""".stripMargin))
+
   private val t07 = Entry("t07_train_val_test_split",
     (s, dir) => {
       // Deterministic document-level split: bucket = first md5 byte of the
@@ -4211,7 +4382,8 @@ object AnalyticsCatalog {
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
+    d16, d17, d18, d19, d20, d21,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,

@@ -115,6 +115,24 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("high-threshold LSH pairs (d19) equal the exact tiling (d20) on the doubled corpus") {
+    import spark.implicits._
+    // production thresholds: at θ=0.9 with 12-bit buckets × 8 tables the
+    // orig↔twin pairs (~1.1° apart) collide in some table with prob
+    // 1 − 7e-10 — on the deterministic fixture + portable planes the LSH
+    // pair SET equals the exact tiling's, including bit-identical cosines
+    def pairs(name: String) = graft.ops.AnalyticsCatalog.entries
+      .find(_.name == name).get.fn(spark, sfDir)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = pairs("d19_embedding_lsh_hi_threshold")
+    val exact = pairs("d20_embedding_exact_hi_threshold")
+    assert(exact.nonEmpty, "doubled corpus must produce orig/twin pairs")
+    assert(lsh == exact,
+      s"LSH found ${lsh.size} pairs vs exact ${exact.size}")
+    // and every pair is an orig↔its-twin pair at the jitter's cosine
+    assert(exact.forall { case (a, b, c) => b == a + (1L << 40) && c > 0.999 })
+  }
+
   test("banded SimHash rejects a radius the signature can't band") {
     // maxHamming + 1 > bits would give some chunks width 0 — mask 0, every
     // chunk join degrades to a per-block cross product; must fail fast

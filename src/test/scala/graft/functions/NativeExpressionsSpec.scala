@@ -30,6 +30,30 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(df.as[Double].head() === -11.25)
   }
 
+  test("PortableLshBuckets kernel == compositional per-plane dot formulation bitwise") {
+    // the fused kernel must reproduce the tables×nBits literal-dot
+    // formulation exactly — float AND double inputs, at the d15 (8×4) and
+    // d19 (8×12) geometries — or every LSH oracle hash-match silently breaks
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((tables, nBits) <- Seq((8, 4), (8, 12), (3, 7))) {
+      val f = emb.select(
+        graft.analytics.Similarity
+          .portableLshBucketArray($"embedding", tables, nBits, 64).as("native"),
+        graft.analytics.Similarity
+          .portableLshBucketArrayComposed($"embedding", tables, nBits, 64).as("composed"))
+      assert(f.filter(not($"native" === $"composed")).count() === 0,
+        s"geometry ${tables}x$nBits diverged on float input")
+      val d = emb.select($"embedding".cast("array<double>").as("e"))
+        .select(
+          graft.analytics.Similarity
+            .portableLshBucketArray($"e", tables, nBits, 64).as("native"),
+          graft.analytics.Similarity
+            .portableLshBucketArrayComposed($"e", tables, nBits, 64).as("composed"))
+      assert(d.filter(not($"native" === $"composed")).count() === 0,
+        s"geometry ${tables}x$nBits diverged on double input")
+    }
+  }
+
   test("JaccardSim == size(intersect)/size(union) on fixture shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val t = docs.select($"doc_id", Dedup.shingles($"text", 1).as("sh"), $"source")

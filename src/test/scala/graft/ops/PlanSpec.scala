@@ -230,6 +230,19 @@ class PlanSpec extends SparkTestBase {
       !d18.contains("BroadcastNestedLoopJoin"), d18)
   }
 
+  test("round-7 high-threshold LSH shapes keep their intended plans") {
+    // d19/d21 run the production-threshold LSH (12-bit buckets × 8
+    // tables): candidates must still come from (table, bucket) equi-joins
+    // only — the whole point of the high-threshold twin is that the
+    // bucket join PRUNES, so a cartesian anywhere would defeat it
+    for (q <- Seq("d19_embedding_lsh_hi_threshold",
+        "d21_semantic_dedup_hi_threshold")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
