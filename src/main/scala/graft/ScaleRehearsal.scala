@@ -81,7 +81,12 @@ object ScaleRehearsal {
     // lets a round re-measure only its additions without paying the
     // all-pairs c19 reference (434 s at sf1) every time
     val heavy =
-      if (args.length > 2) args.drop(2).toSeq
+      if (args.length > 2 && args(2) == "--all")
+        // full-inventory sweep (VERDICT r6 #4): every declared query once at
+        // the sf1 derivation, for the complete 10× scaling table — run
+        // sorted so the output order is stable
+        SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
       else Seq("d03_minhash_lsh_pairs", "d06_embedding_near_dup",
         "d08_neardup_cluster_dedup", "x01_connected_components",
         "c19_cypher_shortest_path", "c23_cypher_anchored_shortest",
@@ -99,7 +104,15 @@ object ScaleRehearsal {
         "d14_simhash_banded_pairs")
     val results = heavy.map { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, out).count()
+      // isolate per-query failures: in an --all sweep one erroring query
+      // must not void the other 190+ measurements; rows = -1 marks it
+      val n = try SparkEntry.queries(name)(spark, out).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[rehearsal] $name FAILED: " +
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")
+              .linesIterator.take(1).mkString.take(160)}")
+          -1L
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       name -> ((secs, n))
     }

@@ -542,6 +542,106 @@ final class CypherSession(
           w.where.exists(boolWantsPathArrays))
       }
 
+    // ── property-pruning pre-scan ────────────────────────────────────
+    // Node bindings carry their props MAP through every pattern join; for
+    // wide documents (full text in the bag) a Σdeg²-row sibling expansion
+    // shuffles gigabytes nobody reads — the round-7 full-inventory sf1
+    // sweep measured c13 at 93× its sf0.1 cost from exactly this. Collect
+    // every property each variable is read for, plus the variables
+    // consumed as WHOLE entities (RETURN n, properties(n)/keys(n),
+    // n {.*}, collect(n), a RENAMING `WITH a AS b`); nodeDf then narrows
+    // the bag to the referenced keys — reads are unchanged (absent key →
+    // NULL either way), the join/shuffle width drops to the scalars the
+    // statement actually touches. Anonymous pattern variables prune to an
+    // empty bag.
+    val propRefs = scala.collection.mutable.Map.empty[String, Set[String]]
+    val wholeVars = scala.collection.mutable.Set.empty[String]
+    def addRef(v: String, p: String): Unit =
+      propRefs(v) = propRefs.getOrElse(v, Set.empty) + p
+    def scanValue(value: Value): Unit = value match {
+      case RefValue(PropRef(vr, p)) => addRef(vr, p)
+      case ListLit(items) => items.foreach(scanValue)
+      case _ => ()
+    }
+    def scanPath(p: PathPat): Unit = {
+      p.nodes.foreach { n =>
+        n.props.foreach { case (k, value) =>
+          n.variable.foreach(addRef(_, k)); scanValue(value) }
+      }
+      p.edges.foreach(_.props.values.foreach(scanValue))
+    }
+    def scanBool(b: BoolExpr): Unit = b match {
+      case Cmp(Predicate(l, _, r)) => scanExpr(l); scanExpr(r)
+      case AndE(l, r) => scanBool(l); scanBool(r)
+      case OrE(l, r) => scanBool(l); scanBool(r)
+      case NotE(e) => scanBool(e)
+      case ListPred(_, _, src, w) => scanExpr(src); scanBool(w)
+      case ExistsPat(path, w) => scanPath(path); w.foreach(scanBool)
+    }
+    def scanExpr(e: ReturnExpr): Unit = e match {
+      case RetVar(v) => wholeVars += v
+      case RetProp(PropRef(v, p)) => addRef(v, p)
+      case RetFn(f, as) => as.foreach {
+        // id/labels/type/length over a bare binding read metadata columns,
+        // not the property bag — they must not widen it to whole-map
+        case RetVar(_) if Set("id", "labels", "type", "length")(f) => ()
+        case a => scanExpr(a)
+      }
+      case RetLit(value) => scanValue(value)
+      case RetBin(_, l, r) => scanExpr(l); scanExpr(r)
+      case RetCase(ws, d) =>
+        ws.foreach { case (c, x) => scanBool(c); scanExpr(x) }
+        d.foreach(scanExpr)
+      case RetAgg(fn, arg, _) => arg.foreach {
+        case Left(v) => if (fn != "count") wholeVars += v // collect(n) etc.
+        case Right(PropRef(v, p)) => addRef(v, p)
+      }
+      case RetAggExpr(_, a, _, _) => scanExpr(a)
+      case RetCountSub(path, w) => scanPath(path); w.foreach(scanBool)
+      case RetExistsSub(sub) => scanExpr(sub)
+      case RetPatternComp(path, w, proj) =>
+        scanPath(path); w.foreach(scanBool); scanExpr(proj)
+      case RetListLit(items) => items.foreach(scanExpr)
+      case RetListComp(_, src, w, proj) =>
+        scanExpr(src); w.foreach(scanBool); proj.foreach(scanExpr)
+      case RetReduce(_, init, _, src, body) =>
+        scanExpr(init); scanExpr(src); scanExpr(body)
+      case RetMapProj(v, props, all) =>
+        if (all) wholeVars += v else props.foreach(addRef(v, _))
+      case RetTemporalCtor(_, pairs) => pairs.foreach(p2 => scanExpr(p2._2))
+      case RetIndex(src, i) => scanExpr(src); scanExpr(i)
+      case RetSlice(src, lo, hi) =>
+        scanExpr(src); lo.foreach(scanExpr); hi.foreach(scanExpr)
+    }
+    def scanOrder(o: OrderItem): Unit = {
+      o.key match { case Right(PropRef(v, p)) => addRef(v, p); case _ => () }
+      o.expr.foreach(scanExpr)
+    }
+    def scanWith(w: WithClause): Unit = {
+      w.items.foreach { i =>
+        i.expr match {
+          // `WITH a` passes the binding through under its own name —
+          // downstream refs keep accumulating against it; a RENAMING alias
+          // moves later refs to a name nodeDf can't see → keep whole
+          case RetVar(v) if i.alias.forall(_ == v) => ()
+          case other => scanExpr(other)
+        }
+      }
+      w.where.foreach(scanBool); w.orderBy.foreach(scanOrder)
+    }
+    def scanStatement(st: MatchStatement): Unit = {
+      st.stages.foreach { s =>
+        (s.paths ++ s.optPaths).foreach(scanPath)
+        s.where.foreach(scanBool)
+        s.withClause.foreach(scanWith)
+        s.unwinds.foreach(u => scanExpr(u.expr))
+        s.calls.foreach(c => scanStatement(c.inner))
+      }
+      st.ret.foreach(i => scanExpr(i.expr))
+      st.orderBy.foreach(scanOrder)
+    }
+    scanStatement(m)
+
     def nodeDf(pat: NodePat, v: String): DataFrame = {
       var base = graph.nodes
       pat.label.foreach(l => base = base.filter(col("label") === l))
@@ -549,8 +649,15 @@ final class CypherSession(
         base = base.filter(propOf(col("key"), col("props"), col("label"), k) ===
           scalarCol(value, params))
       }
+      val propsCol =
+        if (wholeVars.contains(v)) col("props")
+        else {
+          val needed = propRefs.getOrElse(v, Set.empty)
+          if (needed.isEmpty) typedlit(Map.empty[String, String])
+          else map_filter(col("props"), (k, _) => k.isInCollection(needed))
+        }
       base.select(col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
-        col("key").as(s"${v}__key"), col("props").as(s"${v}__props"))
+        col("key").as(s"${v}__key"), propsCol.as(s"${v}__props"))
     }
 
     def compilePath(p: PathPat, optional: Boolean): Unit = {

@@ -243,6 +243,60 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("AQE skew join splits the straggler partition on skewed input only") {
+    // The engine-native complement to q33's manual salting: on a shuffle
+    // join where one key owns most of the bytes, AQE's skew-join must
+    // split that partition at runtime (OptimizeSkewedJoin marks the
+    // SortMergeJoin isSkewJoin and the AQEShuffleRead reads split
+    // sub-partitions) — and must NOT fire on a uniform key distribution.
+    // Thresholds are lowered so a test-sized fixture exhibits the
+    // production behavior; broadcast is disabled so the join shuffles.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+      val old = pairs.map { case (k, _) =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // payload must be per-row (not constant-foldable) and survive into
+      // the shuffle, or the skewed partition is a few compressed KB of
+      // identical longs and never crosses the byte threshold
+      val pad = concat(lit("x" * 64), $"id", md5($"id".cast("string")))
+      // 90% of rows on key 0, the rest spread over 99 keys
+      val skewed = spark.range(0, 400000)
+        .select(when($"id" < 360000, 0L).otherwise($"id" % 99 + 1).as("k"), pad.as("p"))
+      val uniform = spark.range(0, 400000).select(($"id" % 100).as("k"), pad.as("p"))
+      val dim = spark.range(0, 100).select($"id".as("k"), lit(1).as("v"))
+      def executedPlan(left: org.apache.spark.sql.DataFrame): String = {
+        // global aggregate, NOT groupBy(k): an agg keyed on the join key
+        // requires the join's hash partitioning, and AQE declines to split
+        // a skewed partition when that would break a downstream
+        // requirement (unless forceOptimizeSkewedJoin) — the realistic
+        // shape is a join whose consumer doesn't need k-partitioning
+        val j = left.join(dim, "k").agg(sum(length($"p")))
+        j.collect() // AQE finalizes only after execution
+        j.queryExecution.executedPlan.toString
+      }
+      val skewedPlan = executedPlan(skewed)
+      assert(skewedPlan.contains("isSkewJoin") || skewedPlan.contains("skewed"),
+        s"skewed input did not trigger a skew-join split:\n$skewedPlan")
+      val uniformPlan = executedPlan(uniform)
+      assert(!uniformPlan.contains("isSkewJoin") && !uniformPlan.contains("skewed"),
+        s"uniform input wrongly marked skewed:\n$uniformPlan")
+    }
+  }
+
   test("q42 per-part average aggregates the brand's semi-joined slice only") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}

@@ -315,4 +315,87 @@ class StreamingSpec extends SparkTestBase {
     // are bit-identical across all three batches (no full-store rewrite)
     assert(pubFiles() === before)
   }
+
+  test("checkpoint recovery: committed batches never replay; a crashed batch replays idempotently") {
+    // The exactly-once property the reference gets from Neo4j transactions,
+    // proven on OUR sink instead of argued: a file-source query with a real
+    // checkpoint is stopped and restarted twice —
+    //   restart A: new data only; the committed batch 0 must NOT reprocess
+    //     (created counters sum once across the whole run);
+    //   restart B: batch 2's side effect RAN but its commit was lost (the
+    //     injected crash fires after upsertNodes returns) — the replay
+    //     re-applies the MERGE and the store still holds each key once.
+    // Spark's offset log gives at-least-once per uncommitted batch; the
+    // idempotent set-oriented MERGE upgrades the EFFECT to exactly-once.
+    import graft.graph.GraphStore
+    import org.apache.spark.sql.types._
+    val dirs = Seq("in", "chk", "store").map(n =>
+      java.nio.file.Files.createTempDirectory(s"graft_recovery_$n").toString)
+    val Seq(inDir, chkDir, store) = dirs
+    // seed unrelated nodes AND an edge: a zero-file parquet dir (which an
+    // edge-less store's edges/ would be) can't infer its schema on read
+    GraphStore.write(PropertyGraph.empty(spark)
+      .mergeNodes(Seq(
+        ("Publisher", "P0", Map("seed" -> "y")),
+        ("Publisher", "P1", Map("seed" -> "y")))
+        .toDF("label", "key", "props"))
+      .mergeEdgesByKey(Seq(("Publisher", "P0", "Publisher", "P1", "RELATES"))
+        .toDF("srcLabel", "srcKey", "dstLabel", "dstKey", "relType")), store)
+    val schema = new StructType().add("key", StringType).add("title", StringType)
+    val counters = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    @volatile var crashOnce = false
+    def startQuery() = spark.readStream.schema(schema).json(inDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chkDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val nodes = batch.select(lit("Article").as("label"), col("key"),
+          map(lit("title"), col("title")).as("props"))
+        counters += GraphStore.upsertNodes(spark, store, nodes)
+        if (crashOnce) { crashOnce = false
+          throw new RuntimeException("injected crash AFTER side effect, before commit")
+        }
+        ()
+      }.start()
+    def writeFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def articles() = GraphStore.read(spark, store).matchLabel("Article")
+
+    // run 1: batch 0 commits, clean stop
+    writeFile("f1.json", """{"key":"a","title":"t1"}""", """{"key":"b","title":"t2"}""")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(counters.toSeq === Seq((2L, 0L)))
+
+    // restart A: only the NEW file may process — a committed batch
+    // reprocessing here would show up as extra counter rows
+    writeFile("f2.json", """{"key":"a","title":"t1-v2"}""", """{"key":"c","title":"t3"}""")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(counters.toSeq === Seq((2L, 0L), (1L, 1L)),
+      s"committed batch replayed: $counters")
+    assert(articles().count() === 3)
+
+    // run 3: the batch's side effect runs, then the commit is lost
+    writeFile("f3.json", """{"key":"d","title":"t4"}""")
+    crashOnce = true
+    val q3 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination()
+    }
+    q3.stop()
+    assert(counters.toSeq === Seq((2L, 0L), (1L, 1L), (1L, 0L)),
+      s"crashed batch's first attempt missing: $counters")
+
+    // restart B: the uncommitted batch REPLAYS (at-least-once), the
+    // idempotent MERGE reports it as matched, and the store is unchanged
+    val q4 = startQuery()
+    try q4.processAllAvailable() finally q4.stop()
+    assert(counters.toSeq === Seq((2L, 0L), (1L, 1L), (1L, 0L), (0L, 1L)),
+      s"replay after crash not idempotent: $counters")
+    assert(articles().count() === 4, "a key was double-created")
+    assert(articles().filter(col("key") === "d").count() === 1)
+    assert(articles().filter(col("key") === "a")
+      .select(element_at(col("props"), "title")).as[String].head() === "t1-v2")
+  }
 }
