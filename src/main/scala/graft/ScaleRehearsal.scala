@@ -30,6 +30,39 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // TPC-H-family derivation (round 7 — the --all sweep needs every table
+    // the inventory reads): facts replicate 10× with per-replica key
+    // shifts that KEEP referential integrity inside each replica
+    // (l_orderkey↔o_orderkey shift together, o_custkey↔c_custkey,
+    // l_partkey↔p_partkey, l_suppkey↔s_suppkey); region/nation are
+    // fixed-size dimensions in TPC-H and stay as-is, and replicated
+    // customers/suppliers keep their nationkey so dim joins see 10× the
+    // facts per dim row — which is what a 10× dataset does.
+    def replicate(table: String, keyShifts: Map[String, Long]): Unit = {
+      if (!new java.io.File(s"$out/$table.parquet").exists()) {
+        val src = ops.Tables(spark, base, table)
+        (0 until 10).map { k =>
+          if (k == 0) src
+          else src.select(src.columns.toIndexedSeq.map { c =>
+            keyShifts.get(c) match {
+              case Some(stride) => (col(c) + lit(k * stride)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      }
+    }
+    replicate("lineitem", Map("l_orderkey" -> 10000000L,
+      "l_partkey" -> 1000000L, "l_suppkey" -> 100000L))
+    replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicate("customer", Map("c_custkey" -> 1000000L))
+    replicate("supplier", Map("s_suppkey" -> 100000L))
+    replicate("part", Map("p_partkey" -> 1000000L))
+    replicate("nation", Map.empty)
+    replicate("region", Map.empty)
+
     // regenerate if ANY derived table is missing (the events derivation was
     // added in round 6 — an older rehearsal dir has docs/embeddings only)
     if (!Seq("documents", "embeddings", "events")
