@@ -708,11 +708,20 @@ final class CypherSession(
         if (e.undirected)
           es = es.unionByName(es.select(col("dstId").as("srcId"),
             col("srcId").as("dstId"), col("relType"), col("props")))
+        // edge bindings prune their props bag exactly like node bindings
+        // (same pre-scan; a bare `r` / properties(r) keeps the whole map)
+        val ePropsCol =
+          if (wholeVars.contains(eVar)) col("props")
+          else {
+            val needed = propRefs.getOrElse(eVar, Set.empty)
+            if (needed.isEmpty) typedlit(Map.empty[String, String])
+            else map_filter(col("props"), (k, _) => k.isInCollection(needed))
+          }
         val eDf =
           if (e.minHops == 1 && e.maxHops == 1)
             es.select(col("srcId").as(s"${eVar}__src"),
               col("dstId").as(s"${eVar}__dst"), col("relType").as(s"${eVar}__type"),
-              col("props").as(s"${eVar}__props"))
+              ePropsCol.as(s"${eVar}__props"))
           else {
             // variable-length expansion: union of h-hop reachability for
             // h in [minHops, maxHops] — each extra hop is one more equi-join
