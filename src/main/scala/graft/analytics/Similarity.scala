@@ -212,6 +212,30 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("score"))
   }
 
+  /** Two-stage PQ search — the exact-re-rank composition [[pqTopK]]'s doc
+    * names as the answer to ADC's tie-heavy intra-cluster ordering: ADC
+    * top-`n` candidates per query (reads only the m-byte codes), then
+    * EXACT cosine over just those n raw vectors → top-`k`. At 100 TB the
+    * first stage touches m bytes per corpus row and the second touches
+    * n raw vectors per query — the standard recall/cost ladder. The
+    * candidate set is broadcast back against the corpus (n·|queries|
+    * rows), so the raw vectors of non-candidates are never read twice. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int, n: Int,
+      m: Int, ksub: Int, dim: Int,
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    require(n >= k, s"re-rank pool n=$n must be >= k=$k")
+    val cand = pqTopK(corpus, queries, n, m, ksub, dim,
+      corpusId, corpusVec, queryId, queryVec).select(col(queryId), col(corpusId))
+    val scored = corpus.join(broadcast(cand), Seq(corpusId))
+      .join(broadcast(queries), Seq(queryId))
+      .withColumn("cosine", VectorFunctions.cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
   /** IVF-PQ — the composition [[pqTopK]]'s doc promises at 100 TB: IVF
     * cells prune the candidate set (query probes only its `nprobe` nearest
     * cells — the equi-join on cell id replaces the full broadcast scan),
@@ -245,23 +269,37 @@ object Similarity {
 
   /** Shared PQ machinery: the deterministic sampled codebook plus the
     * column builders for corpus codes, per-query ADC distance tables, and
-    * the code-indexed score. */
-  private case class PqCodebook(m: Int, dsub: Int,
+    * the code-indexed score. Codes and tables run through the fused
+    * [[graft.functions.PqCodes]]/[[graft.functions.PqDtab]] kernels —
+    * one pass per row with the codebook a task-binary reference, instead
+    * of m×ksub literal-dot struct expressions whose generated code volume
+    * dominated v10/v11 (10.6 s → sub-second for a 20k-row sf1 corpus);
+    * the compositional forms below stay as the spec's bit-equivalence
+    * references. */
+  private[analytics] case class PqCodebook(m: Int, dsub: Int,
       book: Array[Array[(Array[Double], Double)]]) {
-    def codesCol(vec: Column): Column = array((0 until m).map { s =>
+    private val cen: Array[Array[Array[Double]]] = book.map(_.map(_._1))
+    private val cc: Array[Array[Double]] = book.map(_.map(_._2))
+    def codesCol(vec: Column): Column =
+      graft.functions.NativeExpressions.pqCodes(vec, cen, cc)
+    def dtabCol(vec: Column): Column =
+      graft.functions.NativeExpressions.pqDtab(vec, cen, cc)
+    /** Compositional reference of [[codesCol]] (kernel-equivalence spec). */
+    def codesColComposed(vec: Column): Column = array((0 until m).map { s =>
       val sub = slice(vec, s * dsub + 1, dsub)
       // argmin over ‖c‖² − 2·x·c (the ‖x‖² term is constant per argmin);
       // ties break to the smallest code via the struct ordering
-      array_min(array(book(s).zipWithIndex.map { case ((cen, cc), c) =>
-        struct((lit(cc) - lit(2.0) * graft.functions.NativeExpressions
-          .dotProduct(sub, typedlit(cen.toSeq))).as("d"), lit(c).as("c"))
+      array_min(array(book(s).zipWithIndex.map { case ((cn, c2), c) =>
+        struct((lit(c2) - lit(2.0) * graft.functions.NativeExpressions
+          .dotProduct(sub, typedlit(cn.toSeq))).as("d"), lit(c).as("c"))
       }: _*)).getField("c")
     }: _*)
-    def dtabCol(vec: Column): Column = array((0 until m).map { s =>
+    /** Compositional reference of [[dtabCol]] (kernel-equivalence spec). */
+    def dtabColComposed(vec: Column): Column = array((0 until m).map { s =>
       val sub = slice(vec, s * dsub + 1, dsub)
-      array(book(s).map { case (cen, cc) =>
-        lit(cc) - lit(2.0) * graft.functions.NativeExpressions
-          .dotProduct(sub, typedlit(cen.toSeq))
+      array(book(s).map { case (cn, c2) =>
+        lit(c2) - lit(2.0) * graft.functions.NativeExpressions
+          .dotProduct(sub, typedlit(cn.toSeq))
       }: _*)
     }: _*)
     def adcScore: Column = (0 until m).map(s =>

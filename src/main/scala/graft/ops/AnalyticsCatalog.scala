@@ -4283,6 +4283,80 @@ object AnalyticsCatalog {
            |QUALIFY rank <= 3
            |ORDER BY q_id, rank""".stripMargin))
 
+  private val v12 = Entry("v12_ann_pq_rerank",
+    (s, dir) => {
+      // Two-stage PQ: ADC top-10 candidates (codes only) exact-re-ranked
+      // by true cosine to top-3 — the composition v10's doc names as the
+      // answer to ADC's tie-heavy intra-cluster order (quantized cluster
+      // members score identically; the re-rank touches only the 10 raw
+      // candidate vectors per query and restores the exact order v02
+      // would produce on that pool). Oracle = v10's codebook/ADC CTEs
+      // capped at 10, composed with the exact-cosine re-rank.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqRerankTopK(corpus, queries, k = 3, n = 10, m = 8,
+          ksub = 16, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |vn AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM v),
+           |smp AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |book AS (
+           |  SELECT s.s, smp.c,
+           |    list_slice(smp.embedding, s.s * 8 + 1, s.s * 8 + 8) AS cen,
+           |    list_reduce(list_transform(
+           |      list_slice(smp.embedding, s.s * 8 + 1, s.s * 8 + 8),
+           |      x -> CAST(x AS DOUBLE) * x), (a,b) -> a + b) AS cc
+           |  FROM smp, range(0, 8) s(s)),
+           |dist AS (
+           |  SELECT x.vec_id, b.s, b.c,
+           |    b.cc - 2.0 * list_reduce(list_transform(
+           |      list_zip(list_slice(x.embedding, b.s * 8 + 1, b.s * 8 + 8), b.cen),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           |      (a,b2) -> a + b2) AS d
+           |  FROM v x, book b),
+           |codes AS (
+           |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+           |    SELECT vec_id, s, c,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+           |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+           |dtab AS (
+           |  SELECT vec_id AS q_id, list(ds ORDER BY s) AS dtab FROM (
+           |    SELECT vec_id, s, list(d ORDER BY c) AS ds
+           |    FROM dist WHERE vec_id < 5 GROUP BY vec_id, s) GROUP BY vec_id),
+           |adc AS (
+           |  SELECT q.q_id, c.vec_id AS id,
+           |    list_reduce(list_transform(range(0, 8),
+           |      s -> q.dtab[s + 1][c.codes[s + 1] + 1]), (a,b) -> a + b) AS score
+           |  FROM dtab q CROSS JOIN codes c WHERE q.q_id <> c.vec_id),
+           |cand AS (
+           |  SELECT q_id, id FROM (
+           |    SELECT q_id, id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY score, id) AS rn
+           |    FROM adc) WHERE rn <= 10),
+           |rerank AS (
+           |  SELECT cand.q_id, cand.id,
+           |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM cand
+           |  JOIN vn q ON q.vec_id = cand.q_id
+           |  JOIN vn c ON c.vec_id = cand.id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS INT) AS rank,
+           |  id, cosine
+           |FROM rerank
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
+
   private val v11 = Entry("v11_ann_ivf_pq",
     (s, dir) => {
       // IVF-PQ — the composed 100 TB shape the v04/v10 docs each point at:
@@ -4384,7 +4458,7 @@ object AnalyticsCatalog {
     t16, t17, t18, t19, t20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21,
-    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11,
+    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,

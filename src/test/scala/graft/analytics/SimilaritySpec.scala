@@ -155,6 +155,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("PQ re-rank with a full candidate pool equals brute-force top-k exactly") {
+    // with n = corpus size the ADC stage prunes nothing, so the exact
+    // re-rank must reproduce cosineTopK bit-for-bit (same cosines, same
+    // tie order) — the property that makes the two-stage ladder safe: ADC
+    // only bounds RECALL, the re-rank owns the ordering
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("q_id"), $"vec".as("q_vec"))
+    val brute = Similarity.cosineTopK(corpus, queries, k = 3)
+      .select("q_id", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val rr = Similarity.pqRerankTopK(corpus, queries, k = 3, n = 80,
+        m = 4, ksub = 8, dim = 16)
+      .select("q_id", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(rr === brute)
+    // and a realistic pool still keeps every neighbor in the query's cluster
+    val narrow = Similarity.pqRerankTopK(corpus, queries, k = 3, n = 10,
+        m = 4, ksub = 8, dim = 16)
+      .join(corpus.select($"id", $"cluster"), "id")
+      .join(corpus.select($"id".as("q_id"), $"cluster".as("q_cluster")), "q_id")
+    assert(narrow.count() === 8 * 3)
+    assert(narrow.filter($"cluster" =!= $"q_cluster").count() === 0)
+  }
+
   test("IVF-PQ top-k: cell pruning composes with ADC, neighbors stay in-cluster") {
     val corpus = clustered
     val queries = corpus.filter($"id" < 8)

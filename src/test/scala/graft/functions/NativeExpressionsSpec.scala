@@ -54,6 +54,45 @@ class NativeExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("PqCodes/PqDtab kernels == compositional literal-dot formulation bitwise") {
+    import org.apache.spark.sql.Column
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = 8; val dsub = 8
+    // the v10 codebook policy: sub-vectors of the first 16 corpus vectors
+    val sample = emb.orderBy($"vec_id").limit(16)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+    val cen = Array.tabulate(m)(s =>
+      sample.map(v => v.slice(s * dsub, (s + 1) * dsub).toArray))
+    val cc = Array.tabulate(m)(s => sample.map { v =>
+      val sub = v.slice(s * dsub, (s + 1) * dsub); sub.map(x => x * x).sum })
+    def composedCodes(e: Column): Column = array((0 until m).map { s =>
+      val sub = slice(e, s * dsub + 1, dsub)
+      array_min(array(cen(s).indices.map { c =>
+        struct((lit(cc(s)(c)) - lit(2.0) *
+          VectorFunctions.dot(sub, typedlit(cen(s)(c).toSeq))).as("d"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    def composedDtab(e: Column): Column = array((0 until m).map { s =>
+      val sub = slice(e, s * dsub + 1, dsub)
+      array(cen(s).indices.map { c =>
+        lit(cc(s)(c)) - lit(2.0) * VectorFunctions.dot(sub, typedlit(cen(s)(c).toSeq))
+      }: _*)
+    }: _*)
+    val d = emb.select($"embedding".cast("array<double>").as("e"))
+      .select(
+        NativeExpressions.pqCodes($"e", cen, cc).as("kc"),
+        composedCodes($"e").as("cmpc"),
+        NativeExpressions.pqDtab($"e", cen, cc).as("kd"),
+        composedDtab($"e").as("cmpd"))
+    assert(d.filter(not($"kc" === $"cmpc") || not($"kd" === $"cmpd")).count() === 0)
+    // float input path too (the corpus columns are array<float>)
+    val f = emb.select(
+      NativeExpressions.pqCodes($"embedding", cen, cc).as("kc"),
+      composedCodes($"embedding".cast("array<double>")).as("cmpc"))
+    assert(f.filter(not($"kc" === $"cmpc")).count() === 0)
+  }
+
   test("JaccardSim == size(intersect)/size(union) on fixture shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val t = docs.select($"doc_id", Dedup.shingles($"text", 1).as("sh"), $"source")
