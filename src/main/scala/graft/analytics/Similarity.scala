@@ -192,9 +192,11 @@ object Similarity {
     * 100 TB this composes with IVF cells (IVF-PQ): the cell equi-join
     * prunes candidates, the codes make the scan that remains fit in
     * memory. Approximate by construction (in-cluster members quantize to
-    * the same codes and tie) → spec'd for cluster fidelity + determinism,
-    * no deterministic oracle; exact intra-cluster ranking is a re-rank
-    * stage over the raw vectors of the ADC top-N. */
+    * the same codes and tie) — spec'd for cluster fidelity + determinism,
+    * and since round 6 the deterministic-sample codebook makes the whole
+    * pipeline oracle-hashed; exact intra-cluster ranking is
+    * [[pqRerankTopK]], the re-rank stage over the raw vectors of the ADC
+    * top-N. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, ksub: Int,
       dim: Int, corpusId: String = "id", corpusVec: String = "vec",
       queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
