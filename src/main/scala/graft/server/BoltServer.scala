@@ -1,0 +1,287 @@
+package graft.server
+
+import graft.cypher.{CypherMutation, CypherResult, CypherRows, CypherSession, CypherWrite}
+import graft.server.PackStream.Struct
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.control.NonFatal
+
+/** Bolt wire-protocol listener over a [[CypherSession]] — the OTHER half of
+  * the reference's server seam: its clients speak Bolt on 7687
+  * (/root/reference/src/database.py:7-10, /root/reference/start.sh:5),
+  * while [[HttpQueryServer]] covers the HTTP transactional shape. With
+  * this listener a stock Bolt driver (`bolt://` direct scheme) can open a
+  * session against the Spark engine and run the reference's own query
+  * strings unchanged.
+  *
+  * Protocol subset, from the published Bolt specification:
+  *   - classic 4-proposal version handshake (magic `6060 B017`), ranges
+  *     expanded; negotiates Bolt 5.0–5.8 or 4.4, else replies `00000000`
+  *     and closes;
+  *   - chunked message framing (16-bit chunk headers, empty-chunk message
+  *     terminator; empty chunks between messages are keep-alive NOOPs);
+  *   - requests HELLO, LOGON/LOGOFF (5.1+), RESET, GOODBYE, RUN, PULL,
+  *     DISCARD, BEGIN/COMMIT/ROLLBACK, ROUTE, TELEMETRY; responses
+  *     SUCCESS / RECORD / FAILURE / IGNORED with the standard state
+  *     machine (a FAILURE parks the connection in FAILED; everything but
+  *     RESET/GOODBYE is IGNORED until the client RESETs).
+  *
+  * Contract divergences, deliberate and observable (same posture as the
+  * HTTP server): writes are set-oriented idempotent MERGEs, not
+  * transactions — BEGIN and COMMIT are accepted no-ops so auto-commit-style
+  * client code runs, but ROLLBACK answers a FAILURE naming the missing
+  * capability instead of silently "succeeding" at un-doing nothing. ROUTE
+  * likewise fails with an explicit message (direct `bolt://` only).
+  * Temporal values render as ISO-8601 strings rather than Bolt temporal
+  * structs; decimals as float64 (Neo4j's number model).
+  *
+  * Scale posture: the listener is a thin adapter onto the same set-oriented
+  * Spark plans every other entry point compiles to; result rows stream
+  * through `toLocalIterator` under PULL flow control with a `maxRows` cap,
+  * so a runaway `MATCH (n) RETURN n` cannot buffer an unbounded result in
+  * the server JVM. Zero new dependencies: JDK sockets + the in-repo
+  * PackStream codec; loopback-tested in BoltServerSpec.
+  */
+final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
+
+  private val magic = Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17)
+  private var serverSocket: ServerSocket = _
+  private val open = ConcurrentHashMap.newKeySet[Socket]()
+  private val connIds = new AtomicLong(0L)
+
+  /** Start on the given port (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(serverSocket == null, "server already started")
+    serverSocket = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = serverSocket.accept()
+        open.add(sock)
+        val t = new Thread(() => {
+          try serve(sock)
+          catch { case NonFatal(_) => () }
+          finally { open.remove(sock); try sock.close() catch { case NonFatal(_) => () } }
+        }, s"bolt-conn-${connIds.incrementAndGet()}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => () } // socket closed on stop()
+    }, "bolt-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    serverSocket.getLocalPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (serverSocket != null) {
+      try serverSocket.close() catch { case NonFatal(_) => () }
+      serverSocket = null
+      open.forEach(s => try s.close() catch { case NonFatal(_) => () })
+      open.clear()
+    }
+  }
+
+  // ---- handshake + framing -------------------------------------------------
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val hello = new Array[Byte](4)
+    in.readFully(hello)
+    if (!java.util.Arrays.equals(hello, magic)) return
+    val proposals = Seq.fill(4)(in.readInt())
+    negotiate(proposals) match {
+      case None => out.writeInt(0); out.flush()
+      case Some((major, minor)) =>
+        out.writeInt((major & 0xFF) | ((minor & 0xFF) << 8)); out.flush()
+        messageLoop(in, out)
+    }
+  }
+
+  /** Expand each 4-byte proposal `[pad, range, minor, major]` into its
+    * minor range and pick the highest mutually supported version. */
+  private def negotiate(proposals: Seq[Int]): Option[(Int, Int)] = {
+    val offered = proposals.flatMap { p =>
+      val major = p & 0xFF; val minor = (p >> 8) & 0xFF; val range = (p >> 16) & 0xFF
+      (math.max(0, minor - range) to minor).map(m => (major, m))
+    }
+    val supported = offered.filter { case (maj, min) =>
+      (maj == 5 && min <= 8) || (maj == 4 && min == 4)
+    }
+    supported.sorted.lastOption
+  }
+
+  private def readMessage(in: DataInputStream): Struct = {
+    val buf = new ByteArrayOutputStream()
+    var sawChunk = false
+    var done = false
+    while (!done) {
+      val size = in.readUnsignedShort()
+      if (size == 0) { if (sawChunk) done = true /* else keep-alive NOOP */ }
+      else {
+        sawChunk = true
+        val chunk = new Array[Byte](size)
+        in.readFully(chunk)
+        buf.write(chunk)
+      }
+    }
+    PackStream.read(new DataInputStream(new ByteArrayInputStream(buf.toByteArray))) match {
+      case s: Struct => s
+      case other => throw new IllegalArgumentException(s"message is not a struct: $other")
+    }
+  }
+
+  private def writeMessage(out: DataOutputStream, msg: Struct): Unit = {
+    val body = new ByteArrayOutputStream()
+    PackStream.write(new DataOutputStream(body), msg)
+    val bytes = body.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(0xFFFF, bytes.length - off)
+      out.writeShort(n)
+      out.write(bytes, off, n)
+      off += n
+    }
+    out.writeShort(0)
+    out.flush()
+  }
+
+  // ---- per-connection state machine ---------------------------------------
+
+  private final class Stream(val fields: Seq[String], val rows: Iterator[Seq[Any]],
+    val summary: Map[String, Any])
+
+  private def messageLoop(in: DataInputStream, out: DataOutputStream): Unit = {
+    var failed = false
+    var stream: Stream = null
+    def success(meta: Map[String, Any]): Unit = writeMessage(out, Struct(0x70, Seq(meta)))
+    def failure(code: String, message: String): Unit = {
+      failed = true; stream = null
+      writeMessage(out, Struct(0x7F, Seq(Map("code" -> code, "message" -> message))))
+    }
+    def ignored(): Unit = writeMessage(out, Struct(0x7E, Seq.empty))
+
+    var live = true
+    while (live) {
+      val msg =
+        try readMessage(in)
+        catch { case _: EOFException => live = false; null }
+      if (msg != null) (msg.tag.toInt & 0xFF) match {
+        case 0x02 => live = false // GOODBYE
+        case 0x0F => // RESET always answers, even from FAILED
+          failed = false; stream = null; success(Map.empty)
+        case _ if failed => ignored()
+        case 0x01 => // HELLO
+          success(Map(
+            "server" -> "Neo4j/5.4.0 (compatible; graft-spark)",
+            "connection_id" -> s"bolt-${connIds.get()}",
+            "hints" -> Map.empty[String, Any]))
+        case 0x6A | 0x6B => success(Map.empty) // LOGON / LOGOFF (5.1+)
+        case 0x11 => success(Map.empty) // BEGIN: accepted no-op (no isolation; doc'd)
+        case 0x12 => success(Map("bookmark" -> "graft:0")) // COMMIT: writes already applied
+        case 0x13 => failure("Neo.ClientError.Request.Invalid",
+          "rollback is not supported: writes are set-oriented idempotent MERGEs applied per statement, not transactions")
+        case 0x66 => failure("Neo.ClientError.Routing.RoutingFailed",
+          "server-side routing is not supported; connect with the direct bolt:// scheme")
+        case 0x54 => success(Map.empty) // TELEMETRY
+        case 0x10 => // RUN(query, params, extra)
+          try {
+            val query = msg.fields.head.asInstanceOf[String]
+            val params = msg.fields.lift(1) match {
+              case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+              case _ => Map.empty[String, Any]
+            }
+            stream = toStream(session.run(query, params))
+            success(Map("fields" -> stream.fields, "t_first" -> 0L, "qid" -> 0L))
+          } catch {
+            case NonFatal(e) => failure("Neo.ClientError.Statement.SyntaxError",
+              Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        case 0x3F => // PULL {n: -1 | k}
+          if (stream == null) failure("Neo.ClientError.Request.Invalid", "PULL with no open result")
+          else {
+            val n = msg.fields.headOption match {
+              case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+                .get("n").collect { case l: Long => l }.getOrElse(-1L)
+              case _ => -1L
+            }
+            var sent = 0L
+            while (stream.rows.hasNext && (n < 0 || sent < n)) {
+              writeMessage(out, Struct(0x71, Seq(stream.rows.next())))
+              sent += 1
+            }
+            if (stream.rows.hasNext) success(Map("has_more" -> true))
+            else { val s = stream; stream = null; success(s.summary) }
+          }
+        case 0x2F => // DISCARD
+          if (stream == null) failure("Neo.ClientError.Request.Invalid", "DISCARD with no open result")
+          else { val s = stream; stream = null; success(s.summary) }
+        case other =>
+          failure("Neo.ClientError.Request.Invalid", f"unsupported message tag 0x$other%02X")
+      }
+    }
+  }
+
+  // ---- result adaptation ---------------------------------------------------
+
+  private def toStream(res: CypherResult): Stream = res match {
+    case CypherRows(df) =>
+      val base = Map[String, Any]("type" -> "r", "t_last" -> 0L, "db" -> "graft")
+      val it = df.toLocalIterator()
+      val capped = new Iterator[Seq[Any]] {
+        private var n = 0
+        def hasNext: Boolean = n < maxRows && it.hasNext
+        def next(): Seq[Any] = {
+          n += 1
+          val row = it.next()
+          (0 until row.length).map(i => if (row.isNullAt(i)) null else toBolt(row.get(i)))
+        }
+      }
+      new Stream(df.columns.toSeq, capped, base)
+    case CypherMutation(_, created, matched) =>
+      new Stream(Seq.empty, Iterator.empty, Map("type" -> "w", "t_last" -> 0L, "db" -> "graft",
+        "stats" -> Map("nodes-created" -> created, "nodes-matched" -> matched)))
+    case w: CypherWrite =>
+      new Stream(Seq.empty, Iterator.empty, Map("type" -> "w", "t_last" -> 0L, "db" -> "graft",
+        "stats" -> Map(
+          "properties-set" -> w.propertiesSet,
+          "properties-removed" -> w.propertiesRemoved,
+          "nodes-deleted" -> w.nodesDeleted,
+          "relationships-deleted" -> w.relationshipsDeleted,
+          "relationships-created" -> w.relationshipsCreated)))
+  }
+
+  /** Spark row values → PackStream-encodable values. Temporals go out as
+    * ISO-8601 strings and decimals as float64 (documented divergences). */
+  private def toBolt(v: Any): Any = v match {
+    case null => null
+    case b: Boolean => b
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case f: Float => f.toDouble
+    case d: Double => d
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: BigDecimal => d.toDouble
+    case s: String => s
+    case b: Array[Byte] => b
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case i: java.time.Instant => i.toString
+    case d: java.time.LocalDate => d.toString
+    case d: java.time.Duration => d.toString
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, value) => String.valueOf(k) -> toBolt(value) }.toMap
+    case seq: scala.collection.Seq[_] => seq.map(toBolt).toSeq
+    case r: org.apache.spark.sql.Row =>
+      val names = Option(r.schema).map(_.fieldNames)
+        .getOrElse(Array.tabulate(r.length)(i => s"_$i"))
+      names.zipWithIndex.map { case (nm, i) =>
+        nm -> (if (r.isNullAt(i)) null else toBolt(r.get(i)))
+      }.toMap
+    case other => String.valueOf(other)
+  }
+}

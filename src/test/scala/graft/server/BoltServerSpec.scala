@@ -1,0 +1,202 @@
+package graft.server
+
+import graft.SparkTestBase
+import graft.cypher.CypherSession
+import graft.graph.PropertyGraph
+import graft.server.PackStream.Struct
+import org.apache.spark.sql.functions._
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+
+/** Loopback-drives the Bolt listener with a from-scratch client (socket +
+  * the PackStream codec): handshake version negotiation, HELLO/LOGON, RUN /
+  * PULL flow control with has_more, write counters, the FAILURE → IGNORED →
+  * RESET state machine, and the documented ROLLBACK divergence. The wire
+  * bytes cross a real TCP socket — nothing is short-circuited in-process. */
+class BoltServerSpec extends SparkTestBase {
+
+  /** Minimal Bolt client: classic handshake + chunked PackStream messages. */
+  private final class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    /** Returns the negotiated (major, minor), or None on 00000000. */
+    def handshake(proposals: Seq[Int]): Option[(Int, Int)] = {
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17))
+      require(proposals.size == 4)
+      proposals.foreach(out.writeInt)
+      out.flush()
+      val v = in.readInt()
+      if (v == 0) None else Some((v & 0xFF, (v >> 8) & 0xFF))
+    }
+
+    def send(tag: Int, fields: Any*): Unit = {
+      val body = new ByteArrayOutputStream()
+      PackStream.write(new DataOutputStream(body), Struct(tag.toByte, fields))
+      val bytes = body.toByteArray
+      out.writeShort(bytes.length)
+      out.write(bytes)
+      out.writeShort(0)
+      out.flush()
+    }
+
+    def recv(): Struct = {
+      val buf = new ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val size = in.readUnsignedShort()
+        if (size == 0 && buf.size() > 0) done = true
+        else if (size > 0) {
+          val chunk = new Array[Byte](size)
+          in.readFully(chunk)
+          buf.write(chunk)
+        }
+      }
+      PackStream.read(new DataInputStream(new ByteArrayInputStream(buf.toByteArray)))
+        .asInstanceOf[Struct]
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  private def meta(s: Struct): Map[String, Any] =
+    s.fields.head.asInstanceOf[Map[String, Any]]
+
+  // proposal bytes: [pad, range, minor, major]
+  private def propose(major: Int, minor: Int, range: Int = 0): Int =
+    (range << 16) | (minor << 8) | major
+
+  private def newServer(): (BoltServer, Int, CypherSession) = {
+    val sess = new CypherSession(PropertyGraph.empty(spark),
+      clock = () => lit("2026-01-01 00:00:00"))
+    val server = new BoltServer(sess)
+    val port = server.start()
+    (server, port, sess)
+  }
+
+  test("handshake: range expansion picks the highest supported; unsupported gets 00000000") {
+    val (server, port, _) = newServer()
+    try {
+      // modern driver shape: 5.4 down to 5.1 as a range, then fallbacks
+      val c1 = new Client(port)
+      assert(c1.handshake(Seq(propose(5, 4, range = 3), propose(5, 0), propose(4, 4), 0))
+        .contains((5, 4)))
+      c1.close()
+      // only 4.4 on offer
+      val c2 = new Client(port)
+      assert(c2.handshake(Seq(propose(4, 4), 0, 0, 0)).contains((4, 4)))
+      c2.close()
+      // nothing supported → 00000000 and close
+      val c3 = new Client(port)
+      assert(c3.handshake(Seq(propose(3, 0), propose(1, 0), 0, 0)).isEmpty)
+      c3.close()
+    } finally server.stop()
+  }
+
+  test("RUN/PULL: rows stream under flow control, summary carries type r") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 1), 0, 0, 0)).contains((5, 1)))
+      c.send(0x01, Map("user_agent" -> "spec/1.0")) // HELLO
+      val hello = c.recv()
+      assert((hello.tag & 0xFF) == 0x70)
+      assert(meta(hello)("server").asInstanceOf[String].startsWith("Neo4j/"))
+      c.send(0x6A, Map("scheme" -> "none")) // LOGON (5.1+)
+      assert((c.recv().tag & 0xFF) == 0x70)
+
+      c.send(0x10, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x", Map.empty[String, Any],
+        Map.empty[String, Any]) // RUN
+      val run = c.recv()
+      assert((run.tag & 0xFF) == 0x70)
+      assert(meta(run)("fields") == Seq("x"))
+
+      // PULL n=2: two records then has_more
+      c.send(0x3F, Map("n" -> 2L))
+      val r1 = c.recv(); val r2 = c.recv(); val more = c.recv()
+      assert((r1.tag & 0xFF) == 0x71 && r1.fields.head == Seq(1L))
+      assert((r2.tag & 0xFF) == 0x71 && r2.fields.head == Seq(2L))
+      assert((more.tag & 0xFF) == 0x70 && meta(more)("has_more") == true)
+      // PULL the rest: final record + summary
+      c.send(0x3F, Map("n" -> -1L))
+      val r3 = c.recv(); val done = c.recv()
+      assert(r3.fields.head == Seq(3L))
+      assert((done.tag & 0xFF) == 0x70)
+      assert(meta(done)("type") == "r")
+      c.send(0x02) // GOODBYE
+      c.close()
+    } finally server.stop()
+  }
+
+  test("the reference's own write + read-back round trip over Bolt") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      c.handshake(Seq(propose(5, 0), 0, 0, 0))
+      c.send(0x01, Map("user_agent" -> "spec/1.0"))
+      c.recv()
+      // the reference's MERGE shape (crwling.py:47-56) with $params
+      c.send(0x10,
+        "MERGE (u:User {name: $n}) MERGE (t:Tech {name: $t}) MERGE (u)-[:INTERESTED_IN]->(t)",
+        Map("n" -> "ada", "t" -> "spark"), Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x3F, Map("n" -> -1L))
+      val wdone = c.recv()
+      assert((wdone.tag & 0xFF) == 0x70)
+      val stats = meta(wdone)("stats").asInstanceOf[Map[String, Any]]
+      assert(meta(wdone)("type") == "w")
+      assert(stats("nodes-created") == 2L)
+
+      c.send(0x10,
+        "MATCH (u:User)-[:INTERESTED_IN]->(t:Tech) RETURN u.name AS user, t.name AS tech",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(meta(c.recv())("fields") == Seq("user", "tech"))
+      c.send(0x3F, Map("n" -> -1L))
+      val rec = c.recv(); val done = c.recv()
+      assert(rec.fields.head == Seq("ada", "spark"))
+      assert((done.tag & 0xFF) == 0x70)
+      c.close()
+    } finally server.stop()
+  }
+
+  test("state machine: FAILURE parks the connection, IGNORED until RESET; ROLLBACK is an explicit failure") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      c.handshake(Seq(propose(5, 0), 0, 0, 0))
+      c.send(0x01, Map("user_agent" -> "spec/1.0"))
+      c.recv()
+      c.send(0x10, "THIS IS NOT CYPHER", Map.empty[String, Any], Map.empty[String, Any])
+      val fail = c.recv()
+      assert((fail.tag & 0xFF) == 0x7F)
+      assert(meta(fail)("code").asInstanceOf[String].startsWith("Neo.ClientError"))
+      // everything but RESET is IGNORED while failed
+      c.send(0x10, "RETURN 1 AS x", Map.empty[String, Any], Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x7E)
+      c.send(0x3F, Map("n" -> -1L))
+      assert((c.recv().tag & 0xFF) == 0x7E)
+      // RESET recovers
+      c.send(0x0F)
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x10, "RETURN 1 AS x", Map.empty[String, Any], Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x3F, Map("n" -> -1L))
+      assert(c.recv().fields.head == Seq(1L))
+      c.recv()
+      // BEGIN/COMMIT are accepted no-ops; ROLLBACK names the divergence
+      c.send(0x11, Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x12)
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x11, Map.empty[String, Any])
+      c.recv()
+      c.send(0x13)
+      val rb = c.recv()
+      assert((rb.tag & 0xFF) == 0x7F)
+      assert(meta(rb)("message").asInstanceOf[String].contains("rollback"))
+      c.close()
+    } finally server.stop()
+  }
+}
