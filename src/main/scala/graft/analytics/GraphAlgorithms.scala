@@ -150,6 +150,86 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the third CC formulation in this file, and the one that
+    * survives HIGH-DIAMETER graphs at 100 TB. [[minLabelPropagation]]
+    * needs `diameter` rounds (a 10^6-hop chain → 10^6 shuffles); Pregel
+    * [[connectedComponents]] likewise propagates one hop per superstep.
+    * The alternating algorithm contracts the graph toward min-id stars in
+    * O(log n) rounds regardless of diameter, and each round is nothing but
+    * groupBy-min + join-back — no collect_list of neighborhoods (a
+    * high-degree node's min is computed map-side-combining; the fan-out
+    * back to edges is linear in edge count), no per-vertex state carried
+    * between rounds, `localCheckpoint` truncating lineage exactly like the
+    * propagation loop.
+    *
+    * large-star: for each u, every neighbor v > u re-attaches to
+    * m(u) = min(Γ(u) ∪ {u}). small-star: orient edges toward the smaller
+    * endpoint, then u and all its smaller neighbors attach to the minimum.
+    * Convergence = the edge multiset stops changing; detected by an
+    * order-independent fingerprint (count + sum of xxhash64(u,v)) so the
+    * driver holds two longs, never edges. Returns (id, component) with
+    * component = min reachable id; ids absent from `pairs` are their own
+    * singleton component — same contract as [[minLabelPropagation]]
+    * (property-spec'd equal on random graphs).
+    */
+  def alternatingComponents(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 40): DataFrame = {
+    val init = pairs.toDF("u", "v")
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already oriented u > v; u and all smaller neighbors attach
+      // to min(Γ(u) ∪ {u}) = min(Γ(u)) since every v < u
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val member = e.join(m, Seq("u"))
+      member.select(col("v").as("u"), col("m").as("v"))
+        .union(member.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // order-independent and overflow-free (ANSI mode): xor of row hashes
+      // + count; same collision posture as any 64-bit content hash
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = init
+    var fp = fingerprint(edges)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      i += 1
+    }
+    // converged: every edge is (member, root) with root = component min
+    val assign = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    ids.toDF("id")
+      .join(assign, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Connected components as pure DataFrame min-label propagation (see
     * [[minLabelPropagation]]) — the right trade at 100 TB for the
     * short-diameter graphs ingest produces (publisher stars, social

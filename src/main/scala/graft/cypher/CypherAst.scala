@@ -243,13 +243,38 @@ object CypherAst {
     * once and its rows join each outer row (Neo4j's uncorrelated CALL). */
   final case class CallSub(imports: Seq[String], inner: MatchStatement)
 
+  /** `CALL db.labels() [YIELD col [AS alias], …]` — a built-in procedure
+    * invocation (vs [[CallSub]]'s `CALL { }` subquery form). The supported
+    * procedures are the schema-introspection set the Neo4j browser and
+    * drivers issue on connect; each yields a fixed row schema
+    * ([[Procedures.schema]], validated at parse time). An empty `yields`
+    * binds every column under its default name (Neo4j's bare-CALL rule for
+    * a standalone call). */
+  final case class ProcCall(name: String, yields: Seq[(String, String)]) {
+    /** Column names this call binds into the pipeline. */
+    def boundNames: Seq[String] =
+      if (yields.nonEmpty) yields.map(_._2) else Procedures.schema(name)
+  }
+
+  /** Built-in procedure registry: name → yielded columns, in order. */
+  object Procedures {
+    val all: Map[String, Seq[String]] = Map(
+      "db.labels" -> Seq("label"),
+      "db.relationshipTypes" -> Seq("relationshipType"),
+      "db.propertyKeys" -> Seq("propertyKey"),
+      "dbms.components" -> Seq("name", "versions", "edition"))
+    def schema(name: String): Seq[String] =
+      all.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
   /** One pipeline stage: `UNWIND`s, `CALL { }` subqueries, `MATCH`es
     * (+ OPTIONAL MATCHes), an optional WHERE, and an optional WITH
     * hand-off to the next stage. */
   final case class MatchStage(paths: Seq[PathPat], optPaths: Seq[PathPat],
     where: Option[BoolExpr], withClause: Option[WithClause],
     unwinds: Seq[Unwind] = Nil, calls: Seq[CallSub] = Nil,
-    loads: Seq[LoadCsv] = Nil)
+    loads: Seq[LoadCsv] = Nil, procs: Seq[ProcCall] = Nil)
 
   final case class MatchStatement(stages: Seq[MatchStage],
     ret: Seq[ReturnItem], orderBy: Seq[OrderItem], limit: Option[Int],

@@ -238,7 +238,10 @@ object CypherParser {
 
     private def matchStatement(): Statement = {
       val stages = ArrayBuffer.empty[MatchStage]
-      while (!pipelineEnd(peek)) {
+      // EOF after a procedure-call stage is a complete statement
+      // (standalone `CALL db.labels()` — implicit RETURN synthesized below)
+      while (!pipelineEnd(peek) &&
+          !(peek.isEmpty && stages.lastOption.exists(_.procs.nonEmpty))) {
         val loads = parseLoads()
         val unwinds = ArrayBuffer.empty[Unwind]
         while (peek.contains(Kw("UNWIND"))) {
@@ -248,21 +251,47 @@ object CypherParser {
           unwinds += Unwind(e, ident())
         }
         val calls = ArrayBuffer.empty[CallSub]
+        val procs = ArrayBuffer.empty[ProcCall]
         while (peek.contains(Kw("CALL"))) {
-          next(); expectSym("{")
-          // importing WITH: bare variable names only (Neo4j's rule)
-          val imports =
-            if (peek.contains(Kw("WITH"))) {
+          next()
+          if (peek.contains(Sym("{"))) {
+            expectSym("{")
+            // importing WITH: bare variable names only (Neo4j's rule)
+            val imports =
+              if (peek.contains(Kw("WITH"))) {
+                next()
+                val vs = ArrayBuffer(ident())
+                while (peek.contains(Sym(","))) { next(); vs += ident() }
+                vs.toSeq
+              } else Nil
+            matchStatement() match {
+              case inner: MatchStatement => calls += CallSub(imports, inner)
+              case _ => fail("CALL { } must contain a read pipeline")
+            }
+            expectSym("}")
+          } else {
+            // `CALL db.labels() [YIELD col [AS alias], …]` — built-in
+            // procedure; name validated against the registry at parse time
+            val parts = ArrayBuffer(ident())
+            while (peek.contains(Sym("."))) { next(); parts += ident() }
+            val name = parts.mkString(".")
+            val cols = Procedures.schema(name)
+            expectSym("("); expectSym(")")
+            val yields = ArrayBuffer.empty[(String, String)]
+            if (peekSoft("YIELD")) {
               next()
-              val vs = ArrayBuffer(ident())
-              while (peek.contains(Sym(","))) { next(); vs += ident() }
-              vs.toSeq
-            } else Nil
-          matchStatement() match {
-            case inner: MatchStatement => calls += CallSub(imports, inner)
-            case _ => fail("CALL { } must contain a read pipeline")
+              def yieldItem(): Unit = {
+                val c = ident()
+                if (!cols.contains(c))
+                  fail(s"procedure $name does not yield '$c' (yields: ${cols.mkString(", ")})")
+                val a = if (peek.contains(Kw("AS"))) { next(); ident() } else c
+                yields += ((c, a))
+              }
+              yieldItem()
+              while (peek.contains(Sym(","))) { next(); yieldItem() }
+            }
+            procs += ProcCall(name, yields.toSeq)
           }
-          expectSym("}")
         }
         val paths = ArrayBuffer.empty[PathPat]
         val wBase = nodeWheres.length
@@ -271,6 +300,7 @@ object CypherParser {
           paths += path()
           while (peek.contains(Sym(","))) { next(); paths += path() }
         } else if (unwinds.isEmpty && calls.isEmpty && loads.isEmpty &&
+            procs.isEmpty &&
             !peek.contains(Kw("OPTIONAL")) && !peek.contains(Kw("WITH")))
           // a bare WITH is a legal stage: consecutive projection horizons
           // (`WITH … WITH …`) re-shape without a fresh MATCH
@@ -322,15 +352,29 @@ object CypherParser {
               wDistinct))
           } else None
         stages += MatchStage(paths.toSeq, optPaths.toSeq, where, withClause,
-          unwinds.toSeq, calls.toSeq, loads)
+          unwinds.toSeq, calls.toSeq, loads, procs.toSeq)
         if (withClause.isEmpty && !pipelineEnd(peek) &&
             !peek.contains(Kw("MATCH")) && !peek.contains(Kw("UNWIND")) &&
             !peek.contains(Kw("OPTIONAL")) && !peek.contains(Kw("CALL")) &&
-            !peekSoft("LOAD") && !peek.contains(Sym("}")))
+            !peekSoft("LOAD") && !peek.contains(Sym("}")) &&
+            !(procs.nonEmpty && peek.isEmpty))
           fail(s"expected WITH, MATCH, UNWIND, CALL, RETURN or a write clause, got $peek")
       }
-      if (!peek.contains(Kw("RETURN")))
-        return updateTail(stages.toSeq)
+      if (!peek.contains(Kw("RETURN"))) {
+        // standalone `CALL db.labels()`: Neo4j returns the yielded columns
+        // without an explicit RETURN — synthesize one
+        val ss = stages.toSeq
+        val procOnly = ss.nonEmpty && ss.forall(st =>
+          st.paths.isEmpty && st.optPaths.isEmpty && st.unwinds.isEmpty &&
+            st.calls.isEmpty && st.loads.isEmpty && st.withClause.isEmpty &&
+            st.where.isEmpty) && ss.exists(_.procs.nonEmpty)
+        if (procOnly && peek.isEmpty)
+          return MatchStatement(ss,
+            ss.flatMap(_.procs).flatMap(_.boundNames)
+              .map(c => ReturnItem(RetVar(c), None)),
+            Nil, None)
+        return updateTail(ss)
+      }
       expectKw("RETURN")
       val distinct = peek.contains(Kw("DISTINCT"))
       if (distinct) next()

@@ -1395,6 +1395,49 @@ final class CypherSession(
       scalarVars += lc.alias
     }
 
+    /** Built-in procedure call (`CALL db.labels() YIELD …`) — the
+      * schema-introspection set drivers and the browser issue on connect.
+      * Label/relType rows come off the store's partition columns (a
+      * partition listing at the scan, not a full-table distinct at 100 TB);
+      * propertyKeys unions the exploded prop-map keys of both sides. Rows
+      * are sorted for determinism (procedure result order is unspecified in
+      * Neo4j; a stable order costs nothing at schema cardinality). The
+      * yielded columns bind as ordinary scalars — every later clause
+      * (WHERE, WITH, RETURN, UNION) composes. */
+    def applyProc(p: ProcCall): Unit = {
+      val spark = graph.nodes.sparkSession
+      val rows: DataFrame = p.name match {
+        case "db.labels" =>
+          graph.nodes.select(col("label")).distinct().orderBy("label")
+        case "db.relationshipTypes" =>
+          graph.edges.select(col("relType").as("relationshipType"))
+            .distinct().orderBy("relationshipType")
+        case "db.propertyKeys" =>
+          // prop-map keys of both sides, PLUS each label's key property —
+          // stored in the `key` column, not the bag, but a property to any
+          // Cypher reader. The label list is schema-bounded (one row per
+          // label partition), so the collect is O(schema), never O(data).
+          import spark.implicits._
+          val labels = graph.nodes.select(col("label")).distinct()
+            .as[String].collect()
+          val keyNames = labels.map(l => keyProps.getOrElse(l, "name"))
+            .distinct.toSeq
+          graph.nodes.select(explode(map_keys(col("props"))).as("propertyKey"))
+            .union(graph.edges.select(explode(map_keys(col("props"))).as("propertyKey")))
+            .union(keyNames.toDF("propertyKey"))
+            .distinct().orderBy("propertyKey")
+        case "dbms.components" =>
+          spark.range(1).select(lit("graft-spark").as("name"),
+            array(lit("5.4.0")).as("versions"), lit("community").as("edition"))
+        case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
+      }
+      val selected =
+        if (p.yields.isEmpty) rows
+        else rows.select(p.yields.map { case (c, a) => col(c).as(a) }: _*)
+      df = if (df == null) selected else df.crossJoin(selected)
+      p.boundNames.foreach(scalarVars += _)
+    }
+
     def applyUnwind(u: Unwind): Unit = {
       val arr: Column = u.expr match {
         case RetLit(ListLit(items)) => array(items.map(scalarCol(_, params)): _*)
@@ -1663,6 +1706,7 @@ final class CypherSession(
     }
 
     m.stages.foreach { st =>
+      st.procs.foreach(applyProc)
       st.loads.foreach(applyLoadCsv)
       st.unwinds.foreach(applyUnwind)
       st.calls.foreach(applyCall)

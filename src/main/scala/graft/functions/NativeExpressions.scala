@@ -65,6 +65,9 @@ object NativeExpressions {
   def pqDtab(a: Column, cen: Array[Array[Array[Double]]],
       cc: Array[Array[Double]]): Column =
     GraftSqlBridge.column(PqDtab(GraftSqlBridge.expression(a), cen, cc))
+
+  def bloomMightContainLong(h: Column, bloom: Array[Byte]): Column =
+    GraftSqlBridge.column(BloomMightContainLong(GraftSqlBridge.expression(h), bloom))
 }
 
 /** The PORTABLE hash family shared with the DuckDB oracle: 60-bit md5
@@ -124,6 +127,23 @@ object DedupKernels {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Parsed-bloom cache for [[BloomMightContainLong]], keyed by the byte
+    * array's identity (arrays use reference equals, and the reference-object
+    * array is ONE instance per executor per plan) — weak so a finished
+    * plan's sketch can be collected. */
+  private val blooms = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Byte], org.apache.spark.util.sketch.BloomFilter]())
+
+  def bloomMightContainLong(h: Long, bytes: Array[Byte]): Boolean = {
+    var bf = blooms.get(bytes)
+    if (bf == null) {
+      bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      blooms.put(bytes, bf)
+    }
+    bf.mightContainLong(h)
   }
 
   /** Plane tensors for [[PortableLshBuckets]], derived once per JVM per
@@ -486,6 +506,41 @@ case class PqDtab(child: Expression, cen: Array[Array[Array[Double]]],
     val ccRef = ctx.addReferenceObj("cc", cc, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.DedupKernels.pqDtab($c, $isFloat, $cenRef, $ccRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Membership probe against a serialized `org.apache.spark.util.sketch
+  * .BloomFilter` — the map-side prefilter of the broadcast-bloom join
+  * pattern (Spark's own runtime bloom-filter join injects exactly this
+  * shape). The serialized sketch rides the task binary as a codegen
+  * reference object and is parsed once per executor (identity-keyed weak
+  * cache in [[DedupKernels.bloomMightContainLong]]); the probe is a pure
+  * bit-test inside WholeStageCodegen, so non-matching rows die in the scan
+  * stage before any exchange. Probabilistic one-way: may pass a
+  * non-member (callers re-verify with an exact join), never drops a
+  * member. */
+case class BloomMightContainLong(child: Expression, bloom: Array[Byte])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires bigint, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.bloomMightContainLong(v.asInstanceOf[Long], bloom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloom", bloom, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupKernels.bloomMightContainLong($c, $bloomRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1016,6 +1016,65 @@ object AnalyticsCatalog {
            |    AS n_pruned_clusters
            |FROM comp GROUP BY label ORDER BY label""".stripMargin))
 
+  private val d22 = Entry("d22_bloom_decontamination",
+    (s, dir) => {
+      // Bloom-prefiltered benchmark decontamination — d10's semantics with
+      // the 100 TB shuffle economics. d10 ships EVERY corpus shingle into
+      // the broadcast semi-join's hash probe; here the benchmark set's
+      // xxhash64 fingerprints compact into a Bloom filter (built
+      // distributed via DataFrameStatFunctions.bloomFilter — ~1.2 KB/1000
+      // items at 1% fpp, vs the strings themselves) that rides the task
+      // binary and kills non-matching shingles INSIDE the scan stage
+      // (BloomMightContainLong, codegen'd bit-test), before the explode
+      // output reaches any join. Same pattern Spark's runtime bloom-filter
+      // join injects for shuffle joins; made explicit here because the
+      // small side is an ARBITRARY curated eval set, not a join input.
+      // Bloom false positives survive the prefilter, so an exact broadcast
+      // semi-join on the shingle string re-verifies survivors: the result
+      // is EXACT (no false negatives by construction) and hash-matches the
+      // same plain-SQL oracle shape as d10 — at 4-gram granularity, the
+      // stricter overlap test a production decontamination pass uses.
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 25)
+        .select(explode(Dedup.shingles(col("text"), 4)).as("sh")).distinct()
+      val bloom = bench.select(xxhash64(col("sh")).as("h"))
+        .stat.bloomFilter("h", math.max(bench.count(), 1L), 0.01)
+      val bloomBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos); bos.toByteArray
+      }
+      val corpus = docs.filter(col("doc_id") >= 25)
+      val flagged = corpus
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 4)).as("sh"))
+        .filter(graft.functions.NativeExpressions.bloomMightContainLong(
+          xxhash64(col("sh")), bloomBytes))
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      corpus.join(flagged.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__hit")).as("n_contaminated"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, lang,
+           |    list_distinct([array_to_string(tk[i:i+3], ' ')
+           |      for i in range(1, greatest(len(tk) - 3, 1) + 1)]) AS shingles
+           |  FROM toks),
+           |bench AS (
+           |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 25),
+           |flagged AS (
+           |  SELECT DISTINCT c.doc_id
+           |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 25) c
+           |  JOIN bench ON c.s = bench.s)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM flagged)) AS n_contaminated
+           |FROM sh WHERE doc_id >= 25
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val t07 = Entry("t07_train_val_test_split",
     (s, dir) => {
       // Deterministic document-level split: bucket = first md5 byte of the
@@ -1463,6 +1522,54 @@ object AnalyticsCatalog {
            |  CAST(SUM(chars) AS DOUBLE) / SUM(words) AS chars_per_word,
            |  CAST(SUM(pieces) AS DOUBLE) / SUM(words) AS fertility
            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val t21 = Entry("t21_salient_terms",
+    (s, dir) => {
+      // Per-document top-3 salient terms by TF×IDF — the keyword-extraction
+      // pass a corpus pipeline runs for topical tagging / mixture audits.
+      // IDF is the BM25 smoothed form WITHOUT the log: (N − df + 0.5) /
+      // (df + 0.5). The log is monotone so top-k membership is unchanged,
+      // and dropping it keeps the score BIT-DETERMINISTIC cross-engine —
+      // integer adds then ONE correctly-rounded IEEE division and multiply,
+      // where libm `ln` implementations may legally differ by an ulp and
+      // flip a rank-boundary tie. Shapes: tf is a (doc, term) groupBy
+      // (map-side combining; uniform keys), df aggregates the tf output
+      // (terms skew like Zipf, but count-distinct-by-doc is already
+      // pre-grouped so the hot term carries one row per doc, not per
+      // token), top-k is a per-doc window — partitioned, never global.
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("score",
+          col("tf") * ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+           |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)) AS score
+           |  FROM tf JOIN df USING (term) CROSS JOIN n),
+           |ranked AS (
+           |  SELECT doc_id, term, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+           |  FROM scored)
+           |SELECT doc_id, term, score, CAST(rk AS INT) AS rk
+           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
   private val t20 = Entry("t20_chunk_dedup_reassembly",
     (s, dir) => {
@@ -3428,6 +3535,32 @@ object AnalyticsCatalog {
 
   // ------------------------------------------------- graph analytics (x) --
 
+  private val c45 = Entry("c45_cypher_procedures",
+    (s, dir) => {
+      // The schema-introspection procedures drivers and the Neo4j browser
+      // issue on connect — CALL db.labels()/db.relationshipTypes() as row
+      // sources composing through YIELD → RETURN → UNION ALL → trailing
+      // ORDER BY. Label/relType rows read the store's partition columns
+      // (schema cardinality, no full scan). The oracle is the fixture's
+      // known graph schema — engine-independent by construction since the
+      // docGraph ingest always writes Article/Publisher + WRITTEN_BY.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL db.labels() YIELD label
+                 |RETURN 'label' AS kind, label AS name
+                 |UNION ALL
+                 |CALL db.relationshipTypes() YIELD relationshipType AS rt
+                 |RETURN 'relType' AS kind, rt AS name
+                 |ORDER BY kind, name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT kind, name FROM (
+           |  SELECT 'label' AS kind, 'Article' AS name
+           |  UNION ALL SELECT 'label', 'Publisher'
+           |  UNION ALL SELECT 'relType', 'WRITTEN_BY')
+           |ORDER BY kind, name""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -3475,6 +3608,30 @@ object AnalyticsCatalog {
            |    * (CAST(tot.n_art AS DOUBLE) / LEAST(64, tot.n_art)) AS betweenness
            |FROM deg LEFT JOIN sp ON deg.source = sp.source CROSS JOIN tot
            |ORDER BY publisher""".stripMargin))
+
+  private val x13 = Entry("x13_cc_alternating",
+    (s, dir) => {
+      // Connected components by alternating large-star/small-star rounds
+      // (GraphAlgorithms.alternatingComponents) — the O(log n)-round CC
+      // that is immune to graph diameter, where x01's label propagation
+      // pays one shuffle per hop. On the publisher-star fixture both
+      // converge to identical components (same oracle as x01); the spec
+      // proves equality on high-diameter chains/rings where the round
+      // counts diverge (log n vs n). Per round: two groupBy-min +
+      // join-back stages over the edge list only — no per-vertex state,
+      // no neighborhood collect_list, driver holds a 2-long fingerprint.
+      val g = docGraph(s, dir)
+      val comps = GraphAlgorithms.alternatingComponents(
+        g.nodes.select("id"), g.edges.select(col("srcId"), col("dstId")))
+      comps.join(g.nodes.select(col("id"), col("key")), Seq("id"))
+        .groupBy("component")
+        .agg(min(col("key")).as("min_key"), count(lit(1)).as("size"))
+        .select("min_key", "size")
+        .orderBy("min_key")
+    },
+    Some("""SELECT least(source, min(CAST(doc_id AS VARCHAR))) AS min_key,
+           |  COUNT(*) + 1 AS size
+           |FROM documents GROUP BY source ORDER BY min_key""".stripMargin))
 
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
@@ -4455,16 +4612,16 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19, t20,
+    t16, t17, t18, t19, t20, t21,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-    d16, d17, d18, d19, d20, d21,
+    d16, d17, d18, d19, d20, d21, d22,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
+    c43, c44, c45,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     m01, m02, m03, m04, m05)
 }

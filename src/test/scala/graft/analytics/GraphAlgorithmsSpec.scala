@@ -50,6 +50,32 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     }
   }
 
+  test("alternating CC equals label propagation on chains, rings, stars, random graphs") {
+    // high-diameter shapes are the algorithm's reason to exist: a 40-node
+    // chain converges in ~log rounds where propagation needs 40
+    val cases: Seq[(Seq[Long], Seq[(Long, Long)])] = Seq(
+      // 40-chain (diameter 39) with two isolated ids
+      ((0L to 41L), (0L until 39L).map(i => (i, i + 1))),
+      // ring of 16
+      ((0L to 15L), (0L to 15L).map(i => (i, (i + 1) % 16))),
+      // two stars sharing nothing + dup/self-loop noise
+      ((0L to 11L), Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (10L, 11L), (5L, 5L))),
+      // deterministic pseudo-random graph
+      ((0L to 99L), (1 to 120).map { i =>
+        val a = (i * 7919L) % 100; val b = (i * 104729L) % 100; (a, b)
+      })
+    ).map { case (ids, es) => (ids.toSeq, es) }
+    for ((ids, es) <- cases) {
+      val idsDf = ids.toDF("id")
+      val pairs = es.toDF("a", "b")
+      val alt = GraphAlgorithms.alternatingComponents(idsDf, pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = GraphAlgorithms.minLabelPropagation(idsDf, pairs, maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      assert(alt === prop) // both label by min reachable id — exact equality
+    }
+  }
+
   test("pagerank: sink publisher accumulates rank from its articles") {
     val pr = GraphAlgorithms.pageRank(graph, numIter = 20)
       .select($"key", $"rank").as[(String, Double)].collect().toMap

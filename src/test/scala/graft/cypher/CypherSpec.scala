@@ -32,6 +32,35 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.edges.count() === 1)
   }
 
+  test("CALL db.* procedures: standalone, YIELD AS, WHERE, pipeline composition") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("MATCH (u:User {name: 'alice'}) SET u.role = 'admin'")
+    // standalone CALL — implicit RETURN of the yielded column
+    val labels = sess.run("CALL db.labels()")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(labels === Seq("Tech", "User"))
+    // YIELD with alias + WHERE filters like any bound scalar
+    val rts = sess.run(
+      """CALL db.relationshipTypes() YIELD relationshipType AS rt
+        |WHERE rt STARTS WITH 'INTERESTED'
+        |RETURN rt""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(rts === Seq("INTERESTED_IN"))
+    // propertyKeys unions node + edge prop-map keys
+    val keys = sess.run("CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(keys.contains("name") && keys.contains("role"))
+    // dbms.components answers the browser's connect handshake
+    val comp = sess.run("CALL dbms.components() YIELD name, edition RETURN name, edition")
+      .asInstanceOf[CypherRows].df.collect()
+    assert(comp.length === 1 && comp.head.getString(1) === "community")
+    // unknown procedure fails at parse with the supported list
+    val err = intercept[IllegalArgumentException](sess.run("CALL db.bogus()"))
+    assert(err.getMessage.contains("unknown procedure"))
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>

@@ -22,6 +22,34 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(diff === 0)
   }
 
+  test("BloomMightContainLong: no false negatives; prefiltered pipeline is exact") {
+    val members = (1L to 500L).map(_ * 7919L)
+    val bloom = members.toDF("h").stat.bloomFilter("h", members.size.toLong, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val probe = ((1L to 500L).map(_ * 7919L) ++ (1L to 2000L).map(_ * 104729L + 13L))
+      .toDF("h")
+    // every member passes — bloom's one-sided guarantee
+    val dropped = probe.filter($"h".isin(members: _*))
+      .filter(not(NativeExpressions.bloomMightContainLong($"h", bytes)))
+      .count()
+    assert(dropped === 0)
+    // bloom-prefilter + exact verify == plain exact semi-join (the d22 shape)
+    val memDf = members.toDF("m")
+    val exact = probe.join(memDf, $"h" === $"m", "left_semi")
+      .as[Long].collect().sorted.toSeq
+    val prefiltered = probe
+      .filter(NativeExpressions.bloomMightContainLong($"h", bytes))
+      .join(memDf, $"h" === $"m", "left_semi")
+      .as[Long].collect().sorted.toSeq
+    assert(prefiltered === exact)
+    // and the prefilter actually prunes: most non-members die map-side
+    val passed = probe.filter(NativeExpressions.bloomMightContainLong($"h", bytes)).count()
+    assert(passed < 700) // 500 members + ~1% of 2000 non-members
+  }
+
   test("DotProduct codegen and interpreted paths agree") {
     val df = Seq((Array(1.5f, -2.25f, 3f), Array(0.5f, 4f, -1f)))
       .toDF("a", "b")
