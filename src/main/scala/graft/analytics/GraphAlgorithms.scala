@@ -168,7 +168,7 @@ object GraphAlgorithms {
     * m(u) = min(Γ(u) ∪ {u}). small-star: orient edges toward the smaller
     * endpoint, then u and all its smaller neighbors attach to the minimum.
     * Convergence = the edge multiset stops changing; detected by an
-    * order-independent fingerprint (count + sum of xxhash64(u,v)) so the
+    * order-independent fingerprint (count + xor of xxhash64(u,v)) so the
     * driver holds two longs, never edges. Returns (id, component) with
     * component = min reachable id; ids absent from `pairs` are their own
     * singleton component — same contract as [[minLabelPropagation]]
@@ -228,6 +228,40 @@ object GraphAlgorithms {
     ids.toDF("id")
       .join(assign, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** k-core membership after `rounds` peeling iterations: round i drops
+    * every node whose degree in the round-(i−1) subgraph is < k, then
+    * restricts edges to survivors (two left-semi joins — never a node×node
+    * product). Returns the survivor ids of round `rounds`.
+    *
+    * The round count is a FIXED input, not a convergence loop: the result
+    * is then a pure deterministic function both engines can compute (the
+    * oracle unrolls the same rounds as CTEs), and at scale it bounds the
+    * job count up front — the standard degeneracy peel needs as many
+    * rounds as the degeneracy ordering is deep, but each round here
+    * removes whole frontier layers, so small fixed budgets reach the
+    * fixpoint on real (power-law-ish) graphs; callers can assert
+    * convergence by checking round R == R+1 (the spec does). Per round:
+    * one map-side-combining degree aggregate + two semi joins, edge set
+    * shrinks monotonically, `localCheckpoint` keeps the plan O(1)-deep. */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var alive: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u").as("id"))
+        .localCheckpoint(true)
+      e = e.join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint(true)
+      i += 1
+    }
+    if (alive == null) pairs.toDF("u", "v").select("u").limit(0).toDF("id")
+    else alive
   }
 
   /** Connected components as pure DataFrame min-label propagation (see

@@ -3633,6 +3633,41 @@ object AnalyticsCatalog {
            |  COUNT(*) + 1 AS size
            |FROM documents GROUP BY source ORDER BY min_key""".stripMargin))
 
+  private val x14 = Entry("x14_kcore",
+    (s, dir) => {
+      // k-core (k=3) of the customer–supplier purchase graph (an order
+      // line is an edge; ids disambiguated by 'c'/'s' prefixes), peeled
+      // for a FIXED 3 rounds so the oracle can unroll the identical
+      // rounds as CTEs — at the fixture the peel reaches its fixpoint
+      // inside the budget (spec asserts round 3 == round 4), so this IS
+      // the true 3-core there. Peeling is the canonical
+      // degeneracy/community-strength primitive d08-style cluster dedup
+      // doesn't cover: it prunes by LOCAL density, not connectivity.
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val e = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v"))
+        .distinct()
+      GraphAlgorithms.kCorePeel(e, k = 3, rounds = 3).orderBy("id")
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |d1 AS (SELECT id, COUNT(*) AS deg FROM
+           |  (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY id),
+           |a1 AS (SELECT id FROM d1 WHERE deg >= 3),
+           |e1 AS (SELECT u, v FROM e0
+           |  WHERE u IN (SELECT id FROM a1) AND v IN (SELECT id FROM a1)),
+           |d2 AS (SELECT id, COUNT(*) AS deg FROM
+           |  (SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1) GROUP BY id),
+           |a2 AS (SELECT id FROM d2 WHERE deg >= 3),
+           |e2 AS (SELECT u, v FROM e1
+           |  WHERE u IN (SELECT id FROM a2) AND v IN (SELECT id FROM a2)),
+           |d3 AS (SELECT id, COUNT(*) AS deg FROM
+           |  (SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) GROUP BY id)
+           |SELECT id FROM d3 WHERE deg >= 3 ORDER BY id""".stripMargin))
+
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
       // Pregel min-id propagation; reported per component as (min member
@@ -4440,6 +4475,83 @@ object AnalyticsCatalog {
            |QUALIFY rank <= 3
            |ORDER BY q_id, rank""".stripMargin))
 
+  private val v13 = Entry("v13_ann_recall_eval",
+    (s, dir) => {
+      // Recall@3 of the LSH index (v03) against the exact ranking (v02) —
+      // the audit a pipeline runs BEFORE trusting an approximate index at
+      // 100 TB, as a catalog operator rather than a test: per query,
+      // |ANN top-k ∩ exact top-k| / k. Both sides are the already-gated
+      // deterministic pipelines, so even this evaluation is oracle-hashed
+      // (the oracle re-derives exact + LSH candidates and intersects —
+      // approximate never means unverifiable, including its metrics).
+      // The hit check is a (q_id, id) semi-join on two k-row-per-query
+      // sets — trivially broadcastable at any corpus size since k is
+      // constant and queries are the small side.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.cosineTopK(corpus, queries, k = 3)
+        .select(col("q_id"), col("id"))
+      val ann = Similarity.lshTopKPortable(corpus, queries, k = 3, nBits = 4, dim = 64)
+        .select(col("q_id"), col("id"))
+      val hits = exact.join(ann, Seq("q_id", "id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT i.i, list_transform(range(0, 64), j ->
+           |    CAST(CAST('0x' || substr(md5('0:' || i.i || ':' || j), 1, 15)
+           |      AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 4) i(i)),
+           |b AS (
+           |  SELECT v.vec_id,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+           |        (a,b2) -> a + b2) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id),
+           |ex AS (
+           |  SELECT q_id, id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS id,
+           |      list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |        / (q.nrm * c.nrm) AS cosine
+           |    FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) <= 3),
+           |ann AS (
+           |  SELECT q_id, id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS id,
+           |      list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |        / (q.nrm * c.nrm) AS cosine
+           |    FROM v q
+           |    JOIN b bq ON bq.vec_id = q.vec_id
+           |    JOIN b bc ON bc.bucket = bq.bucket
+           |    JOIN v c ON c.vec_id = bc.vec_id
+           |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) <= 3),
+           |hits AS (
+           |  SELECT e.q_id, COUNT(*) AS n_hit
+           |  FROM ex e JOIN ann a ON a.q_id = e.q_id AND a.id = e.id
+           |  GROUP BY e.q_id)
+           |SELECT q.vec_id AS q_id,
+           |  COALESCE(h.n_hit, 0) AS n_hit,
+           |  COALESCE(h.n_hit, 0) / 3.0 AS recall
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+           |LEFT JOIN hits h ON h.q_id = q.vec_id
+           |ORDER BY q_id""".stripMargin))
+
   private val v12 = Entry("v12_ann_pq_rerank",
     (s, dir) => {
       // Two-stage PQ: ADC top-10 candidates (codes only) exact-re-ranked
@@ -4615,13 +4727,13 @@ object AnalyticsCatalog {
     t16, t17, t18, t19, t20, t21,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22,
-    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12,
+    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     m01, m02, m03, m04, m05)
 }

@@ -76,6 +76,26 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     }
   }
 
+  test("kCorePeel: hand-checked 2-core; fixture 3-core reaches fixpoint in budget") {
+    // K4 on {0,1,2,3} + a pendant path 3-4-5: 2-core = the K4 (node 4
+    // survives round 1 with deg 2, dies round 2 after 5 is peeled)
+    val k4 = (for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)) ++
+      Seq((3L, 4L), (4L, 5L))
+    val core2 = GraphAlgorithms.kCorePeel(k4.toDF("u", "v"), k = 2, rounds = 3)
+      .as[Long].collect().toSet
+    assert(core2 === Set(0L, 1L, 2L, 3L))
+    // x14's input at the smallest fixture: 3 rounds is at fixpoint
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val e = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("u"),
+        concat(lit("s"), $"l_suppkey").as("v")).distinct()
+    val r3 = GraphAlgorithms.kCorePeel(e, 3, 3).as[String].collect().toSet
+    val r4 = GraphAlgorithms.kCorePeel(e, 3, 4).as[String].collect().toSet
+    assert(r3 === r4)
+    assert(r3.nonEmpty)
+  }
+
   test("pagerank: sink publisher accumulates rank from its articles") {
     val pr = GraphAlgorithms.pageRank(graph, numIter = 20)
       .select($"key", $"rank").as[(String, Double)].collect().toMap
