@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   * not what a bigger crawl looks like. Embeddings are circularly shifted
   * per replica for the same reason.
   *
-  * Usage: `runMain graft.ScaleRehearsal [baseSfDir] [outDir]`
+  * Usage: `runMain graft.ScaleRehearsal [baseSfDir] [outDir] [--all | names…]`
   * (defaults: /root/testdata/sf0.1 → target/sf1_rehearsal).
+  * `SPARK_GRAFT_REPLICAS=100` derives a 100×-the-gate fixture instead
+  * (give it its own outDir) — the round-7 rehearsal of the linear-path
+  * operators two orders of magnitude above the correctness gate.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/sf1_rehearsal"
+    // replica count (default 10 = the sf1 derivation). SPARK_GRAFT_REPLICAS=100
+    // derives a 100×-the-gate fixture into a separate outDir — the strides
+    // below leave headroom to 100 replicas without key collisions.
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +48,7 @@ object ScaleRehearsal {
     def replicate(table: String, keyShifts: Map[String, Long]): Unit = {
       if (!new java.io.File(s"$out/$table.parquet").exists()) {
         val src = ops.Tables(spark, base, table)
-        (0 until 10).map { k =>
+        (0 until replicas).map { k =>
           if (k == 0) src
           else src.select(src.columns.toIndexedSeq.map { c =>
             keyShifts.get(c) match {
@@ -68,7 +75,7 @@ object ScaleRehearsal {
     if (!Seq("documents", "embeddings", "events")
         .forall(t => new java.io.File(s"$out/$t.parquet").exists())) {
       val docs = ops.Tables(spark, base, "documents")
-      (0 until 10).map { k =>
+      (0 until replicas).map { k =>
         if (k == 0) docs
         else docs.select(
           (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
@@ -79,13 +86,19 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
       val emb = ops.Tables(spark, base, "embeddings")
-      (0 until 10).map { k =>
-        if (k == 0) emb
-        else emb.select(
-          (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
-          concat(slice(col("embedding"), k + 1, 64 - k),
-            slice(col("embedding"), 1, k)).as("embedding"),
-          col("label"))
+      (0 until replicas).map { k =>
+        // circular shift wraps at the 64-dim width; wrapped replicas
+        // (k >= 64) additionally negate so they can't be near-dups of the
+        // replica they wrapped onto — clusters must multiply in COUNT,
+        // never in size
+        val s = k % 64
+        val shifted =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s))
+        val vec = if (k < 64) shifted else transform(shifted, x => -x)
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          vec.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -97,7 +110,7 @@ object ScaleRehearsal {
       // streaming path rehearses against the same time span, more keys —
       // the dimension mapGroupsWithState/window state actually grows along.
       val ev = ops.Tables(spark, base, "events")
-      (0 until 10).map { k =>
+      (0 until replicas).map { k =>
         if (k == 0) ev
         else ev.select(
           (col("event_id") + lit(k * 10000000L)).as("event_id"),
@@ -152,7 +165,10 @@ object ScaleRehearsal {
     val qs = results.map { case (k, (s, n)) =>
       s"\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"sf1_rehearsal","queries":$qs,"docs":50000,"embeddings":20000,"events":1000000}""")
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val nev = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"""{"metric":"sf1_rehearsal","replicas":$replicas,"queries":$qs,"docs":$nd,"embeddings":$ne,"events":$nev}""")
     spark.stop()
   }
 }

@@ -2468,6 +2468,44 @@ object AnalyticsCatalog {
            |    ELSE length(text) END) AS BIGINT) AS chars_est
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val i11 = Entry("i11_malformed_ingest",
+    (s, dir) => {
+      // File-level parse-fault isolation — the landing-zone twin of i02's
+      // dataflow dead-letter: a CSV batch arrives with deterministically
+      // corrupted rows (every doc_id % 50 == 0 carries a non-numeric
+      // n_chars), and the PERMISSIVE reader must keep every row, null the
+      // unparseable field, and capture the raw line in the corrupt-record
+      // column — per-file fault isolation without failing the batch or
+      // silently dropping rows (DROPMALFORMED's failure mode at 100 TB:
+      // data loss nobody alarms on). The oracle recomputes good/bad per
+      // language from the injection rule.
+      val docs = Tables(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_malformed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.select(concat(
+          col("doc_id"), lit(","), col("lang"), lit(","),
+          when(col("doc_id") % 50 === 0, lit("oops"))
+            .otherwise(col("n_chars").cast("string"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_corrupt").isNull, 1)).as("n_good"),
+          count(col("_corrupt")).as("n_bad"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_parsed"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_rows,
+           |  COUNT(CASE WHEN doc_id % 50 <> 0 THEN 1 END) AS n_good,
+           |  COUNT(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS n_bad,
+           |  CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars ELSE 0 END)
+           |    AS BIGINT) AS chars_parsed
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   // ------------------------------------------------------- cypher front end --
 
   private val c01 = Entry("c01_cypher_label_scan",
@@ -4729,7 +4767,7 @@ object AnalyticsCatalog {
     d16, d17, d18, d19, d20, d21, d22,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
+    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,

@@ -150,6 +150,36 @@ class IngestSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("label"), plan)
   }
 
+  test("PERMISSIVE csv keeps corrupted rows with partial fields; DROPMALFORMED loses them") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i11_spec").toString
+    val lines = Seq("1,en,100", "2,de,oops", "3,en,300") // row 2: bad n_chars
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(s"$dir/csv")
+    val schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$dir/csv")
+    val rows = permissive.orderBy("doc_id")
+      .select("doc_id", "lang", "n_chars", "_corrupt")
+      .collect()
+    assert(rows.length === 3) // nothing dropped
+    val bad = rows(1)
+    assert(bad.getString(1) === "de") // parseable fields survive
+    assert(bad.isNullAt(2)) // unparseable field nulled
+    assert(bad.getString(3) === "2,de,oops") // raw line captured
+    // the silent-data-loss mode this entry exists to warn against. NOTE:
+    // counted via collect — a bare count() column-prunes the scan to zero
+    // parsed columns, so conversion never fails and NOTHING is dropped
+    // (the row count literally depends on which columns downstream reads —
+    // one more way DROPMALFORMED loses data unobservably)
+    val dropped = spark.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG")
+      .option("mode", "DROPMALFORMED").csv(s"$dir/csv")
+    assert(dropped.collect().length === 2)
+    assert(dropped.count() === 3) // the pruned-scan count sees all rows
+  }
+
   test("small-file compaction reduces file count and preserves content") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString

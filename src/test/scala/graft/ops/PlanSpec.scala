@@ -243,6 +243,45 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-7 session-2 shapes keep their intended plans") {
+    // d22: the bloom probe must sit BELOW the verify join — a Filter on
+    // bloom_might_contain with the parquet scan in its subtree and no
+    // exchange in between, so non-matching shingles die map-side
+    def unwrapped(name: String): org.apache.spark.sql.execution.SparkPlan = {
+      val e = AnalyticsCatalog.entries.find(_.name == name).get
+      e.fn(spark, sfDir).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    val exec = unwrapped("d22_bloom_decontamination")
+    val bloomFilters = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContainLong]) => f
+    }
+    assert(bloomFilters.nonEmpty, exec.toString)
+    bloomFilters.foreach { f =>
+      assert(f.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
+      }.isEmpty, s"bloom probe above an exchange:\n$f")
+    }
+    // x13/x14: iterative graph rounds stay equi-join only
+    for (q <- Seq("x13_cc_alternating", "x14_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // t21: the per-doc top-k window is PARTITIONED (never a global sort
+    // of the scored term list through one partition)
+    val t21 = unwrapped("t21_salient_terms")
+    val windows = t21.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
   test("AQE skew join splits the straggler partition on skewed input only") {
     // The engine-native complement to q33's manual salting: on a shuffle
     // join where one key owns most of the bytes, AQE's skew-join must
