@@ -149,6 +149,7 @@ object ScaleRehearsal {
         // the round-6 banded SimHash scale path next to d03's LSH
         "d14_simhash_banded_pairs")
     val results = heavy.map { name =>
+      System.err.println(s"[rehearsal] running $name …")
       val t0 = System.nanoTime()
       // isolate per-query failures: in an --all sweep one erroring query
       // must not void the other 190+ measurements; rows = -1 marks it

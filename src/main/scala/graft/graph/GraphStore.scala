@@ -85,12 +85,25 @@ object GraphStore {
     finally fs.delete(lockPath, false)
   }
 
-  def write(g: PropertyGraph, path: String): Unit = {
-    g.nodes.repartition(org.apache.spark.sql.functions.col("label"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite").partitionBy("label").parquet(s"$path/nodes")
-    g.edges.repartition(org.apache.spark.sql.functions.col("relType"))
+  /** Cluster rows for the partitioned write. `repartition(col("label"))`
+    * (the pre-round-7 shape) hash-partitions on the label VALUE — every
+    * label's rows funnel through ONE task, which serializes store writes
+    * exactly when they get big (found by the 100× rehearsal: a 500k-node
+    * label wrote through a single sorter). Range-partitioning on
+    * (label, id) keeps the directory layout and the per-file id clustering
+    * (contiguous id ranges → parquet min/max stats stay selective) while
+    * splitting each label across as many tasks as the data needs. */
+  private def clusterNodes(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("label"), col("id")).sortWithinPartitions("id")
+
+  private def clusterEdges(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("relType"), col("srcId"), col("dstId"))
       .sortWithinPartitions("srcId", "dstId")
+
+  def write(g: PropertyGraph, path: String): Unit = {
+    clusterNodes(g.nodes)
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/nodes")
+    clusterEdges(g.edges)
       .write.mode("overwrite").partitionBy("relType").parquet(s"$path/edges")
   }
 
@@ -135,7 +148,7 @@ object GraphStore {
     // localCheckpoint cuts lineage from the files being overwritten (Spark
     // refuses to overwrite a path it is still reading from)
     val merged = scoped.mergeNodes(batch).nodes.localCheckpoint(true)
-    merged.repartition(col("label")).sortWithinPartitions("id")
+    clusterNodes(merged)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("label").parquet(nodesPath)
@@ -166,7 +179,7 @@ object GraphStore {
       }
     val scoped = PropertyGraph(graft.model.GraphSchema.emptyNodes(spark), existing)
     val merged = scoped.mergeEdges(withProps).edges.localCheckpoint(true)
-    merged.repartition(col("relType")).sortWithinPartitions("srcId", "dstId")
+    clusterEdges(merged)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("relType").parquet(edgesPath)
