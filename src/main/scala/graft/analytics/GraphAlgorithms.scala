@@ -483,6 +483,129 @@ object GraphAlgorithms {
         max(col("__m")).cast("long").as("n_edges"))
   }
 
+  /** Synchronous label-propagation community detection (the GDS LPA
+    * shape) over an undirected pair list, run for a FIXED round count so
+    * the result is a pure deterministic function of the input — the same
+    * fixed-budget posture as [[kCorePeel]]: the oracle can unroll the
+    * identical rounds, and at scale the job count is bounded up front.
+    * Classic LPA is nondeterministic (random update order / random tie
+    * break); this form is fully pinned: all nodes update simultaneously
+    * each round, and a node adopts the label with the highest neighbor
+    * frequency, ties broken by the SMALLEST label. Labels start as the
+    * node's own id, so any ordered id type works (strings included).
+    *
+    * Per round: one edge⋈label join keyed on the edge src + two
+    * map-side-combining aggregates (count per (node,label), then a
+    * min-struct argmax — never a collect_list of neighborhoods, so a
+    * high-degree hub costs a combiner, not a memory spike).
+    * `localCheckpoint` truncates lineage per round. Nodes with no edges
+    * are excluded (they stay their own singleton community; callers
+    * re-attach them like [[minLabelPropagation]] does). Returns
+    * (id, community). */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val freq = sym
+        .join(labels.select(col("id").as("u"), col("community")), Seq("u"))
+        .groupBy(col("v").as("id"), col("community"))
+        .agg(count(lit(1)).as("n"))
+      // argmax(count) with min-label tie break = lexicographic min over
+      // (-count, label); one aggregate, no window shuffle per node
+      labels = freq
+        .groupBy("id")
+        .agg(min(struct((-col("n")).as("nn"), col("community"))).as("best"))
+        .select(col("id"), col("best.community").as("community"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Personalized PageRank from an explicit SOURCE SET — the
+    * recommendation-centrality form: restart mass is distributed over
+    * `sources` only, so rank concentrates in their neighborhoods. Power
+    * iteration with a FIXED iteration count (deterministic, oracle-able):
+    * r_k(v) = reset·p(v) + (1−reset)·Σ_{u→v} r_{k−1}(u)/outdeg(u), with
+    * r_0 = p = uniform over sources. Dangling-node mass is dropped, not
+    * redistributed (the sparse-PPR convention) — redistribution would
+    * densify the rank vector to ALL vertices in one step, which is
+    * exactly what a 100 TB PPR must avoid.
+    *
+    * The rank vector stays SPARSE: only vertices with nonzero rank are
+    * materialized, so per-iteration work is proportional to the rank
+    * frontier (sources ∪ their ≤k-hop out-neighborhoods), not |V| — on a
+    * billion-node graph with a 10-source query the frontier is thousands
+    * of rows. Out-degrees are one map-side-combining aggregate computed
+    * once; each iteration is frontier⋈degree⋈edges + a sum aggregate.
+    * Returns (id, rank) for nonzero-rank vertices only; callers left-join
+    * the full vertex set and coalesce to 0. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iters: Int, reset: Double = 0.15): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val srcs = sources.toDF("id").distinct().localCheckpoint(true)
+    // |S| is the caller's sample size (bounded by construction)
+    val nS = srcs.count().toDouble
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    val base = srcs.select(col("id"), lit(reset / nS).as("base"))
+      .localCheckpoint(true)
+    var rank = srcs.select(col("id"), lit(1.0 / nS).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = rank
+        .join(outDeg, Seq("id"))
+        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      rank = base.join(inflow, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("base"), lit(0.0)) +
+            lit(1.0 - reset) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+
+  /** Eigenvector centrality by power iteration with END-ONLY
+    * normalization: score_0 = 1 everywhere, score_k(v) = Σ_{u→v}
+    * score_{k−1}(u) (= the number of k-step walks ending at v), and the
+    * single normalization centrality = score_R / max(score_R) happens
+    * once at the end. Mathematically identical to per-round-normalized
+    * power iteration (normalization is a scalar factor that cancels), but
+    * every intermediate value is an EXACT 64-bit integer — no float sums
+    * whose partition-order nondeterminism could differ across engines or
+    * runs; the one division at the end is the same IEEE op on the same
+    * two longs everywhere. Fixed `rounds` keeps the result a pure
+    * function of the input (the oracle unrolls the rounds as CTEs).
+    *
+    * Per round: one edge⋈score join + a map-side-combining integer sum —
+    * the standard sparse-matvec shuffle, linear in |E|. Multigraph
+    * semantics: parallel edges each contribute (no dedup pass — callers
+    * dedup first if they mean simple graphs). Overflow bound: max score
+    * after R rounds ≤ (max in-degree)^R — callers keep R small (that is
+    * also all the mixing the centrality ranking needs). */
+  def eigenvectorCentrality(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var score = nodes.select(col("id"), lit(1L).as("score"))
+    for (_ <- 1 to rounds) {
+      val inflow = score
+        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+        .groupBy(col("dst").as("id")).agg(sum("score").as("inflow"))
+      score = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"), coalesce(col("inflow"), lit(0L)).as("score"))
+        .localCheckpoint(true)
+    }
+    val mx = score.agg(max("score").as("mx"))
+    score.crossJoin(broadcast(mx))
+      .select(col("id"),
+        (col("score").cast("double") / col("mx").cast("double")).as("centrality"))
+  }
+
   private def shortestPathBatches(g: PropertyGraph,
       batches: Iterator[Seq[Long]]): DataFrame = {
     val spark = g.nodes.sparkSession

@@ -2356,6 +2356,53 @@ object AnalyticsCatalog {
            |  COUNT(*) + COUNT(CASE WHEN event_id % 5 = 0 THEN 1 END) AS n_ingested
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  private val s12 = Entry("s12_custom_state_sessions",
+    (s, dir) => {
+      // Gap sessionization as an EXPLICIT flatMapGroupsWithState state
+      // machine (graft.streaming.Sessionize) — the custom-state streaming
+      // path, batch-checked: s03 covers the built-in session_window; this
+      // entry covers the API a pipeline reaches for when per-session
+      // logic needs ordered iteration (here: integer session span in
+      // minutes). The SAME step function runs incrementally under
+      // Structured Streaming with state carried across micro-batches
+      // (StreamingSpec asserts batch ≡ streamed-in-batches). Output: the
+      // session-size histogram + total span minutes — bounded by the
+      // distinct session sizes. All compared values are exact integers.
+      import s.implicits._
+      // tz-free µs: wall-clock delta from the epoch NTZ literal —
+      // unix_micros() would re-interpret the NTZ value in the session
+      // timezone, which Bench/Verify don't pin identically
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            .as("tu"),
+          col("event_id"))
+        .as[graft.streaming.Sessionize.EvRow]
+      val sessions = graft.streaming.Sessionize.sessions(
+        graft.streaming.Sessionize.withSentinels(s, ev))
+      sessions.toDF()
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("span_min").cast("long").as("total_span_min"))
+        .orderBy("n_events")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+           |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |              >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, tu,
+           |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e),
+           |g AS (
+           |  SELECT user_id, sid, COUNT(*) AS n_events,
+           |    (MAX(tu) - MIN(tu)) // 60000000 AS span FROM s GROUP BY 1, 2)
+           |SELECT CAST(n_events AS INT) AS n_events, COUNT(*) AS n_sessions,
+           |  CAST(SUM(span) AS BIGINT) AS total_span_min
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val i06 = Entry("i06_orc_roundtrip",
     (s, dir) => {
       // Columnar-sink breadth: ORC (Spark's second first-class columnar
@@ -3706,6 +3753,111 @@ object AnalyticsCatalog {
            |  (SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) GROUP BY id)
            |SELECT id FROM d3 WHERE deg >= 3 ORDER BY id""".stripMargin))
 
+  private val x15 = Entry("x15_label_propagation",
+    (s, dir) => {
+      // Community detection by deterministic synchronous LPA
+      // (GraphAlgorithms.labelPropagation: 2 fixed rounds, argmax-count
+      // label adoption, min-label tie break) over the same
+      // customer–supplier purchase graph x14 peels. Classic LPA is
+      // nondeterministic (random order/ties); pinning both makes the
+      // result a pure function the oracle unrolls round-for-round with
+      // window argmax. Report: the 20 largest communities (size desc,
+      // then label — both pinned).
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val e = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v"))
+        .distinct()
+      GraphAlgorithms.labelPropagation(e, rounds = 2)
+        .groupBy("community").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community")).limit(20)
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+           |m1 AS (SELECT v AS id, u AS lbl, COUNT(*) AS n FROM sym GROUP BY 1, 2),
+           |r1 AS (SELECT id, lbl AS community FROM (
+           |  SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+           |  FROM m1) WHERE rn = 1),
+           |m2 AS (SELECT sym.v AS id, r1.community AS lbl, COUNT(*) AS n
+           |  FROM sym JOIN r1 ON sym.u = r1.id GROUP BY 1, 2),
+           |r2 AS (SELECT id, lbl AS community FROM (
+           |  SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+           |  FROM m2) WHERE rn = 1)
+           |SELECT community, COUNT(*) AS size FROM r2
+           |GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin))
+
+  private val x16 = Entry("x16_personalized_pagerank",
+    (s, dir) => {
+      // Personalized PageRank from a deterministic 10-article source set
+      // (the x12 md5-sample trick) over the article→publisher edge list —
+      // sparse power iteration, 5 fixed rounds
+      // (GraphAlgorithms.personalizedPageRank). On the bipartite graph
+      // ranks hit their fixpoint at round 2, giving the closed form the
+      // oracle replays: publisher PPR = 0.85·(0.15/|S|)·(its sampled
+      // articles). Quantized to 6 dp (x02's posture) so float association
+      // order cannot flip the hash; fixture values are multiples of
+      // 0.01275 — ≥5e-7 from every rounding boundary.
+      val docs = Tables(s, dir, "documents")
+      val edges = docs.select(col("doc_id").cast("string").as("src"),
+        col("source").as("dst"))
+      val sources = docs.select(col("doc_id").cast("string").as("id"))
+        .orderBy(md5(col("id")), col("id")).limit(10)
+      val ppr = GraphAlgorithms.personalizedPageRank(edges, sources, iters = 5)
+      docs.select(col("source")).distinct()
+        .join(ppr.withColumnRenamed("id", "source"), Seq("source"), "left")
+        .select(col("source").as("publisher"),
+          round(coalesce(col("rank"), lit(0.0)), 6).as("ppr"))
+        .orderBy(col("ppr").desc, col("publisher"))
+    },
+    Some("""WITH tot AS (SELECT LEAST(10, COUNT(*)) AS ns FROM documents),
+           |samp AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS id, source FROM documents
+           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+           |  LIMIT 10),
+           |cnt AS (SELECT source, COUNT(*) AS c FROM samp GROUP BY source)
+           |SELECT d.source AS publisher,
+           |  round(COALESCE(0.85 * (0.15 / tot.ns) * cnt.c, 0.0), 6) AS ppr
+           |FROM (SELECT DISTINCT source FROM documents) d
+           |CROSS JOIN tot
+           |LEFT JOIN cnt ON d.source = cnt.source
+           |ORDER BY ppr DESC, publisher""".stripMargin))
+
+  private val x17 = Entry("x17_eigenvector_centrality",
+    (s, dir) => {
+      // Eigenvector centrality over the deterministic ring +
+      // quadratic-skip multigraph on doc_ids (x07's replayable-fixture
+      // trick, with a quadratic skip so in-degrees VARY — a 2-regular
+      // graph would score every node identically). 3 integer
+      // power-iteration rounds + ONE end division
+      // (GraphAlgorithms.eigenvectorCentrality): every compared value is
+      // an exact long or the identical IEEE quotient of two longs, so
+      // the full hash applies with no quantization at all.
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id").as("id"))
+      val n = docs.count()
+      val edges = ids.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .unionByName(ids.select(col("id").as("src"),
+          ((col("id") * col("id") + 1) % n).as("dst")))
+      GraphAlgorithms.eigenvectorCentrality(edges, rounds = 3)
+        .orderBy(col("centrality").desc, col("id")).limit(25)
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * doc_id + 1) % n.n FROM documents, n),
+           |s1 AS (SELECT dst AS id, COUNT(*) AS score FROM e GROUP BY 1),
+           |s2 AS (SELECT e.dst AS id, SUM(s1.score) AS score
+           |  FROM e JOIN s1 ON e.src = s1.id GROUP BY 1),
+           |s3 AS (SELECT e.dst AS id, SUM(s2.score) AS score
+           |  FROM e JOIN s2 ON e.src = s2.id GROUP BY 1),
+           |mx AS (SELECT MAX(score) AS mx FROM s3)
+           |SELECT s3.id, CAST(s3.score AS DOUBLE) / CAST(mx.mx AS DOUBLE) AS centrality
+           |FROM s3, mx ORDER BY centrality DESC, id LIMIT 25""".stripMargin))
+
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
       // Pregel min-id propagation; reported per component as (min member
@@ -4766,12 +4918,13 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
+    x15, x16, x17,
     m01, m02, m03, m04, m05)
 }

@@ -197,6 +197,60 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(dia.getOrElse(3L, 0.0) === 1.0)
   }
 
+  test("labelPropagation: pinned tie-breaks; triangle collapses; star alternates") {
+    // triangle {1,2,3}: round 1 sends every node its min neighbor
+    // (1→2, 2→1, 3→1); round 2 makes label 1 dominant everywhere
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val triOut = GraphAlgorithms.labelPropagation(tri, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(triOut === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // star leaves {1,2,3} around center 5: synchronous LPA alternates —
+    // round 1: center adopts min leaf (1), leaves adopt center (5);
+    // round 2: center sees only label 5, leaves see only label 1.
+    // The FIXED round budget makes that a pinned, assertable function.
+    val star = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("u", "v")
+    val starOut = GraphAlgorithms.labelPropagation(star, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(starOut === Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // determinism: a re-run is bit-identical (classic LPA would not be)
+    val again = GraphAlgorithms.labelPropagation(star, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again === starOut)
+  }
+
+  test("personalizedPageRank: chain ranks match hand-computed fixpoint; mass is bounded") {
+    // a→b→c, sources {a}: after ≥2 iters a=0.15, b=0.85·0.15,
+    // c=0.85·0.85·0.15·… — iter 3 exact values below
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val src = Seq("a").toDF("id")
+    val r = GraphAlgorithms.personalizedPageRank(e, src, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+    assert(math.abs(r("b") - 0.85 * 0.15) < 1e-12)
+    assert(math.abs(r("c") - 0.85 * 0.85 * 0.15) < 1e-12)
+    // dangling node c drops its outflow: total mass stays ≤ 1
+    assert(r.values.sum <= 1.0 + 1e-12)
+    // rank vector stays sparse: only reached vertices appear
+    val far = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val sparse = GraphAlgorithms.personalizedPageRank(far, src, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(!sparse.contains("x") && !sparse.contains("y"))
+  }
+
+  test("eigenvectorCentrality: cycle is uniform; chord concentrates score") {
+    // directed 3-cycle: every node has in-degree 1 → all scores stay 1
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val c1 = GraphAlgorithms.eigenvectorCentrality(cyc, rounds = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(c1 === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // add chord 1→3: integer walk counts after 3 rounds are
+    // s3 = (2, 2, 3) for nodes (1, 2, 3) → centrality (2/3, 2/3, 1)
+    val chord = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val c2 = GraphAlgorithms.eigenvectorCentrality(chord, rounds = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(c2 === Map(1L -> 2.0 / 3.0, 2L -> 2.0 / 3.0, 3L -> 1.0))
+  }
+
   test("nodeSimilarity: Jaccard over out-neighbor sets, no-overlap pairs absent") {
     // a: {x,y,z}  b: {x,y}    → 2/3
     // c: {x}                  → with a: 1/3, with b: 1/2

@@ -148,6 +148,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Sessionize state machine: streamed-in-batches equals one-shot batch (s12 twin)") {
+    import Sessionize.{EvRow, SessionOut}
+    implicit val sc = spark.sqlContext
+    def us(s: String) = ts(s).getTime * 1000L
+    // user 1: two sessions (00:00+00:10 merge; 01:00+01:05 merge);
+    // user 2: two single-event sessions 2h apart
+    val evs = Seq(
+      EvRow(1L, us("2024-01-01 00:00:00"), 1L),
+      EvRow(1L, us("2024-01-01 00:10:00"), 2L),
+      EvRow(1L, us("2024-01-01 01:00:00"), 3L),
+      EvRow(1L, us("2024-01-01 01:05:00"), 4L),
+      EvRow(2L, us("2024-01-01 00:00:00"), 5L),
+      EvRow(2L, us("2024-01-01 02:00:00"), 6L))
+    val sentinels = Seq(EvRow(1L, Sessionize.SentinelTs, Long.MaxValue),
+      EvRow(2L, Sessionize.SentinelTs, Long.MaxValue))
+    // batch: whole history in one invocation with empty state
+    val batchOut = Sessionize.sessions(
+        Sessionize.withSentinels(spark, evs.toDS()))
+      .collect().toSeq.sortBy(s => (s.user_id, s.n_events, s.span_min))
+    assert(batchOut.toSet === Set(
+      SessionOut(1L, 2, 10L), SessionOut(1L, 2, 5L),
+      SessionOut(2L, 1, 0L), SessionOut(2L, 1, 0L)))
+    // streaming: same events in ts order across 3 micro-batches; state
+    // (the open session) must survive batch boundaries — the 00:10 event
+    // arrives a batch after 00:00 and must still merge into its session
+    val mem = MemoryStream[EvRow]
+    val q = Sessionize.sessions(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessionize_out").start()
+    try {
+      mem.addData(evs.filter(_.tu <= us("2024-01-01 00:00:00")): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(e =>
+        e.tu > us("2024-01-01 00:00:00") && e.tu <= us("2024-01-01 01:00:00")): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.tu > us("2024-01-01 01:00:00")): _*)
+      q.processAllAvailable()
+      mem.addData(sentinels: _*) // end-of-input flush
+      q.processAllAvailable()
+      val streamed = spark.table("sessionize_out").as[SessionOut]
+        .collect().toSeq.sortBy(s => (s.user_id, s.n_events, s.span_min))
+      assert(streamed === batchOut)
+    } finally q.stop()
+  }
+
   test("session windows: streaming (watermarked, complete) equals batch") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
