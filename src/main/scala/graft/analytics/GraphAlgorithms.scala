@@ -606,6 +606,46 @@ object GraphAlgorithms {
         (col("score").cast("double") / col("mx").cast("double")).as("centrality"))
   }
 
+  /** FastRP-style graph embedding (Chen et al., "Fast and Accurate
+    * Network Embeddings via Very Sparse Random Projection", CIKM'19 — the
+    * GDS embedding family): project each node to a very sparse random
+    * vector, then propagate by summing neighbors for `rounds` hops, so a
+    * node's embedding mixes its r-hop neighborhood structure. Two
+    * deliberate deviations keep every value EXACT and cross-engine
+    * reproducible (the x17 posture): (1) the random init is the portable
+    * md5 derivation — component j of node v is md5(v":"j) mod 4 mapped to
+    * {−1, +1, 0, 0} (the ±1-at-density-½ sparse family), not a seeded
+    * Gaussian; (2) propagation SUMS without degree normalization or
+    * per-round L2 scaling, so intermediates stay integers — per-hop
+    * normalization rescales within the same hop count and changes cosine
+    * geometry only across degree skew, which callers needing it apply to
+    * the final integer vectors. Undirected: edges are symmetrized.
+    *
+    * Per round: one edge⋈embedding join + `dim` map-side-combining
+    * integer sums — a sparse matvec per dimension in a single shuffle,
+    * linear in |E|·dim. Returns (id, e0 … e(dim−1)) as longs. */
+  def fastRPEmbedding(pairs: DataFrame, dim: Int, rounds: Int): DataFrame = {
+    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+    def hv(j: Int) =
+      conv(substring(md5(concat(col("id"), lit(s":$j"))), 1, 8), 16, 10)
+        .cast("long") % 4
+    var emb = nodes.select(col("id") +: (0 until dim).map(j =>
+      when(hv(j) === 0, lit(-1L)).when(hv(j) === 1, lit(1L))
+        .otherwise(lit(0L)).as(s"e$j")): _*)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sums = (0 until dim).map(j => sum(col(s"e$j")).as(s"e$j"))
+      emb = sym.join(emb.withColumnRenamed("id", "u"), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(sums.head, sums.tail: _*)
+        .localCheckpoint(true)
+    }
+    emb
+  }
+
   private def shortestPathBatches(g: PropertyGraph,
       batches: Iterator[Seq[Long]]): DataFrame = {
     val spark = g.nodes.sparkSession

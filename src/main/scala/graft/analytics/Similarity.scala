@@ -29,6 +29,55 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick k results trading relevance against
+    * redundancy — step score = λ·cos(q,c) − (1−λ)·max_{s∈selected}
+    * cos(c,s). The retrieval-diversification pass a training-data
+    * pipeline runs after ANN so near-duplicate hits don't crowd the
+    * result list; λ=1 degenerates to plain top-k (spec-asserted).
+    *
+    * Set-oriented greedy: ALL queries advance one selection step per
+    * round (k bounded driver loop, never a per-query loop). Relevance
+    * scoring is the [[cosineTopK]] broadcast scan; each subsequent step
+    * is one anti-join (pool minus selected) + a pairwise-cosine join
+    * against the ≤step-row selected set per query — work is
+    * |queries|·poolSize·k, independent of corpus size after pooling.
+    * Every arithmetic step is the d06-proven left-fold cosine + scalar
+    * mults, so ranks AND scores hash-match cross-engine. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, poolSize: Int,
+      lambda: Double): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("q_vec"), col("vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    val pool = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolSize)
+      .select(col("q_id"), col("id"), col("vec"), col("cosine"), col("rn"))
+      .localCheckpoint(true)
+    // step 1: pure relevance (max-sim to the empty selected set is 0)
+    var selected = pool.filter(col("rn") === 1)
+      .select(col("q_id"), col("id"), col("vec"), lit(1).as("rank"),
+        (lit(lambda) * col("cosine")).as("mmr"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val cand = pool.join(selected.select("q_id", "id"), Seq("q_id", "id"), "left_anti")
+      val maxsim = cand
+        .join(selected.select(col("q_id"), col("vec").as("s_vec")), Seq("q_id"))
+        .select(col("q_id"), col("id"),
+          VectorFunctions.cosine(col("vec"), col("s_vec")).as("sim"))
+        .groupBy("q_id", "id").agg(max("sim").as("max_sim"))
+      val stepScored = cand.join(maxsim, Seq("q_id", "id"))
+        .withColumn("mmr",
+          lit(lambda) * col("cosine") - lit(1.0 - lambda) * col("max_sim"))
+      val ws = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("id"))
+      val pick = stepScored.withColumn("prn", row_number().over(ws))
+        .filter(col("prn") === 1)
+        .select(col("q_id"), col("id"), col("vec"), lit(step).as("rank"), col("mmr"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("q_id"), col("rank"), col("id"), col("mmr"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed → same planes on every
     * executor and every run). */
   def randomHyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -262,7 +262,12 @@ object CypherAst {
       "db.labels" -> Seq("label"),
       "db.relationshipTypes" -> Seq("relationshipType"),
       "db.propertyKeys" -> Seq("propertyKey"),
-      "dbms.components" -> Seq("name", "versions", "edition"))
+      "dbms.components" -> Seq("name", "versions", "edition"),
+      // graph-algorithm procedures (the GDS `.stream` surface): results
+      // identify nodes by KEY (engine-independent), never internal ids
+      "gds.pageRank.stream" -> Seq("key", "score"),
+      "gds.wcc.stream" -> Seq("key", "componentKey"),
+      "gds.degree.stream" -> Seq("key", "degree"))
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))

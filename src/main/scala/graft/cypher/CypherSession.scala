@@ -1429,6 +1429,26 @@ final class CypherSession(
         case "dbms.components" =>
           spark.range(1).select(lit("graft-spark").as("name"),
             array(lit("5.4.0")).as("versions"), lit("community").as("edition"))
+        // GDS-style algorithm procedures: the analytics engine surfaced
+        // through Cypher CALL, the way Neo4j users actually invoke graph
+        // algorithms. Node identity is the KEY (internal ids are engine
+        // noise); pageRank scores ride x02's 6-dp quantization contract.
+        case "gds.pageRank.stream" =>
+          graft.analytics.GraphAlgorithms.pageRank(graph, numIter = 10)
+            .select(col("key"), round(col("rank"), 6).as("score"))
+        case "gds.wcc.stream" =>
+          // component identity = the min member key, engine-independent
+          val comps = graft.analytics.GraphAlgorithms.connectedComponents(graph)
+          comps.join(
+              comps.groupBy("component").agg(min("key").as("componentKey")),
+              Seq("component"))
+            .select(col("key"), col("componentKey"))
+        case "gds.degree.stream" =>
+          val deg = graph.edges.select(col("srcId").as("id"))
+            .union(graph.edges.select(col("dstId").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("degree"))
+          graph.nodes.join(deg, Seq("id"), "left")
+            .select(col("key"), coalesce(col("degree"), lit(0L)).as("degree"))
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =

@@ -1817,6 +1817,73 @@ object AnalyticsCatalog {
            |QUALIFY rank <= 3
            |ORDER BY q_id, rank""".stripMargin))
 
+  private val v14 = Entry("v14_mmr_diversified_topk",
+    (s, dir) => {
+      // MMR diversified top-3 over a 10-candidate ANN pool
+      // (Similarity.mmrTopK, λ=0.5): the post-retrieval pass that stops
+      // near-duplicate hits crowding a result list. The greedy selection
+      // is bounded (k=3), so the oracle unrolls each step as a CTE: pool
+      // → argmax relevance → anti-join + max-sim-to-selected → argmax
+      // MMR, twice. Scores are the d06-proven left-fold cosine plus
+      // scalar mults — ranks AND raw double scores hash-match.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.mmrTopK(corpus, queries, k = 3, poolSize = 10, lambda = 0.5)
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS id, c.embedding AS vec, c.nrm AS cnrm,
+           |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+           |pool AS (SELECT * FROM (
+           |  SELECT q_id, id, vec, cnrm, cosine,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rn
+           |  FROM scored) WHERE rn <= 10),
+           |s1 AS (SELECT q_id, id, vec, cnrm, 1 AS rank, 0.5 * cosine AS mmr
+           |  FROM pool WHERE rn = 1),
+           |x2 AS (
+           |  SELECT c.q_id, c.id, c.vec, c.cnrm, c.cosine,
+           |    MAX(list_reduce(list_transform(list_zip(c.vec, s.vec),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (c.cnrm * s.cnrm)) AS max_sim
+           |  FROM pool c JOIN s1 s ON c.q_id = s.q_id AND c.id <> s.id
+           |  GROUP BY c.q_id, c.id, c.vec, c.cnrm, c.cosine),
+           |s2 AS (SELECT q_id, id, vec, cnrm, 2 AS rank, mmr FROM (
+           |  SELECT q_id, id, vec, cnrm, 0.5 * cosine - 0.5 * max_sim AS mmr,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY (0.5 * cosine - 0.5 * max_sim) DESC, id) AS prn
+           |  FROM x2) WHERE prn = 1),
+           |sel2 AS (SELECT q_id, id, vec, cnrm FROM s1
+           |  UNION ALL SELECT q_id, id, vec, cnrm FROM s2),
+           |x3 AS (
+           |  SELECT c.q_id, c.id, c.cosine,
+           |    MAX(list_reduce(list_transform(list_zip(c.vec, s.vec),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (c.cnrm * s.cnrm)) AS max_sim
+           |  FROM pool c JOIN sel2 s ON c.q_id = s.q_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel2 z
+           |    WHERE z.q_id = c.q_id AND z.id = c.id)
+           |  GROUP BY c.q_id, c.id, c.cosine),
+           |s3 AS (SELECT q_id, id, 3 AS rank, mmr FROM (
+           |  SELECT q_id, id, 0.5 * cosine - 0.5 * max_sim AS mmr,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY (0.5 * cosine - 0.5 * max_sim) DESC, id) AS prn
+           |  FROM x3) WHERE prn = 1)
+           |SELECT q_id, CAST(rank AS INT) AS rank, id, mmr FROM (
+           |  SELECT q_id, rank, id, mmr FROM s1
+           |  UNION ALL SELECT q_id, rank, id, mmr FROM s2
+           |  UNION ALL SELECT q_id, rank, id, mmr FROM s3)
+           |ORDER BY q_id, rank""".stripMargin))
+
   private val v05 = Entry("v05_label_centroid",
     (s, dir) => {
       // per-label embedding centroid, one row per (label, dimension) —
@@ -3646,6 +3713,58 @@ object AnalyticsCatalog {
            |  UNION ALL SELECT 'relType', 'WRITTEN_BY')
            |ORDER BY kind, name""".stripMargin))
 
+  private val c46 = Entry("c46_cypher_gds_pagerank",
+    (s, dir) => {
+      // The GDS `.stream` procedure surface — graph ALGORITHMS invoked
+      // through Cypher CALL, the way Neo4j users actually run them
+      // (CALL gds.pageRank.stream() YIELD ...). The procedure wraps
+      // GraphAlgorithms.pageRank under x02's determinism contract (10
+      // fixed supersteps, 6-dp quantization, node identity by KEY), and
+      // the yielded columns compose through RETURN/ORDER BY/LIMIT like
+      // any binding. Top-10 by score: publishers only at the fixture
+      // (a publisher with d≥1 articles always outranks an article), so
+      // x02's closed-form oracle applies with the same tie order.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.pageRank.stream() YIELD key, score
+                 |RETURN key AS publisher, score
+                 |ORDER BY score DESC, publisher LIMIT 10""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH d AS (SELECT source, COUNT(*) AS deg FROM documents GROUP BY source),
+           |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_art,
+           |             COUNT(*) AS n_pub,
+           |             SUM(0.15 + 0.85*0.15*deg) AS s_pub
+           |      FROM d)
+           |SELECT d.source AS publisher,
+           |  round((0.15 + 0.85*0.15*d.deg) * (n_art + n_pub)
+           |        / (s_pub + 0.15*n_art), 6) AS score
+           |FROM d, n
+           |ORDER BY score DESC, publisher LIMIT 10""".stripMargin))
+
+  private val c47 = Entry("c47_cypher_gds_wcc",
+    (s, dir) => {
+      // gds.wcc.stream() composed with a Cypher aggregation horizon: the
+      // procedure yields (key, componentKey) — component identity is the
+      // MIN MEMBER KEY, engine-independent where internal component ids
+      // are not — and the WITH groups it into component sizes. On the
+      // publisher-star fixture each component is one publisher + its
+      // articles, so the oracle is x01's closed form re-ranked by size.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.wcc.stream() YIELD componentKey
+                 |WITH componentKey, count(*) AS size
+                 |RETURN componentKey, size
+                 |ORDER BY size DESC, componentKey LIMIT 10""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT least(source, min(CAST(doc_id AS VARCHAR))) AS componentKey,
+           |  COUNT(*) + 1 AS size
+           |FROM documents GROUP BY source
+           |ORDER BY size DESC, componentKey LIMIT 10""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -3857,6 +3976,50 @@ object AnalyticsCatalog {
            |mx AS (SELECT MAX(score) AS mx FROM s3)
            |SELECT s3.id, CAST(s3.score AS DOUBLE) / CAST(mx.mx AS DOUBLE) AS centrality
            |FROM s3, mx ORDER BY centrality DESC, id LIMIT 25""".stripMargin))
+
+  private val x18 = Entry("x18_fastrp_embedding",
+    (s, dir) => {
+      // FastRP graph embedding (GraphAlgorithms.fastRPEmbedding) of the
+      // customer–supplier purchase graph: portable md5-derived ±1-sparse
+      // init, 2 integer sum-propagation hops, dim 4. Every embedding
+      // component is an exact long (the x17 posture — no float noise to
+      // quantize away), and the oracle replays init + both hops as CTEs
+      // with the same md5 derivation the v03 planes use. Report: the
+      // first 20 supplier embeddings by id.
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val e = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v"))
+        .distinct()
+      GraphAlgorithms.fastRPEmbedding(e, dim = 4, rounds = 2)
+        .filter(col("id").startsWith("s"))
+        .orderBy("id").limit(20)
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+           |n AS (SELECT DISTINCT u AS id FROM sym),
+           |r0 AS (SELECT id,
+           |  CASE CAST('0x' || substr(md5(id || ':0'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e0,
+           |  CASE CAST('0x' || substr(md5(id || ':1'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e1,
+           |  CASE CAST('0x' || substr(md5(id || ':2'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e2,
+           |  CASE CAST('0x' || substr(md5(id || ':3'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e3
+           |  FROM n),
+           |r1 AS (SELECT sym.v AS id, SUM(r0.e0) AS e0, SUM(r0.e1) AS e1,
+           |    SUM(r0.e2) AS e2, SUM(r0.e3) AS e3
+           |  FROM sym JOIN r0 ON sym.u = r0.id GROUP BY 1),
+           |r2 AS (SELECT sym.v AS id, SUM(r1.e0) AS e0, SUM(r1.e1) AS e1,
+           |    SUM(r1.e2) AS e2, SUM(r1.e3) AS e3
+           |  FROM sym JOIN r1 ON sym.u = r1.id GROUP BY 1)
+           |SELECT id, CAST(e0 AS BIGINT) AS e0, CAST(e1 AS BIGINT) AS e1,
+           |  CAST(e2 AS BIGINT) AS e2, CAST(e3 AS BIGINT) AS e3
+           |FROM r2 WHERE id LIKE 's%' ORDER BY id LIMIT 20""".stripMargin))
 
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
@@ -4917,14 +5080,14 @@ object AnalyticsCatalog {
     t16, t17, t18, t19, t20, t21,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22,
-    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
+    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45,
+    c43, c44, c45, c46, c47,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17,
+    x15, x16, x17, x18,
     m01, m02, m03, m04, m05)
 }

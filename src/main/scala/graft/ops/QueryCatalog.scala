@@ -1544,10 +1544,34 @@ object QueryCatalog {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  private val q59 = Entry("q59_unpivot",
+    (s, dir) => {
+      // UNPIVOT/melt — the inverse of q25's pivot and the missing half of
+      // the reshape pair: wide per-year revenue columns back to long
+      // (flag, year, revenue) rows. Spark's native unpivot is a
+      // zero-shuffle Expand (each input row fans to one row per value
+      // column) — no join, no window. Year slice chosen so every
+      // (flag, year) cell is populated: Spark keeps null cells where
+      // DuckDB's UNPIVOT drops them, and this entry pins the reshape
+      // semantics, not the null policy.
+      val li = t(s, dir, "lineitem")
+      val pv = li.withColumn("yr", year(col("l_shipdate")))
+        .filter(col("yr").isin(1996, 1997))
+        .groupBy("l_returnflag").pivot("yr", Seq(1996, 1997))
+        .agg(asDouble(sum(dec(col("l_extendedprice")))))
+      pv.unpivot(Array(col("l_returnflag")),
+          Array(col("1996"), col("1997")), "yr", "revenue")
+        .orderBy("l_returnflag", "yr")
+    },
+    Some("""SELECT l_returnflag, CAST(year(l_shipdate) AS VARCHAR) AS yr,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           |FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58)
+    q55, q56, q57, q58, q59)
 }

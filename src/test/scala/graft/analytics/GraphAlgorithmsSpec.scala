@@ -251,6 +251,29 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(c2 === Map(1L -> 2.0 / 3.0, 2L -> 2.0 / 3.0, 3L -> 1.0))
   }
 
+  test("fastRPEmbedding: md5-sparse init, hop sums hand-verified on K2 and triangle") {
+    val k2 = Seq(("a", "b")).toDF("u", "v")
+    def run(rounds: Int) = GraphAlgorithms.fastRPEmbedding(k2, dim = 4, rounds)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getLong)).toMap
+    val r0 = run(0)
+    // init components are the ±1-sparse family
+    assert(r0.values.flatten.forall(x => x >= -1L && x <= 1L))
+    // one hop on K2 swaps the two vectors; two hops restore them
+    val r1 = run(1)
+    assert(r1("a") === r0("b") && r1("b") === r0("a"))
+    assert(run(2) === r0)
+    // triangle: one hop = exact integer sum of the other two inits
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
+    def runT(rounds: Int) = GraphAlgorithms.fastRPEmbedding(tri, dim = 4, rounds)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getLong)).toMap
+    val t0 = runT(0); val t1 = runT(1)
+    for (n <- Seq("a", "b", "c")) {
+      val others = Seq("a", "b", "c").filterNot(_ == n)
+      val want = (0 to 3).map(j => others.map(o => t0(o)(j)).sum)
+      assert(t1(n) === want)
+    }
+  }
+
   test("nodeSimilarity: Jaccard over out-neighbor sets, no-overlap pairs absent") {
     // a: {x,y,z}  b: {x,y}    → 2/3
     // c: {x}                  → with a: 1/3, with b: 1/2

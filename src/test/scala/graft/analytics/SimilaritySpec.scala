@@ -35,6 +35,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(ranks.forall(_.sorted == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("MMR: λ=1 equals plain top-k; λ=0.5 swaps a redundant hit for a diverse one") {
+    val corpus = clustered
+    val queries = corpus.filter($"id" < 4)
+      .select($"id".as("q_id"), $"vec".as("q_vec"))
+    // λ=1 removes the redundancy penalty → selection IS relevance order
+    val plain = Similarity.cosineTopK(corpus.select($"id", $"vec"), queries, k = 3)
+      .select($"q_id", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    val mmr1 = Similarity.mmrTopK(corpus.select($"id", $"vec"), queries,
+        k = 3, poolSize = 10, lambda = 1.0)
+      .select($"q_id", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(mmr1 === plain)
+    // hand fixture: q=(1,0); a and b equally relevant and nearly parallel
+    // to EACH OTHER (cos(a,b)≈0.9998); c a hair less relevant but on the
+    // other side of q (cos(c,a)≈0.585). Relevance order (a,b,c); MMR at
+    // λ=0.5 picks a, then c — b's mmr 0.5·(0.89−0.9998)<0 loses to c's
+    // 0.5·(0.88−0.585)>0 by a wide margin — then b.
+    val tiny = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.4359f)),
+      (12L, Array(0.89f, 0.456f)), (13L, Array(0.88f, -0.475f)))
+      .toDF("id", "vec")
+    val q = tiny.filter($"id" === 10L).select($"id".as("q_id"), $"vec".as("q_vec"))
+    val sel = Similarity.mmrTopK(tiny, q, k = 3, poolSize = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(sel === Seq(11L, 13L, 12L))
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val corpus = clustered
     val queries = corpus.filter($"id" < 8)

@@ -61,6 +61,42 @@ class CypherSpec extends SparkTestBase {
     assert(err.getMessage.contains("unknown procedure"))
   }
 
+  test("CALL gds.* algorithm procedures: degree, wcc, pageRank over the session graph") {
+    val sess = freshSession
+    // star: alice→{spark, flink}, bob→{spark}; carol isolated
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'flink'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("""MERGE (u:User {name: 'bob'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("MERGE (u:User {name: 'carol'})")
+    // undirected degree, 0 for the isolated node, composes with WHERE
+    val deg = sess.run(
+      """CALL gds.degree.stream() YIELD key, degree
+        |RETURN key, degree ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
+    assert(deg === Map("alice" -> 2L, "bob" -> 1L, "carol" -> 0L,
+      "spark" -> 2L, "flink" -> 1L))
+    // wcc: one component {alice,bob,spark,flink} keyed by min key,
+    // carol her own singleton
+    val wcc = sess.run(
+      """CALL gds.wcc.stream() YIELD key, componentKey
+        |RETURN key, componentKey ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(wcc("alice") === "alice" && wcc("spark") === "alice" &&
+      wcc("flink") === "alice" && wcc("bob") === "alice" &&
+      wcc("carol") === "carol")
+    // pageRank: the shared sink 'spark' outranks the single-source 'flink'
+    val pr = sess.run(
+      """CALL gds.pageRank.stream() YIELD key, score
+        |RETURN key, score ORDER BY score DESC, key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect()
+    assert(pr.head._1 === "spark")
+    val byKey = pr.toMap
+    assert(byKey("spark") > byKey("flink"))
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>

@@ -355,6 +355,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-7 session-3 shapes keep their intended plans") {
+    // x15/x18: iterative label/embedding propagation — every round's
+    // edge⋈state join must stay an equi-join (a cartesian anywhere is
+    // multiplied by the round count)
+    for (q <- Seq("x15_label_propagation", "x18_fastrp_embedding")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // x16/x17: frontier/score joins equi-only; x17's single final
+    // normalization scalar legitimately rides a 1-row broadcast
+    for (q <- Seq("x16_personalized_pagerank", "x17_eigenvector_centrality")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // q59: Spark lowers unpivot to Expand — row fan-out, no join/shuffle
+    val q59 = plan("q59_unpivot")
+    assert(q59.contains("Expand"), q59)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
