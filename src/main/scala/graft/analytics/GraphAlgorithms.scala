@@ -503,7 +503,53 @@ object GraphAlgorithms {
     * re-attach them like [[minLabelPropagation]] does). Returns
     * (id, community). */
   def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
-    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
+    // canonicalize BEFORE distinct: (a,b) and (b,a) are the same
+    // undirected edge — keeping both would double that neighbor's vote
+    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      labels = (if (r == 1) {
+        // Round 1 is EXACTLY a min aggregate: labels start as own ids and
+        // a node's neighbors are distinct, so every neighbor label has
+        // count 1 and argmax-with-min-tie-break degenerates to
+        // min(neighbor). The general mode below would group by
+        // (node, label) — |E| groups with zero combine benefit on round 1
+        // (the 100× rehearsal's dominant cost); the min form has |V|
+        // groups and combines map-side. Identical result, not a shortcut
+        // approximation (spec-asserted against the general form).
+        sym.groupBy(col("v").as("id")).agg(min(col("u")).as("community"))
+      } else {
+        val freq = sym
+          .join(labels.select(col("id").as("u"), col("community")), Seq("u"))
+          .groupBy(col("v").as("id"), col("community"))
+          .agg(count(lit(1)).as("n"))
+        // argmax(count) with min-label tie break = lexicographic min over
+        // (-count, label); one aggregate, no window shuffle per node
+        freq
+          .groupBy("id")
+          .agg(min(struct((-col("n")).as("nn"), col("community"))).as("best"))
+          .select(col("id"), col("best.community").as("community"))
+      }).localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** The general-form round (mode aggregate) applied from round 1 —
+    * reference implementation for the spec that pins the round-1 min
+    * fast path equal to it. */
+  private[analytics] def labelPropagationGeneral(pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     var labels = sym.select(col("u").as("id")).distinct()
@@ -514,8 +560,6 @@ object GraphAlgorithms {
         .join(labels.select(col("id").as("u"), col("community")), Seq("u"))
         .groupBy(col("v").as("id"), col("community"))
         .agg(count(lit(1)).as("n"))
-      // argmax(count) with min-label tie break = lexicographic min over
-      // (-count, label); one aggregate, no window shuffle per node
       labels = freq
         .groupBy("id")
         .agg(min(struct((-col("n")).as("nn"), col("community"))).as("best"))
@@ -644,6 +688,43 @@ object GraphAlgorithms {
         .localCheckpoint(true)
     }
     emb
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) in the [[x17-style
+    * eigenvectorCentrality]] exact-integer posture: scores start at 1,
+    * each round computes a_k(v) = Σ_{u→v} h_{k−1}(u) then
+    * h_k(u) = Σ_{u→v} a_k(v) (the standard in-round authority update),
+    * and normalization happens ONCE at the end (authority/max(authority),
+    * hub/max(hub)) — all intermediates are exact longs, the two final
+    * divisions are identical IEEE ops on any engine, so the full hash
+    * applies with no quantization. Fixed `rounds` keeps it a pure
+    * function of the input (the oracle unrolls the rounds as CTEs).
+    * Per round: two sparse matvec shuffles (edge⋈score join +
+    * map-side-combining integer sum), linear in |E|. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var hub = nodes.select(col("id"), lit(1L).as("h"))
+    var auth = nodes.select(col("id"), lit(1L).as("a"))
+    for (_ <- 1 to rounds) {
+      val aSum = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("h").as("na"))
+      auth = nodes.join(aSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("na"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      val hSum = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum("a").as("nh"))
+      hub = nodes.join(hSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nh"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+    }
+    val mx = auth.agg(max("a").as("ma")).crossJoin(hub.agg(max("h").as("mh")))
+    auth.join(hub, Seq("id"))
+      .crossJoin(broadcast(mx))
+      .select(col("id"),
+        (col("a").cast("double") / col("ma").cast("double")).as("authority"),
+        (col("h").cast("double") / col("mh").cast("double")).as("hub"))
   }
 
   private def shortestPathBatches(g: PropertyGraph,

@@ -4021,6 +4021,52 @@ object AnalyticsCatalog {
            |  CAST(e2 AS BIGINT) AS e2, CAST(e3 AS BIGINT) AS e3
            |FROM r2 WHERE id LIKE 's%' ORDER BY id LIMIT 20""".stripMargin))
 
+  private val x19 = Entry("x19_hits",
+    (s, dir) => {
+      // HITS hubs & authorities over the x17 ring+quadratic-skip
+      // multigraph (GraphAlgorithms.hits): 2 exact-integer rounds, two
+      // end divisions — the hub/authority decomposition PageRank doesn't
+      // give (a node can be a strong hub and a weak authority), with the
+      // same zero-quantization hash posture as x17. Top-25 by
+      // (authority, hub, id), all orders pinned.
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id").as("id"))
+      val n = docs.count()
+      val edges = ids.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .unionByName(ids.select(col("id").as("src"),
+          ((col("id") * col("id") + 1) % n).as("dst")))
+      GraphAlgorithms.hits(edges, rounds = 2)
+        .orderBy(col("authority").desc, col("hub").desc, col("id")).limit(25)
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * doc_id + 1) % n.n FROM documents, n),
+           |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+           |a1s AS (SELECT dst AS id, COUNT(*) AS a FROM e GROUP BY 1),
+           |a1 AS (SELECT v.id, COALESCE(a1s.a, 0) AS a FROM v
+           |  LEFT JOIN a1s ON v.id = a1s.id),
+           |h1s AS (SELECT e.src AS id, SUM(a1.a) AS h FROM e
+           |  JOIN a1 ON e.dst = a1.id GROUP BY 1),
+           |h1 AS (SELECT v.id, COALESCE(h1s.h, 0) AS h FROM v
+           |  LEFT JOIN h1s ON v.id = h1s.id),
+           |a2s AS (SELECT e.dst AS id, SUM(h1.h) AS a FROM e
+           |  JOIN h1 ON e.src = h1.id GROUP BY 1),
+           |a2 AS (SELECT v.id, COALESCE(a2s.a, 0) AS a FROM v
+           |  LEFT JOIN a2s ON v.id = a2s.id),
+           |h2s AS (SELECT e.src AS id, SUM(a2.a) AS h FROM e
+           |  JOIN a2 ON e.dst = a2.id GROUP BY 1),
+           |h2 AS (SELECT v.id, COALESCE(h2s.h, 0) AS h FROM v
+           |  LEFT JOIN h2s ON v.id = h2s.id),
+           |mx AS (SELECT MAX(a) AS ma FROM a2),
+           |mh AS (SELECT MAX(h) AS mh FROM h2)
+           |SELECT a2.id,
+           |  CAST(a2.a AS DOUBLE) / CAST(mx.ma AS DOUBLE) AS authority,
+           |  CAST(h2.h AS DOUBLE) / CAST(mh.mh AS DOUBLE) AS hub
+           |FROM a2 JOIN h2 ON a2.id = h2.id, mx, mh
+           |ORDER BY authority DESC, hub DESC, a2.id LIMIT 25""".stripMargin))
+
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
       // Pregel min-id propagation; reported per component as (min member
@@ -5088,6 +5134,6 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18,
+    x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05)
 }

@@ -218,6 +218,26 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(again === starOut)
   }
 
+  test("labelPropagation round-1 min fast path equals the general mode form") {
+    // the optimized first round (min aggregate, |V| groups) must be
+    // indistinguishable from the general mode aggregate on arbitrary
+    // graphs — fixed-seed random graphs + a chain + a clique
+    val rnd = new scala.util.Random(11)
+    val shapes = Seq(
+      (1 to 19).map(i => (i.toLong, (i + 1).toLong)),                // chain
+      (for (a <- 1 to 8; b <- a + 1 to 8) yield (a.toLong, b.toLong)), // K8
+      Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2))                                  // random
+    for (edges <- shapes; rounds <- Seq(1, 2, 3)) {
+      val df = edges.toDF("u", "v")
+      val fast = GraphAlgorithms.labelPropagation(df, rounds)
+        .as[(Long, Long)].collect().toMap
+      val general = GraphAlgorithms.labelPropagationGeneral(df, rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(fast === general, s"rounds=$rounds edges=$edges")
+    }
+  }
+
   test("personalizedPageRank: chain ranks match hand-computed fixpoint; mass is bounded") {
     // a→b→c, sources {a}: after ≥2 iters a=0.15, b=0.85·0.15,
     // c=0.85·0.85·0.15·… — iter 3 exact values below
@@ -272,6 +292,19 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       val want = (0 to 3).map(j => others.map(o => t0(o)(j)).sum)
       assert(t1(n) === want)
     }
+  }
+
+  test("hits: bipartite hub/authority decomposition hand-verified") {
+    // h1→{a1,a2}, h2→{a1}: integer rounds give a2 = (5, 3) on
+    // authorities, h2 = (8, 5) on hubs → normalized exactly
+    val e = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1")).toDF("src", "dst")
+    val r = GraphAlgorithms.hits(e, rounds = 2)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r("a1") === ((1.0, 0.0)))
+    assert(r("a2") === ((3.0 / 5.0, 0.0)))
+    assert(r("h1") === ((0.0, 1.0)))
+    assert(r("h2") === ((0.0, 5.0 / 8.0)))
   }
 
   test("nodeSimilarity: Jaccard over out-neighbor sets, no-overlap pairs absent") {
