@@ -53,6 +53,36 @@ object Multimodal {
     }
   }
 
+  /** WebDataset-style shard PACK: rows (modality, shard, id, payload,
+    * n_bytes) → one physical blob per (modality, shard) with payloads
+    * concatenated in id order, plus the (id, n_bytes) index that makes the
+    * blob random-accessible — the tar + .idx pair. Per-shard state is
+    * bounded by the caller's shard-size constant (the `shard` column comes
+    * from a running byte sum), never by corpus size, so the collect_list
+    * is safe at any scale. */
+  def packShards(sharded: DataFrame): DataFrame =
+    sharded.groupBy("modality", "shard").agg(
+      expr("""aggregate(
+             |  transform(array_sort(collect_list(struct(id, payload))),
+             |            s -> s.payload),
+             |  CAST('' AS BINARY), (acc, p) -> concat(acc, p))""".stripMargin)
+        .as("blob"),
+      sort_array(collect_list(struct(col("id"), col("n_bytes")))).as("idx"))
+
+  /** Shard UNPACK: slice each record back out of the blob at its index
+    * offset — one row per record, byte-exact (MultimodalSpec asserts
+    * unpack(pack(x)) == x including boundary-crossing records). */
+  def unpackShards(packed: DataFrame): DataFrame =
+    packed
+      .withColumn("__offs", expr(
+        """aggregate(idx, array(CAST(0 AS BIGINT)),
+          |  (acc, s) -> array_append(acc, element_at(acc, -1) + s.n_bytes))""".stripMargin))
+      .select(col("modality"), col("shard"),
+        expr("""inline(transform(sequence(0, size(idx) - 1), i ->
+               |  struct(idx[i].id AS id,
+               |    substr(blob, CAST(element_at(__offs, i + 1) + 1 AS INT),
+               |           CAST(idx[i].n_bytes AS INT)) AS payload)))""".stripMargin))
+
   /** Frame sampling: split the payload into `n` evenly-spaced binary chunks
     * (for video this is keyframe sampling; here pure byte slicing). */
   def sampleFrames(df: DataFrame, n: Int): DataFrame = {

@@ -4543,6 +4543,52 @@ object AnalyticsCatalog {
            |  COUNT(*) AS n_payloads, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
            |FROM c GROUP BY 1, 2 ORDER BY modality, shard""".stripMargin))
 
+  private val m06 = Entry("m06_shard_roundtrip",
+    (s, dir) => {
+      // The READ half m05's packing promises: physically BUILD each
+      // shard blob (payloads concatenated in id order) plus its
+      // (id, n_bytes) index — the WebDataset tar + .idx pair — then
+      // UNPACK by slicing the blob with index offsets and fingerprint
+      // every recovered record. The output chain is md5 over the
+      // UNPACKED slices' digests, while the oracle computes the same
+      // chain from the SOURCE payloads — they match iff the pack/unpack
+      // round trip is byte-exact. Per-shard state is one ~16 KiB blob +
+      // its index (bounded by the shard size constant, not the data),
+      // so the groupBy collect is safe at any corpus scale.
+      val docs = Tables(s, dir, "documents")
+      val media = docs
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("modality",
+          when(col("id") % 2 === 0, "image").otherwise("audio"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+      val w = Window.partitionBy("modality").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sharded = media
+        .withColumn("__cum", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+        .withColumn("shard", floor(col("__cum") / 16384L).cast("long"))
+      val unpacked = Multimodal.unpackShards(Multimodal.packShards(sharded))
+      unpacked.groupBy("modality", "shard")
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("payload")).cast("long")).cast("long").as("shard_bytes"),
+          md5(concat_ws("|", expr(
+            """transform(array_sort(collect_list(struct(id, md5(payload) AS d))),
+              |          s -> s.d)""".stripMargin))).as("chain"))
+        .orderBy("modality", "shard")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           |    text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           |  FROM documents),
+           |c AS (
+           |  SELECT *, COALESCE(SUM(n_bytes) OVER (PARTITION BY modality ORDER BY id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM m)
+           |SELECT modality, CAST(floor(cum / 16384) AS BIGINT) AS shard,
+           |  COUNT(*) AS n_records, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           |  md5(string_agg(md5(text), '|' ORDER BY id)) AS chain
+           |FROM c GROUP BY 1, 2 ORDER BY modality, shard""".stripMargin))
+
   /** Sign-bit word: dims [from, from+32) packed little-endian into one
     * long — a static fold of 32 conditional adds (exact powers of two, no
     * libm), codegen-friendly, identical on any engine. */
@@ -5135,5 +5181,5 @@ object AnalyticsCatalog {
     c43, c44, c45, c46, c47,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
-    m01, m02, m03, m04, m05)
+    m01, m02, m03, m04, m05, m06)
 }
