@@ -1568,10 +1568,38 @@ object QueryCatalog {
            |FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  private val q60 = Entry("q60_lateral_join",
+    (s, dir) => {
+      // Correlated LATERAL subquery in the FROM clause — the per-row
+      // derived table SQL shape (top-2 customers per nation by balance).
+      // Catalyst DECORRELATES the correlated ORDER BY+LIMIT into a
+      // partitioned window top-k + equi-join — never a per-outer-row
+      // re-execution, which is what makes the shape survive a big outer
+      // side. Ties pinned by (acctbal DESC, name).
+      t(s, dir, "nation").createOrReplaceTempView("nation_q60")
+      t(s, dir, "customer").createOrReplaceTempView("customer_q60")
+      s.sql("""SELECT n.n_name AS nation, c.c_name AS customer,
+              |       c.c_acctbal AS acctbal
+              |FROM nation_q60 n,
+              |LATERAL (
+              |  SELECT c_name, c_acctbal FROM customer_q60
+              |  WHERE c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+              |ORDER BY nation, acctbal DESC, customer""".stripMargin)
+    },
+    Some("""SELECT n.n_name AS nation, c.c_name AS customer,
+           |       c.c_acctbal AS acctbal
+           |FROM nation n,
+           |LATERAL (
+           |  SELECT c_name, c_acctbal FROM customer
+           |  WHERE c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+           |ORDER BY nation, acctbal DESC, customer""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59)
+    q55, q56, q57, q58, q59, q60)
 }

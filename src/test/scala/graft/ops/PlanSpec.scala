@@ -373,6 +373,11 @@ class PlanSpec extends SparkTestBase {
     // q59: Spark lowers unpivot to Expand — row fan-out, no join/shuffle
     val q59 = plan("q59_unpivot")
     assert(q59.contains("Expand"), q59)
+    // q60: the correlated LATERAL ORDER BY+LIMIT must DECORRELATE to a
+    // partitioned window top-k + join — never a per-outer-row re-scan
+    val q60 = plan("q60_lateral_join")
+    assert(!q60.contains("CartesianProduct"), q60)
+    assert(q60.contains("Window"), q60)
   }
 
   test("as-of join is one shuffle + window, never a nested-loop range join") {
