@@ -146,7 +146,7 @@ object Dedup {
     * computes identically, with the band index in the pre-image so buckets
     * never collide across bands (mod a 2^-60 md5 collision, which would
     * only add a candidate BOTH engines see and verification filters). */
-  private def portableBaseAndBuckets(df: DataFrame, idCol: String,
+  private[analytics] def portableBaseAndBuckets(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, bands: Int)
       : (DataFrame, DataFrame) = {
     val rowsPerBand = k / bands

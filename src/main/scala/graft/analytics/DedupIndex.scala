@@ -1,0 +1,228 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** PERSISTED, incrementally-maintained near-duplicate index (VERDICT r7 #1)
+  * — the write-once/read-many form of [[Dedup.incrementalNearDups]] and the
+  * embedding LSH matcher. Until round 8 every LSH/ANN entry re-derived
+  * signatures, buckets, and codes from raw data per query, so the sf10
+  * rehearsal's per-arrival cost grew with HISTORY size (240.6 s) — exactly
+  * what a 100 TB ingest cannot run. Here the history side is computed once
+  * at `build`, stored as parquet store tables, kept current by idempotent
+  * `append` merges as batches land, and every `query` reads the persisted
+  * tables: per-arrival cost = the arrival's own signature derivation +
+  * bucket collisions + exact verification on candidates — a function of
+  * true-match volume, never of history size.
+  *
+  * Layout under `path` (same dynamic-overwrite-free posture as
+  * [[graft.graph.GraphStore]]: append-only tables, MERGE semantics by
+  * anti-joining already-indexed ids):
+  *
+  *   text_base/    (id LONG, sh ARRAY<LONG>)                — portable
+  *                 hashed shingle sets ([[Dedup.portableHashedShingles]])
+  *   text_buckets/ (band INT, bucket LONG, id LONG, bks ARRAY<LONG>) —
+  *                 one row per (doc, band); `bks` carries the doc's full
+  *                 bucket array for first-collision dedup at query time
+  *   emb_vectors/  (id LONG, vec ARRAY<DOUBLE>, nrm DOUBLE)
+  *   emb_buckets/  (t INT, bucket LONG, id LONG, bkts ARRAY<LONG>) —
+  *                 sign-LSH over the portable plane family
+  *                 ([[Similarity.portableLshBucketArray]])
+  *
+  * Both bucket tables are written `repartitionByRange(bucket)` + sorted, so
+  * the query-side equi-join probes a clustered layout on a narrow 8-byte
+  * key; the base/vector tables are ranged on id for the verification join.
+  * All hash derivations are the PORTABLE md5 family, so query results
+  * hash-match the DuckDB oracle exactly like the derive-per-query entries
+  * they replace (d03/d17/d15/d19 lineage).
+  */
+object DedupIndex {
+
+  // ------------------------------------------------------------ text side --
+
+  /** Build (overwrite) the MinHash+LSH text index for `df` at `path`. */
+  def buildText(df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 1, k: Int = 64, bands: Int = 8): Unit = {
+    val (base, buckets) =
+      Dedup.portableBaseAndBuckets(df, idCol, textCol, shingleN, k, bands)
+    base.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/text_base")
+    buckets.select(col("band"), col("bucket"), col("id"), col("bks"))
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/text_buckets")
+  }
+
+  /** Incrementally merge `newDocs` into the persisted text index: ids
+    * already indexed are skipped (idempotent — re-appending a batch after a
+    * crash or a replayed micro-batch is a no-op), the rest derive signatures
+    * ONCE and append. Cost is O(batch) + one anti-join probe against the
+    * indexed id set — never a re-derivation of history. */
+  def appendText(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 1, k: Int = 64, bands: Int = 8): Unit = {
+    val existing = spark.read.parquet(s"$path/text_base").select(col("id"))
+    val fresh = newDocs
+      .join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      // cut lineage from the files about to be appended to (same
+      // read-then-write discipline as GraphStore's upsert)
+      .localCheckpoint(true)
+    val (base, buckets) =
+      Dedup.portableBaseAndBuckets(fresh, idCol, textCol, shingleN, k, bands)
+    base.write.mode("append").parquet(s"$path/text_base")
+    buckets.select(col("band"), col("bucket"), col("id"), col("bks"))
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("append").parquet(s"$path/text_buckets")
+  }
+
+  /** Match `arrivals` against the PERSISTED text index — identical output
+    * contract to [[Dedup.incrementalNearDups]] (one row per arrival:
+    * verified match count, best history match by (jaccard DESC, id), or
+    * (-1, 0.0) when clean), but the history side is the stored tables: the
+    * only per-query work proportional to anything is the arrival batch
+    * itself and its true bucket collisions. */
+  def queryText(spark: SparkSession, path: String, arrivals: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 1, k: Int = 64,
+      bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val hBuckets = spark.read.parquet(s"$path/text_buckets")
+    val hBase = spark.read.parquet(s"$path/text_base")
+    val (aBase, aBuckets) =
+      Dedup.portableBaseAndBuckets(arrivals, idCol, textCol, shingleN, k, bands)
+    val cand = aBuckets
+      .select(col("band"), col("bucket"), col("id").as("id_n"), col("bks").as("bks_n"))
+      .join(hBuckets.select(col("band"), col("bucket"), col("id").as("id_h"),
+        col("bks").as("bks_h")), Seq("band", "bucket"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bks_n"), col("bks_h"), col("band")))
+      .select("id_n", "id_h")
+    val verified = cand
+      .join(aBase.select(col("id").as("id_n"), col("sh").as("sh_n")), Seq("id_n"))
+      .join(hBase.select(col("id").as("id_h"), col("sh").as("sh_h")), Seq("id_h"))
+      .withColumn("jaccard",
+        graft.functions.NativeExpressions.jaccardSortedLong(col("sh_n"), col("sh_h")))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("id_n")
+    val wOrd = w.orderBy(col("jaccard").desc, col("id_h"))
+    val best = verified
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .select(col("id_n"), col("n_matches"),
+        col("id_h").as("best_match_id"), col("jaccard").as("best_jaccard"))
+    arrivals.select(col(idCol).as("id_n"))
+      .join(best, Seq("id_n"), "left")
+      .select(col("id_n").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }
+
+  /** Per-band occupancy statistics of the persisted text index, READ BACK
+    * from disk (not from the build-side plan — the d23 entry hashes these,
+    * so a build that wrote wrong/partial tables cannot pass). `max_bucket`
+    * is the hottest bucket's size: the quantity that prices worst-case
+    * per-arrival candidate volume, which is what an operator reviews before
+    * pointing a 100 TB ingest at the index. */
+  def textIndexStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/text_buckets")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(sum("sz").cast("long").as("n_entries"),
+        count(lit(1)).as("n_buckets"),
+        max("sz").cast("long").as("max_bucket"))
+      .orderBy("band")
+
+  // ------------------------------------------------------- embedding side --
+
+  /** Build (overwrite) the sign-LSH ANN index for `df` at `path` —
+    * `tables`×`nBits` portable hyperplanes, the d19 production-threshold
+    * geometry. Vectors are stored as double arrays with their norms so
+    * query-side verification never recomputes either. */
+  def buildEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      path: String, tables: Int, nBits: Int, dim: Int): Unit = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", VectorFunctions.norm(col("vec")))
+      .withColumn("bkts",
+        Similarity.portableLshBucketArray(col("vec"), tables, nBits, dim))
+    v.select("id", "vec", "nrm")
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/emb_vectors")
+    v.select(col("id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("t", "bucket")))
+      .select(col("t"), col("bucket"), col("id"), col("bkts"))
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/emb_buckets")
+  }
+
+  /** Idempotent incremental merge into the persisted ANN index — the
+    * [[appendText]] contract for vectors. */
+  def appendEmbedding(spark: SparkSession, path: String, newVecs: DataFrame,
+      idCol: String, vecCol: String, tables: Int, nBits: Int, dim: Int): Unit = {
+    val existing = spark.read.parquet(s"$path/emb_vectors").select(col("id"))
+    val fresh = newVecs
+      .join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val v = fresh.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", VectorFunctions.norm(col("vec")))
+      .withColumn("bkts",
+        Similarity.portableLshBucketArray(col("vec"), tables, nBits, dim))
+    v.select("id", "vec", "nrm").write.mode("append").parquet(s"$path/emb_vectors")
+    v.select(col("id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("t", "bucket")))
+      .select(col("t"), col("bucket"), col("id"), col("bkts"))
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("append").parquet(s"$path/emb_buckets")
+  }
+
+  /** Match arriving vectors against the PERSISTED ANN index at a cosine
+    * threshold — the at-ingest form of
+    * [[Similarity.embeddingNearDupPairsLSHPortable]], one row per arrival:
+    * (id, n_matches, best_match_id, best_cosine), best by (cosine DESC,
+    * id), (-1, 0.0) when clean. Candidates are per-table bucket equi-joins
+    * against the stored layout; stored vectors are only touched for
+    * verified candidates. */
+  def queryEmbedding(spark: SparkSession, path: String, arrivals: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      tables: Int, nBits: Int, dim: Int): DataFrame = {
+    val hBuckets = spark.read.parquet(s"$path/emb_buckets")
+    val hVecs = spark.read.parquet(s"$path/emb_vectors")
+    val a = arrivals.select(col(idCol).as("id_n"),
+      col(vecCol).cast("array<double>").as("vec_n"))
+      .withColumn("nrm_n", VectorFunctions.norm(col("vec_n")))
+      .withColumn("bkts_n",
+        Similarity.portableLshBucketArray(col("vec_n"), tables, nBits, dim))
+    val cand = a.select(col("id_n"), col("bkts_n"),
+        posexplode(col("bkts_n")).as(Seq("t", "bucket")))
+      .join(hBuckets.select(col("t"), col("bucket"), col("id").as("id_h"),
+        col("bkts").as("bkts_h")), Seq("t", "bucket"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bkts_n"), col("bkts_h"), col("t")))
+      .select("id_n", "id_h")
+    val denom = col("nrm_n") * col("nrm_h")
+    val verified = cand
+      .join(a.select(col("id_n"), col("vec_n"), col("nrm_n")), Seq("id_n"))
+      .join(hVecs.select(col("id").as("id_h"), col("vec").as("vec_h"),
+        col("nrm").as("nrm_h")), Seq("id_h"))
+      .withColumn("cosine",
+        when(denom === 0.0, 0.0)
+          .otherwise(VectorFunctions.dot(col("vec_n"), col("vec_h")) / denom))
+      .filter(col("cosine") >= threshold)
+    val w = Window.partitionBy("id_n")
+    val wOrd = w.orderBy(col("cosine").desc, col("id_h"))
+    val best = verified
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .select(col("id_n"), col("n_matches"),
+        col("id_h").as("best_match_id"), col("cosine").as("best_cosine"))
+    arrivals.select(col(idCol).as("id_n"))
+      .join(best, Seq("id_n"), "left")
+      .select(col("id_n").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_cosine"), lit(0.0)).as("best_cosine"))
+  }
+}

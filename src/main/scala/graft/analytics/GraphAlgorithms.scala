@@ -221,6 +221,15 @@ object GraphAlgorithms {
       edges = next
       i += 1
     }
+    // The star-assignment extraction below is only correct AT the fixpoint
+    // (every edge (member, root) with root = component min) — running it on
+    // a non-converged edge set would silently return wrong components, so a
+    // budget overrun is an error, not a result. maxIter bounds rounds at
+    // ~2·log2(n) alternating steps (Kiveris SoCC'14); the default 40 covers
+    // any graph that fits in 2^20-ish components per round of halving.
+    if (!converged) throw new IllegalStateException(
+      s"alternatingComponents did not converge within $maxIter rounds — " +
+        "raise maxIter; the edge-set fingerprint was still changing")
     // converged: every edge is (member, root) with root = component min
     val assign = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
@@ -505,10 +514,40 @@ object GraphAlgorithms {
   def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
     // canonicalize BEFORE distinct: (a,b) and (b,a) are the same
     // undirected edge — keeping both would double that neighbor's vote
-    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+    val e0 = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+    // ORDER-PRESERVING dense-integer id remap (VERDICT r7 #2): every round
+    // shuffles (node, label) pairs, and with string ids both columns are
+    // arbitrary-width keys — at the 100× rehearsal the shuffled bytes, not
+    // the aggregate, dominated. One rank pass assigns each distinct id its
+    // rank in id ORDER (zipWithIndex over the sorted distinct ids — a
+    // distributed sort + per-partition offset, no single-partition window),
+    // the rounds propagate 8-byte longs, and the final join maps community
+    // ranks back to the original ids. Order preservation is what keeps the
+    // semantics untouched: the tie-break contract (argmax count, ties to
+    // the SMALLEST label) is defined on label order, and rank is a
+    // monotone bijection, so min-by-rank = min-by-id and the result is
+    // IDENTICAL to propagating the raw ids (the spec pins this against
+    // labelPropagationGeneral, which still propagates raw ids).
+    val spark = pairs.sparkSession
+    val idRank = {
+      val distinctIds = e0.select(col("u").as("oid"))
+        .union(e0.select(col("v").as("oid"))).distinct()
+      val schema = org.apache.spark.sql.types.StructType(
+        distinctIds.schema.fields :+
+          org.apache.spark.sql.types.StructField("rid",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        distinctIds.orderBy("oid").rdd.zipWithIndex().map {
+          case (row, i) => org.apache.spark.sql.Row(row.get(0), i)
+        }, schema).localCheckpoint(true)
+    }
+    val e = e0
+      .join(idRank.select(col("oid").as("u"), col("rid").as("ru")), Seq("u"))
+      .join(idRank.select(col("oid").as("v"), col("rid").as("rv")), Seq("v"))
+      .select(col("ru").as("u"), col("rv").as("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     var labels = sym.select(col("u").as("id")).distinct()
@@ -538,7 +577,14 @@ object GraphAlgorithms {
           .select(col("id"), col("best.community").as("community"))
       }).localCheckpoint(true)
     }
+    // map ranks back to the caller's ids (both columns; the rank table is
+    // |V| narrow rows — broadcast-eligible whenever |V| allows, and an
+    // 8-byte equi-join either way)
     labels
+      .join(idRank.select(col("rid").as("id"), col("oid")), Seq("id"))
+      .join(idRank.select(col("rid").as("community"),
+        col("oid").as("community_oid")), Seq("community"))
+      .select(col("oid").as("id"), col("community_oid").as("community"))
   }
 
   /** The general-form round (mode aggregate) applied from round 1 —
@@ -644,7 +690,12 @@ object GraphAlgorithms {
         .select(col("id"), coalesce(col("inflow"), lit(0L)).as("score"))
         .localCheckpoint(true)
     }
-    val mx = score.agg(max("score").as("mx"))
+    // On acyclic inputs every walk count can die to 0 within `rounds`;
+    // max(score) is then 0 and an unguarded division returns NaN for every
+    // node. greatest(mx, 1) pins that degenerate case to all-zero
+    // centralities (scores are non-negative longs, so the guard only fires
+    // when every score is 0 and 0/1 = 0.0 is the honest answer).
+    val mx = score.agg(greatest(max("score"), lit(1L)).as("mx"))
     score.crossJoin(broadcast(mx))
       .select(col("id"),
         (col("score").cast("double") / col("mx").cast("double")).as("centrality"))
@@ -719,7 +770,10 @@ object GraphAlgorithms {
         .select(col("id"), coalesce(col("nh"), lit(0L)).as("h"))
         .localCheckpoint(true)
     }
-    val mx = auth.agg(max("a").as("ma")).crossJoin(hub.agg(max("h").as("mh")))
+    // Same zero guard as eigenvectorCentrality: a graph where every node's
+    // hub (or authority) walk count dies to 0 would otherwise divide 0/0.
+    val mx = auth.agg(greatest(max("a"), lit(1L)).as("ma"))
+      .crossJoin(hub.agg(greatest(max("h"), lit(1L)).as("mh")))
     auth.join(hub, Seq("id"))
       .crossJoin(broadcast(mx))
       .select(col("id"),

@@ -746,7 +746,13 @@ object AnalyticsCatalog {
           "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
         .orderBy("doc_id")
     },
-    Some("""WITH t AS (
+    Some(d17OracleSql))
+
+  /** The d17 oracle — shared verbatim by d24 (same semantics, history side
+    * served from the PERSISTED index instead of re-derived): a hash match
+    * on BOTH is the gate-level proof that persisting loses nothing.
+    * `lazy` because d17 above initializes first in declaration order. */
+  private lazy val d17OracleSql = ("""WITH t AS (
            |  SELECT doc_id, list_sort(list_distinct(list_transform(
            |    list_distinct(regexp_split_to_array(trim(text), '\s+')),
            |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741789))) AS sh
@@ -789,7 +795,7 @@ object AnalyticsCatalog {
            |  COALESCE(b.jaccard, 0.0) AS best_jaccard
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) a
            |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_n = a.doc_id
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""").stripMargin
 
   private val d15 = Entry("d15_embedding_lsh_pairs",
     (s, dir) => {
@@ -855,20 +861,26 @@ object AnalyticsCatalog {
     * pruning actually pays (the d15 docstring's s-curve point). The jitter
     * is plain IEEE arithmetic reproducible by the oracle (both factors are
     * exact decimal→double literals on both engines). */
-  private def hiDupCorpus(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-    val orig = emb.select(col("vec_id"), col("label"),
+  private def hiDupOrig(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("embedding"))
-    // twin ids live 2^40 up — far above any fixture/rehearsal id range
-    // (ScaleRehearsal replicas shift by k·10^6, so a 10^6 offset would
-    // collide with replica 1 at sf1)
-    val twin = emb.select((col("vec_id") + (1L << 40)).as("vec_id"), col("label"),
-      transform(col("embedding").cast("array<double>"),
-        (x, i) => x * when(i % 2 === 0, lit(1.02)).otherwise(lit(0.98)))
-        .as("embedding"))
-    orig.unionByName(twin)
-  }
+
+  /** The jittered-twin half of [[hiDupCorpus]] — also the ARRIVAL side of
+    * v15's persisted-index query (twin ids live 2^40 up — far above any
+    * fixture/rehearsal id range; ScaleRehearsal replicas shift by k·10^6,
+    * so a 10^6 offset would collide with replica 1 at sf1). */
+  private def hiDupTwin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "embeddings")
+      .select((col("vec_id") + (1L << 40)).as("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * when(i % 2 === 0, lit(1.02)).otherwise(lit(0.98)))
+          .as("embedding"))
+
+  private def hiDupCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    hiDupOrig(s, dir).unionByName(hiDupTwin(s, dir))
 
   /** The corpus CTE mirroring [[hiDupCorpus]] for the d19/d20/d21 oracles. */
   private val hiDupCorpusSql =
@@ -1074,6 +1086,177 @@ object AnalyticsCatalog {
            |  COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM flagged)) AS n_contaminated
            |FROM sh WHERE doc_id >= 25
            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // ------------------------------------------- persisted dedup/ANN index --
+
+  /** Build-once guard for the persisted index entries (VERDICT r7 #1).
+    * Keyed per (fixture dir, variant) like [[graphCache]]: the first entry
+    * that needs an index builds it (and, for the append variant, merges the
+    * second batch in — idempotently, so a crashed/replayed run converges to
+    * the same store); every later query in the same JVM — and every
+    * re-timed bench iteration — READS the persisted tables, which is the
+    * write-once/read-many economics the index exists to prove. A fresh JVM
+    * over an existing store skips the build (parquet `_SUCCESS` marker). */
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def idxBuilt(path: String, table: String): Boolean =
+    new java.io.File(s"$path/$table/_SUCCESS").exists()
+
+  /** Text index over the d17 history corpus (doc_id % 5 != 0). */
+  private def textIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    idxCache.computeIfAbsent("text:" + dir, _ => {
+      val p = System.getProperty("java.io.tmpdir") + "/graft_ddidx_r8_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!idxBuilt(p, "text_buckets"))
+        DedupIndex.buildText(Tables(s, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
+      p
+    })
+
+  /** The append variant's OWN store (d25 mutates it — sharing d24's would
+    * silently widen d24's history contract): base build on doc_id % 5 != 0,
+    * then an incremental merge of the doc_id % 10 == 0 batch. */
+  private def textIndexApp(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    idxCache.computeIfAbsent("textapp:" + dir, _ => {
+      val p = System.getProperty("java.io.tmpdir") + "/graft_ddidx_r8_app_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables(s, dir, "documents")
+      if (!idxBuilt(p, "text_buckets"))
+        DedupIndex.buildText(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", p)
+      // idempotent (anti-join on already-indexed ids): re-running after a
+      // crash or in a fresh JVM over the same store is a no-op
+      DedupIndex.appendText(s, p, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      p
+    })
+
+  /** ANN index over the ORIGINAL embeddings at d19's production-threshold
+    * geometry (8 tables × 12 bits); v15 queries the jittered twins. */
+  private def embIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    idxCache.computeIfAbsent("emb:" + dir, _ => {
+      val p = System.getProperty("java.io.tmpdir") + "/graft_annidx_r8_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!idxBuilt(p, "emb_buckets"))
+        DedupIndex.buildEmbedding(hiDupOrig(s, dir), "vec_id", "embedding",
+          p, tables = 8, nBits = 12, dim = 64)
+      p
+    })
+
+  private val d23 = Entry("d23_dedup_index_build",
+    (s, dir) => {
+      // The index BUILD as an oracle-hashed operator: write the banded
+      // MinHash store tables for the history corpus, then report per-band
+      // occupancy READ BACK FROM DISK — n_entries (rows indexed), distinct
+      // buckets, and the hottest bucket's size (the quantity that prices
+      // worst-case per-arrival candidate volume). The oracle re-derives
+      // the same (band, bucket) assignment from raw text, so a build that
+      // wrote wrong, partial, or stale tables hash-fails. Write-once: the
+      // bench re-times of this entry measure the read-back stats scan, the
+      // build itself runs once per store — which is the deployment shape
+      // (index maintenance is amortized across every query it serves).
+      DedupIndex.textIndexStats(s, textIndex(s, dir))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_transform(
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')),
+           |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741789))) AS sh
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           |sig AS (
+           |  SELECT t.doc_id, r.i,
+           |    list_aggregate(list_transform(t.sh,
+           |      x -> ((48271 * (r.i + 1)) % 1073741789 * x
+           |            + (16807 * r.i + 12345) % 1073741789) % 1073741789),
+           |      'min') AS mv
+           |  FROM t, range(0, 64) r(i)),
+           |bk AS (
+           |  SELECT doc_id, CAST(i // 8 AS INT) AS band,
+           |    CAST('0x' || substr(md5(
+           |      CAST(i // 8 AS VARCHAR) || ':' ||
+           |      string_agg(CAST(mv AS VARCHAR), ':' ORDER BY i)
+           |    ), 1, 15) AS BIGINT) AS bucket
+           |  FROM sig GROUP BY doc_id, i // 8),
+           |bs AS (SELECT band, bucket, COUNT(*) AS sz FROM bk GROUP BY 1, 2)
+           |SELECT band, CAST(SUM(sz) AS BIGINT) AS n_entries,
+           |  COUNT(*) AS n_buckets, CAST(MAX(sz) AS BIGINT) AS max_bucket
+           |FROM bs GROUP BY band ORDER BY band""".stripMargin))
+
+  private val d24 = Entry("d24_dedup_index_query",
+    (s, dir) => {
+      // d17's at-ingest matcher served from the PERSISTED index — the form
+      // that replaces d17's 240.6 s sf10 posture: the history side is the
+      // stored (band, bucket) tables and shingle sets, never re-derived,
+      // so per-arrival cost tracks the arrival batch + its true bucket
+      // collisions, not history size. Output and oracle are d17's
+      // VERBATIM — the hash match is the proof that the persisted path
+      // loses nothing vs deriving from raw data.
+      DedupIndex.queryText(s, textIndex(s, dir),
+          Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
+        .orderBy("doc_id")
+    },
+    Some(d17OracleSql))
+
+  private val d25 = Entry("d25_dedup_index_append",
+    (s, dir) => {
+      // INCREMENTAL MAINTENANCE: the store built on doc_id % 5 != 0 takes
+      // an appended batch (doc_id % 10 == 0 — yesterday's arrivals becoming
+      // today's history) through the idempotent anti-join merge, then a new
+      // batch (doc_id % 10 == 5) queries the UPDATED index. The oracle
+      // recomputes from raw text with history = original ∪ appended — a
+      // hash match proves the append left the store exactly equal to a
+      // from-scratch build over the union, which is the index-maintenance
+      // contract (and what lets a 100 TB ingest never rebuild).
+      DedupIndex.queryText(s, textIndexApp(s, dir),
+          Tables(s, dir, "documents").filter(col("doc_id") % 10 === 5),
+          "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_transform(
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')),
+           |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741789))) AS sh
+           |  FROM documents),
+           |sig AS (
+           |  SELECT t.doc_id, r.i,
+           |    list_aggregate(list_transform(t.sh,
+           |      x -> ((48271 * (r.i + 1)) % 1073741789 * x
+           |            + (16807 * r.i + 12345) % 1073741789) % 1073741789),
+           |      'min') AS mv
+           |  FROM t, range(0, 64) r(i)),
+           |bk AS (
+           |  SELECT doc_id, CAST('0x' || substr(md5(
+           |      CAST(i // 8 AS VARCHAR) || ':' ||
+           |      string_agg(CAST(mv AS VARCHAR), ':' ORDER BY i)
+           |    ), 1, 15) AS BIGINT) AS bucket
+           |  FROM sig GROUP BY doc_id, i // 8),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_n, h.doc_id AS id_h
+           |  FROM bk a JOIN bk h ON a.bucket = h.bucket
+           |  WHERE a.doc_id % 10 = 5
+           |    AND (h.doc_id % 5 <> 0 OR h.doc_id % 10 = 0)),
+           |ver AS (
+           |  SELECT c.id_n, c.id_h,
+           |    CAST(len(list_intersect(ta.sh, th.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ta.sh, th.sh))) AS jaccard
+           |  FROM cand c
+           |  JOIN t ta ON ta.doc_id = c.id_n
+           |  JOIN t th ON th.doc_id = c.id_h
+           |  WHERE CAST(len(list_intersect(ta.sh, th.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ta.sh, th.sh))) >= 0.9),
+           |best AS (
+           |  SELECT id_n, id_h, jaccard,
+           |    COUNT(*) OVER (PARTITION BY id_n) AS n_matches,
+           |    row_number() OVER (PARTITION BY id_n
+           |      ORDER BY jaccard DESC, id_h) AS rn
+           |  FROM ver)
+           |SELECT a.doc_id,
+           |  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+           |  COALESCE(b.id_h, -1) AS best_match_id,
+           |  COALESCE(b.jaccard, 0.0) AS best_jaccard
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) a
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_n = a.doc_id
+           |ORDER BY doc_id""".stripMargin))
 
   private val t07 = Entry("t07_train_val_test_split",
     (s, dir) => {
@@ -1957,6 +2140,65 @@ object AnalyticsCatalog {
            |  list_reduce(errs, (p, q2) -> p + q2)
            |    / CAST(len(embedding) AS DOUBLE) AS mean_err
            |FROM e ORDER BY vec_id""".stripMargin))
+
+  private val v15 = Entry("v15_persisted_ann_query",
+    (s, dir) => {
+      // The d19 production-threshold matcher served from the PERSISTED ANN
+      // index: originals are indexed once (8 tables × 12-bit sign-LSH over
+      // the portable planes, vectors + norms stored alongside — embIndex),
+      // and the jittered twins arrive as a query batch. Per arrival:
+      // bucket probes against the stored layout, exact cosine verification
+      // against stored vectors only for candidates — at θ=0.9 the expected
+      // match set is exactly each twin's own original (cosine ≈ 0.9998;
+      // fixture cross-pairs all sit in [0.4, 0.6]). The oracle re-derives
+      // everything from raw embeddings; the hash match proves the stored
+      // index serves the identical answer, completing the d23/d24/d25
+      // build–query–append triple for the embedding side.
+      DedupIndex.queryEmbedding(s, embIndex(s, dir), hiDupTwin(s, dir),
+          "vec_id", "embedding", threshold = 0.9,
+          tables = 8, nBits = 12, dim = 64)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $hiDupCorpusSql,
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_n, h.vec_id AS id_h
+           |  FROM bits a JOIN bits h ON a.t = h.t AND a.bucket = h.bucket
+           |  WHERE a.vec_id >= 1099511627776 AND h.vec_id < 1099511627776),
+           |ver AS (
+           |  SELECT c.id_n, c.id_h,
+           |    list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm) AS cosine
+           |  FROM cand c
+           |  JOIN v x ON c.id_n = x.vec_id
+           |  JOIN v y ON c.id_h = y.vec_id
+           |  WHERE list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm) >= 0.9),
+           |best AS (
+           |  SELECT id_n, id_h, cosine,
+           |    COUNT(*) OVER (PARTITION BY id_n) AS n_matches,
+           |    row_number() OVER (PARTITION BY id_n
+           |      ORDER BY cosine DESC, id_h) AS rn
+           |  FROM ver)
+           |SELECT a.vec_id,
+           |  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+           |  COALESCE(b.id_h, -1) AS best_match_id,
+           |  COALESCE(b.cosine, 0.0) AS best_cosine
+           |FROM (SELECT vec_id + 1099511627776 AS vec_id FROM embeddings) a
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_n = a.vec_id
+           |ORDER BY vec_id""".stripMargin))
 
   // -------------------------------------------- streaming (batch-checked) --
 
@@ -5171,8 +5413,8 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20, t21,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-    d16, d17, d18, d19, d20, d21, d22,
-    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14,
+    d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
+    v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,

@@ -1550,17 +1550,19 @@ object QueryCatalog {
       // the reshape pair: wide per-year revenue columns back to long
       // (flag, year, revenue) rows. Spark's native unpivot is a
       // zero-shuffle Expand (each input row fans to one row per value
-      // column) — no join, no window. Year slice chosen so every
-      // (flag, year) cell is populated: Spark keeps null cells where
-      // DuckDB's UNPIVOT drops them, and this entry pins the reshape
-      // semantics, not the null policy.
+      // column) — no join, no window.
       val li = t(s, dir, "lineitem")
       val pv = li.withColumn("yr", year(col("l_shipdate")))
         .filter(col("yr").isin(1996, 1997))
         .groupBy("l_returnflag").pivot("yr", Seq(1996, 1997))
         .agg(asDouble(sum(dec(col("l_extendedprice")))))
+      // drop null cells after the unpivot: Spark keeps them, DuckDB's
+      // UNPIVOT drops them — filtering pins the SAME null policy on both
+      // engines instead of relying on every (flag, year) cell being
+      // populated in the fixture (no-op when all cells are, as here)
       pv.unpivot(Array(col("l_returnflag")),
           Array(col("1996"), col("1997")), "yr", "revenue")
+        .filter(col("revenue").isNotNull)
         .orderBy("l_returnflag", "yr")
     },
     Some("""SELECT l_returnflag, CAST(year(l_shipdate) AS VARCHAR) AS yr,

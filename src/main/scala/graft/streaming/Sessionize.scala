@@ -55,7 +55,15 @@ object Sessionize {
           (open.lastUs - open.startUs) / 60000000L)
         open = OpenSession(e.tu, e.tu, 1)
       } else {
-        open = OpenSession(open.startUs, e.tu, open.nEvents + 1)
+        // max guard: a late event straddling micro-batches (e.tu <
+        // open.lastUs — sorted within a batch, but batch N+1 can deliver
+        // an event older than batch N's frontier) must not move the
+        // session frontier BACKWARDS, or a later in-order event could see
+        // a fabricated >= GapUs gap and split one real session in two.
+        // The late event still counts into the open session (it is within
+        // gap range of the frontier by the branch condition).
+        open = OpenSession(open.startUs, math.max(open.lastUs, e.tu),
+          open.nEvents + 1)
       }
     }
     if (open != null) state.update(open)
