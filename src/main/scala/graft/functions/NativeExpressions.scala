@@ -906,11 +906,18 @@ case class EarlierArrayMatch(first: Expression, second: Expression, third: Expre
       case ArrayType(IntegerType | LongType, _) => true
       case _ => false
     }
-    if (ok(first.dataType) && first.dataType == second.dataType &&
+    // compare ELEMENT types only: a bucket array read back from parquet is
+    // containsNull=true while the kernel-computed side is false, and the
+    // persisted-index query (d24/v15) joins exactly that mix — the eval
+    // only reads elements, and bucket derivations never produce null
+    // elements, so nullability must not fail the pair
+    def elem(t: DataType) = t.asInstanceOf[ArrayType].elementType
+    if (ok(first.dataType) && ok(second.dataType) &&
+        elem(first.dataType) == elem(second.dataType) &&
         third.dataType == IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"earlier_array_match requires (array<int|bigint>, same, int), got " +
+      s"earlier_array_match requires (array<int|bigint>, same element type, int), got " +
         s"${first.dataType} / ${second.dataType} / ${third.dataType}")
   }
 

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.analytics.{Dedup, GraphAlgorithms, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, DedupIndex, GraphAlgorithms, Similarity, TextAnalysis}
 import graft.graph.GraphIngest
 import graft.multimodal.Multimodal
 import graft.streaming.EventWindows

@@ -1,0 +1,107 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup/ANN index: the stored path must serve EXACTLY what the
+  * derive-per-query operators compute, appends must be idempotent merges,
+  * and a query after append must equal a from-scratch build over the
+  * union — the maintenance contract that lets a 100 TB ingest never
+  * rebuild its index. */
+class DedupIndexSpec extends SparkTestBase {
+
+  private def freshPath(tag: String): String = {
+    val p = java.nio.file.Files
+      .createTempDirectory(s"graft_idxspec_$tag").toString
+    p
+  }
+
+  test("persisted text index serves incrementalNearDups' exact answer") {
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    val p = freshPath("text")
+    DedupIndex.buildText(history, "doc_id", "text", p)
+    val fromIndex = DedupIndex.queryText(spark, p, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val direct = Dedup.incrementalNearDups(history, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fromIndex === direct)
+    assert(fromIndex.exists(_.getLong(1) > 0),
+      "fixture should contain at least one near-dup match or the test is vacuous")
+  }
+
+  test("appendText is an idempotent merge and equals a from-scratch build") {
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    val a = docs.filter(col("doc_id") % 5 =!= 0)
+    val b = docs.filter(col("doc_id") % 10 === 0)
+    val arrivals = docs.filter(col("doc_id") % 10 === 5)
+
+    val incr = freshPath("incr")
+    DedupIndex.buildText(a, "doc_id", "text", incr)
+    DedupIndex.appendText(spark, incr, b, "doc_id", "text")
+    // replayed batch (crash recovery / at-least-once ingest): no-op
+    DedupIndex.appendText(spark, incr, b, "doc_id", "text")
+    // a batch overlapping already-indexed ids: only the new ids land
+    DedupIndex.appendText(spark, incr, a.unionByName(b), "doc_id", "text")
+
+    val scratch = freshPath("scratch")
+    DedupIndex.buildText(a.unionByName(b), "doc_id", "text", scratch)
+
+    val incrBase = spark.read.parquet(s"$incr/text_base")
+    val scratchBase = spark.read.parquet(s"$scratch/text_base")
+    assert(incrBase.count() === scratchBase.count(), "double-append duplicated rows")
+    assert(incrBase.join(scratchBase, Seq("id"), "left_anti").isEmpty)
+
+    val fromIncr = DedupIndex.queryText(spark, incr, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val fromScratch = DedupIndex.queryText(spark, scratch, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fromIncr === fromScratch)
+  }
+
+  test("persisted ANN index finds each jittered twin's original at θ=0.9") {
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+    val orig = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twin = emb.select((col("vec_id") + (1L << 40)).as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x * when(i % 2 === 0, lit(1.02)).otherwise(lit(0.98)))
+        .as("embedding"))
+    val p = freshPath("ann")
+    DedupIndex.buildEmbedding(orig, "vec_id", "embedding", p,
+      tables = 8, nBits = 12, dim = 64)
+    val res = DedupIndex.queryEmbedding(spark, p, twin, "vec_id", "embedding",
+        threshold = 0.9, tables = 8, nBits = 12, dim = 64)
+      .collect()
+    assert(res.nonEmpty)
+    // the ~1.1° jitter keeps cosine ≈ 0.9998: every twin must match, and
+    // its best match must be its own original
+    res.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) >= 1L, s"twin $id found no match")
+      assert(r.getLong(2) === id - (1L << 40), s"twin $id best-matched ${r.getLong(2)}")
+      assert(r.getDouble(3) > 0.999)
+    }
+  }
+
+  test("appendEmbedding is idempotent and the appended batch becomes findable") {
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+    val orig = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val half1 = orig.filter(col("vec_id") % 2 === 0)
+    val half2 = orig.filter(col("vec_id") % 2 =!= 0)
+    val p = freshPath("annapp")
+    DedupIndex.buildEmbedding(half1, "vec_id", "embedding", p, 8, 12, 64)
+    DedupIndex.appendEmbedding(spark, p, half2, "vec_id", "embedding", 8, 12, 64)
+    DedupIndex.appendEmbedding(spark, p, half2, "vec_id", "embedding", 8, 12, 64)
+    assert(spark.read.parquet(s"$p/emb_vectors").count() === orig.count())
+    // a twin of an odd (appended) vector must now match it
+    val probe = half2.limit(1)
+      .select((col("vec_id") + (1L << 40)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * when(i % 2 === 0, lit(1.02)).otherwise(lit(0.98)))
+          .as("embedding"))
+    val r = DedupIndex.queryEmbedding(spark, p, probe, "vec_id", "embedding",
+      0.9, 8, 12, 64).head()
+    assert(r.getLong(1) >= 1L && r.getLong(2) === r.getLong(0) - (1L << 40))
+  }
+}
