@@ -267,7 +267,11 @@ object CypherAst {
       // identify nodes by KEY (engine-independent), never internal ids
       "gds.pageRank.stream" -> Seq("key", "score"),
       "gds.wcc.stream" -> Seq("key", "componentKey"),
-      "gds.degree.stream" -> Seq("key", "degree"))
+      "gds.degree.stream" -> Seq("key", "degree"),
+      "gds.nodeSimilarity.stream" -> Seq("key1", "key2", "similarity"),
+      "gds.labelPropagation.stream" -> Seq("key", "communityKey"),
+      "gds.fastRP.stream" -> Seq("key", "e0", "e1", "e2", "e3"),
+      "gds.hits.stream" -> Seq("key", "authority", "hub"))
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))

@@ -1406,6 +1406,14 @@ final class CypherSession(
       * (WHERE, WITH, RETURN, UNION) composes. */
     def applyProc(p: ProcCall): Unit = {
       val spark = graph.nodes.sparkSession
+      // edge list projected to node KEYS — the identity every gds.*
+      // procedure computes over (internal ids are engine noise)
+      def edgeKeys: DataFrame = graph.edges
+        .join(graph.nodes.select(col("id").as("srcId"), col("key").as("src")),
+          Seq("srcId"))
+        .join(graph.nodes.select(col("id").as("dstId"), col("key").as("dst")),
+          Seq("dstId"))
+        .select(col("src"), col("dst"))
       val rows: DataFrame = p.name match {
         case "db.labels" =>
           graph.nodes.select(col("label")).distinct().orderBy("label")
@@ -1449,6 +1457,37 @@ final class CypherSession(
             .groupBy("id").agg(count(lit(1)).as("degree"))
           graph.nodes.join(deg, Seq("id"), "left")
             .select(col("key"), coalesce(col("degree"), lit(0L)).as("degree"))
+        // The r7 GDS quartet (VERDICT r7 #5) — every one runs the
+        // algorithm over the edge list mapped to node KEYS first, so all
+        // ordering-sensitive internals (pair canonicalization, label
+        // tie-breaks, md5-derived inits) are functions of the stable
+        // user-facing identity, never of internal id values.
+        case "gds.nodeSimilarity.stream" =>
+          // Jaccard over out-neighbor sets; pairs canonical by key order
+          // (the kernel's n1 < n2 runs on the key strings)
+          graft.analytics.GraphAlgorithms.nodeSimilarity(edgeKeys)
+            .select(col("n1").as("key1"), col("n2").as("key2"),
+              col("jaccard").as("similarity"))
+        case "gds.labelPropagation.stream" =>
+          // deterministic synchronous LPA, 2 fixed rounds, min-key tie
+          // break (x15's contract); edgeless nodes stay their own
+          // singleton community, matching GDS's all-nodes output
+          val lp = graft.analytics.GraphAlgorithms
+            .labelPropagation(edgeKeys, rounds = 2)
+          graph.nodes.select(col("key"))
+            .join(lp.withColumnRenamed("id", "key"), Seq("key"), "left")
+            .select(col("key"),
+              coalesce(col("community"), col("key")).as("communityKey"))
+        case "gds.fastRP.stream" =>
+          // portable md5 ±1-sparse init over the key strings, 2 integer
+          // propagation hops, dim 4 (x18's exact-integer posture)
+          graft.analytics.GraphAlgorithms
+            .fastRPEmbedding(edgeKeys, dim = 4, rounds = 2)
+            .withColumnRenamed("id", "key")
+        case "gds.hits.stream" =>
+          // 2 exact-integer rounds + end-only normalization (x19)
+          graft.analytics.GraphAlgorithms.hits(edgeKeys, rounds = 2)
+            .withColumnRenamed("id", "key")
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =

@@ -245,6 +245,34 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
       .select(col("a_id"), col("a_key"), col("b_id"), col("b_key"), col("c_id"), col("c_key"))
   }
 
+  /** [[twoHopVia]] ANCHORED on the middle node's key — the c23 treatment
+    * for two-hop patterns (VERDICT r7 #4): the selective (label, key)
+    * predicate lands on the partition-pruned node scan FIRST, the
+    * near-singleton anchor broadcasts into both edge joins, and every
+    * downstream row is a true answer row. This is the shape users should
+    * write at scale: unanchored [[twoHopVia]] enumerates Σdeg² rows by
+    * definition (answer-set-bound — the output IS the cost), while the
+    * anchored form's work is the anchor's own two-hop reach. */
+  def twoHopViaAnchored(aLabel: String, r1: String, bLabel: String,
+      bKey: String, r2: String, cLabel: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val anchor = matchLabel(bLabel).filter(col("key") === bKey)
+      .select(col("id").as("b_id"), col("key").as("b_key"))
+    val a = matchLabel(aLabel).select(col("id").as("a_id"), col("key").as("a_key"))
+    val c = matchLabel(cLabel).select(col("id").as("c_id"), col("key").as("c_key"))
+    val e1 = edges.filter(col("relType") === r1)
+      .select(col("srcId").as("a_id"), col("dstId").as("b_id"))
+    val e2 = edges.filter(col("relType") === r2)
+      .select(col("srcId").as("c_id"), col("dstId").as("b_id"))
+    e1.join(broadcast(anchor), Seq("b_id"))
+      .join(a, Seq("a_id"))
+      .join(e2.join(broadcast(anchor.select(col("b_id"))), Seq("b_id"))
+        .join(c, Seq("c_id")).select(col("b_id"), col("c_id"), col("c_key")),
+        Seq("b_id"))
+      .select(col("a_id"), col("a_key"), col("b_id"), col("b_key"),
+        col("c_id"), col("c_key"))
+  }
+
   /** GraphX bridge for whole-graph analytics (Pregel PageRank / CC / SSSP).
     *
     * `numPartitions` right-sizes the RDDs before iterating: Pregel shuffles

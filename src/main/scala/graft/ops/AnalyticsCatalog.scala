@@ -98,6 +98,30 @@ object AnalyticsCatalog {
            | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
            |GROUP BY d1.source ORDER BY publisher""".stripMargin))
 
+  private val g05 = Entry("g05_graph_two_hop_anchored",
+    (s, dir) => {
+      // g04 with the c23 treatment (VERDICT r7 #4): the two-hop sibling
+      // pattern seeded by a selective (label, key) anchor on the middle
+      // node. The anchor hits the partition-pruned Publisher scan, its
+      // near-singleton row set broadcasts into both WRITTEN_BY edge joins
+      // (PlanSpec-asserted), and the enumeration is exactly src10's
+      // article pairs — the anchored shape users should copy at scale,
+      // next to g04's documented answer-set-bound reference.
+      val g = docGraph(s, dir)
+      g.twoHopViaAnchored("Article", "WRITTEN_BY", "Publisher", "src10",
+          "WRITTEN_BY", "Article")
+        .filter(col("a_key") < col("c_key"))
+        .groupBy(col("b_key").as("publisher"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("publisher")
+    },
+    Some("""SELECT d1.source AS publisher, COUNT(*) AS n_pairs
+           |FROM documents d1 JOIN documents d2
+           |  ON d1.source = d2.source
+           | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
+           |WHERE d1.source = 'src10'
+           |GROUP BY d1.source ORDER BY publisher""".stripMargin))
+
   // -------------------------------------------------------- text analysis --
 
   private val t01 = Entry("t01_token_stats",
@@ -4007,6 +4031,128 @@ object AnalyticsCatalog {
            |FROM documents GROUP BY source
            |ORDER BY size DESC, componentKey LIMIT 10""".stripMargin))
 
+  private val c48 = Entry("c48_cypher_gds_node_similarity",
+    (s, dir) => {
+      // gds.nodeSimilarity.stream() — pairwise Jaccard of out-neighbor
+      // sets surfaced through Cypher CALL. The procedure computes over
+      // node KEYS (pair canonicalization n1 < n2 runs on the key strings,
+      // so the yielded pairs are engine-independent). On the bipartite
+      // article→publisher graph every same-publisher article pair shares
+      // its single out-neighbor exactly: similarity 1.0 — the closed form
+      // the oracle replays through YIELD aliasing + ORDER BY/LIMIT.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.nodeSimilarity.stream() YIELD key1, key2, similarity
+                 |RETURN key1, key2, similarity
+                 |ORDER BY key1, key2 LIMIT 200""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT least(CAST(d1.doc_id AS VARCHAR), CAST(d2.doc_id AS VARCHAR)) AS key1,
+           |  greatest(CAST(d1.doc_id AS VARCHAR), CAST(d2.doc_id AS VARCHAR)) AS key2,
+           |  1.0 AS similarity
+           |FROM documents d1 JOIN documents d2
+           |  ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+           |ORDER BY key1, key2 LIMIT 200""".stripMargin))
+
+  private val c49 = Entry("c49_cypher_gds_label_propagation",
+    (s, dir) => {
+      // gds.labelPropagation.stream() — x15's deterministic 2-round LPA
+      // through the procedure surface, labels propagating over node KEYS
+      // so min-tie-breaks are string-ordered on both engines. On the
+      // publisher stars the fixpoint is closed-form: every article adopts
+      // min(its publisher's article keys) — the publisher's round-1 label
+      // — while each publisher hears only its own key echoed back and
+      // keeps it: one size-n article community per publisher plus a
+      // singleton per publisher node.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.labelPropagation.stream() YIELD communityKey
+                 |WITH communityKey, count(*) AS size
+                 |RETURN communityKey, size
+                 |ORDER BY size DESC, communityKey LIMIT 10""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT communityKey, size FROM (
+           |  SELECT min(CAST(doc_id AS VARCHAR)) AS communityKey,
+           |    COUNT(*) AS size
+           |  FROM documents GROUP BY source
+           |  UNION ALL
+           |  SELECT DISTINCT source, CAST(1 AS BIGINT) FROM documents)
+           |ORDER BY size DESC, communityKey LIMIT 10""".stripMargin))
+
+  private val c50 = Entry("c50_cypher_gds_fastrp",
+    (s, dir) => {
+      // gds.fastRP.stream() — x18's exact-integer FastRP through CALL:
+      // md5-derived ±1-sparse init over the KEY strings, two integer
+      // propagation hops, dim 4. Every yielded component is an exact
+      // long the oracle replays CTE-for-CTE (same md5 derivation as the
+      // portable plane family), composed through ORDER BY/LIMIT.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.fastRP.stream() YIELD key, e0, e1, e2, e3
+                 |RETURN key, e0, e1, e2, e3
+                 |ORDER BY key LIMIT 25""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS u, source AS v
+           |  FROM documents),
+           |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+           |n AS (SELECT DISTINCT u AS id FROM sym),
+           |r0 AS (SELECT id,
+           |  CASE CAST('0x' || substr(md5(id || ':0'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e0,
+           |  CASE CAST('0x' || substr(md5(id || ':1'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e1,
+           |  CASE CAST('0x' || substr(md5(id || ':2'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e2,
+           |  CASE CAST('0x' || substr(md5(id || ':3'), 1, 8) AS BIGINT) % 4
+           |    WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS e3
+           |  FROM n),
+           |r1 AS (SELECT sym.v AS id, SUM(r0.e0) AS e0, SUM(r0.e1) AS e1,
+           |    SUM(r0.e2) AS e2, SUM(r0.e3) AS e3
+           |  FROM sym JOIN r0 ON sym.u = r0.id GROUP BY 1),
+           |r2 AS (SELECT sym.v AS id, SUM(r1.e0) AS e0, SUM(r1.e1) AS e1,
+           |    SUM(r1.e2) AS e2, SUM(r1.e3) AS e3
+           |  FROM sym JOIN r1 ON sym.u = r1.id GROUP BY 1)
+           |SELECT id AS key, CAST(e0 AS BIGINT) AS e0, CAST(e1 AS BIGINT) AS e1,
+           |  CAST(e2 AS BIGINT) AS e2, CAST(e3 AS BIGINT) AS e3
+           |FROM r2 ORDER BY key LIMIT 25""".stripMargin))
+
+  private val c51 = Entry("c51_cypher_gds_hits",
+    (s, dir) => {
+      // gds.hits.stream() — x19's exact-integer HITS through CALL over
+      // the directed article→publisher edges (keys as identity). Two
+      // rounds have a closed form on the stars: a2(pub) = deg², h2(art) =
+      // deg(its pub)², everything else 0 — so authority = deg²/max(deg²)
+      // for publishers, hub likewise for articles, exactly two IEEE
+      // divisions the oracle replays. Top-25 by (authority, hub, key).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.hits.stream() YIELD key, authority, hub
+                 |RETURN key, authority, hub
+                 |ORDER BY authority DESC, hub DESC, key LIMIT 25""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH d AS (SELECT source, COUNT(*) AS k FROM documents GROUP BY source),
+           |mx AS (SELECT MAX(k * k) AS m FROM d),
+           |rows_ AS (
+           |  SELECT source AS key,
+           |    CAST(d.k * d.k AS DOUBLE) / mx.m AS authority,
+           |    0.0 AS hub
+           |  FROM d, mx
+           |  UNION ALL
+           |  SELECT CAST(doc_id AS VARCHAR),
+           |    0.0,
+           |    CAST(d.k * d.k AS DOUBLE) / mx.m
+           |  FROM documents JOIN d USING (source), mx)
+           |SELECT key, authority, hub FROM rows_
+           |ORDER BY authority DESC, hub DESC, key LIMIT 25""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -5409,7 +5555,7 @@ object AnalyticsCatalog {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val entries: Seq[Entry] = Seq(
-    g01, g02, g03, g04,
+    g01, g02, g03, g04, g05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20, t21,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
@@ -5420,7 +5566,7 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45, c46, c47,
+    c43, c44, c45, c46, c47, c48, c49, c50, c51,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

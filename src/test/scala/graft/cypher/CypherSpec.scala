@@ -97,6 +97,52 @@ class CypherSpec extends SparkTestBase {
     assert(byKey("spark") > byKey("flink"))
   }
 
+  test("CALL gds.* round-8 quartet: nodeSimilarity, labelPropagation, fastRP, hits") {
+    val sess = freshSession
+    // alice→{spark, flink}, bob→{spark, flink}, dave→{spark}
+    for ((u, t) <- Seq("alice" -> "spark", "alice" -> "flink",
+        "bob" -> "spark", "bob" -> "flink", "dave" -> "spark"))
+      sess.run(s"""MERGE (u:User {name: '$u'}) MERGE (t:Tech {name: '$t'})
+                  |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    // nodeSimilarity: alice/bob share both out-neighbors → 1.0;
+    // alice/dave and bob/dave share spark only → 1/2; pairs key-ordered
+    val sim = sess.run(
+      """CALL gds.nodeSimilarity.stream() YIELD key1, key2, similarity
+        |RETURN key1, key2, similarity ORDER BY key1, key2""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, Double)].collect().toSeq
+    assert(sim === Seq(("alice", "bob", 1.0), ("alice", "dave", 0.5),
+      ("bob", "dave", 0.5)))
+    // labelPropagation composes through a WITH aggregation horizon:
+    // one connected component, 2 deterministic rounds
+    val lp = sess.run(
+      """CALL gds.labelPropagation.stream() YIELD communityKey
+        |WITH communityKey, count(*) AS size
+        |RETURN communityKey, size ORDER BY size DESC, communityKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(lp.map(_._2).sum === 5L, lp.toString)
+    // fastRP: exact integers, deterministic across runs, all nodes
+    val rp1 = sess.run(
+      """CALL gds.fastRP.stream() YIELD key, e0, e1, e2, e3
+        |RETURN key, e0, e1, e2, e3 ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().toSeq
+    val rp2 = sess.run(
+      """CALL gds.fastRP.stream() YIELD key, e0, e1, e2, e3
+        |RETURN key, e0, e1, e2, e3 ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().toSeq
+    assert(rp1 === rp2 && rp1.length === 5)
+    // hits on the directed user→tech graph: after 2 rounds the shared
+    // sink 'spark' is the top authority; users split hub mass by reach
+    val hits = sess.run(
+      """CALL gds.hits.stream() YIELD key, authority, hub
+        |RETURN key, authority, hub
+        |ORDER BY authority DESC, hub DESC, key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double, Double)].collect()
+    assert(hits.head._1 === "spark" && hits.head._2 === 1.0)
+    val hubs = hits.map(r => r._1 -> r._3).toMap
+    assert(hubs("alice") === 1.0 && hubs("bob") === 1.0 &&
+      hubs("dave") < 1.0 && hubs("spark") === 0.0)
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>

@@ -380,6 +380,26 @@ class PlanSpec extends SparkTestBase {
     assert(q60.contains("Window"), q60)
   }
 
+  test("round-8 shapes: anchored two-hop broadcasts the key-pruned anchor") {
+    // g05: the (label, key) anchor must reach the parquet scan as pushed
+    // filters (label is the partition column, key a data filter) and the
+    // near-singleton anchor must BROADCAST into both edge joins — the
+    // plan that makes two-hop work the anchor's reach, not Σdeg²
+    val p = plan("g05_graph_two_hop_anchored")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(key,src10)"), p)
+    assert(p.contains("(label") && p.contains("= Publisher)"), p) // partition-pruned
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // d24/v15: persisted-index queries stay equi-join only — candidates
+    // come off the stored (band|t, bucket) layout, never a pair scan
+    for (q <- Seq("d24_dedup_index_query", "v15_persisted_ann_query")) {
+      val pq = plan(q)
+      assert(!pq.contains("CartesianProduct") &&
+        !pq.contains("BroadcastNestedLoopJoin"), s"$q:\n$pq")
+    }
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
