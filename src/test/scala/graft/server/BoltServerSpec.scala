@@ -130,6 +130,45 @@ class BoltServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("temporal values decode as tagged Bolt structs, version-gated DateTime") {
+    val (server, port, _) = newServer()
+    val q = """UNWIND [1] AS x
+              |RETURN datetime('2026-02-03T04:05:06') AS dt,
+              |  date('2026-02-03') AS d,
+              |  duration.between(datetime('2026-02-03T00:00:00'),
+              |                   datetime('2026-02-03T04:05:06')) AS du""".stripMargin
+    // the same wall-clock string the server parses — tz-independent expectation
+    val expectSec = java.sql.Timestamp.valueOf("2026-02-03 04:05:06")
+      .toInstant.getEpochSecond
+    def runAndRecord(c: Client): Struct = {
+      c.send(0x01, Map("user_agent" -> "spec/1.0")); c.recv()
+      c.send(0x10, q, Map.empty[String, Any], Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x3F, Map("n" -> -1L))
+      val rec = c.recv(); assert((rec.tag & 0xFF) == 0x71)
+      assert((c.recv().tag & 0xFF) == 0x70) // summary
+      rec
+    }
+    try {
+      // Bolt 5.x: modern UTC DateTime 'I' (seconds, nanos, offset)
+      val c5 = new Client(port)
+      assert(c5.handshake(Seq(propose(5, 4), 0, 0, 0)).contains((5, 4)))
+      val row5 = runAndRecord(c5).fields.head.asInstanceOf[Seq[Any]]
+      assert(row5(0) === Struct('I'.toByte, Seq(expectSec, 0L, 0L)))
+      assert(row5(1) === Struct('D'.toByte,
+        Seq(java.time.LocalDate.of(2026, 2, 3).toEpochDay)))
+      assert(row5(2) === Struct('E'.toByte, Seq(0L, 0L, 4 * 3600L + 5 * 60 + 6, 0L)))
+      c5.close()
+      // Bolt 4.4: the legacy 'F' DateTime tag, identical fields at UTC
+      val c4 = new Client(port)
+      assert(c4.handshake(Seq(propose(4, 4), 0, 0, 0)).contains((4, 4)))
+      val row4 = runAndRecord(c4).fields.head.asInstanceOf[Seq[Any]]
+      assert(row4(0) === Struct('F'.toByte, Seq(expectSec, 0L, 0L)))
+      assert(row4(1) === row5(1) && row4(2) === row5(2)) // tags beyond DateTime don't gate
+      c4.close()
+    } finally server.stop()
+  }
+
   test("the reference's own write + read-back round trip over Bolt") {
     val (server, port, _) = newServer()
     try {

@@ -193,6 +193,70 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store: sessionizer and stream dedup match the default store") {
+    // At 100 TB state the RocksDB provider is the deployment reality
+    // (state spills off-heap instead of living in executor memory); the
+    // stateful operators must not depend on any default-store semantics.
+    // Same inputs as the s12 twin and the dedup test above, provider
+    // swapped — outputs must be identical (VERDICT r7 #6).
+    import Sessionize.{EvRow, SessionOut}
+    implicit val sc = spark.sqlContext
+    def us(s: String) = ts(s).getTime * 1000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Seq(
+        EvRow(1L, us("2024-01-01 00:00:00"), 1L),
+        EvRow(1L, us("2024-01-01 00:10:00"), 2L),
+        EvRow(1L, us("2024-01-01 01:00:00"), 3L),
+        EvRow(1L, us("2024-01-01 01:05:00"), 4L),
+        EvRow(2L, us("2024-01-01 00:00:00"), 5L),
+        EvRow(2L, us("2024-01-01 02:00:00"), 6L))
+      val mem = MemoryStream[EvRow]
+      val q = Sessionize.sessions(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sessionize_rocksdb").start()
+      try {
+        // flatMapGroupsWithState state must round-trip the RocksDB store
+        // ACROSS batches: split so user 1's open session straddles two
+        mem.addData(evs.take(2): _*)
+        q.processAllAvailable()
+        mem.addData(evs.drop(2): _*)
+        q.processAllAvailable()
+        mem.addData(EvRow(1L, Sessionize.SentinelTs, Long.MaxValue),
+          EvRow(2L, Sessionize.SentinelTs, Long.MaxValue))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.exists(
+          _.customMetrics.containsKey("rocksdbGetCount")),
+          "query did not actually run on the RocksDB provider")
+        val streamed = spark.table("sessionize_rocksdb").as[SessionOut]
+          .collect().toSet
+        assert(streamed === Set(
+          SessionOut(1L, 2, 10L), SessionOut(1L, 2, 5L),
+          SessionOut(2L, 1, 0L), SessionOut(2L, 1, 0L)))
+      } finally q.stop()
+      // watermarked dropDuplicates keeps its exactly-once dedup semantics
+      val dmem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val dq = dmem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_rocksdb").start()
+      try {
+        dmem.addData(eventRows: _*)
+        dq.processAllAvailable()
+        dmem.addData(eventRows.take(3): _*)
+        dq.processAllAvailable()
+        assert(spark.table("dedup_rocksdb").count() === eventRows.length)
+      } finally dq.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session windows: streaming (watermarked, complete) equals batch") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
