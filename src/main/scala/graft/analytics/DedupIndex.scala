@@ -194,22 +194,30 @@ object DedupIndex {
       .withColumn("nrm_n", VectorFunctions.norm(col("vec_n")))
       .withColumn("bkts_n",
         Similarity.portableLshBucketArray(col("vec_n"), tables, nBits, dim))
-    val cand = a.select(col("id_n"), col("bkts_n"),
-        posexplode(col("bkts_n")).as(Seq("t", "bucket")))
-      .join(hBuckets.select(col("t"), col("bucket"), col("id").as("id_h"),
-        col("bkts").as("bkts_h")), Seq("t", "bucket"))
-      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
-        col("bkts_n"), col("bkts_h"), col("t")))
-      .select("id_n", "id_h")
-    val denom = col("nrm_n") * col("nrm_h")
-    val verified = cand
-      .join(a.select(col("id_n"), col("vec_n"), col("nrm_n")), Seq("id_n"))
+    // Vectors RIDE THROUGH the bucket join so verification runs INSIDE the
+    // joined stage and sub-threshold candidates die before any further
+    // shuffle. The first cut materialized (id_n, id_h) candidates and
+    // joined vectors back — at the sf10 rehearsal the near-orthogonal
+    // cross-cluster collision floor is ~116M candidate rows, and shuffling
+    // them through two join-backs cost 188 s where this shape (the d19
+    // join) verifies the same 116M inline in under 10 s. The history side
+    // re-attaches its vectors with ONE id equi-join at tables×|index| rows
+    // — linear, vector payloads shuffled once, never per candidate.
+    val hB = hBuckets.select(col("t"), col("bucket"), col("id").as("id_h"),
+        col("bkts").as("bkts_h"))
       .join(hVecs.select(col("id").as("id_h"), col("vec").as("vec_h"),
         col("nrm").as("nrm_h")), Seq("id_h"))
+    val denom = col("nrm_n") * col("nrm_h")
+    val verified = a.select(col("id_n"), col("vec_n"), col("nrm_n"),
+        col("bkts_n"), posexplode(col("bkts_n")).as(Seq("t", "bucket")))
+      .join(hB, Seq("t", "bucket"))
+      .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
+        col("bkts_n"), col("bkts_h"), col("t")))
       .withColumn("cosine",
         when(denom === 0.0, 0.0)
           .otherwise(VectorFunctions.dot(col("vec_n"), col("vec_h")) / denom))
       .filter(col("cosine") >= threshold)
+      .select("id_n", "id_h", "cosine")
     val w = Window.partitionBy("id_n")
     val wOrd = w.orderBy(col("cosine").desc, col("id_h"))
     val best = verified
