@@ -177,6 +177,78 @@ object DedupIndex {
       .write.mode("append").parquet(s"$path/emb_buckets")
   }
 
+  // ------------------------------------------------------------- PQ side --
+
+  /** Persist the PQ half of the ANN store (VERDICT r7 #1's "PQ codes as
+    * store tables"): the deterministic codebook (first-`ksub`-by-id sample
+    * policy — [[Similarity.pqCodebook]]) serialized as a text artifact,
+    * and every corpus vector encoded ONCE into its m sub-space codes.
+    * Queries then read m small ints per corpus row and never touch raw
+    * vectors — the memory-bandwidth posture PQ exists for, now paying its
+    * encode cost at build time instead of per query. */
+  def buildPq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int, ksub: Int, dim: Int): Unit = {
+    val cb = Similarity.pqCodebook(df, idCol, vecCol, m, ksub, dim)
+    df.select(col(idCol).as("id"),
+        cb.codesCol(col(vecCol).cast("array<double>")).as("codes"))
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/pq_codes")
+    // codebook artifact: header "m dsub", then one line per (subspace,
+    // code): "s c cc v1 v2 …". Doubles render via Double.toString, which
+    // round-trips bit-exactly through parseDouble.
+    val sb = new StringBuilder
+    sb.append(cb.m).append(' ').append(cb.dsub).append('\n')
+    for (s <- 0 until cb.m; c <- cb.book(s).indices) {
+      val (cen, cc) = cb.book(s)(c)
+      sb.append(s).append(' ').append(c).append(' ').append(cc)
+      cen.foreach(v => sb.append(' ').append(v))
+      sb.append('\n')
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/pq_codebook.txt"),
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  private[analytics] def loadPqCodebook(path: String): Similarity.PqCodebook = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$path/pq_codebook.txt"))
+    val Array(m, dsub) = lines.get(0).split(' ').map(_.toInt)
+    val book = Array.fill(m)(
+      scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)])
+    for (i <- 1 until lines.size) {
+      val parts = lines.get(i).split(' ')
+      val s = parts(0).toInt
+      val cc = parts(2).toDouble
+      val cen = parts.drop(3).map(_.toDouble)
+      require(cen.length == dsub, s"codebook row $i: ${cen.length} != dsub $dsub")
+      book(s) += ((cen, cc))
+    }
+    Similarity.PqCodebook(m, dsub, book.map(_.toArray))
+  }
+
+  /** ADC top-k against the PERSISTED codes — [[Similarity.pqTopK]] with
+    * the corpus side served from the store: the query batch builds its
+    * distance tables from the LOADED codebook (bit-identical to the
+    * build-time one: Double.toString round-trips), broadcasts them, and
+    * the scan reads only (id, codes). Same output contract as pqTopK:
+    * (q_id, rank, id, score), ADC score ascending, ties to smallest id. */
+  def queryPqTopK(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val cb = loadPqCodebook(path)
+    val codes = spark.read.parquet(s"$path/pq_codes")
+      .select(col("id"), col("codes").as("__codes"))
+    val q = queries.select(col(queryId),
+      cb.dtabCol(col(queryVec).cast("array<double>")).as("__dtab"))
+    val scored = codes.join(broadcast(q))
+      .filter(col(queryId) =!= col("id"))
+      .withColumn("score", cb.adcScore)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("id"), col("score"))
+  }
+
   /** Match arriving vectors against the PERSISTED ANN index at a cosine
     * threshold — the at-ingest form of
     * [[Similarity.embeddingNearDupPairsLSHPortable]], one row per arrival:

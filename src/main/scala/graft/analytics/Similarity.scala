@@ -358,7 +358,7 @@ object Similarity {
         element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
   }
 
-  private def pqCodebook(corpus: DataFrame, corpusId: String,
+  private[analytics] def pqCodebook(corpus: DataFrame, corpusId: String,
       corpusVec: String, m: Int, ksub: Int, dim: Int): PqCodebook = {
     require(dim % m == 0, s"dim $dim must divide into $m sub-spaces")
     val dsub = dim / m

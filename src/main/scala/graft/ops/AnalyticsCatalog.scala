@@ -5269,7 +5269,13 @@ object AnalyticsCatalog {
       Similarity.pqTopK(corpus, queries, k = 3, m = 8, ksub = 16, dim = 64)
         .orderBy("q_id", "rank")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    Some(v10OracleSql))
+
+  /** v10's oracle — shared verbatim by v16 (same ADC semantics, corpus
+    * codes served from the PERSISTED store): the hash match is the proof
+    * that encode-at-build loses nothing vs encode-per-query. `lazy`
+    * because v10 above initializes first in declaration order. */
+  private lazy val v10OracleSql = ("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
            |smp AS (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
            |  FROM v ORDER BY vec_id LIMIT 16),
@@ -5306,7 +5312,38 @@ object AnalyticsCatalog {
            |  id, score
            |FROM scored
            |QUALIFY rank <= 3
-           |ORDER BY q_id, rank""".stripMargin))
+           |ORDER BY q_id, rank""").stripMargin
+
+  private val v16 = Entry("v16_persisted_pq_topk",
+    (s, dir) => {
+      // v10's ADC search with the corpus side served from the PERSISTED
+      // PQ store (DedupIndex.buildPq): codebook + per-vector codes are
+      // written once — the store table form of "PQ codes" the round-7
+      // verdict asked for — and the query reads (id, m codes) only,
+      // never raw corpus vectors. The query batch re-derives its ADC
+      // distance tables from the codebook LOADED off disk, so a hash
+      // match against v10's oracle proves the full persist/load round
+      // trip (Double.toString ↔ parseDouble) is bit-exact.
+      val p = pqIndex(s, dir)
+      DedupIndex.queryPqTopK(s,
+          p, Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          k = 3)
+        .orderBy("q_id", "rank")
+    },
+    Some(v10OracleSql))
+
+  /** PQ store over the embeddings corpus (v10's m=8 / ksub=16 geometry). */
+  private def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    idxCache.computeIfAbsent("pq:" + dir, _ => {
+      val p = System.getProperty("java.io.tmpdir") + "/graft_pqidx_r8_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!idxBuilt(p, "pq_codes"))
+        DedupIndex.buildPq(Tables(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          "id", "vec", p, m = 8, ksub = 16, dim = 64)
+      p
+    })
 
   private val v13 = Entry("v13_ann_recall_eval",
     (s, dir) => {
@@ -5561,6 +5598,7 @@ object AnalyticsCatalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
+    v16,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,

@@ -84,6 +84,21 @@ class DedupIndexSpec extends SparkTestBase {
     }
   }
 
+  test("persisted PQ store serves pqTopK's exact answer (codebook round-trips bit-exactly)") {
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val p = freshPath("pq")
+    DedupIndex.buildPq(corpus, "id", "vec", p, m = 8, ksub = 16, dim = 64)
+    val fromStore = DedupIndex.queryPqTopK(spark, p, queries, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val direct = Similarity.pqTopK(corpus, queries, k = 3, m = 8, ksub = 16, dim = 64)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(fromStore === direct) // includes the raw ADC doubles — bit-exact
+    assert(fromStore.nonEmpty)
+  }
+
   test("appendEmbedding is idempotent and the appended batch becomes findable") {
     val emb = graft.ops.Tables(spark, sfDir, "embeddings")
     val orig = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
