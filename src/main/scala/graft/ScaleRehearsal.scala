@@ -67,8 +67,17 @@ object ScaleRehearsal {
     replicate("customer", Map("c_custkey" -> 1000000L))
     replicate("supplier", Map("s_suppkey" -> 100000L))
     replicate("part", Map("p_partkey" -> 1000000L))
-    replicate("nation", Map.empty)
-    replicate("region", Map.empty)
+    // fixed-size dims COPY, never replicate: a keyShifts-free replicate
+    // would union `replicas` identical copies, and duplicated dim keys
+    // fan every nation/region join out by the replica count (the round-8
+    // sweep caught exactly that — q03's two dim joins exploded 10,000×
+    // at replicas=100). One copy preserves TPC-H's fixed-dim contract.
+    def copyDim(table: String): Unit =
+      if (!new java.io.File(s"$out/$table.parquet").exists())
+        ops.Tables(spark, base, table)
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    copyDim("nation")
+    copyDim("region")
 
     // regenerate if ANY derived table is missing (the events derivation was
     // added in round 6 — an older rehearsal dir has docs/embeddings only)
