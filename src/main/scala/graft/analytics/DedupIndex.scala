@@ -93,6 +93,9 @@ object DedupIndex {
       .select(col("band"), col("bucket"), col("id").as("id_n"), col("bks").as("bks_n"))
       .join(hBuckets.select(col("band"), col("bucket"), col("id").as("id_h"),
         col("bks").as("bks_h")), Seq("band", "bucket"))
+      // self-exclusion: under at-least-once delivery a replayed batch is
+      // already IN the index, and a doc is never its own duplicate
+      .filter(col("id_n") =!= col("id_h"))
       .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
         col("bks_n"), col("bks_h"), col("band")))
       .select("id_n", "id_h")
@@ -175,6 +178,34 @@ object DedupIndex {
       .select(col("t"), col("bucket"), col("id"), col("bkts"))
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
       .write.mode("append").parquet(s"$path/emb_buckets")
+  }
+
+  /** COMPACT the text index: appends accumulate small unclustered files
+    * (each batch writes its own ranged set), so a standing index that
+    * takes many batches degrades toward one file per batch per partition
+    * — the classic streaming-sink small-file problem (i08's compaction,
+    * applied to the index store). Rewrites both tables as one globally
+    * range-clustered layout; content is untouched (spec asserts query
+    * results identical and file count reduced). Run it on the maintenance
+    * cadence, not per batch — the query path works either way, compaction
+    * buys back scan locality and file-listing overhead. */
+  def compactText(spark: SparkSession, path: String): Unit = {
+    val base = spark.read.parquet(s"$path/text_base").localCheckpoint(true)
+    val buckets = spark.read.parquet(s"$path/text_buckets").localCheckpoint(true)
+    base.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/text_base")
+    buckets.repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/text_buckets")
+  }
+
+  /** [[compactText]] for the embedding store. */
+  def compactEmbedding(spark: SparkSession, path: String): Unit = {
+    val vecs = spark.read.parquet(s"$path/emb_vectors").localCheckpoint(true)
+    val buckets = spark.read.parquet(s"$path/emb_buckets").localCheckpoint(true)
+    vecs.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/emb_vectors")
+    buckets.repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/emb_buckets")
   }
 
   // ------------------------------------------------------------- PQ side --
@@ -283,6 +314,7 @@ object DedupIndex {
     val verified = a.select(col("id_n"), col("vec_n"), col("nrm_n"),
         col("bkts_n"), posexplode(col("bkts_n")).as(Seq("t", "bucket")))
       .join(hB, Seq("t", "bucket"))
+      .filter(col("id_n") =!= col("id_h")) // replay-safe: never self-match
       .filter(!graft.functions.NativeExpressions.earlierArrayMatch(
         col("bkts_n"), col("bkts_h"), col("t")))
       .withColumn("cosine",

@@ -84,6 +84,63 @@ class DedupIndexSpec extends SparkTestBase {
     }
   }
 
+  test("compactText merges append-accumulated small files without changing answers") {
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    val p = freshPath("compact")
+    DedupIndex.buildText(docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", p)
+    // three appended batches → three extra file sets per table
+    for (r <- Seq(2, 3, 4))
+      DedupIndex.appendText(spark, p,
+        docs.filter(col("doc_id") % 5 === r), "doc_id", "text")
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    def files(t: String) = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$p/$t")).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    val before = DedupIndex.queryText(spark, p, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val filesBefore = files("text_buckets")
+    DedupIndex.compactText(spark, p)
+    val after = DedupIndex.queryText(spark, p, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    assert(files("text_buckets") < filesBefore,
+      s"compaction did not reduce files (${files("text_buckets")} vs $filesBefore)")
+    assert(spark.read.parquet(s"$p/text_base").count() ===
+      docs.filter(col("doc_id") % 5 =!= 0).count())
+  }
+
+  test("streaming at-ingest loop: query-then-append per micro-batch, replay-safe") {
+    // The production shape ask #1 exists for: each arriving batch is
+    // matched against the standing store, then merged in — across
+    // batches, later arrivals match earlier ones; a replayed batch
+    // (at-least-once delivery, already indexed) self-excludes.
+    import spark.implicits._
+    val p = freshPath("loop")
+    // seed the store with an empty corpus
+    DedupIndex.buildText(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", p)
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b3 = Seq((3L, "alpha beta gamma delta epsilon"),
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    def step(b: org.apache.spark.sql.DataFrame) = {
+      val res = DedupIndex.queryText(spark, p, b, "doc_id", "text",
+          threshold = 0.9)
+        .orderBy("doc_id")
+        .select("doc_id", "n_matches", "best_match_id").as[(Long, Long, Long)]
+        .collect().toSeq
+      DedupIndex.appendText(spark, p, b, "doc_id", "text")
+      res
+    }
+    assert(step(b1) === Seq((1L, 0L, -1L)))          // empty store: clean
+    assert(step(b2) === Seq((2L, 1L, 1L)))           // matches batch-1 doc
+    assert(step(b3) === Seq((3L, 2L, 1L), (4L, 0L, -1L))) // matches both
+    // replay batch 2: already indexed — append is a no-op and the query
+    // self-excludes, so doc 2 reports its true duplicates (1 and 3)
+    assert(step(b2) === Seq((2L, 2L, 1L)))
+    assert(spark.read.parquet(s"$p/text_base").count() === 4)
+  }
+
   test("persisted PQ store serves pqTopK's exact answer (codebook round-trips bit-exactly)") {
     val emb = graft.ops.Tables(spark, sfDir, "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
