@@ -1018,7 +1018,20 @@ object CypherParser {
         val a = addExpr(); expectSym(","); val b = addExpr()
         expectSym(")")
         RetFn("duration.between", Seq(a, b))
-      case Ident(fn0) if Set("date", "datetime", "duration")(fn0.toLowerCase) &&
+      // spatial surface: point({x: …, y: …}) via the map-ctor rule below;
+      // point.distance(a, b) is the Neo4j-5 namespaced distance
+      case Ident(fn0) if fn0.equalsIgnoreCase("point") &&
+          peek.contains(Sym(".")) && pos + 1 < ts.length &&
+          (ts(pos + 1) match {
+            case Ident(x) => x.equalsIgnoreCase("distance")
+            case _ => false
+          }) =>
+        next(); next() // . distance
+        expectSym("(")
+        val a = addExpr(); expectSym(","); val b = addExpr()
+        expectSym(")")
+        RetFn("point.distance", Seq(a, b))
+      case Ident(fn0) if Set("date", "datetime", "duration", "point")(fn0.toLowerCase) &&
           peek.contains(Sym("(")) && pos + 1 < ts.length &&
           ts(pos + 1) != Sym(")") =>
         val f = fn0.toLowerCase

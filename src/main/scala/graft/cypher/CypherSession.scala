@@ -1194,6 +1194,15 @@ final class CypherSession(
           case "date" => to_date(c)
           case "duration.between" =>
             itemCol(fnArgs(1)).cast("timestamp") - c.cast("timestamp")
+          case "point.distance" =>
+            // cartesian euclidean distance (the only CRS point({x,y})
+            // constructs); sqrt is IEEE-correctly-rounded, so the value
+            // is bit-identical on any engine computing the same squares
+            val b = itemCol(fnArgs(1))
+            sqrt((c.getField("x") - b.getField("x")) *
+                 (c.getField("x") - b.getField("x")) +
+                 (c.getField("y") - b.getField("y")) *
+                 (c.getField("y") - b.getField("y")))
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case RetMapProj(v, props, all) =>
@@ -1211,6 +1220,22 @@ final class CypherSession(
                 s"$fn({...}) supports epochMillis/epochSeconds keys, got " +
                   pairs.map(_._1).mkString(", ")))
             if (fn == "date") to_date(base) else base
+          case "point" =>
+            // cartesian 2-D point (SRID 7203 — Neo4j's cartesian CRS), a
+            // plain struct column: field access composes (`p.x` via
+            // getField), Bolt encodes it as the Point2D structure, and
+            // geographic CRSs are rejected typed rather than mis-measured
+            if (pairs.exists(p => Seq("latitude", "longitude", "crs")
+                .exists(p._1.equalsIgnoreCase)))
+              throw new IllegalArgumentException(
+                "point({...}) supports the cartesian CRS only (x/y keys); " +
+                  "geographic latitude/longitude points are not implemented")
+            val x = part("x").getOrElse(throw new IllegalArgumentException(
+              "point({...}) needs an x key"))
+            val y = part("y").getOrElse(throw new IllegalArgumentException(
+              "point({...}) needs a y key"))
+            struct(lit(7203).as("srid"),
+              x.cast("double").as("x"), y.cast("double").as("y"))
           case "duration" =>
             val bad = pairs.map(_._1).filterNot(k => Seq("weeks", "days",
               "hours", "minutes", "seconds").exists(k.equalsIgnoreCase))

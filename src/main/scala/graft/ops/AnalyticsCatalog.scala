@@ -4153,6 +4153,30 @@ object AnalyticsCatalog {
            |SELECT key, authority, hub FROM rows_
            |ORDER BY authority DESC, hub DESC, key LIMIT 25""".stripMargin))
 
+  private val c52 = Entry("c52_cypher_spatial_point",
+    (s, dir) => {
+      // The spatial value surface: point({x, y}) constructs a cartesian
+      // SRID-7203 point (a struct column — composes through WITH like any
+      // scalar) and point.distance computes euclidean distance. sqrt is
+      // IEEE-correctly-rounded and both operands derive from exact integer
+      // modulo, so the raw doubles hash-match the oracle. Bolt encodes
+      // the same struct as the published Point2D ('X') — BoltServerSpec.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH toInteger(a.doc_id) AS id
+                 |RETURN id,
+                 |  point.distance(point({x: id % 13, y: id % 7}),
+                 |                 point({x: 3, y: 4})) AS dist
+                 |ORDER BY id LIMIT 200""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT doc_id AS id,
+           |  sqrt((CAST(doc_id % 13 AS DOUBLE) - 3.0) * (CAST(doc_id % 13 AS DOUBLE) - 3.0)
+           |      + (CAST(doc_id % 7 AS DOUBLE) - 4.0) * (CAST(doc_id % 7 AS DOUBLE) - 4.0)) AS dist
+           |FROM documents ORDER BY id LIMIT 200""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -5604,7 +5628,7 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45, c46, c47, c48, c49, c50, c51,
+    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

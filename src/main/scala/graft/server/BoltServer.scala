@@ -296,6 +296,12 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, value) => String.valueOf(k) -> toBolt(value, legacyDateTime) }.toMap
     case seq: scala.collection.Seq[_] => seq.map(toBolt(_, legacyDateTime)).toSeq
+    case r: org.apache.spark.sql.Row
+        if Option(r.schema).exists(_.fieldNames.sameElements(
+          Array("srid", "x", "y"))) =>
+      // the engine's point({x, y}) struct → Bolt Point2D 'X'
+      Struct('X'.toByte, Seq(r.getAs[Number]("srid").longValue(),
+        r.getAs[Number]("x").doubleValue(), r.getAs[Number]("y").doubleValue()))
     case r: org.apache.spark.sql.Row =>
       val names = Option(r.schema).map(_.fieldNames)
         .getOrElse(Array.tabulate(r.length)(i => s"_$i"))

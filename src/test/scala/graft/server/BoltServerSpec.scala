@@ -136,7 +136,8 @@ class BoltServerSpec extends SparkTestBase {
               |RETURN datetime('2026-02-03T04:05:06') AS dt,
               |  date('2026-02-03') AS d,
               |  duration.between(datetime('2026-02-03T00:00:00'),
-              |                   datetime('2026-02-03T04:05:06')) AS du""".stripMargin
+              |                   datetime('2026-02-03T04:05:06')) AS du,
+              |  point({x: 3, y: 4}) AS p""".stripMargin
     // the same wall-clock string the server parses — tz-independent expectation
     val expectSec = java.sql.Timestamp.valueOf("2026-02-03 04:05:06")
       .toInstant.getEpochSecond
@@ -158,6 +159,7 @@ class BoltServerSpec extends SparkTestBase {
       assert(row5(1) === Struct('D'.toByte,
         Seq(java.time.LocalDate.of(2026, 2, 3).toEpochDay)))
       assert(row5(2) === Struct('E'.toByte, Seq(0L, 0L, 4 * 3600L + 5 * 60 + 6, 0L)))
+      assert(row5(3) === Struct('X'.toByte, Seq(7203L, 3.0, 4.0))) // Point2D
       c5.close()
       // Bolt 4.4: the legacy 'F' DateTime tag, identical fields at UTC
       val c4 = new Client(port)
