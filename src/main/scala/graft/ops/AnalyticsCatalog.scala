@@ -1126,11 +1126,26 @@ object AnalyticsCatalog {
   private def idxBuilt(path: String, table: String): Boolean =
     new java.io.File(s"$path/$table/_SUCCESS").exists()
 
+  /** Content stamp of a fixture table (max mtime ⊕ total bytes), baked
+    * into every index path: if the driver ever regenerates testdata, the
+    * stamp changes and a FRESH store is built instead of silently serving
+    * answers derived from the previous fixture. */
+  private def srcStamp(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val (m, l) =
+      if (f.isDirectory) {
+        val fs = f.listFiles()
+        if (fs == null || fs.isEmpty) (f.lastModified, 0L)
+        else (fs.map(_.lastModified).max, fs.map(_.length).sum)
+      } else (f.lastModified, f.length)
+    java.lang.Long.toHexString(m ^ (l * 1000003L))
+  }
+
   /** Text index over the d17 history corpus (doc_id % 5 != 0). */
   private def textIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
     idxCache.computeIfAbsent("text:" + dir, _ => {
       val p = System.getProperty("java.io.tmpdir") + "/graft_ddidx_r8_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + srcStamp(dir, "documents")
       if (!idxBuilt(p, "text_buckets"))
         DedupIndex.buildText(Tables(s, dir, "documents")
           .filter(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
@@ -1143,7 +1158,7 @@ object AnalyticsCatalog {
   private def textIndexApp(s: org.apache.spark.sql.SparkSession, dir: String): String =
     idxCache.computeIfAbsent("textapp:" + dir, _ => {
       val p = System.getProperty("java.io.tmpdir") + "/graft_ddidx_r8_app_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + srcStamp(dir, "documents")
       val docs = Tables(s, dir, "documents")
       if (!idxBuilt(p, "text_buckets"))
         DedupIndex.buildText(docs.filter(col("doc_id") % 5 =!= 0),
@@ -1160,7 +1175,7 @@ object AnalyticsCatalog {
   private def embIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
     idxCache.computeIfAbsent("emb:" + dir, _ => {
       val p = System.getProperty("java.io.tmpdir") + "/graft_annidx_r8_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + srcStamp(dir, "embeddings")
       if (!idxBuilt(p, "emb_buckets"))
         DedupIndex.buildEmbedding(hiDupOrig(s, dir), "vec_id", "embedding",
           p, tables = 8, nBits = 12, dim = 64)
@@ -5361,7 +5376,7 @@ object AnalyticsCatalog {
   private def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
     idxCache.computeIfAbsent("pq:" + dir, _ => {
       val p = System.getProperty("java.io.tmpdir") + "/graft_pqidx_r8_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + srcStamp(dir, "embeddings")
       if (!idxBuilt(p, "pq_codes"))
         DedupIndex.buildPq(Tables(s, dir, "embeddings")
             .select(col("vec_id").as("id"), col("embedding").as("vec")),
