@@ -250,10 +250,14 @@ object CypherAst {
     * ([[Procedures.schema]], validated at parse time). An empty `yields`
     * binds every column under its default name (Neo4j's bare-CALL rule for
     * a standalone call). */
-  final case class ProcCall(name: String, yields: Seq[(String, String)]) {
+  final case class ProcCall(name: String, yields: Seq[(String, String)],
+      config: Map[String, Any] = Map.empty) {
     /** Column names this call binds into the pipeline. */
     def boundNames: Seq[String] =
       if (yields.nonEmpty) yields.map(_._2) else Procedures.schema(name)
+    def confLong(key: String, default: Long): Long =
+      config.collectFirst { case (k, v: Long) if k.equalsIgnoreCase(key) => v }
+        .getOrElse(default)
   }
 
   /** Built-in procedure registry: name → yielded columns, in order. */

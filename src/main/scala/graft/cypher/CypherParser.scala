@@ -276,7 +276,33 @@ object CypherParser {
             while (peek.contains(Sym("."))) { next(); parts += ident() }
             val name = parts.mkString(".")
             val cols = Procedures.schema(name)
-            expectSym("("); expectSym(")")
+            expectSym("(")
+            // optional GDS-style config map: CALL gds.x.stream({topK: 1}).
+            // Values are LITERALS (number/string/boolean) — config tunes
+            // the algorithm, it is not a per-row expression surface.
+            val config = scala.collection.mutable.Map.empty[String, Any]
+            if (peek.contains(Sym("{"))) {
+              next()
+              def confPair(): Unit = {
+                val k = ident(); expectSym(":")
+                val v: Any = next() match {
+                  case Num(s) if !s.contains('.') => s.toLong
+                  case Num(s) => s.toDouble
+                  case Str(s) => s
+                  case Ident(b) if b.equalsIgnoreCase("true") => true
+                  case Ident(b) if b.equalsIgnoreCase("false") => false
+                  case Kw(b) if b.equalsIgnoreCase("true") => true
+                  case Kw(b) if b.equalsIgnoreCase("false") => false
+                  case other => fail(s"procedure config value for '$k' must " +
+                    s"be a literal, got $other")
+                }
+                config += k -> v
+              }
+              confPair()
+              while (peek.contains(Sym(","))) { next(); confPair() }
+              expectSym("}")
+            }
+            expectSym(")")
             val yields = ArrayBuffer.empty[(String, String)]
             if (peekSoft("YIELD")) {
               next()
@@ -290,7 +316,7 @@ object CypherParser {
               yieldItem()
               while (peek.contains(Sym(","))) { next(); yieldItem() }
             }
-            procs += ProcCall(name, yields.toSeq)
+            procs += ProcCall(name, yields.toSeq, config.toMap)
           }
         }
         val paths = ArrayBuffer.empty[PathPat]

@@ -1488,17 +1488,36 @@ final class CypherSession(
         // tie-breaks, md5-derived inits) are functions of the stable
         // user-facing identity, never of internal id values.
         case "gds.nodeSimilarity.stream" =>
-          // Jaccard over out-neighbor sets; pairs canonical by key order
-          // (the kernel's n1 < n2 runs on the key strings)
-          graft.analytics.GraphAlgorithms.nodeSimilarity(edgeKeys)
-            .select(col("n1").as("key1"), col("n2").as("key2"),
+          // Jaccard over out-neighbor sets. Config: {topK: k} keeps each
+          // node's k most similar neighbors (both directions, ties to the
+          // smallest key — GDS's per-node stream shape); without it the
+          // full canonical n1 < n2 pair set streams (divergence from
+          // GDS's implicit topK=10 default, which silently truncates —
+          // pass topK explicitly to bound the answer set).
+          val pairs = graft.analytics.GraphAlgorithms.nodeSimilarity(edgeKeys)
+          val topK = p.confLong("topK", 0L)
+          if (topK > 0) {
+            val sym = pairs.select(col("n1").as("key1"), col("n2").as("key2"),
+                col("jaccard").as("similarity"))
+              .unionByName(pairs.select(col("n2").as("key1"),
+                col("n1").as("key2"), col("jaccard").as("similarity")))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("key1")
+              .orderBy(col("similarity").desc, col("key2"))
+            sym.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= topK)
+              .select("key1", "key2", "similarity")
+          } else
+            pairs.select(col("n1").as("key1"), col("n2").as("key2"),
               col("jaccard").as("similarity"))
         case "gds.labelPropagation.stream" =>
-          // deterministic synchronous LPA, 2 fixed rounds, min-key tie
-          // break (x15's contract); edgeless nodes stay their own
-          // singleton community, matching GDS's all-nodes output
+          // deterministic synchronous LPA, min-key tie break (x15's
+          // contract); config {maxIterations: n} sets the fixed round
+          // budget (default 2); edgeless nodes stay their own singleton
+          // community, matching GDS's all-nodes output
           val lp = graft.analytics.GraphAlgorithms
-            .labelPropagation(edgeKeys, rounds = 2)
+            .labelPropagation(edgeKeys,
+              rounds = p.confLong("maxIterations", 2L).toInt)
           graph.nodes.select(col("key"))
             .join(lp.withColumnRenamed("id", "key"), Seq("key"), "left")
             .select(col("key"),

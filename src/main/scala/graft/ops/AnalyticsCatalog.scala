@@ -4192,6 +4192,29 @@ object AnalyticsCatalog {
            |      + (CAST(doc_id % 7 AS DOUBLE) - 4.0) * (CAST(doc_id % 7 AS DOUBLE) - 4.0)) AS dist
            |FROM documents ORDER BY id LIMIT 200""".stripMargin))
 
+  private val c53 = Entry("c53_cypher_gds_config_topk",
+    (s, dir) => {
+      // The GDS procedure CONFIG surface: CALL gds.x.stream({key: lit})
+      // — here nodeSimilarity bounded to each node's top-1 most similar
+      // neighbor (GDS's per-node stream shape, ties to the smallest key).
+      // This is c48's ANSWER-SET-BOUND remedy as the user writes it: the
+      // unbounded form's output is Σdeg² pairs by definition (6.2B at the
+      // sf10 star graph), the topK form's is |V|·k. On the fixture every
+      // article's top-1 is its publisher's minimum-keyed OTHER article —
+      // a closed form the oracle replays.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""CALL gds.nodeSimilarity.stream({topK: 1}) YIELD key1, key2, similarity
+                 |RETURN key1, key2, similarity
+                 |ORDER BY key1 LIMIT 200""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH a AS (SELECT CAST(doc_id AS VARCHAR) AS k, source FROM documents)
+           |SELECT a.k AS key1, MIN(b.k) AS key2, 1.0 AS similarity
+           |FROM a JOIN a b ON a.source = b.source AND b.k <> a.k
+           |GROUP BY a.k ORDER BY key1 LIMIT 200""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -5643,7 +5666,7 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52,
+    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

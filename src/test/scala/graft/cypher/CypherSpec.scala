@@ -130,6 +130,27 @@ class CypherSpec extends SparkTestBase {
         |RETURN key, e0, e1, e2, e3 ORDER BY key""".stripMargin)
       .asInstanceOf[CypherRows].df.collect().toSeq
     assert(rp1 === rp2 && rp1.length === 5)
+    // config map: {topK: 1} keeps each node's single most similar
+    // neighbor (both directions, ties to smallest key)
+    val top1 = sess.run(
+      """CALL gds.nodeSimilarity.stream({topK: 1}) YIELD key1, key2, similarity
+        |RETURN key1, key2, similarity ORDER BY key1""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, Double)].collect().toSeq
+    assert(top1 === Seq(("alice", "bob", 1.0), ("bob", "alice", 1.0),
+      ("dave", "alice", 0.5)))
+    // {maxIterations: 1} stops LPA after its round-1 min step — every
+    // node adopts its minimum neighbor key, so 'alice' (the smallest
+    // user) labels both her techs while she adopts 'flink'
+    val lp1 = sess.run(
+      """CALL gds.labelPropagation.stream({maxIterations: 1}) YIELD key, communityKey
+        |RETURN key, communityKey ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(lp1("spark") === "alice" && lp1("flink") === "alice" &&
+      lp1("alice") === "flink")
+    // a non-literal config value is rejected at parse time
+    val cfgErr = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.nodeSimilarity.stream({topK: x}) YIELD key1 RETURN key1"))
+    assert(cfgErr.getMessage.contains("literal"))
     // hits on the directed user→tech graph: after 2 rounds the shared
     // sink 'spark' is the top authority; users split hub mass by reach
     val hits = sess.run(
