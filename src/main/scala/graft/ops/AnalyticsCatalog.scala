@@ -4199,7 +4199,11 @@ object AnalyticsCatalog {
       // neighbor (GDS's per-node stream shape, ties to the smallest key).
       // This is c48's ANSWER-SET-BOUND remedy as the user writes it: the
       // unbounded form's output is Σdeg² pairs by definition (6.2B at the
-      // sf10 star graph), the topK form's is |V|·k. On the fixture every
+      // sf10 star graph), the topK form's is |V|·k. The intersection JOIN
+      // itself remains co-occurrence-bound (exact Jaccard must see every
+      // co-neighbor pair — true in GDS too); when the WORK must be
+      // bounded at scale, the approximate dedup family (d03/d15's banded
+      // LSH) is the engine's answer, not a knob here. On the fixture every
       // article's top-1 is its publisher's minimum-keyed OTHER article —
       // a closed form the oracle replays.
       val g = docGraph(s, dir)
