@@ -42,6 +42,9 @@ object NativeExpressions {
   def charEntropy(c: Column): Column =
     GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(c)))
 
+  def nfcNormalize(c: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(c)))
+
   def wordShingles(c: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), n))
 
@@ -555,6 +558,16 @@ case class BloomMightContainLong(child: Expression, bloom: Array[Byte])
 object TextKernels {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
+  /** Unicode NFC via the JDK normalizer. Fast path: `isNormalized` is a
+    * cheap scan and virtually all real text IS already NFC, so the common
+    * case never allocates the normalized copy. */
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Shannon entropy (bits/char) of the code-point distribution, summed in
     * ascending code-point order — the exact fold order of the HOF
     * formulation `-aggregate(transform(array_sort(array_distinct(split(s,
@@ -647,6 +660,36 @@ case class CharEntropy(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization (canonical composition) — the pass a
+  * training-data pipeline runs BEFORE hashing/dedup so that 'é' and
+  * 'e'+COMBINING ACUTE hash identically. Wraps the JDK's
+  * `java.text.Normalizer` (the Unicode-standard algorithm — DuckDB's
+  * `nfc_normalize` implements the same spec, so outputs hash-match
+  * cross-engine); codegen'd so it stays inside whole-stage codegen next
+  * to the md5/shingle kernels it feeds.
+  */
+case class NfcNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires string, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.nfc(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -5657,10 +5657,34 @@ object AnalyticsCatalog {
            |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val t22 = Entry("t22_unicode_nfc_normalize",
+    (s, dir) => {
+      // Unicode NFC normalization (codegen'd NfcNormalize) — the pass a
+      // pipeline runs BEFORE hashing so 'é' and 'e'+COMBINING ACUTE hash
+      // identically. The fixture text is already composed, so a DECOMPOSED
+      // suffix (e + U+0301) is appended to exercise real folding: every
+      // row must report already_nfc = false and exactly one code point
+      // folded. DuckDB's nfc_normalize implements the same Unicode
+      // algorithm, so lengths and flags hash-match.
+      val raw = concat(col("text"), lit(" cafe\u0301")) // DECOMPOSED e + U+0301
+      val nfc = graft.functions.NativeExpressions.nfcNormalize(raw)
+      Tables(s, dir, "documents").select(col("doc_id"),
+          length(raw).as("raw_len"),
+          length(nfc).as("nfc_len"),
+          (nfc === raw).as("already_nfc"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(length(text || ' cafe' || chr(769)) AS INT) AS raw_len,
+           |  CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS INT) AS nfc_len,
+           |  nfc_normalize(text || ' cafe' || chr(769)) = (text || ' cafe' || chr(769))
+           |    AS already_nfc
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04, g05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19, t20, t21,
+    t16, t17, t18, t19, t20, t21, t22,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,

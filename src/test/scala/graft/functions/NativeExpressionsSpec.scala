@@ -22,6 +22,29 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(diff === 0)
   }
 
+  test("NfcNormalize: folds decomposed sequences, identity on NFC text, equals JDK normalizer") {
+    val cases = Seq(
+      "plain ascii stays put",
+      "cafe\u0301",            // e + combining acute, decomposed
+      "caf\u00e9",             // already composed
+      "A\u030angstro\u0308m", // A + ring, o + diaeresis via combining marks
+      "d\u0307\u0323",        // dot-above then dot-below: canonical reorder
+      "\ud55c\uad6d\uc5b4", // precomposed Hangul untouched
+      "")
+    val df = cases.toDF("s")
+      .select(col("s"), NativeExpressions.nfcNormalize(col("s")).as("n"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (str, n) =>
+      assert(n === java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC),
+        s"mismatch for ${str.codePoints().toArray.mkString(",")}")
+    }
+    // the decomposed and composed spellings converge to the same bytes —
+    // the property dedup hashing relies on
+    assert(got(1)._2 === got(2)._2 && got(1)._2 === "caf\u00e9")
+    // identity on already-normalized text (no silent rewrites)
+    assert(got(0)._2 === got(0)._1 && got(5)._2 === got(5)._1)
+  }
+
   test("BloomMightContainLong: no false negatives; prefiltered pipeline is exact") {
     val members = (1L to 500L).map(_ * 7919L)
     val bloom = members.toDF("h").stat.bloomFilter("h", members.size.toLong, 0.01)
