@@ -194,10 +194,11 @@ object Dedup {
     * [[nearDupPairsMinhashPortable]]: a batch of `arrivals` is matched
     * against an existing `history` corpus (both sides banded in the
     * portable family), without ever pairing history with itself. This is
-    * the shape a streaming ingest pipeline runs per micro-batch at 100 TB:
-    * history's (band, bucket) index is computed once and persisted (or
-    * bucketed — the equi-join key is stable), each batch's candidates are
-    * bucket collisions only, and verification touches candidates. Returns
+    * the shape a streaming ingest pipeline runs per micro-batch at 100 TB;
+    * the PERSISTED form — history's (band, bucket) index computed once,
+    * stored, incrementally appended, and served per batch — is
+    * [[DedupIndex]] (d23–d25): this derive-per-query form stays as the
+    * reference both hash-match against. Returns
     * one row per arrival: verified match count, best match (highest
     * Jaccard, ties to the smallest history id) or (-1, 0.0) when none.
     * The per-arrival window shuffles on the arrival id — uniform by
