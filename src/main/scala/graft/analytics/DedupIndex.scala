@@ -40,6 +40,71 @@ import graft.functions.VectorFunctions
   */
 object DedupIndex {
 
+  // ----------------------------------------------------- geometry manifest --
+
+  /** Geometry manifest (ADVICE r8 #1). The hash geometry (shingleN/k/bands;
+    * tables/nBits/dim) is part of the STORE's identity: querying or
+    * appending with a different geometry than the build's produces bucket
+    * keys from a different hash family — candidates silently miss and a
+    * dedup pipeline reports false "clean" verdicts. Build writes the
+    * geometry as a properties file; query/append re-derive their geometry
+    * and FAIL LOUDLY on mismatch instead of returning wrong zeros. Stores
+    * written before the manifest existed validate as legacy (append
+    * retrofits the manifest from ITS parameters on first touch). Same
+    * local-filesystem scope as the pq codebook artifact below. */
+  private def writeManifest(path: String, name: String,
+      geom: Seq[(String, Int)]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p)
+    val body = geom.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(p.resolve(name), body.getBytes("UTF-8"))
+  }
+
+  private def checkManifest(path: String, name: String,
+      geom: Seq[(String, Int)]): Unit = {
+    val f = java.nio.file.Paths.get(path).resolve(name)
+    if (java.nio.file.Files.exists(f)) {
+      val stored = java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+        .iterator.map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
+      val mismatches = geom.collect {
+        case (k, v) if stored.get(k).exists(_ != v) =>
+          s"$k: store=${stored(k)} caller=$v"
+      }
+      require(mismatches.isEmpty,
+        s"index at $path was built with a different geometry than this call " +
+          s"— ${mismatches.mkString(", ")}. Querying across geometries " +
+          "produces silent false negatives; rebuild the index or pass the " +
+          s"store's geometry (see $name).")
+    }
+  }
+
+  private def textGeom(shingleN: Int, k: Int, bands: Int) =
+    Seq("shingleN" -> shingleN, "k" -> k, "bands" -> bands)
+  private def embGeom(tables: Int, nBits: Int, dim: Int) =
+    Seq("tables" -> tables, "nBits" -> nBits, "dim" -> dim)
+
+  /** Atomic directory swap (ADVICE r8 #2): `tmp` (a fully-written new
+    * layout) replaces `live` via two same-filesystem renames. The store of
+    * record is never the only copy mid-operation: until the first rename
+    * the old layout is live and untouched; between the renames both layouts
+    * exist on disk (a crash leaves `<live>.__old` to recover from); the old
+    * copy is deleted only after the new one is in place. */
+  private def swapIn(live: String, tmp: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    val liveP = Paths.get(live); val tmpP = Paths.get(tmp)
+    val oldP = Paths.get(live + ".__old")
+    deleteRec(oldP)
+    Files.move(liveP, oldP, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmpP, liveP, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(oldP)
+  }
+
   // ------------------------------------------------------------ text side --
 
   /** Build (overwrite) the MinHash+LSH text index for `df` at `path`. */
@@ -52,6 +117,7 @@ object DedupIndex {
     buckets.select(col("band"), col("bucket"), col("id"), col("bks"))
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
       .write.mode("overwrite").parquet(s"$path/text_buckets")
+    writeManifest(path, "text_manifest.properties", textGeom(shingleN, k, bands))
   }
 
   /** Incrementally merge `newDocs` into the persisted text index: ids
@@ -62,6 +128,7 @@ object DedupIndex {
   def appendText(spark: SparkSession, path: String, newDocs: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 1, k: Int = 64, bands: Int = 8): Unit = {
+    checkManifest(path, "text_manifest.properties", textGeom(shingleN, k, bands))
     val existing = spark.read.parquet(s"$path/text_base").select(col("id"))
     val fresh = newDocs
       .join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
@@ -74,6 +141,9 @@ object DedupIndex {
     buckets.select(col("band"), col("bucket"), col("id"), col("bks"))
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
       .write.mode("append").parquet(s"$path/text_buckets")
+    // legacy (pre-manifest) store: retrofit from this call's geometry —
+    // later appends/queries then validate against it
+    writeManifest(path, "text_manifest.properties", textGeom(shingleN, k, bands))
   }
 
   /** Match `arrivals` against the PERSISTED text index — identical output
@@ -85,6 +155,7 @@ object DedupIndex {
   def queryText(spark: SparkSession, path: String, arrivals: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 1, k: Int = 64,
       bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    checkManifest(path, "text_manifest.properties", textGeom(shingleN, k, bands))
     val hBuckets = spark.read.parquet(s"$path/text_buckets")
     val hBase = spark.read.parquet(s"$path/text_base")
     val (aBase, aBuckets) =
@@ -157,12 +228,14 @@ object DedupIndex {
       .select(col("t"), col("bucket"), col("id"), col("bkts"))
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
       .write.mode("overwrite").parquet(s"$path/emb_buckets")
+    writeManifest(path, "emb_manifest.properties", embGeom(tables, nBits, dim))
   }
 
   /** Idempotent incremental merge into the persisted ANN index — the
     * [[appendText]] contract for vectors. */
   def appendEmbedding(spark: SparkSession, path: String, newVecs: DataFrame,
       idCol: String, vecCol: String, tables: Int, nBits: Int, dim: Int): Unit = {
+    checkManifest(path, "emb_manifest.properties", embGeom(tables, nBits, dim))
     val existing = spark.read.parquet(s"$path/emb_vectors").select(col("id"))
     val fresh = newVecs
       .join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
@@ -178,6 +251,7 @@ object DedupIndex {
       .select(col("t"), col("bucket"), col("id"), col("bkts"))
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
       .write.mode("append").parquet(s"$path/emb_buckets")
+    writeManifest(path, "emb_manifest.properties", embGeom(tables, nBits, dim))
   }
 
   /** COMPACT the text index: appends accumulate small unclustered files
@@ -190,22 +264,33 @@ object DedupIndex {
     * cadence, not per batch — the query path works either way, compaction
     * buys back scan locality and file-listing overhead. */
   def compactText(spark: SparkSession, path: String): Unit = {
-    val base = spark.read.parquet(s"$path/text_base").localCheckpoint(true)
-    val buckets = spark.read.parquet(s"$path/text_buckets").localCheckpoint(true)
-    base.repartitionByRange(col("id")).sortWithinPartitions("id")
-      .write.mode("overwrite").parquet(s"$path/text_base")
-    buckets.repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
-      .write.mode("overwrite").parquet(s"$path/text_buckets")
+    // ADVICE r8 #2: compact into a FRESH directory, then atomically swap —
+    // never overwrite the live store in place. The old read-checkpoint-
+    // overwrite form held the only copy in executor storage with truncated
+    // lineage mid-rewrite: a failure (or lost checkpoint block) after the
+    // delete destroyed the store of record. Here the source files are
+    // untouched until the replacement layout is fully committed.
+    spark.read.parquet(s"$path/text_base")
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/text_base.__compact")
+    spark.read.parquet(s"$path/text_buckets")
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/text_buckets.__compact")
+    swapIn(s"$path/text_base", s"$path/text_base.__compact")
+    swapIn(s"$path/text_buckets", s"$path/text_buckets.__compact")
   }
 
-  /** [[compactText]] for the embedding store. */
+  /** [[compactText]] for the embedding store (same write-to-temp + atomic
+    * swap posture). */
   def compactEmbedding(spark: SparkSession, path: String): Unit = {
-    val vecs = spark.read.parquet(s"$path/emb_vectors").localCheckpoint(true)
-    val buckets = spark.read.parquet(s"$path/emb_buckets").localCheckpoint(true)
-    vecs.repartitionByRange(col("id")).sortWithinPartitions("id")
-      .write.mode("overwrite").parquet(s"$path/emb_vectors")
-    buckets.repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
-      .write.mode("overwrite").parquet(s"$path/emb_buckets")
+    spark.read.parquet(s"$path/emb_vectors")
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/emb_vectors.__compact")
+    spark.read.parquet(s"$path/emb_buckets")
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/emb_buckets.__compact")
+    swapIn(s"$path/emb_vectors", s"$path/emb_vectors.__compact")
+    swapIn(s"$path/emb_buckets", s"$path/emb_buckets.__compact")
   }
 
   // ------------------------------------------------------------- PQ side --
@@ -290,6 +375,7 @@ object DedupIndex {
   def queryEmbedding(spark: SparkSession, path: String, arrivals: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       tables: Int, nBits: Int, dim: Int): DataFrame = {
+    checkManifest(path, "emb_manifest.properties", embGeom(tables, nBits, dim))
     val hBuckets = spark.read.parquet(s"$path/emb_buckets")
     val hVecs = spark.read.parquet(s"$path/emb_vectors")
     val a = arrivals.select(col(idCol).as("id_n"),

@@ -548,34 +548,98 @@ object GraphAlgorithms {
       .join(idRank.select(col("oid").as("u"), col("rid").as("ru")), Seq("u"))
       .join(idRank.select(col("oid").as("v"), col("rid").as("rv")), Seq("v"))
       .select(col("ru").as("u"), col("rv").as("v"))
+    // Pre-partition the symmetric edge list on the JOIN key (VERDICT r8
+    // #3): every round ≥ 2 joins sym⋈labels on u, and labels comes out of
+    // the previous round's aggregate hash-partitioned on id — aligning sym
+    // once makes every per-round join exchange-free. localCheckpoint
+    // preserves the partitioning (LogicalRDD carries it).
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .repartition(col("u")).localCheckpoint(true)
+    /** One synchronous mode round over `edges` (a subset of sym when the
+      * frontier is partial): argmax(neighbor-label count), ties to the
+      * SMALLEST label. ONE |E|-scale exchange: the explicit repartition on
+      * v — both groupBys then satisfy their clustering from it (the
+      * (v, community) grouping needs only co-location by v, Spark's
+      * subset rule), where the two-stage groupBy form paid a second
+      * exchange of near-|E| (v, community) groups (round-2 labels are
+      * diverse, so map-side combine bought almost nothing — the r8 sf10
+      * sweep's dominant cost). */
+    def modeRound(edges: DataFrame, labels: DataFrame): DataFrame =
+      edges
+        .join(labels.select(col("id").as("u"), col("community")), Seq("u"))
+        .repartition(col("v"))
+        .groupBy(col("v").as("id"), col("community"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("id")
+        .agg(min(struct((-col("n")).as("nn"), col("community"))).as("best"))
+        .select(col("id"), col("best.community").as("community"))
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
       .localCheckpoint(true)
-    for (r <- 1 to rounds) {
+    // |V|, measured once off the checkpointed label table — prices the
+    // frontier-vs-full decision below
+    lazy val nV = labels.count()
+    // ids whose label changed in the most recent round; null = "all of
+    // them" (rounds 1-2: round 1 moves every node off its own id, so the
+    // round-2 frontier is the whole graph by construction). A frontier
+    // round costs two extra semi-joins plus the carry-over merge, so it
+    // only pays when the changed set is genuinely small — period-2
+    // oscillators (bipartite stars) keep changing EVERYTHING every round,
+    // and there the full recompute is the cheaper plan: the guard below
+    // falls back to it whenever more than half the nodes moved.
+    var changed: DataFrame = null
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
+      val prev = labels
       labels = (if (r == 1) {
         // Round 1 is EXACTLY a min aggregate: labels start as own ids and
         // a node's neighbors are distinct, so every neighbor label has
         // count 1 and argmax-with-min-tie-break degenerates to
-        // min(neighbor). The general mode below would group by
-        // (node, label) — |E| groups with zero combine benefit on round 1
-        // (the 100× rehearsal's dominant cost); the min form has |V|
-        // groups and combines map-side. Identical result, not a shortcut
-        // approximation (spec-asserted against the general form).
+        // min(neighbor). The general mode would group by (node, label) —
+        // |E| groups with zero combine benefit on round 1; the min form
+        // has |V| groups and combines map-side. Identical result, not a
+        // shortcut approximation (spec-asserted against the general form).
         sym.groupBy(col("v").as("id")).agg(min(col("u")).as("community"))
+      } else if (changed == null) {
+        modeRound(sym, labels)
       } else {
-        val freq = sym
-          .join(labels.select(col("id").as("u"), col("community")), Seq("u"))
-          .groupBy(col("v").as("id"), col("community"))
-          .agg(count(lit(1)).as("n"))
-        // argmax(count) with min-label tie break = lexicographic min over
-        // (-count, label); one aggregate, no window shuffle per node
-        freq
-          .groupBy("id")
-          .agg(min(struct((-col("n")).as("nn"), col("community"))).as("best"))
-          .select(col("id"), col("best.community").as("community"))
+        // FRONTIER round (VERDICT r8 #3): only nodes with a changed
+        // neighbor label can change their mode — re-aggregate exactly
+        // those (over ALL their edges: the mode needs the full neighbor
+        // multiset) and carry everyone else over. Synchronous-update and
+        // min-tie-break semantics are untouched: the recomputed nodes see
+        // the same inputs the full round would give them, and the rest
+        // provably could not change.
+        val frontier = sym
+          .join(changed.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .select(col("v")).distinct()
+        val recomputed = modeRound(
+          sym.join(frontier, Seq("v"), "left_semi"), labels)
+        labels
+          .join(recomputed.withColumnRenamed("community", "__new"),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__new"), col("community")).as("community"))
       }).localCheckpoint(true)
+      // track the changed set only while a later round will consume it —
+      // and never after round 1, where every node just moved off its own
+      // id (a "frontier" of the whole graph would only add semi-join cost
+      // to round 2's full recompute)
+      if (r < rounds && r >= 2) {
+        changed = labels
+          .join(prev.withColumnRenamed("community", "__prev"), Seq("id"))
+          .filter(col("community") =!= col("__prev"))
+          .select(col("id"))
+          .localCheckpoint(true)
+        val nChanged = changed.count()
+        // synchronous LPA is stationary once a round changes nothing —
+        // every remaining round would be a no-op; stop instead
+        converged = nChanged == 0
+        // large frontier → the next round recomputes fully (null marker)
+        if (nChanged * 2 > nV) changed = null
+      }
+      r += 1
     }
     // map ranks back to the caller's ids (both columns; the rank table is
     // |V| narrow rows — broadcast-eligible whenever |V| allows, and an

@@ -255,9 +255,25 @@ object CypherAst {
     /** Column names this call binds into the pipeline. */
     def boundNames: Seq[String] =
       if (yields.nonEmpty) yields.map(_._2) else Procedures.schema(name)
+    /** A PRESENT but mistyped key raises instead of silently using the
+      * default (ADVICE r8 #5 — {topK: 1.5} used to fall through). */
     def confLong(key: String, default: Long): Long =
-      config.collectFirst { case (k, v: Long) if k.equalsIgnoreCase(key) => v }
-        .getOrElse(default)
+      config.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v } match {
+        case None => default
+        case Some(v: Long) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"procedure config '$key' must be an integer, got $other")
+      }
+    /** Double-valued config; integer literals coerce (GDS accepts both). */
+    def confDouble(key: String, default: Double): Double =
+      config.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v } match {
+        case None => default
+        case Some(v: Double) => v
+        case Some(v: Long) => v.toDouble
+        case Some(other) => throw new IllegalArgumentException(
+          s"procedure config '$key' must be a number, got $other")
+      }
+    def has(key: String): Boolean = config.keys.exists(_.equalsIgnoreCase(key))
   }
 
   /** Built-in procedure registry: name → yielded columns, in order. */

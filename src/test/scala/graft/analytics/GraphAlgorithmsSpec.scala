@@ -219,16 +219,22 @@ class GraphAlgorithmsSpec extends SparkTestBase {
   }
 
   test("labelPropagation round-1 min fast path equals the general mode form") {
-    // the optimized first round (min aggregate, |V| groups) must be
-    // indistinguishable from the general mode aggregate on arbitrary
-    // graphs — fixed-seed random graphs + a chain + a clique
+    // the optimized rounds — round-1 min aggregate, the one-exchange mode
+    // round, the frontier/delta rounds ≥ 3 (VERDICT r8 #3), and the
+    // converged early-exit — must be indistinguishable from the general
+    // full-recompute mode aggregate on arbitrary graphs: fixed-seed random
+    // graphs + a chain + a clique + a star (period-2 oscillator: its
+    // frontier never shrinks, exercising the full-frontier path), at
+    // round budgets through 5 (1-2 full, 3+ frontier; the clique
+    // converges early and must still report the fixpoint)
     val rnd = new scala.util.Random(11)
     val shapes = Seq(
       (1 to 19).map(i => (i.toLong, (i + 1).toLong)),                // chain
       (for (a <- 1 to 8; b <- a + 1 to 8) yield (a.toLong, b.toLong)), // K8
+      (2 to 12).map(i => (1L, i.toLong)),                            // star
       Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
         .filter(p => p._1 != p._2))                                  // random
-    for (edges <- shapes; rounds <- Seq(1, 2, 3)) {
+    for (edges <- shapes; rounds <- Seq(1, 2, 3, 4, 5)) {
       val df = edges.toDF("u", "v")
       val fast = GraphAlgorithms.labelPropagation(df, rounds)
         .as[(Long, Long)].collect().toMap

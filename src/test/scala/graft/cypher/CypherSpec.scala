@@ -105,13 +105,39 @@ class CypherSpec extends SparkTestBase {
       sess.run(s"""MERGE (u:User {name: '$u'}) MERGE (t:Tech {name: '$t'})
                   |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
     // nodeSimilarity: alice/bob share both out-neighbors → 1.0;
-    // alice/dave and bob/dave share spark only → 1/2; pairs key-ordered
+    // alice/dave and bob/dave share spark only → 1/2. The full canonical
+    // pair stream is the EXPLICIT {topK: 0} extension (r9: the
+    // unconfigured call applies GDS's topK=10 default instead)
     val sim = sess.run(
-      """CALL gds.nodeSimilarity.stream() YIELD key1, key2, similarity
+      """CALL gds.nodeSimilarity.stream({topK: 0}) YIELD key1, key2, similarity
         |RETURN key1, key2, similarity ORDER BY key1, key2""".stripMargin)
       .asInstanceOf[CypherRows].df.as[(String, String, Double)].collect().toSeq
     assert(sim === Seq(("alice", "bob", 1.0), ("alice", "dave", 0.5),
       ("bob", "dave", 0.5)))
+    // unconfigured = GDS defaults: per-node topK=10 stream, symmetric —
+    // on 3 users that is every ordered pair once
+    val simDefault = sess.run(
+      """CALL gds.nodeSimilarity.stream() YIELD key1, key2, similarity
+        |RETURN key1, key2, similarity ORDER BY key1, key2""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, Double)].collect().toSeq
+    assert(simDefault === Seq(("alice", "bob", 1.0), ("alice", "dave", 0.5),
+      ("bob", "alice", 1.0), ("bob", "dave", 0.5),
+      ("dave", "alice", 0.5), ("dave", "bob", 0.5)))
+    // degreeCutoff excludes low-out-degree nodes from the comparison
+    // (dave has out-degree 1): only the alice/bob pair survives
+    val simCut = sess.run(
+      """CALL gds.nodeSimilarity.stream({topK: 0, degreeCutoff: 2})
+        |YIELD key1, key2, similarity
+        |RETURN key1, key2, similarity ORDER BY key1, key2""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, Double)].collect().toSeq
+    assert(simCut === Seq(("alice", "bob", 1.0)))
+    // similarityCutoff drops sub-threshold pairs before topK
+    val simThr = sess.run(
+      """CALL gds.nodeSimilarity.stream({topK: 0, similarityCutoff: 0.75})
+        |YIELD key1, key2, similarity
+        |RETURN key1, key2, similarity ORDER BY key1, key2""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, Double)].collect().toSeq
+    assert(simThr === Seq(("alice", "bob", 1.0)))
     // labelPropagation composes through a WITH aggregation horizon:
     // one connected component, 2 deterministic rounds
     val lp = sess.run(
@@ -120,16 +146,21 @@ class CypherSpec extends SparkTestBase {
         |RETURN communityKey, size ORDER BY size DESC, communityKey""".stripMargin)
       .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
     assert(lp.map(_._2).sum === 5L, lp.toString)
-    // fastRP: exact integers, deterministic across runs, all nodes
+    // fastRP: exact integers, deterministic across runs, all nodes.
+    // embeddingDimension is mandatory (as in GDS) — r9 rejects the
+    // unconfigured form instead of silently running a tiny geometry
     val rp1 = sess.run(
-      """CALL gds.fastRP.stream() YIELD key, e0, e1, e2, e3
+      """CALL gds.fastRP.stream({embeddingDimension: 4}) YIELD key, e0, e1, e2, e3
         |RETURN key, e0, e1, e2, e3 ORDER BY key""".stripMargin)
       .asInstanceOf[CypherRows].df.collect().toSeq
     val rp2 = sess.run(
-      """CALL gds.fastRP.stream() YIELD key, e0, e1, e2, e3
+      """CALL gds.fastRP.stream({embeddingDimension: 4}) YIELD key, e0, e1, e2, e3
         |RETURN key, e0, e1, e2, e3 ORDER BY key""".stripMargin)
       .asInstanceOf[CypherRows].df.collect().toSeq
     assert(rp1 === rp2 && rp1.length === 5)
+    val rpErr = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.fastRP.stream() YIELD key, e0 RETURN key, e0"))
+    assert(rpErr.getMessage.contains("embeddingDimension"))
     // config map: {topK: 1} keeps each node's single most similar
     // neighbor (both directions, ties to smallest key)
     val top1 = sess.run(
@@ -151,10 +182,34 @@ class CypherSpec extends SparkTestBase {
     val cfgErr = intercept[IllegalArgumentException](sess.run(
       "CALL gds.nodeSimilarity.stream({topK: x}) YIELD key1 RETURN key1"))
     assert(cfgErr.getMessage.contains("literal"))
+    // ADVICE r8 #5: config numeral robustness — an exponent numeral is a
+    // Double, and a present-but-mistyped key RAISES instead of silently
+    // falling back to the default
+    for (bad <- Seq("1e3", "1.5")) {
+      val typeErr = intercept[IllegalArgumentException](sess.run(
+        s"CALL gds.nodeSimilarity.stream({topK: $bad}) YIELD key1 RETURN key1"))
+      assert(typeErr.getMessage.contains("must be an integer"), bad)
+    }
+    // negative literals lex as Sym(-)+Num and negate; a negative topK is
+    // rejected by the procedure, not a raw parse crash
+    val negErr = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.nodeSimilarity.stream({topK: -1}) YIELD key1 RETURN key1"))
+    assert(negErr.getMessage.contains("topK must be >= 0"))
+    // similarityCutoff accepts exponent-form doubles ({…: 1e-1})
+    val simExp = sess.run(
+      """CALL gds.nodeSimilarity.stream({topK: 0, similarityCutoff: 1e-1})
+        |YIELD key1 RETURN count(*) AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(simExp === 3L)
     // hits on the directed user→tech graph: after 2 rounds the shared
-    // sink 'spark' is the top authority; users split hub mass by reach
+    // sink 'spark' is the top authority; users split hub mass by reach.
+    // hitsIterations is mandatory (r9): the exact-integer design cannot
+    // replay GDS's default 20 rounds, so the budget must be explicit
+    val hitsErr = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.hits.stream() YIELD key RETURN key"))
+    assert(hitsErr.getMessage.contains("hitsIterations"))
     val hits = sess.run(
-      """CALL gds.hits.stream() YIELD key, authority, hub
+      """CALL gds.hits.stream({hitsIterations: 2}) YIELD key, authority, hub
         |RETURN key, authority, hub
         |ORDER BY authority DESC, hub DESC, key""".stripMargin)
       .asInstanceOf[CypherRows].df.as[(String, Double, Double)].collect()
@@ -1145,6 +1200,70 @@ class CypherSpec extends SparkTestBase {
         |RETURN u.name AS name ORDER BY name""".stripMargin)
       .asInstanceOf[CypherRows].df.as[String].collect().toSeq
     assert(filtered === Seq("alice"))
+  }
+
+  test("COUNT { } sibling pattern collapses to degree math ≡ enumeration") {
+    // (a:Article)-[:W]->(p)<-[:W]-(c:Article) correlated only on p is
+    // count-only: the rewrite answers it from the degree distribution
+    // (VERDICT r8 #1). Every supported WHERE mode must match the
+    // enumeration fallback exactly — including non-unique prop values,
+    // where C(deg,2) would be wrong and the per-value multiplicity math
+    // (T²−ΣM_v²) is what holds.
+    val rnd = new scala.util.Random(11)
+    val langs = Seq("en", "de", "fr")
+    val arts = (1 to 30).map(i =>
+      ("Article", f"l$i%02d", Map("lang" -> langs(rnd.nextInt(3)))))
+    val pubs = (1 to 4).map(i => ("Publisher", s"p$i", Map.empty[String, String]))
+    val eds = (1 to 30).map(i =>
+      ("Article", f"l$i%02d", "WRITTEN_BY", "Publisher", s"p${1 + rnd.nextInt(4)}"))
+    val g = PropertyGraph.empty(spark)
+      .mergeNodes((arts ++ pubs).toDF("label", "key", "props"))
+      .mergeEdgesByKey(eds.toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey"))
+    val sess = new CypherSession(g)
+    def q(where: String) =
+      s"""MATCH (p:Publisher)
+         |RETURN p.name AS name,
+         |  COUNT { (a:Article)-[:WRITTEN_BY]->(p)<-[:WRITTEN_BY]-(c:Article)$where } AS n
+         |ORDER BY name""".stripMargin
+    // (rewritten WHERE, semantically-identical fallback WHERE that defeats
+    // the shape detection — an AND conjunct / self-comparison)
+    val cases = Seq(
+      ("" -> " WHERE a.link = a.link"),
+      (" WHERE a.link < c.link" -> " WHERE a.link < c.link AND a.link < c.link"),
+      (" WHERE a.lang < c.lang" -> " WHERE a.lang < c.lang AND a.lang < c.lang"),
+      (" WHERE c.lang > a.lang" -> " WHERE c.lang > a.lang AND c.lang > a.lang"),
+      (" WHERE a.lang <> c.lang" -> " WHERE a.lang <> c.lang AND a.lang <> c.lang"))
+    cases.foreach { case (fastW, slowW) =>
+      val before = CypherSession.siblingRewrites.get()
+      val fast = sess.run(q(fastW)).asInstanceOf[CypherRows]
+        .df.as[(String, Long)].collect().toSeq
+      assert(CypherSession.siblingRewrites.get() === before + 1,
+        s"rewrite did not engage for '$fastW'")
+      val slow = sess.run(q(slowW)).asInstanceOf[CypherRows]
+        .df.as[(String, Long)].collect().toSeq
+      assert(CypherSession.siblingRewrites.get() === before + 1,
+        s"fallback unexpectedly rewrote '$slowW'")
+      assert(fast === slow, s"mismatch for '$fastW'")
+      assert(fast.map(_._2).sum > 0, s"degenerate fixture for '$fastW'")
+    }
+    // out-of-b orientation: (x)<-[:R]-(m)-[:R]->(y) with only m correlated
+    val g2 = PropertyGraph.empty(spark)
+      .mergeNodes((Seq(("User", "u1", Map.empty[String, String])) ++
+        (1 to 5).map(i => ("Tech", s"t$i", Map.empty[String, String])))
+        .toDF("label", "key", "props"))
+      .mergeEdgesByKey((1 to 5).map(i =>
+        ("User", "u1", "INTERESTED_IN", "Tech", s"t$i"))
+        .toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey"))
+    val sess2 = new CypherSession(g2)
+    val before2 = CypherSession.siblingRewrites.get()
+    val out = sess2.run(
+      """MATCH (u:User)
+        |RETURN u.name AS name,
+        |  COUNT { (x:Tech)<-[:INTERESTED_IN]-(u)-[:INTERESTED_IN]->(y:Tech)
+        |          WHERE x.name < y.name } AS n""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(CypherSession.siblingRewrites.get() === before2 + 1)
+    assert(out === Seq(("u1", 10L))) // C(5,2)
   }
 
   test("simple-form CASE desugars to searched CASE") {

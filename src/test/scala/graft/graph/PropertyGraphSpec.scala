@@ -101,6 +101,58 @@ class PropertyGraphSpec extends SparkTestBase {
     assert(titles.toSeq === Seq("First article", "Second article"))
   }
 
+  /** Random multi-publisher graph used by the degree-identity tests. */
+  private def pubGraph: PropertyGraph = {
+    val rnd = new scala.util.Random(7)
+    val arts = (1 to 40).map(i => ("Article", s"http://a/$i", Map.empty[String, String]))
+    val pubs = (1 to 5).map(i => ("Pub", s"p$i", Map.empty[String, String]))
+    val edges = (1 to 40).map(i =>
+      ("Article", s"http://a/$i", "WRITTEN_BY", "Pub", s"p${1 + rnd.nextInt(5)}"))
+    PropertyGraph.empty(spark)
+      .mergeNodes((arts ++ pubs).toDF("label", "key", "props"))
+      .mergeEdgesByKey(edges.toDF("srcLabel", "srcKey", "relType", "dstLabel", "dstKey"))
+  }
+
+  test("siblingPairCounts ≡ grouped two-hop enumeration (degree identity)") {
+    val g = pubGraph
+    val enumerated = g.twoHopVia("Article", "WRITTEN_BY", "Pub", "WRITTEN_BY", "Article")
+      .filter(col("a_key") < col("c_key"))
+      .groupBy(col("b_key")).agg(count(lit(1)).as("n_pairs"))
+      .as[(String, Long)].collect().toMap
+    val identity = g.siblingPairCounts("Article", "WRITTEN_BY", "Pub")
+      .select("b_key", "n_pairs").as[(String, Long)].collect().toMap
+    assert(identity === enumerated)
+    // anchored form restricts to the anchor's row and agrees too
+    val anchored = g.siblingPairCounts("Article", "WRITTEN_BY", "Pub", Some("p1"))
+      .select("b_key", "n_pairs").as[(String, Long)].collect().toMap
+    assert(anchored === enumerated.filter(_._1 == "p1"))
+  }
+
+  test("siblingPairCounts carries parallel-edge multiplicity exactly") {
+    // hand-built edges DataFrame with a doubled edge: enumeration counts
+    // each edge combination, and (S1²−S2)/2 must match that — not C(deg,2)
+    val g0 = pubGraph
+    val doubled = g0.edges.unionByName(g0.edges.limit(1))
+    val g = PropertyGraph(g0.nodes, doubled)
+    val enumerated = g.twoHopVia("Article", "WRITTEN_BY", "Pub", "WRITTEN_BY", "Article")
+      .filter(col("a_key") < col("c_key"))
+      .groupBy(col("b_key")).agg(count(lit(1)).as("n_pairs"))
+      .as[(String, Long)].collect().toMap
+    val identity = g.siblingPairCounts("Article", "WRITTEN_BY", "Pub")
+      .select("b_key", "n_pairs").as[(String, Long)].collect().toMap
+    assert(identity === enumerated)
+  }
+
+  test("siblingPairsTopK lists the k smallest pairs, matching full enumeration") {
+    val g = pubGraph
+    val full = g.twoHopVia("Article", "WRITTEN_BY", "Pub", "WRITTEN_BY", "Article")
+      .filter(col("a_key") < col("c_key")).filter(col("b_key") === "p2")
+      .select("a_key", "c_key").as[(String, String)].collect().sorted.take(7)
+    val topk = g.siblingPairsTopK("Article", "WRITTEN_BY", "Pub", "p2", 7)
+      .select("a_key", "c_key").as[(String, String)].collect().toSeq
+    assert(topk === full.toSeq)
+  }
+
   test("toGraphX round-trips vertices and edges") {
     val g = PropertyGraph.empty(spark)
       .mergeNodes(articleBatch)

@@ -391,6 +391,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("(label") && p.contains("= Publisher)"), p) // partition-pruned
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    // r9: the COUNT path is the degree identity — ONE edge scan feeding a
+    // degree aggregate (shiftright((S1²−S2), 1)), never an edge⋈edge pair
+    // join; g04 (unanchored) must hold the same shape
+    for (q <- Seq("g04_graph_two_hop", "g05_graph_two_hop_anchored")) {
+      val pc = plan(q)
+      assert(pc.contains("shiftright"), s"$q:\n$pc")
+      assert("/edges\\]".r.findAllIn(pc).size === 1, s"$q scans edges more than once:\n$pc")
+    }
+    // g06: the bounded pair LISTING prunes each anchor's neighbor list to
+    // k+1 rows (WindowGroupLimit) BEFORE the pair self-join
+    val p6 = plan("g06_graph_sibling_pairs_topk")
+    assert(p6.contains("WindowGroupLimit"), p6)
+    assert(p6.contains("TakeOrderedAndProject"), p6)
     // d24/v15: persisted-index queries stay equi-join only — candidates
     // come off the stored (band|t, bucket) layout, never a pair scan
     for (q <- Seq("d24_dedup_index_query", "v15_persisted_ann_query")) {
