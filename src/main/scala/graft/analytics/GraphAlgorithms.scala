@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.graph.PropertyGraph
+import IterCheckpoint.IterCheckpointOps
 
 /** Whole-graph analytics via GraphX/Pregel (BASELINE.json "spark_approach").
   * The reference delegates all traversal to Neo4j; these are the iterative
@@ -72,13 +73,13 @@ object GraphAlgorithms {
     * superstep. Equality with the GraphX implementation is spec-asserted. */
   def pageRankDF(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15): DataFrame = {
     val edges = g.edges.select(col("srcId").as("src"), col("dstId").as("dst"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // weighted edges: contribution fraction per out-edge, built once
     val wEdges = edges.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint(true)
-    val ids = g.nodes.select(col("id")).localCheckpoint(true)
+      .iterCheckpoint()
+    val ids = g.nodes.select(col("id")).iterCheckpoint()
     var ranks = ids.select(col("id"), lit(1.0).as("rank"))
     var i = 0
     while (i < numIter) {
@@ -90,7 +91,7 @@ object GraphAlgorithms {
           (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
       // truncate lineage every few supersteps — an eager checkpoint per
       // iteration serializes the pipeline into numIter blocking jobs
-      if (i % 4 == 3 && i != numIter - 1) ranks = ranks.localCheckpoint(true)
+      if (i % 4 == 3 && i != numIter - 1) ranks = ranks.iterCheckpoint()
       i += 1
     }
     // GraphX staticPageRank rescales final ranks to sum to the vertex count;
@@ -123,7 +124,7 @@ object GraphAlgorithms {
       maxIter: Int = 50): DataFrame = {
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     // Propagate over the edge-touched subgraph ONLY: an id in no pair can
     // never change label, so iterating over it is pure per-round waste —
     // in a near-dup corpus the overwhelming majority of ids are isolated
@@ -131,7 +132,7 @@ object GraphAlgorithms {
     // Isolated ids rejoin as their own singleton component at the end.
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -140,7 +141,7 @@ object GraphAlgorithms {
       val next = labels.join(msgs, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
           (coalesce(col("nc"), col("comp")) < col("comp")).as("ch"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       changed = next.filter(col("ch")).count()
       labels = next.select("id", "comp")
       i += 1
@@ -179,7 +180,7 @@ object GraphAlgorithms {
     val init = pairs.toDF("u", "v")
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .iterCheckpoint()
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -214,7 +215,7 @@ object GraphAlgorithms {
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).iterCheckpoint()
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
@@ -256,17 +257,17 @@ object GraphAlgorithms {
     * shrinks monotonically, `localCheckpoint` keeps the plan O(1)-deep. */
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .iterCheckpoint()
     var alive: DataFrame = null
     var i = 0
     while (i < rounds) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u").as("id"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       e = e.join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint(true)
+        .select("u", "v").iterCheckpoint()
       i += 1
     }
     if (alive == null) pairs.toDF("u", "v").select("u").limit(0).toDF("id")
@@ -334,7 +335,7 @@ object GraphAlgorithms {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(true) // re-joined every round
+      .iterCheckpoint() // re-joined every round
     var dist = spark.range(1).select(lit(source).as("node"), lit(0L).as("dist"))
     var frontier = dist
     for (_ <- 1 to rounds) {
@@ -342,11 +343,11 @@ object GraphAlgorithms {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("node").agg(min("dist").as("dist"))
       val merged = dist.unionByName(cand)
-        .groupBy("node").agg(min("dist").as("dist")).localCheckpoint(true)
+        .groupBy("node").agg(min("dist").as("dist")).iterCheckpoint()
       frontier = merged.join(dist.withColumnRenamed("dist", "__old"),
           Seq("node"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select("node", "dist").localCheckpoint(true)
+        .select("node", "dist").iterCheckpoint()
       dist = merged
     }
     dist
@@ -381,10 +382,10 @@ object GraphAlgorithms {
       maxDepth: Int = 10): DataFrame = {
     val e = edges.toDF("src", "dst")
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().iterCheckpoint()
     var frontier = sources.toDF("s")
       .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     var visited = frontier.select(col("s"), col("v"))
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 0
@@ -393,10 +394,10 @@ object GraphAlgorithms {
         .select(col("s"), col("dst").as("v"), col("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       if (!next.isEmpty) {
         levels += next
-        visited = visited.union(next.select("s", "v")).localCheckpoint(true)
+        visited = visited.union(next.select("s", "v")).iterCheckpoint()
       }
       frontier = next
       depth += 1
@@ -418,7 +419,7 @@ object GraphAlgorithms {
           contrib.select(col("s"), col("v"), col("delta")), Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       perSource += level
       deltaNext = level
     }
@@ -542,7 +543,7 @@ object GraphAlgorithms {
       spark.createDataFrame(
         distinctIds.orderBy("oid").rdd.zipWithIndex().map {
           case (row, i) => org.apache.spark.sql.Row(row.get(0), i)
-        }, schema).localCheckpoint(true)
+        }, schema).iterCheckpoint()
     }
     val e = e0
       .join(idRank.select(col("oid").as("u"), col("rid").as("ru")), Seq("u"))
@@ -554,7 +555,7 @@ object GraphAlgorithms {
     // once makes every per-round join exchange-free. localCheckpoint
     // preserves the partitioning (LogicalRDD carries it).
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).localCheckpoint(true)
+      .repartition(col("u")).iterCheckpoint()
     /** One synchronous mode round over `edges` (a subset of sym when the
       * frontier is partial): argmax(neighbor-label count), ties to the
       * SMALLEST label. ONE |E|-scale exchange: the explicit repartition on
@@ -575,7 +576,7 @@ object GraphAlgorithms {
         .select(col("id"), col("best.community").as("community"))
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     // |V|, measured once off the checkpointed label table — prices the
     // frontier-vs-full decision below
     lazy val nV = labels.count()
@@ -621,7 +622,7 @@ object GraphAlgorithms {
             Seq("id"), "left")
           .select(col("id"),
             coalesce(col("__new"), col("community")).as("community"))
-      }).localCheckpoint(true)
+      }).iterCheckpoint()
       // track the changed set only while a later round will consume it —
       // and never after round 1, where every node just moved off its own
       // id (a "frontier" of the whole graph would only add semi-join cost
@@ -631,7 +632,7 @@ object GraphAlgorithms {
           .join(prev.withColumnRenamed("community", "__prev"), Seq("id"))
           .filter(col("community") =!= col("__prev"))
           .select(col("id"))
-          .localCheckpoint(true)
+          .iterCheckpoint()
         val nChanged = changed.count()
         // synchronous LPA is stationary once a round changes nothing —
         // every remaining round would be a no-op; stop instead
@@ -661,10 +662,10 @@ object GraphAlgorithms {
         greatest(col("u"), col("v")).as("v"))
       .distinct()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     for (_ <- 1 to rounds) {
       val freq = sym
         .join(labels.select(col("id").as("u"), col("community")), Seq("u"))
@@ -674,7 +675,7 @@ object GraphAlgorithms {
         .groupBy("id")
         .agg(min(struct((-col("n")).as("nn"), col("community"))).as("best"))
         .select(col("id"), col("best.community").as("community"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     labels
   }
@@ -699,14 +700,14 @@ object GraphAlgorithms {
     * the full vertex set and coalesce to 0. */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iters: Int, reset: Double = 0.15): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
-    val srcs = sources.toDF("id").distinct().localCheckpoint(true)
+    val e = edges.toDF("src", "dst").iterCheckpoint()
+    val srcs = sources.toDF("id").distinct().iterCheckpoint()
     // |S| is the caller's sample size (bounded by construction)
     val nS = srcs.count().toDouble
     val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      .agg(count(lit(1)).as("outdeg")).iterCheckpoint()
     val base = srcs.select(col("id"), lit(reset / nS).as("base"))
-      .localCheckpoint(true)
+      .iterCheckpoint()
     var rank = srcs.select(col("id"), lit(1.0 / nS).as("rank"))
     for (_ <- 1 to iters) {
       val inflow = rank
@@ -718,7 +719,7 @@ object GraphAlgorithms {
         .select(col("id"),
           (coalesce(col("base"), lit(0.0)) +
             lit(1.0 - reset) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     rank
   }
@@ -742,9 +743,9 @@ object GraphAlgorithms {
     * after R rounds ≤ (max in-degree)^R — callers keep R small (that is
     * also all the mixing the centrality ranking needs). */
   def eigenvectorCentrality(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").iterCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().iterCheckpoint()
     var score = nodes.select(col("id"), lit(1L).as("score"))
     for (_ <- 1 to rounds) {
       val inflow = score
@@ -752,7 +753,7 @@ object GraphAlgorithms {
         .groupBy(col("dst").as("id")).agg(sum("score").as("inflow"))
       score = nodes.join(inflow, Seq("id"), "left")
         .select(col("id"), coalesce(col("inflow"), lit(0L)).as("score"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     // On acyclic inputs every walk count can die to 0 within `rounds`;
     // max(score) is then 0 and an unguarded division returns NaN for every
@@ -786,21 +787,21 @@ object GraphAlgorithms {
   def fastRPEmbedding(pairs: DataFrame, dim: Int, rounds: Int): DataFrame = {
     val e = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+      .iterCheckpoint()
+    val nodes = sym.select(col("u").as("id")).distinct().iterCheckpoint()
     def hv(j: Int) =
       conv(substring(md5(concat(col("id"), lit(s":$j"))), 1, 8), 16, 10)
         .cast("long") % 4
     var emb = nodes.select(col("id") +: (0 until dim).map(j =>
       when(hv(j) === 0, lit(-1L)).when(hv(j) === 1, lit(1L))
         .otherwise(lit(0L)).as(s"e$j")): _*)
-      .localCheckpoint(true)
+      .iterCheckpoint()
     for (_ <- 1 to rounds) {
       val sums = (0 until dim).map(j => sum(col(s"e$j")).as(s"e$j"))
       emb = sym.join(emb.withColumnRenamed("id", "u"), Seq("u"))
         .groupBy(col("v").as("id"))
         .agg(sums.head, sums.tail: _*)
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     emb
   }
@@ -817,9 +818,9 @@ object GraphAlgorithms {
     * Per round: two sparse matvec shuffles (edge⋈score join +
     * map-side-combining integer sum), linear in |E|. */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").iterCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().iterCheckpoint()
     var hub = nodes.select(col("id"), lit(1L).as("h"))
     var auth = nodes.select(col("id"), lit(1L).as("a"))
     for (_ <- 1 to rounds) {
@@ -827,12 +828,12 @@ object GraphAlgorithms {
         .groupBy(col("dst").as("id")).agg(sum("h").as("na"))
       auth = nodes.join(aSum, Seq("id"), "left")
         .select(col("id"), coalesce(col("na"), lit(0L)).as("a"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       val hSum = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum("a").as("nh"))
       hub = nodes.join(hSum, Seq("id"), "left")
         .select(col("id"), coalesce(col("nh"), lit(0L)).as("h"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
     }
     // Same zero guard as eigenvectorCentrality: a graph where every node's
     // hub (or authority) walk count dies to 0 would otherwise divide 0/0.

@@ -1195,14 +1195,31 @@ final class CypherSession(
           case "duration.between" =>
             itemCol(fnArgs(1)).cast("timestamp") - c.cast("timestamp")
           case "point.distance" =>
-            // cartesian euclidean distance (the only CRS point({x,y})
-            // constructs); sqrt is IEEE-correctly-rounded, so the value
-            // is bit-identical on any engine computing the same squares
+            // CRS-dispatched distance (VERDICT r8 #6). Cartesian (7203):
+            // euclidean — sqrt is IEEE-correctly-rounded, so the value is
+            // bit-identical on any engine computing the same squares.
+            // Geographic (4326, x=longitude/y=latitude in degrees):
+            // great-circle haversine on the sphere of radius
+            // [[CypherSession.EarthRadiusMeters]] (IUGG mean radius R1 —
+            // the pinned constant both engines share; callers hashing
+            // geographic distances quantize, since sin/cos are libm-level,
+            // not correctly-rounded — c54 pins 6 dp, the x02 posture).
+            // Mismatched CRSs yield NULL, as in Neo4j.
             val b = itemCol(fnArgs(1))
-            sqrt((c.getField("x") - b.getField("x")) *
-                 (c.getField("x") - b.getField("x")) +
-                 (c.getField("y") - b.getField("y")) *
-                 (c.getField("y") - b.getField("y")))
+            val euclid =
+              sqrt((c.getField("x") - b.getField("x")) *
+                   (c.getField("x") - b.getField("x")) +
+                   (c.getField("y") - b.getField("y")) *
+                   (c.getField("y") - b.getField("y")))
+            val lat1 = radians(c.getField("y")); val lat2 = radians(b.getField("y"))
+            val dLat = radians(b.getField("y") - c.getField("y"))
+            val dLon = radians(b.getField("x") - c.getField("x"))
+            val h = sin(dLat / 2) * sin(dLat / 2) +
+              cos(lat1) * cos(lat2) * sin(dLon / 2) * sin(dLon / 2)
+            val haversine = lit(2.0 * CypherSession.EarthRadiusMeters) *
+              asin(least(sqrt(h), lit(1.0)))
+            when(c.getField("srid") === b.getField("srid"),
+              when(c.getField("srid") === 4326, haversine).otherwise(euclid))
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case RetMapProj(v, props, all) =>
@@ -1221,21 +1238,44 @@ final class CypherSession(
                   pairs.map(_._1).mkString(", ")))
             if (fn == "date") to_date(base) else base
           case "point" =>
-            // cartesian 2-D point (SRID 7203 — Neo4j's cartesian CRS), a
-            // plain struct column: field access composes (`p.x` via
-            // getField), Bolt encodes it as the Point2D structure, and
-            // geographic CRSs are rejected typed rather than mis-measured
-            if (pairs.exists(p => Seq("latitude", "longitude", "crs")
-                .exists(p._1.equalsIgnoreCase)))
-              throw new IllegalArgumentException(
-                "point({...}) supports the cartesian CRS only (x/y keys); " +
-                  "geographic latitude/longitude points are not implemented")
-            val x = part("x").getOrElse(throw new IllegalArgumentException(
-              "point({...}) needs an x key"))
-            val y = part("y").getOrElse(throw new IllegalArgumentException(
-              "point({...}) needs a y key"))
-            struct(lit(7203).as("srid"),
-              x.cast("double").as("x"), y.cast("double").as("y"))
+            // 2-D point as a plain struct column (srid, x, y): field
+            // access composes (`p.x` via getField) and Bolt encodes it as
+            // the Point2D structure with the stored SRID. Cartesian
+            // (SRID 7203) from x/y keys; GEOGRAPHIC WGS-84 (SRID 4326,
+            // VERDICT r8 #6) from latitude/longitude keys — stored
+            // x=longitude / y=latitude, Neo4j's own convention. An
+            // explicit `crs` key must be a literal naming one of the two
+            // supported CRSs and agree with the coordinate keys; 3-D CRSs
+            // stay rejected typed rather than mis-measured.
+            val crsName: Option[String] = pairs.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("crs") => v
+            }.map {
+              case RetLit(StrLit(s)) => s.toLowerCase
+              case other => throw new IllegalArgumentException(
+                s"point crs must be a string literal, got $other")
+            }
+            crsName.foreach(n => require(Seq("cartesian", "wgs-84").contains(n),
+              s"point crs '$n' not supported (cartesian | wgs-84)"))
+            val geographic = crsName.contains("wgs-84") ||
+              pairs.exists(p => p._1.equalsIgnoreCase("latitude") ||
+                p._1.equalsIgnoreCase("longitude"))
+            if (geographic) {
+              require(!crsName.contains("cartesian"),
+                "point({...}): latitude/longitude keys conflict with crs: 'cartesian'")
+              val lat = part("latitude").getOrElse(throw new IllegalArgumentException(
+                "geographic point({...}) needs a latitude key"))
+              val lon = part("longitude").getOrElse(throw new IllegalArgumentException(
+                "geographic point({...}) needs a longitude key"))
+              struct(lit(4326).as("srid"),
+                lon.cast("double").as("x"), lat.cast("double").as("y"))
+            } else {
+              val x = part("x").getOrElse(throw new IllegalArgumentException(
+                "point({...}) needs an x key"))
+              val y = part("y").getOrElse(throw new IllegalArgumentException(
+                "point({...}) needs a y key"))
+              struct(lit(7203).as("srid"),
+                x.cast("double").as("x"), y.cast("double").as("y"))
+            }
           case "duration" =>
             val bad = pairs.map(_._1).filterNot(k => Seq("weeks", "days",
               "hours", "minutes", "seconds").exists(k.equalsIgnoreCase))
@@ -2084,6 +2124,13 @@ final class CypherSession(
 }
 
 object CypherSession {
+  /** Sphere radius for geographic (SRID 4326) point.distance — the IUGG
+    * mean Earth radius R1 = (2a + b) / 3 for the WGS-84 ellipsoid, in
+    * meters. PINNED: the DuckDB oracle (c54) replays the same haversine
+    * with this exact constant, so both engines compute the same doubles
+    * up to libm trig rounding (quantized at 6 dp where hashed). */
+  val EarthRadiusMeters: Double = 6371008.7714150598
+
   /** Diagnostic: number of COUNT { } sibling patterns collapsed to degree
     * math instead of enumeration (observable by specs; never read by the
     * engine itself). */

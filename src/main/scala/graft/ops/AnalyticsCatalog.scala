@@ -4230,6 +4230,45 @@ object AnalyticsCatalog {
            |      + (CAST(doc_id % 7 AS DOUBLE) - 4.0) * (CAST(doc_id % 7 AS DOUBLE) - 4.0)) AS dist
            |FROM documents ORDER BY id LIMIT 200""".stripMargin))
 
+  private val c54 = Entry("c54_cypher_spatial_geographic",
+    (s, dir) => {
+      // Geographic WGS-84 points (VERDICT r8 #6): point({latitude,
+      // longitude}) constructs an SRID-4326 point (stored x=longitude /
+      // y=latitude, Neo4j's convention) and point.distance dispatches on
+      // the SRID to great-circle haversine METERS on the pinned IUGG
+      // mean radius (CypherSession.EarthRadiusMeters — the oracle
+      // replays the identical formula and constant). sin/cos are libm-
+      // level (not correctly-rounded), so the hashed value quantizes at
+      // 6 dp — noise is ~1e-8 m, eight orders below the quantum (x02's
+      // posture). Distances measured from each synthetic article
+      // coordinate to Seoul, the reference crawler's home market
+      // (/root/reference/src/crwling.py:112 crawls Korean Google News).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("""MATCH (a:Article)
+                 |WITH toInteger(a.doc_id) AS id
+                 |RETURN id,
+                 |  round(point.distance(
+                 |    point({latitude: id % 120 - 60, longitude: id % 300 - 150}),
+                 |    point({latitude: 37.5665, longitude: 126.978})), 6) AS dist_m,
+                 |  point.distance(
+                 |    point({latitude: 37.5665, longitude: 126.978}),
+                 |    point({x: 1, y: 2})) AS crs_mismatch
+                 |ORDER BY id LIMIT 200""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT doc_id AS id,
+           |  round(2 * 6371008.7714150598 * asin(least(sqrt(
+           |      sin(radians(37.5665 - (CAST(doc_id % 120 AS DOUBLE) - 60)) / 2)
+           |        * sin(radians(37.5665 - (CAST(doc_id % 120 AS DOUBLE) - 60)) / 2)
+           |      + cos(radians(CAST(doc_id % 120 AS DOUBLE) - 60)) * cos(radians(37.5665))
+           |        * sin(radians(126.978 - (CAST(doc_id % 300 AS DOUBLE) - 150)) / 2)
+           |        * sin(radians(126.978 - (CAST(doc_id % 300 AS DOUBLE) - 150)) / 2)
+           |    ), 1.0)), 6) AS dist_m,
+           |  CAST(NULL AS DOUBLE) AS crs_mismatch
+           |FROM documents ORDER BY id LIMIT 200""".stripMargin))
+
   private val c53 = Entry("c53_cypher_gds_config_topk",
     (s, dir) => {
       // The GDS procedure CONFIG surface: CALL gds.x.stream({key: lit})
@@ -5768,7 +5807,7 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c55,
+    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

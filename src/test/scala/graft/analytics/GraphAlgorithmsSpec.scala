@@ -24,6 +24,44 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     PropertyGraph.empty(spark).mergeNodes(nodes).mergeEdgesByKey(edges)
   }
 
+  test("reliable iteration checkpointing: identical results, guarded setup") {
+    // VERDICT r8 #4: the iterative seams default to executor-local
+    // checkpoints; spark.graft.iterCheckpoint=reliable routes the SAME
+    // boundaries through setCheckpointDir-backed reliable checkpoints so
+    // a lost executor cannot kill a mid-flight iteration. Semantics must
+    // be untouched: LPA and min-label CC rerun under reliable mode must
+    // match the default exactly.
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("u", "v")
+    val ids = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    val lpaDefault = GraphAlgorithms.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val ccDefault = GraphAlgorithms.minLabelPropagation(ids, edges)
+      .as[(Long, Long)].collect().toMap
+    // reliable mode without a checkpoint dir fails with a clear message
+    spark.conf.set(IterCheckpoint.ModeKey, "reliable")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val err = intercept[IllegalArgumentException](
+          GraphAlgorithms.labelPropagation(edges, rounds = 2).collect())
+        assert(err.getMessage.contains("setCheckpointDir"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_relck").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val lpaReliable = GraphAlgorithms.labelPropagation(edges, rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      val ccReliable = GraphAlgorithms.minLabelPropagation(ids, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(lpaReliable === lpaDefault)
+      assert(ccReliable === ccDefault)
+      // the reliable blocks actually landed in the fault-tolerant dir
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.nonEmpty)
+    } finally spark.conf.set(IterCheckpoint.ModeKey, "local")
+  }
+
   test("connected components split star from isolated pair") {
     val comp = GraphAlgorithms.componentSummary(graph)
       .orderBy("min_key")
