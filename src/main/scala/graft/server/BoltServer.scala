@@ -29,12 +29,18 @@ import scala.util.control.NonFatal
   *     machine (a FAILURE parks the connection in FAILED; everything but
   *     RESET/GOODBYE is IGNORED until the client RESETs).
   *
-  * Contract divergences, deliberate and observable (same posture as the
-  * HTTP server): writes are set-oriented idempotent MERGEs, not
-  * transactions — BEGIN and COMMIT are accepted no-ops so auto-commit-style
-  * client code runs, but ROLLBACK answers a FAILURE naming the missing
-  * capability instead of silently "succeeding" at un-doing nothing. ROUTE
-  * likewise fails with an explicit message (direct `bolt://` only).
+  * Explicit transactions (r9 — VERDICT r8 #5) are WRITE-BUFFERED: BEGIN
+  * opens a per-connection queue, a RUN whose statement parses as a write
+  * (UpdateStatement/MutateStatement) is validated and enqueued — its PULL
+  * summary carries `deferred_until_commit` — COMMIT applies the queue in
+  * order through the same set-oriented MERGE machinery and returns the
+  * aggregated counters, ROLLBACK (or RESET, or disconnect) discards it.
+  * Two documented divergences from Neo4j: reads inside a transaction run
+  * against the committed store (no read-your-buffered-writes), and
+  * statements are applied sequentially at COMMIT with per-STATEMENT
+  * atomicity only — a mid-apply failure reports how many statements had
+  * already applied rather than un-doing them. ROUTE fails with an explicit
+  * message (direct `bolt://` only).
   * Temporal values encode as the published Bolt temporal structs (Date,
   * DateTime/legacy-DateTime by negotiated version, LocalDateTime,
   * LocalTime, Duration — always at UTC offset 0, the only zone this
@@ -162,12 +168,30 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
       legacyDateTime: Boolean): Unit = {
     var failed = false
     var stream: Stream = null
+    // explicit-transaction state: writes enqueued between BEGIN and COMMIT
+    var inTx = false
+    val txQueue = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, Any])]
     def success(meta: Map[String, Any]): Unit = writeMessage(out, Struct(0x70, Seq(meta)))
     def failure(code: String, message: String): Unit = {
-      failed = true; stream = null
+      // a FAILURE inside an explicit transaction rolls it back (Neo4j's
+      // rule: a failed tx cannot be committed, only RESET away)
+      failed = true; stream = null; inTx = false; txQueue.clear()
       writeMessage(out, Struct(0x7F, Seq(Map("code" -> code, "message" -> message))))
     }
     def ignored(): Unit = writeMessage(out, Struct(0x7E, Seq.empty))
+    /** Statement classification without execution: EXPLAIN/PROFILE are
+      * plan-reads; otherwise parse and dispatch on the AST form. A parse
+      * error surfaces HERE (at RUN), not at COMMIT — same as Neo4j. */
+    def isWriteStatement(query: String): Boolean = {
+      val trimmed = query.dropWhile(_.isWhitespace)
+      val verb = trimmed.takeWhile(!_.isWhitespace).toUpperCase
+      if (verb == "EXPLAIN" || verb == "PROFILE") false
+      else graft.cypher.CypherParser.parse(query) match {
+        case _: graft.cypher.CypherAst.UpdateStatement => true
+        case _: graft.cypher.CypherAst.MutateStatement => true
+        case _ => false
+      }
+    }
 
     var live = true
     while (live) {
@@ -176,8 +200,9 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
         catch { case _: EOFException => live = false; null }
       if (msg != null) (msg.tag.toInt & 0xFF) match {
         case 0x02 => live = false // GOODBYE
-        case 0x0F => // RESET always answers, even from FAILED
-          failed = false; stream = null; success(Map.empty)
+        case 0x0F => // RESET always answers, even from FAILED; discards any tx
+          failed = false; stream = null; inTx = false; txQueue.clear()
+          success(Map.empty)
         case _ if failed => ignored()
         case 0x01 => // HELLO
           success(Map(
@@ -185,10 +210,53 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
             "connection_id" -> s"bolt-${connIds.get()}",
             "hints" -> Map.empty[String, Any]))
         case 0x6A | 0x6B => success(Map.empty) // LOGON / LOGOFF (5.1+)
-        case 0x11 => success(Map.empty) // BEGIN: accepted no-op (no isolation; doc'd)
-        case 0x12 => success(Map("bookmark" -> "graft:0")) // COMMIT: writes already applied
-        case 0x13 => failure("Neo.ClientError.Request.Invalid",
-          "rollback is not supported: writes are set-oriented idempotent MERGEs applied per statement, not transactions")
+        case 0x11 => // BEGIN: open the write-buffering transaction
+          if (inTx) failure("Neo.ClientError.Request.Invalid",
+            "BEGIN within an open transaction (nested transactions are not supported)")
+          else { inTx = true; txQueue.clear(); success(Map.empty) }
+        case 0x12 => // COMMIT: apply the buffered writes in order
+          if (!inTx) failure("Neo.ClientError.Request.Invalid",
+            "COMMIT with no open transaction")
+          else {
+            val pending = txQueue.toList
+            inTx = false; txQueue.clear()
+            var applied = 0
+            try {
+              var created = 0L; var matched = 0L; var propsSet = 0L
+              var propsRemoved = 0L; var nodesDeleted = 0L
+              var relsDeleted = 0L; var relsCreated = 0L
+              pending.foreach { case (q, p) =>
+                session.run(q, p) match {
+                  case CypherMutation(_, c, m) => created += c; matched += m
+                  case w: CypherWrite =>
+                    propsSet += w.propertiesSet
+                    propsRemoved += w.propertiesRemoved
+                    nodesDeleted += w.nodesDeleted
+                    relsDeleted += w.relationshipsDeleted
+                    relsCreated += w.relationshipsCreated
+                  case _ => () // a read slipped through classification: no counters
+                }
+                applied += 1
+              }
+              success(Map("bookmark" -> s"graft:${connIds.get()}",
+                "stats" -> Map(
+                  "nodes-created" -> created, "nodes-matched" -> matched,
+                  "properties-set" -> propsSet,
+                  "properties-removed" -> propsRemoved,
+                  "nodes-deleted" -> nodesDeleted,
+                  "relationships-deleted" -> relsDeleted,
+                  "relationships-created" -> relsCreated)))
+            } catch {
+              case NonFatal(e) => failure("Neo.TransientError.Transaction.Terminated",
+                s"commit failed on statement ${applied + 1} of ${pending.size} " +
+                  s"($applied already applied; per-statement atomicity only): " +
+                  Option(e.getMessage).getOrElse(e.getClass.getName))
+            }
+          }
+        case 0x13 => // ROLLBACK: discard the buffered writes
+          if (!inTx) failure("Neo.ClientError.Request.Invalid",
+            "ROLLBACK with no open transaction")
+          else { inTx = false; txQueue.clear(); success(Map.empty) }
         case 0x66 => failure("Neo.ClientError.Routing.RoutingFailed",
           "server-side routing is not supported; connect with the direct bolt:// scheme")
         case 0x54 => success(Map.empty) // TELEMETRY
@@ -199,7 +267,14 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
               case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
               case _ => Map.empty[String, Any]
             }
-            stream = toStream(session.run(query, params), legacyDateTime)
+            if (inTx && isWriteStatement(query)) {
+              // validated above (parse errors fail the RUN, as in Neo4j),
+              // applied at COMMIT; reads in this tx see the committed store
+              txQueue += ((query, params))
+              stream = new Stream(Seq.empty, Iterator.empty,
+                Map("type" -> "w", "t_last" -> 0L, "db" -> "graft",
+                  "deferred_until_commit" -> true))
+            } else stream = toStream(session.run(query, params), legacyDateTime)
             success(Map("fields" -> stream.fields, "t_first" -> 0L, "qid" -> 0L))
           } catch {
             case NonFatal(e) => failure("Neo.ClientError.Statement.SyntaxError",

@@ -226,17 +226,112 @@ class BoltServerSpec extends SparkTestBase {
       c.send(0x3F, Map("n" -> -1L))
       assert(c.recv().fields.head == Seq(1L))
       c.recv()
-      // BEGIN/COMMIT are accepted no-ops; ROLLBACK names the divergence
-      c.send(0x11, Map.empty[String, Any])
-      assert((c.recv().tag & 0xFF) == 0x70)
+      // tx verbs outside a transaction are explicit failures
       c.send(0x12)
+      val badCommit = c.recv()
+      assert((badCommit.tag & 0xFF) == 0x7F)
+      assert(meta(badCommit)("message").asInstanceOf[String].contains("no open transaction"))
+      c.send(0x0F); c.recv()
+      c.send(0x13)
+      val badRb = c.recv()
+      assert((badRb.tag & 0xFF) == 0x7F)
+      assert(meta(badRb)("message").asInstanceOf[String].contains("no open transaction"))
+      c.send(0x0F); c.recv()
+      // nested BEGIN is rejected
+      c.send(0x11, Map.empty[String, Any])
       assert((c.recv().tag & 0xFF) == 0x70)
       c.send(0x11, Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x7F)
+      c.close()
+    } finally server.stop()
+  }
+
+  test("explicit transaction: COMMIT applies buffered writes, ROLLBACK discards them") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 4, range = 3), 0, 0, 0)).contains((5, 4)))
+      c.send(0x01, Map("user_agent" -> "spec/1.0")); c.recv()
+
+      // --- commit path: BEGIN, two deferred writes, COMMIT ---
+      c.send(0x11, Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x10, "MERGE (u:User {name: $n})", Map("n" -> "ada"), Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x3F, Map("n" -> -1L))
+      val defd = c.recv()
+      assert((defd.tag & 0xFF) == 0x70)
+      assert(meta(defd)("deferred_until_commit") == true)
+      c.send(0x10, "MERGE (t:Tech {name: $t})", Map("t" -> "spark"), Map.empty[String, Any])
+      c.recv(); c.send(0x3F, Map("n" -> -1L)); c.recv()
+      // a read INSIDE the tx sees the committed store — nothing yet
+      // (documented divergence: no read-your-buffered-writes)
+      c.send(0x10, "MATCH (u:User) RETURN u.name AS name",
+        Map.empty[String, Any], Map.empty[String, Any])
+      c.recv(); c.send(0x3F, Map("n" -> -1L))
+      val preCommit = c.recv()
+      assert((preCommit.tag & 0xFF) == 0x70) // summary straight away: 0 rows
+      c.send(0x12) // COMMIT
+      val committed = c.recv()
+      assert((committed.tag & 0xFF) == 0x70)
+      val stats = meta(committed)("stats").asInstanceOf[Map[String, Any]]
+      assert(stats("nodes-created") == 2L)
+      // read-back AFTER commit sees both writes
+      c.send(0x10, "MATCH (n) RETURN n.name AS name ORDER BY name",
+        Map.empty[String, Any], Map.empty[String, Any])
+      c.recv(); c.send(0x3F, Map("n" -> -1L))
+      assert(c.recv().fields.head == Seq("ada"))
+      assert(c.recv().fields.head == Seq("spark"))
+      assert((c.recv().tag & 0xFF) == 0x70)
+
+      // --- rollback path: a buffered write is discarded ---
+      c.send(0x11, Map.empty[String, Any]); c.recv()
+      c.send(0x10, "MERGE (u:User {name: 'ghost'})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      c.recv(); c.send(0x3F, Map("n" -> -1L)); c.recv()
+      c.send(0x13) // ROLLBACK
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x10, "MATCH (u:User {name: 'ghost'}) RETURN u.name AS name",
+        Map.empty[String, Any], Map.empty[String, Any])
+      c.recv(); c.send(0x3F, Map("n" -> -1L))
+      val gone = c.recv()
+      assert((gone.tag & 0xFF) == 0x70) // summary only: rollback really discarded
+      c.close()
+    } finally server.stop()
+  }
+
+  test("multi-PULL batched streaming with has_more on a 5.x connection") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 4, range = 3), 0, 0, 0)).contains((5, 4)))
+      c.send(0x01, Map("user_agent" -> "spec/1.0")); c.recv()
+      c.send(0x10, "UNWIND range(1, 7) AS x RETURN x ORDER BY x",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(meta(c.recv())("fields") == Seq("x"))
+      // drain in PULL {n: 3} batches: 3 + 3 + 1, has_more on the first two
+      var collected = Seq.empty[Long]
+      var more = true
+      var batches = 0
+      while (more) {
+        c.send(0x3F, Map("n" -> 3L))
+        var rec = c.recv()
+        while ((rec.tag & 0xFF) == 0x71) {
+          collected :+= rec.fields.head.asInstanceOf[Seq[Any]].head.asInstanceOf[Long]
+          rec = c.recv()
+        }
+        assert((rec.tag & 0xFF) == 0x70)
+        more = meta(rec).get("has_more").contains(true)
+        batches += 1
+      }
+      assert(batches == 3)
+      assert(collected == (1L to 7L))
+      // a RESET between results leaves the connection usable
+      c.send(0x0F); assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x10, "RETURN 1 AS one", Map.empty[String, Any], Map.empty[String, Any])
+      c.recv(); c.send(0x3F, Map("n" -> -1L))
+      assert(c.recv().fields.head == Seq(1L))
       c.recv()
-      c.send(0x13)
-      val rb = c.recv()
-      assert((rb.tag & 0xFF) == 0x7F)
-      assert(meta(rb)("message").asInstanceOf[String].contains("rollback"))
       c.close()
     } finally server.stop()
   }
