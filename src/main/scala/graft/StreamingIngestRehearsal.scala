@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Steady-state measurement of the COMPOSED streaming ingest loop
+  * (VERDICT r8 #7): arrivals stream in as micro-batches and each batch runs
+  * the full at-ingest pipeline — clean → durable GraphStore MERGE →
+  * persisted DedupIndex near-dup query → index append — against a standing
+  * history index built once from the fixture corpus. The correctness twin
+  * (per-batch counters, checkpointed restart, seeded duplicate) is the
+  * NewsFeedSpec "composed at-ingest loop" case; THIS main exists to measure
+  * what the spec can't: per-batch latency at fixture scale, that the cost
+  * stays flat as the run proceeds (per-arrival work tracks match volume,
+  * not history size — the r8 index-store contract), and the on-disk state
+  * footprint an operator would capacity-plan against.
+  *
+  * Run: `runMain graft.StreamingIngestRehearsal <fixtureDir> [nBatches]
+  * [batchDocs]` — e.g. target/sf10_rehearsal (500k docs). The run stops and
+  * restarts the streaming query halfway through the batch list from its
+  * checkpoint, so the measured loop includes a real recovery. Emits one
+  * JSON line: per-batch seconds, steady-state median, match volume, and
+  * index/store/checkpoint bytes.
+  */
+object StreamingIngestRehearsal {
+  def main(args: Array[String]): Unit = {
+    val fixture = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val batchDocs = args.lift(2).map(_.toInt).getOrElse(1000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .appName("streaming-ingest-rehearsal").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val work = java.nio.file.Files.createTempDirectory("graft_ingest_rehearsal")
+    val Seq(inDir, chk, store, idx) = Seq("in", "chk", "store", "idx")
+      .map(n => work.resolve(n).toString)
+
+    val docs = ops.Tables(spark, fixture, "documents")
+      .select(col("doc_id"), col("text"))
+    // arrivals = a deterministic slice; history = everything else. The
+    // fixture corpus carries real near-dups, so arrivals hit the index with
+    // production-shaped match volume.
+    val nArrivals = nBatches * batchDocs
+    val arrivals = docs.orderBy("doc_id").limit(nArrivals).localCheckpoint(true)
+    val history = docs.join(arrivals.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    val t0 = System.nanoTime()
+    analytics.DedupIndex.buildText(history, "doc_id", "text", idx)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val historyN = spark.read.parquet(s"$idx/text_base").count()
+
+    graft.graph.GraphStore.write(
+      graph.PropertyGraph.empty(spark).mergeNodes(
+        Seq(("Publisher", "rehearsal", Map.empty[String, String]))
+          .toDF("label", "key", "props")), store)
+
+    // one parquet file per micro-batch, written before the stream starts
+    val slices = arrivals.withColumn("__b",
+      floor((row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")) - 1)
+        / lit(batchDocs)).cast("int"))
+    def writeBatchFiles(bs: Range): Unit = bs.foreach { b =>
+      slices.filter(col("__b") === b).drop("__b")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+    def startQuery() = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream.outputMode("append").option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bt0 = System.nanoTime()
+        val recs = batch
+          .withColumn("text", ingest.TextClean.cleanText(col("text")))
+          .localCheckpoint(true)
+        val (created, _) = graft.graph.GraphStore.upsertNodes(spark, store,
+          recs.select(lit("Article").as("label"),
+            col("doc_id").cast("string").as("key"),
+            map(lit("content"), col("text")).as("props")))
+        val matches = analytics.DedupIndex
+          .queryText(spark, idx, recs, "doc_id", "text")
+          .agg(coalesce(sum(col("n_matches")), lit(0L))).as[Long].head()
+        analytics.DedupIndex.appendText(spark, idx, recs, "doc_id", "text")
+        perBatch.synchronized {
+          perBatch += (((System.nanoTime() - bt0) / 1e9, created, matches))
+        }
+        ()
+      }.start()
+
+    // first half, then a REAL stop/restart from the checkpoint, then the rest
+    writeBatchFiles(0 until nBatches / 2)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val batchesBeforeRestart = perBatch.size
+    writeBatchFiles(nBatches / 2 until nBatches)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val secs = perBatch.map(_._1).toSeq
+    val median = secs.sorted.apply(secs.size / 2)
+    println(s"""{"metric":"streaming_ingest_loop","fixture":"$fixture",""" +
+      s""""history_docs":$historyN,"index_build_sec":${f"$buildSec%.1f"},""" +
+      s""""batches":${secs.size},"batch_docs":$batchDocs,""" +
+      s""""restart_after_batch":$batchesBeforeRestart,""" +
+      s""""per_batch_sec":[${secs.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""steady_median_sec":${f"$median%.2f"},""" +
+      s""""nodes_created":${perBatch.map(_._2).sum},""" +
+      s""""dup_matches":${perBatch.map(_._3).sum},""" +
+      s""""index_bytes":${dirBytes(idx)},"store_bytes":${dirBytes(store)},""" +
+      s""""checkpoint_bytes":${dirBytes(chk)}}""")
+    spark.stop()
+  }
+}

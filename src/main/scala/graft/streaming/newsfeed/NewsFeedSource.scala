@@ -121,26 +121,31 @@ private final case class PageOffset(page: Long) extends Offset {
 
 private final class NewsFeedStream(pages: Long, perPage: Int, perTrigger: Long,
     policy: FetchPolicy)
-  extends MicroBatchStream {
-  // rate-limited pagination: each trigger admits at most `perTrigger` new
-  // pages (the reference fetches pages one by one with backoff on 429,
-  // /root/reference/src/crwling.py:109-133)
-  @volatile private var planned = 0L
-
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  // Rate-limited pagination via ADMISSION CONTROL: each trigger admits at
+  // most `perTrigger` new pages past the engine-supplied START offset (the
+  // reference fetches pages one by one with backoff on 429,
+  // /root/reference/src/crwling.py:109-133). Computing the end offset from
+  // the passed start — not from a mutable counter — makes restart
+  // correctness structural: the first post-recovery trigger receives the
+  // COMMITTED offset as its start, so the stream can never plan an end
+  // below it or replay a committed page (a counter-based latestOffset()
+  // did exactly that when the engine's recovery called it before the
+  // checkpointed offset had been replayed through deserializeOffset).
   override def initialOffset(): Offset = PageOffset(0L)
-  override def latestOffset(): Offset = {
-    planned = math.min(planned + perTrigger, pages)
-    PageOffset(planned)
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[PageOffset].page
+    PageOffset(math.min(s + perTrigger, pages))
   }
-  // On restart the engine replays the checkpointed offset through
-  // deserializeOffset before asking for latestOffset; fast-forward the
-  // admission counter so we never plan an end offset below the committed
-  // start (which would stall the stream until the counter caught up).
-  override def deserializeOffset(json: String): Offset = {
-    val p = json.toLong
-    if (p > planned) planned = p
-    PageOffset(p)
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine calls latestOffset(start, limit)")
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

@@ -107,6 +107,67 @@ class NewsFeedSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("composed at-ingest loop: crawl -> clean -> durable MERGE -> index query/append, restart mid-stream") {
+    // VERDICT r8 #7: the WHOLE ingest loop as one streaming query —
+    // NewsFeedSource pages → I3/I4/I6 clean → durable GraphStore MERGE →
+    // DedupIndex query (near-dup verdict per arrival) + append (index
+    // stays current) per micro-batch — with a checkpointed RESTART in the
+    // middle: committed pages never replay, the resumed query continues
+    // from the offset log, and every per-batch counter is asserted.
+    // (The sf10 steady-state form of this loop is graft.StreamingIngestRehearsal.)
+    import graft.analytics.DedupIndex
+    import graft.graph.GraphStore
+    import graft.model.GraphSchema
+    val Seq(chk, store, idx) = Seq("chk", "store", "idx").map(n =>
+      java.nio.file.Files.createTempDirectory(s"graft_loop_$n").toString)
+    GraphStore.write(PropertyGraph.empty(spark).mergeNodes(
+      Seq(("Publisher", "SeedPub", Map.empty[String, String]))
+        .toDF("label", "key", "props")), store)
+    // seed history: a doc whose text IS article 1002's cleaned body — the
+    // page-1 batch must report exactly one near-dup hit against the index
+    DedupIndex.buildText(Seq((900001L, "Body of article 1002"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (accepted, created, matched, dup hits)
+    def start(pages: Int) = readFeed(pages = pages, perPage = 10, perTrigger = 1)
+      .writeStream.outputMode("append").option("checkpointLocation", chk)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val recs = ArticleIngest.accepted(df.filter(col("page_status") === "ok"))
+          .withColumn("doc_id",
+            regexp_extract(col("link"), "/a/(\\d+)$", 1).cast("long"))
+          .localCheckpoint(true) // consumed by MERGE, query, and append below
+        val (created, matched) = GraphStore.upsertNodes(spark, store,
+          recs.select(lit("Article").as("label"), col("link").as("key"),
+            map(lit("title"), col("title"),
+              lit("content"), col("content")).as("props")))
+        GraphStore.upsertEdges(spark, store, recs.select(
+          GraphSchema.stableId(lit("Article"), col("link")).as("srcId"),
+          GraphSchema.stableId(lit("Publisher"), col("publisher")).as("dstId"),
+          lit("WRITTEN_BY").as("relType")))
+        val dups = DedupIndex.queryText(spark, idx, recs, "doc_id", "content")
+          .filter(col("n_matches") > 0).count()
+        DedupIndex.appendText(spark, idx, recs, "doc_id", "content")
+        batches.synchronized { batches += ((recs.count(), created, matched, dups)) }
+        ()
+      }.start()
+    val q1 = start(pages = 2) // first run: pages 0-1 only
+    try q1.processAllAvailable() finally q1.stop()
+    assert(batches.size === 2)
+    val q2 = start(pages = 4) // restart: resumes at page 2 from the offset log
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.size === 4, "committed pages 0-1 must not replay")
+    // accepted per page = 10 - (%5 short-title) - (%7 google-link) rows
+    assert(batches.map(_._1).toSeq === Seq(7L, 6L, 6L, 7L))
+    assert(batches.map(_._2).toSeq === Seq(7L, 6L, 6L, 7L)) // all links new
+    assert(batches.forall(_._3 == 0L))
+    assert(batches.map(_._4).toSeq === Seq(0L, 1L, 0L, 0L)) // the seeded dup
+    // post-conditions: store and index each hold every accepted article once
+    assert(GraphStore.read(spark, store).matchLabel("Article").count() === 26)
+    val indexed = spark.read.parquet(s"$idx/text_base")
+      .select("id").as[Long].collect().toSet
+    assert(indexed.size === 27 && indexed.contains(900001L))
+  }
+
   test("crawl -> clean -> MERGE -> read-back, end to end") {
     var graph = PropertyGraph.empty(spark)
     val q = readFeed(pages = 3, perPage = 10, perTrigger = 2)
