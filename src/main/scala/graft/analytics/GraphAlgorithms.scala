@@ -453,6 +453,80 @@ object GraphAlgorithms {
       .filter(col("jaccard") >= minScore)
   }
 
+  /** Top-k node similarity (Jaccard over out-neighbor sets), WORK-BOUNDED
+    * (r9 — the c48 sf10 row). The naive plan — [[nodeSimilarity]] then a
+    * per-node window — materializes Σ_hub C(indeg, 2) intersection rows
+    * before the window throws all but k of them away: ~10⁹⁺ pairs on the
+    * fixture's publisher stars, the answer-set-bound class the r8 sweep
+    * had to exclude. This plan bounds the WORK, not just the output, and
+    * is exact (spec-pinned against the naive form on random graphs):
+    *
+    *   - a DEGREE-1 source's similarity is closed-form: its single hub h
+    *     gives inter(a,b) = 1 for every other member b, so
+    *     sim = 1 / deg(b) — descending sim IS ascending (deg, key). Its
+    *     top-k is therefore the hub's first k+1 members under ONE window
+    *     (k+1 absorbs self-exclusion), never a pair join. Publisher-star
+    *     members — the blow-up class — all take this path, at
+    *     O(|members|·k) output per hub.
+    *   - a DEGREE-≥2 source vs degree-1 candidates is the same closed
+    *     form from the other side (inter = 1, sim = 1/deg(a), constant
+    *     per source!) — so only each hub's k smallest-key degree-1
+    *     members can ever make any top-k: again one window.
+    *   - only degree-≥2 sources versus each other need true intersection
+    *     counts; the pair join runs on THAT residue alone — Σ_hub
+    *     C(multi-degree members, 2), tiny on star-dominated graphs and
+    *     the honest quadratic core everywhere else.
+    *
+    * A final per-node top-k window over the union (|V|·k-bounded input)
+    * reproduces the naive ordering (similarity DESC, key ASC) exactly. */
+  def nodeSimilarityTopK(edges: DataFrame, k: Int,
+      minScore: Double = 0.0): DataFrame = {
+    require(k > 0, s"nodeSimilarityTopK needs k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).dropDuplicates()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val members = e.join(deg, "src") // (src, dst=hub, deg)
+    // hub-local candidate ladder: first k+1 members by (deg, key)
+    val wHub = Window.partitionBy("dst").orderBy(col("deg"), col("src"))
+    val hubTop = members.withColumn("__rn", row_number().over(wHub))
+      .filter(col("__rn") <= k + 1)
+      .select(col("dst"), col("src").as("cand"), col("deg").as("cand_deg"))
+    val s1Pairs = members.filter(col("deg") === 1)
+      .join(hubTop, "dst")
+      .filter(col("cand") =!= col("src"))
+      .select(col("src").as("key1"), col("cand").as("key2"),
+        (lit(1.0) / col("cand_deg")).as("similarity"))
+    // degree-1 candidates for multi-degree sources: k smallest keys per hub
+    val wHub1 = Window.partitionBy("dst").orderBy(col("src"))
+    val hub1Top = members.filter(col("deg") === 1)
+      .withColumn("__rn", row_number().over(wHub1)).filter(col("__rn") <= k)
+      .select(col("dst"), col("src").as("cand"))
+    val s2VsS1 = members.filter(col("deg") >= 2)
+      .join(hub1Top, "dst")
+      .select(col("src").as("key1"), col("cand").as("key2"),
+        (lit(1.0) / col("deg")).as("similarity"))
+    // the true-intersection residue: multi-degree sources pair only with
+    // each other (both directions — =!=, not <, so every node's list fills)
+    val e2 = e.join(deg.filter(col("deg") >= 2).select("src"),
+      Seq("src"), "left_semi")
+    val s2VsS2 = e2.alias("a")
+      .join(e2.alias("b"), col("a.dst") === col("b.dst") &&
+        col("a.src") =!= col("b.src"))
+      .groupBy(col("a.src").as("key1"), col("b.src").as("key2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(deg.select(col("src").as("key1"), col("deg").as("d1")), "key1")
+      .join(deg.select(col("src").as("key2"), col("deg").as("d2")), "key2")
+      .select(col("key1"), col("key2"),
+        (col("inter").cast("double") /
+          (col("d1") + col("d2") - col("inter"))).as("similarity"))
+    val all = s1Pairs.unionByName(s2VsS1).unionByName(s2VsS2)
+      .filter(col("similarity") >= minScore)
+    val w = Window.partitionBy("key1")
+      .orderBy(col("similarity").desc, col("key2"))
+    all.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("key1", "key2", "similarity")
+  }
+
   /** Newman modularity Q of a community assignment over an undirected
     * edge list: Q = Σ_c [ e_c/m − (d_c / 2m)² ] (e_c = intra-community
     * edges, d_c = total degree of c, m = |edges|). Every term is ratios

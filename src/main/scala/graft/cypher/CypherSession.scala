@@ -1552,22 +1552,18 @@ final class CypherSession(
               base.join(deg.filter(col("__deg") >= degreeCutoff).select("src"),
                 Seq("src"), "left_semi")
             }
-          val pairs = graft.analytics.GraphAlgorithms
-            .nodeSimilarity(filtered, minScore = simCutoff)
-          if (topK > 0) {
-            val sym = pairs.select(col("n1").as("key1"), col("n2").as("key2"),
+          if (topK > 0)
+            // WORK-bounded exact top-k (r9): the hub members that make the
+            // full pair stream Σdeg² take a closed-form window path instead
+            // of the intersection join, so the sf10 row exists — semantics
+            // pinned equal to the naive window form by GraphAlgorithmsSpec
+            graft.analytics.GraphAlgorithms
+              .nodeSimilarityTopK(filtered, topK.toInt, minScore = simCutoff)
+          else
+            graft.analytics.GraphAlgorithms
+              .nodeSimilarity(filtered, minScore = simCutoff)
+              .select(col("n1").as("key1"), col("n2").as("key2"),
                 col("jaccard").as("similarity"))
-              .unionByName(pairs.select(col("n2").as("key1"),
-                col("n1").as("key2"), col("jaccard").as("similarity")))
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy("key1")
-              .orderBy(col("similarity").desc, col("key2"))
-            sym.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") <= topK)
-              .select("key1", "key2", "similarity")
-          } else
-            pairs.select(col("n1").as("key1"), col("n2").as("key2"),
-              col("jaccard").as("similarity"))
         case "gds.labelPropagation.stream" =>
           // deterministic synchronous LPA, min-key tie break (x15's
           // contract); config {maxIterations: n} sets the fixed round

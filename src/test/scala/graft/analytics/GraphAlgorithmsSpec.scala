@@ -62,6 +62,44 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     } finally spark.conf.set(IterCheckpoint.ModeKey, "local")
   }
 
+  test("nodeSimilarityTopK equals the naive window over the full pair stream") {
+    // The work-bounded plan (closed-form degree-1 paths + multi-degree
+    // residue join) must be EXACT: same pairs, same similarities, same
+    // (similarity DESC, key ASC) top-k selection as windowing the full
+    // nodeSimilarity stream — on star-heavy, random, and mixed graphs.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    def naive(edges: DataFrame, k: Int): Set[(Long, Long, Double)] = {
+      val pairs = GraphAlgorithms.nodeSimilarity(edges, minScore = 1e-42)
+      val sym = pairs.select(col("n1").as("key1"), col("n2").as("key2"),
+          col("jaccard").as("similarity"))
+        .unionByName(pairs.select(col("n2").as("key1"), col("n1").as("key2"),
+          col("jaccard").as("similarity")))
+      val w = Window.partitionBy("key1")
+        .orderBy(col("similarity").desc, col("key2"))
+      sym.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+        .select("key1", "key2", "similarity")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, s) => (a, b, math.rint(s * 1e9) / 1e9) }.toSet
+    }
+    def bounded(edges: DataFrame, k: Int): Set[(Long, Long, Double)] =
+      GraphAlgorithms.nodeSimilarityTopK(edges, k, minScore = 1e-42)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, s) => (a, b, math.rint(s * 1e9) / 1e9) }.toSet
+    // star-heavy bipartite shape (the c48 blow-up class): 40 sources over
+    // 3 hubs, some sources multi-hub
+    val star = (0L until 40L).map(i => (i, 100L + i % 3)) ++
+      (0L until 8L).map(i => (i, 100L + (i + 1) % 3))
+    // random general digraph incl. hub-shared and disjoint regions
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(120)((rnd.nextInt(30).toLong, 200L + rnd.nextInt(12).toLong))
+    for (shape <- Seq(star, random); k <- Seq(1, 3, 10)) {
+      val edges = shape.toDF("src", "dst")
+      assert(bounded(edges, k) === naive(edges, k),
+        s"mismatch at k=$k on ${if (shape eq star) "star" else "random"} graph")
+    }
+  }
+
   test("connected components split star from isolated pair") {
     val comp = GraphAlgorithms.componentSummary(graph)
       .orderBy("min_key")
