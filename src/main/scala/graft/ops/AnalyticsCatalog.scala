@@ -5794,10 +5794,103 @@ object AnalyticsCatalog {
            |    AS already_nfc
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val t23 = Entry("t23_url_canonicalize",
+    (s, dir) => {
+      // URL canonicalization + URL-level dedup — the pass a crawl pipeline
+      // runs BEFORE any content fetch/dedup (the same page arrives as
+      // HTTP://WWW.Example.COM:80/x?utm_source=f&id=1#frag and
+      // http://www.example.com/x?id=1): lowercase scheme+host, strip the
+      // default port and the fragment, drop tracking params (utm_*/
+      // fbclid/gclid), sort what remains. All pure column expressions
+      // (parse_url + higher-order filter/array_sort — codegen'd, no UDF),
+      // so the canonicalizer runs at scan speed over 100 TB of crawl logs.
+      // Messy inputs are constructed deterministically from doc_id; the
+      // ORACLE derives the expected canonical form analytically, so a
+      // canonicalizer that mishandles any rule (case, port, fragment,
+      // tracking params) hash-mismatches.
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+        when(d % 3 === 0, lit("WWW.Example.COM"))
+          .otherwise(concat(lit("CDN"), (d % 4).cast("string"),
+            lit(".Example.com"))),
+        when(d % 5 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Articles/"), (d % 50).cast("string"),
+        lit("?utm_source=feed&id="), (d % 25).cast("string"),
+        lit("&utm_campaign=news"),
+        lit("#sec"), (d % 7).cast("string"))
+      val noFrag = substring_index(url, "#", 1)
+      val kept = array_sort(filter(split(parse_url(noFrag, lit("QUERY")), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("fbclid") ||
+          p.startsWith("gclid"))))
+      val canonical = concat(
+        lower(parse_url(noFrag, lit("PROTOCOL"))), lit("://"),
+        lower(parse_url(noFrag, lit("HOST"))),
+        parse_url(noFrag, lit("PATH")),
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents").select(d, canonical.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("first_doc"))
+        .orderBy("canonical_url").limit(200)
+    },
+    Some("""SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS first_doc
+           |FROM (
+           |  SELECT doc_id,
+           |    'http://' ||
+           |    CASE WHEN doc_id % 3 = 0 THEN 'www.example.com'
+           |         ELSE 'cdn' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+           |    END || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+           |        || '?id=' || CAST(doc_id % 25 AS VARCHAR) AS canonical_url
+           |  FROM documents)
+           |GROUP BY canonical_url ORDER BY canonical_url LIMIT 200""".stripMargin))
+
+  private val t24 = Entry("t24_boilerplate_ngrams",
+    (s, dir) => {
+      // Boilerplate n-gram detection (the CCNet/RefinedWeb-style pass that
+      // strips nav bars, cookie banners, and template headers): a 5-gram
+      // that appears VERBATIM in more than one document of the same source
+      // is boilerplate, not content. One explode (distinct 5-grams per
+      // doc) + one (source, gram) hash aggregate — map-side combined, no
+      // self-join, linear in corpus token count, so the plan holds at
+      // 100 TB where per-doc dedup cannot. Output: per-source boilerplate
+      // census (distinct boilerplate grams, their doc hits, total distinct
+      // gram volume) — all exact integers.
+      val w = split(col("text"), " ")
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), w.as("w"))
+        .withColumn("g", when(size(col("w")) >= 5,
+          array_distinct(transform(sequence(lit(0), size(col("w")) - 5),
+            i => array_join(slice(col("w"), i + 1, lit(5)), " "))))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("source"), explode(col("g")).as("gram"))
+      val docFreq = grams.groupBy("source", "gram")
+        .agg(count(lit(1)).as("df")) // grams are distinct per doc already
+      docFreq.groupBy("source").agg(
+          sum(when(col("df") >= 2, lit(1)).otherwise(lit(0))).as("n_boiler_grams"),
+          sum(when(col("df") >= 2, col("df")).otherwise(lit(0))).as("boiler_doc_hits"),
+          sum(col("df")).as("total_gram_occurrences"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, source, unnest(list_distinct(
+           |    CASE WHEN len(w) >= 5 THEN
+           |      list_transform(range(1, len(w) - 3),
+           |        i -> array_to_string(w[i:i+4], ' '))
+           |    ELSE [] END)) AS gram
+           |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+           |        FROM documents)),
+           |df AS (SELECT source, gram, COUNT(*) AS df FROM g GROUP BY 1, 2)
+           |SELECT source,
+           |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_grams,
+           |  CAST(SUM(CASE WHEN df >= 2 THEN df ELSE 0 END) AS BIGINT) AS boiler_doc_hits,
+           |  CAST(SUM(df) AS BIGINT) AS total_gram_occurrences
+           |FROM df GROUP BY source ORDER BY source""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04, g05, g06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19, t20, t21, t22,
+    t16, t17, t18, t19, t20, t21, t22, t23, t24,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
