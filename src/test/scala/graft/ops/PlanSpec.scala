@@ -413,6 +413,33 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-9 shapes: URL canonicalize is UDF-free, gram census combines map-side, topK similarity never goes quadratic") {
+    // t23: the canonicalizer must be pure (codegen-able) expressions — a
+    // scalar UDF or python eval node here would serialize every URL of a
+    // 100 TB crawl log through an interpreter
+    val p23 = plan("t23_url_canonicalize")
+    assert(!p23.contains("BatchEvalPython") && !p23.contains("ScalaUDF"), p23)
+    assert(p23.contains("HashAggregate"), p23)
+    // t24: the (source, gram) census must partial-aggregate map-side —
+    // the explode multiplies rows ~50x, so shipping un-combined gram rows
+    // would shuffle the whole token stream
+    val p24 = plan("t24_boilerplate_ngrams")
+    assert(p24.contains("partial_count") || p24.contains("partial_sum"), p24)
+    assert(!p24.contains("CartesianProduct"), p24)
+    // nodeSimilarityTopK: equi-joins only, and the closed-form candidate
+    // paths are window-pruned (WindowGroupLimit pushes the k+1 cut into
+    // the shuffle) — no cartesian/nested-loop anywhere
+    import org.apache.spark.sql.functions.col
+    import graft.analytics.GraphAlgorithms
+    val edges = spark.range(200).select(
+      (col("id") % 40).as("src"), (col("id") % 7).as("dst"))
+    val topk = GraphAlgorithms.nodeSimilarityTopK(edges, 10)
+    val pt = topk.queryExecution.executedPlan.toString
+    assert(!pt.contains("CartesianProduct") &&
+      !pt.contains("BroadcastNestedLoopJoin"), pt)
+    assert(pt.contains("WindowGroupLimit"), pt)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
