@@ -357,4 +357,14 @@ object CypherAst {
     * batch, `row.field` references resolving per row. */
   final case class MutateStatement(clauses: Seq[MutClause],
     loads: Seq[LoadCsv] = Nil, unwinds: Seq[Unwind] = Nil) extends Statement
+
+  /** `LOAD CSV … / UNWIND $batch AS row CALL { WITH row <write> } IN
+    * TRANSACTIONS [OF n ROWS]` — Neo4j's bulk-import idiom: the driving
+    * rows split into `batchRows`-sized batches and the inner write applies
+    * per batch, in order (write counters accumulate per batch — a key
+    * re-MERGEd in a LATER batch counts matched, where a single-batch
+    * set-oriented MERGE would have deduped it). */
+  final case class CallInTransactions(loads: Seq[LoadCsv],
+    unwinds: Seq[Unwind], imports: Seq[String], inner: MutateStatement,
+    batchRows: Long) extends Statement
 }

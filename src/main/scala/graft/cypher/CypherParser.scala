@@ -275,8 +275,45 @@ object CypherParser {
                 while (peek.contains(Sym(","))) { next(); vs += ident() }
                 vs.toSeq
               } else Nil
-            matchStatement() match {
+            statement() match {
               case inner: MatchStatement => calls += CallSub(imports, inner)
+              case mut: MutateStatement =>
+                // `CALL { WITH row <write> } IN TRANSACTIONS [OF n ROWS]`
+                // — the bulk-import idiom. Only valid as the statement's
+                // single stage over a LOAD CSV / UNWIND driving prefix,
+                // and it must end the statement (Neo4j's rule that a
+                // data-modifying CALL IN TRANSACTIONS cannot be followed
+                // by further reading clauses is adopted wholesale).
+                expectSym("}")
+                if (!peek.contains(Kw("IN")))
+                  fail("CALL { <write> } must be followed by IN TRANSACTIONS")
+                next()
+                next() match {
+                  case Ident(t) if t.equalsIgnoreCase("TRANSACTIONS") => ()
+                  case t => fail(s"expected TRANSACTIONS after IN, got $t")
+                }
+                var rows = 1000L // Neo4j's default batch size
+                if (peek.exists {
+                    case Ident(i) => i.equalsIgnoreCase("OF"); case _ => false }) {
+                  next()
+                  rows = next() match {
+                    case Num(s) if s.matches("[0-9]+") => s.toLong
+                    case t => fail(s"OF needs an integer row count, got $t")
+                  }
+                  require(rows > 0, "IN TRANSACTIONS OF n ROWS needs n > 0")
+                  next() match {
+                    case Ident(r) if r.equalsIgnoreCase("ROWS") |
+                      r.equalsIgnoreCase("ROW") => ()
+                    case t => fail(s"expected ROWS after the batch size, got $t")
+                  }
+                }
+                if (peek.nonEmpty)
+                  fail("CALL { } IN TRANSACTIONS must end the statement")
+                if (stages.nonEmpty || calls.nonEmpty || procs.nonEmpty)
+                  fail("CALL { } IN TRANSACTIONS drives off a LOAD CSV / " +
+                    "UNWIND prefix only (no earlier pipeline stages)")
+                return CallInTransactions(loads, unwinds.toSeq, imports,
+                  mut, rows)
               case _ => fail("CALL { } must contain a read pipeline")
             }
             expectSym("}")
@@ -722,6 +759,9 @@ object CypherParser {
           while (peek.contains(Sym(","))) { next(); items += returnItem() }
           clauses += ReturnVars(items.toSeq)
         case None => done = true
+        // a `}` closes the enclosing CALL { <write> } subquery — terminate
+        // without consuming it (the CALL parser expects it)
+        case Some(Sym("}")) => done = true
         case t => fail(s"unexpected token in MERGE statement: $t")
       }
       MutateStatement(clauses.toSeq)

@@ -116,53 +116,97 @@ final class CypherSession(
         last.limit.foreach(n => out = out.limit(n))
         CypherRows(out)
       case u: UpdateStatement => executeUpdate(u, params)
-      case m: MutateStatement =>
+      case c: CallInTransactions =>
+        // Bulk-import batching (r9): the driving rows (LOAD CSV / UNWIND
+        // $batch prefix — same contract as the plain import loop below)
+        // split into `batchRows`-sized batches IN INPUT ORDER and the
+        // inner write applies per batch through the same set-oriented
+        // mutation machinery. Counters accumulate per batch — a key
+        // re-MERGEd in a later batch counts matched there, exactly as
+        // Neo4j's transactional batches observe each other's commits.
         val spark = graph.nodes.sparkSession
-        // `UNWIND $batch AS row` prefixes: each list element becomes one
-        // parameter row — a map element binds as a MAP column (row.field),
-        // a scalar element binds as a plain column. The unwound parameter
-        // itself must NOT also land as a lit() column.
-        val unwound: Seq[(String, DataFrame)] = m.unwinds.map { u =>
-          u.expr match {
-            case RetLit(Param(name)) =>
-              val seq = params.getOrElse(name, throw new IllegalArgumentException(
-                s"missing parameter $$$name")) match {
-                case s: Seq[_] => s
-                case other => Seq(other)
-              }
-              val allMaps = seq.forall(_.isInstanceOf[scala.collection.Map[_, _]])
-              import spark.implicits._
-              val df0 =
-                if (allMaps)
-                  seq.map { case mm: scala.collection.Map[_, _] =>
-                    mm.map { case (k, v) =>
-                      k.toString -> Option(v).map(_.toString).orNull }.toMap
-                  }.toDF("__u").select(col("__u").as(u.alias))
-                else
-                  seq.map(x => Option(x).map(_.toString).orNull)
-                    .toDF("__u").select(col("__u").as(u.alias))
-              name -> df0
-            case other => throw new IllegalArgumentException(
-              "UNWIND before MERGE/CREATE must unwind a $parameter list, " +
-                s"got $other")
+        val driving = importDrivingDf(c.loads, c.unwinds, params, spark)
+        val missing = c.imports.filterNot(driving.columns.contains)
+        require(missing.isEmpty, s"CALL { } imports ${missing.mkString(", ")} " +
+          "not bound by the LOAD CSV / UNWIND driving rows")
+        // batch ids assigned by one row_number pass (bounded: an import's
+        // driving set, not a corpus); checkpoint pins the assignment so
+        // every per-batch filter sees identical batches
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())
+        val withBid = driving.withColumn("__graft_bid",
+          floor((row_number().over(w) - 1) / lit(c.batchRows)))
+          .localCheckpoint(true)
+        val nBatches = withBid.agg(max("__graft_bid")).head().get(0) match {
+          case null => 0L
+          case b: Long => b + 1
+        }
+        var created = 0L; var matched = 0L
+        (0L until nBatches).foreach { b =>
+          executeMutation(c.inner,
+            withBid.filter(col("__graft_bid") === b).drop("__graft_bid")) match {
+            case CypherMutation(_, cr, ma) => created += cr; matched += ma
+            case _ => ()
           }
         }
-        val consumed = unwound.map(_._1).toSet
-        val plainParams = params.view.filterKeys(!consumed(_)).toMap
-        val paramsDf =
-          if (plainParams.isEmpty) spark.range(1).toDF()
-          else {
-            import spark.implicits._
-            plainParams.toSeq.foldLeft(Seq(1).toDF("__one")) {
-              case (df, (k, v)) => df.withColumn(k, lit(v))
-            }
-          }
-        // LOAD CSV prefix: the csv rows ARE the parameter batch — the
-        // mutation executes set-oriented over them (Neo4j's import loop)
-        val withBatch = (m.loads.map(loadCsvDf) ++ unwound.map(_._2))
-          .foldLeft(paramsDf)(_ crossJoin _)
-        executeMutation(m, withBatch)
+        CypherMutation(graph, created, matched)
+      case m: MutateStatement =>
+        executeMutation(m, importDrivingDf(m.loads, m.unwinds, params,
+          graph.nodes.sparkSession))
     }
+
+  /** The import loop's driving rows: `UNWIND $batch AS row` prefixes bind
+    * each list element as one parameter row (a map element as a MAP column
+    * — `row.field` — a scalar element as a plain column; the unwound
+    * parameter itself must NOT also land as a lit() column), a LOAD CSV
+    * prefix contributes its csv rows, and remaining plain parameters ride
+    * as literal columns. Shared by the set-oriented MutateStatement path
+    * and the batched CALL { } IN TRANSACTIONS path. */
+  private def importDrivingDf(loads: Seq[LoadCsv], unwinds: Seq[Unwind],
+      params: Map[String, Any],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val unwound: Seq[(String, DataFrame)] = unwinds.map { u =>
+      u.expr match {
+        case RetLit(Param(name)) =>
+          val seq = params.getOrElse(name, throw new IllegalArgumentException(
+            s"missing parameter $$$name")) match {
+            case s: Seq[_] => s
+            case other => Seq(other)
+          }
+          val allMaps = seq.forall(_.isInstanceOf[scala.collection.Map[_, _]])
+          import spark.implicits._
+          val df0 =
+            if (allMaps)
+              seq.map { case mm: scala.collection.Map[_, _] =>
+                mm.map { case (k, v) =>
+                  k.toString -> Option(v).map(_.toString).orNull }.toMap
+              }.toDF("__u").select(col("__u").as(u.alias))
+            else
+              seq.map(x => Option(x).map(_.toString).orNull)
+                .toDF("__u").select(col("__u").as(u.alias))
+          name -> df0
+        case other => throw new IllegalArgumentException(
+          "UNWIND before MERGE/CREATE must unwind a $parameter list, " +
+            s"got $other")
+      }
+    }
+    val consumed = unwound.map(_._1).toSet
+    val plainParams = params.view.filterKeys(!consumed(_)).toMap
+    val paramsDf =
+      // the seed row's column must not shadow a driving alias (range(1)'s
+      // default column is literally `id` — a natural UNWIND alias)
+      if (plainParams.isEmpty) spark.range(1).toDF("__graft_one")
+      else {
+        import spark.implicits._
+        plainParams.toSeq.foldLeft(Seq(1).toDF("__one")) {
+          case (df, (k, v)) => df.withColumn(k, lit(v))
+        }
+      }
+    // LOAD CSV prefix: the csv rows ARE the parameter batch — the
+    // mutation executes set-oriented over them (Neo4j's import loop)
+    (loads.map(loadCsvDf) ++ unwound.map(_._2))
+      .foldLeft(paramsDf)(_ crossJoin _)
+  }
 
   /** Run a semicolon-separated script of statements in order (the
     * interactive usage pattern of /root/reference/cypher.txt), returning

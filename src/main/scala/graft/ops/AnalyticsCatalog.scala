@@ -4296,6 +4296,40 @@ object AnalyticsCatalog {
            |FROM a JOIN a b ON a.source = b.source AND b.k <> a.k
            |GROUP BY a.k ORDER BY key1 LIMIT 200""".stripMargin))
 
+  private val c56 = Entry("c56_cypher_call_in_transactions",
+    (s, dir) => {
+      // `UNWIND $ids AS nm CALL { WITH nm MERGE … } IN TRANSACTIONS OF n
+      // ROWS` — Neo4j's bulk-import batching. Every publisher name is
+      // imported TWICE (the duplicate always lands ≥1 batch after its
+      // first occurrence when |sources| ≥ batch size), so the per-batch
+      // commit semantics are pinned by the counters: created = matched =
+      // |distinct sources|, which the oracle derives from the data. The
+      // final graph state is batch-invariant (idempotent MERGE), asserted
+      // by the read-back rows themselves.
+      val srcs = Tables(s, dir, "documents").select(col("source")).distinct()
+        .orderBy("source").collect().map(_.getString(0)).toSeq
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s),
+        keyProps = Map("Publisher" -> "name"))
+      val mut = sess.run(
+        """UNWIND $ids AS nm
+          |CALL { WITH nm MERGE (p:Publisher {name: nm}) }
+          |IN TRANSACTIONS OF 7 ROWS""".stripMargin,
+        Map("ids" -> (srcs ++ srcs)))
+        .asInstanceOf[graft.cypher.CypherMutation]
+      sess.run("MATCH (p:Publisher) RETURN p.name AS name ORDER BY name")
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .withColumn("created_total", lit(mut.nodesCreated))
+        .withColumn("matched_total", lit(mut.nodesMatched))
+    },
+    Some("""SELECT source AS name,
+           |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+           |    AS created_total,
+           |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+           |    AS matched_total
+           |FROM (SELECT DISTINCT source FROM documents)
+           |ORDER BY name""".stripMargin))
+
   private val c55 = Entry("c55_cypher_count_sibling_rewrite",
     (s, dir) => {
       // COUNT { } over a count-only sibling pattern routes through the
@@ -5900,7 +5934,7 @@ object AnalyticsCatalog {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
-    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55,
+    c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

@@ -189,6 +189,7 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
       else graft.cypher.CypherParser.parse(query) match {
         case _: graft.cypher.CypherAst.UpdateStatement => true
         case _: graft.cypher.CypherAst.MutateStatement => true
+        case _: graft.cypher.CypherAst.CallInTransactions => true
         case _ => false
       }
     }

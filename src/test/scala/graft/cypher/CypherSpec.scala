@@ -1863,6 +1863,33 @@ class CypherSpec extends SparkTestBase {
     assert(sess.graph.nodes.filter($"label" === "User").count() === 5)
   }
 
+  test("CALL { } IN TRANSACTIONS batches the import loop; counters observe per-batch commits") {
+    val sess = freshSession
+    // duplicate keys land in DIFFERENT batches (of 3): batch 1 creates
+    // a,b,c; batch 2 re-MERGEs a (matched) + creates d,e; batch 3 creates
+    // f and re-MERGEs a again — per-batch commits are observable in the
+    // counters, exactly as Neo4j's transactional batches see each other
+    val ids = Seq("a", "b", "c", "a", "d", "e", "f", "a")
+    val r = sess.run(
+      """UNWIND $ids AS id
+        |CALL { WITH id MERGE (n:Item {name: id}) } IN TRANSACTIONS OF 3 ROWS""".stripMargin,
+      Map("ids" -> ids)).asInstanceOf[CypherMutation]
+    assert(r.nodesCreated === 6 && r.nodesMatched === 2)
+    assert(sess.graph.nodes.filter($"label" === "Item").count() === 6)
+    // default batch size (1000): whole list is one batch — set-oriented
+    // dedup inside it, so the idempotent re-run matches each key once
+    val r2 = sess.run(
+      """UNWIND $ids AS id
+        |CALL { WITH id MERGE (n:Item {name: id}) } IN TRANSACTIONS""".stripMargin,
+      Map("ids" -> ids)).asInstanceOf[CypherMutation]
+    assert(r2.nodesCreated === 0 && r2.nodesMatched === 6)
+    // a write subquery without the suffix is a typed parse error
+    val e = intercept[Exception](sess.run(
+      "UNWIND $ids AS id CALL { WITH id MERGE (n:Item {name: id}) } RETURN id",
+      Map("ids" -> ids)))
+    assert(e.getMessage.contains("IN TRANSACTIONS"))
+  }
+
   test("EXPLAIN returns the formatted plan; PROFILE adds executed metrics") {
     val sess = freshSession
     sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
