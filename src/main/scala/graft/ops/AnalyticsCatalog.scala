@@ -4306,6 +4306,9 @@ object AnalyticsCatalog {
       // |distinct sources|, which the oracle derives from the data. The
       // final graph state is batch-invariant (idempotent MERGE), asserted
       // by the read-back rows themselves.
+      // bounded collect: distinct sources are schema-cardinality (~20) —
+      // they ARE the import's parameter batch, the same bounded class as
+      // the label lists GraphStore collects
       val srcs = Tables(s, dir, "documents").select(col("source")).distinct()
         .orderBy("source").collect().map(_.getString(0)).toSeq
       val sess = new graft.cypher.CypherSession(
