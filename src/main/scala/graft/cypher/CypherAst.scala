@@ -251,7 +251,7 @@ object CypherAst {
     * binds every column under its default name (Neo4j's bare-CALL rule for
     * a standalone call). */
   final case class ProcCall(name: String, yields: Seq[(String, String)],
-      config: Map[String, Any] = Map.empty) {
+      config: Map[String, Any] = Map.empty, args: Seq[Any] = Nil) {
     /** Column names this call binds into the pipeline. */
     def boundNames: Seq[String] =
       if (yields.nonEmpty) yields.map(_._2) else Procedures.schema(name)
@@ -285,6 +285,11 @@ object CypherAst {
       "dbms.components" -> Seq("name", "versions", "edition"),
       // graph-algorithm procedures (the GDS `.stream` surface): results
       // identify nodes by KEY (engine-independent), never internal ids
+      // graph-catalog management (named projections — the first line of
+      // every GDS tutorial: project once, stream many times)
+      "gds.graph.project" -> Seq("graphName", "nodeCount", "relationshipCount"),
+      "gds.graph.list" -> Seq("graphName", "nodeCount", "relationshipCount"),
+      "gds.graph.drop" -> Seq("graphName"),
       "gds.pageRank.stream" -> Seq("key", "score"),
       "gds.wcc.stream" -> Seq("key", "componentKey"),
       "gds.degree.stream" -> Seq("key", "degree"),

@@ -96,10 +96,23 @@ object CypherParser {
     out.toVector
   }
 
-  def parse(q: String): Statement = new P(tokenize(q)).statement()
+  def parse(q: String): Statement = {
+    val p = new P(tokenize(q))
+    val s = p.statement()
+    // trailing tokens are an ERROR, not ignorable: silently dropping
+    // `RETURN e.ts.fortnight AS x`'s tail would return e.ts under the
+    // wrong name — the same silent-wrong-results class as ADVICE r9's
+    // exponent finding
+    p.expectEof()
+    s
+  }
 
   private final class P(ts: Vector[Tok]) {
     private var pos = 0
+    private[CypherParser] def expectEof(): Unit =
+      if (pos < ts.length)
+        fail(s"unexpected trailing input after a complete statement, " +
+          s"starting at ${ts(pos)}")
     private def peek: Option[Tok] = if (pos < ts.length) Some(ts(pos)) else None
     private def next(): Tok = { val t = ts(pos); pos += 1; t }
     private def expectSym(s: String): Unit = next() match {
@@ -325,12 +338,18 @@ object CypherParser {
             val name = parts.mkString(".")
             val cols = Procedures.schema(name)
             expectSym("(")
-            // optional GDS-style config map: CALL gds.x.stream({topK: 1}).
-            // Values are LITERALS (number/string/boolean) — config tunes
-            // the algorithm, it is not a per-row expression surface.
+            // Arguments: positional LITERALS (a graph name string, a
+            // label/relType spec string or string list — the GDS
+            // gds.graph.project / graph-name-first-argument surface),
+            // then an optional GDS-style config map which must come LAST:
+            // CALL gds.x.stream('g', {topK: 1}). Values are literals —
+            // config tunes the algorithm, it is not a per-row expression
+            // surface.
             val config = scala.collection.mutable.Map.empty[String, Any]
-            if (peek.contains(Sym("{"))) {
-              next()
+            val posArgs = ArrayBuffer.empty[Any]
+            var sawConfig = false
+            def parseConfig(): Unit = {
+              next() // consume '{'
               def confPair(): Unit = {
                 val k = ident(); expectSym(":")
                 // numeral handling (ADVICE r8 #5): integers → Long, any
@@ -364,6 +383,36 @@ object CypherParser {
               confPair()
               while (peek.contains(Sym(","))) { next(); confPair() }
               expectSym("}")
+              sawConfig = true
+            }
+            def parseArg(): Unit = peek match {
+              case Some(Sym("{")) => parseConfig()
+              case Some(Sym("[")) =>
+                next()
+                val items = ArrayBuffer.empty[String]
+                if (!peek.contains(Sym("]"))) {
+                  def strItem(): Unit = next() match {
+                    case Str(s) => items += s
+                    case t => fail("a projection list takes string " +
+                      s"literals, got $t")
+                  }
+                  strItem()
+                  while (peek.contains(Sym(","))) { next(); strItem() }
+                }
+                expectSym("]")
+                posArgs += items.toSeq
+              case Some(Str(s)) => next(); posArgs += s
+              case t => fail("a procedure argument must be a string " +
+                s"literal, a string list or a config map, got $t")
+            }
+            if (!peek.contains(Sym(")"))) {
+              parseArg()
+              while (peek.contains(Sym(","))) {
+                next()
+                if (sawConfig)
+                  fail("the config map must be the LAST procedure argument")
+                parseArg()
+              }
             }
             expectSym(")")
             val yields = ArrayBuffer.empty[(String, String)]
@@ -379,7 +428,7 @@ object CypherParser {
               yieldItem()
               while (peek.contains(Sym(","))) { next(); yieldItem() }
             }
-            procs += ProcCall(name, yields.toSeq, config.toMap)
+            procs += ProcCall(name, yields.toSeq, config.toMap, posArgs.toSeq)
           }
         }
         val paths = ArrayBuffer.empty[PathPat]
@@ -880,7 +929,9 @@ object CypherParser {
     private def value(): Value = next() match {
       case ParamTok(s) => Param(s)
       case Str(s) => StrLit(s)
-      case Num(s) => NumLit(s.toDouble, !s.contains('.'))
+      // digits-only ⇒ integer; a '.' OR an exponent suffix makes it a
+      // Double (1e-3 has no '.' but must not truncate to 0)
+      case Num(s) => NumLit(s.toDouble, s.matches("[0-9]+"))
       case Sym("[") =>
         val items = ArrayBuffer.empty[Value]
         if (!peek.contains(Sym("]"))) {
@@ -1042,7 +1093,7 @@ object CypherParser {
         RetReduce(acc, init, v, src, body)
       case ParamTok(s) => RetLit(Param(s))
       case Str(s) => RetLit(StrLit(s))
-      case Num(s) => RetLit(NumLit(s.toDouble, !s.contains('.')))
+      case Num(s) => RetLit(NumLit(s.toDouble, s.matches("[0-9]+")))
       case Kw("NULL") => RetLit(NullLit)
       case Ident(fn) if fn.equalsIgnoreCase("count") && peek.contains(Sym("{")) =>
         // COUNT { <pattern> [WHERE …] } — subquery match count per outer row
@@ -1110,6 +1161,26 @@ object CypherParser {
         val a = addExpr(); expectSym(","); val b = addExpr()
         expectSym(")")
         RetFn("duration.between", Seq(a, b))
+      // datetime.truncate('month', d) / date.truncate('week', d) — unit
+      // must be a string LITERAL (it selects the truncation, it is not a
+      // per-row value); the unit set is validated at compile time
+      case Ident(fn0) if Set("datetime", "date")(fn0.toLowerCase) &&
+          peek.contains(Sym(".")) && pos + 1 < ts.length &&
+          (ts(pos + 1) match {
+            case Ident(x) => x.equalsIgnoreCase("truncate")
+            case _ => false
+          }) =>
+        next(); next() // . truncate
+        expectSym("(")
+        val unit = next() match {
+          case Str(s) => s.toLowerCase
+          case t => fail(s"${fn0.toLowerCase}.truncate's unit must be a " +
+            s"string literal ('year'/'month'/…), got $t")
+        }
+        expectSym(",")
+        val d = addExpr()
+        expectSym(")")
+        RetFn(fn0.toLowerCase + ".truncate", Seq(RetLit(StrLit(unit)), d))
       // spatial surface: point({x: …, y: …}) via the map-ctor rule below;
       // point.distance(a, b) is the Neo4j-5 namespaced distance
       case Ident(fn0) if fn0.equalsIgnoreCase("point") &&
@@ -1166,10 +1237,29 @@ object CypherParser {
         expectSym("}")
         RetMapProj(v, props.toSeq, all)
       case Ident(v) if peek.contains(Sym(".")) =>
-        next(); RetProp(PropRef(v, ident()))
+        next()
+        val p1 = ident()
+        // temporal COMPONENT access (`a.ts.year`, `e.ts.epochMillis`) —
+        // the first thing a Neo4j user writes after constructing a
+        // datetime. Only the fixed component-name set chains; any other
+        // third identifier keeps failing as before (properties are flat).
+        if (peek.contains(Sym(".")) && pos + 1 < ts.length &&
+            (ts(pos + 1) match {
+              case Ident(cn) => temporalComponents.contains(cn.toLowerCase)
+              case _ => false
+            })) {
+          next() // .
+          val cn = ident().toLowerCase
+          RetFn("__temporal." + cn, Seq(RetProp(PropRef(v, p1))))
+        } else RetProp(PropRef(v, p1))
       case Ident(v) => RetVar(v)
       case t => fail(s"expected expression, got $t")
     }
+
+    /** Neo4j's temporal instant components, lowercased. */
+    private val temporalComponents = Set(
+      "year", "quarter", "month", "week", "day", "dayofweek",
+      "hour", "minute", "second", "epochmillis", "epochseconds")
 
     /** CASE (the `CASE` keyword is already consumed). Searched form
       * `CASE WHEN <bool> THEN <expr> … [ELSE] END`, or the simple form

@@ -35,6 +35,13 @@ final class CypherSession(
 
   @volatile var graph: PropertyGraph = initial
 
+  /** GDS graph catalog: named projections are point-in-time SNAPSHOTS of
+    * the store (as GDS loads a projection into memory at project time) —
+    * later writes to the session graph do not leak into them. Counts are
+    * taken once at project time. */
+  private val projections = scala.collection.mutable.LinkedHashMap
+    .empty[String, CypherSession.GdsProjection]
+
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
     // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
     // EXPLAIN compiles without executing and returns the plan; PROFILE
@@ -129,27 +136,29 @@ final class CypherSession(
         val missing = c.imports.filterNot(driving.columns.contains)
         require(missing.isEmpty, s"CALL { } imports ${missing.mkString(", ")} " +
           "not bound by the LOAD CSV / UNWIND driving rows")
-        // batch ids assigned by one row_number pass (bounded: an import's
-        // driving set, not a corpus); checkpoint pins the assignment so
-        // every per-batch filter sees identical batches
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())
-        val withBid = driving.withColumn("__graft_bid",
-          floor((row_number().over(w) - 1) / lit(c.batchRows)))
-          .localCheckpoint(true)
-        val nBatches = withBid.agg(max("__graft_bid")).head().get(0) match {
-          case null => 0L
-          case b: Long => b + 1
+        // Scale-safe batch staging (VERDICT r9 #1): input-order batch ids
+        // via per-partition-offset zipWithIndex — no single-partition
+        // window — and a bid-PARTITIONED parquet stage so each batch's
+        // filter prunes to its own files (O(N) total scan work, not
+        // O(batches × N)). Batch membership is identical to the r9
+        // row_number assignment, so c56's oracle hash is unchanged.
+        TxBatches.stage(driving, c.batchRows) match {
+          case None => CypherMutation(graph, 0, 0)
+          case Some(staged) =>
+            try {
+              var created = 0L; var matched = 0L
+              (0L until staged.nBatches).foreach { b =>
+                executeMutation(c.inner, staged.batches(b)) match {
+                  case CypherMutation(_, cr, ma) => created += cr; matched += ma
+                  case _ => ()
+                }
+              }
+              // pin the post-import state before the stage files vanish:
+              // the graph's lineage is lazy over the per-batch frames
+              graph = graph.compact()
+              CypherMutation(graph, created, matched)
+            } finally staged.cleanup()
         }
-        var created = 0L; var matched = 0L
-        (0L until nBatches).foreach { b =>
-          executeMutation(c.inner,
-            withBid.filter(col("__graft_bid") === b).drop("__graft_bid")) match {
-            case CypherMutation(_, cr, ma) => created += cr; matched += ma
-            case _ => ()
-          }
-        }
-        CypherMutation(graph, created, matched)
       case m: MutateStatement =>
         executeMutation(m, importDrivingDf(m.loads, m.unwinds, params,
           graph.nodes.sparkSession))
@@ -1075,7 +1084,8 @@ final class CypherSession(
         def temporal(e: ReturnExpr): Boolean = e match {
           case RetLit(FnCall("datetime" | "date")) => true
           case _: RetTemporalCtor => true
-          case RetFn("duration.between" | "datetime" | "date", _) => true
+          case RetFn("duration.between" | "datetime" | "date" |
+                     "datetime.truncate" | "date.truncate", _) => true
           case RetBin("+" | "-", a, b) => temporal(a) || temporal(b)
           case _ => false
         }
@@ -1238,6 +1248,41 @@ final class CypherSession(
           case "date" => to_date(c)
           case "duration.between" =>
             itemCol(fnArgs(1)).cast("timestamp") - c.cast("timestamp")
+          // temporal COMPONENT access (a.ts.year …): integers, so they
+          // hash; the string→timestamp→component round trip renders the
+          // same wall clock it parsed, so components are tz-independent
+          case comp if comp.startsWith("__temporal.") =>
+            val cc = c.cast("timestamp")
+            comp.stripPrefix("__temporal.") match {
+              case "year" => year(cc).cast("long")
+              case "quarter" => quarter(cc).cast("long")
+              case "month" => month(cc).cast("long")
+              case "week" => weekofyear(cc).cast("long")
+              case "day" => dayofmonth(cc).cast("long")
+              // Neo4j dayOfWeek is ISO (1=Monday..7=Sunday); Spark's
+              // dayofweek is 1=Sunday..7=Saturday — shift
+              case "dayofweek" => (((dayofweek(cc) + 5) % 7) + 1).cast("long")
+              case "hour" => hour(cc).cast("long")
+              case "minute" => minute(cc).cast("long")
+              case "second" => second(cc).cast("long")
+              case "epochmillis" => (cc.cast("double") * 1000).cast("long")
+              case "epochseconds" => cc.cast("long")
+              case other => throw new IllegalArgumentException(
+                s"unsupported temporal component .$other")
+            }
+          case "datetime.truncate" | "date.truncate" =>
+            val unit = fnArgs.head match {
+              case RetLit(StrLit(u)) => u
+              case other => throw new IllegalArgumentException(
+                s"$fn's unit must be a string literal, got $other")
+            }
+            val units = Set("year", "quarter", "month", "week", "day",
+              "hour", "minute", "second")
+            require(units.contains(unit), s"$fn unit must be one of " +
+              s"${units.toSeq.sorted.mkString(", ")}, got '$unit'")
+            val t = date_trunc(unit.toUpperCase,
+              itemCol(fnArgs(1)).cast("timestamp"))
+            if (fn == "date.truncate") to_date(t) else t
           case "point.distance" =>
             // CRS-dispatched distance (VERDICT r8 #6). Cartesian (7203):
             // euclidean — sqrt is IEEE-correctly-rounded, so the value is
@@ -1515,15 +1560,132 @@ final class CypherSession(
       * (WHERE, WITH, RETURN, UNION) composes. */
     def applyProc(p: ProcCall): Unit = {
       val spark = graph.nodes.sparkSession
+      // Graph-name first argument on the gds.*.stream family: the
+      // algorithm runs over the NAMED projection's snapshot instead of
+      // the whole store; an unknown name fails typed. Everything else
+      // takes no positional arguments (gds.graph.* validates its own).
+      val pgraph: PropertyGraph =
+        if (p.name.startsWith("gds.") && p.name.endsWith(".stream")) {
+          require(p.args.size <= 1, s"${p.name} takes at most one " +
+            s"positional argument (a projected graph name), got ${p.args}")
+          p.args.headOption match {
+            case None => graph
+            case Some(name: String) =>
+              projections.getOrElse(name, throw new IllegalArgumentException(
+                s"graph '$name' does not exist in the GDS graph catalog — " +
+                  "project it first with CALL gds.graph.project(" +
+                  s"'$name', <nodeLabels>, <relTypes>)")).graph
+            case Some(other) => throw new IllegalArgumentException(
+              s"${p.name}'s first argument must be a graph name string, " +
+                s"got $other")
+          }
+        } else {
+          if (!p.name.startsWith("gds.graph."))
+            require(p.args.isEmpty,
+              s"${p.name} takes no positional arguments, got ${p.args}")
+          graph
+        }
       // edge list projected to node KEYS — the identity every gds.*
       // procedure computes over (internal ids are engine noise)
-      def edgeKeys: DataFrame = graph.edges
-        .join(graph.nodes.select(col("id").as("srcId"), col("key").as("src")),
+      def edgeKeys: DataFrame = pgraph.edges
+        .join(pgraph.nodes.select(col("id").as("srcId"), col("key").as("src")),
           Seq("srcId"))
-        .join(graph.nodes.select(col("id").as("dstId"), col("key").as("dst")),
+        .join(pgraph.nodes.select(col("id").as("dstId"), col("key").as("dst")),
           Seq("dstId"))
         .select(col("src"), col("dst"))
+      // a '*'/label/label-list projection spec → None = all, Some = the set
+      def specSet(arg: Any, what: String): Option[Seq[String]] = arg match {
+        case "*" => None
+        case s: String => Some(Seq(s))
+        case items: Seq[_] =>
+          val ss = items.map {
+            case s: String if s != "*" => s
+            case other => throw new IllegalArgumentException(
+              s"a $what projection list takes plain $what strings, got $other")
+          }
+          require(ss.nonEmpty, s"a $what projection list cannot be empty")
+          Some(ss)
+        case other => throw new IllegalArgumentException(
+          s"a $what projection must be '*', a string or a string list, " +
+            s"got $other")
+      }
       val rows: DataFrame = p.name match {
+        case "gds.graph.project" =>
+          // CALL gds.graph.project(name, nodeLabels, relTypes): snapshot
+          // a label/relType-filtered subgraph into the catalog. Specs
+          // are validated against the store's ACTUAL labels/relTypes
+          // (schema-bounded distincts) so a typo fails typed instead of
+          // projecting an empty graph; edges keep only those whose BOTH
+          // endpoints survive the node filter.
+          import spark.implicits._
+          require(p.args.size == 3, "gds.graph.project takes exactly " +
+            "(graphName, nodeProjection, relationshipProjection), got " +
+            s"${p.args.size} argument(s)")
+          val name = p.args.head match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"gds.graph.project's graph name must be a string, got $other")
+          }
+          require(!projections.contains(name),
+            s"graph '$name' already exists in the GDS graph catalog — " +
+              s"drop it first with CALL gds.graph.drop('$name')")
+          val nodeSpec = specSet(p.args(1), "label")
+          val relSpec = specSet(p.args(2), "relationship type")
+          nodeSpec.foreach { ls =>
+            val known = graph.nodes.select(col("label")).distinct()
+              .as[String].collect().toSet
+            val bad = ls.filterNot(known)
+            require(bad.isEmpty, s"node projection references unknown " +
+              s"label(s) ${bad.mkString(", ")} — store has " +
+              s"${known.toSeq.sorted.mkString(", ")}")
+          }
+          relSpec.foreach { rs =>
+            val known = graph.edges.select(col("relType")).distinct()
+              .as[String].collect().toSet
+            val bad = rs.filterNot(known)
+            require(bad.isEmpty, s"relationship projection references " +
+              s"unknown type(s) ${bad.mkString(", ")} — store has " +
+              s"${known.toSeq.sorted.mkString(", ")}")
+          }
+          val pn = nodeSpec.fold(graph.nodes)(ls =>
+            graph.nodes.filter(col("label").isin(ls: _*)))
+          val pe0 = relSpec.fold(graph.edges)(rs =>
+            graph.edges.filter(col("relType").isin(rs: _*)))
+          val pnIds = pn.select(col("id"))
+          val pe = pe0
+            .join(pnIds.withColumnRenamed("id", "srcId"), Seq("srcId"),
+              "left_semi")
+            .join(pnIds.withColumnRenamed("id", "dstId"), Seq("dstId"),
+              "left_semi")
+          // snapshot semantics: pin the projection now (GDS materializes
+          // the in-memory graph at project time); one pass each side
+          val snapN = pn.localCheckpoint(true)
+          val snapE = pe.localCheckpoint(true)
+          val proj = CypherSession.GdsProjection(PropertyGraph(snapN, snapE),
+            snapN.count(), snapE.count())
+          projections(name) = proj
+          spark.range(1).select(lit(name).as("graphName"),
+            lit(proj.nodeCount).as("nodeCount"),
+            lit(proj.relationshipCount).as("relationshipCount"))
+        case "gds.graph.list" =>
+          require(p.args.isEmpty || p.args == Seq("*"),
+            s"gds.graph.list takes no arguments, got ${p.args}")
+          val listed = projections.toSeq.map { case (n, pr) =>
+            (n, pr.nodeCount, pr.relationshipCount)
+          }.sortBy(_._1)
+          spark.createDataFrame(listed)
+            .toDF("graphName", "nodeCount", "relationshipCount")
+        case "gds.graph.drop" =>
+          require(p.args.size == 1, "gds.graph.drop takes exactly one " +
+            s"argument (the graph name), got ${p.args}")
+          val name = p.args.head match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"gds.graph.drop's graph name must be a string, got $other")
+          }
+          require(projections.remove(name).isDefined,
+            s"graph '$name' does not exist in the GDS graph catalog")
+          spark.range(1).select(lit(name).as("graphName"))
         case "db.labels" =>
           graph.nodes.select(col("label")).distinct().orderBy("label")
         case "db.relationshipTypes" =>
@@ -1551,20 +1713,20 @@ final class CypherSession(
         // algorithms. Node identity is the KEY (internal ids are engine
         // noise); pageRank scores ride x02's 6-dp quantization contract.
         case "gds.pageRank.stream" =>
-          graft.analytics.GraphAlgorithms.pageRank(graph, numIter = 10)
+          graft.analytics.GraphAlgorithms.pageRank(pgraph, numIter = 10)
             .select(col("key"), round(col("rank"), 6).as("score"))
         case "gds.wcc.stream" =>
           // component identity = the min member key, engine-independent
-          val comps = graft.analytics.GraphAlgorithms.connectedComponents(graph)
+          val comps = graft.analytics.GraphAlgorithms.connectedComponents(pgraph)
           comps.join(
               comps.groupBy("component").agg(min("key").as("componentKey")),
               Seq("component"))
             .select(col("key"), col("componentKey"))
         case "gds.degree.stream" =>
-          val deg = graph.edges.select(col("srcId").as("id"))
-            .union(graph.edges.select(col("dstId").as("id")))
+          val deg = pgraph.edges.select(col("srcId").as("id"))
+            .union(pgraph.edges.select(col("dstId").as("id")))
             .groupBy("id").agg(count(lit(1)).as("degree"))
-          graph.nodes.join(deg, Seq("id"), "left")
+          pgraph.nodes.join(deg, Seq("id"), "left")
             .select(col("key"), coalesce(col("degree"), lit(0L)).as("degree"))
         // The r7 GDS quartet (VERDICT r7 #5) — every one runs the
         // algorithm over the edge list mapped to node KEYS first, so all
@@ -1617,7 +1779,7 @@ final class CypherSession(
           val lp = graft.analytics.GraphAlgorithms
             .labelPropagation(edgeKeys,
               rounds = p.confLong("maxIterations", 10L).toInt)
-          graph.nodes.select(col("key"))
+          pgraph.nodes.select(col("key"))
             .join(lp.withColumnRenamed("id", "key"), Seq("key"), "left")
             .select(col("key"),
               coalesce(col("community"), col("key")).as("communityKey"))
@@ -1631,9 +1793,19 @@ final class CypherSession(
             "gds.fastRP.stream requires {embeddingDimension: n} — GDS has " +
               "no default dimension; pass it explicitly (YIELD surface " +
               "covers e0..e3, i.e. embeddingDimension 4)")
+          // the registered YIELD schema is FIXED at key,e0..e3 — any other
+          // dimension would either fail later with a raw unresolved-column
+          // error (dim<4) or silently drop columns (dim>4); reject typed
+          // instead (ADVICE r9 #5)
+          val fastRpDim = p.confLong("embeddingDimension", 4L)
+          require(fastRpDim == 4L,
+            s"gds.fastRP.stream yields the fixed columns e0..e3, so " +
+              s"embeddingDimension must be 4 (got $fastRpDim) — other " +
+              "dimensions are not representable in the registered YIELD " +
+              "schema")
           graft.analytics.GraphAlgorithms
             .fastRPEmbedding(edgeKeys,
-              dim = p.confLong("embeddingDimension", 4L).toInt,
+              dim = fastRpDim.toInt,
               rounds = p.confLong("iterations", 2L).toInt)
             .withColumnRenamed("id", "key")
         case "gds.hits.stream" =>
@@ -2164,6 +2336,11 @@ final class CypherSession(
 }
 
 object CypherSession {
+  /** One GDS graph-catalog entry: a projected subgraph snapshot plus its
+    * project-time counts. */
+  private[cypher] final case class GdsProjection(graph: PropertyGraph,
+    nodeCount: Long, relationshipCount: Long)
+
   /** Sphere radius for geographic (SRID 4326) point.distance — the IUGG
     * mean Earth radius R1 = (2a + b) / 3 for the WGS-84 ellipsoid, in
     * meters. PINNED: the DuckDB oracle (c54) replays the same haversine

@@ -4333,6 +4333,80 @@ object AnalyticsCatalog {
            |FROM (SELECT DISTINCT source FROM documents)
            |ORDER BY name""".stripMargin))
 
+  private val c57 = Entry("c57_cypher_gds_named_projection",
+    (s, dir) => {
+      // GDS named graph projections (VERDICT r9 #2) — the first line of
+      // every GDS tutorial: CALL gds.graph.project(name, nodeLabels,
+      // relTypes) snapshots a label/relType-filtered subgraph into the
+      // session's graph catalog, and the algorithm streams take the graph
+      // name as their first argument. The doc graph is enriched with a
+      // third label (Lang) and second relType (IN_LANG, Article→Lang);
+      // projecting ['Article','Lang'] / 'IN_LANG' excludes every
+      // Publisher node and WRITTEN_BY edge, leaving the article→language
+      // bipartite star — so pageRank over the projection has c46's exact
+      // closed form with the LANGUAGE as the hub (5 langs at every
+      // fixture SF, so LIMIT 5 returns exactly the language hubs).
+      val docs = Tables(s, dir, "documents")
+      val langNodes = docs.select(
+        lit("Lang").as("label"), col("lang").as("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+      val inLang = docs.select(
+        lit("Article").as("srcLabel"),
+        col("doc_id").cast("string").as("srcKey"),
+        lit("IN_LANG").as("relType"),
+        lit("Lang").as("dstLabel"), col("lang").as("dstKey"))
+      val g = docGraph(s, dir).mergeNodes(langNodes).mergeEdgesByKey(inLang)
+      val sess = new graft.cypher.CypherSession(g, keyProps = Map(
+        "Article" -> "doc_id", "Publisher" -> "name", "Lang" -> "name"))
+      sess.run("CALL gds.graph.project('bylang', ['Article', 'Lang'], 'IN_LANG')")
+      sess.run("""CALL gds.pageRank.stream('bylang') YIELD key, score
+                 |RETURN key AS lang, score
+                 |ORDER BY score DESC, lang LIMIT 5""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH d AS (SELECT lang, COUNT(*) AS deg FROM documents GROUP BY lang),
+           |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_art,
+           |             COUNT(*) AS n_lang,
+           |             SUM(0.15 + 0.85*0.15*deg) AS s_lang
+           |      FROM d)
+           |SELECT d.lang AS lang,
+           |  round((0.15 + 0.85*0.15*d.deg) * (n_art + n_lang)
+           |        / (s_lang + 0.15*n_art), 6) AS score
+           |FROM d, n
+           |ORDER BY score DESC, lang LIMIT 5""".stripMargin))
+
+  private val c58 = Entry("c58_cypher_temporal_components",
+    (s, dir) => {
+      // Temporal COMPONENT access + truncation (VERDICT r9 #3): the
+      // `e.ts.hour` / `e.ts.dayOfWeek` accessors filter in WHERE and
+      // `datetime.truncate('day', …)` is the WITH grouping key — the
+      // first query shape a Neo4j user writes after constructing a
+      // datetime. Components are integers and the truncated instant is
+      // rendered via toString, so everything hashes; dayOfWeek is ISO
+      // (1=Monday..7=Sunday) on both engines (DuckDB isodow).
+      val ev = Tables(s, dir, "events")
+      val nodes = ev.select(lit("Event").as("label"),
+        col("event_id").cast("string").as("key"),
+        map(lit("ts"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("etype"), col("event_type")).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Event" -> "event_id"))
+      sess.run(
+        """MATCH (e:Event)
+          |WHERE e.ts.dayOfWeek <= 5 AND e.ts.hour >= 6
+          |WITH datetime.truncate('day', e.ts) AS d, count(*) AS n
+          |RETURN toString(d) AS day_start, n
+          |ORDER BY day_start""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+           |    AS day_start,
+           |  COUNT(*) AS n
+           |FROM events
+           |WHERE isodow(ts) <= 5 AND EXTRACT(hour FROM ts) >= 6
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val c55 = Entry("c55_cypher_count_sibling_rewrite",
     (s, dir) => {
       // COUNT { } over a count-only sibling pattern routes through the
@@ -5938,6 +6012,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
+    c57, c58,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

@@ -219,6 +219,79 @@ class CypherSpec extends SparkTestBase {
       hubs("dave") < 1.0 && hubs("spark") === 0.0)
   }
 
+  test("GDS named graph projections: project/list/drop lifecycle, filtered streams, snapshot isolation") {
+    val sess = freshSession
+    // two relationship types over three labels: User-INTERESTED_IN->Tech
+    // and User-KNOWS->User
+    sess.runScript(
+      """MERGE (a:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+        |MERGE (a)-[:INTERESTED_IN]->(t);
+        |MERGE (b:User {name: 'bob'}) MERGE (t:Tech {name: 'spark'})
+        |MERGE (b)-[:INTERESTED_IN]->(t);
+        |MERGE (b2:User {name: 'bob'}) MERGE (t2:Tech {name: 'flink'})
+        |MERGE (b2)-[:INTERESTED_IN]->(t2);
+        |MERGE (a2:User {name: 'alice'}) MERGE (b3:User {name: 'bob'})
+        |MERGE (a2)-[:KNOWS]->(b3)""".stripMargin)
+    // project the social (User/KNOWS) subgraph
+    val proj = sess.run(
+      """CALL gds.graph.project('social', 'User', 'KNOWS')
+        |YIELD graphName, nodeCount, relationshipCount
+        |RETURN graphName, nodeCount, relationshipCount""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long, Long)].collect().head
+    assert(proj === ("social", 2L, 1L))
+    // degree over the projection sees ONLY the KNOWS edge — on the whole
+    // store alice has degree 2 (INTERESTED_IN + KNOWS)
+    val deg = sess.run(
+      """CALL gds.degree.stream('social') YIELD key, degree
+        |RETURN key, degree ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(deg === Seq(("alice", 1L), ("bob", 1L)))
+    // label-list projection: whole bipartite interest graph
+    sess.run("CALL gds.graph.project('interest', ['User', 'Tech'], 'INTERESTED_IN')")
+    val wcc = sess.run(
+      """CALL gds.wcc.stream('interest') YIELD key, componentKey
+        |RETURN componentKey, count(*) AS size ORDER BY componentKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(wcc === Seq(("alice", 4L))) // one component: alice,bob,spark,flink
+    // '*' specs project the whole store
+    val all = sess.run("CALL gds.graph.project('everything', '*', '*')")
+      .asInstanceOf[CypherRows].df.as[(String, Long, Long)].collect().head
+    assert(all === ("everything", 4L, 4L))
+    // list is sorted by name and reflects project-time counts
+    val listed = sess.run(
+      "CALL gds.graph.list() YIELD graphName RETURN graphName")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(listed === Seq("everything", "interest", "social"))
+    // SNAPSHOT isolation: a later write does not leak into the projection
+    sess.run("""MERGE (c:User {name: 'carol'}) MERGE (b:User {name: 'bob'})
+               |MERGE (c)-[:KNOWS]->(b)""".stripMargin)
+    val deg2 = sess.run(
+      """CALL gds.degree.stream('social') YIELD key RETURN count(*) AS n""")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(deg2 === 2L) // still the 2-node snapshot, not 3
+    // drop removes; dropped and unknown names fail typed
+    val dropped = sess.run("CALL gds.graph.drop('social')")
+      .asInstanceOf[CypherRows].df.as[String].collect().head
+    assert(dropped === "social")
+    val gone = intercept[IllegalArgumentException](
+      sess.run("CALL gds.pageRank.stream('social') YIELD key RETURN key"))
+    assert(gone.getMessage.contains("does not exist"))
+    val dupErr = intercept[IllegalArgumentException](
+      sess.run("CALL gds.graph.project('interest', '*', '*')"))
+    assert(dupErr.getMessage.contains("already exists"))
+    // typos in the projection specs fail typed, not as empty projections
+    val badLabel = intercept[IllegalArgumentException](
+      sess.run("CALL gds.graph.project('x', 'Userz', '*')"))
+    assert(badLabel.getMessage.contains("unknown label"))
+    val badRel = intercept[IllegalArgumentException](
+      sess.run("CALL gds.graph.project('x', '*', 'KNOWZ')"))
+    assert(badRel.getMessage.contains("unknown type"))
+    // a non-graph-management procedure takes no positional arguments
+    val noArgs = intercept[IllegalArgumentException](
+      sess.run("CALL db.labels('social') YIELD label RETURN label"))
+    assert(noArgs.getMessage.contains("no positional arguments"))
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>
@@ -495,6 +568,82 @@ class CypherSpec extends SparkTestBase {
         |RETURN u.name AS name""".stripMargin)
       .asInstanceOf[CypherRows].df.count()
     assert(n === 1) // only b: (5+1)/3 = 2
+  }
+
+  test("exponent literals are Doubles everywhere, not truncated integers (ADVICE r9 high)") {
+    val sess = freshSession
+    Seq(("tiny", "0.0005"), ("mid", "0.05"), ("big", "2")).foreach {
+      case (n, s) => sess.run("MERGE (u:User {name: $n}) SET u.score = $s",
+        Map("n" -> n, "s" -> s))
+    }
+    // WHERE u.score > 1e-3: before the fix this compiled to > 0 and kept
+    // 'tiny' (0.0005 > 0); the exponent literal must stay 0.001
+    val gt = sess.run(
+      """MATCH (u:User) WHERE u.score > 1e-3
+        |RETURN u.name AS name ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(gt === Seq("big", "mid"))
+    // property-map literal {p: 5e-2} must store 0.05, not 0
+    sess.run("MERGE (t:Tech {name: 'spark'}) SET t.w = 5e-2")
+    val w = sess.run("MATCH (t:Tech) RETURN t.w AS w")
+      .asInstanceOf[CypherRows].df.as[String].collect().head
+    assert(w.toDouble === 0.05)
+    // RETURN-position exponent arithmetic: 2.5E-1 * 4 = 1.0
+    val r = sess.run("MATCH (u:User {name: 'big'}) RETURN 2.5E-1 * 4 AS x")
+      .asInstanceOf[CypherRows].df.as[Double].collect().head
+    assert(r === 1.0)
+    // plain digits stay integer-typed (LIMIT/SKIP-style int contexts)
+    val lim = sess.run(
+      "MATCH (u:User) RETURN u.name AS name ORDER BY name LIMIT 2")
+      .asInstanceOf[CypherRows].df.count()
+    assert(lim === 2)
+  }
+
+  test("temporal component access (a.ts.year …) and datetime/date.truncate") {
+    val sess = freshSession
+    // 2024-03-05 is a Tuesday (ISO dayOfWeek 2), Q1, week 10
+    sess.run("MERGE (e:Event {name: 'e1'}) SET e.ts = '2024-03-05 14:30:45'")
+    sess.run("MERGE (e:Event {name: 'e2'}) SET e.ts = '2023-12-31 23:59:59'")
+    val r = sess.run(
+      """MATCH (e:Event {name: 'e1'})
+        |RETURN e.ts.year AS y, e.ts.quarter AS q, e.ts.month AS mo,
+        |       e.ts.week AS w, e.ts.day AS d, e.ts.dayOfWeek AS dow,
+        |       e.ts.hour AS h, e.ts.minute AS mi, e.ts.second AS sec,
+        |       e.ts.epochSeconds AS es""".stripMargin)
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(r.getLong(0) === 2024 && r.getLong(1) === 1 && r.getLong(2) === 3)
+    assert(r.getLong(3) === 10 && r.getLong(4) === 5 && r.getLong(5) === 2)
+    assert(r.getLong(6) === 14 && r.getLong(7) === 30 && r.getLong(8) === 45)
+    assert(r.getLong(9) === 1709649045L) // 2024-03-05T14:30:45Z
+    // epochMillis = epochSeconds * 1000 on whole-second instants
+    val ms = sess.run(
+      "MATCH (e:Event {name: 'e1'}) RETURN e.ts.epochMillis AS ms")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(ms === 1709649045000L)
+    // components filter in WHERE (the 2023 row is excluded)
+    val names = sess.run(
+      """MATCH (e:Event) WHERE e.ts.year = 2024
+        |RETURN e.name AS name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(names === Seq("e1"))
+    // truncation renders the period start; date.truncate yields a date
+    val tr = sess.run(
+      """MATCH (e:Event {name: 'e1'})
+        |RETURN toString(datetime.truncate('month', e.ts)) AS m,
+        |       toString(date.truncate('week', e.ts)) AS wk""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().head
+    assert(tr === (("2024-03-01 00:00:00", "2024-03-04"))) // Monday
+    // an unknown third identifier is NOT a component: still a parse error
+    intercept[Exception](sess.run(
+      "MATCH (e:Event) RETURN e.ts.fortnight AS x"))
+    // a non-literal truncate unit is rejected at parse time
+    val unitErr = intercept[Exception](sess.run(
+      "MATCH (e:Event) RETURN datetime.truncate(e.name, e.ts) AS x"))
+    assert(unitErr.getMessage.contains("string literal"))
+    // an unsupported unit fails typed at compile time
+    val badUnit = intercept[IllegalArgumentException](sess.run(
+      "MATCH (e:Event) RETURN datetime.truncate('fortnight', e.ts) AS x"))
+    assert(badUnit.getMessage.contains("unit must be one of"))
   }
 
   test("searched CASE in RETURN, as grouping key, and arithmetic over aggregates") {

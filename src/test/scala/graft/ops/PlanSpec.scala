@@ -440,6 +440,35 @@ class PlanSpec extends SparkTestBase {
     assert(pt.contains("WindowGroupLimit"), pt)
   }
 
+  test("round-10: IN TRANSACTIONS batch staging never single-partitions and per-batch filters prune to files") {
+    import org.apache.spark.sql.functions.col
+    import graft.cypher.TxBatches
+    val driving = spark.range(1000).select(
+      col("id").cast("string").as("nm"))
+    val staged = TxBatches.stage(driving, 100).get
+    try {
+      assert(staged.nBatches === 10)
+      // batch-assignment plan: no window, no single-partition exchange —
+      // the id assignment is RDD zipWithIndex, so neither node may appear
+      val assignPlan = staged.taggedFrame.queryExecution.executedPlan.toString
+      assert(!assignPlan.contains("Window"), assignPlan)
+      assert(!assignPlan.contains("Exchange SinglePartition"), assignPlan)
+      // a batch's filter must prune at the FILE level: the bid predicate
+      // lands in PartitionFilters on the parquet scan, and the scan of
+      // one batch reads ~1/10 of the rows
+      val one = staged.batches(3)
+      val p = one.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters"), p)
+      assert(p.contains(TxBatches.BidCol), p)
+      assert(one.count() === 100)
+      // membership is input-order: batch 3 is exactly rows 300..399
+      val vals = one.select("nm").collect().map(_.getString(0).toInt).sorted
+      assert(vals.head === 300 && vals.last === 399 && vals.length === 100)
+    } finally staged.cleanup()
+    // empty driving set stages nothing
+    assert(TxBatches.stage(driving.limit(0), 100).isEmpty)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))
