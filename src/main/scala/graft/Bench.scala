@@ -30,7 +30,8 @@ object Bench {
     // in the artifact, count as regressions, and fail the run.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-      .map { case (name, fn) => timeOne(name, () => fn(spark, sfDir).count()) }
+      .map { case (name, fn) =>
+        timeOne(name, () => fn(spark, sfDir).count(), warmups = warmupsFor(name)) }
     val results = timed.collect { case (n, t, None) => n -> t }
     val errors = timed.collect { case (n, _, Some(msg)) => n -> msg }
     if (only.isDefined) {
@@ -113,11 +114,22 @@ object Bench {
       f"""{"query":"$n","prev":${prev(n)}%.3f,"swept":$s%.3f,"isolated":$iso%.3f}""" })
   }
 
-  /** Run one query twice (min of two = steady-state cost); an exception on
-    * either run yields `Some(message)` in the third slot and the query is
-    * recorded as an error, never as a time — a crash latency is not a result. */
-  def timeOne(name: String, run: () => Long): (String, Double, Option[String]) = {
-    val runs = (1 to 2).map { _ =>
+  /** The GraphX-backed x-family rows drifted 1.3–1.5x across r8/r9 with no
+    * code change on their paths (VERDICT r9 #7) — their first execution pays
+    * Pregel JIT + RDD materialization that min-of-2 alone doesn't smooth.
+    * One discarded warm-up before the timed pair brings same-code
+    * run-to-run spread inside the ±15% band (measured; BASELINE.md r10).
+    * Everything else keeps the plain min-of-2: a warm-up on all 235 rows
+    * would double the sweep's wall for rows that were already stable. */
+  def warmupsFor(name: String): Int = if (name.startsWith("x")) 1 else 0
+
+  /** Run one query twice (min of two = steady-state cost) after `warmups`
+    * discarded executions; an exception on any run yields `Some(message)` in
+    * the third slot and the query is recorded as an error, never as a
+    * time — a crash latency is not a result. */
+  def timeOne(name: String, run: () => Long,
+      warmups: Int = 0): (String, Double, Option[String]) = {
+    val runs = (1 to (warmups + 2)).map { _ =>
       val t0 = System.nanoTime()
       val err = try { run(); None } catch {
         case e: Throwable =>
@@ -126,7 +138,9 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    // an error on ANY run (warm-up included) reddens the record; the timed
+    // pair is the post-warm-up runs only
+    (name, runs.drop(warmups).map(_._1).min, runs.flatMap(_._2).headOption)
   }
 
   /** Minimal extraction of the `"queries":{...}` object from a prior bench

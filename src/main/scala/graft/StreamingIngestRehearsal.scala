@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * footprint an operator would capacity-plan against.
   *
   * Run: `runMain graft.StreamingIngestRehearsal <fixtureDir> [nBatches]
-  * [batchDocs]` — e.g. target/sf10_rehearsal (500k docs). The run stops and
-  * restarts the streaming query halfway through the batch list from its
-  * checkpoint, so the measured loop includes a real recovery. Emits one
-  * JSON line: per-batch seconds, steady-state median, match volume, and
+  * [batchDocs] [compactEvery]` — e.g. target/sf10_rehearsal (500k docs).
+  * The run stops and restarts the streaming query halfway through the
+  * batch list from its checkpoint, so the measured loop includes a real
+  * recovery. `compactEvery=k` (default 0 = off) triggers DedupIndex
+  * compaction MID-RUN after every k-th append, on the stream's own thread
+  * between micro-batches — the single-writer discipline the swap requires
+  * (VERDICT r9 #5); compaction seconds are reported separately so the
+  * per-batch latency comparison stays clean. Emits one JSON line:
+  * per-batch seconds, steady-state median, match volume, and
   * index/store/checkpoint bytes.
   */
 object StreamingIngestRehearsal {
@@ -27,6 +32,7 @@ object StreamingIngestRehearsal {
     val fixture = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val batchDocs = args.lift(2).map(_.toInt).getOrElse(1000)
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
@@ -68,6 +74,7 @@ object StreamingIngestRehearsal {
     }
 
     val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def startQuery() = spark.readStream
       .schema(spark.read.parquet(inDir).schema)
       .option("maxFilesPerTrigger", 1)
@@ -88,6 +95,17 @@ object StreamingIngestRehearsal {
         analytics.DedupIndex.appendText(spark, idx, recs, "doc_id", "text")
         perBatch.synchronized {
           perBatch += (((System.nanoTime() - bt0) / 1e9, created, matches))
+        }
+        // mid-run compaction (VERDICT r9 #5): runs HERE, on the stream's
+        // processing thread between micro-batches — no query or append is
+        // in flight across the swap (the single-writer contract swapIn
+        // documents). The NEXT batch's query reads the compacted layout.
+        if (compactEvery > 0 && perBatch.size % compactEvery == 0) {
+          val ct0 = System.nanoTime()
+          analytics.DedupIndex.compactText(spark, idx)
+          compactions.synchronized {
+            compactions += ((perBatch.size, (System.nanoTime() - ct0) / 1e9))
+          }
         }
         ()
       }.start()
@@ -119,6 +137,9 @@ object StreamingIngestRehearsal {
       s""""steady_median_sec":${f"$median%.2f"},""" +
       s""""nodes_created":${perBatch.map(_._2).sum},""" +
       s""""dup_matches":${perBatch.map(_._3).sum},""" +
+      s""""compactions":[${compactions.map { case (b, s) =>
+        s"""{"after_batch":$b,"sec":${f"$s%.2f"}}"""
+      }.mkString(",")}],""" +
       s""""index_bytes":${dirBytes(idx)},"store_bytes":${dirBytes(store)},""" +
       s""""checkpoint_bytes":${dirBytes(chk)}}""")
     spark.stop()

@@ -88,8 +88,17 @@ object DedupIndex {
     * layout) replaces `live` via two same-filesystem renames. The store of
     * record is never the only copy mid-operation: until the first rename
     * the old layout is live and untouched; between the renames both layouts
-    * exist on disk (a crash leaves `<live>.__old` to recover from); the old
-    * copy is deleted only after the new one is in place. */
+    * exist on disk (a crash leaves `<live>.__old` to recover from — see
+    * [[recoverIfNeeded]]); the old copy is deleted only after the new one
+    * is in place.
+    *
+    * CONCURRENCY CONTRACT (ADVICE r9 #3): between the two renames the live
+    * path briefly does not exist — compaction requires the SINGLE-WRITER /
+    * NO-CONCURRENT-READER discipline the store already demands of appends
+    * (one maintenance owner; quiesce queries across the swap, as the
+    * composed streaming loop does by compacting between micro-batches on
+    * the stream's own thread). Readers that still race a crash or an
+    * external compactor recover via [[recoverIfNeeded]] at open. */
   private def swapIn(live: String, tmp: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def deleteRec(p: java.nio.file.Path): Unit =
@@ -103,6 +112,31 @@ object DedupIndex {
     Files.move(liveP, oldP, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmpP, liveP, StandardCopyOption.ATOMIC_MOVE)
     deleteRec(oldP)
+  }
+
+  /** Startup recovery for a crash inside [[swapIn]]'s rename window
+    * (ADVICE r9 #3): if the live layout is missing but `<live>.__old`
+    * exists, the crash happened after the first rename — restore the old
+    * layout (it was complete and untouched). Called by every open path
+    * (query/append/compact), so a crashed compaction never needs manual
+    * surgery. A leftover `.__old` NEXT TO a live layout is the post-swap
+    * crash case — the live copy is the newer truth; leave deletion to the
+    * next swap. */
+  private def recoverIfNeeded(live: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val liveP = Paths.get(live); val oldP = Paths.get(live + ".__old")
+    if (!Files.exists(liveP) && Files.exists(oldP)) {
+      System.err.println(s"[dedup-index] $live missing with .__old present " +
+        "(crash inside a compaction swap) — restoring the pre-compaction layout")
+      Files.move(oldP, liveP, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def recoverText(path: String): Unit = {
+    recoverIfNeeded(s"$path/text_base"); recoverIfNeeded(s"$path/text_buckets")
+  }
+  private def recoverEmbedding(path: String): Unit = {
+    recoverIfNeeded(s"$path/emb_vectors"); recoverIfNeeded(s"$path/emb_buckets")
   }
 
   // ------------------------------------------------------------ text side --
@@ -128,7 +162,24 @@ object DedupIndex {
   def appendText(spark: SparkSession, path: String, newDocs: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 1, k: Int = 64, bands: Int = 8): Unit = {
+    recoverText(path)
     checkManifest(path, "text_manifest.properties", textGeom(shingleN, k, bands))
+    // legacy (pre-manifest) store: VERIFY the derivable geometry BEFORE
+    // appending (ADVICE r9 #4) — the bks array length IS the build's
+    // bands. Without this, a wrong-bands append would both write
+    // mixed-geometry bucket rows and then enshrine the wrong geometry as
+    // the store's manifest truth. shingleN/k are not derivable from the
+    // layout; the retrofit below records the caller's values for them.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)
+        .resolve("text_manifest.properties"))) {
+      val storedBands = spark.read.parquet(s"$path/text_buckets")
+        .select(size(col("bks")).as("n")).limit(1).collect()
+        .headOption.map(_.getInt(0))
+      storedBands.foreach(b => require(b == bands,
+        s"legacy index at $path was built with bands=$b but this append " +
+          s"passes bands=$bands — appending would mix hash geometries; " +
+          "rebuild the index or pass the store's geometry"))
+    }
     val existing = spark.read.parquet(s"$path/text_base").select(col("id"))
     val fresh = newDocs
       .join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
@@ -155,6 +206,7 @@ object DedupIndex {
   def queryText(spark: SparkSession, path: String, arrivals: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 1, k: Int = 64,
       bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    recoverText(path)
     checkManifest(path, "text_manifest.properties", textGeom(shingleN, k, bands))
     val hBuckets = spark.read.parquet(s"$path/text_buckets")
     val hBase = spark.read.parquet(s"$path/text_base")
@@ -235,7 +287,25 @@ object DedupIndex {
     * [[appendText]] contract for vectors. */
   def appendEmbedding(spark: SparkSession, path: String, newVecs: DataFrame,
       idCol: String, vecCol: String, tables: Int, nBits: Int, dim: Int): Unit = {
+    recoverEmbedding(path)
     checkManifest(path, "emb_manifest.properties", embGeom(tables, nBits, dim))
+    // legacy (pre-manifest) store: verify the derivable geometry before
+    // appending (ADVICE r9 #4) — bkts length = tables, vec length = dim.
+    // nBits is not derivable; the retrofit records the caller's value.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)
+        .resolve("emb_manifest.properties"))) {
+      val stored = spark.read.parquet(s"$path/emb_buckets")
+        .select(size(col("bkts")).as("t")).limit(1).collect().headOption
+      stored.foreach(r => require(r.getInt(0) == tables,
+        s"legacy index at $path was built with tables=${r.getInt(0)} but " +
+          s"this append passes tables=$tables — appending would mix hash " +
+          "geometries; rebuild the index or pass the store's geometry"))
+      val storedDim = spark.read.parquet(s"$path/emb_vectors")
+        .select(size(col("vec")).as("d")).limit(1).collect().headOption
+      storedDim.foreach(r => require(r.getInt(0) == dim,
+        s"legacy index at $path stores dim=${r.getInt(0)} vectors but this " +
+          s"append passes dim=$dim — rebuild or pass the store's geometry"))
+    }
     val existing = spark.read.parquet(s"$path/emb_vectors").select(col("id"))
     val fresh = newVecs
       .join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
@@ -264,6 +334,7 @@ object DedupIndex {
     * cadence, not per batch — the query path works either way, compaction
     * buys back scan locality and file-listing overhead. */
   def compactText(spark: SparkSession, path: String): Unit = {
+    recoverText(path)
     // ADVICE r8 #2: compact into a FRESH directory, then atomically swap —
     // never overwrite the live store in place. The old read-checkpoint-
     // overwrite form held the only copy in executor storage with truncated
@@ -283,6 +354,7 @@ object DedupIndex {
   /** [[compactText]] for the embedding store (same write-to-temp + atomic
     * swap posture). */
   def compactEmbedding(spark: SparkSession, path: String): Unit = {
+    recoverEmbedding(path)
     spark.read.parquet(s"$path/emb_vectors")
       .repartitionByRange(col("id")).sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$path/emb_vectors.__compact")
@@ -375,6 +447,7 @@ object DedupIndex {
   def queryEmbedding(spark: SparkSession, path: String, arrivals: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       tables: Int, nBits: Int, dim: Int): DataFrame = {
+    recoverEmbedding(path)
     checkManifest(path, "emb_manifest.properties", embGeom(tables, nBits, dim))
     val hBuckets = spark.read.parquet(s"$path/emb_buckets")
     val hVecs = spark.read.parquet(s"$path/emb_vectors")

@@ -30,12 +30,19 @@ object GraphAlgorithms {
     * scale. */
   def sizedPartitions(g: PropertyGraph, targetBytes: Long = 64L << 20,
       floor: Int = 8): Int = {
-    // Leaves with no real estimate (LogicalRDD from localCheckpoint)
-    // report defaultSizeInBytes ≈ Long.MaxValue — treat those as unknown
-    // rather than letting one sentinel saturate the count.
+    // LogicalRDD leaves (localCheckpoint output) carry NO real estimate:
+    // they report either defaultSizeInBytes ≈ Long.MaxValue or an
+    // attribute-width × row-count guess that wildly inflates map/string
+    // columns — round 10 measured a 5k-node checkpointed projection
+    // "estimated" at 74 GB, which sized GraphX to 1192 partitions and
+    // turned a 1.4 s pageRank into 146 s of pure task scheduling. Exclude
+    // them from the byte signal entirely (file scans, ranges and local
+    // relations keep their believable stats); a checkpoint-only graph
+    // falls through to the RDD-partition fallback below.
     val unknown = BigInt(Long.MaxValue) / 4
     def leafBytes(df: DataFrame): Seq[BigInt] =
       df.queryExecution.optimizedPlan.collectLeaves()
+        .filterNot(_.getClass.getSimpleName.contains("LogicalRDD"))
         .map(_.stats.sizeInBytes).filter(_ < unknown)
     val known = leafBytes(g.nodes) ++ leafBytes(g.edges)
     if (known.nonEmpty)
@@ -350,6 +357,42 @@ object GraphAlgorithms {
         .select("node", "dist").iterCheckpoint()
       dist = merged
     }
+    dist
+  }
+
+  /** [[weightedSSSP]] run to CONVERGENCE: frontier-only relaxation rounds
+    * until no distance improves — with non-negative integer weights the
+    * fixpoint IS the dijkstra answer, which is what lets the engine expose
+    * this as `gds.allShortestPaths.dijkstra.stream`. One O(1) emptiness
+    * probe per round adjudicates the stop (round count is bounded by the
+    * weighted-path hop diameter, the same driver-side loop class as
+    * [[minLabelPropagation]]); the hard `maxRounds` cap fails LOUDLY
+    * instead of returning silently-truncated distances. */
+  def weightedSSSPConverged(edges: DataFrame, source: Long,
+      maxRounds: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .iterCheckpoint()
+    var dist = spark.range(1).select(lit(source).as("node"), lit(0L).as("dist"))
+    var frontier = dist
+    var rounds = 0
+    while (rounds < maxRounds && !frontier.isEmpty) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val merged = dist.unionByName(cand)
+        .groupBy("node").agg(min("dist").as("dist")).iterCheckpoint()
+      frontier = merged.join(dist.withColumnRenamed("dist", "__old"),
+          Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("node", "dist").iterCheckpoint()
+      dist = merged
+      rounds += 1
+    }
+    require(frontier.isEmpty,
+      s"weightedSSSPConverged did not reach a fixpoint within $maxRounds " +
+        "rounds — raise {maxIterations} or check for a negative-weight cycle")
     dist
   }
 

@@ -114,6 +114,34 @@ object Similarity {
     lshTopKWithPlanes(corpus, queries, k, portablePlanes(0, nBits, dim),
       corpusId, corpusVec, queryId, queryVec)
 
+  /** Metadata-FILTERED LSH top-k — production "filtered vector search"
+    * (per-tenant corpora, label-scoped retrieval, quality-gated RAG): the
+    * metadata columns join as PART OF the candidate key (bucket +
+    * `filterCols`), so filtering happens INSIDE candidate generation.
+    * The alternative — post-filtering an unfiltered top-k — silently
+    * under-delivers k whenever the filter removes ranked hits; scoring
+    * candidates the filter will discard is also pure waste. At 100 TB the
+    * filter columns ride the same equi-join key as the bucket: zero extra
+    * passes, and a selective filter SHRINKS the collision floor instead
+    * of post-processing it. Both sides must carry every `filterCols`
+    * column under the same name. */
+  def lshTopKFilteredPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, dim: Int, filterCols: Seq[String],
+      corpusId: String = "id", corpusVec: String = "vec",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val planes = portablePlanes(0, nBits, dim)
+    val c = corpus.withColumn("__bucket", lshBucket(col(corpusVec), planes))
+    val q = queries.withColumn("__bucket", lshBucket(col(queryVec), planes))
+    val scored = c.join(broadcast(q), Seq("__bucket") ++ filterCols)
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cosine", VectorFunctions.cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((Seq(col(queryId), col("rank"), col(corpusId), col("cosine"))
+        ++ filterCols.map(col)): _*)
+  }
+
   private def lshTopKWithPlanes(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Array[Array[Double]],
       corpusId: String, corpusVec: String,

@@ -273,6 +273,15 @@ object CypherAst {
         case Some(other) => throw new IllegalArgumentException(
           s"procedure config '$key' must be a number, got $other")
       }
+    /** String-valued config (writeProperty, sourceNode, …); a present but
+      * mistyped key raises, same posture as [[confLong]]. */
+    def confString(key: String): Option[String] =
+      config.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v } match {
+        case None => None
+        case Some(s: String) => Some(s)
+        case Some(other) => throw new IllegalArgumentException(
+          s"procedure config '$key' must be a string, got $other")
+      }
     def has(key: String): Boolean = config.keys.exists(_.equalsIgnoreCase(key))
   }
 
@@ -296,7 +305,17 @@ object CypherAst {
       "gds.nodeSimilarity.stream" -> Seq("key1", "key2", "similarity"),
       "gds.labelPropagation.stream" -> Seq("key", "communityKey"),
       "gds.fastRP.stream" -> Seq("key", "e0", "e1", "e2", "e3"),
-      "gds.hits.stream" -> Seq("key", "authority", "hub"))
+      "gds.hits.stream" -> Seq("key", "authority", "hub"),
+      // write-mode procedures: compute over the (projected) graph, write a
+      // node property back into the STORE by key, yield summary counters —
+      // the other half of the GDS lifecycle (stream reads, write persists)
+      "gds.degree.write" -> Seq("nodePropertiesWritten", "writeProperty"),
+      "gds.wcc.write" ->
+        Seq("nodePropertiesWritten", "componentCount", "writeProperty"),
+      // single-source shortest paths, GDS's dijkstra surface: node identity
+      // by key, integer weights from a relationship property
+      "gds.allShortestPaths.dijkstra.stream" ->
+        Seq("sourceKey", "targetKey", "totalCost"))
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))

@@ -549,6 +549,12 @@ object CypherParser {
           next() match {
             case Sym("=") => replaces += v
             case Sym("+") => expectSym("=")
+            // label mutation (VERDICT r9 #4): same single-label stance as
+            // the pattern grammar, rejected typed
+            case Sym(":") => fail(s"SET $v:Label is not supported — this " +
+              "engine's nodes carry exactly one immutable label (the " +
+              "label is the store's partition key; SURVEY §1.4). Model " +
+              "secondary labels as a property: SET " + v + ".tag = '…'")
             case t => fail(s"expected = or += after SET $v, got $t")
           }
           expectSym("{")
@@ -908,6 +914,16 @@ object CypherParser {
         case _ =>
       }
       if (peek.contains(Sym(":"))) { next(); l = Some(ident()) }
+      // multi-label stance (VERDICT r9 #4): nodes carry exactly ONE label
+      // in this engine — the label IS the store partition (SURVEY §1.4),
+      // which is what makes label scans partition-pruned file reads at
+      // 100 TB. A second `:Label` is rejected TYPED here rather than
+      // falling into a generic parse failure.
+      if (peek.contains(Sym(":")))
+        fail(s"multi-label patterns (:${l.get}:…) are not supported — " +
+          "this engine's nodes carry exactly one label (the label is the " +
+          "store's partition key; SURVEY §1.4). Model secondary labels " +
+          "as a property and filter on it instead")
       if (peek.contains(Sym("{"))) {
         next()
         def kv(): (String, Value) = {

@@ -1565,7 +1565,8 @@ final class CypherSession(
       // the whole store; an unknown name fails typed. Everything else
       // takes no positional arguments (gds.graph.* validates its own).
       val pgraph: PropertyGraph =
-        if (p.name.startsWith("gds.") && p.name.endsWith(".stream")) {
+        if (p.name.startsWith("gds.") &&
+            (p.name.endsWith(".stream") || p.name.endsWith(".write"))) {
           require(p.args.size <= 1, s"${p.name} takes at most one " +
             s"positional argument (a projected graph name), got ${p.args}")
           p.args.headOption match {
@@ -1593,6 +1594,26 @@ final class CypherSession(
         .join(pgraph.nodes.select(col("id").as("dstId"), col("key").as("dst")),
           Seq("dstId"))
         .select(col("src"), col("dst"))
+      // gds.*.write store mutation: `vals` is (id, __wval) over the
+      // PROJECTED node set; the write is one set-oriented left join + map
+      // rewrite over the store's nodes (never per-row), any existing value
+      // under the key dropped first (map_concat rejects duplicate keys).
+      // localCheckpoint pins the mutated side the same way MERGE's
+      // lineage compaction does, so repeated writes stay O(1)-planned.
+      def writeNodeProperty(prop: String, vals: DataFrame): Long = {
+        val n = vals.count()
+        val updated = graph.nodes.join(vals, Seq("id"), "left")
+          .withColumn("props",
+            when(col("__wval").isNotNull,
+              map_concat(
+                map_filter(col("props"), (k, _) => k =!= prop),
+                map(lit(prop), col("__wval"))))
+            .otherwise(col("props")))
+          .drop("__wval")
+          .localCheckpoint(true)
+        graph = graph.copy(nodes = updated)
+        n
+      }
       // a '*'/label/label-list projection spec → None = all, Some = the set
       def specSet(arg: Any, what: String): Option[Seq[String]] = arg match {
         case "*" => None
@@ -1824,6 +1845,83 @@ final class CypherSession(
           graft.analytics.GraphAlgorithms.hits(edgeKeys,
               rounds = p.confLong("hitsIterations", 2L).toInt)
             .withColumnRenamed("id", "key")
+        // ---- write-mode procedures (the persist half of the GDS
+        // lifecycle): compute over the projection, write the result back
+        // into the STORE's property bag by internal node id — exactly the
+        // projected node set, as GDS writes it. The store mutation is one
+        // set-oriented left join + map rewrite (never per-row), pinned
+        // with the same snapshot posture as gds.graph.project.
+        case "gds.degree.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.degree.write requires " +
+              "{writeProperty: '…'} — GDS has no default write property"))
+          val deg = pgraph.edges.select(col("srcId").as("id"))
+            .union(pgraph.edges.select(col("dstId").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("__wval"))
+          val vals = pgraph.nodes.select(col("id"))
+            .join(deg, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("__wval"), lit(0L)).cast("string").as("__wval"))
+          val written = writeNodeProperty(wp, vals)
+          spark.range(1).select(lit(written).as("nodePropertiesWritten"),
+            lit(wp).as("writeProperty"))
+        case "gds.wcc.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.wcc.write requires " +
+              "{writeProperty: '…'} — GDS has no default write property"))
+          // component identity = the min member key (the engine-independent
+          // contract gds.wcc.stream already pins), stored as the property
+          val comps = graft.analytics.GraphAlgorithms.connectedComponents(pgraph)
+          val keyed = comps.join(
+              comps.groupBy("component").agg(min("key").as("componentKey")),
+              Seq("component"))
+          val nComp = keyed.select(col("componentKey")).distinct().count()
+          val written = writeNodeProperty(wp,
+            keyed.select(col("id"), col("componentKey").as("__wval")))
+          spark.range(1).select(lit(written).as("nodePropertiesWritten"),
+            lit(nComp).as("componentCount"), lit(wp).as("writeProperty"))
+        // ---- single-source shortest paths (GDS's dijkstra surface).
+        // Engine form: frontier-only relaxation to CONVERGENCE (delta
+        // Bellman-Ford — each round's shuffle carries only the improving
+        // edge set; with non-negative weights the fixpoint IS the dijkstra
+        // answer). Weights are exact integers from a relationship property
+        // ({relationshipWeightProperty}; absent → every edge costs 1), so
+        // totalCost hashes without a float contract.
+        case "gds.allShortestPaths.dijkstra.stream" =>
+          val srcKey = p.confString("sourceNode").getOrElse(
+            throw new IllegalArgumentException(
+              "gds.allShortestPaths.dijkstra.stream requires {sourceNode: " +
+                "'<key>'} — the source node's key property value"))
+          val wProp = p.confString("relationshipWeightProperty")
+          val srcIds = pgraph.nodes.filter(col("key") === srcKey)
+            .select(col("id")).limit(2).collect()
+          require(srcIds.length == 1,
+            s"sourceNode '$srcKey' matches ${srcIds.length} node(s) in the " +
+              "graph — it must resolve to exactly one")
+          val wCol = wProp match {
+            case Some(prop) => coalesce(
+              element_at(col("props"), prop).cast("long"), lit(1L))
+            case None => lit(1L)
+          }
+          val edges = pgraph.edges.select(col("srcId").as("src"),
+            col("dstId").as("dst"), wCol.as("w"))
+          // an EXPLICIT {maxIterations: n} selects the bounded-relaxation
+          // form (paths of ≤ n edges — x07's replayable semantics, the
+          // form an oracle can recompute); unconfigured, the engine runs
+          // frontier rounds to the fixpoint, which for non-negative
+          // weights is the exact dijkstra answer
+          val dist =
+            if (p.has("maxIterations"))
+              graft.analytics.GraphAlgorithms.weightedSSSP(edges,
+                srcIds.head.getLong(0),
+                rounds = p.confLong("maxIterations", 6L).toInt)
+            else
+              graft.analytics.GraphAlgorithms.weightedSSSPConverged(edges,
+                srcIds.head.getLong(0), maxRounds = 100)
+          dist.join(pgraph.nodes.select(col("id").as("node"),
+              col("key").as("targetKey")), Seq("node"))
+            .select(lit(srcKey).as("sourceKey"), col("targetKey"),
+              col("dist").as("totalCost"))
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =

@@ -4443,6 +4443,112 @@ object AnalyticsCatalog {
            |LEFT JOIN pairs USING (source) LEFT JOIN lp USING (source)
            |ORDER BY name""".stripMargin))
 
+  private val c59 = Entry("c59_cypher_gds_write_mode",
+    (s, dir) => {
+      // GDS write-mode procedures (the persist half of the lifecycle,
+      // round 10): gds.degree.write / gds.wcc.write compute over the
+      // graph and write the result back into the store's property bag by
+      // internal node id — ONE set-oriented left join + map rewrite per
+      // write, never a per-row update. The follow-up MATCH reads the
+      // written properties like any user property, which is the point of
+      // write mode in a Neo4j workflow: compute once, query many times.
+      // Both writes touch every node (articles + publishers); each
+      // publisher star is one WCC component whose identity is the min
+      // member key (gds.wcc.stream's existing contract).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      val dw = sess.run("CALL gds.degree.write({writeProperty: 'deg'})")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect().head
+      val cw = sess.run("CALL gds.wcc.write({writeProperty: 'comp'})")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect().head
+      sess.run(
+        """MATCH (p:Publisher)
+          |RETURN p.name AS name, toInteger(p.deg) AS degree,
+          |  p.comp AS component
+          |ORDER BY name""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .withColumn("deg_written", lit(dw.getLong(0)))
+        .withColumn("comp_written", lit(cw.getLong(0)))
+        .withColumn("n_components", lit(cw.getLong(1)))
+    },
+    Some("""WITH s AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS deg,
+           |    least(MIN(CAST(doc_id AS VARCHAR)), source) AS component
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT
+           |  CAST((SELECT COUNT(*) FROM documents)
+           |    + (SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+           |    AS n_nodes,
+           |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+           |    AS n_comp)
+           |SELECT s.source AS name, s.deg AS degree, s.component AS component,
+           |  tot.n_nodes AS deg_written, tot.n_nodes AS comp_written,
+           |  tot.n_comp AS n_components
+           |FROM s, tot ORDER BY name""".stripMargin))
+
+  private val c60 = Entry("c60_cypher_gds_dijkstra",
+    (s, dir) => {
+      // gds.allShortestPaths.dijkstra.stream over a NAMED projection with
+      // a relationship weight property (round 10) — the GDS single-source
+      // shortest-path surface. The graph is x07's deterministic
+      // two-out-degree expander (successor ring + ×3 skip edge, integer
+      // weights from id residues) rebuilt as a property graph whose NEXT
+      // edges carry the weight in props.w, so the oracle replays it as the
+      // same recursive CTE. {maxIterations: 6} selects the bounded
+      // ≤6-edge-path semantics x07 pins (the replayable form); the
+      // unconfigured call runs frontier rounds to the dijkstra fixpoint
+      // (CypherSpec proves the two agree on a converged fixture).
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val nodes = docs.select(lit("Doc").as("label"),
+        col("doc_id").cast("string").as("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+      val ring = docs.select(lit("Doc").as("srcLabel"),
+        col("doc_id").cast("string").as("srcKey"),
+        lit("NEXT").as("relType"), lit("Doc").as("dstLabel"),
+        ((col("doc_id") + 1) % n).cast("string").as("dstKey"),
+        map(lit("w"), (col("doc_id") % 7 + 1).cast("string")).as("props"))
+      // the skip edge gets its OWN relType: at doc_id 0 (and n/2) the ring
+      // and skip edges share (src, dst), and a same-relType MERGE would
+      // collapse the parallel pair to one weight — the projection takes
+      // both types, so the algorithm sees both edges, as x07's union does
+      val skip = docs.select(lit("Doc").as("srcLabel"),
+        col("doc_id").cast("string").as("srcKey"),
+        lit("SKIP3").as("relType"), lit("Doc").as("dstLabel"),
+        ((col("doc_id") * 3 + 1) % n).cast("string").as("dstKey"),
+        map(lit("w"), (col("doc_id") % 5 + 2).cast("string")).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(nodes).mergeEdgesByKey(ring).mergeEdgesByKey(skip)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id"))
+      sess.run("CALL gds.graph.project('ring', 'Doc', ['NEXT', 'SKIP3'])")
+      sess.run(
+        """CALL gds.allShortestPaths.dijkstra.stream('ring',
+          |  {sourceNode: '0', relationshipWeightProperty: 'w',
+          |   maxIterations: 6})
+          |YIELD targetKey, totalCost
+          |RETURN targetKey, totalCost
+          |ORDER BY totalCost, targetKey LIMIT 25""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH RECURSIVE
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst,
+           |    doc_id % 7 + 1 AS w FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 3 + 1) % n.n, doc_id % 5 + 2
+           |  FROM documents, n),
+           |p(node, dist, hops) AS (
+           |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+           |  UNION ALL
+           |  SELECT e.dst, p.dist + e.w, p.hops + 1
+           |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 6)
+           |SELECT CAST(node AS VARCHAR) AS targetKey, MIN(dist) AS totalCost
+           |FROM p GROUP BY node
+           |ORDER BY totalCost, targetKey LIMIT 25""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -5373,6 +5479,63 @@ object AnalyticsCatalog {
            |QUALIFY rank <= 3
            |ORDER BY q_id, rank""".stripMargin))
 
+  private val v17 = Entry("v17_filtered_ann",
+    (s, dir) => {
+      // Metadata-FILTERED vector search (round 10) — the production
+      // retrieval shape (per-tenant corpora, label-scoped RAG,
+      // quality-gated candidates): the metadata column joins as PART OF
+      // the candidate key (bucket + label), so the filter acts INSIDE
+      // candidate generation. Post-filtering an unfiltered top-k — the
+      // naive composition of v03 + WHERE — silently under-delivers k
+      // whenever the filter removes ranked hits (spec-pinned in
+      // SimilaritySpec); here every returned rank is within the filtered
+      // corpus by construction. Same portable plane family as v03, so the
+      // oracle replays buckets, candidates and ranking exactly.
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label"))
+      Similarity.lshTopKFilteredPortable(corpus, queries, k = 3, nBits = 4,
+          dim = 64, filterCols = Seq("label"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding, label,
+           |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+           |         (p,q) -> p + q)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT i.i, list_transform(range(0, 64), j ->
+           |    CAST(CAST('0x' || substr(md5('0:' || i.i || ':' || j), 1, 15)
+           |      AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 4) i(i)),
+           |b AS (
+           |  SELECT v.vec_id,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+           |        (a,b2) -> a + b2) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS id, q.label AS label,
+           |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q2) -> p + q2)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM v q
+           |  JOIN b bq ON bq.vec_id = q.vec_id
+           |  JOIN b bc ON bc.bucket = bq.bucket
+           |  JOIN v c ON c.vec_id = bc.vec_id AND c.label = q.label
+           |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS INT) AS rank,
+           |  id, cosine, label
+           |FROM scored
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin))
+
   private val v04 = Entry("v04_ann_ivf",
     (s, dir) => {
       // IVF-partitioned ANN (Voronoi cells + nprobe search). The centroid
@@ -5956,6 +6119,134 @@ object AnalyticsCatalog {
            |  FROM documents)
            |GROUP BY canonical_url ORDER BY canonical_url LIMIT 200""".stripMargin))
 
+  private val t25 = Entry("t25_bpe_encode",
+    (s, dir) => {
+      // True fixed-merges BPE ENCODING (VERDICT r9 #6): the codegen'd
+      // Bpe.encode kernel applies the ordered merges table (the task's
+      // tokenizer artifact) per word in one array pass — where t05 merely
+      // COUNTS pretokens, this materializes the subword stream every
+      // training pipeline ships to the trainer. The census (top 100
+      // subwords) is the vocabulary-coverage check run right after. The
+      // DuckDB oracle replays the merge loop UNROLLED (two replace()
+      // passes per rule on the spaced-symbol form — see Bpe's scaladoc
+      // for why two passes ≡ the kernel's greedy array pass).
+      Tables(s, dir, "documents")
+        .select(explode(
+          graft.functions.NativeExpressions.bpeEncode(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    },
+    Some(s"""WITH words AS (
+            |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            |  FROM documents),
+            |nz AS (SELECT w FROM words WHERE w <> ''),
+            |enc AS (SELECT ${graft.functions.Bpe.oracleSqlExpr("w")} AS s FROM nz),
+            |tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token FROM enc)
+            |SELECT token, COUNT(*) AS n FROM tok
+            |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin))
+
+  private val t26 = Entry("t26_ngram_repetition",
+    (s, dir) => {
+      // Gopher-style N-GRAM repetition signals (round 10; t13 covers the
+      // unigram family, t24 the cross-doc boilerplate census): per doc,
+      // the fraction of content characters claimed by the single most
+      // frequent 2-/3-/4-gram (top-n-gram mass) and by ALL occurrences of
+      // duplicated 5-grams (dup-5-gram mass) — the repetition filters a
+      // Gopher-class pipeline applies before any fuzzy dedup. One explode
+      // + one (doc, gram) hash aggregate per n — map-side combined,
+      // linear in token count, never a self-join — then a per-doc
+      // max/conditional-sum. Gram mass counts token characters (gram
+      // string length minus its n−1 separators) × occurrence count;
+      // overlapping occurrences each count (the cheap sliding-window
+      // definition), replayed identically in the oracle; every fraction
+      // is one IEEE division of exact integers in the same operation
+      // order on both engines.
+      val docs = Tables(s, dir, "documents")
+      val base = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          aggregate(transform(col("t"), w => length(w).cast("long")),
+            lit(0L), (a, x) => a + x).as("chars"))
+      def gramCounts(nv: Int) = base
+        .select(col("doc_id"), col("chars"),
+          explode(when(size(col("t")) >= nv,
+              transform(sequence(lit(1), size(col("t")) - (nv - 1)),
+                i => concat_ws(" ", slice(col("t"), i, lit(nv)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("doc_id"), col("chars"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      def topFrac(nv: Int) = gramCounts(nv)
+        .groupBy("doc_id")
+        .agg(max(col("c") * (length(col("g")) - (nv - 1))).as("mass"),
+          first(col("chars")).as("chars2"))
+        .select(col("doc_id"),
+          (col("mass").cast("double") / col("chars2").cast("double"))
+            .as(s"top${nv}_frac"))
+      val dup5 = gramCounts(5)
+        .groupBy("doc_id")
+        .agg(coalesce(sum(when(col("c") >= 2,
+            col("c") * (length(col("g")) - 4))), lit(0L)).as("mass"),
+          first(col("chars")).as("chars2"))
+        .select(col("doc_id"),
+          (col("mass").cast("double") / col("chars2").cast("double"))
+            .as("dup5_frac"))
+      base.select(col("doc_id"), col("chars").as("n_chars"))
+        .join(topFrac(2), Seq("doc_id"), "left")
+        .join(topFrac(3), Seq("doc_id"), "left")
+        .join(topFrac(4), Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+          coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+          coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"),
+          coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    CAST(list_sum(list_transform(string_split(text, ' '),
+           |      w -> length(w))) AS BIGINT) AS chars
+           |  FROM documents),
+           |g2 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 2 THEN
+           |    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+           |  ELSE [] END) AS g FROM b),
+           |c2 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+           |t2 AS (SELECT doc_id, MAX(c * (length(g) - 1)) AS mass,
+           |         ANY_VALUE(chars) AS chars FROM c2 GROUP BY 1),
+           |g3 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 3 THEN
+           |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+           |  ELSE [] END) AS g FROM b),
+           |c3 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2, 3),
+           |t3 AS (SELECT doc_id, MAX(c * (length(g) - 2)) AS mass,
+           |         ANY_VALUE(chars) AS chars FROM c3 GROUP BY 1),
+           |g4 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 4 THEN
+           |    list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+           |  ELSE [] END) AS g FROM b),
+           |c4 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2, 3),
+           |t4 AS (SELECT doc_id, MAX(c * (length(g) - 3)) AS mass,
+           |         ANY_VALUE(chars) AS chars FROM c4 GROUP BY 1),
+           |g5 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 5 THEN
+           |    list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+           |  ELSE [] END) AS g FROM b),
+           |c5 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3),
+           |d5 AS (SELECT doc_id,
+           |         COALESCE(SUM(CASE WHEN c >= 2 THEN c * (length(g) - 4) END),
+           |           0) AS mass,
+           |         ANY_VALUE(chars) AS chars FROM c5 GROUP BY 1)
+           |SELECT b.doc_id, b.chars AS n_chars,
+           |  COALESCE(CAST(t2.mass AS DOUBLE) / CAST(t2.chars AS DOUBLE), 0.0)
+           |    AS top2_frac,
+           |  COALESCE(CAST(t3.mass AS DOUBLE) / CAST(t3.chars AS DOUBLE), 0.0)
+           |    AS top3_frac,
+           |  COALESCE(CAST(t4.mass AS DOUBLE) / CAST(t4.chars AS DOUBLE), 0.0)
+           |    AS top4_frac,
+           |  COALESCE(CAST(d5.mass AS DOUBLE) / CAST(d5.chars AS DOUBLE), 0.0)
+           |    AS dup5_frac
+           |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+           |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin))
+
   private val t24 = Entry("t24_boilerplate_ngrams",
     (s, dir) => {
       // Boilerplate n-gram detection (the CCNet/RefinedWeb-style pass that
@@ -6001,18 +6292,18 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04, g05, g06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
-    v16,
+    v16, v17,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58,
+    c57, c58, c59, c60,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

@@ -182,6 +182,15 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
     /** Statement classification without execution: EXPLAIN/PROFILE are
       * plan-reads; otherwise parse and dispatch on the AST form. A parse
       * error surfaces HERE (at RUN), not at COMMIT — same as Neo4j. */
+    /** Whether a (write) statement carries a RETURN clause — MERGE … RETURN
+      * n is valid in the mutate grammar but cannot defer to COMMIT. */
+    def writeReturns(query: String): Boolean =
+      graft.cypher.CypherParser.parse(query) match {
+        case m: graft.cypher.CypherAst.MutateStatement =>
+          m.clauses.exists(_.isInstanceOf[graft.cypher.CypherAst.ReturnVars])
+        case _ => false
+      }
+
     def isWriteStatement(query: String): Boolean = {
       val trimmed = query.dropWhile(_.isWhitespace)
       val verb = trimmed.takeWhile(!_.isWhitespace).toUpperCase
@@ -269,14 +278,31 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
               case _ => Map.empty[String, Any]
             }
             if (inTx && isWriteStatement(query)) {
-              // validated above (parse errors fail the RUN, as in Neo4j),
-              // applied at COMMIT; reads in this tx see the committed store
-              txQueue += ((query, params))
-              stream = new Stream(Seq.empty, Iterator.empty,
-                Map("type" -> "w", "t_last" -> 0L, "db" -> "graft",
-                  "deferred_until_commit" -> true))
-            } else stream = toStream(session.run(query, params), legacyDateTime)
-            success(Map("fields" -> stream.fields, "t_first" -> 0L, "qid" -> 0L))
+              // a buffered write carrying RETURN cannot honor its contract:
+              // the rows only exist at COMMIT, after the stream is gone —
+              // Neo4j returns them, so silently streaming zero rows would
+              // be a wrong result. Fail the RUN loudly (ADVICE r9 #2).
+              if (writeReturns(query))
+                failure("Neo.ClientError.Statement.NotSupported",
+                  "a write statement with a RETURN clause cannot be " +
+                    "buffered in an explicit transaction (its rows would " +
+                    "only exist at COMMIT, after the result stream closed) " +
+                    "— run it auto-commit, or drop the RETURN clause")
+              else {
+                // validated above (parse errors fail the RUN, as in Neo4j),
+                // applied at COMMIT; reads in this tx see the committed store
+                txQueue += ((query, params))
+                stream = new Stream(Seq.empty, Iterator.empty,
+                  Map("type" -> "w", "t_last" -> 0L, "db" -> "graft",
+                    "deferred_until_commit" -> true))
+                success(Map("fields" -> stream.fields, "t_first" -> 0L,
+                  "qid" -> 0L))
+              }
+            } else {
+              stream = toStream(session.run(query, params), legacyDateTime)
+              success(Map("fields" -> stream.fields, "t_first" -> 0L,
+                "qid" -> 0L))
+            }
           } catch {
             case NonFatal(e) => failure("Neo.ClientError.Statement.SyntaxError",
               Option(e.getMessage).getOrElse(e.getClass.getName))

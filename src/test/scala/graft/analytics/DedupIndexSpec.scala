@@ -144,6 +144,72 @@ class DedupIndexSpec extends SparkTestBase {
     assert(e3.getMessage.contains("tables: store=4 caller=8"))
   }
 
+  test("crash inside the compaction swap window recovers at next open (ADVICE r9 #3)") {
+    val docs = graft.ops.Tables(spark, sfDir, "documents").limit(60)
+    val p = freshPath("swapcrash")
+    DedupIndex.buildText(docs, "doc_id", "text", p)
+    val arrivals = graft.ops.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0).limit(20)
+    val before = DedupIndex.queryText(spark, p, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // simulate the crash between swapIn's two renames: live moved to
+    // .__old, replacement never arrived
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.move(Paths.get(s"$p/text_buckets"),
+      Paths.get(s"$p/text_buckets.__old"), StandardCopyOption.ATOMIC_MOVE)
+    // every open path self-heals: query restores the pre-compaction layout
+    val after = DedupIndex.queryText(spark, p, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    assert(Files.exists(Paths.get(s"$p/text_buckets")))
+    assert(!Files.exists(Paths.get(s"$p/text_buckets.__old")))
+    // append and compact also recover (crash on the other table)
+    Files.move(Paths.get(s"$p/text_base"),
+      Paths.get(s"$p/text_base.__old"), StandardCopyOption.ATOMIC_MOVE)
+    DedupIndex.compactText(spark, p)
+    assert(DedupIndex.queryText(spark, p, arrivals, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq === before)
+  }
+
+  test("legacy (pre-manifest) append verifies derivable geometry BEFORE touching the store (ADVICE r9 #4)") {
+    val docs = graft.ops.Tables(spark, sfDir, "documents").limit(50)
+    val p = freshPath("legacy")
+    DedupIndex.buildText(docs, "doc_id", "text", p, bands = 8)
+    // age the store into a legacy one: drop its manifest
+    val manifest = java.nio.file.Paths.get(p).resolve("text_manifest.properties")
+    java.nio.file.Files.delete(manifest)
+    val rowsBefore = spark.read.parquet(s"$p/text_buckets").count()
+    // a wrong-bands append on the legacy store must FAIL (bks length is
+    // the derivable truth), not write mixed-geometry rows and then
+    // enshrine bands=4 as the manifest
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.appendText(spark, p,
+        graft.ops.Tables(spark, sfDir, "documents").limit(80),
+        "doc_id", "text", bands = 4)
+    }
+    assert(e.getMessage.contains("bands=8") && e.getMessage.contains("bands=4"))
+    assert(spark.read.parquet(s"$p/text_buckets").count() === rowsBefore)
+    assert(!java.nio.file.Files.exists(manifest)) // nothing enshrined
+    // a matching-geometry append retrofits the manifest as before
+    DedupIndex.appendText(spark, p,
+      graft.ops.Tables(spark, sfDir, "documents").limit(80),
+      "doc_id", "text", bands = 8)
+    assert(java.nio.file.Files.exists(manifest))
+
+    // embedding side: wrong tables and wrong dim both fail pre-append
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings").limit(50)
+    val pe = freshPath("legacyEmb")
+    DedupIndex.buildEmbedding(emb, "vec_id", "embedding", pe,
+      tables = 4, nBits = 8, dim = 64)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(pe).resolve("emb_manifest.properties"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.appendEmbedding(spark, pe, emb, "vec_id", "embedding",
+        tables = 8, nBits = 8, dim = 64)
+    }
+    assert(e2.getMessage.contains("tables=4"))
+  }
+
   test("streaming at-ingest loop: query-then-append per micro-batch, replay-safe") {
     // The production shape ask #1 exists for: each arriving batch is
     // matched against the standing store, then merged in — across
@@ -169,6 +235,10 @@ class DedupIndexSpec extends SparkTestBase {
     }
     assert(step(b1) === Seq((1L, 0L, -1L)))          // empty store: clean
     assert(step(b2) === Seq((2L, 1L, 1L)))           // matches batch-1 doc
+    // MID-LOOP compaction (VERDICT r9 #5): the atomic swap happens between
+    // two micro-batches — answers across it are IDENTICAL to the no-
+    // compaction run (b3's assertion is the same either way)
+    DedupIndex.compactText(spark, p)
     assert(step(b3) === Seq((3L, 2L, 1L), (4L, 0L, -1L))) // matches both
     // replay batch 2: already indexed — append is a no-op and the query
     // self-excludes, so doc 2 reports its true duplicates (1 and 3)

@@ -35,6 +35,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(ranks.forall(_.sorted == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("round-10: filtered ANN filters inside candidate generation, never post-filter") {
+    // tenant must alternate WITHIN a cluster (cluster = id%4, so id%2 would
+    // make every cluster single-tenant and the under-delivery case vacuous)
+    val corpus = clustered.select($"id", $"vec",
+      (($"id" / 4).cast("long") % 2).cast("int").as("tenant"))
+    val queries = corpus.filter($"id" < 6)
+      .select($"id".as("q_id"), $"vec".as("q_vec"), $"tenant")
+    val filtered = Similarity.lshTopKFilteredPortable(corpus, queries, k = 3,
+      nBits = 4, dim = 16, filterCols = Seq("tenant"))
+    // every hit shares the query's tenant
+    val joined = filtered.withColumnRenamed("tenant", "q_tenant")
+      .join(corpus.select($"id", $"tenant".as("c_tenant")), "id")
+    assert(joined.filter($"q_tenant" =!= $"c_tenant").count() === 0)
+    // semantics ≡ per-tenant pre-filtered corpora searched independently
+    val perTenant = Seq(0, 1).map { t =>
+      Similarity.lshTopKPortable(
+        corpus.filter($"tenant" === t).select($"id", $"vec"),
+        queries.filter($"tenant" === t).select($"q_id", $"q_vec"),
+        k = 3, nBits = 4, dim = 16)
+    }.reduce(_ unionByName _)
+      .select($"q_id", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    val got = filtered.select($"q_id", $"rank", $"id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === perTenant)
+    // the naive composition — post-filtering an UNFILTERED top-k — must
+    // under-deliver k for at least one query on this fixture (its ranked
+    // hits include the other tenant's vectors, which the filter then
+    // removes); the in-join form keeps delivering from the filtered pool
+    val post = Similarity.lshTopKPortable(corpus.select($"id", $"vec"),
+        queries.select($"q_id", $"q_vec"), k = 3, nBits = 4, dim = 16)
+      .join(corpus.select($"id", $"tenant".as("c_tenant")), "id")
+      .join(queries.select($"q_id", $"tenant".as("q_tenant")), "q_id")
+      .filter($"c_tenant" === $"q_tenant")
+      .groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    val full = filtered.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(full.exists { case (q, n) => post.getOrElse(q, 0L) < n },
+      s"expected post-filter under-delivery somewhere: post=$post full=$full")
+  }
+
   test("MMR: λ=1 equals plain top-k; λ=0.5 swaps a redundant hit for a diverse one") {
     val corpus = clustered
     val queries = corpus.filter($"id" < 4)

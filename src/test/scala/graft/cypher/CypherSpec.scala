@@ -292,6 +292,125 @@ class CypherSpec extends SparkTestBase {
     assert(noArgs.getMessage.contains("no positional arguments"))
   }
 
+  test("multi-label patterns and SET n:Label reject typed, citing the single-label model") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'alice'})")
+    // MATCH (n:A:B) — typed rejection, not a generic parse failure
+    val m = intercept[IllegalArgumentException](
+      sess.run("MATCH (n:User:Admin) RETURN n"))
+    assert(m.getMessage.contains("multi-label") &&
+      m.getMessage.contains("exactly one label"), m.getMessage)
+    // MERGE/CREATE patterns route through the same node-pattern grammar
+    val c = intercept[IllegalArgumentException](
+      sess.run("CREATE (n:User:Admin {name: 'bob'})"))
+    assert(c.getMessage.contains("multi-label"), c.getMessage)
+    // SET n:Extra — label mutation rejected with the property guidance
+    val s2 = intercept[IllegalArgumentException](
+      sess.run("MATCH (n:User) SET n:Admin"))
+    assert(s2.getMessage.contains("exactly one immutable label"),
+      s2.getMessage)
+    // the store is untouched by the rejected statements
+    assert(sess.graph.nodes.count() === 1)
+  }
+
+  test("round-10: gds.*.write persists node properties readable by MATCH") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("""MERGE (u:User {name: 'bob'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("MERGE (u:User {name: 'carol'})")
+    // degree.write: summary counters, then the property is an ordinary
+    // property to any later MATCH
+    val dw = sess.run("CALL gds.degree.write({writeProperty: 'deg'})")
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(dw.getLong(0) === 4L && dw.getString(1) === "deg")
+    val degs = sess.run(
+      """MATCH (n:User) RETURN n.name AS name, toInteger(n.deg) AS d
+        |ORDER BY name""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toSeq
+    assert(degs === Seq(("alice", 1L), ("bob", 1L), ("carol", 0L)))
+    // wcc.write: componentCount counter + min-member-key identity
+    val cw = sess.run("CALL gds.wcc.write({writeProperty: 'comp'})")
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(cw.getLong(0) === 4L && cw.getLong(1) === 2L &&
+      cw.getString(2) === "comp")
+    val comps = sess.run(
+      "MATCH (n) RETURN n.name AS name, n.comp AS c ORDER BY name")
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(comps("alice") === "alice" && comps("spark") === "alice" &&
+      comps("bob") === "alice" && comps("carol") === "carol")
+    // overwriting the SAME property re-writes cleanly (the map rewrite
+    // drops the old key before concat — no duplicate-map-key failure)
+    sess.run("""MERGE (u:User {name: 'carol'}) MERGE (t:Tech {name: 'flink'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("CALL gds.degree.write({writeProperty: 'deg'})")
+    val carol = sess.run(
+      "MATCH (n:User {name: 'carol'}) RETURN toInteger(n.deg) AS d")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(carol === 1L)
+    // write over a NAMED projection touches only the projected node set
+    sess.run("CALL gds.graph.project('users', 'User', '*')")
+    val pw = sess.run("CALL gds.degree.write('users', {writeProperty: 'udeg'})")
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(pw.getLong(0) === 3L) // alice, bob, carol — never the Tech nodes
+    val untouched = sess.run(
+      "MATCH (t:Tech) WHERE t.udeg IS NULL RETURN count(*) AS n")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(untouched === 2L)
+    // typed reject: a write procedure without its writeProperty
+    val noWp = intercept[IllegalArgumentException](
+      sess.run("CALL gds.wcc.write()"))
+    assert(noWp.getMessage.contains("writeProperty"), noWp.getMessage)
+  }
+
+  test("round-10: gds dijkstra — converged fixpoint, bounded form, typed rejects") {
+    // weighted diamond: the 2-hop a→b→c (cost 2) beats the direct a→c
+    // (cost 5); d hangs off c. Edge weights ride in props.w.
+    val nodes = Seq("a", "b", "c", "d").toDF("key")
+      .select(lit("N").as("label"), col("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+    val edges = Seq(("a", "b", "1"), ("b", "c", "1"), ("a", "c", "5"),
+        ("c", "d", "7")).toDF("srcKey", "dstKey", "w")
+      .select(lit("N").as("srcLabel"), col("srcKey"),
+        lit("R").as("relType"), lit("N").as("dstLabel"), col("dstKey"),
+        map(lit("w"), col("w")).as("props"))
+    val g = PropertyGraph.empty(spark).mergeNodes(nodes).mergeEdgesByKey(edges)
+    val sess = new CypherSession(g, keyProps = Map("N" -> "name"))
+    // unconfigured = frontier rounds to the fixpoint (the dijkstra answer)
+    val exact = sess.run(
+      """CALL gds.allShortestPaths.dijkstra.stream(
+        |  {sourceNode: 'a', relationshipWeightProperty: 'w'})
+        |YIELD targetKey, totalCost
+        |RETURN targetKey, totalCost ORDER BY targetKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
+    assert(exact === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 9L))
+    // {maxIterations: 1} = bounded ≤1-edge-path semantics (x07's form):
+    // c costs 5 via the direct edge, d is not reached at all
+    val bounded = sess.run(
+      """CALL gds.allShortestPaths.dijkstra.stream(
+        |  {sourceNode: 'a', relationshipWeightProperty: 'w',
+        |   maxIterations: 1})
+        |YIELD targetKey, totalCost
+        |RETURN targetKey, totalCost ORDER BY targetKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
+    assert(bounded === Map("a" -> 0L, "b" -> 1L, "c" -> 5L))
+    // no relationshipWeightProperty → every edge costs 1 (hop counts)
+    val hops = sess.run(
+      """CALL gds.allShortestPaths.dijkstra.stream({sourceNode: 'a'})
+        |YIELD targetKey, totalCost
+        |RETURN targetKey, totalCost ORDER BY targetKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
+    assert(hops === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // typed rejects: missing sourceNode; a key that matches no node
+    val noSrc = intercept[IllegalArgumentException](
+      sess.run("CALL gds.allShortestPaths.dijkstra.stream()"))
+    assert(noSrc.getMessage.contains("sourceNode"), noSrc.getMessage)
+    val ghost = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.allShortestPaths.dijkstra.stream({sourceNode: 'zz'})"))
+    assert(ghost.getMessage.contains("matches 0 node"), ghost.getMessage)
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>

@@ -22,6 +22,64 @@ class ExpressionProperties extends SparkTestBase {
   private val pairGen = Gen.zip(tokenGen, tokenGen)
   private val batch = Gen.listOfN(40, pairGen)
 
+  test("BpeEncode kernel == exhaustive reference BPE and == the oracle's double-replace form on random words") {
+    // reference implementation: per rule, loop replace-the-leftmost-pair
+    // until fixpoint — the textbook exhaustive form
+    def reference(word: String): Seq[String] = {
+      var syms = word.map(String.valueOf(_)).toVector
+      Bpe.Merges.foreach { case (x, y) =>
+        var changed = true
+        while (changed) {
+          val i = syms.indices.dropRight(1)
+            .find(i => syms(i) == x && syms(i + 1) == y)
+          i match {
+            case Some(j) =>
+              syms = (syms.take(j) :+ (x + y)) ++ syms.drop(j + 2)
+            case None => changed = false
+          }
+        }
+      }
+      syms
+    }
+    // the oracle's formulation: spaced string, TWO non-overlapping
+    // replaces per rule (see Bpe's scaladoc)
+    def doubleReplace(word: String): Seq[String] = {
+      var s = " " + word.mkString(" ") + " "
+      Bpe.Merges.foreach { case (x, y) =>
+        s = s.replace(s" $x $y ", s" $x$y ")
+        s = s.replace(s" $x $y ", s" $x$y ")
+      }
+      s.trim.split(" ").toSeq
+    }
+    def kernel(word: String): Seq[String] = {
+      val arr = Bpe.encode(org.apache.spark.unsafe.types.UTF8String.fromString(word))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    // fixture vocabulary: full-word merges cascade to single tokens
+    assert(kernel("table") === Seq("table"))
+    assert(kernel("spark window hash") === Seq("spark", "window", "hash"))
+    // adjacent same-rule occurrences ("papa" — the shared-delimiter case
+    // the double-replace exists for)
+    for (w <- Seq("papa", "papapapa", "tata", "aaa", "rorort", "thethe")) {
+      assert(kernel(w) === reference(w), s"kernel vs reference on '$w'")
+      assert(doubleReplace(w) === reference(w), s"doubleReplace vs reference on '$w'")
+    }
+    // random lowercase words over the merge alphabet
+    val gen = Gen.listOfN(12, Gen.oneOf("tablehrowkyvus cnfmpgdiw".toSeq))
+      .map(_.mkString.trim)
+    var seed = Seed(42L)
+    (1 to 300).foreach { _ =>
+      val w = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val words = w.split(" ").filter(_.nonEmpty).toSeq
+      val expect = words.flatMap(reference)
+      assert(kernel(w) === expect, s"kernel on '$w'")
+      assert(words.flatMap(doubleReplace) === expect, s"doubleReplace on '$w'")
+    }
+    // uppercase folds, punctuation separates
+    assert(kernel("Table, SPARK! 42 value") === Seq("table", "spark", "value"))
+  }
+
   test("hashed merge-walk Jaccard equals string-set Jaccard on random token sets") {
     (1L to 5L).foreach { seed =>
       val rows = sample(batch, seed).map { case (a, b) => (a.mkString(" "), b.mkString(" ")) }

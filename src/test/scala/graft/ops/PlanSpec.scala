@@ -469,6 +469,29 @@ class PlanSpec extends SparkTestBase {
     assert(TxBatches.stage(driving.limit(0), 100).isEmpty)
   }
 
+  test("round-10: t25 BPE encode is UDF-free and aggregates map-side") {
+    // the encoder is a codegen'd native expression — a ScalaUDF or python
+    // eval node here would interpret every document of a 100 TB corpus
+    val p = plan("t25_bpe_encode")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // the token census partial-aggregates before the shuffle (the explode
+    // multiplies rows by the per-doc token count)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("round-10: t26 n-gram repetition is UDF-free, map-side combined, join-only") {
+    // four gram families over the same scan: each must partial-aggregate
+    // before its shuffle (the explode multiplies rows by token count) and
+    // the per-doc recombination must be equi-joins — a cartesian or
+    // nested-loop here would be quadratic in the corpus
+    val p = plan("t26_ngram_repetition")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("as-of join is one shuffle + window, never a nested-loop range join") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).select(col("id").as("k"), col("id").cast("timestamp").as("ts"))

@@ -300,6 +300,53 @@ class BoltServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("buffered write with RETURN fails the RUN loudly instead of discarding rows") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 4, range = 3), 0, 0, 0)).contains((5, 4)))
+      c.send(0x01, Map("user_agent" -> "spec/1.0")); c.recv()
+      c.send(0x11, Map.empty[String, Any]); c.recv() // BEGIN
+      // MERGE … RETURN n is valid in the mutate grammar, but its rows
+      // would only exist at COMMIT — the RUN must FAIL, not stream zero
+      // rows and silently discard the result (ADVICE r9 #2)
+      c.send(0x10, "MERGE (u:User {name: 'ada'}) RETURN u",
+        Map.empty[String, Any], Map.empty[String, Any])
+      val f = c.recv()
+      assert((f.tag & 0xFF) == 0x7F, f) // FAILURE
+      val fm = f.fields.head.asInstanceOf[Map[String, Any]]
+      assert(fm("message").toString.contains("RETURN"), fm)
+      // the failure parks the connection (Bolt state machine): RESET,
+      // then a fresh tx with a RETURN-free write buffers and commits
+      c.send(0x10, "MERGE (u:User {name: 'x'})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x7E) // IGNORED until RESET
+      c.send(0x0F); assert((c.recv().tag & 0xFF) == 0x70) // RESET
+      c.send(0x11, Map.empty[String, Any]); c.recv() // BEGIN
+      c.send(0x10, "MERGE (u:User {name: 'ada'})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x3F, Map("n" -> -1L)); c.recv()
+      c.send(0x12) // COMMIT
+      val committed = c.recv()
+      assert((committed.tag & 0xFF) == 0x70)
+      val stats = meta(committed)("stats").asInstanceOf[Map[String, Any]]
+      assert(stats("nodes-created") == 1L)
+      // auto-commit MERGE … RETURN keeps its documented behavior (write
+      // applies, stats summary, no row stream — the pre-existing
+      // documented divergence): only the BUFFERED form now fails
+      c.send(0x10, "MERGE (t:Tech {name: 'spark'}) RETURN t",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert((c.recv().tag & 0xFF) == 0x70)
+      c.send(0x3F, Map("n" -> -1L))
+      val autoSummary = c.recv()
+      assert((autoSummary.tag & 0xFF) == 0x70)
+      val autoStats = meta(autoSummary)("stats").asInstanceOf[Map[String, Any]]
+      assert(autoStats("nodes-created") == 1L)
+      c.close()
+    } finally server.stop()
+  }
+
   test("multi-PULL batched streaming with has_more on a 5.x connection") {
     val (server, port, _) = newServer()
     try {
