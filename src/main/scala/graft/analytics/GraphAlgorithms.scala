@@ -396,6 +396,41 @@ object GraphAlgorithms {
     dist
   }
 
+  /** Per-node triangle counts + degrees + local clustering coefficients
+    * over an UNDIRECTED simple view of a (src, dst) pair list (direction
+    * and duplicate edges ignored, self-loops dropped) — the quantities
+    * `gds.triangleCount.stream` / `gds.localClusteringCoefficient.stream`
+    * yield. Canonical distinct edges under the key's total order, then ONE
+    * 3-way equi-join enumerates each triangle exactly once as a<b<c —
+    * work is the standard Σ per-edge co-degree listing bound, never a
+    * cartesian; per-node attribution is one explode + a map-side-combined
+    * count. lcc(v) = 2·T(v) / (d(v)·(d(v)−1)), 0 when d(v) < 2 — one IEEE
+    * division of exact integers (oracle-replayable). Any orderable key
+    * type works; the enumeration is total-order-invariant. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"),
+        col("degree"),
+        when(col("degree") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coefficient"))
+  }
+
   /** Pairwise Jaccard similarity of out-neighbor sets (the GDS
     * `nodeSimilarity` shape): score(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|, one
     * row per unordered pair with at least one shared neighbor.

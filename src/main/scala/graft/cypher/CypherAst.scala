@@ -315,7 +315,11 @@ object CypherAst {
       // single-source shortest paths, GDS's dijkstra surface: node identity
       // by key, integer weights from a relationship property
       "gds.allShortestPaths.dijkstra.stream" ->
-        Seq("sourceKey", "targetKey", "totalCost"))
+        Seq("sourceKey", "targetKey", "totalCost"),
+      // triangle census family (undirected simple view of the edge list)
+      "gds.triangleCount.stream" -> Seq("key", "triangleCount"),
+      "gds.localClusteringCoefficient.stream" ->
+        Seq("key", "localClusteringCoefficient"))
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))

@@ -1845,6 +1845,24 @@ final class CypherSession(
           graft.analytics.GraphAlgorithms.hits(edgeKeys,
               rounds = p.confLong("hitsIterations", 2L).toInt)
             .withColumnRenamed("id", "key")
+        // ---- triangle census (GDS requires UNDIRECTED orientation for
+        // these; the engine takes the undirected simple view of the edge
+        // list — direction and parallel edges ignored, as gds.graph.
+        // project's UNDIRECTED projection would). Kernel is join-only
+        // (canonical a<b<c listing), never a cartesian.
+        case "gds.triangleCount.stream" =>
+          val t = graft.analytics.GraphAlgorithms.triangleStats(edgeKeys)
+          pgraph.nodes.select(col("key"))
+            .join(t.withColumnRenamed("node", "key"), Seq("key"), "left")
+            .select(col("key"),
+              coalesce(col("triangles"), lit(0L)).as("triangleCount"))
+        case "gds.localClusteringCoefficient.stream" =>
+          val t = graft.analytics.GraphAlgorithms.triangleStats(edgeKeys)
+          pgraph.nodes.select(col("key"))
+            .join(t.withColumnRenamed("node", "key"), Seq("key"), "left")
+            .select(col("key"),
+              coalesce(col("coefficient"), lit(0.0))
+                .as("localClusteringCoefficient"))
         // ---- write-mode procedures (the persist half of the GDS
         // lifecycle): compute over the projection, write the result back
         // into the STORE's property bag by internal node id — exactly the

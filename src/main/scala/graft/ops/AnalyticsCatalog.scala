@@ -4549,6 +4549,79 @@ object AnalyticsCatalog {
            |FROM p GROUP BY node
            |ORDER BY totalCost, targetKey LIMIT 25""".stripMargin))
 
+  private val c61 = Entry("c61_cypher_gds_triangles",
+    (s, dir) => {
+      // gds.triangleCount.stream + gds.localClusteringCoefficient.stream
+      // (round 10) — the triangle-census pair of every GDS tutorial, over
+      // a named projection. The graph is a deterministic ring + skip-2
+      // lattice over the doc_ids (every {i, i+1, i+2} is a triangle → 3
+      // per node) plus a sparse skip-5 perturbation on doc_id % 97 == 0
+      // that leaves triangle counts alone but varies degrees, so the
+      // coefficient column carries real signal. The kernel is the
+      // canonical a<b<c listing join (Σ co-degree work, no cartesian —
+      // PlanSpec) and both engines replay the identical integer algebra;
+      // lcc = 2T/(d(d−1)) is one IEEE division of exact integers.
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      def link(off: Int, filt: Option[org.apache.spark.sql.Column]) = {
+        val base = filt.fold(docs)(docs.filter(_))
+        base.select(lit("Doc").as("srcLabel"),
+          col("doc_id").cast("string").as("srcKey"),
+          lit("LINK").as("relType"), lit("Doc").as("dstLabel"),
+          ((col("doc_id") + off) % n).cast("string").as("dstKey"))
+      }
+      val nodes = docs.select(lit("Doc").as("label"),
+        col("doc_id").cast("string").as("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(nodes)
+        .mergeEdgesByKey(link(1, None))
+        .mergeEdgesByKey(link(2, None))
+        .mergeEdgesByKey(link(5, Some(col("doc_id") % 97 === 0)))
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id"))
+      sess.run("CALL gds.graph.project('tri', 'Doc', 'LINK')")
+      val tc = sess.run(
+        """CALL gds.triangleCount.stream('tri') YIELD key, triangleCount
+          |RETURN key, triangleCount""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+      val lcc = sess.run(
+        """CALL gds.localClusteringCoefficient.stream('tri')
+          |YIELD key, localClusteringCoefficient
+          |RETURN key, localClusteringCoefficient""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+      tc.join(lcc, Seq("key")).orderBy(col("key")).limit(50)
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS s, (doc_id + 1) % n.n AS d FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id + 5) % n.n FROM documents, n
+           |  WHERE doc_id % 97 = 0),
+           |e AS (SELECT DISTINCT
+           |        least(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS a,
+           |        greatest(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS b
+           |      FROM e0 WHERE s <> d),
+           |tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+           |        FROM e ab JOIN e bc ON ab.b = bc.a
+           |        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+           |t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+           |        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+           |        UNION ALL SELECT z FROM tri) GROUP BY node),
+           |deg AS (SELECT node, COUNT(*) AS d FROM (
+           |        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           |      GROUP BY node)
+           |SELECT k.key, COALESCE(t.t, 0) AS triangleCount,
+           |  CASE WHEN deg.d >= 2 THEN CAST(COALESCE(t.t, 0) * 2 AS DOUBLE)
+           |         / CAST(deg.d * (deg.d - 1) AS DOUBLE) ELSE 0.0 END
+           |    AS localClusteringCoefficient
+           |FROM (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents) k
+           |LEFT JOIN t ON t.node = k.key
+           |LEFT JOIN deg ON deg.node = k.key
+           |ORDER BY key LIMIT 50""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -6303,7 +6376,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60,
+    c57, c58, c59, c60, c61,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

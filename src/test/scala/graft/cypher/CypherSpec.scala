@@ -411,6 +411,31 @@ class CypherSpec extends SparkTestBase {
     assert(ghost.getMessage.contains("matches 0 node"), ghost.getMessage)
   }
 
+  test("round-10: gds triangle census — counts, coefficients, undirected simple view") {
+    val sess = freshSession
+    // triangle {a,b,c} + pendant d off c; the reversed duplicate b→a must
+    // NOT change anything (undirected simple view: direction and parallel
+    // edges ignored)
+    Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "a"))
+      .foreach { case (s1, d1) =>
+        sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                    |MERGE (x)-[:L]->(y)""".stripMargin)
+      }
+    val tc = sess.run(
+      """CALL gds.triangleCount.stream() YIELD key, triangleCount
+        |RETURN key, triangleCount ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
+    assert(tc === Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+    val lcc = sess.run(
+      """CALL gds.localClusteringCoefficient.stream()
+        |YIELD key, localClusteringCoefficient AS c
+        |RETURN key, c ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toMap
+    assert(lcc("a") === 1.0 && lcc("b") === 1.0)
+    assert(math.abs(lcc("c") - 2.0 / 6.0) < 1e-15)
+    assert(lcc("d") === 0.0)
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>

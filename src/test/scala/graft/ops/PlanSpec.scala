@@ -480,6 +480,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("round-10: c61 triangle census is equi-join-only listing, no cartesian") {
+    // the a<b<c canonical listing must stay an equi-join chain — a
+    // cartesian/nested-loop here is quadratic in the edge list
+    import org.apache.spark.sql.functions.col
+    import graft.analytics.GraphAlgorithms
+    val pairs = spark.range(300).select(
+      (col("id") % 60).as("src"), ((col("id") % 60) + col("id") % 3 + 1).as("dst"))
+    val p = GraphAlgorithms.triangleStats(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("round-10: t26 n-gram repetition is UDF-free, map-side combined, join-only") {
     // four gram families over the same scan: each must partial-aggregate
     // before its shuffle (the explode multiplies rows by token count) and
