@@ -310,8 +310,14 @@ object CypherAst {
       // node property back into the STORE by key, yield summary counters —
       // the other half of the GDS lifecycle (stream reads, write persists)
       "gds.degree.write" -> Seq("nodePropertiesWritten", "writeProperty"),
+      "gds.pageRank.write" -> Seq("nodePropertiesWritten", "writeProperty"),
       "gds.wcc.write" ->
         Seq("nodePropertiesWritten", "componentCount", "writeProperty"),
+      // source→target form of the dijkstra surface (GDS's
+      // gds.shortestPath.dijkstra): same engine, result filtered to the
+      // one target row
+      "gds.shortestPath.dijkstra.stream" ->
+        Seq("sourceKey", "targetKey", "totalCost"),
       // single-source shortest paths, GDS's dijkstra surface: node identity
       // by key, integer weights from a relationship property
       "gds.allShortestPaths.dijkstra.stream" ->

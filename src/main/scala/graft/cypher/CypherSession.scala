@@ -1883,6 +1883,18 @@ final class CypherSession(
           val written = writeNodeProperty(wp, vals)
           spark.range(1).select(lit(written).as("nodePropertiesWritten"),
             lit(wp).as("writeProperty"))
+        case "gds.pageRank.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.pageRank.write requires " +
+              "{writeProperty: '…'} — GDS has no default write property"))
+          // same 10-superstep 6-dp contract as gds.pageRank.stream (x02),
+          // so write-then-MATCH reads exactly what stream yields
+          val pr = graft.analytics.GraphAlgorithms.pageRank(pgraph, numIter = 10)
+            .select(col("id"),
+              round(col("rank"), 6).cast("string").as("__wval"))
+          val written = writeNodeProperty(wp, pr)
+          spark.range(1).select(lit(written).as("nodePropertiesWritten"),
+            lit(wp).as("writeProperty"))
         case "gds.wcc.write" =>
           val wp = p.confString("writeProperty").getOrElse(
             throw new IllegalArgumentException("gds.wcc.write requires " +
@@ -1905,11 +1917,23 @@ final class CypherSession(
         // answer). Weights are exact integers from a relationship property
         // ({relationshipWeightProperty}; absent → every edge costs 1), so
         // totalCost hashes without a float contract.
-        case "gds.allShortestPaths.dijkstra.stream" =>
+        case "gds.allShortestPaths.dijkstra.stream" |
+             "gds.shortestPath.dijkstra.stream" =>
           val srcKey = p.confString("sourceNode").getOrElse(
             throw new IllegalArgumentException(
-              "gds.allShortestPaths.dijkstra.stream requires {sourceNode: " +
+              s"${p.name} requires {sourceNode: " +
                 "'<key>'} — the source node's key property value"))
+          // the source→target form additionally requires targetNode and
+          // returns exactly that row (absent from the result = unreachable,
+          // as GDS returns an empty stream)
+          val targetKey: Option[String] =
+            if (p.name == "gds.shortestPath.dijkstra.stream")
+              Some(p.confString("targetNode").getOrElse(
+                throw new IllegalArgumentException(
+                  "gds.shortestPath.dijkstra.stream requires {targetNode: " +
+                    "'<key>'} — use gds.allShortestPaths.dijkstra.stream " +
+                    "for the full single-source result")))
+            else None
           val wProp = p.confString("relationshipWeightProperty")
           val srcIds = pgraph.nodes.filter(col("key") === srcKey)
             .select(col("id")).limit(2).collect()
@@ -1936,10 +1960,11 @@ final class CypherSession(
             else
               graft.analytics.GraphAlgorithms.weightedSSSPConverged(edges,
                 srcIds.head.getLong(0), maxRounds = 100)
-          dist.join(pgraph.nodes.select(col("id").as("node"),
+          val full = dist.join(pgraph.nodes.select(col("id").as("node"),
               col("key").as("targetKey")), Seq("node"))
             .select(lit(srcKey).as("sourceKey"), col("targetKey"),
               col("dist").as("totalCost"))
+          targetKey.fold(full)(t => full.filter(col("targetKey") === t))
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =

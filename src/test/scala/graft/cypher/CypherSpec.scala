@@ -358,6 +358,17 @@ class CypherSpec extends SparkTestBase {
       "MATCH (t:Tech) WHERE t.udeg IS NULL RETURN count(*) AS n")
       .asInstanceOf[CypherRows].df.as[Long].collect().head
     assert(untouched === 2L)
+    // pageRank.write rides the same machinery with stream's 6-dp contract:
+    // write-then-MATCH reads exactly what gds.pageRank.stream yields
+    sess.run("CALL gds.pageRank.write({writeProperty: 'pr'})")
+    val written = sess.run(
+      "MATCH (n) RETURN n.name AS name, n.pr AS pr ORDER BY name")
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    val streamed = sess.run(
+      "CALL gds.pageRank.stream() YIELD key, score RETURN key, score")
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toMap
+    assert(streamed.forall { case (k, v) => written(k).toDouble == v },
+      s"written=$written streamed=$streamed")
     // typed reject: a write procedure without its writeProperty
     val noWp = intercept[IllegalArgumentException](
       sess.run("CALL gds.wcc.write()"))
@@ -402,6 +413,24 @@ class CypherSpec extends SparkTestBase {
         |RETURN targetKey, totalCost ORDER BY targetKey""".stripMargin)
       .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
     assert(hops === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // source→target form: exactly the one row; unreachable = empty stream
+    val one = sess.run(
+      """CALL gds.shortestPath.dijkstra.stream(
+        |  {sourceNode: 'a', targetNode: 'd',
+        |   relationshipWeightProperty: 'w'})
+        |YIELD sourceKey, targetKey, totalCost
+        |RETURN sourceKey, targetKey, totalCost""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String, Long)].collect().toSeq
+    assert(one === Seq(("a", "d", 9L)))
+    val unreachable = sess.run(
+      """CALL gds.shortestPath.dijkstra.stream(
+        |  {sourceNode: 'd', targetNode: 'a'})
+        |YIELD targetKey RETURN targetKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.count()
+    assert(unreachable === 0L)
+    val noTarget = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.shortestPath.dijkstra.stream({sourceNode: 'a'})"))
+    assert(noTarget.getMessage.contains("targetNode"), noTarget.getMessage)
     // typed rejects: missing sourceNode; a key that matches no node
     val noSrc = intercept[IllegalArgumentException](
       sess.run("CALL gds.allShortestPaths.dijkstra.stream()"))
