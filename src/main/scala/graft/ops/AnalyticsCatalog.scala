@@ -6235,90 +6235,94 @@ object AnalyticsCatalog {
       // definition), replayed identically in the oracle; every fraction
       // is one IEEE division of exact integers in the same operation
       // order on both engines.
+      // ONE documents scan: the four gram families ride a single tagged
+      // explode (struct(n, gram)), one (doc, n, gram) count, one per-doc
+      // conditional aggregate — no joins anywhere, so the plan is a
+      // straight-line explode→combine pipeline at 100 TB AND the
+      // count()-timed gate measures the real work (a join-recombination
+      // form lets Catalyst eliminate outer joins under count()). Docs too
+      // short for any 2-gram union in as zero rows.
       val docs = Tables(s, dir, "documents")
       val base = docs
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("t"),
           aggregate(transform(col("t"), w => length(w).cast("long")),
             lit(0L), (a, x) => a + x).as("chars"))
-      def gramCounts(nv: Int) = base
+      def gramsArr(nv: Int) = when(size(col("t")) >= nv,
+          transform(sequence(lit(1), size(col("t")) - (nv - 1)),
+            i => struct(lit(nv).as("n"),
+              concat_ws(" ", slice(col("t"), i, lit(nv))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      val counts = base
         .select(col("doc_id"), col("chars"),
-          explode(when(size(col("t")) >= nv,
-              transform(sequence(lit(1), size(col("t")) - (nv - 1)),
-                i => concat_ws(" ", slice(col("t"), i, lit(nv)))))
-            .otherwise(array().cast("array<string>"))).as("g"))
-        .groupBy(col("doc_id"), col("chars"), col("g"))
+          explode(concat(gramsArr(2), gramsArr(3), gramsArr(4), gramsArr(5)))
+            .as("gr"))
+        .select(col("doc_id"), col("chars"), col("gr.n").as("n"),
+          col("gr.g").as("g"))
+        .groupBy(col("doc_id"), col("chars"), col("n"), col("g"))
         .agg(count(lit(1)).as("c"))
-      def topFrac(nv: Int) = gramCounts(nv)
-        .groupBy("doc_id")
-        .agg(max(col("c") * (length(col("g")) - (nv - 1))).as("mass"),
-          first(col("chars")).as("chars2"))
-        .select(col("doc_id"),
-          (col("mass").cast("double") / col("chars2").cast("double"))
-            .as(s"top${nv}_frac"))
-      val dup5 = gramCounts(5)
-        .groupBy("doc_id")
-        .agg(coalesce(sum(when(col("c") >= 2,
-            col("c") * (length(col("g")) - 4))), lit(0L)).as("mass"),
-          first(col("chars")).as("chars2"))
-        .select(col("doc_id"),
-          (col("mass").cast("double") / col("chars2").cast("double"))
-            .as("dup5_frac"))
-      base.select(col("doc_id"), col("chars").as("n_chars"))
-        .join(topFrac(2), Seq("doc_id"), "left")
-        .join(topFrac(3), Seq("doc_id"), "left")
-        .join(topFrac(4), Seq("doc_id"), "left")
-        .join(dup5, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chars"),
-          coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-          coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
-          coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"),
-          coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
-        .orderBy("doc_id")
+      val stats = counts
+        .groupBy(col("doc_id"), col("chars"))
+        .agg(
+          max(when(col("n") === 2, col("c") * (length(col("g")) - 1))).as("m2"),
+          max(when(col("n") === 3, col("c") * (length(col("g")) - 2))).as("m3"),
+          max(when(col("n") === 4, col("c") * (length(col("g")) - 3))).as("m4"),
+          coalesce(sum(when(col("n") === 5 && col("c") >= 2,
+            col("c") * (length(col("g")) - 4))), lit(0L)).as("d5"))
+      val withFracs = stats.select(col("doc_id"), col("chars").as("n_chars"),
+        coalesce(col("m2").cast("double") / col("chars").cast("double"),
+          lit(0.0)).as("top2_frac"),
+        coalesce(col("m3").cast("double") / col("chars").cast("double"),
+          lit(0.0)).as("top3_frac"),
+        coalesce(col("m4").cast("double") / col("chars").cast("double"),
+          lit(0.0)).as("top4_frac"),
+        (col("d5").cast("double") / col("chars").cast("double"))
+          .as("dup5_frac"))
+      val tooShort = base.filter(size(col("t")) < 2)
+        .select(col("doc_id"), col("chars").as("n_chars"),
+          lit(0.0).as("top2_frac"), lit(0.0).as("top3_frac"),
+          lit(0.0).as("top4_frac"), lit(0.0).as("dup5_frac"))
+      withFracs.unionByName(tooShort).orderBy("doc_id")
     },
     Some("""WITH b AS (
            |  SELECT doc_id, string_split(text, ' ') AS t,
            |    CAST(list_sum(list_transform(string_split(text, ' '),
            |      w -> length(w))) AS BIGINT) AS chars
            |  FROM documents),
-           |g2 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 2 THEN
-           |    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
-           |  ELSE [] END) AS g FROM b),
-           |c2 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
-           |t2 AS (SELECT doc_id, MAX(c * (length(g) - 1)) AS mass,
-           |         ANY_VALUE(chars) AS chars FROM c2 GROUP BY 1),
-           |g3 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 3 THEN
-           |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-           |  ELSE [] END) AS g FROM b),
-           |c3 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2, 3),
-           |t3 AS (SELECT doc_id, MAX(c * (length(g) - 2)) AS mass,
-           |         ANY_VALUE(chars) AS chars FROM c3 GROUP BY 1),
-           |g4 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 4 THEN
-           |    list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
-           |  ELSE [] END) AS g FROM b),
-           |c4 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2, 3),
-           |t4 AS (SELECT doc_id, MAX(c * (length(g) - 3)) AS mass,
-           |         ANY_VALUE(chars) AS chars FROM c4 GROUP BY 1),
-           |g5 AS (SELECT doc_id, chars, unnest(CASE WHEN len(t) >= 5 THEN
-           |    list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
-           |  ELSE [] END) AS g FROM b),
-           |c5 AS (SELECT doc_id, chars, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3),
-           |d5 AS (SELECT doc_id,
-           |         COALESCE(SUM(CASE WHEN c >= 2 THEN c * (length(g) - 4) END),
-           |           0) AS mass,
-           |         ANY_VALUE(chars) AS chars FROM c5 GROUP BY 1)
-           |SELECT b.doc_id, b.chars AS n_chars,
-           |  COALESCE(CAST(t2.mass AS DOUBLE) / CAST(t2.chars AS DOUBLE), 0.0)
-           |    AS top2_frac,
-           |  COALESCE(CAST(t3.mass AS DOUBLE) / CAST(t3.chars AS DOUBLE), 0.0)
-           |    AS top3_frac,
-           |  COALESCE(CAST(t4.mass AS DOUBLE) / CAST(t4.chars AS DOUBLE), 0.0)
-           |    AS top4_frac,
-           |  COALESCE(CAST(d5.mass AS DOUBLE) / CAST(d5.chars AS DOUBLE), 0.0)
-           |    AS dup5_frac
-           |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
-           |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
-           |ORDER BY b.doc_id""".stripMargin))
+           |g AS (
+           |  SELECT doc_id, chars, 2 AS n, unnest(CASE WHEN len(t) >= 2 THEN
+           |      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+           |    ELSE [] END) AS g FROM b
+           |  UNION ALL
+           |  SELECT doc_id, chars, 3, unnest(CASE WHEN len(t) >= 3 THEN
+           |      list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+           |    ELSE [] END) FROM b
+           |  UNION ALL
+           |  SELECT doc_id, chars, 4, unnest(CASE WHEN len(t) >= 4 THEN
+           |      list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+           |    ELSE [] END) FROM b
+           |  UNION ALL
+           |  SELECT doc_id, chars, 5, unnest(CASE WHEN len(t) >= 5 THEN
+           |      list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+           |    ELSE [] END) FROM b),
+           |c AS (SELECT doc_id, chars, n, g, COUNT(*) AS c
+           |      FROM g GROUP BY 1, 2, 3, 4),
+           |st AS (SELECT doc_id, chars,
+           |    MAX(CASE WHEN n = 2 THEN c * (length(g) - 1) END) AS m2,
+           |    MAX(CASE WHEN n = 3 THEN c * (length(g) - 2) END) AS m3,
+           |    MAX(CASE WHEN n = 4 THEN c * (length(g) - 3) END) AS m4,
+           |    COALESCE(SUM(CASE WHEN n = 5 AND c >= 2
+           |      THEN c * (length(g) - 4) END), 0) AS d5
+           |  FROM c GROUP BY doc_id, chars)
+           |SELECT doc_id, chars AS n_chars,
+           |  COALESCE(CAST(m2 AS DOUBLE) / CAST(chars AS DOUBLE), 0.0) AS top2_frac,
+           |  COALESCE(CAST(m3 AS DOUBLE) / CAST(chars AS DOUBLE), 0.0) AS top3_frac,
+           |  COALESCE(CAST(m4 AS DOUBLE) / CAST(chars AS DOUBLE), 0.0) AS top4_frac,
+           |  CAST(d5 AS DOUBLE) / CAST(chars AS DOUBLE) AS dup5_frac
+           |FROM st
+           |UNION ALL
+           |SELECT doc_id, chars, 0.0, 0.0, 0.0, 0.0 FROM b WHERE len(t) < 2
+           |ORDER BY doc_id""".stripMargin))
 
   private val t24 = Entry("t24_boilerplate_ngrams",
     (s, dir) => {

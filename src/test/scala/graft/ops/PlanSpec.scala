@@ -493,16 +493,16 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("round-10: t26 n-gram repetition is UDF-free, map-side combined, join-only") {
-    // four gram families over the same scan: each must partial-aggregate
-    // before its shuffle (the explode multiplies rows by token count) and
-    // the per-doc recombination must be equi-joins — a cartesian or
-    // nested-loop here would be quadratic in the corpus
+  test("round-10: t26 n-gram repetition is UDF-free, map-side combined, JOIN-FREE") {
+    // all four gram families ride ONE tagged explode over one documents
+    // scan, recombined by conditional aggregation — no join anywhere (a
+    // join-recombination form both multiplies scans and lets Catalyst
+    // eliminate outer joins under count()-timed gates), and the (doc, n,
+    // gram) census partial-aggregates before its shuffle
     val p = plan("t26_ngram_repetition")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("as-of join is one shuffle + window, never a nested-loop range join") {
