@@ -401,4 +401,18 @@ object CypherAst {
   final case class CallInTransactions(loads: Seq[LoadCsv],
     unwinds: Seq[Unwind], imports: Seq[String], inner: MutateStatement,
     batchRows: Long) extends Statement
+
+  /** Schema DDL — the uniqueness-constraint surface every Neo4j import
+    * script opens with (`CREATE CONSTRAINT … FOR (n:L) REQUIRE n.p IS
+    * UNIQUE`). Single-label store model: a constraint on the label's KEY
+    * property is satisfied by construction (MERGE identity); on any other
+    * property the live data is VALIDATED at creation. Either way the
+    * constraint is ENFORCED against later `CREATE` statements, which are
+    * the only write path that can mint duplicates. */
+  final case class CreateConstraint(name: Option[String],
+    ifNotExists: Boolean, varName: String, label: String,
+    prop: String) extends Statement
+  final case class DropConstraint(name: String,
+    ifExists: Boolean) extends Statement
+  case object ShowConstraints extends Statement
 }

@@ -184,9 +184,83 @@ object CypherParser {
             pos = save
             statementFromPipeline()
         }
-      case Some(Kw("MERGE")) | Some(Kw("CREATE")) => mutateStatement()
+      case Some(Kw("CREATE")) =>
+        // `CREATE CONSTRAINT …` is schema DDL, not a node pattern
+        val save = pos
+        next()
+        peek match {
+          case Some(Ident(c)) if c.equalsIgnoreCase("constraint") =>
+            next(); createConstraintStatement()
+          case _ => pos = save; mutateStatement()
+        }
+      case Some(Kw("MERGE")) => mutateStatement()
+      case Some(Ident(s)) if s.equalsIgnoreCase("show") =>
+        next()
+        peek match {
+          case Some(Ident(c)) if c.equalsIgnoreCase("constraints") =>
+            next(); ShowConstraints
+          case t => fail(s"SHOW supports CONSTRAINTS, got $t")
+        }
+      case Some(Ident(d)) if d.equalsIgnoreCase("drop") =>
+        next()
+        peek match {
+          case Some(Ident(c)) if c.equalsIgnoreCase("constraint") =>
+            next()
+            val nm = ident()
+            val ifExists = peek match {
+              case Some(Ident(i2)) if i2.equalsIgnoreCase("if") =>
+                next(); expectKw("EXISTS"); true
+              case _ => false
+            }
+            DropConstraint(nm, ifExists)
+          case t => fail(s"DROP supports CONSTRAINT <name> [IF EXISTS], got $t")
+        }
       case t => fail(s"statement must start with MATCH, UNWIND, LOAD CSV, " +
-        s"MERGE, CREATE or RETURN, got $t")
+        s"MERGE, CREATE, SHOW, DROP or RETURN, got $t")
+    }
+
+    /** `CREATE CONSTRAINT [name] [IF NOT EXISTS] FOR (n:Label) REQUIRE
+      * n.prop IS UNIQUE` — the only constraint type this engine supports
+      * (uniqueness is what the single-label key model can enforce); other
+      * REQUIRE forms fail typed. */
+    private def createConstraintStatement(): Statement = {
+      var name: Option[String] = None
+      var ifNotExists = false
+      peek match {
+        case Some(Ident(n)) if !n.equalsIgnoreCase("for") &&
+            !n.equalsIgnoreCase("if") =>
+          next(); name = Some(n)
+        case _ =>
+      }
+      peek match {
+        case Some(Ident(n)) if n.equalsIgnoreCase("if") =>
+          next(); expectKw("NOT"); expectKw("EXISTS"); ifNotExists = true
+        case _ =>
+      }
+      peek match {
+        case Some(Ident(f)) if f.equalsIgnoreCase("for") => next()
+        case t => fail(s"expected FOR in CREATE CONSTRAINT, got $t")
+      }
+      expectSym("(")
+      val v = ident(); expectSym(":"); val label = ident()
+      expectSym(")")
+      peek match {
+        case Some(Ident(r)) if r.equalsIgnoreCase("require") => next()
+        case t => fail(s"expected REQUIRE in CREATE CONSTRAINT, got $t")
+      }
+      val v2 = ident()
+      if (v2 != v) fail(s"REQUIRE must target the constrained variable " +
+        s"'$v', got '$v2'")
+      expectSym(".")
+      val prop = ident()
+      expectKw("IS")
+      peek match {
+        case Some(Ident(u)) if u.equalsIgnoreCase("unique") => next()
+        case t => fail("only `IS UNIQUE` constraints are supported (the " +
+          "single-label key model enforces uniqueness; existence/type " +
+          s"constraints are not implemented), got $t")
+      }
+      CreateConstraint(name, ifNotExists, v, label, prop)
     }
 
     private def statementFromPipeline(): Statement = {

@@ -42,6 +42,18 @@ final class CypherSession(
   private val projections = scala.collection.mutable.LinkedHashMap
     .empty[String, CypherSession.GdsProjection]
 
+  /** Uniqueness-constraint catalog: name → (label, property). MERGE
+    * cannot violate a key-property constraint (the key IS the merge
+    * identity), so enforcement guards the `CREATE` path — the only write
+    * that can mint duplicates; non-key properties are additionally
+    * validated against the live data at constraint creation. Documented
+    * divergence: `SET` is not constraint-checked (Neo4j re-validates on
+    * every property write; here a SET that duplicates a constrained
+    * non-key value is not caught — CypherSpec pins the supported
+    * surface). */
+  private val constraintCatalog =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
     // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
     // EXPLAIN compiles without executing and returns the plan; PROFILE
@@ -89,8 +101,96 @@ final class CypherSession(
     runParsed(query, params)
   }
 
+  /** `CREATE CONSTRAINT` — register + VALIDATE. The label's key property
+    * is unique by construction (it is the MERGE identity), so no scan;
+    * any other property pays one grouped count over the label's partition
+    * (nulls exempt, as in Neo4j). Returns a one-row (name, added) summary
+    * — an engine extension; Neo4j returns an empty stream with counters. */
+  private def executeCreateConstraint(c: CreateConstraint): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    val name = c.name.getOrElse(s"uniq_${c.label}_${c.prop}")
+    if (constraintCatalog.contains(name) ||
+        constraintCatalog.values.exists(_ == ((c.label, c.prop)))) {
+      if (c.ifNotExists)
+        return CypherRows(spark.range(1).select(lit(name).as("name"),
+          lit(false).as("added")))
+      throw new IllegalArgumentException(
+        s"an equivalent constraint already exists for (:${c.label})." +
+          s"${c.prop} — use IF NOT EXISTS to make this a no-op")
+    }
+    val keyProp = keyProps.getOrElse(c.label, "name")
+    if (c.prop != keyProp) {
+      val viol = graph.nodes.filter(col("label") === c.label)
+        .select(element_at(col("props"), c.prop).as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).orderBy(col("__v")).limit(1).collect()
+      if (viol.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot create constraint '$name': property ${c.prop} is not " +
+            s"unique on :${c.label} — value '${viol.head.get(0)}' occurs " +
+            s"${viol.head.getLong(1)} times")
+    }
+    constraintCatalog(name) = (c.label, c.prop)
+    CypherRows(spark.range(1).select(lit(name).as("name"),
+      lit(true).as("added")))
+  }
+
+  private def executeDropConstraint(d: DropConstraint): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    val removed = constraintCatalog.remove(d.name).isDefined
+    if (!removed && !d.ifExists)
+      throw new IllegalArgumentException(s"no such constraint '${d.name}' " +
+        s"— SHOW CONSTRAINTS lists ${constraintCatalog.keys.mkString(", ")}")
+    CypherRows(spark.range(1).select(lit(d.name).as("name"),
+      lit(removed).as("dropped")))
+  }
+
+  private def executeShowConstraints(): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    CypherRows(constraintCatalog.toSeq
+      .map { case (n, (l, p)) => (n, "UNIQUENESS", "NODE", l, p) }
+      .toDF("name", "type", "entityType", "labelOrType", "property")
+      .orderBy("name"))
+  }
+
+  /** CREATE-path constraint enforcement: one in-batch duplicate probe and
+    * one semi-join against the existing label partition per constrained
+    * label — both set-oriented and value-keyed, never a per-row lookup. */
+  private def enforceConstraintsOnCreate(g: PropertyGraph, label: String,
+      batch: DataFrame): Unit = {
+    val keyProp = keyProps.getOrElse(label, "name")
+    constraintCatalog.filter(_._2._1 == label).foreach {
+      case (cname, (_, cprop)) =>
+        def valsOf(df: DataFrame, keyCol: Column, propsCol: Column) =
+          df.select((if (cprop == keyProp) keyCol
+            else element_at(propsCol, cprop)).as("__v"))
+            .filter(col("__v").isNotNull)
+        val bVals = valsOf(batch, col("key"), col("props"))
+        val inBatch = bVals.groupBy("__v").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).limit(1).collect()
+        val clash =
+          if (inBatch.nonEmpty) Array.empty[org.apache.spark.sql.Row]
+          else bVals.join(
+            valsOf(g.nodes.filter(col("label") === label),
+              col("key"), col("props")),
+            Seq("__v"), "left_semi").limit(1).collect()
+        if (inBatch.nonEmpty || clash.nonEmpty) {
+          val sample = inBatch.headOption.orElse(clash.headOption)
+            .map(_.get(0)).getOrElse("?")
+          throw new IllegalStateException(
+            s"uniqueness constraint '$cname' violated: a node with label " +
+              s"`$label` and $cprop = '$sample' already exists")
+        }
+    }
+  }
+
   private def runParsed(query: String, params: Map[String, Any]): CypherResult =
     CypherParser.parse(query) match {
+      case c: CreateConstraint => executeCreateConstraint(c)
+      case d: DropConstraint => executeDropConstraint(d)
+      case ShowConstraints => executeShowConstraints()
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement =>
         // pagination parsed with the last part applies to the combined rows
@@ -359,6 +459,7 @@ final class CypherSession(
           valueCol(b.keyValue, pdf).cast("string").as("key"),
           mapCol(b.patProps.toSeq ++ b.setProps).as("props"),
           col("__row"))
+        enforceConstraintsOnCreate(g2, b.label, batch)
         val (g3, withId) = g2.createNodes(batch)
         g2 = g3
         createdIdFrames += b.variable ->

@@ -4622,6 +4622,43 @@ object AnalyticsCatalog {
            |LEFT JOIN deg ON deg.node = k.key
            |ORDER BY key LIMIT 50""".stripMargin))
 
+  private val c62 = Entry("c62_cypher_constraints",
+    (s, dir) => {
+      // Uniqueness-constraint DDL (round 10) — the statement every Neo4j
+      // import script opens with: CREATE CONSTRAINT … REQUIRE … IS UNIQUE
+      // on both labels' key properties (satisfied by construction — the
+      // key IS the MERGE identity, so no validation scan), then SHOW
+      // CONSTRAINTS read back joined with the VALIDATED population per
+      // label, which ties the result to the data. The enforcement path
+      // (CREATE of a duplicate key fails loudly) and the live-data
+      // validation scan for non-key properties are CypherSpec-pinned.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("CREATE CONSTRAINT FOR (a:Article) REQUIRE a.doc_id IS UNIQUE")
+      sess.run(
+        "CREATE CONSTRAINT pub_name FOR (p:Publisher) REQUIRE p.name IS UNIQUE")
+      val shown = sess.run("SHOW CONSTRAINTS")
+        .asInstanceOf[graft.cypher.CypherRows].df
+      val counts = g.nodes.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      shown.join(counts.withColumnRenamed("label", "labelOrType"),
+          Seq("labelOrType"), "left")
+        .select(col("name"), col("type"), col("entityType"),
+          col("labelOrType"), col("property"), col("n_nodes"))
+        .orderBy("name")
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'pub_name' AS name, 'UNIQUENESS' AS type,
+           |    'NODE' AS entityType, 'Publisher' AS labelOrType,
+           |    'name' AS property,
+           |    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
+           |     FROM documents) AS n_nodes
+           |  UNION ALL
+           |  SELECT 'uniq_Article_doc_id', 'UNIQUENESS', 'NODE', 'Article',
+           |    'doc_id',
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents))
+           |ORDER BY name""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -6380,7 +6417,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60, c61,
+    c57, c58, c59, c60, c61, c62,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

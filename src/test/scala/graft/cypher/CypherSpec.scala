@@ -465,6 +465,59 @@ class CypherSpec extends SparkTestBase {
     assert(lcc("d") === 0.0)
   }
 
+  test("round-10: uniqueness constraints — create/validate/enforce/show/drop") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'alice'})")
+    sess.run("MATCH (u:User {name: 'alice'}) SET u.mail = 'a@x.io'")
+    sess.run("MERGE (u:User {name: 'bob'})")
+    sess.run("MATCH (u:User {name: 'bob'}) SET u.mail = 'b@x.io'")
+    // on the KEY property: satisfied by construction (no data scan needed)
+    val r1 = sess.run("CREATE CONSTRAINT FOR (u:User) REQUIRE u.name IS UNIQUE")
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head
+    assert(r1 === (("uniq_User_name", true)))
+    // named + non-key property: validated against the live data
+    sess.run("CREATE CONSTRAINT user_mail FOR (u:User) REQUIRE u.mail IS UNIQUE")
+    val shown = sess.run("SHOW CONSTRAINTS").asInstanceOf[CypherRows]
+      .df.as[(String, String, String, String, String)].collect().toSeq
+    assert(shown === Seq(
+      ("uniq_User_name", "UNIQUENESS", "NODE", "User", "name"),
+      ("user_mail", "UNIQUENESS", "NODE", "User", "mail")))
+    // duplicate creation fails typed; IF NOT EXISTS is a no-op
+    val dup = intercept[IllegalArgumentException](
+      sess.run("CREATE CONSTRAINT FOR (u:User) REQUIRE u.name IS UNIQUE"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    val noop = sess.run(
+      "CREATE CONSTRAINT IF NOT EXISTS FOR (u:User) REQUIRE u.name IS UNIQUE")
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head
+    assert(noop._2 === false)
+    // CREATE of a duplicate key now fails loudly — without the constraint
+    // the append-only path would sequence-salt a second instance
+    val viol = intercept[IllegalStateException](
+      sess.run("CREATE (u:User {name: 'alice'})"))
+    assert(viol.getMessage.contains("uniq_User_name") &&
+      viol.getMessage.contains("alice"), viol.getMessage)
+    // MERGE is untouched — it matches, never duplicates
+    sess.run("MERGE (u:User {name: 'alice'})")
+    assert(sess.graph.nodes.filter($"label" === "User").count() === 2)
+    // validation rejects a live non-unique property
+    sess.run("MATCH (u:User) SET u.lang = 'en'")
+    val bad = intercept[IllegalStateException](
+      sess.run("CREATE CONSTRAINT FOR (u:User) REQUIRE u.lang IS UNIQUE"))
+    assert(bad.getMessage.contains("not unique"), bad.getMessage)
+    // DROP removes enforcement; unknown name fails typed unless IF EXISTS
+    sess.run("DROP CONSTRAINT uniq_User_name")
+    sess.run("CREATE (u:User {name: 'alice'})")
+    assert(sess.graph.nodes.filter($"label" === "User").count() === 3)
+    val ghost = intercept[IllegalArgumentException](
+      sess.run("DROP CONSTRAINT nope"))
+    assert(ghost.getMessage.contains("no such constraint"), ghost.getMessage)
+    sess.run("DROP CONSTRAINT nope IF EXISTS")
+    // only IS UNIQUE is supported — other REQUIRE forms reject typed
+    val notnull = intercept[IllegalArgumentException](sess.run(
+      "CREATE CONSTRAINT FOR (u:User) REQUIRE u.name IS NOT NULL"))
+    assert(notnull.getMessage.contains("IS UNIQUE"), notnull.getMessage)
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>
