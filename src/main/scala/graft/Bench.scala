@@ -31,7 +31,8 @@ object Bench {
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
-        timeOne(name, () => fn(spark, sfDir).count(), warmups = warmupsFor(name)) }
+        timeOne(name, () => fn(spark, sfDir).count(),
+          warmups = warmupsFor(name), timed = timedRunsFor(name)) }
     val results = timed.collect { case (n, t, None) => n -> t }
     val errors = timed.collect { case (n, _, Some(msg)) => n -> msg }
     if (only.isDefined) {
@@ -115,21 +116,24 @@ object Bench {
   }
 
   /** The GraphX-backed x-family rows drifted 1.3–1.5x across r8/r9 with no
-    * code change on their paths (VERDICT r9 #7) — their first execution pays
-    * Pregel JIT + RDD materialization that min-of-2 alone doesn't smooth.
-    * One discarded warm-up before the timed pair brings same-code
-    * run-to-run spread inside the ±15% band (measured; BASELINE.md r10).
-    * Everything else keeps the plain min-of-2: a warm-up on all 235 rows
-    * would double the sweep's wall for rows that were already stable. */
+    * code change on their paths (VERDICT r9 #7): their first execution pays
+    * Pregel JIT + RDD materialization, and the per-run scheduler noise on
+    * this VM is wide enough that even min-of-2 wobbles. They get one
+    * discarded warm-up + min-of-THREE timed runs (measured r10: warm-up +
+    * min-of-2 still left x02 at a 1.53x same-code spread; the extra timed
+    * sample tightens the min). Everything else keeps the plain min-of-2 —
+    * extra runs on all 240+ rows would multiply the sweep's wall for rows
+    * that were already stable. */
   def warmupsFor(name: String): Int = if (name.startsWith("x")) 1 else 0
+  def timedRunsFor(name: String): Int = if (name.startsWith("x")) 3 else 2
 
-  /** Run one query twice (min of two = steady-state cost) after `warmups`
+  /** Run one query `timed` times (min = steady-state cost) after `warmups`
     * discarded executions; an exception on any run yields `Some(message)` in
     * the third slot and the query is recorded as an error, never as a
     * time — a crash latency is not a result. */
   def timeOne(name: String, run: () => Long,
-      warmups: Int = 0): (String, Double, Option[String]) = {
-    val runs = (1 to (warmups + 2)).map { _ =>
+      warmups: Int = 0, timed: Int = 2): (String, Double, Option[String]) = {
+    val runs = (1 to (warmups + timed)).map { _ =>
       val t0 = System.nanoTime()
       val err = try { run(); None } catch {
         case e: Throwable =>
@@ -138,8 +142,8 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    // an error on ANY run (warm-up included) reddens the record; the timed
-    // pair is the post-warm-up runs only
+    // an error on ANY run (warm-up included) reddens the record; only the
+    // post-warm-up runs are timed
     (name, runs.drop(warmups).map(_._1).min, runs.flatMap(_._2).headOption)
   }
 

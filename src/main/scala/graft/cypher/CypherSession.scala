@@ -44,13 +44,12 @@ final class CypherSession(
 
   /** Uniqueness-constraint catalog: name → (label, property). MERGE
     * cannot violate a key-property constraint (the key IS the merge
-    * identity), so enforcement guards the `CREATE` path — the only write
-    * that can mint duplicates; non-key properties are additionally
-    * validated against the live data at constraint creation. Documented
-    * divergence: `SET` is not constraint-checked (Neo4j re-validates on
-    * every property write; here a SET that duplicates a constrained
-    * non-key value is not caught — CypherSpec pins the supported
-    * surface). */
+    * identity); the `CREATE` path — the only write that can mint
+    * duplicate keys — is guarded pre-write, non-key properties are
+    * validated against the live data at constraint creation, and every
+    * write commit re-validates constrained non-key properties on the
+    * candidate graph before it becomes session state (the SET/`+=`
+    * surfaces), so a violating statement leaves the store untouched. */
   private val constraintCatalog =
     scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
 
@@ -154,6 +153,32 @@ final class CypherSession(
       .toDF("name", "type", "entityType", "labelOrType", "property")
       .orderBy("name"))
   }
+
+  /** Post-write constraint validation at the commit points (the SET /
+    * ON CREATE SET / `+=` surfaces, which can duplicate a constrained
+    * NON-key value): one grouped count per constrained non-key property
+    * over the candidate graph BEFORE it becomes the session state — a
+    * violating statement leaves the store untouched, as a rolled-back
+    * Neo4j transaction does. Key-property constraints need no post-check
+    * (MERGE identity is structural; CREATE is guarded pre-write). Costs
+    * nothing while the catalog is empty. */
+  private def validateConstraintsPostWrite(g: PropertyGraph): Unit =
+    constraintCatalog.foreach { case (cname, (label, prop)) =>
+      val keyProp = keyProps.getOrElse(label, "name")
+      if (prop != keyProp) {
+        val viol = g.nodes.filter(col("label") === label)
+          .select(element_at(col("props"), prop).as("__v"))
+          .filter(col("__v").isNotNull)
+          .groupBy("__v").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).orderBy(col("__v")).limit(1).collect()
+        if (viol.nonEmpty)
+          throw new IllegalStateException(
+            s"uniqueness constraint '$cname' violated by this write: " +
+              s"$prop = '${viol.head.get(0)}' would occur " +
+              s"${viol.head.getLong(1)} times on :$label — the statement " +
+              "did not apply (store unchanged)")
+      }
+    }
 
   /** CREATE-path constraint enforcement: one in-batch duplicate probe and
     * one semi-join against the existing label partition per constrained
@@ -494,6 +519,7 @@ final class CypherSession(
       g2 = g2.createEdges(createEdgeList.map(e =>
         edgeBatch(e.srcVar, e.relType, e.dstVar, e.props)).reduce(_ unionByName _))
 
+    validateConstraintsPostWrite(g2)
     graph = g2
     CypherMutation(g2, created, matched)
   }
@@ -638,6 +664,7 @@ final class CypherSession(
       g = g.deleteNodes(ids, u.detach)
     }
 
+    validateConstraintsPostWrite(g)
     graph = g
     CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted, relsCreated)
   }

@@ -504,6 +504,15 @@ class CypherSpec extends SparkTestBase {
     val bad = intercept[IllegalStateException](
       sess.run("CREATE CONSTRAINT FOR (u:User) REQUIRE u.lang IS UNIQUE"))
     assert(bad.getMessage.contains("not unique"), bad.getMessage)
+    // SET that duplicates a constrained non-key value fails at commit and
+    // the store is UNTOUCHED (Neo4j's rolled-back-transaction behavior)
+    val setViol = intercept[IllegalStateException](
+      sess.run("MATCH (u:User {name: 'bob'}) SET u.mail = 'a@x.io'"))
+    assert(setViol.getMessage.contains("user_mail"), setViol.getMessage)
+    val bobMail = sess.run(
+      "MATCH (u:User {name: 'bob'}) RETURN u.mail AS m")
+      .asInstanceOf[CypherRows].df.as[String].collect().head
+    assert(bobMail === "b@x.io")
     // DROP removes enforcement; unknown name fails typed unless IF EXISTS
     sess.run("DROP CONSTRAINT uniq_User_name")
     sess.run("CREATE (u:User {name: 'alice'})")
