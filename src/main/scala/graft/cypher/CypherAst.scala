@@ -292,6 +292,13 @@ object CypherAst {
       "db.relationshipTypes" -> Seq("relationshipType"),
       "db.propertyKeys" -> Seq("propertyKey"),
       "dbms.components" -> Seq("name", "versions", "edition"),
+      // data-modeling introspection (flattened: nodes carry exactly one
+      // label, properties are string-valued in the store)
+      "db.schema.nodeTypeProperties" ->
+        Seq("nodeType", "nodeLabels", "propertyName", "propertyTypes",
+          "mandatory"),
+      "db.schema.relTypeProperties" ->
+        Seq("relType", "propertyName", "propertyTypes", "mandatory"),
       // graph-algorithm procedures (the GDS `.stream` surface): results
       // identify nodes by KEY (engine-independent), never internal ids
       // graph-catalog management (named projections — the first line of
@@ -415,4 +422,8 @@ object CypherAst {
   final case class DropConstraint(name: String,
     ifExists: Boolean) extends Statement
   case object ShowConstraints extends Statement
+  /** `SHOW INDEXES` — the node-label LOOKUP row (whose role the store's
+    * label partitioning plays) plus one RANGE backing-index row per
+    * uniqueness constraint, as Neo4j lists them. */
+  case object ShowIndexes extends Statement
 }

@@ -20,7 +20,8 @@ object CypherParser {
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
   private val scalarFns = Set("tolower", "toupper", "trim", "size", "coalesce",
-    "tointeger", "tofloat", "abs", "round", "length", "id", "labels", "type",
+    "tointeger", "tofloat", "abs", "round", "length", "id", "elementid",
+    "labels", "type",
     "substring", "split", "replace", "left", "right", "tostring",
     "relationships", "nodes", "properties", "keys", "range", "head", "last",
     "sqrt", "sign", "ceil", "floor", "exp", "log", "log10", "toboolean",
@@ -199,7 +200,9 @@ object CypherParser {
         peek match {
           case Some(Ident(c)) if c.equalsIgnoreCase("constraints") =>
             next(); ShowConstraints
-          case t => fail(s"SHOW supports CONSTRAINTS, got $t")
+          case Some(Ident(c)) if c.equalsIgnoreCase("indexes") =>
+            next(); ShowIndexes
+          case t => fail(s"SHOW supports CONSTRAINTS and INDEXES, got $t")
         }
       case Some(Ident(d)) if d.equalsIgnoreCase("drop") =>
         next()

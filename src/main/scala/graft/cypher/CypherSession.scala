@@ -145,6 +145,25 @@ final class CypherSession(
       lit(removed).as("dropped")))
   }
 
+  private def executeShowIndexes(): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    // Neo4j always lists the node-label LOOKUP index — the role this
+    // store's label PARTITIONING plays (label scans are partition-pruned
+    // file reads); each uniqueness constraint additionally owns a RANGE
+    // backing-index row, as Neo4j lists them.
+    val lookup = Seq(("node_label_lookup", "ONLINE", "LOOKUP", "NODE",
+      null.asInstanceOf[String], null.asInstanceOf[String],
+      null.asInstanceOf[String]))
+    val backing = constraintCatalog.toSeq.map { case (n, (l, p)) =>
+      (n, "ONLINE", "RANGE", "NODE", l, p, n)
+    }
+    CypherRows((lookup ++ backing)
+      .toDF("name", "state", "type", "entityType", "labelOrType",
+        "property", "owningConstraint")
+      .orderBy("name"))
+  }
+
   private def executeShowConstraints(): CypherResult = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._
@@ -216,6 +235,7 @@ final class CypherSession(
       case c: CreateConstraint => executeCreateConstraint(c)
       case d: DropConstraint => executeDropConstraint(d)
       case ShowConstraints => executeShowConstraints()
+      case ShowIndexes => executeShowIndexes()
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement =>
         // pagination parsed with the last part applies to the combined rows
@@ -1281,6 +1301,12 @@ final class CypherSession(
             case _ => length(c)
           }
           case "id" => col(s"${boundVar("node")}__id")
+          // Neo4j-5 elementId(): a STRING node identity. Engine form: the
+          // stable internal id rendered as a string (Neo4j's
+          // "db:uuid:id" framing carries server identity this engine
+          // doesn't have — the contract that matters is string-typed,
+          // stable, and unique, which this is).
+          case "elementid" => col(s"${boundVar("node")}__id").cast("string")
           case "labels" => array(col(s"${boundVar("node")}__label"))
           case "type" => col(s"${boundVar("relationship")}__type")
           // Cypher string toolkit: substring is 0-based (Spark's is 1-based)
@@ -1857,6 +1883,59 @@ final class CypherSession(
         case "dbms.components" =>
           spark.range(1).select(lit("graft-spark").as("name"),
             array(lit("5.4.0")).as("versions"), lit("community").as("edition"))
+        // data-modeling introspection (the procedures schema-inference
+        // tools call): properties union the bag keys with each label's
+        // out-of-band KEY property; `mandatory` = present on EVERY node
+        // of the label (the key always is); all store properties are
+        // string-valued. Flattened vs Neo4j: nodeLabels is the single
+        // label (this store's nodes carry exactly one).
+        case "db.schema.nodeTypeProperties" =>
+          import spark.implicits._
+          val totals = pgraph.nodes.groupBy("label")
+            .agg(count(lit(1)).as("__n"))
+          val bagProps = pgraph.nodes
+            .select(col("label"),
+              explode(map_keys(col("props"))).as("propertyName"))
+            .groupBy("label", "propertyName").agg(count(lit(1)).as("__c"))
+            .join(totals, Seq("label"))
+            .select(col("label"), col("propertyName"),
+              (col("__c") === col("__n")).as("mandatory"))
+          // schema-bounded collect: one row per label partition
+          val labels = totals.select(col("label")).as[String].collect().toSeq
+          val keyRows = labels
+            .map(l => (l, keyProps.getOrElse(l, "name"), true))
+            .toDF("label", "propertyName", "mandatory")
+          bagProps.unionByName(keyRows)
+            .groupBy("label", "propertyName")
+            .agg(max(col("mandatory")).as("mandatory"))
+            .select(concat(lit(":`"), col("label"), lit("`")).as("nodeType"),
+              col("label").as("nodeLabels"), col("propertyName"),
+              lit("String").as("propertyTypes"), col("mandatory"))
+            .orderBy("nodeType", "propertyName")
+        case "db.schema.relTypeProperties" =>
+          val rTotals = pgraph.edges.groupBy("relType")
+            .agg(count(lit(1)).as("__n"))
+          val rProps = pgraph.edges
+            .select(col("relType"),
+              explode(map_keys(col("props"))).as("propertyName"))
+            .groupBy("relType", "propertyName").agg(count(lit(1)).as("__c"))
+          val typed = rProps.join(rTotals, Seq("relType"))
+            .select(col("relType"), col("propertyName"),
+              lit("String").as("propertyTypes"),
+              (col("__c") === col("__n")).as("mandatory"))
+          // a relType with NO properties anywhere gets one null row, as
+          // Neo4j emits it
+          val bare = rTotals
+            .join(rProps.select("relType").distinct(), Seq("relType"),
+              "left_anti")
+            .select(col("relType"),
+              lit(null).cast("string").as("propertyName"),
+              lit(null).cast("string").as("propertyTypes"),
+              lit(null).cast("boolean").as("mandatory"))
+          typed.unionByName(bare)
+            .select(concat(lit(":`"), col("relType"), lit("`")).as("relType"),
+              col("propertyName"), col("propertyTypes"), col("mandatory"))
+            .orderBy("relType", "propertyName")
         // GDS-style algorithm procedures: the analytics engine surfaced
         // through Cypher CALL, the way Neo4j users actually invoke graph
         // algorithms. Node identity is the KEY (internal ids are engine

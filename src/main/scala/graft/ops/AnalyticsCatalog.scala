@@ -4659,6 +4659,40 @@ object AnalyticsCatalog {
            |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents))
            |ORDER BY name""".stripMargin))
 
+  private val c63 = Entry("c63_cypher_schema_introspection",
+    (s, dir) => {
+      // db.schema.nodeTypeProperties (round 10) — the introspection call
+      // schema-inference/modeling tools issue on connect: the property
+      // inventory per label with a MANDATORY flag computed from the DATA
+      // (present on every node of the label; the out-of-band key property
+      // always is). A partial property is SET first so the flag carries
+      // real signal: `flagged` exists only on English articles, so its
+      // mandatory value is data-derived, not a constant — the oracle
+      // derives it the same way.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("MATCH (a:Article) WHERE a.lang = 'en' SET a.flagged = 'y'")
+      sess.run(
+        """CALL db.schema.nodeTypeProperties()
+          |YIELD nodeType, nodeLabels, propertyName, propertyTypes, mandatory
+          |RETURN nodeType, nodeLabels, propertyName, propertyTypes, mandatory
+          |ORDER BY nodeType, propertyName""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT * FROM (
+           |  SELECT ':`Article`' AS nodeType, 'Article' AS nodeLabels,
+           |    'doc_id' AS propertyName, 'String' AS propertyTypes,
+           |    TRUE AS mandatory
+           |  UNION ALL SELECT ':`Article`', 'Article', 'flagged', 'String',
+           |    (SELECT COUNT(*) FILTER (lang = 'en') FROM documents)
+           |      = (SELECT COUNT(*) FROM documents)
+           |  UNION ALL SELECT ':`Article`', 'Article', 'lang', 'String', TRUE
+           |  UNION ALL SELECT ':`Article`', 'Article', 'title', 'String', TRUE
+           |  UNION ALL SELECT ':`Publisher`', 'Publisher', 'name', 'String',
+           |    TRUE)
+           |ORDER BY nodeType, propertyName""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -6417,7 +6451,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60, c61, c62,
+    c57, c58, c59, c60, c61, c62, c63,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19,
     m01, m02, m03, m04, m05, m06)

@@ -527,6 +527,50 @@ class CypherSpec extends SparkTestBase {
     assert(notnull.getMessage.contains("IS UNIQUE"), notnull.getMessage)
   }
 
+  test("round-10: schema introspection — node/rel type properties, SHOW INDEXES, elementId") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN]->(t)""".stripMargin)
+    sess.run("MATCH (u:User {name: 'alice'}) SET u.role = 'admin'")
+    sess.run("MERGE (u:User {name: 'bob'})")
+    // node inventory: key props mandatory; role exists on 1 of 2 users
+    val ntp = sess.run("CALL db.schema.nodeTypeProperties()")
+      .asInstanceOf[CypherRows].df
+      .as[(String, String, String, String, Boolean)].collect().toSeq
+    assert(ntp === Seq(
+      (":`Tech`", "Tech", "name", "String", true),
+      (":`User`", "User", "name", "String", true),
+      (":`User`", "User", "role", "String", false)))
+    // rel inventory: a property-carrying type + a bare type's null row
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:KNOWS {since: '2020'}]->(t)""".stripMargin)
+    val rtp = sess.run("CALL db.schema.relTypeProperties()")
+      .asInstanceOf[CypherRows].df.collect().toSeq
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2))))
+    assert(rtp === Seq(
+      (":`INTERESTED_IN`", None, None),
+      (":`KNOWS`", Some("since"), Some("String"))))
+    // SHOW INDEXES: the label-LOOKUP row always; a RANGE backing row
+    // appears with its owning constraint
+    val idx0 = sess.run("SHOW INDEXES").asInstanceOf[CypherRows].df
+      .select("name", "type").as[(String, String)].collect().toSeq
+    assert(idx0 === Seq(("node_label_lookup", "LOOKUP")))
+    sess.run("CREATE CONSTRAINT FOR (u:User) REQUIRE u.name IS UNIQUE")
+    val idx1 = sess.run("SHOW INDEXES").asInstanceOf[CypherRows].df
+      .select("name", "type", "labelOrType", "owningConstraint")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(idx1 === Seq(
+      ("node_label_lookup", "LOOKUP", None, None),
+      ("uniq_User_name", "RANGE", Some("User"), Some("uniq_User_name"))))
+    // elementId(): string-typed, equals the stable internal id's rendering
+    val eid = sess.run(
+      "MATCH (u:User {name: 'alice'}) RETURN elementId(u) AS e, id(u) AS i")
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().head
+    assert(eid._1 === eid._2.toString)
+  }
+
   test("RETURN DISTINCT dedups projected rows") {
     val sess = freshSession
     Seq("u1", "u2", "u3").foreach { u =>
