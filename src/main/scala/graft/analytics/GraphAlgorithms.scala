@@ -120,6 +120,24 @@ object GraphAlgorithms {
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
   }
 
+  /** Directed strongly connected components (GraphX
+    * `stronglyConnectedComponents` — the coloring/peel algorithm): the
+    * DIRECTED twin of [[connectedComponents]]. Component label = the
+    * lowest member vertex id, which for key-derived stable ids is
+    * deterministic. `numIter` bounds the outer peel rounds; each round's
+    * inner Pregel converges by graph structure (bounded by the longest
+    * remaining directed path). */
+  def stronglyConnectedComponents(g: PropertyGraph,
+      numIter: Int = 30): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val scc = g.toGraphX(resolveParts(g, -1))
+      .stronglyConnectedComponents(numIter)
+      .vertices.map { case (id, comp) => (id, comp) }
+    scc.toDF("id", "component")
+      .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+  }
+
   /** Generic min-label propagation over an undirected pair list: returns
     * (id, component) where component = lowest id reachable. Each iteration
     * is one edge⋈label join + a map-side-combining `min` aggregate, with

@@ -308,6 +308,7 @@ object CypherAst {
       "gds.graph.drop" -> Seq("graphName"),
       "gds.pageRank.stream" -> Seq("key", "score"),
       "gds.wcc.stream" -> Seq("key", "componentKey"),
+      "gds.scc.stream" -> Seq("key", "componentKey"),
       "gds.degree.stream" -> Seq("key", "degree"),
       "gds.nodeSimilarity.stream" -> Seq("key1", "key2", "similarity"),
       "gds.labelPropagation.stream" -> Seq("key", "communityKey"),

@@ -1950,6 +1950,15 @@ final class CypherSession(
               comps.groupBy("component").agg(min("key").as("componentKey")),
               Seq("component"))
             .select(col("key"), col("componentKey"))
+        case "gds.scc.stream" =>
+          // DIRECTED components (wcc's directed twin): mutual-reachability
+          // classes, identity = the min member key
+          val comps = graft.analytics.GraphAlgorithms
+            .stronglyConnectedComponents(pgraph)
+          comps.join(
+              comps.groupBy("component").agg(min("key").as("componentKey")),
+              Seq("component"))
+            .select(col("key"), col("componentKey"))
         case "gds.degree.stream" =>
           val deg = pgraph.edges.select(col("srcId").as("id"))
             .union(pgraph.edges.select(col("dstId").as("id")))

@@ -4995,6 +4995,54 @@ object AnalyticsCatalog {
            |FROM a2 JOIN h2 ON a2.id = h2.id, mx, mh
            |ORDER BY authority DESC, hub DESC, a2.id LIMIT 25""".stripMargin))
 
+  private val x20 = Entry("x20_strongly_connected",
+    (s, dir) => {
+      // Directed SCC (round 10) — the directed twin of x01's WCC, via
+      // GraphX stronglyConnectedComponents (coloring/peel). The graph:
+      // a directed ring inside each DECADE of doc_ids (one mutual-reach
+      // class of 10); decades with decade % 7 == 3 carry NO edges (their
+      // nodes are singleton SCCs), and sparse decade→decade+1 DAG edges
+      // (only from every 10th decade — cross-chains of length 2) which
+      // must NOT merge components — the case that separates SCC from
+      // WCC. Labels are min member ids, so the oracle is the closed form
+      // of the construction. Integer modulo stands in for decade
+      // arithmetic on BOTH engines (base % 70 == 30 ⇔ decade % 7 == 3)
+      // because plain division is float division on both. SCC's peel
+      // loop cost is a SUPERSTEP-COUNT floor set by the structure's
+      // depth — this fixture keeps that depth CONSTANT (10-cycles,
+      // length-2 chains, 1-round trims), so rounds don't grow with |V|;
+      // the first cut's 10-node chains + 5-decade cross-chains measured
+      // 267 s at sf10 purely from depth (PROGRESS r10 negative result).
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = ids.count()
+      val base = col("id") - col("id") % 10
+      val ring = ids
+        .filter((base % 70) =!= 30)
+        .select(col("id").as("src"),
+          (base + ((col("id") % 10 + 1) % 10)).as("dst"))
+      val cross = ids.filter(col("id") % 100 === 0)
+        .filter(col("id") + 10 < n)
+        .select(col("id").as("src"), (col("id") + 10).as("dst"))
+      val verts = ids.select(col("id").cast("long")).as[Long]
+        .rdd.map(i => (i, 1))
+      val edgeRdd = ring.unionByName(cross)
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].rdd
+        .map { case (sv, dv) => org.apache.spark.graphx.Edge(sv, dv, 1) }
+      val gx = org.apache.spark.graphx.Graph(verts, edgeRdd)
+      gx.stronglyConnectedComponents(10)
+        .vertices.map { case (_, comp) => comp }.toDF("component")
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .orderBy("component").limit(50)
+    },
+    Some("""WITH c AS (
+           |  SELECT CASE WHEN (doc_id - doc_id % 10) % 70 = 30 THEN doc_id
+           |              ELSE doc_id - doc_id % 10 END AS component
+           |  FROM documents)
+           |SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+           |FROM c GROUP BY component ORDER BY component LIMIT 50""".stripMargin))
+
   private val x01 = Entry("x01_connected_components",
     (s, dir) => {
       // Pregel min-id propagation; reported per component as (min member
@@ -6453,6 +6501,6 @@ object AnalyticsCatalog {
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19,
+    x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)
 }

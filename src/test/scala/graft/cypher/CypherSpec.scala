@@ -465,6 +465,26 @@ class CypherSpec extends SparkTestBase {
     assert(lcc("d") === 0.0)
   }
 
+  test("round-10: gds.scc.stream — directed cycles merge, one-way edges do not") {
+    val sess = freshSession
+    // directed 3-cycle a→b→c→a plus a one-way spur a→d: SCC {a,b,c}
+    // keyed by min member, d a singleton — where WCC would merge all four
+    Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")).foreach {
+      case (s1, d1) =>
+        sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                    |MERGE (x)-[:L]->(y)""".stripMargin)
+    }
+    val scc = sess.run(
+      """CALL gds.scc.stream() YIELD key, componentKey
+        |RETURN key, componentKey ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(scc === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+    val wcc = sess.run(
+      "CALL gds.wcc.stream() YIELD componentKey RETURN DISTINCT componentKey")
+      .asInstanceOf[CypherRows].df.count()
+    assert(wcc === 1L) // the undirected view IS one component
+  }
+
   test("round-10: uniqueness constraints — create/validate/enforce/show/drop") {
     val sess = freshSession
     sess.run("MERGE (u:User {name: 'alice'})")
