@@ -475,7 +475,7 @@ object GraphAlgorithms {
     * localCheckpoint cuts lineage per level like [[minLabelPropagation]].
     */
   def betweennessFromSources(edges: DataFrame, sources: DataFrame,
-      maxDepth: Int = 10): DataFrame = {
+      maxDepth: Int = 10, requireExhausted: Boolean = false): DataFrame = {
     val e = edges.toDF("src", "dst")
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().iterCheckpoint()
@@ -498,6 +498,13 @@ object GraphAlgorithms {
       frontier = next
       depth += 1
     }
+    // bounded-depth truncation is a documented semantic for direct callers
+    // (x12's star has diameter 2); a procedure surface that promises full
+    // Brandes must fail loudly instead of silently under-counting
+    if (requireExhausted && !frontier.isEmpty)
+      throw new IllegalStateException(
+        s"betweennessFromSources: BFS still expanding at depth $maxDepth — " +
+          "graph deeper than the budget; raise maxDepth")
     // backward: fold δ from the deepest level up; δ at the deepest level = 0
     var deltaNext = levels.last.select(col("s"), col("v"),
       col("sigma"), lit(0.0).as("delta"))
@@ -1014,6 +1021,101 @@ object GraphAlgorithms {
       .select(col("id"),
         (col("a").cast("double") / col("ma").cast("double")).as("authority"),
         (col("h").cast("double") / col("mh").cast("double")).as("hub"))
+  }
+
+  /** Full k-core decomposition — each node's coreness (the largest k such
+    * that the node survives in the k-core) — by iterated neighborhood
+    * h-index (Lü et al. 2016): start from degree, replace each node's value
+    * with the h-index of its neighbors' values (the largest h with ≥ h
+    * neighbors at value ≥ h), repeat until nothing changes. The sequence is
+    * monotone non-increasing and converges to coreness on any graph, so the
+    * fixpoint needs no k-by-k peel ladder ([[kCorePeel]] answers the
+    * fixed-k membership question; this answers "what is every node's k").
+    *
+    * Set-oriented per round: one edge⋈value join + one degree-bounded
+    * per-node aggregate (`collect_list` holds one value per neighbor — the
+    * same bound the message list of any Pregel round carries). Convergence
+    * is value-DRIVEN erosion: like SCC's peel ([[PROGRESS r10]]), the round
+    * count floor is the longest path a too-high estimate must erode along —
+    * bound the fixture's structure depth, not its node count, at scale.
+    * Non-convergence inside `maxRounds` fails loudly rather than returning
+    * a silently-too-high estimate. Nodes in `ids` with no edges core at 0. */
+  def coreDecomposition(ids: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .iterCheckpoint()
+    var c = sym.groupBy("u").agg(count(lit(1)).cast("long").as("c"))
+      .iterCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // h-index of the sorted-desc neighbor values: the count of positions
+      // i (1-based) with value >= i — a prefix length, computed inside one
+      // array expression so the aggregate stays one shuffle
+      val next = sym.join(c.withColumnRenamed("u", "v")
+            .withColumnRenamed("c", "cv"), Seq("v"))
+        .groupBy("u")
+        .agg(expr("""size(filter(
+                      transform(sort_array(collect_list(cv), false),
+                                (x, i) -> x >= i + 1),
+                      keep -> keep))""").cast("long").as("c"))
+        .iterCheckpoint()
+      changed = next.join(c.withColumnRenamed("c", "c_prev"), Seq("u"))
+        .filter(col("c") =!= col("c_prev")).count()
+      c = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"coreDecomposition did not converge within $maxRounds rounds " +
+          s"($changed values still eroding) — the graph's erosion depth " +
+          "exceeds the budget; raise maxRounds or bound the structure depth")
+    ids.toDF("id").join(c.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), lit(0L)).as("coreValue"))
+  }
+
+  /** Hop distances between ALL pairs of nodes (undirected view of the edge
+    * list), as (s, v, dist) rows with dist ≥ 1 — the distance table
+    * closeness-family centralities aggregate. Multi-source BFS: every node
+    * is a source and each round advances the whole (source, vertex)
+    * frontier at once — one job per LEVEL, never a per-source loop. State
+    * is O(reachable pairs): this is the all-pairs primitive, inherently
+    * quadratic in component size — the GDS in-memory-projection contract;
+    * the projection's node bound IS the scale knob. Runs to the BFS
+    * fixpoint; a graph deeper than `maxDepth` fails loudly. */
+  def hopDistancesAllPairs(nodes: DataFrame, edges: DataFrame,
+      maxDepth: Int = 100): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().iterCheckpoint()
+    var frontier = nodes.toDF("s").select(col("s"), col("s").as("v"))
+      .iterCheckpoint()
+    var visited = frontier
+    var acc: Seq[DataFrame] = Nil
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(sym, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "left_anti")
+        .iterCheckpoint()
+      depth += 1
+      if (!next.isEmpty) {
+        acc = acc :+ next.select(col("s"), col("v"), lit(depth.toLong).as("dist"))
+        visited = visited.union(next).iterCheckpoint()
+      }
+      frontier = next
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"hopDistancesAllPairs: BFS still expanding at depth $maxDepth — " +
+          "graph deeper than the budget; raise maxDepth")
+    if (acc.isEmpty)
+      frontier.select(col("s"), col("v"), lit(0L).as("dist")).limit(0)
+    else acc.reduce(_ unionByName _)
   }
 
   private def shortestPathBatches(g: PropertyGraph,

@@ -333,7 +333,14 @@ object CypherAst {
       // triangle census family (undirected simple view of the edge list)
       "gds.triangleCount.stream" -> Seq("key", "triangleCount"),
       "gds.localClusteringCoefficient.stream" ->
-        Seq("key", "localClusteringCoefficient"))
+        Seq("key", "localClusteringCoefficient"),
+      // centrality family beyond pageRank/degree/hits: sampled Brandes
+      // betweenness, closeness + its harmonic variant, and the full k-core
+      // decomposition (coreness per node) — GDS's column names
+      "gds.betweenness.stream" -> Seq("key", "score"),
+      "gds.closeness.stream" -> Seq("key", "score"),
+      "gds.closeness.harmonic.stream" -> Seq("key", "centrality"),
+      "gds.kcore.stream" -> Seq("key", "coreValue"))
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))

@@ -2079,6 +2079,70 @@ final class CypherSession(
             .select(col("key"),
               coalesce(col("coefficient"), lit(0.0))
                 .as("localClusteringCoefficient"))
+        // ---- path-based centralities + coreness (all over the UNDIRECTED
+        // simple view, the triangle family's posture). These are the GDS
+        // procedures whose cost is inherently super-linear in component
+        // size (all-pairs / per-source BFS state): the PROJECTION is the
+        // scale knob — exactly GDS's own in-memory-graph contract — and
+        // betweenness additionally takes {samplingSize} so the source set,
+        // not |V|, bounds the (source, vertex) state.
+        case "gds.betweenness.stream" =>
+          // Sampled Brandes (x12's machinery): {samplingSize: K} picks the
+          // K md5-lowest node keys as sources — DETERMINISTIC where GDS
+          // samples randomly (documented divergence; reproducibility is
+          // this engine's contract) — and rescales by |V|/K, the standard
+          // unbiased estimator. Unconfigured = exact all-sources Brandes
+          // (GDS's default; O(V·E) — sample at scale). BFS truncation
+          // fails loudly: a silently depth-capped score would under-count.
+          val nNodes = pgraph.nodes.count()
+          val k = p.confLong("samplingSize", 0L)
+          require(k >= 0, s"samplingSize must be >= 0 (0 = exact), got $k")
+          val sampled = k > 0L && k < nNodes
+          val sources =
+            if (sampled)
+              pgraph.nodes.select(col("key"))
+                .orderBy(md5(col("key")), col("key")).limit(k.toInt)
+            else pgraph.nodes.select(col("key"))
+          val scale = if (sampled) nNodes.toDouble / k else 1.0
+          val bc = graft.analytics.GraphAlgorithms.betweennessFromSources(
+            edgeKeys, sources, maxDepth = 100, requireExhausted = true)
+          pgraph.nodes.select(col("key"))
+            .join(bc.withColumnRenamed("id", "key"), Seq("key"), "left")
+            .select(col("key"),
+              round(coalesce(col("betweenness"), lit(0.0)) * lit(scale), 6)
+                .as("score"))
+        case "gds.closeness.stream" | "gds.closeness.harmonic.stream" =>
+          // one all-pairs hop-distance table serves both variants:
+          //   closeness  score(u)     = r(u) / Σ_v d(u,v)   (0 if isolated)
+          //   harmonic   centrality(u) = Σ_v 1/d(u,v) / (|V|-1)
+          // r(u) = |{v : reachable, v != u}| — the reachable-set form that
+          // stays defined on disconnected graphs. 6-dp pinned (x10's float
+          // posture: Σ 1/d association order cannot flip the hash).
+          val nNodes = pgraph.nodes.count()
+          val dists = graft.analytics.GraphAlgorithms.hopDistancesAllPairs(
+            pgraph.nodes.select(col("key")), edgeKeys)
+          val agg = dists.groupBy(col("s").as("key"))
+            .agg(count(lit(1)).as("__r"), sum("dist").as("__sd"),
+              sum(lit(1.0) / col("dist")).as("__h"))
+          val joined = pgraph.nodes.select(col("key")).join(agg, Seq("key"), "left")
+          if (p.name == "gds.closeness.stream")
+            joined.select(col("key"),
+              when(col("__sd").isNull, lit(0.0))
+                .otherwise(round(col("__r").cast("double") /
+                  col("__sd").cast("double"), 6)).as("score"))
+          else
+            joined.select(col("key"),
+              round(coalesce(col("__h"), lit(0.0)) /
+                lit(math.max(nNodes - 1L, 1L).toDouble), 6).as("centrality"))
+        case "gds.kcore.stream" =>
+          // full k-core decomposition (coreness per node) by iterated
+          // neighborhood h-index — converges to the peel answer without a
+          // k-by-k ladder; non-convergence inside the round budget fails
+          // loudly (see GraphAlgorithms.coreDecomposition's depth note)
+          graft.analytics.GraphAlgorithms
+            .coreDecomposition(pgraph.nodes.select(col("key")), edgeKeys)
+            .withColumnRenamed("id", "key")
+            .select(col("key"), col("coreValue"))
         // ---- write-mode procedures (the persist half of the GDS
         // lifecycle): compute over the projection, write the result back
         // into the STORE's property bag by internal node id — exactly the

@@ -636,6 +636,67 @@ object AnalyticsCatalog {
            |  COUNT(*) FILTER (doc_id = component) AS n_kept
            |FROM comp GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val d26 = Entry("d26_cluster_best_survivor",
+    (s, dir) => {
+      // Quality-RANKED survivor selection (round 10) — the dedup decision
+      // production pipelines actually ship next to d08's min-id form:
+      // within each near-dup cluster keep the BEST document (here the
+      // longest — the standard "keep the longest duplicate" heuristic),
+      // ties to the smallest id. One max(struct(len, -id)) per component
+      // — a map-side-combining argmax, never a window over the cluster
+      // key (the d20/t20 skew lesson: a hot cluster would single-task a
+      // window). Output: every non-singleton cluster with its kept doc.
+      // The oracle recomputes the transitive closure independently
+      // (d08's recursive CTE) and replays the same argmax.
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        blockCol = "source", shingleN = 1, threshold = 0.9)
+      val comps = GraphAlgorithms.minLabelPropagation(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"))
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("len"), (-col("doc_id")).as("negid"))).as("__b"))
+        .filter(col("n_members") >= 2)
+        .select(col("component"), col("n_members"),
+          col("__b.len").as("kept_len"), (-col("__b.negid")).as("kept_id"))
+        .orderBy("component")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+           |sym AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (
+           |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len,
+           |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+           |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |  GROUP BY d.doc_id, d.text),
+           |b AS (
+           |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |    MAX(len) AS kept_len
+           |  FROM comp GROUP BY component),
+           |k AS (
+           |  SELECT comp.component, MIN(comp.doc_id) AS kept_id
+           |  FROM comp JOIN b ON comp.component = b.component
+           |    AND comp.len = b.kept_len
+           |  GROUP BY comp.component)
+           |SELECT b.component, b.n_members, b.kept_len, k.kept_id
+           |FROM b JOIN k USING (component)
+           |WHERE b.n_members >= 2 ORDER BY b.component""".stripMargin))
+
   private val d13 = Entry("d13_cms_heavy_hitters",
     (s, dir) => {
       // Count-Min Sketch heavy hitters — the mergeable FREQUENCY sketch
@@ -6490,7 +6551,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-    d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
+    d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
     v16, v17,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
 
+  test("round-10: best-survivor argmax keeps the longest, ties to smallest id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cluster {1,2,3}: lengths 5,9,9 → longest wins, tie → id 2;
+    // singleton {4} must not appear in the non-singleton report
+    val docs = Seq((1L, "aaaaa"), (2L, "bbbbbbbbb"), (3L, "ccccccccc"),
+      (4L, "dd")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comps = GraphAlgorithms.minLabelPropagation(
+      docs.select("doc_id"), pairs)
+    val best = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("len"), (-col("doc_id")).as("negid"))).as("b"))
+      .filter(col("n") >= 2)
+      .select(col("component"), col("n"), col("b.len").as("kept_len"),
+        (-col("b.negid")).as("kept_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(best === Seq((1L, 3L, 9L, 2L)))
+  }
+
   test("approx quantile sketch tracks exact percentiles on fixture events") {
     import org.apache.spark.sql.functions._
     val ev = graft.ops.Tables(spark, sfDir, "events")

@@ -480,6 +480,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("round-10: d26 best-survivor is a combining argmax, never a cluster window") {
+    // the per-cluster keep decision must be max(struct(...)) — partial-
+    // aggregating map-side — not a row_number window over the cluster key,
+    // which would single-task a hot near-dup cluster
+    val p = plan("d26_cluster_best_survivor")
+    assert(p.contains("partial_count") || p.contains("partial_max") ||
+      p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("round-10: c61 triangle census is equi-join-only listing, no cartesian") {
     // the a<b<c canonical listing must stay an equi-join chain — a
     // cartesian/nested-loop here is quadratic in the edge list
