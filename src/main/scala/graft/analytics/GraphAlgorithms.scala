@@ -1097,19 +1097,21 @@ object GraphAlgorithms {
     var visited = frontier
     var acc: Seq[DataFrame] = Nil
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
       val next = frontier.join(sym, col("v") === col("src"))
         .select(col("s"), col("dst").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
         .iterCheckpoint()
       depth += 1
-      if (!next.isEmpty) {
+      exhausted = next.isEmpty // one emptiness probe per level, reused below
+      if (!exhausted) {
         acc = acc :+ next.select(col("s"), col("v"), lit(depth.toLong).as("dist"))
         visited = visited.union(next).iterCheckpoint()
       }
       frontier = next
     }
-    if (!frontier.isEmpty)
+    if (!exhausted)
       throw new IllegalStateException(
         s"hopDistancesAllPairs: BFS still expanding at depth $maxDepth — " +
           "graph deeper than the budget; raise maxDepth")

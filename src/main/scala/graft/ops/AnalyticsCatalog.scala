@@ -4754,6 +4754,169 @@ object AnalyticsCatalog {
            |    TRUE)
            |ORDER BY nodeType, propertyName""".stripMargin))
 
+  private val c64 = Entry("c64_cypher_gds_betweenness",
+    (s, dir) => {
+      // gds.betweenness.stream (round 10) — x12's sampled Brandes surfaced
+      // through the procedure registry: {samplingSize: 64} picks the 64
+      // md5-lowest node KEYS as sources (deterministic where GDS samples
+      // randomly — documented divergence) and rescales by |V|/64, the
+      // unbiased estimator. The whole-store projection mixes Articles and
+      // Publishers into the sample; sampled publishers contribute 0 (their
+      // BFS has no intermediates on a star), so the x12 closed form holds:
+      // score(pub) = |sampled articles of pub| · (k−1) · |V|/64, articles 0.
+      // |V|/64 is a power-of-two division — exact doubles, full hash.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run(
+        """CALL gds.betweenness.stream({samplingSize: 64}) YIELD key, score
+          |RETURN key, score ORDER BY key""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH keys AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS key, source, TRUE AS is_art
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT DISTINCT source, source, FALSE FROM documents),
+           |samp AS (SELECT key, source, is_art FROM keys
+           |         ORDER BY md5(key), key LIMIT 64),
+           |deg AS (SELECT source, COUNT(*) AS k FROM documents GROUP BY source),
+           |sp AS (SELECT source, COUNT(*) AS n_samp FROM samp
+           |       WHERE is_art GROUP BY source),
+           |tot AS (SELECT COUNT(*) AS n FROM keys)
+           |SELECT keys.key,
+           |  CASE WHEN keys.is_art THEN 0.0
+           |       ELSE round(CAST(COALESCE(sp.n_samp, 0) * (deg.k - 1) AS DOUBLE)
+           |            * (CAST(tot.n AS DOUBLE) / LEAST(64, tot.n)), 6) END
+           |    AS score
+           |FROM keys
+           |LEFT JOIN deg ON keys.key = deg.source AND NOT keys.is_art
+           |LEFT JOIN sp ON keys.key = sp.source AND NOT keys.is_art
+           |CROSS JOIN tot
+           |ORDER BY key""".stripMargin))
+
+  private val c65 = Entry("c65_cypher_gds_closeness",
+    (s, dir) => {
+      // gds.closeness.stream + gds.closeness.harmonic.stream (round 10)
+      // over a named projection of a SMALL graph — the honest contract for
+      // all-pairs centralities: the distance table is inherently quadratic
+      // in component size (GDS computes these on its in-memory projection
+      // for the same reason), so the projection bound is the scale knob.
+      // Fixture: the 20 publishers on a ring + skip-3 chord lattice over
+      // their alphabetical rank — connected, diameter ~4, fixed size at
+      // every SF. The oracle replays the BFS as a recursive CTE and both
+      // formulas exactly: closeness = r/Σd, harmonic = Σ(1/d)/(|V|−1),
+      // 6-dp pinned (x10's float posture).
+      val pubs = Tables(s, dir, "documents").select(col("source")).distinct()
+      val ranked = pubs.select(col("source"),
+        (row_number().over(Window.orderBy("source")) - 1).cast("long").as("r"))
+      val nP = ranked.count()
+      def chord(off: Int) = ranked
+        .select(col("source").as("srcKey"), ((col("r") + off) % nP).as("dr"))
+        .join(ranked.select(col("source").as("dstKey"), col("r").as("dr")),
+          Seq("dr"))
+        .select(lit("Pub").as("srcLabel"), col("srcKey"),
+          lit("NEXT").as("relType"), lit("Pub").as("dstLabel"), col("dstKey"))
+      val nodes = pubs.select(lit("Pub").as("label"), col("source").as("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(nodes)
+        .mergeEdgesByKey(chord(1))
+        .mergeEdgesByKey(chord(3))
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Pub" -> "name"))
+      sess.run("CALL gds.graph.project('pubnet', 'Pub', 'NEXT')")
+      val cl = sess.run(
+        """CALL gds.closeness.stream('pubnet') YIELD key, score
+          |RETURN key, score""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+      val hm = sess.run(
+        """CALL gds.closeness.harmonic.stream('pubnet') YIELD key, centrality
+          |RETURN key, centrality""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+      cl.join(hm, Seq("key")).orderBy("key")
+    },
+    Some("""WITH RECURSIVE
+           |p AS (SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) - 1
+           |        AS BIGINT) AS r
+           |      FROM (SELECT DISTINCT source FROM documents)),
+           |n AS (SELECT COUNT(*) AS n FROM p),
+           |e0 AS (
+           |  SELECT a.source AS s, b.source AS d FROM p a, p b, n
+           |  WHERE b.r = (a.r + 1) % n.n
+           |  UNION ALL
+           |  SELECT a.source, b.source FROM p a, p b, n
+           |  WHERE b.r = (a.r + 3) % n.n),
+           |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+           |walk(src, node, dist) AS (
+           |  SELECT s, d, CAST(1 AS BIGINT) FROM e
+           |  UNION
+           |  SELECT w.src, e.d, w.dist + 1 FROM walk w JOIN e ON e.s = w.node
+           |  WHERE w.dist < 8),
+           |dmin AS (SELECT src, node, MIN(dist) AS dist FROM walk
+           |         WHERE src <> node GROUP BY src, node),
+           |agg AS (SELECT src, COUNT(*) AS r, SUM(dist) AS sd,
+           |          SUM(1.0 / dist) AS h
+           |        FROM dmin GROUP BY src)
+           |SELECT agg.src AS key,
+           |  round(CAST(agg.r AS DOUBLE) / CAST(agg.sd AS DOUBLE), 6) AS score,
+           |  round(agg.h / (n.n - 1), 6) AS centrality
+           |FROM agg, n ORDER BY key""".stripMargin))
+
+  private val c66 = Entry("c66_cypher_gds_kcore",
+    (s, dir) => {
+      // gds.kcore.stream (round 10) — FULL core decomposition (coreness
+      // per node) by iterated neighborhood h-index, where x14 answers only
+      // fixed-k membership. Fixture: doc_ids in blocks of 8 — a 5-clique
+      // (coreness 4) with a 3-node chain tail (coreness 1) hanging off the
+      // clique; straggler blocks shrink the clique (coreness m−1). The
+      // h-index erosion depth is CONSTANT by construction (the x20 lesson:
+      // bound structure depth, not node count — a long chain would erode
+      // one hop per round), so rounds stay ~4 at every SF. The oracle is
+      // the closed form of the construction; the engine runs the real
+      // fixpoint iteration and must land on it.
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val r = col("doc_id") % 8
+      def edge(dstOff: org.apache.spark.sql.Column) = Seq(
+        lit("Doc").as("srcLabel"), col("doc_id").cast("string").as("srcKey"),
+        lit("E").as("relType"), lit("Doc").as("dstLabel"),
+        (col("doc_id") + dstOff).cast("string").as("dstKey"))
+      val clique = docs.filter(r <= 3)
+        .select(col("doc_id"), explode(sequence(lit(1L), lit(4L) - r)).as("off"))
+        .filter(col("doc_id") + col("off") < n)
+        .select(edge(col("off")): _*)
+      val chain = docs.filter(r.isin(4, 5, 6) && col("doc_id") + 1 < n)
+        .select(edge(lit(1L)): _*)
+      val nodes = docs.select(lit("Doc").as("label"),
+        col("doc_id").cast("string").as("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(nodes)
+        .mergeEdgesByKey(clique)
+        .mergeEdgesByKey(chain)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id"))
+      sess.run("CALL gds.graph.project('kc', 'Doc', 'E')")
+      sess.run(
+        """CALL gds.kcore.stream('kc') YIELD key, coreValue
+          |WITH coreValue, count(*) AS n_nodes
+          |RETURN coreValue, n_nodes ORDER BY coreValue""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |c AS (SELECT doc_id % 8 AS r,
+           |        LEAST(CAST(5 AS BIGINT),
+           |              n.n - (doc_id // 8) * 8) AS s
+           |      FROM documents, n),
+           |core AS (
+           |  SELECT CASE WHEN r < s
+           |           THEN CASE WHEN s >= 2 THEN s - 1 ELSE 0 END
+           |           ELSE 1 END AS coreValue
+           |  FROM c)
+           |SELECT coreValue, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM core GROUP BY coreValue ORDER BY coreValue""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -6504,6 +6667,56 @@ object AnalyticsCatalog {
            |SELECT doc_id, chars, 0.0, 0.0, 0.0, 0.0 FROM b WHERE len(t) < 2
            |ORDER BY doc_id""".stripMargin))
 
+  private val t27 = Entry("t27_vocab_coverage",
+    (s, dir) => {
+      // Vocabulary-coverage quality filter (round 10) — the C4/Gopher-class
+      // signal "what fraction of a document's tokens are in the corpus's
+      // top-K vocabulary": low coverage flags lorem-ipsum, foreign-language
+      // leakage, and OCR noise. The vocabulary is the corpus's own top-K
+      // terms by total frequency (ties to the lexicographically smallest
+      // term — deterministic), BROADCAST onto the token stream: one
+      // explode, one broadcast left join, one map-side-combined per-doc
+      // aggregate — linear in token count, no shuffle wider than the final
+      // per-doc rollup. K = 10 here because the fixture corpus has only 31
+      // distinct terms (any K >= 31 makes every coverage 1.0 and tests
+      // nothing); production K is 10^3-10^5 and still broadcast-sized —
+      // the plan is identical. Report: coverage-decile histogram with
+      // exact integer columns only (bucket = in_vocab*10 div total,
+      // capped at 9; no float sums to hash).
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(10)
+        .select(col("term"), lit(1).as("__v"))
+      val cov = tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total"), count(col("__v")).as("in_vocab"))
+      cov.select(
+          least(lit(9L), expr("in_vocab * 10 div total")).as("bucket"),
+          col("total"), col("in_vocab"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("total").as("sum_tokens"),
+          sum("in_vocab").as("sum_in_vocab"))
+        .orderBy("bucket")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           |  FROM documents),
+           |vocab AS (
+           |  SELECT term FROM tok GROUP BY term
+           |  ORDER BY COUNT(*) DESC, term LIMIT 10),
+           |cov AS (
+           |  SELECT doc_id, COUNT(*) AS total,
+           |    COUNT(*) FILTER (term IN (SELECT term FROM vocab)) AS in_vocab
+           |  FROM tok GROUP BY doc_id)
+           |SELECT LEAST(9, in_vocab * 10 // total) AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(total) AS BIGINT) AS sum_tokens,
+           |  CAST(SUM(in_vocab) AS BIGINT) AS sum_in_vocab
+           |FROM cov GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   private val t24 = Entry("t24_boilerplate_ngrams",
     (s, dir) => {
       // Boilerplate n-gram detection (the CCNet/RefinedWeb-style pass that
@@ -6549,7 +6762,7 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04, g05, g06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+    t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
@@ -6560,7 +6773,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60, c61, c62, c63,
+    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -408,4 +408,68 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .as[(String, String, Double)].collect().map(t => (t._1, t._2)).toSet
     assert(pruned === Set(("a", "b"), ("b", "c")))
   }
+
+  test("round-10: coreDecomposition matches the k-by-k peel on mixed structure") {
+    // 4-clique (coreness 3) + 5-cycle (2) + 3-chain (1) + isolated node (0)
+    val clique = for { a <- 0 to 3; b <- a + 1 to 3 } yield (s"q$a", s"q$b")
+    val cycle = (0 until 5).map(i => (s"c$i", s"c${(i + 1) % 5}"))
+    val chain = Seq(("h0", "h1"), ("h1", "h2"))
+    val pairs = (clique ++ cycle ++ chain).toDF("u", "v")
+    val ids = (clique ++ cycle ++ chain)
+      .flatMap(p => Seq(p._1, p._2)).distinct
+      .concat(Seq("iso")).toDF("id")
+    val core = GraphAlgorithms.coreDecomposition(ids, pairs)
+      .as[(String, Long)].collect().toMap
+    assert((0 to 3).forall(i => core(s"q$i") === 3L))
+    assert((0 until 5).forall(i => core(s"c$i") === 2L))
+    assert(Seq("h0", "h1", "h2").forall(core(_) === 1L))
+    assert(core("iso") === 0L)
+    // cross-check: the k-core membership from the peel == nodes with
+    // coreness >= k, for every k the fixture exercises
+    for (k <- 1 to 3) {
+      val peel = GraphAlgorithms.kCorePeel(pairs, k, rounds = 6)
+        .as[String].collect().toSet
+      val byCore = core.filter(_._2 >= k).keySet
+      assert(peel === byCore, s"k=$k")
+    }
+  }
+
+  test("round-10: coreDecomposition fails loudly when erosion exceeds the budget") {
+    // a 9-chain needs ~4 h-index rounds to erode interior 2-estimates to 1
+    val chain = (0 until 8).map(i => (s"n$i", s"n${i + 1}")).toDF("u", "v")
+    val ids = (0 to 8).map(i => s"n$i").toDF("id")
+    val e = intercept[IllegalStateException](
+      GraphAlgorithms.coreDecomposition(ids, chain, maxRounds = 1))
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
+  test("round-10: hopDistancesAllPairs — undirected distances, loud depth cap") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "iso").toDF("id")
+    val d = GraphAlgorithms.hopDistancesAllPairs(nodes, edges)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(d === Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("a", "c") -> 2L, ("c", "a") -> 2L))
+    val e = intercept[IllegalStateException](
+      GraphAlgorithms.hopDistancesAllPairs(nodes, edges, maxDepth = 1))
+    assert(e.getMessage.contains("deeper than the budget"), e.getMessage)
+  }
+
+  test("round-10: betweennessFromSources requireExhausted fails on truncation") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val sources = Seq("a").toDF("s")
+    val e = intercept[IllegalStateException](
+      GraphAlgorithms.betweennessFromSources(edges, sources, maxDepth = 1,
+        requireExhausted = true))
+    assert(e.getMessage.contains("still expanding"), e.getMessage)
+    // same call with the budget sized to the graph is the exact answer —
+    // exhaustion needs diameter+1 rounds (the last round proves the
+    // frontier empty). On the path a-b-c-d from source a, b lies on 2
+    // shortest paths.
+    val bc = GraphAlgorithms.betweennessFromSources(edges, sources,
+        maxDepth = 4, requireExhausted = true)
+      .as[(String, Double)].collect().toMap
+    assert(bc("b") === 2.0 && bc("c") === 1.0 && bc("d") === 0.0)
+  }
 }

@@ -2422,4 +2422,68 @@ class CypherSpec extends SparkTestBase {
     assert(r.getSeq[Long](0) === Seq(3L, 3L))
     assert(r.getInt(1) === 1)
   }
+
+  test("round-10: gds.betweenness.stream — exact on a path, typed sampling reject") {
+    val sess = freshSession
+    // path a-b-c-d: over all ordered source pairs, b lies on (a,c),(c,a),
+    // (a,d),(d,a) = 4 shortest paths; c symmetric; endpoints 0
+    Seq(("a", "b"), ("b", "c"), ("c", "d")).foreach { case (s1, d1) =>
+      sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                  |MERGE (x)-[:L]->(y)""".stripMargin)
+    }
+    val bc = sess.run(
+      """CALL gds.betweenness.stream() YIELD key, score
+        |RETURN key, score ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toMap
+    assert(bc === Map("a" -> 0.0, "b" -> 4.0, "c" -> 4.0, "d" -> 0.0))
+    val neg = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.betweenness.stream({samplingSize: -1})"))
+    assert(neg.getMessage.contains("samplingSize"), neg.getMessage)
+    // samplingSize >= |V| degenerates to the exact form (scale 1)
+    val full = sess.run(
+      """CALL gds.betweenness.stream({samplingSize: 99}) YIELD key, score
+        |RETURN key, score ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toMap
+    assert(full === bc)
+  }
+
+  test("round-10: gds.closeness.stream + harmonic — path fixture, isolated node") {
+    val sess = freshSession
+    Seq(("a", "b"), ("b", "c")).foreach { case (s1, d1) =>
+      sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                  |MERGE (x)-[:L]->(y)""".stripMargin)
+    }
+    sess.run("MERGE (e:N {name: 'e'})") // isolated: both scores 0
+    val cl = sess.run(
+      """CALL gds.closeness.stream() YIELD key, score
+        |RETURN key, score ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toMap
+    // closeness = r/Σd: a: 2/3; b: 2/2; e: 0 (no reachable set)
+    assert(math.abs(cl("a") - 0.666667) < 1e-9)
+    assert(cl("b") === 1.0 && cl("e") === 0.0)
+    assert(cl("a") === cl("c"))
+    val hm = sess.run(
+      """CALL gds.closeness.harmonic.stream() YIELD key, centrality
+        |RETURN key, centrality ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toMap
+    // harmonic = Σ(1/d)/(|V|-1), |V|=4: a: 1.5/3; b: 2/3; e: 0
+    assert(hm("a") === 0.5 && hm("e") === 0.0)
+    assert(math.abs(hm("b") - 0.666667) < 1e-9)
+  }
+
+  test("round-10: gds.kcore.stream — coreness per node, not just fixed-k membership") {
+    val sess = freshSession
+    // triangle {a,b,c} (coreness 2) + pendant d off c (1) + isolated e (0)
+    Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).foreach {
+      case (s1, d1) =>
+        sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                    |MERGE (x)-[:L]->(y)""".stripMargin)
+    }
+    sess.run("MERGE (e:N {name: 'e'})")
+    val core = sess.run(
+      """CALL gds.kcore.stream() YIELD key, coreValue
+        |RETURN key, coreValue ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
+    assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
+  }
 }

@@ -480,6 +480,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("round-10: t27 vocab coverage broadcasts the vocabulary, no cartesian") {
+    // the top-1000 vocabulary must reach the token stream as a broadcast —
+    // a shuffle join here would move the full exploded token stream for a
+    // 1000-row dimension
+    val p = plan("t27_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("round-10: d26 best-survivor is a combining argmax, never a cluster window") {
     // the per-cluster keep decision must be max(struct(...)) — partial-
     // aggregating map-side — not a row_number window over the cluster key,
