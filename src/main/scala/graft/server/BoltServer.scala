@@ -39,8 +39,9 @@ import scala.util.control.NonFatal
   * against the committed store (no read-your-buffered-writes), and
   * statements are applied sequentially at COMMIT with per-STATEMENT
   * atomicity only — a mid-apply failure reports how many statements had
-  * already applied rather than un-doing them. ROUTE fails with an explicit
-  * message (direct `bolt://` only).
+  * already applied rather than un-doing them. ROUTE answers with the
+  * standalone self-routing table (every role = this listener), so the
+  * default `neo4j://` driver scheme connects as well as direct `bolt://`.
   * Temporal values encode as the published Bolt temporal structs (Date,
   * DateTime/legacy-DateTime by negotiated version, LocalDateTime,
   * LocalTime, Duration — always at UTC offset 0, the only zone this
@@ -267,8 +268,19 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
           if (!inTx) failure("Neo.ClientError.Request.Invalid",
             "ROLLBACK with no open transaction")
           else { inTx = false; txQueue.clear(); success(Map.empty) }
-        case 0x66 => failure("Neo.ClientError.Routing.RoutingFailed",
-          "server-side routing is not supported; connect with the direct bolt:// scheme")
+        case 0x66 => // ROUTE: answer with the standalone SELF-routing table
+          // (all three roles point at this listener) — exactly what a
+          // single-instance Neo4j returns, and what makes the DEFAULT
+          // neo4j:// driver scheme work against this server instead of
+          // requiring the direct bolt:// form.
+          val addr = s"localhost:${serverSocket.getLocalPort}"
+          success(Map("rt" -> Map(
+            "ttl" -> 300L,
+            "db" -> "neo4j",
+            "servers" -> Seq(
+              Map("addresses" -> Seq(addr), "role" -> "WRITE"),
+              Map("addresses" -> Seq(addr), "role" -> "READ"),
+              Map("addresses" -> Seq(addr), "role" -> "ROUTE")))))
         case 0x54 => success(Map.empty) // TELEMETRY
         case 0x10 => // RUN(query, params, extra)
           try {

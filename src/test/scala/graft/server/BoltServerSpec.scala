@@ -95,6 +95,28 @@ class BoltServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("round-10: ROUTE answers the standalone self-routing table (neo4j:// scheme)") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 4), 0, 0, 0)).contains((5, 4)))
+      c.send(0x01, Map("user_agent" -> "spec/1.0"))
+      assert((c.recv().tag & 0xFF) == 0x70)
+      // ROUTE(routing, bookmarks, extra) — the first thing a neo4j://
+      // driver sends; a standalone server must point every role at itself
+      c.send(0x66, Map("address" -> s"localhost:$port"),
+        Seq.empty[String], Map.empty[String, Any])
+      val route = c.recv()
+      assert((route.tag & 0xFF) == 0x70, route)
+      val rt = meta(route)("rt").asInstanceOf[Map[String, Any]]
+      assert(rt("db") == "neo4j" && rt("ttl") == 300L)
+      val servers = rt("servers").asInstanceOf[Seq[Map[String, Any]]]
+      assert(servers.map(_("role")).toSet === Set("WRITE", "READ", "ROUTE"))
+      assert(servers.forall(_("addresses") == Seq(s"localhost:$port")))
+      c.close()
+    } finally server.stop()
+  }
+
   test("RUN/PULL: rows stream under flow control, summary carries type r") {
     val (server, port, _) = newServer()
     try {
