@@ -434,4 +434,9 @@ object CypherAst {
     * label partitioning plays) plus one RANGE backing-index row per
     * uniqueness constraint, as Neo4j lists them. */
   case object ShowIndexes extends Statement
+
+  /** `SHOW DATABASES` — the single-database engine lists its one store
+    * plus the nominal `system` database, the first query Neo4j Browser
+    * and ops tooling issue on connect. */
+  case object ShowDatabases extends Statement
 }

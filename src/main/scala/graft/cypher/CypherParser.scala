@@ -202,7 +202,9 @@ object CypherParser {
             next(); ShowConstraints
           case Some(Ident(c)) if c.equalsIgnoreCase("indexes") =>
             next(); ShowIndexes
-          case t => fail(s"SHOW supports CONSTRAINTS and INDEXES, got $t")
+          case Some(Ident(c)) if c.equalsIgnoreCase("databases") =>
+            next(); ShowDatabases
+          case t => fail(s"SHOW supports CONSTRAINTS, INDEXES and DATABASES, got $t")
         }
       case Some(Ident(d)) if d.equalsIgnoreCase("drop") =>
         next()

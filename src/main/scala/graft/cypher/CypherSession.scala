@@ -164,6 +164,19 @@ final class CypherSession(
       .orderBy("name"))
   }
 
+  /** `SHOW DATABASES` — this engine hosts exactly one user database; the
+    * nominal `system` row is listed the way Neo4j lists it so tooling
+    * that iterates databases on connect sees the expected pair. */
+  private def executeShowDatabases(): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    CypherRows(Seq(
+      ("neo4j", "standard", "read-write", "online", true, true),
+      ("system", "system", "read-write", "online", false, false))
+      .toDF("name", "type", "access", "currentStatus", "default", "home")
+      .orderBy("name"))
+  }
+
   private def executeShowConstraints(): CypherResult = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._
@@ -236,6 +249,7 @@ final class CypherSession(
       case d: DropConstraint => executeDropConstraint(d)
       case ShowConstraints => executeShowConstraints()
       case ShowIndexes => executeShowIndexes()
+      case ShowDatabases => executeShowDatabases()
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement =>
         // pagination parsed with the last part applies to the combined rows
@@ -1944,8 +1958,25 @@ final class CypherSession(
           graft.analytics.GraphAlgorithms.pageRank(pgraph, numIter = 10)
             .select(col("key"), round(col("rank"), 6).as("score"))
         case "gds.wcc.stream" =>
-          // component identity = the min member key, engine-independent
-          val comps = graft.analytics.GraphAlgorithms.connectedComponents(pgraph)
+          // component identity = the min member key, engine-independent.
+          // GDS's weighted form: {relationshipWeightProperty, threshold}
+          // keeps only edges whose weight EXCEEDS the threshold (missing
+          // weights default to 1.0, the dijkstra convention) — the
+          // similarity-graph clustering idiom; threshold without a weight
+          // property is meaningless and rejects typed.
+          val wccWeight = p.confString("relationshipWeightProperty")
+          val wccThr = p.confDouble("threshold", Double.NegativeInfinity)
+          if (wccThr > Double.NegativeInfinity && wccWeight.isEmpty)
+            throw new IllegalArgumentException("gds.wcc.stream: {threshold} " +
+              "requires {relationshipWeightProperty} — an unweighted graph " +
+              "has nothing to threshold")
+          val wccGraph = wccWeight match {
+            case Some(prop) => pgraph.copy(edges = pgraph.edges.filter(
+              coalesce(element_at(col("props"), prop).cast("double"),
+                lit(1.0)) > wccThr))
+            case None => pgraph
+          }
+          val comps = graft.analytics.GraphAlgorithms.connectedComponents(wccGraph)
           comps.join(
               comps.groupBy("component").agg(min("key").as("componentKey")),
               Seq("component"))

@@ -2471,6 +2471,32 @@ class CypherSpec extends SparkTestBase {
     assert(math.abs(hm("b") - 0.666667) < 1e-9)
   }
 
+  test("round-10: weighted wcc threshold drops weak edges; SHOW DATABASES lists the pair") {
+    val sess = freshSession
+    sess.run("""MERGE (a:N {name: 'a'}) MERGE (b:N {name: 'b'})
+               |MERGE (a)-[:L {w: '0.9'}]->(b)""".stripMargin)
+    sess.run("""MERGE (b:N {name: 'b'}) MERGE (c:N {name: 'c'})
+               |MERGE (b)-[:L {w: '0.2'}]->(c)""".stripMargin)
+    val comps = sess.run(
+      """CALL gds.wcc.stream({relationshipWeightProperty: 'w', threshold: 0.5})
+        |YIELD key, componentKey RETURN key, componentKey ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(comps === Map("a" -> "a", "b" -> "a", "c" -> "c"))
+    // without the threshold the weight property alone changes nothing
+    val all = sess.run(
+      """CALL gds.wcc.stream({relationshipWeightProperty: 'w'})
+        |YIELD componentKey RETURN DISTINCT componentKey""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[String].collect().toSet
+    assert(all === Set("a"))
+    val e = intercept[IllegalArgumentException](
+      sess.run("CALL gds.wcc.stream({threshold: 0.5})"))
+    assert(e.getMessage.contains("relationshipWeightProperty"), e.getMessage)
+    val dbs = sess.run("SHOW DATABASES").asInstanceOf[CypherRows].df
+      .as[(String, String, String, String, Boolean, Boolean)].collect().toSeq
+    assert(dbs.map(_._1) === Seq("neo4j", "system"))
+    assert(dbs.head._5 && dbs.head._6) // neo4j is default + home
+  }
+
   test("round-10: gds.kcore.stream — coreness per node, not just fixed-k membership") {
     val sess = freshSession
     // triangle {a,b,c} (coreness 2) + pendant d off c (1) + isolated e (0)
