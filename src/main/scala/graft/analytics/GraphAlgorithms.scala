@@ -1078,6 +1078,107 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("c"), lit(0L)).as("coreValue"))
   }
 
+  /** Louvain-style community detection, made deterministic: SYNCHRONOUS
+    * local-moving modularity optimization over the undirected simple view.
+    * Every round, every node evaluates the exact modularity gain of joining
+    * each NEIGHBOR community against staying, all against the ROUND-START
+    * assignment, and all accepted moves apply at once. Gains compare in
+    * exact integer arithmetic — ΔQ(i→C) ∝ 2m·e(i→C) − k_i·Σ_C (Σ without
+    * k_i when C is i's own community) — so there is no float tie to break;
+    * remaining ties go to the smallest community label. Classic Louvain is
+    * sequential (node order changes the answer) and multi-LEVEL (coarsens
+    * and repeats); this is the single-level synchronous form, the same
+    * pin-the-nondeterminism trade [[labelPropagation]] makes, so the result
+    * is a pure function both engines can replay round-for-round.
+    *
+    * Pure synchronous moving OSCILLATES on symmetric structures: two
+    * degree-equal singletons each pick the OTHER's community and swap
+    * forever (verified on a triangle pair while building this). The
+    * symmetry breaker is the distributed-Louvain minimum-label heuristic
+    * (Lu/Halappanavar/Kalyanaraman's parallel-Louvain rule), applied as a
+    * CANDIDATE filter: a move whose target community is a SINGLETON is
+    * admissible only toward a smaller label — the lower-labeled side of
+    * any would-be swap holds still, so pairs merge instead of exchanging,
+    * and blocked nodes fall through to their best ADMISSIBLE candidate.
+    * Non-singleton targets are unrestricted. A zero-move round is then a
+    * true fixpoint (admissibility only changes when something moves).
+    * Internal labels are the initial node ids (engine-independent); the
+    * returned community identity is the MIN MEMBER id, because a label's
+    * founding node can itself move away. Per round: one edge⋈assignment
+    * join + three hash aggregates + an argmax done as max-then-min joins
+    * (never a per-node window — a hub's candidate list would single-task
+    * it); `rounds` bounds the budget. Scale: every stage is linear in |E|
+    * with map-side combining, the same per-round economics as LPA. */
+  def louvainLocalMoving(ids: DataFrame, pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .iterCheckpoint()
+    val twoM = sym.count() // = 2m exactly (each undirected edge twice)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("k")).iterCheckpoint()
+    val nodes = ids.toDF("id")
+    var a = deg.select(col("u").as("id"), col("u").as("comm"))
+      .iterCheckpoint() // edgeless nodes never move; folded back at the end
+    var round = 0
+    var moved = 1L
+    while (round < rounds && moved > 0) {
+      // e(i→C): neighbors of i inside each round-start community C
+      val eC = sym
+        .join(a.select(col("id").as("v"), col("comm").as("c")), Seq("v"))
+        .groupBy("u", "c").agg(count(lit(1)).as("e"))
+      // Σ_C / |C|: total degree and size per community at round start
+      val sigma = a.join(deg.withColumnRenamed("u", "id"), Seq("id"))
+        .groupBy("comm").agg(sum("k").as("sig"), count(lit(1)).as("sz"))
+      val cur = a.join(deg.withColumnRenamed("u", "id"), Seq("id"))
+        .join(sigma, Seq("comm"))
+        .select(col("id").as("u"), col("comm").as("curc"), col("k"),
+          col("sig").as("cursig"))
+      // candidate score; for i's own community the baseline is C\{i}
+      val scored = eC
+        .join(sigma.withColumnRenamed("comm", "c"), Seq("c"))
+        .join(cur, Seq("u"))
+        .select(col("u"), col("c"), col("curc"), col("sz"),
+          (lit(twoM) * col("e") - col("k") *
+            (col("sig") - when(col("c") === col("curc"), col("k"))
+              .otherwise(lit(0L)))).as("val"))
+      // the stay score must exist even when i has NO neighbor in its own
+      // community (e = 0): val_stay = −k·(Σ_cur − k)
+      val stay = cur.select(col("u"), col("curc"),
+        (-col("k") * (col("cursig") - col("k"))).as("stayval"))
+        .join(scored.filter(col("c") === col("curc"))
+          .select(col("u"), col("val").as("ownval")), Seq("u"), "left")
+        .select(col("u"), col("curc"),
+          coalesce(col("ownval"), col("stayval")).as("curval"))
+      // minimum-label admissibility (the swap breaker): a SINGLETON target
+      // is only admissible toward a smaller label; then argmax by
+      // (val desc, label asc) without a per-node window — max val, then
+      // min label among the maxima
+      val admissible = scored.filter(
+        col("c") === col("curc") || col("sz") > 1L || col("c") < col("curc"))
+      val mx = admissible.groupBy("u").agg(max("val").as("mxval"))
+      val best = admissible.join(mx, Seq("u"))
+        .filter(col("val") === col("mxval"))
+        .groupBy("u").agg(min("c").as("bestc"), max("val").as("bestval"))
+      val next = stay.join(best, Seq("u"), "left")
+        .select(col("u").as("id"),
+          when(col("bestval") > col("curval"), col("bestc"))
+            .otherwise(col("curc")).as("comm"),
+          (col("bestval") > col("curval")).as("__moved"))
+        .iterCheckpoint()
+      moved = next.filter(col("__moved")).count()
+      a = next.select(col("id"), col("comm"))
+      round += 1
+    }
+    val relabel = a
+      .join(a.groupBy("comm").agg(min("id").as("community")), Seq("comm"))
+      .select(col("id"), col("community"))
+    nodes.join(relabel, Seq("id"), "left")
+      .select(col("id"), coalesce(col("community"), col("id")).as("community"))
+  }
+
   /** Hop distances between ALL pairs of nodes (undirected view of the edge
     * list), as (s, v, dist) rows with dist ≥ 1 — the distance table
     * closeness-family centralities aggregate. Multi-source BFS: every node

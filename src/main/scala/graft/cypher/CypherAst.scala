@@ -340,7 +340,10 @@ object CypherAst {
       "gds.betweenness.stream" -> Seq("key", "score"),
       "gds.closeness.stream" -> Seq("key", "score"),
       "gds.closeness.harmonic.stream" -> Seq("key", "centrality"),
-      "gds.kcore.stream" -> Seq("key", "coreValue"))
+      "gds.kcore.stream" -> Seq("key", "coreValue"),
+      // modularity-optimizing community detection (deterministic
+      // single-level synchronous local moving; see louvainLocalMoving)
+      "gds.louvain.stream" -> Seq("key", "communityKey"))
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))

@@ -2174,6 +2174,19 @@ final class CypherSession(
             .coreDecomposition(pgraph.nodes.select(col("key")), edgeKeys)
             .withColumnRenamed("id", "key")
             .select(col("key"), col("coreValue"))
+        case "gds.louvain.stream" =>
+          // modularity-optimizing community detection — DETERMINISTIC
+          // single-level synchronous local moving with exact integer gain
+          // comparisons and min-label ties (classic Louvain is sequential
+          // and multi-level; this is the labelPropagation-style
+          // pin-the-nondeterminism trade, documented divergence).
+          // {maxIterations: n} bounds the rounds (default 10, GDS's);
+          // community identity = min member key. Edgeless nodes are their
+          // own singleton community, matching GDS's all-nodes output.
+          graft.analytics.GraphAlgorithms.louvainLocalMoving(
+              pgraph.nodes.select(col("key")), edgeKeys,
+              rounds = p.confLong("maxIterations", 10L).toInt)
+            .select(col("id").as("key"), col("community").as("communityKey"))
         // ---- write-mode procedures (the persist half of the GDS
         // lifecycle): compute over the projection, write the result back
         // into the STORE's property bag by internal node id — exactly the

@@ -4917,6 +4917,53 @@ object AnalyticsCatalog {
            |SELECT coreValue, CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM core GROUP BY coreValue ORDER BY coreValue""".stripMargin))
 
+  private val c67 = Entry("c67_cypher_gds_louvain",
+    (s, dir) => {
+      // gds.louvain.stream (round 10) — modularity-optimizing community
+      // detection as DETERMINISTIC single-level synchronous local moving
+      // (exact integer gain comparisons, min-label admissibility breaking
+      // singleton swaps; GraphAlgorithms.louvainLocalMoving). Fixture:
+      // doc_ids in 5-cliques (blocks of 5) chained by single bridge edges
+      // between consecutive COMPLETE blocks — the bridge must never beat a
+      // clique's internal mass, so the converged communities are exactly
+      // the blocks and the oracle is the construction's closed form:
+      // community(min member key) = (doc_id div 5)·5. Local-moving round
+      // count is set by intra-clique consolidation (~4), independent of
+      // block count — the same constant-depth posture as c66/x20.
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val r5 = col("doc_id") % 5
+      def edge(dstOff: org.apache.spark.sql.Column) = Seq(
+        lit("Doc").as("srcLabel"), col("doc_id").cast("string").as("srcKey"),
+        lit("E").as("relType"), lit("Doc").as("dstLabel"),
+        (col("doc_id") + dstOff).cast("string").as("dstKey"))
+      val clique = docs.filter(r5 <= 3)
+        .select(col("doc_id"), explode(sequence(lit(1L), lit(4L) - r5)).as("off"))
+        .filter(col("doc_id") + col("off") < n)
+        .select(edge(col("off")): _*)
+      // bridge only between COMPLETE blocks: a size-1 straggler would
+      // otherwise be pulled into its neighbor (its only edge IS the bridge)
+      val bridge = docs.filter(r5 === 0 && col("doc_id") + 9 < n)
+        .select(edge(lit(5L)): _*)
+      val nodes = docs.select(lit("Doc").as("label"),
+        col("doc_id").cast("string").as("key"),
+        typedlit(Map.empty[String, String]).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(nodes)
+        .mergeEdgesByKey(clique)
+        .mergeEdgesByKey(bridge)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id"))
+      sess.run("CALL gds.graph.project('lv', 'Doc', 'E')")
+      sess.run(
+        """CALL gds.louvain.stream('lv') YIELD key, communityKey
+          |RETURN key, communityKey ORDER BY key""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS key,
+           |  CAST((doc_id // 5) * 5 AS VARCHAR) AS communityKey
+           |FROM documents ORDER BY key""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -6773,7 +6820,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66,
+    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -434,6 +434,31 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     }
   }
 
+  test("round-10: louvain local moving finds the cliques; singletons merge, never swap") {
+    // two 4-cliques joined by one bridge + an isolated node: the bridge
+    // must NOT merge the cliques, the isolated node stays a singleton
+    val cliqueA = for { a <- 0 to 3; b <- a + 1 to 3 } yield (s"a$a", s"a$b")
+    val cliqueB = for { a <- 0 to 3; b <- a + 1 to 3 } yield (s"b$a", s"b$b")
+    val pairs = (cliqueA ++ cliqueB :+ (("a3", "b0"))).toDF("u", "v")
+    val ids = ((0 to 3).flatMap(i => Seq(s"a$i", s"b$i")) :+ "zz").toDF("id")
+    val lv = GraphAlgorithms.louvainLocalMoving(ids, pairs, rounds = 10)
+      .as[(String, String)].collect().toMap
+    assert((0 to 3).forall(i => lv(s"a$i") == "a0"), lv)
+    assert((0 to 3).forall(i => lv(s"b$i") == "b0"), lv)
+    assert(lv("zz") == "zz")
+    // triangle pair + bridge — the exact structure where UNGUARDED
+    // synchronous moving oscillates (two degree-equal singletons pick each
+    // other and swap forever); the min-label admissibility rule must land
+    // both triangles instead
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("u", "v")
+    val ids2 = Seq("a", "b", "c", "d", "e", "f").toDF("id")
+    val lv2 = GraphAlgorithms.louvainLocalMoving(ids2, tri, rounds = 10)
+      .as[(String, String)].collect().toMap
+    assert(lv2 === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d"))
+  }
+
   test("round-10: coreDecomposition fails loudly when erosion exceeds the budget") {
     // a 9-chain needs ~4 h-index rounds to erode interior 2-estimates to 1
     val chain = (0 until 8).map(i => (s"n$i", s"n${i + 1}")).toDF("u", "v")

@@ -2497,6 +2497,32 @@ class CypherSpec extends SparkTestBase {
     assert(dbs.head._5 && dbs.head._6) // neo4j is default + home
   }
 
+  test("round-10: gds.louvain.stream — modularity communities, min-key identity") {
+    val sess = freshSession
+    // two triangles joined by one bridge; communities must be the
+    // triangles (keyed by min member), never the merged pair
+    Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).foreach {
+      case (s1, d1) =>
+        sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                    |MERGE (x)-[:L]->(y)""".stripMargin)
+    }
+    sess.run("MERGE (z:N {name: 'z'})")
+    val lv = sess.run(
+      """CALL gds.louvain.stream() YIELD key, communityKey
+        |RETURN key, communityKey ORDER BY key""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(lv === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d", "z" -> "z"))
+    // the round budget composes: 0 rounds = every node its own community
+    val frozen = sess.run(
+      """CALL gds.louvain.stream({maxIterations: 0}) YIELD key, communityKey
+        |WHERE key = communityKey
+        |RETURN count(*) AS n""".stripMargin)
+    val nFrozen = frozen.asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(nFrozen === 7L)
+  }
+
   test("round-10: gds.kcore.stream — coreness per node, not just fixed-k membership") {
     val sess = freshSession
     // triangle {a,b,c} (coreness 2) + pendant d off c (1) + isolated e (0)
