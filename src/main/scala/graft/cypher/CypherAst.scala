@@ -321,6 +321,8 @@ object CypherAst {
       "gds.pageRank.write" -> Seq("nodePropertiesWritten", "writeProperty"),
       "gds.wcc.write" ->
         Seq("nodePropertiesWritten", "componentCount", "writeProperty"),
+      "gds.louvain.write" ->
+        Seq("nodePropertiesWritten", "communityCount", "writeProperty"),
       // source→target form of the dijkstra surface (GDS's
       // gds.shortestPath.dijkstra): same engine, result filtered to the
       // one target row

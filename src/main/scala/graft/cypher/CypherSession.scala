@@ -2219,6 +2219,23 @@ final class CypherSession(
           val written = writeNodeProperty(wp, pr)
           spark.range(1).select(lit(written).as("nodePropertiesWritten"),
             lit(wp).as("writeProperty"))
+        case "gds.louvain.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.louvain.write requires " +
+              "{writeProperty: '…'} — GDS has no default write property"))
+          // same deterministic local-moving contract as gds.louvain.stream,
+          // persisted: community identity (min member key) stored as the
+          // property, so write-then-MATCH reads exactly what stream yields
+          val lvw = graft.analytics.GraphAlgorithms.louvainLocalMoving(
+              pgraph.nodes.select(col("key")), edgeKeys,
+              rounds = p.confLong("maxIterations", 10L).toInt)
+          val lvVals = pgraph.nodes.select(col("id"), col("key"))
+            .join(lvw.withColumnRenamed("id", "key"), Seq("key"))
+            .select(col("id"), col("community").as("__wval"))
+          val nComm = lvw.select(col("community")).distinct().count()
+          val lvWritten = writeNodeProperty(wp, lvVals)
+          spark.range(1).select(lit(lvWritten).as("nodePropertiesWritten"),
+            lit(nComm).as("communityCount"), lit(wp).as("writeProperty"))
         case "gds.wcc.write" =>
           val wp = p.confString("writeProperty").getOrElse(
             throw new IllegalArgumentException("gds.wcc.write requires " +

@@ -2521,6 +2521,17 @@ class CypherSpec extends SparkTestBase {
         |RETURN count(*) AS n""".stripMargin)
     val nFrozen = frozen.asInstanceOf[CypherRows].df.as[Long].collect().head
     assert(nFrozen === 7L)
+    // write mode persists exactly what stream yields, with counters
+    val w = sess.run(
+      """CALL gds.louvain.write({writeProperty: 'cid'})
+        |YIELD nodePropertiesWritten, communityCount, writeProperty
+        |RETURN nodePropertiesWritten, communityCount, writeProperty""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(Long, Long, String)].collect().head
+    assert(w === ((7L, 3L, "cid")))
+    val readBack = sess.run(
+      "MATCH (n:N) RETURN n.name AS key, n.cid AS cid ORDER BY key")
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toMap
+    assert(readBack === lv)
   }
 
   test("round-10: gds.kcore.stream — coreness per node, not just fixed-k membership") {
