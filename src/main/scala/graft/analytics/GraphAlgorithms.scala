@@ -1154,14 +1154,15 @@ object GraphAlgorithms {
           coalesce(col("ownval"), col("stayval")).as("curval"))
       // minimum-label admissibility (the swap breaker): a SINGLETON target
       // is only admissible toward a smaller label; then argmax by
-      // (val desc, label asc) without a per-node window — max val, then
-      // min label among the maxima
+      // (val desc, label asc) as ONE map-side-combining min(struct) — the
+      // lexicographic struct order on (−val, label) IS that sort, no
+      // per-node window, no two-step max-then-min
       val admissible = scored.filter(
         col("c") === col("curc") || col("sz") > 1L || col("c") < col("curc"))
-      val mx = admissible.groupBy("u").agg(max("val").as("mxval"))
-      val best = admissible.join(mx, Seq("u"))
-        .filter(col("val") === col("mxval"))
-        .groupBy("u").agg(min("c").as("bestc"), max("val").as("bestval"))
+      val best = admissible.groupBy("u")
+        .agg(min(struct((-col("val")).as("nv"), col("c").as("c"))).as("__b"))
+        .select(col("u"), col("__b.c").as("bestc"),
+          (-col("__b.nv")).as("bestval"))
       val next = stay.join(best, Seq("u"), "left")
         .select(col("u").as("id"),
           when(col("bestval") > col("curval"), col("bestc"))
