@@ -13,12 +13,19 @@ object Bench {
     // Populate the shared document-graph store outside the timed loop —
     // graph queries measure query cost, not store load; i03 times the upsert.
     graft.ops.AnalyticsCatalog.warmGraph(spark, sfDir)
-    // the previous run's per-query times, for the regression guard below
+    // The previous run's per-query times, for the regression guard below.
+    // bench.json holds the LATEST completed run (bench_prev.json is rotated
+    // to two-runs-ago at write time), so it must be the preferred base —
+    // preferring bench_prev compared each run against its grandparent,
+    // which manufactured a stale-prev false regression in round 10 (t26
+    // flagged 8.8x against an anomalous two-generations-old 0.18 s row
+    // that the intervening round-close artifact had already superseded at
+    // 1.75 s).
     val prevPath = java.nio.file.Paths.get("target", "bench_prev.json")
     val outPath = java.nio.file.Paths.get("target", "bench.json")
     val prev: Map[String, Double] =
-      if (java.nio.file.Files.exists(prevPath)) parseQueryTimes(prevPath)
-      else if (java.nio.file.Files.exists(outPath)) parseQueryTimes(outPath)
+      if (java.nio.file.Files.exists(outPath)) parseQueryTimes(outPath)
+      else if (java.nio.file.Files.exists(prevPath)) parseQueryTimes(prevPath)
       else Map.empty
     // Optional args (dev only; the driver passes none): comma-separated
     // query names — time only those, print, and DON'T touch the artifacts.
