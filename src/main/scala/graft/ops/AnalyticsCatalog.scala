@@ -34,6 +34,27 @@ object AnalyticsCatalog {
       graft.graph.GraphStore.read(s, store)
     })
 
+  /** The rehearsal derivation's replica stride (ScaleRehearsal shifts each
+    * documents replica by k·1e6): doc_ids are CONTIGUOUS 0..n−1 at the gate
+    * fixtures but STRIPED (k·1e6 + 0..per−1) at the derived sf1/sf10 dirs.
+    * doc_id-arithmetic graph fixtures must therefore compute neighbors and
+    * existence WITHIN the stripe — naive `(doc_id+k) % n` / `doc_id+k < n`
+    * silently leaves every non-base replica edge-free at rehearsal (found
+    * by gds.kcore's loud non-convergence cap in the round-10 GDS rehearsal)
+    * and a "100×" timing then measures a mostly-edgeless graph. With one
+    * stripe (the gate) these forms reduce EXACTLY to the naive ones, so
+    * oracle hashes are untouched. */
+  private val RehearsalStride = 1000000L
+  /** (stripe base, position, per-stripe size) for doc_id fixture math. */
+  private def stripeParts(docs: org.apache.spark.sql.DataFrame, n: Long)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column, Long) = {
+    val stripes = math.max(1L, docs
+      .select((col("doc_id") - col("doc_id") % RehearsalStride).as("b"))
+      .distinct().count())
+    val base = col("doc_id") - col("doc_id") % RehearsalStride
+    (base, col("doc_id") % RehearsalStride, n / stripes)
+  }
+
   /** Materialize the shared document graph (runs the ingest and writes the
     * store). Bench calls this before timing so graph queries measure query
     * cost against a populated store — the reference's analytics likewise
@@ -4624,12 +4645,16 @@ object AnalyticsCatalog {
       // lcc = 2T/(d(d−1)) is one IEEE division of exact integers.
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
+      // per-stripe ring (reduces to (doc_id+off) % n at the gate's single
+      // contiguous stripe — see stripeParts): the rehearsal's striped ids
+      // get one ring PER REPLICA instead of edges into nonexistent keys
+      val (sBase, sPos, sPer) = stripeParts(docs, n)
       def link(off: Int, filt: Option[org.apache.spark.sql.Column]) = {
         val base = filt.fold(docs)(docs.filter(_))
         base.select(lit("Doc").as("srcLabel"),
           col("doc_id").cast("string").as("srcKey"),
           lit("LINK").as("relType"), lit("Doc").as("dstLabel"),
-          ((col("doc_id") + off) % n).cast("string").as("dstKey"))
+          (sBase + (sPos + off) % sPer).cast("string").as("dstKey"))
       }
       val nodes = docs.select(lit("Doc").as("label"),
         col("doc_id").cast("string").as("key"),
@@ -4878,15 +4903,18 @@ object AnalyticsCatalog {
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
       val r = col("doc_id") % 8
+      // existence = within the id STRIPE (≡ doc_id+off < n at the gate's
+      // single contiguous stripe — see stripeParts)
+      val (_, kPos, kPer) = stripeParts(docs, n)
       def edge(dstOff: org.apache.spark.sql.Column) = Seq(
         lit("Doc").as("srcLabel"), col("doc_id").cast("string").as("srcKey"),
         lit("E").as("relType"), lit("Doc").as("dstLabel"),
         (col("doc_id") + dstOff).cast("string").as("dstKey"))
       val clique = docs.filter(r <= 3)
         .select(col("doc_id"), explode(sequence(lit(1L), lit(4L) - r)).as("off"))
-        .filter(col("doc_id") + col("off") < n)
+        .filter(kPos + col("off") < kPer)
         .select(edge(col("off")): _*)
-      val chain = docs.filter(r.isin(4, 5, 6) && col("doc_id") + 1 < n)
+      val chain = docs.filter(r.isin(4, 5, 6) && kPos + 1 < kPer)
         .select(edge(lit(1L)): _*)
       val nodes = docs.select(lit("Doc").as("label"),
         col("doc_id").cast("string").as("key"),
@@ -4933,17 +4961,20 @@ object AnalyticsCatalog {
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
       val r5 = col("doc_id") % 5
+      // existence = within the id STRIPE (≡ doc_id+off < n at the gate's
+      // single contiguous stripe — see stripeParts)
+      val (_, lPos, lPer) = stripeParts(docs, n)
       def edge(dstOff: org.apache.spark.sql.Column) = Seq(
         lit("Doc").as("srcLabel"), col("doc_id").cast("string").as("srcKey"),
         lit("E").as("relType"), lit("Doc").as("dstLabel"),
         (col("doc_id") + dstOff).cast("string").as("dstKey"))
       val clique = docs.filter(r5 <= 3)
         .select(col("doc_id"), explode(sequence(lit(1L), lit(4L) - r5)).as("off"))
-        .filter(col("doc_id") + col("off") < n)
+        .filter(lPos + col("off") < lPer)
         .select(edge(col("off")): _*)
       // bridge only between COMPLETE blocks: a size-1 straggler would
       // otherwise be pulled into its neighbor (its only edge IS the bridge)
-      val bridge = docs.filter(r5 === 0 && col("doc_id") + 9 < n)
+      val bridge = docs.filter(r5 === 0 && lPos + 9 < lPer)
         .select(edge(lit(5L)): _*)
       val nodes = docs.select(lit("Doc").as("label"),
         col("doc_id").cast("string").as("key"),
