@@ -323,6 +323,12 @@ object CypherAst {
         Seq("nodePropertiesWritten", "componentCount", "writeProperty"),
       "gds.louvain.write" ->
         Seq("nodePropertiesWritten", "communityCount", "writeProperty"),
+      "gds.labelPropagation.write" ->
+        Seq("nodePropertiesWritten", "communityCount", "writeProperty"),
+      "gds.scc.write" ->
+        Seq("nodePropertiesWritten", "componentCount", "writeProperty"),
+      "gds.kcore.write" -> Seq("nodePropertiesWritten", "writeProperty"),
+      "gds.betweenness.write" -> Seq("nodePropertiesWritten", "writeProperty"),
       // source→target form of the dijkstra surface (GDS's
       // gds.shortestPath.dijkstra): same engine, result filtered to the
       // one target row

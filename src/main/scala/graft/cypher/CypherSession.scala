@@ -2236,6 +2236,81 @@ final class CypherSession(
           val lvWritten = writeNodeProperty(wp, lvVals)
           spark.range(1).select(lit(lvWritten).as("nodePropertiesWritten"),
             lit(nComm).as("communityCount"), lit(wp).as("writeProperty"))
+        case "gds.labelPropagation.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.labelPropagation.write " +
+              "requires {writeProperty: '…'} — GDS has no default write " +
+              "property"))
+          // stream's deterministic-LPA contract persisted (x15 tie rules,
+          // {maxIterations} honored, edgeless nodes their own community)
+          val lpw = graft.analytics.GraphAlgorithms.labelPropagation(edgeKeys,
+            rounds = p.confLong("maxIterations", 10L).toInt)
+          val lpAll = pgraph.nodes.select(col("key"))
+            .join(lpw.withColumnRenamed("id", "key"), Seq("key"), "left")
+            .select(col("key"),
+              coalesce(col("community"), col("key")).as("community"))
+          val lpVals = pgraph.nodes.select(col("id"), col("key"))
+            .join(lpAll, Seq("key"))
+            .select(col("id"), col("community").as("__wval"))
+          val nLpComm = lpAll.select(col("community")).distinct().count()
+          val lpWritten = writeNodeProperty(wp, lpVals)
+          spark.range(1).select(lit(lpWritten).as("nodePropertiesWritten"),
+            lit(nLpComm).as("communityCount"), lit(wp).as("writeProperty"))
+        case "gds.scc.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.scc.write requires " +
+              "{writeProperty: '…'} — GDS has no default write property"))
+          // stream's min-member-key identity persisted
+          val sccw = graft.analytics.GraphAlgorithms
+            .stronglyConnectedComponents(pgraph)
+          val sccKeyed = sccw.join(
+              sccw.groupBy("component").agg(min("key").as("componentKey")),
+              Seq("component"))
+          val nScc = sccKeyed.select(col("componentKey")).distinct().count()
+          val sccWritten = writeNodeProperty(wp,
+            sccKeyed.select(col("id"), col("componentKey").as("__wval")))
+          spark.range(1).select(lit(sccWritten).as("nodePropertiesWritten"),
+            lit(nScc).as("componentCount"), lit(wp).as("writeProperty"))
+        case "gds.kcore.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.kcore.write requires " +
+              "{writeProperty: '…'} — GDS has no default write property"))
+          val kcw = graft.analytics.GraphAlgorithms
+            .coreDecomposition(pgraph.nodes.select(col("key")), edgeKeys)
+            .withColumnRenamed("id", "key")
+          val kcVals = pgraph.nodes.select(col("id"), col("key"))
+            .join(kcw, Seq("key"))
+            .select(col("id"), col("coreValue").cast("string").as("__wval"))
+          val kcWritten = writeNodeProperty(wp, kcVals)
+          spark.range(1).select(lit(kcWritten).as("nodePropertiesWritten"),
+            lit(wp).as("writeProperty"))
+        case "gds.betweenness.write" =>
+          val wp = p.confString("writeProperty").getOrElse(
+            throw new IllegalArgumentException("gds.betweenness.write " +
+              "requires {writeProperty: '…'} — GDS has no default write " +
+              "property"))
+          // same sampled-Brandes contract as the stream (md5-lowest
+          // {samplingSize} sources, |V|/K rescale, loud truncation)
+          val bwN = pgraph.nodes.count()
+          val bwK = p.confLong("samplingSize", 0L)
+          require(bwK >= 0, s"samplingSize must be >= 0 (0 = exact), got $bwK")
+          val bwSampled = bwK > 0L && bwK < bwN
+          val bwSources =
+            if (bwSampled)
+              pgraph.nodes.select(col("key"))
+                .orderBy(md5(col("key")), col("key")).limit(bwK.toInt)
+            else pgraph.nodes.select(col("key"))
+          val bwScale = if (bwSampled) bwN.toDouble / bwK else 1.0
+          val bw = graft.analytics.GraphAlgorithms.betweennessFromSources(
+            edgeKeys, bwSources, maxDepth = 100, requireExhausted = true)
+          val bwVals = pgraph.nodes.select(col("id"), col("key"))
+            .join(bw.withColumnRenamed("id", "key"), Seq("key"), "left")
+            .select(col("id"),
+              round(coalesce(col("betweenness"), lit(0.0)) * lit(bwScale), 6)
+                .cast("string").as("__wval"))
+          val bwWritten = writeNodeProperty(wp, bwVals)
+          spark.range(1).select(lit(bwWritten).as("nodePropertiesWritten"),
+            lit(wp).as("writeProperty"))
         case "gds.wcc.write" =>
           val wp = p.confString("writeProperty").getOrElse(
             throw new IllegalArgumentException("gds.wcc.write requires " +

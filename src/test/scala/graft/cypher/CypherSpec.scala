@@ -2534,6 +2534,46 @@ class CypherSpec extends SparkTestBase {
     assert(readBack === lv)
   }
 
+  test("round-10: write-mode parity — kcore/labelPropagation/scc/betweenness persist") {
+    val sess = freshSession
+    // triangle + pendant + isolated (the kcore fixture) under every new
+    // write mode: written property == what the stream yields, counters real
+    Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).foreach {
+      case (s1, d1) =>
+        sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                    |MERGE (x)-[:L]->(y)""".stripMargin)
+    }
+    sess.run("MERGE (e:N {name: 'e'})")
+    def rows(q: String) = sess.run(q).asInstanceOf[CypherRows].df
+    val kc = rows("""CALL gds.kcore.write({writeProperty: 'core'})
+                    |YIELD nodePropertiesWritten RETURN nodePropertiesWritten""".stripMargin)
+      .as[Long].collect().head
+    assert(kc === 5L)
+    val core = rows("MATCH (n:N) RETURN n.name AS k, n.core AS c ORDER BY k")
+      .as[(String, String)].collect().toMap
+    assert(core === Map("a" -> "2", "b" -> "2", "c" -> "2", "d" -> "1", "e" -> "0"))
+    val lp = rows("""CALL gds.labelPropagation.write({writeProperty: 'lp'})
+                    |YIELD nodePropertiesWritten, communityCount
+                    |RETURN nodePropertiesWritten, communityCount""".stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(lp._1 === 5L && lp._2 >= 2L) // isolated e is its own community
+    val scc = rows("""CALL gds.scc.write({writeProperty: 'scc'})
+                     |YIELD componentCount RETURN componentCount""".stripMargin)
+      .as[Long].collect().head
+    assert(scc === 5L) // no directed cycles: every node its own SCC
+    val bw = rows("""CALL gds.betweenness.write({writeProperty: 'bc'})
+                    |YIELD nodePropertiesWritten RETURN nodePropertiesWritten""".stripMargin)
+      .as[Long].collect().head
+    assert(bw === 5L)
+    val bc = rows("MATCH (n:N) WHERE n.name = 'c' RETURN n.bc AS b")
+      .as[String].collect().head
+    // c lies on (a,d),(d,a),(b,d),(d,b) shortest paths = 4.0, exact mode
+    assert(bc === "4.0")
+    val noWp = intercept[IllegalArgumentException](
+      sess.run("CALL gds.kcore.write()"))
+    assert(noWp.getMessage.contains("writeProperty"), noWp.getMessage)
+  }
+
   test("round-10: gds.kcore.stream — coreness per node, not just fixed-k membership") {
     val sess = freshSession
     // triangle {a,b,c} (coreness 2) + pendant d off c (1) + isolated e (0)
