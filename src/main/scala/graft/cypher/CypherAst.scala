@@ -355,6 +355,14 @@ object CypherAst {
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))
+
+    /** Procedures that mutate the store or a session catalog when invoked.
+      * EXPLAIN/PROFILE reject statements containing these — the engine
+      * executes procedure calls eagerly at compile time, so "compile
+      * without executing" cannot hold for them (ADVICE r10 #2). */
+    def sideEffecting(name: String): Boolean =
+      name.endsWith(".write") ||
+        name == "gds.graph.project" || name == "gds.graph.drop"
   }
 
   /** One pipeline stage: `UNWIND`s, `CALL { }` subqueries, `MATCH`es

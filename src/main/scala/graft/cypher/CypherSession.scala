@@ -62,6 +62,22 @@ final class CypherSession(
     val verb = trimmed.takeWhile(!_.isWhitespace).toUpperCase
     if (verb == "EXPLAIN" || verb == "PROFILE") {
       val inner = trimmed.drop(verb.length)
+      // Validate BEFORE executing (ADVICE r10 #2): procedure calls and DDL
+      // run eagerly at compile time in this engine, so an EXPLAIN over a
+      // write-mode / catalog-mutating statement would actually mutate
+      // state. Only pure read pipelines are plan-inspectable.
+      def procsOf(m: MatchStatement): Seq[ProcCall] =
+        m.stages.flatMap(st =>
+          st.procs ++ st.calls.flatMap(c => procsOf(c.inner)))
+      CypherParser.parse(inner) match {
+        case m: MatchStatement => rejectSideEffectingProcs(verb, procsOf(m))
+        case u: UnionStatement =>
+          rejectSideEffectingProcs(verb, u.parts.flatMap(procsOf))
+        case other => throw new IllegalArgumentException(
+          s"$verb applies to read queries — " +
+            s"${other.getClass.getSimpleName.stripSuffix("$")} executes " +
+            "eagerly and cannot be plan-inspected without running")
+      }
       return run(inner, params) match {
         case CypherRows(df) =>
           val plan = df.queryExecution.explainString(
@@ -98,6 +114,17 @@ final class CypherSession(
       }
     }
     runParsed(query, params)
+  }
+
+  private def rejectSideEffectingProcs(verb: String,
+      procs: Seq[ProcCall]): Unit = {
+    val bad = procs.map(_.name).filter(CypherAst.Procedures.sideEffecting)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"$verb cannot inspect a statement calling ${bad.distinct.mkString(", ")} " +
+        "— write-mode and graph-catalog procedures execute their side " +
+        "effects at compile time, which would violate the " +
+        s"'$verb compiles without executing' contract; run the statement " +
+        "directly instead")
   }
 
   /** `CREATE CONSTRAINT` — register + VALIDATE. The label's key property
@@ -316,6 +343,17 @@ final class CypherSession(
               // the graph's lineage is lazy over the per-batch frames
               graph = graph.compact()
               CypherMutation(graph, created, matched)
+            } catch {
+              case t: Throwable =>
+                // a mid-import failure leaves the session PARTIALLY applied
+                // (per-batch commit semantics) with lineage still lazily
+                // planned over the staged files — pin it BEFORE the finally
+                // deletes them, or every later query on the session dies
+                // with FileNotFoundException (ADVICE r10 #1). A compaction
+                // failure must not mask the import error itself.
+                try graph = graph.compact()
+                catch { case scala.util.control.NonFatal(_) => () }
+                throw t
             } finally staged.cleanup()
         }
       case m: MutateStatement =>
@@ -1433,7 +1471,11 @@ final class CypherSession(
               case "hour" => hour(cc).cast("long")
               case "minute" => minute(cc).cast("long")
               case "second" => second(cc).cast("long")
-              case "epochmillis" => (cc.cast("double") * 1000).cast("long")
+              // unix_millis is an exact integer read of the timestamp's
+              // microsecond field — the double round trip (ts*1000) is off
+              // by one ms on fractional seconds that binary doubles cannot
+              // represent (ADVICE r10 #4; Neo4j's epochMillis is exact)
+              case "epochmillis" => unix_millis(cc)
               case "epochseconds" => cc.cast("long")
               case other => throw new IllegalArgumentException(
                 s"unsupported temporal component .$other")

@@ -45,14 +45,36 @@ object AnalyticsCatalog {
     * stripe (the gate) these forms reduce EXACTLY to the naive ones, so
     * oracle hashes are untouched. */
   private val RehearsalStride = 1000000L
-  /** (stripe base, position, per-stripe size) for doc_id fixture math. */
+  /** (stripe base, position, per-stripe size) for doc_id fixture math.
+    *
+    * ADVICE r10 #5: when the id range spans more than one stride the
+    * striping is VERIFIED, not assumed — every inferred stripe must hold
+    * exactly `n / stripes` contiguous positions starting at 0, the shape
+    * the rehearsal derivation (ScaleRehearsal's k·1e6 shifts) produces. A
+    * gate fixture that merely has ≥1e6 CONTIGUOUS doc_ids would otherwise
+    * be silently misread as multiple stripes, changing c61/c66/c67's graph
+    * construction under an unchanged oracle — that mismatch now fails
+    * loudly here instead of at the hash gate. */
   private def stripeParts(docs: org.apache.spark.sql.DataFrame, n: Long)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column, Long) = {
-    val stripes = math.max(1L, docs
-      .select((col("doc_id") - col("doc_id") % RehearsalStride).as("b"))
-      .distinct().count())
     val base = col("doc_id") - col("doc_id") % RehearsalStride
-    (base, col("doc_id") % RehearsalStride, n / stripes)
+    val pos = col("doc_id") % RehearsalStride
+    val perStripe = docs.groupBy(base.as("b"))
+      .agg(count(lit(1)).as("c"), min(pos).as("lo"), max(pos).as("hi"))
+      .collect()
+    val stripes = math.max(1L, perStripe.length.toLong)
+    if (stripes > 1L) {
+      val per = n / stripes
+      val bad = perStripe.filter(r =>
+        r.getLong(1) != per || r.getLong(2) != 0L || r.getLong(3) != per - 1)
+      require(bad.isEmpty,
+        s"doc_id range spans $stripes stride blocks but is NOT the " +
+          s"rehearsal striping (expected $per contiguous positions 0..${per - 1} " +
+          "per stripe; offending stripe bases: " +
+          bad.map(_.getLong(0)).sorted.take(3).mkString(", ") +
+          ") — refusing to re-stripe a contiguous fixture silently")
+    }
+    (base, pos, n / stripes)
   }
 
   /** Materialize the shared document graph (runs the ingest and writes the

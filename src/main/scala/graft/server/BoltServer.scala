@@ -272,8 +272,16 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
           // (all three roles point at this listener) — exactly what a
           // single-instance Neo4j returns, and what makes the DEFAULT
           // neo4j:// driver scheme work against this server instead of
-          // requiring the direct bolt:// form.
-          val addr = s"localhost:${serverSocket.getLocalPort}"
+          // requiring the direct bolt:// form. The advertised address is
+          // the one the CLIENT put in its routing context (drivers send
+          // the address they dialed as `address`) — a hardcoded localhost
+          // would point a remote client at its own loopback (ADVICE r10
+          // #3); loopback remains the fallback for contexts without one.
+          val requested = msg.fields.headOption.collect {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].get("address")
+          }.flatten.collect { case s: String if s.nonEmpty => s }
+          val addr = requested.getOrElse(
+            s"localhost:${serverSocket.getLocalPort}")
           success(Map("rt" -> Map(
             "ttl" -> 300L,
             "db" -> "neo4j",

@@ -2589,4 +2589,74 @@ class CypherSpec extends SparkTestBase {
       .asInstanceOf[CypherRows].df.as[(String, Long)].collect().toMap
     assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
   }
+
+  test("round-11: epochMillis is exact on fractional-second timestamps") {
+    val sess = freshSession
+    // .123 seconds is NOT representable in a binary double — the old
+    // (ts*1000) double round trip read 122 or 124 here (ADVICE r10 #4)
+    sess.run("MERGE (e:Event {name: 'f'}) SET e.ts = '2024-03-05 14:30:45.123'")
+    val ms = sess.run(
+      "MATCH (e:Event {name: 'f'}) RETURN e.ts.epochMillis AS ms")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head
+    assert(ms === 1709649045123L)
+  }
+
+  test("round-11: EXPLAIN/PROFILE refuse side-effecting procedures and DDL WITHOUT executing them") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'alice'})")
+    // write-mode procedure: typed rejection, store untouched
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN CALL gds.wcc.write({writeProperty: 'c'}) " +
+        "YIELD componentCount RETURN componentCount"))
+    assert(e1.getMessage.contains("side effects") ||
+      e1.getMessage.contains("without executing"), e1.getMessage)
+    val props = sess.run("MATCH (u:User {name: 'alice'}) RETURN u.c AS c")
+      .asInstanceOf[CypherRows].df.collect()
+    assert(props.head.isNullAt(0), "EXPLAIN gds.wcc.write mutated the store")
+    // catalog-mutating procedure: typed rejection, catalog unchanged
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN CALL gds.graph.project('g1', '*', '*') " +
+        "YIELD graphName RETURN graphName"))
+    assert(e2.getMessage.contains("gds.graph.project"), e2.getMessage)
+    assert(sess.run("CALL gds.graph.list() YIELD graphName RETURN graphName")
+      .asInstanceOf[CypherRows].df.count() === 0,
+      "EXPLAIN gds.graph.project registered a projection")
+    // nested inside a CALL { } subquery: still caught
+    val e3 = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN MATCH (u:User) CALL { CALL gds.graph.drop('g1') " +
+        "YIELD graphName RETURN graphName } RETURN graphName"))
+    assert(e3.getMessage.contains("gds.graph.drop"), e3.getMessage)
+    // DDL: typed rejection BEFORE execution, constraint catalog unchanged
+    val e4 = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN CREATE CONSTRAINT FOR (u:User) REQUIRE u.name IS UNIQUE"))
+    assert(e4.getMessage.contains("read queries"), e4.getMessage)
+    assert(sess.run("SHOW CONSTRAINTS").asInstanceOf[CypherRows].df.count() === 0,
+      "EXPLAIN CREATE CONSTRAINT registered the constraint")
+    // read-only procedures still EXPLAIN fine
+    val plan = sess.run(
+      "EXPLAIN CALL db.labels() YIELD label RETURN label")
+      .asInstanceOf[CypherRows].df.as[String].collect().mkString("\n")
+    assert(plan.contains("Physical Plan"), plan)
+  }
+
+  test("round-11: a failed mid-import IN TRANSACTIONS leaves the partial state READABLE") {
+    val sess = freshSession
+    sess.run("CREATE CONSTRAINT FOR (n:Item) REQUIRE n.name IS UNIQUE")
+    // batch 1 (a, b) commits; batch 2 re-CREATEs 'a' → uniqueness violation
+    // aborts the import mid-way. The session graph has batch 1 applied with
+    // lineage over the staged parquet — which the finally deletes; without
+    // the failure-path compact every later query died with
+    // FileNotFoundException (ADVICE r10 #1).
+    val e = intercept[IllegalStateException](sess.run(
+      """UNWIND $ids AS id
+        |CALL { WITH id CREATE (n:Item {name: id}) }
+        |IN TRANSACTIONS OF 2 ROWS""".stripMargin,
+      Map("ids" -> Seq("a", "b", "a", "c"))))
+    assert(e.getMessage.contains("uniqueness constraint"), e.getMessage)
+    // the documented partially-applied state: batch 1 is committed and
+    // the store remains fully queryable after stage cleanup
+    val names = sess.run("MATCH (n:Item) RETURN n.name AS name ORDER BY name")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(names === Seq("a", "b"))
+  }
 }

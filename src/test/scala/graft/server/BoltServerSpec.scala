@@ -113,6 +113,23 @@ class BoltServerSpec extends SparkTestBase {
       val servers = rt("servers").asInstanceOf[Seq[Map[String, Any]]]
       assert(servers.map(_("role")).toSet === Set("WRITE", "READ", "ROUTE"))
       assert(servers.forall(_("addresses") == Seq(s"localhost:$port")))
+      // round-11 (ADVICE r10 #3): the advertised address echoes what the
+      // CLIENT dialed — a remote client must not be routed to its own
+      // loopback. An empty routing context still falls back to loopback.
+      c.send(0x66, Map("address" -> "db.example.com:7687"),
+        Seq.empty[String], Map.empty[String, Any])
+      val remote = c.recv()
+      assert((remote.tag & 0xFF) == 0x70, remote)
+      val rt2 = meta(remote)("rt").asInstanceOf[Map[String, Any]]
+      val servers2 = rt2("servers").asInstanceOf[Seq[Map[String, Any]]]
+      assert(servers2.forall(_("addresses") == Seq("db.example.com:7687")))
+      c.send(0x66, Map.empty[String, Any],
+        Seq.empty[String], Map.empty[String, Any])
+      val bare = c.recv()
+      assert((bare.tag & 0xFF) == 0x70, bare)
+      val rt3 = meta(bare)("rt").asInstanceOf[Map[String, Any]]
+      val servers3 = rt3("servers").asInstanceOf[Seq[Map[String, Any]]]
+      assert(servers3.forall(_("addresses") == Seq(s"localhost:$port")))
       c.close()
     } finally server.stop()
   }
