@@ -513,17 +513,20 @@ final class CypherSession(
     val (mergeBindings, createBindings) = bindings.values.partition(!_.create)
     // CREATE instances need per-parameter-row identity (a duplicate key in
     // one batch is two distinct new nodes, and its edges must attach to the
-    // exact instance) — a deterministic row tag gives the correspondence.
-    // Parameter batches are by nature bounded (one row per reference write),
-    // so the single-partition row_number window is not a scale concern.
+    // exact instance) — a row tag gives the correspondence. The tag is the
+    // per-partition-offset zipWithIndex (VERDICT r10 #2): input order, one
+    // count job, NO single-partition window — a plain `LOAD CSV … CREATE`
+    // without IN TRANSACTIONS drives the WHOLE file through here, and the
+    // old all-columns row_number sort funneled it into one partition. The
+    // tag is a pure self-join key (node ids and props are content-derived
+    // in createNodes), so which unique value lands on which row is not
+    // observable; input order is also Neo4j's CREATE order. localCheckpoint
+    // pins one evaluation (tags must not shift between the per-binding
+    // passes) — bounded by the statement's driving set, the same thing an
+    // unbatched Neo4j transaction holds in memory.
     val pdf =
       if (createBindings.isEmpty) paramsDf
-      else {
-        import org.apache.spark.sql.expressions.Window
-        val ordCols = paramsDf.columns.map(c => col(c).cast("string"))
-        val w = Window.orderBy(ordCols.toIndexedSeq: _*)
-        paramsDf.withColumn("__row", row_number().over(w))
-      }
+      else TxBatches.withRowTag(paramsDf, "__row").localCheckpoint(true)
 
     var g2 = graph
     var created = 0L
@@ -1889,9 +1892,15 @@ final class CypherSession(
             .join(pnIds.withColumnRenamed("id", "dstId"), Seq("dstId"),
               "left_semi")
           // snapshot semantics: pin the projection now (GDS materializes
-          // the in-memory graph at project time); one pass each side
-          val snapN = pn.localCheckpoint(true)
-          val snapE = pe.localCheckpoint(true)
+          // the in-memory graph at project time); one pass each side.
+          // Through the iterCheckpoint seam (VERDICT r10 #7): default is
+          // localCheckpoint (fastest, non-reliable — executor loss kills
+          // the projection), spark.graft.iterCheckpoint=reliable routes
+          // the same pin through reliable checkpoint() so a long-lived
+          // projection survives executor loss on a real cluster.
+          import graft.analytics.IterCheckpoint.IterCheckpointOps
+          val snapN = pn.iterCheckpoint()
+          val snapE = pe.iterCheckpoint()
           val proj = CypherSession.GdsProjection(PropertyGraph(snapN, snapE),
             snapN.count(), snapE.count())
           projections(name) = proj

