@@ -352,6 +352,67 @@ object CypherAst {
       // modularity-optimizing community detection (deterministic
       // single-level synchronous local moving; see louvainLocalMoving)
       "gds.louvain.stream" -> Seq("key", "communityKey"))
+    /** One-line description per registered procedure — the text SHOW
+      * PROCEDURES carries (Browser and cypher-shell render it on
+      * connect). Keyed identically to [[all]]; the init-time require
+      * below makes a registry/description drift fail at class load, and
+      * CypherSpec derives its SHOW PROCEDURES expectations from these
+      * maps rather than hardcoding counts. */
+    val descriptions: Map[String, String] = Map(
+      "db.labels" -> "List all node labels in the store.",
+      "db.relationshipTypes" -> "List all relationship types in the store.",
+      "db.propertyKeys" -> "List all property keys in use.",
+      "dbms.components" -> "List DBMS components and their versions.",
+      "db.schema.nodeTypeProperties" ->
+        "Node property schema: per-label property inventory with types and a data-derived mandatory flag.",
+      "db.schema.relTypeProperties" ->
+        "Relationship property schema: per-type property inventory with types and a data-derived mandatory flag.",
+      "gds.graph.project" ->
+        "Project a named label/relType-filtered snapshot of the store into the GDS graph catalog.",
+      "gds.graph.list" -> "List the named projections in the GDS graph catalog.",
+      "gds.graph.drop" -> "Drop a named projection from the GDS graph catalog.",
+      "gds.pageRank.stream" ->
+        "PageRank (10 supersteps, 6-dp scores) streamed per node key.",
+      "gds.wcc.stream" ->
+        "Weakly connected components (min-member-key identity); {relationshipWeightProperty, threshold} filters edges.",
+      "gds.scc.stream" ->
+        "Strongly connected components over the directed edge set (min-member-key identity).",
+      "gds.degree.stream" -> "Undirected degree per node key.",
+      "gds.nodeSimilarity.stream" ->
+        "Jaccard similarity over out-neighbor sets; {topK, degreeCutoff, similarityCutoff} bound the pair stream.",
+      "gds.labelPropagation.stream" ->
+        "Deterministic synchronous label propagation (min-key ties); {maxIterations} bounds rounds.",
+      "gds.fastRP.stream" ->
+        "FastRP node embeddings (portable md5 init); {embeddingDimension} is mandatory.",
+      "gds.hits.stream" ->
+        "HITS authority/hub scores (exact-integer rounds); {hitsIterations} is mandatory.",
+      "gds.degree.write" -> "Persist degree per node as {writeProperty}.",
+      "gds.pageRank.write" -> "Persist PageRank scores as {writeProperty}.",
+      "gds.wcc.write" -> "Persist WCC component keys as {writeProperty}.",
+      "gds.louvain.write" -> "Persist Louvain community keys as {writeProperty}.",
+      "gds.labelPropagation.write" ->
+        "Persist label-propagation community keys as {writeProperty}.",
+      "gds.scc.write" -> "Persist SCC component keys as {writeProperty}.",
+      "gds.kcore.write" -> "Persist coreness values as {writeProperty}.",
+      "gds.betweenness.write" ->
+        "Persist (sampled-Brandes) betweenness scores as {writeProperty}.",
+      "gds.shortestPath.dijkstra.stream" ->
+        "Shortest path cost from {sourceNode} to {targetNode} (non-negative integer weights).",
+      "gds.allShortestPaths.dijkstra.stream" ->
+        "Single-source shortest path costs from {sourceNode} (non-negative integer weights).",
+      "gds.triangleCount.stream" ->
+        "Triangles per node over the undirected simple view.",
+      "gds.localClusteringCoefficient.stream" ->
+        "Local clustering coefficient per node over the undirected simple view.",
+      "gds.betweenness.stream" ->
+        "Brandes betweenness; {samplingSize} picks deterministic sources and rescales by |V|/K.",
+      "gds.closeness.stream" ->
+        "Closeness centrality (reachable-set form, defined on disconnected graphs).",
+      "gds.closeness.harmonic.stream" -> "Harmonic closeness centrality.",
+      "gds.kcore.stream" -> "Full k-core decomposition (coreness per node).",
+      "gds.louvain.stream" ->
+        "Deterministic single-level Louvain local moving; {maxIterations} bounds rounds.")
+
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
         s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))
@@ -363,6 +424,82 @@ object CypherAst {
     def sideEffecting(name: String): Boolean =
       name.endsWith(".write") ||
         name == "gds.graph.project" || name == "gds.graph.drop"
+
+    require(descriptions.keySet == all.keySet,
+      "procedure registry drift: descriptions vs yields differ on " +
+        ((descriptions.keySet diff all.keySet) ++
+          (all.keySet diff descriptions.keySet)).toSeq.sorted.mkString(", "))
+  }
+
+  /** The scalar/temporal/aggregate FUNCTION surface the expression compiler
+    * lowers — the registry behind `SHOW FUNCTIONS` (Browser issues it on
+    * connect alongside SHOW PROCEDURES). One row per name: (category,
+    * signature, description). CypherSpec derives its expectations from
+    * this map AND evaluates a sample invocation per scalar entry, so a
+    * registry row without compiler support fails loudly. */
+  object Functions {
+    val all: Seq[(String, String, String, String)] = Seq(
+      // (name, category, signature, description)
+      ("toLower", "String", "toLower(input :: STRING) :: STRING", "Lowercase a string."),
+      ("toUpper", "String", "toUpper(input :: STRING) :: STRING", "Uppercase a string."),
+      ("trim", "String", "trim(input :: STRING) :: STRING", "Strip leading/trailing whitespace."),
+      ("substring", "String", "substring(original :: STRING, start :: INTEGER [, length :: INTEGER]) :: STRING", "Substring from 0-based start."),
+      ("split", "String", "split(original :: STRING, delimiter :: STRING) :: LIST<STRING>", "Split a string around a delimiter."),
+      ("replace", "String", "replace(original :: STRING, search :: STRING, replace :: STRING) :: STRING", "Replace every occurrence of a substring."),
+      ("left", "String", "left(original :: STRING, n :: INTEGER) :: STRING", "Leftmost n characters."),
+      ("right", "String", "right(original :: STRING, n :: INTEGER) :: STRING", "Rightmost n characters."),
+      ("reverse", "String", "reverse(input :: STRING|LIST) :: STRING|LIST", "Reverse a string or list."),
+      ("toString", "Scalar", "toString(input :: ANY) :: STRING", "Render a value as a string."),
+      ("toInteger", "Scalar", "toInteger(input :: ANY) :: INTEGER", "Convert to an integer."),
+      ("toFloat", "Scalar", "toFloat(input :: ANY) :: FLOAT", "Convert to a float."),
+      ("toBoolean", "Scalar", "toBoolean(input :: ANY) :: BOOLEAN", "Convert to a boolean."),
+      ("coalesce", "Scalar", "coalesce(input :: ANY*) :: ANY", "First non-null argument."),
+      ("size", "Scalar", "size(input :: STRING|LIST) :: INTEGER", "Length of a string or list."),
+      ("length", "Scalar", "length(path :: PATH|STRING) :: INTEGER", "Path length (relationship count) or string length."),
+      ("id", "Scalar", "id(entity :: NODE|RELATIONSHIP) :: INTEGER", "Internal id of a bound entity."),
+      ("elementId", "Scalar", "elementId(entity :: NODE|RELATIONSHIP) :: STRING", "Element id of a bound entity."),
+      ("labels", "Scalar", "labels(node :: NODE) :: LIST<STRING>", "Labels of a node (this store: exactly one)."),
+      ("type", "Scalar", "type(relationship :: RELATIONSHIP) :: STRING", "Type of a relationship."),
+      ("properties", "Scalar", "properties(entity :: NODE|RELATIONSHIP) :: MAP", "Property map of a bound entity."),
+      ("keys", "Scalar", "keys(entity :: NODE|RELATIONSHIP|MAP) :: LIST<STRING>", "Property keys of an entity or map."),
+      ("head", "Scalar", "head(list :: LIST) :: ANY", "First element of a list."),
+      ("last", "Scalar", "last(list :: LIST) :: ANY", "Last element of a list."),
+      ("tail", "Scalar", "tail(list :: LIST) :: LIST", "All but the first element."),
+      ("isEmpty", "Scalar", "isEmpty(input :: STRING|LIST|MAP) :: BOOLEAN", "True when the value has no elements."),
+      ("range", "List", "range(start :: INTEGER, end :: INTEGER [, step :: INTEGER]) :: LIST<INTEGER>", "Inclusive integer range."),
+      ("nodes", "List", "nodes(path :: PATH) :: LIST<NODE>", "Nodes of a path."),
+      ("relationships", "List", "relationships(path :: PATH) :: LIST<RELATIONSHIP>", "Relationships of a path."),
+      ("abs", "Numeric", "abs(input :: NUMBER) :: NUMBER", "Absolute value."),
+      ("round", "Numeric", "round(input :: FLOAT [, precision :: INTEGER]) :: FLOAT", "Round half away from zero."),
+      ("sqrt", "Numeric", "sqrt(input :: FLOAT) :: FLOAT", "Square root."),
+      ("sign", "Numeric", "sign(input :: NUMBER) :: INTEGER", "Signum."),
+      ("ceil", "Numeric", "ceil(input :: FLOAT) :: FLOAT", "Smallest integer >= input."),
+      ("floor", "Numeric", "floor(input :: FLOAT) :: FLOAT", "Largest integer <= input."),
+      ("exp", "Numeric", "exp(input :: FLOAT) :: FLOAT", "e^input."),
+      ("log", "Numeric", "log(input :: FLOAT) :: FLOAT", "Natural logarithm."),
+      ("log10", "Numeric", "log10(input :: FLOAT) :: FLOAT", "Base-10 logarithm."),
+      ("datetime", "Temporal", "datetime([input :: STRING|MAP]) :: DATETIME", "Parse/construct a datetime (no argument: transaction clock)."),
+      ("date", "Temporal", "date(input :: STRING|DATETIME) :: DATE", "Parse or truncate to a date."),
+      ("datetime.truncate", "Temporal", "datetime.truncate(unit :: STRING, input :: DATETIME) :: DATETIME", "Truncate a datetime to a unit boundary."),
+      ("date.truncate", "Temporal", "date.truncate(unit :: STRING, input :: DATETIME) :: DATE", "Truncate to a date unit boundary."),
+      ("duration", "Temporal", "duration(map :: MAP) :: DURATION", "Construct a duration from components."),
+      ("duration.between", "Temporal", "duration.between(from :: DATETIME, to :: DATETIME) :: DURATION", "Duration between two instants."),
+      ("point", "Spatial", "point(map :: MAP) :: POINT", "Construct a cartesian or geographic point."),
+      ("point.distance", "Spatial", "point.distance(a :: POINT, b :: POINT) :: FLOAT", "Distance between two points (haversine for geographic)."),
+      ("any", "Predicate", "any(variable IN list WHERE predicate) :: BOOLEAN", "True if any element satisfies the predicate."),
+      ("all", "Predicate", "all(variable IN list WHERE predicate) :: BOOLEAN", "True if every element satisfies the predicate."),
+      ("none", "Predicate", "none(variable IN list WHERE predicate) :: BOOLEAN", "True if no element satisfies the predicate."),
+      ("single", "Predicate", "single(variable IN list WHERE predicate) :: BOOLEAN", "True if exactly one element satisfies the predicate."),
+      ("count", "Aggregating", "count(input :: ANY | *) :: INTEGER", "Row/value count (DISTINCT supported)."),
+      ("sum", "Aggregating", "sum(input :: NUMBER) :: NUMBER", "Sum over a group."),
+      ("avg", "Aggregating", "avg(input :: NUMBER) :: FLOAT", "Average over a group."),
+      ("min", "Aggregating", "min(input :: ANY) :: ANY", "Minimum over a group."),
+      ("max", "Aggregating", "max(input :: ANY) :: ANY", "Maximum over a group."),
+      ("stDev", "Aggregating", "stDev(input :: NUMBER) :: FLOAT", "Sample standard deviation."),
+      ("stDevP", "Aggregating", "stDevP(input :: NUMBER) :: FLOAT", "Population standard deviation."),
+      ("percentileCont", "Aggregating", "percentileCont(input :: NUMBER, percentile :: FLOAT) :: FLOAT", "Interpolated percentile."),
+      ("percentileDisc", "Aggregating", "percentileDisc(input :: NUMBER, percentile :: FLOAT) :: NUMBER", "Nearest-value percentile."),
+      ("collect", "Aggregating", "collect(input :: ANY) :: LIST", "Collect group values into a list (DISTINCT supported)."))
   }
 
   /** One pipeline stage: `UNWIND`s, `CALL { }` subqueries, `MATCH`es
@@ -458,4 +595,9 @@ object CypherAst {
     * plus the nominal `system` database, the first query Neo4j Browser
     * and ops tooling issue on connect. */
   case object ShowDatabases extends Statement
+  /** `SHOW PROCEDURES` / `SHOW FUNCTIONS` — projections of the
+    * [[Procedures]] / [[Functions]] registries (Browser and cypher-shell
+    * issue both on connect). */
+  case object ShowProcedures extends Statement
+  case object ShowFunctions extends Statement
 }

@@ -204,7 +204,12 @@ object CypherParser {
             next(); ShowIndexes
           case Some(Ident(c)) if c.equalsIgnoreCase("databases") =>
             next(); ShowDatabases
-          case t => fail(s"SHOW supports CONSTRAINTS, INDEXES and DATABASES, got $t")
+          case Some(Ident(c)) if c.equalsIgnoreCase("procedures") =>
+            next(); ShowProcedures
+          case Some(Ident(c)) if c.equalsIgnoreCase("functions") =>
+            next(); ShowFunctions
+          case t => fail(s"SHOW supports CONSTRAINTS, INDEXES, DATABASES, " +
+            s"PROCEDURES and FUNCTIONS, got $t")
         }
       case Some(Ident(d)) if d.equalsIgnoreCase("drop") =>
         next()

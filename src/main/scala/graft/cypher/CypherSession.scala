@@ -204,6 +204,33 @@ final class CypherSession(
       .orderBy("name"))
   }
 
+  /** `SHOW PROCEDURES` — one row per registry entry (Browser and
+    * cypher-shell issue this on connect). Everything is DERIVED from the
+    * [[CypherAst.Procedures]] registry: the signature from the registered
+    * YIELD schema, the mode from the side-effect classifier EXPLAIN
+    * already trusts — there is no second list to drift. */
+  private def executeShowProcedures(): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    val rows = CypherAst.Procedures.all.toSeq.map { case (name, yields) =>
+      val mode = if (CypherAst.Procedures.sideEffecting(name)) "WRITE" else "READ"
+      (name, s"$name() :: (${yields.mkString(", ")})", mode,
+        CypherAst.Procedures.descriptions(name))
+    }.sortBy(_._1)
+    CypherRows(rows.toDF("name", "signature", "mode", "description"))
+  }
+
+  /** `SHOW FUNCTIONS` — one row per [[CypherAst.Functions]] registry
+    * entry; CypherSpec additionally evaluates a sample invocation per
+    * scalar row, so a registered-but-unimplemented function fails the
+    * suite, not just the listing. */
+  private def executeShowFunctions(): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    CypherRows(CypherAst.Functions.all.sortBy(_._1)
+      .toDF("name", "category", "signature", "description"))
+  }
+
   private def executeShowConstraints(): CypherResult = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._
@@ -277,6 +304,8 @@ final class CypherSession(
       case ShowConstraints => executeShowConstraints()
       case ShowIndexes => executeShowIndexes()
       case ShowDatabases => executeShowDatabases()
+      case ShowProcedures => executeShowProcedures()
+      case ShowFunctions => executeShowFunctions()
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement =>
         // pagination parsed with the last part applies to the combined rows

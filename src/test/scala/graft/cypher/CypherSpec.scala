@@ -2590,6 +2590,109 @@ class CypherSpec extends SparkTestBase {
     assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
   }
 
+  test("round-11: SHOW PROCEDURES / SHOW FUNCTIONS project the registries; every function row evaluates") {
+    import graft.cypher.CypherAst.{Procedures, Functions}
+    val sess = freshSession
+    sess.run("""MERGE (a:User {name: 'x'}) MERGE (b:Tech {name: 'y'})
+               |MERGE (a)-[:R]->(b)""".stripMargin)
+    // SHOW PROCEDURES: rows derived from the registry — count, names,
+    // signatures, and the EXPLAIN-trusted mode classifier, never hardcoded
+    val procs = sess.run("SHOW PROCEDURES").asInstanceOf[CypherRows].df
+      .as[(String, String, String, String)].collect().toSeq
+    assert(procs.size === Procedures.all.size)
+    assert(procs.map(_._1) === Procedures.all.keys.toSeq.sorted)
+    procs.foreach { case (name, sig, mode, desc) =>
+      assert(sig === s"$name() :: (${Procedures.all(name).mkString(", ")})")
+      assert(mode === (if (Procedures.sideEffecting(name)) "WRITE" else "READ"),
+        name)
+      assert(desc.nonEmpty, name)
+    }
+    // SHOW FUNCTIONS: rows match the registry…
+    val fns = sess.run("SHOW FUNCTIONS").asInstanceOf[CypherRows].df
+      .as[(String, String, String, String)].collect().toSeq
+    assert(fns.map(_._1) === Functions.all.map(_._1).sorted)
+    assert(fns.map(f => (f._1, f._2)).toSet ===
+      Functions.all.map(f => (f._1, f._2)).toSet)
+    // …and EVERY row must actually evaluate — a registered name without
+    // compiler support fails here, not silently in the listing
+    val samples: Map[String, String] = Map(
+      "toLower" -> "RETURN toLower('A') AS v",
+      "toUpper" -> "RETURN toUpper('a') AS v",
+      "trim" -> "RETURN trim(' a ') AS v",
+      "substring" -> "RETURN substring('abcd', 1, 2) AS v",
+      "split" -> "RETURN split('a,b', ',') AS v",
+      "replace" -> "RETURN replace('aba', 'a', 'c') AS v",
+      "left" -> "RETURN left('abcd', 2) AS v",
+      "right" -> "RETURN right('abcd', 2) AS v",
+      "reverse" -> "RETURN reverse('ab') AS v",
+      "toString" -> "RETURN toString(1) AS v",
+      "toInteger" -> "RETURN toInteger('2') AS v",
+      "toFloat" -> "RETURN toFloat('2.5') AS v",
+      "toBoolean" -> "RETURN toBoolean('true') AS v",
+      "coalesce" -> "RETURN coalesce(null, 3) AS v",
+      "size" -> "RETURN size([1, 2]) AS v",
+      "length" -> "MATCH p = (a:User)-[:R]->(b:Tech) RETURN length(p) AS v",
+      "id" -> "MATCH (n:User) RETURN id(n) AS v",
+      "elementId" -> "MATCH (n:User) RETURN elementId(n) AS v",
+      "labels" -> "MATCH (n:User) RETURN labels(n) AS v",
+      "type" -> "MATCH (a:User)-[r:R]->(b:Tech) RETURN type(r) AS v",
+      "properties" -> "MATCH (n:User) RETURN properties(n) AS v",
+      "keys" -> "MATCH (n:User) RETURN keys(n) AS v",
+      "head" -> "RETURN head([1, 2]) AS v",
+      "last" -> "RETURN last([1, 2]) AS v",
+      "tail" -> "RETURN tail([1, 2]) AS v",
+      "isEmpty" -> "RETURN isEmpty([]) AS v",
+      "range" -> "RETURN range(1, 3) AS v",
+      "nodes" -> "MATCH p = (a:User)-[:R]->(b:Tech) RETURN size(nodes(p)) AS v",
+      "relationships" ->
+        "MATCH p = (a:User)-[:R]->(b:Tech) RETURN size(relationships(p)) AS v",
+      "abs" -> "RETURN abs(-2) AS v",
+      "round" -> "RETURN round(2.5) AS v",
+      "sqrt" -> "RETURN sqrt(4.0) AS v",
+      "sign" -> "RETURN sign(-3) AS v",
+      "ceil" -> "RETURN ceil(1.1) AS v",
+      "floor" -> "RETURN floor(1.9) AS v",
+      "exp" -> "RETURN exp(0.0) AS v",
+      "log" -> "RETURN log(1.0) AS v",
+      "log10" -> "RETURN log10(10.0) AS v",
+      "datetime" -> "RETURN datetime('2024-01-01 00:00:00') AS v",
+      "date" -> "RETURN date('2024-01-01') AS v",
+      "datetime.truncate" ->
+        "RETURN datetime.truncate('month', datetime('2024-02-15 10:00:00')) AS v",
+      "date.truncate" ->
+        "RETURN date.truncate('month', datetime('2024-02-15 10:00:00')) AS v",
+      "duration" -> "RETURN duration({days: 1}) AS v",
+      "duration.between" ->
+        "RETURN duration.between(datetime('2024-01-01 00:00:00'), datetime('2024-01-02 00:00:00')) AS v",
+      "point" -> "RETURN point({x: 1.0, y: 2.0}) AS v",
+      "point.distance" ->
+        "RETURN point.distance(point({x: 0.0, y: 0.0}), point({x: 3.0, y: 4.0})) AS v",
+      // list predicates parse in WHERE position (their boolean-expression
+      // home); the always-true forms keep the row
+      "any" -> "MATCH (n:User) WHERE any(x IN [1, 2] WHERE x > 1) RETURN n.name AS v",
+      "all" -> "MATCH (n:User) WHERE all(x IN [1, 2] WHERE x > 0) RETURN n.name AS v",
+      "none" -> "MATCH (n:User) WHERE none(x IN [1, 2] WHERE x > 2) RETURN n.name AS v",
+      "single" -> "MATCH (n:User) WHERE single(x IN [1, 2] WHERE x = 1) RETURN n.name AS v",
+      "count" -> "MATCH (n:User) RETURN count(n.name) AS v",
+      "sum" -> "MATCH (n:User) RETURN sum(size(n.name)) AS v",
+      "avg" -> "MATCH (n:User) RETURN avg(size(n.name)) AS v",
+      "min" -> "MATCH (n:User) RETURN min(n.name) AS v",
+      "max" -> "MATCH (n:User) RETURN max(n.name) AS v",
+      "stDev" -> "MATCH (n:User) RETURN stDev(size(n.name)) AS v",
+      "stDevP" -> "MATCH (n:User) RETURN stDevP(size(n.name)) AS v",
+      "percentileCont" ->
+        "MATCH (n:User) RETURN percentileCont(size(n.name), 0.5) AS v",
+      "percentileDisc" ->
+        "MATCH (n:User) RETURN percentileDisc(size(n.name), 0.5) AS v",
+      "collect" -> "MATCH (n:User) RETURN collect(n.name) AS v")
+    val missing = Functions.all.map(_._1).filterNot(samples.contains)
+    assert(missing.isEmpty, s"registry rows without a sample: $missing")
+    samples.foreach { case (name, q) =>
+      val rows = sess.run(q).asInstanceOf[CypherRows].df.collect()
+      assert(rows.length === 1, s"$name sample returned ${rows.length} rows")
+    }
+  }
+
   test("round-11: GDS projections pin identically through the reliable checkpoint seam") {
     def projected(reliable: Boolean): Seq[(String, String)] = {
       val sess = freshSession
