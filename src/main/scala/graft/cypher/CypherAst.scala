@@ -351,7 +351,13 @@ object CypherAst {
       "gds.kcore.stream" -> Seq("key", "coreValue"),
       // modularity-optimizing community detection (deterministic
       // single-level synchronous local moving; see louvainLocalMoving)
-      "gds.louvain.stream" -> Seq("key", "communityKey"))
+      "gds.louvain.stream" -> Seq("key", "communityKey"),
+      // index query procedures (the GraphRAG statements — LangChain's
+      // Neo4jVector issues vector.queryNodes, its hybrid mode adds
+      // fulltext.queryNodes): `node` is the whole node as a property map
+      // (key folded in), `score` the similarity/relevance
+      "db.index.vector.queryNodes" -> Seq("node", "score"),
+      "db.index.fulltext.queryNodes" -> Seq("node", "score"))
     /** One-line description per registered procedure — the text SHOW
       * PROCEDURES carries (Browser and cypher-shell render it on
       * connect). Keyed identically to [[all]]; the init-time require
@@ -411,7 +417,11 @@ object CypherAst {
       "gds.closeness.harmonic.stream" -> "Harmonic closeness centrality.",
       "gds.kcore.stream" -> "Full k-core decomposition (coreness per node).",
       "gds.louvain.stream" ->
-        "Deterministic single-level Louvain local moving; {maxIterations} bounds rounds.")
+        "Deterministic single-level Louvain local moving; {maxIterations} bounds rounds.",
+      "db.index.vector.queryNodes" ->
+        "Query a vector index: top-k nodes by cosine similarity to the query embedding (sign-LSH candidates, exact re-scoring).",
+      "db.index.fulltext.queryNodes" ->
+        "Query a fulltext index: nodes matching the query (terms, AND/OR, quoted phrases) with a deterministic BM25-family score.")
 
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
@@ -600,4 +610,20 @@ object CypherAst {
     * issue both on connect). */
   case object ShowProcedures extends Statement
   case object ShowFunctions extends Statement
+
+  /** `CREATE VECTOR INDEX [name] [IF NOT EXISTS] FOR (v:Label) ON v.prop
+    * OPTIONS {indexConfig: {`vector.dimensions`: n,
+    * `vector.similarity_function`: 'cosine'}}` — the Neo4j 5 vector index
+    * DDL (the statement LangChain's Neo4jVector issues on first use). */
+  final case class CreateVectorIndex(name: Option[String], ifNotExists: Boolean,
+    label: String, prop: String, dimensions: Int,
+    similarityFunction: String) extends Statement
+  /** `CREATE FULLTEXT INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON EACH
+    * [n.p1, n.p2]` — the hybrid-search sibling of the vector index. */
+  final case class CreateFulltextIndex(name: Option[String],
+    ifNotExists: Boolean, label: String, props: Seq[String]) extends Statement
+  /** `DROP INDEX name [IF EXISTS]` — drops a vector or fulltext index. */
+  final case class DropIndexStmt(name: String, ifExists: Boolean) extends Statement
+  case object ShowVectorIndexes extends Statement
+  case object ShowFulltextIndexes extends Statement
 }

@@ -60,6 +60,11 @@ object CypherParser {
         val s = q.substring(i, j)
         if (keywords.contains(s.toUpperCase)) out += Kw(s.toUpperCase) else out += Ident(s)
         i = j
+      } else if (c == '`') { // backtick-quoted identifier (`vector.dimensions`)
+        val sb = new StringBuilder; i += 1
+        while (i < n && q(i) != '`') { sb += q(i); i += 1 }
+        i += 1 // closing backtick
+        out += Ident(sb.toString)
       } else if (c == '\'' || c == '"') { // Cypher strings: either quote char
         val quote = c
         val sb = new StringBuilder; i += 1
@@ -192,6 +197,10 @@ object CypherParser {
         peek match {
           case Some(Ident(c)) if c.equalsIgnoreCase("constraint") =>
             next(); createConstraintStatement()
+          case Some(Ident(c)) if c.equalsIgnoreCase("vector") =>
+            next(); expectSoft("index"); createVectorIndexStatement()
+          case Some(Ident(c)) if c.equalsIgnoreCase("fulltext") =>
+            next(); expectSoft("index"); createFulltextIndexStatement()
           case _ => pos = save; mutateStatement()
         }
       case Some(Kw("MERGE")) => mutateStatement()
@@ -208,8 +217,12 @@ object CypherParser {
             next(); ShowProcedures
           case Some(Ident(c)) if c.equalsIgnoreCase("functions") =>
             next(); ShowFunctions
-          case t => fail(s"SHOW supports CONSTRAINTS, INDEXES, DATABASES, " +
-            s"PROCEDURES and FUNCTIONS, got $t")
+          case Some(Ident(c)) if c.equalsIgnoreCase("vector") =>
+            next(); expectSoft("indexes"); ShowVectorIndexes
+          case Some(Ident(c)) if c.equalsIgnoreCase("fulltext") =>
+            next(); expectSoft("indexes"); ShowFulltextIndexes
+          case t => fail(s"SHOW supports CONSTRAINTS, [VECTOR|FULLTEXT] " +
+            s"INDEXES, DATABASES, PROCEDURES and FUNCTIONS, got $t")
         }
       case Some(Ident(d)) if d.equalsIgnoreCase("drop") =>
         next()
@@ -223,7 +236,17 @@ object CypherParser {
               case _ => false
             }
             DropConstraint(nm, ifExists)
-          case t => fail(s"DROP supports CONSTRAINT <name> [IF EXISTS], got $t")
+          case Some(Ident(c)) if c.equalsIgnoreCase("index") =>
+            next()
+            val nm = ident()
+            val ifExists = peek match {
+              case Some(Ident(i2)) if i2.equalsIgnoreCase("if") =>
+                next(); expectKw("EXISTS"); true
+              case _ => false
+            }
+            DropIndexStmt(nm, ifExists)
+          case t => fail(s"DROP supports CONSTRAINT <name> [IF EXISTS] and " +
+            s"INDEX <name> [IF EXISTS], got $t")
         }
       case t => fail(s"statement must start with MATCH, UNWIND, LOAD CSV, " +
         s"MERGE, CREATE, SHOW, DROP or RETURN, got $t")
@@ -271,6 +294,145 @@ object CypherParser {
           s"constraints are not implemented), got $t")
       }
       CreateConstraint(name, ifNotExists, v, label, prop)
+    }
+
+    /** Shared `[name] [IF NOT EXISTS] FOR (v:Label)` prefix of the index
+      * DDL statements. Returns (name, ifNotExists, patternVar, label). */
+    private def indexDdlPrefix(kind: String): (Option[String], Boolean, String, String) = {
+      var name: Option[String] = None
+      var ifNotExists = false
+      peek match {
+        case Some(Ident(n)) if !n.equalsIgnoreCase("for") &&
+            !n.equalsIgnoreCase("if") =>
+          next(); name = Some(n)
+        case _ =>
+      }
+      peek match {
+        case Some(Ident(n)) if n.equalsIgnoreCase("if") =>
+          next(); expectKw("NOT"); expectKw("EXISTS"); ifNotExists = true
+        case _ =>
+      }
+      peek match {
+        case Some(Ident(f)) if f.equalsIgnoreCase("for") => next()
+        case t => fail(s"expected FOR in CREATE $kind INDEX, got $t")
+      }
+      expectSym("(")
+      val v = ident(); expectSym(":"); val label = ident()
+      peek match {
+        case Some(Sym("|")) => fail(s"a $kind index targets ONE label — " +
+          "this store's nodes carry exactly one label, so multi-label " +
+          "index patterns are not supported")
+        case _ =>
+      }
+      expectSym(")")
+      (name, ifNotExists, v, label)
+    }
+
+    /** `CREATE VECTOR INDEX [name] [IF NOT EXISTS] FOR (v:Label) ON v.prop
+      * OPTIONS {indexConfig: {`vector.dimensions`: n,
+      * `vector.similarity_function`: 'cosine'}}`. Dimensions are REQUIRED
+      * (the index geometry is part of the definition); the similarity
+      * function defaults to cosine. */
+    private def createVectorIndexStatement(): Statement = {
+      val (name, ifNotExists, v, label) = indexDdlPrefix("VECTOR")
+      expectKw("ON")
+      val v2 = ident()
+      if (v2 != v) fail(s"ON must target the indexed variable '$v', got '$v2'")
+      expectSym(".")
+      val prop = ident()
+      peek match {
+        case Some(Ident(o)) if o.equalsIgnoreCase("options") => next()
+        case t => fail("CREATE VECTOR INDEX requires OPTIONS {indexConfig: " +
+          s"{`vector.dimensions`: n, `vector.similarity_function`: 'cosine'}}" +
+          s" — the index geometry is part of its definition, got $t")
+      }
+      val opts = literalMap()
+      val cfg = opts.get("indexConfig") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _ => fail("OPTIONS must carry an indexConfig map")
+      }
+      val dim = cfg.get("vector.dimensions") match {
+        case Some(n: Long) if n > 0 && n <= 4096 => n.toInt
+        case Some(other) => fail(s"`vector.dimensions` must be a positive " +
+          s"integer (<= 4096), got $other")
+        case None => fail("indexConfig requires `vector.dimensions`")
+      }
+      val simFn = cfg.get("vector.similarity_function") match {
+        case Some(s: String) => s.toLowerCase
+        case Some(other) => fail(s"`vector.similarity_function` must be a " +
+          s"string, got $other")
+        case None => "cosine"
+      }
+      CreateVectorIndex(name, ifNotExists, label, prop, dim, simFn)
+    }
+
+    /** `CREATE FULLTEXT INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON EACH
+      * [n.p1, n.p2]`. */
+    private def createFulltextIndexStatement(): Statement = {
+      val (name, ifNotExists, v, label) = indexDdlPrefix("FULLTEXT")
+      expectKw("ON")
+      peek match {
+        case Some(Ident(e)) if e.equalsIgnoreCase("each") => next()
+        case t => fail(s"expected EACH in CREATE FULLTEXT INDEX, got $t")
+      }
+      expectSym("[")
+      val props = ArrayBuffer.empty[String]
+      def propRef(): Unit = {
+        val pv = ident()
+        if (pv != v) fail(s"ON EACH must target the indexed variable '$v', got '$pv'")
+        expectSym(".")
+        props += ident()
+      }
+      propRef()
+      while (peek.contains(Sym(","))) { next(); propRef() }
+      expectSym("]")
+      CreateFulltextIndex(name, ifNotExists, label, props.toSeq)
+    }
+
+    /** A literal map value `{k: v, …}` with nested maps/lists — the OPTIONS
+      * payload of the index DDL. Keys are identifiers (backtick-quoted for
+      * dotted names) or strings; values are literals. */
+    private def literalMap(): Map[String, Any] = {
+      expectSym("{")
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      def literal(): Any = next() match {
+        case Str(s) => s
+        case Num(s) if s.matches("[0-9]+") => s.toLong
+        case Num(s) => s.toDouble
+        case Sym("-") => literal() match {
+          case l: Long => -l
+          case d: Double => -d
+          case other => fail(s"'-' must precede a number, got $other")
+        }
+        case Ident(b) if b.equalsIgnoreCase("true") => true
+        case Ident(b) if b.equalsIgnoreCase("false") => false
+        case Sym("{") => pos -= 1; literalMap()
+        case Sym("[") =>
+          val items = ArrayBuffer.empty[Any]
+          if (!peek.contains(Sym("]"))) {
+            items += literal()
+            while (peek.contains(Sym(","))) { next(); items += literal() }
+          }
+          expectSym("]")
+          items.toSeq
+        case t => fail(s"expected a literal OPTIONS value, got $t")
+      }
+      def pair(): Unit = {
+        val k = next() match {
+          case Ident(s) => s
+          case Str(s) => s
+          case Kw(s) => s.toLowerCase
+          case t => fail(s"expected an OPTIONS map key, got $t")
+        }
+        expectSym(":")
+        out += k -> literal()
+      }
+      if (!peek.contains(Sym("}"))) {
+        pair()
+        while (peek.contains(Sym(","))) { next(); pair() }
+      }
+      expectSym("}")
+      out.toMap
     }
 
     private def statementFromPipeline(): Statement = {
@@ -486,8 +648,16 @@ object CypherParser {
                 expectSym("]")
                 posArgs += items.toSeq
               case Some(Str(s)) => next(); posArgs += s
+              case Some(Num(s)) if s.matches("[0-9]+") =>
+                next(); posArgs += s.toLong
+              case Some(ParamTok(p0)) =>
+                // a $parameter argument (db.index.vector.queryNodes takes
+                // the query embedding this way) — resolved against the
+                // statement's params at execution
+                next(); posArgs += Param(p0)
               case t => fail("a procedure argument must be a string " +
-                s"literal, a string list or a config map, got $t")
+                "literal, an integer, a $parameter, a string list or a " +
+                s"config map, got $t")
             }
             if (!peek.contains(Sym(")"))) {
               parseArg()

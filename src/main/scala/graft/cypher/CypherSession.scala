@@ -53,6 +53,18 @@ final class CypherSession(
   private val constraintCatalog =
     scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
 
+  /** Vector/fulltext index catalogs (the Neo4j 5 GraphRAG surface —
+    * LangChain's Neo4jVector issues exactly these statements). An index
+    * DEFINITION is session state; its bucketed/posting SNAPSHOT is a
+    * cache keyed on the graph instance it was built from, rebuilt lazily
+    * after a write — so queries always answer against the LIVE store
+    * (stronger than Neo4j's eventually-consistent refresh) while repeated
+    * queries between writes reuse the built structure. */
+  private val vectorIndexes = scala.collection.mutable.LinkedHashMap
+    .empty[String, CypherSession.VectorIndexDef]
+  private val fulltextIndexes = scala.collection.mutable.LinkedHashMap
+    .empty[String, CypherSession.FulltextIndexDef]
+
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
     // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
     // EXPLAIN compiles without executing and returns the plan; PROFILE
@@ -185,7 +197,18 @@ final class CypherSession(
     val backing = constraintCatalog.toSeq.map { case (n, (l, p)) =>
       (n, "ONLINE", "RANGE", "NODE", l, p, n)
     }
-    CypherRows((lookup ++ backing)
+    // vector/fulltext index rows (round 11): multi-property fulltext
+    // indexes render their property list comma-joined in the single
+    // `property` column
+    val vec = vectorIndexes.toSeq.map { case (n, d) =>
+      (n, "ONLINE", "VECTOR", "NODE", d.label, d.prop,
+        null.asInstanceOf[String])
+    }
+    val ft = fulltextIndexes.toSeq.map { case (n, d) =>
+      (n, "ONLINE", "FULLTEXT", "NODE", d.label, d.props.mkString(","),
+        null.asInstanceOf[String])
+    }
+    CypherRows((lookup ++ backing ++ vec ++ ft)
       .toDF("name", "state", "type", "entityType", "labelOrType",
         "property", "owningConstraint")
       .orderBy("name"))
@@ -230,6 +253,295 @@ final class CypherSession(
     CypherRows(CypherAst.Functions.all.sortBy(_._1)
       .toDF("name", "category", "signature", "description"))
   }
+
+  // -------------------------------------------- vector/fulltext indexes --
+
+  /** Parse a stored embedding property (string bag rendering: optionally
+    * bracketed, comma-separated numerics) back to array<double>. cast
+    * trims whitespace; a malformed component parses to null and fails the
+    * build validation loudly. */
+  private def parseVectorCol(raw: Column): Column =
+    // try_cast, not cast: a malformed component must surface as the
+    // build validation's typed error NAMING the node, not an ANSI
+    // mid-scan SparkNumberFormatException
+    transform(split(regexp_replace(raw, "^\\s*\\[|\\]\\s*$", ""), ","),
+      x => x.try_cast("double"))
+
+  /** The node-as-a-value column for index query yields: the full property
+    * map with the label's out-of-band key property folded in (same shape
+    * `properties(n)` returns; map_filter guards the corner where a SET
+    * wrote the key property into the bag). */
+  private def nodeMapCol(label: String): Column = {
+    val keyProp = keyProps.getOrElse(label, "name")
+    map_concat(map_filter(col("props"), (k, _) => k =!= keyProp),
+      map(lit(keyProp), col("key")))
+  }
+
+  /** (Re)build a vector index's bucketed snapshot when the session graph
+    * has moved past the cached one. Columns: key, node (property map),
+    * emb (array<double>), nrm, bks (the 8 sign-LSH bucket ids). One pass
+    * over the label partition, pinned through the iterCheckpoint seam. */
+  private def vectorSnapshot(name: String,
+      d: CypherSession.VectorIndexDef): DataFrame = {
+    val cur = graph
+    val cached = d.snapshot
+    if (cached != null && (cached._1 eq cur)) return cached._2
+    import graft.analytics.IterCheckpoint.IterCheckpointOps
+    val parsed = cur.nodes.filter(col("label") === d.label)
+      .filter(element_at(col("props"), d.prop).isNotNull)
+      .select(col("key"), nodeMapCol(d.label).as("node"),
+        parseVectorCol(element_at(col("props"), d.prop)).as("emb"))
+    // validate the population NOW and loudly: wrong dimension, a
+    // non-numeric component, or a zero vector (cosine undefined) name
+    // the offending node instead of surfacing as NaN scores later
+    val bad = parsed.filter(size(col("emb")) =!= d.dim ||
+        exists(col("emb"), x => x.isNull) ||
+        aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0)
+      .select(col("key")).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"vector index '$name': node '${bad.head.getString(0)}' has a " +
+        s"malformed ${d.prop} — every indexed value must be ${d.dim} " +
+        "numeric components with a nonzero norm")
+    val data = parsed
+      .withColumn("nrm",
+        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("bks", graft.functions.NativeExpressions.portableLshBuckets(
+        col("emb"), CypherSession.VectorLshTables, CypherSession.VectorLshBits,
+        d.dim))
+      .iterCheckpoint()
+    d.snapshot = (cur, data)
+    data
+  }
+
+  /** (Re)build a fulltext index's postings when the session graph has
+    * moved: docs = (key, node map, dl), postings = (key, fprop, pos,
+    * term) — one tokenize pass per indexed property, pinned. avgDl is an
+    * exact long-sum / count division. */
+  private def fulltextSnapshot(name: String,
+      d: CypherSession.FulltextIndexDef)
+      : (DataFrame, DataFrame, Long, Double) = {
+    val cur = graph
+    val cached = d.snapshot
+    if (cached != null && (cached._1 eq cur))
+      return (cached._2, cached._3, cached._4, cached._5)
+    import graft.analytics.IterCheckpoint.IterCheckpointOps
+    val base = cur.nodes.filter(col("label") === d.label)
+    def toks(p: String): Column = filter(
+      split(lower(element_at(col("props"), p)),
+        CypherSession.FulltextTokenRegex),
+      x => x =!= "")
+    val postings = d.props.map { p =>
+      base.select(col("key"), lit(p).as("fprop"),
+        posexplode(toks(p)).as(Seq("pos", "term")))
+        .filter(col("term").isNotNull)
+    }.reduce(_ unionByName _).iterCheckpoint()
+    val dl = postings.groupBy("key").agg(count(lit(1)).as("dl"))
+    val docs = base.select(col("key"), nodeMapCol(d.label).as("node"))
+      .join(dl, Seq("key")).iterCheckpoint()
+    val n = docs.count()
+    val avgDl =
+      if (n == 0L) 1.0
+      else docs.agg(sum(col("dl"))).head.getLong(0).toDouble / n
+    d.snapshot = (cur, docs, postings, n, avgDl)
+    (docs, postings, n, avgDl)
+  }
+
+  /** The fulltext ANALYZER applied to queries — identical to the indexed
+    * side's tokenization by construction. */
+  private def tokenizeFt(s: String): Seq[String] =
+    s.toLowerCase.split(CypherSession.FulltextTokenRegex)
+      .filter(_.nonEmpty).toSeq
+
+  /** Parse a fulltext query into OR-groups of clauses (a clause = one
+    * term or a quoted phrase's token sequence). Lucene's default
+    * operator: juxtaposition is OR; an explicit AND binds its two
+    * neighboring clauses into one conjunctive group. No parentheses —
+    * the grammar the LangChain hybrid templates actually emit. */
+  private def parseFtQuery(q: String): Seq[Seq[Seq[String]]] = {
+    sealed trait T
+    case class Cl(toks: Seq[String]) extends T
+    case object AndOp extends T
+    val ts = scala.collection.mutable.ArrayBuffer.empty[T]
+    var i = 0
+    while (i < q.length) {
+      val ch = q(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '"') {
+        val j = q.indexOf('"', i + 1)
+        require(j >= 0, s"unterminated phrase quote in fulltext query: $q")
+        val toks = tokenizeFt(q.substring(i + 1, j))
+        require(toks.nonEmpty, "empty phrase in fulltext query")
+        ts += Cl(toks)
+        i = j + 1
+      } else {
+        var j = i
+        while (j < q.length && !q(j).isWhitespace && q(j) != '"') j += 1
+        val w = q.substring(i, j)
+        if (w.equalsIgnoreCase("AND")) ts += AndOp
+        else if (w.equalsIgnoreCase("OR")) () // OR is the default joiner
+        else tokenizeFt(w).foreach(t => ts += Cl(Seq(t)))
+        i = j
+      }
+    }
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Seq[String]]]
+    var joinNext = false
+    ts.foreach {
+      case Cl(t) =>
+        if (joinNext && groups.nonEmpty) groups.last += t
+        else groups += scala.collection.mutable.ArrayBuffer(t)
+        joinNext = false
+      case AndOp => joinNext = true
+    }
+    require(groups.nonEmpty,
+      s"fulltext query '$q' contains no searchable terms")
+    groups.map(_.toSeq).toSeq
+  }
+
+  /** Evaluate a fulltext query against an index: (node, score) rows for
+    * every matching document.
+    *
+    * Matching: a doc matches when SOME OR-group has every clause present;
+    * a phrase is present when its tokens occur at consecutive positions
+    * within one indexed property (adjacency = |phrase|−1 equi-joins on
+    * (key, fprop, pos), clause-term prefilter first — the postings that
+    * reach any join are only the query's own terms, never the corpus).
+    *
+    * Scoring: the log-free BM25 (t21's bit-determinism posture) —
+    * idf = (N − df + 0.5)/(df + 0.5), tf normalized by the Lucene-default
+    * k1/b length correction — summed over the doc's matching clauses in
+    * CLAUSE ORDER via a sorted-array left fold, so the double additions
+    * associate identically in Spark and the DuckDB oracle. */
+  private def fulltextQuery(name: String,
+      d: CypherSession.FulltextIndexDef, q: String): DataFrame = {
+    val (docs, postings, nDocs, avgDl) = fulltextSnapshot(name, d)
+    val groups0 = parseFtQuery(q)
+    val distinctClauses = groups0.flatten.distinct
+    val cidOf = distinctClauses.zipWithIndex.toMap
+    val groups: Seq[Seq[Int]] = groups0.map(_.map(cidOf).distinct)
+    // per-clause per-doc term frequency
+    val tfs = distinctClauses.zipWithIndex.map { case (toks, cid) =>
+      val occ =
+        if (toks.size == 1)
+          postings.filter(col("term") === toks.head)
+            .select(col("key"), col("fprop"), col("pos"))
+        else
+          toks.zipWithIndex.map { case (t, off) =>
+            postings.filter(col("term") === t)
+              .select(col("key"), col("fprop"),
+                (col("pos") - off).as("pos"))
+          }.reduce(_.join(_, Seq("key", "fprop", "pos")))
+      occ.groupBy(col("key"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("key"), lit(cid).as("cid"), col("tf"))
+    }.reduce(_ unionByName _)
+    // clause document frequencies (over the indexed population)
+    val dfs = tfs.groupBy(col("cid")).agg(count(lit(1)).as("df"))
+    // matched docs: every clause of SOME group present
+    val matched = groups.map { g =>
+      tfs.filter(col("cid").isin(g: _*))
+        .groupBy(col("key")).agg(count(lit(1)).as("__m"))
+        .filter(col("__m") === g.size).select(col("key"))
+    }.reduce(_ unionByName _).distinct()
+    // BM25-family contribution per (doc, clause); constants written as
+    // the same arithmetic the oracle SQL uses so both engines fold the
+    // identical doubles
+    val contribs = tfs
+      .join(broadcast(dfs), Seq("cid"))
+      .join(docs.select(col("key"), col("dl")), Seq("key"))
+      .withColumn("contrib",
+        (col("tf").cast("double") * lit(CypherSession.Bm25K1 + 1.0) /
+          (col("tf").cast("double") + lit(CypherSession.Bm25K1) *
+            (lit(1.0 - CypherSession.Bm25B) +
+              lit(CypherSession.Bm25B) * col("dl").cast("double") /
+                lit(avgDl)))) *
+          ((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+    val scored = contribs.join(matched, Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("cid"), col("contrib")))),
+        lit(0.0), (acc, s) => acc + s.getField("contrib")).as("score"))
+    scored.join(docs.select(col("key"), col("node")), Seq("key"))
+      .select(col("node"), col("score"), col("key"))
+      .orderBy(col("score").desc, col("key"))
+      .select(col("node"), col("score"))
+  }
+
+  private def executeCreateVectorIndex(c: CreateVectorIndex): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    if (c.similarityFunction != "cosine") throw new IllegalArgumentException(
+      s"vector.similarity_function '${c.similarityFunction}' is not " +
+        "supported — this engine implements 'cosine' (the Neo4jVector/" +
+        "LangChain default); euclidean is not implemented")
+    val name = c.name.getOrElse(s"vector_${c.label}_${c.prop}")
+    if (vectorIndexes.contains(name) || fulltextIndexes.contains(name)) {
+      if (c.ifNotExists)
+        return CypherRows(spark.range(1).select(lit(name).as("name"),
+          lit(false).as("added")))
+      throw new IllegalArgumentException(
+        s"an index named '$name' already exists — use IF NOT EXISTS to " +
+          "make this a no-op")
+    }
+    vectorIndexes.values.find(d => d.label == c.label && d.prop == c.prop)
+      .foreach { _ =>
+        if (c.ifNotExists)
+          return CypherRows(spark.range(1).select(lit(name).as("name"),
+            lit(false).as("added")))
+        throw new IllegalArgumentException(
+          s"an equivalent vector index already exists for (:${c.label})." +
+            s"${c.prop}")
+      }
+    val d = new CypherSession.VectorIndexDef(c.label, c.prop, c.dimensions,
+      c.similarityFunction)
+    vectorIndexes(name) = d
+    // build (and thereby VALIDATE the existing population) eagerly, as
+    // Neo4j populates at CREATE; a malformed store leaves no index behind
+    try vectorSnapshot(name, d)
+    catch { case t: Throwable => vectorIndexes.remove(name); throw t }
+    CypherRows(spark.range(1).select(lit(name).as("name"),
+      lit(true).as("added")))
+  }
+
+  private def executeCreateFulltextIndex(c: CreateFulltextIndex): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    require(c.props.nonEmpty, "CREATE FULLTEXT INDEX needs at least one property")
+    val name = c.name.getOrElse(s"fulltext_${c.label}_${c.props.mkString("_")}")
+    if (fulltextIndexes.contains(name) || vectorIndexes.contains(name)) {
+      if (c.ifNotExists)
+        return CypherRows(spark.range(1).select(lit(name).as("name"),
+          lit(false).as("added")))
+      throw new IllegalArgumentException(
+        s"an index named '$name' already exists — use IF NOT EXISTS to " +
+          "make this a no-op")
+    }
+    val d = new CypherSession.FulltextIndexDef(c.label, c.props)
+    fulltextIndexes(name) = d
+    try fulltextSnapshot(name, d)
+    catch { case t: Throwable => fulltextIndexes.remove(name); throw t }
+    CypherRows(spark.range(1).select(lit(name).as("name"),
+      lit(true).as("added")))
+  }
+
+  private def executeDropIndex(di: DropIndexStmt): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    val removed = vectorIndexes.remove(di.name).isDefined ||
+      fulltextIndexes.remove(di.name).isDefined
+    if (!removed && !di.ifExists)
+      throw new IllegalArgumentException(s"no such index '${di.name}' — " +
+        "SHOW INDEXES lists " +
+        (vectorIndexes.keys ++ fulltextIndexes.keys).mkString(", "))
+    CypherRows(spark.range(1).select(lit(di.name).as("name"),
+      lit(removed).as("dropped")))
+  }
+
+  /** `SHOW VECTOR INDEXES` / `SHOW FULLTEXT INDEXES` — the type-filtered
+    * views of SHOW INDEXES Neo4j ships. */
+  private def executeShowKindIndexes(kind: String): CypherResult =
+    executeShowIndexes() match {
+      case CypherRows(df) => CypherRows(df.filter(col("type") === kind))
+      case other => other
+    }
 
   private def executeShowConstraints(): CypherResult = {
     val spark = graph.nodes.sparkSession
@@ -306,6 +618,11 @@ final class CypherSession(
       case ShowDatabases => executeShowDatabases()
       case ShowProcedures => executeShowProcedures()
       case ShowFunctions => executeShowFunctions()
+      case v: CreateVectorIndex => executeCreateVectorIndex(v)
+      case f: CreateFulltextIndex => executeCreateFulltextIndex(f)
+      case d: DropIndexStmt => executeDropIndex(d)
+      case ShowVectorIndexes => executeShowKindIndexes("VECTOR")
+      case ShowFulltextIndexes => executeShowKindIndexes("FULLTEXT")
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement =>
         // pagination parsed with the last part applies to the combined rows
@@ -1800,8 +2117,15 @@ final class CypherSession(
       * Neo4j; a stable order costs nothing at schema cardinality). The
       * yielded columns bind as ordinary scalars — every later clause
       * (WHERE, WITH, RETURN, UNION) composes. */
-    def applyProc(p: ProcCall): Unit = {
+    def applyProc(p0: ProcCall): Unit = {
       val spark = graph.nodes.sparkSession
+      // resolve $parameter positional arguments (the query-embedding slot
+      // of db.index.vector.queryNodes) against the statement's params
+      val p = p0.copy(args = p0.args.map {
+        case Param(nm) => params.getOrElse(nm,
+          throw new IllegalArgumentException(s"missing parameter $$$nm"))
+        case a => a
+      })
       // Graph-name first argument on the gds.*.stream family: the
       // algorithm runs over the NAMED projection's snapshot instead of
       // the whole store; an unknown name fails typed. Everything else
@@ -1823,7 +2147,8 @@ final class CypherSession(
                 s"got $other")
           }
         } else {
-          if (!p.name.startsWith("gds.graph."))
+          if (!p.name.startsWith("gds.graph.") &&
+              !p.name.startsWith("db.index."))
             require(p.args.isEmpty,
               s"${p.name} takes no positional arguments, got ${p.args}")
           graph
@@ -2461,6 +2786,101 @@ final class CypherSession(
             .select(lit(srcKey).as("sourceKey"), col("targetKey"),
               col("dist").as("totalCost"))
           targetKey.fold(full)(t => full.filter(col("targetKey") === t))
+        // ---- index query procedures (the GraphRAG surface). Vector:
+        // driver-side sign-LSH bucketing of the ONE query vector (96 dot
+        // products), candidates come off the snapshot as a literal
+        // 8-way bucket-equality filter pushed into the scan — no join, no
+        // shuffle except the top-k. Exact cosine re-scores candidates;
+        // score = (1 + cos)/2, Neo4j's cosine score normalization, left-
+        // fold dot products so the doubles replay in the DuckDB oracle.
+        case "db.index.vector.queryNodes" =>
+          require(p.args.size == 3, "db.index.vector.queryNodes takes " +
+            s"(indexName, k, queryVector), got ${p.args.size} argument(s)")
+          val idxName = p.args.head match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"queryNodes' index name must be a string, got $other")
+          }
+          val k = p.args(1) match {
+            case l: Long if l > 0 => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"queryNodes' k must be a positive integer, got $other")
+          }
+          val qv: Array[Double] = p.args(2) match {
+            case s: Seq[_] => s.map {
+              case d: Double => d
+              case f: Float => f.toDouble
+              case i: Int => i.toDouble
+              case l: Long => l.toDouble
+              case other => throw new IllegalArgumentException(
+                s"query vector components must be numeric, got $other")
+            }.toArray
+            case other => throw new IllegalArgumentException(
+              "queryNodes' query vector must be a list parameter, got " +
+                s"$other")
+          }
+          val vidx = vectorIndexes.getOrElse(idxName,
+            throw new IllegalArgumentException(
+              s"vector index '$idxName' does not exist — SHOW VECTOR " +
+                s"INDEXES lists ${vectorIndexes.keys.mkString(", ")}"))
+          require(qv.length == vidx.dim,
+            s"query vector has ${qv.length} dimensions; index '$idxName' " +
+              s"expects ${vidx.dim}")
+          var qn2 = 0.0
+          qv.foreach(x => qn2 += x * x)
+          require(qn2 > 0.0, "query vector must have a nonzero norm")
+          val qn = math.sqrt(qn2)
+          // bucket the query vector driver-side with the SAME plane family
+          // the snapshot used (bit i of table t set iff plane·x >= 0)
+          val planes = graft.functions.DedupKernels.lshPlanes(
+            CypherSession.VectorLshTables, CypherSession.VectorLshBits,
+            vidx.dim)
+          val qb = Array.tabulate(CypherSession.VectorLshTables) { t =>
+            var b = 0L
+            var i = 0
+            while (i < CypherSession.VectorLshBits) {
+              var dot = 0.0
+              var j = 0
+              while (j < vidx.dim) { dot += planes(t)(i)(j) * qv(j); j += 1 }
+              if (dot >= 0.0) b |= 1L << i
+              i += 1
+            }
+            b
+          }
+          val data = vectorSnapshot(idxName, vidx)
+          val cand = data.filter(
+            (0 until CypherSession.VectorLshTables)
+              .map(t => element_at(col("bks"), t + 1) === lit(qb(t)))
+              .reduce(_ || _))
+          val qlit = typedlit(qv.toSeq)
+          val dot = aggregate(zip_with(col("emb"), qlit, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)
+          cand
+            .select(col("node"),
+              ((lit(1.0) + dot / (col("nrm") * lit(qn))) / lit(2.0))
+                .as("score"),
+              col("key"))
+            .orderBy(col("score").desc, col("key"))
+            .limit(k)
+            .select(col("node"), col("score"))
+        case "db.index.fulltext.queryNodes" =>
+          require(p.args.size == 2, "db.index.fulltext.queryNodes takes " +
+            s"(indexName, query), got ${p.args.size} argument(s)")
+          val ftName = p.args.head match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"queryNodes' index name must be a string, got $other")
+          }
+          val ftQuery = p.args(1) match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"the fulltext query must be a string, got $other")
+          }
+          val fidx = fulltextIndexes.getOrElse(ftName,
+            throw new IllegalArgumentException(
+              s"fulltext index '$ftName' does not exist — SHOW FULLTEXT " +
+                s"INDEXES lists ${fulltextIndexes.keys.mkString(", ")}"))
+          fulltextQuery(ftName, fidx, ftQuery)
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =
@@ -2977,6 +3397,42 @@ object CypherSession {
     * project-time counts. */
   private[cypher] final case class GdsProjection(graph: PropertyGraph,
     nodeCount: Long, relationshipCount: Long)
+
+  /** Sign-LSH geometry shared by every vector index: 8 tables × 12-bit
+    * buckets over the portable md5-derived plane family — the d15/v15
+    * production layout, SQL-replayable by the DuckDB oracle. */
+  private[cypher] val VectorLshTables = 8
+  private[cypher] val VectorLshBits = 12
+
+  /** A vector index DEFINITION plus its lazily-(re)built bucketed
+    * snapshot. `snapshot` is (builtOn, data): the graph instance the data
+    * was derived from — every write replaces the session's PropertyGraph
+    * instance, so reference identity IS the staleness check. */
+  private[cypher] final class VectorIndexDef(val label: String,
+      val prop: String, val dim: Int, val similarityFunction: String) {
+    @volatile var snapshot: (PropertyGraph, DataFrame) = null
+  }
+
+  /** A fulltext index DEFINITION plus its lazily-(re)built postings.
+    * `snapshot` is (builtOn, docs, postings, docCount, avgDl): docs =
+    * (key, node map, dl), postings = (key, fprop, pos, term). */
+  private[cypher] final class FulltextIndexDef(val label: String,
+      val props: Seq[String]) {
+    @volatile var snapshot: (PropertyGraph, DataFrame, DataFrame, Long, Double) = null
+  }
+
+  /** The fulltext analyzer: lowercase, split on non-alphanumeric runs,
+    * drop empties — the standard-analyzer shape, chosen because BOTH
+    * engines express it identically (Spark `split(lower(x), regex)` /
+    * DuckDB `regexp_split_to_array(lower(x), regex)`), which is what
+    * makes fulltext scores oracle-hashable. */
+  private[cypher] val FulltextTokenRegex = "[^a-z0-9]+"
+  /** BM25 constants (the Lucene defaults). The idf is the LOG-FREE BM25
+    * smoothing (N − df + 0.5)/(df + 0.5) — t21's bit-determinism posture:
+    * libm `ln` may differ by an ulp across engines and flip a rank tie;
+    * dropping the monotone log changes scores but not order. */
+  private[cypher] val Bm25K1 = 1.2
+  private[cypher] val Bm25B = 0.75
 
   /** Sphere radius for geographic (SRID 4326) point.distance — the IUGG
     * mean Earth radius R1 = (2a + b) / 3 for the WGS-84 ellipsoid, in

@@ -5017,6 +5017,193 @@ object AnalyticsCatalog {
            |  CAST((doc_id // 5) * 5 AS VARCHAR) AS communityKey
            |FROM documents ORDER BY key""".stripMargin))
 
+  private val c68 = Entry("c68_cypher_vector_index",
+    (s, dir) => {
+      // Neo4j 5 vector index surface (VERDICT r10 #1) — the GraphRAG
+      // statements LangChain's Neo4jVector issues on first use (the
+      // reference's requirements.txt:2-4 declares exactly that stack):
+      // CREATE VECTOR INDEX + db.index.vector.queryNodes(name, k, $emb).
+      // Backed by the v15 sign-LSH layout (8 tables × 12-bit portable
+      // planes): the ONE query vector buckets driver-side, candidates come
+      // off the snapshot as a literal bucket-equality filter pushed into
+      // the scan — no join, no shuffle beyond the top-k — and exact cosine
+      // re-scores candidates; score = (1 + cos)/2, Neo4j's normalization,
+      // left-fold dot products so the doubles replay in DuckDB. Three
+      // query vectors (corpus members 0/7/42) probe the indexed 500.
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = emb.select(lit("Doc").as("label"),
+        col("vec_id").cast("string").as("key"),
+        map(lit("embedding"), concat_ws(",",
+          transform(col("embedding"),
+            x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "vec_id"))
+      sess.run(
+        """CREATE VECTOR INDEX docEmb FOR (d:Doc) ON d.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64,
+          |  `vector.similarity_function`: 'cosine'}}""".stripMargin)
+      val qids = Seq(0L, 7L, 42L, 99L, 123L, 250L, 381L, 499L)
+      val byId = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+      qids.map { qid =>
+        sess.run(
+          """CALL db.index.vector.queryNodes('docEmb', 10, $q)
+            |YIELD node, score
+            |RETURN node.vec_id AS hit, score""".stripMargin,
+          Map("q" -> byId(qid)))
+          .asInstanceOf[graft.cypher.CypherRows].df
+          .select(lit(qid).as("qid"), col("hit").cast("long").as("hit"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("score").desc, col("hit"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |q AS (SELECT * FROM (VALUES (0), (7), (42), (99), (123),
+           |  (250), (381), (499)) AS t(qid)),
+           |cand AS (
+           |  SELECT DISTINCT q.qid, b2.vec_id
+           |  FROM q
+           |  JOIN bits b1 ON b1.vec_id = q.qid
+           |  JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket),
+           |scored AS (
+           |  SELECT c.qid, c.vec_id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM cand c
+           |  JOIN v x ON x.vec_id = c.qid
+           |  JOIN v y ON y.vec_id = c.vec_id),
+           |top AS (
+           |  SELECT qid, vec_id, score,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, vec_id) AS rn
+           |  FROM scored)
+           |SELECT CAST(qid AS BIGINT) AS qid, vec_id AS hit, score
+           |FROM top WHERE rn <= 10
+           |ORDER BY qid, score DESC, hit""".stripMargin))
+
+  private val c69 = Entry("c69_cypher_fulltext_index",
+    (s, dir) => {
+      // Full-text index surface (VERDICT r10 #4) — the hybrid-search
+      // sibling of c68 in the same LangChain tutorials: CREATE FULLTEXT
+      // INDEX over Article.title + db.index.fulltext.queryNodes with the
+      // minimal grammar (terms, AND, OR, quoted phrase). Scoring is the
+      // LOG-FREE BM25 (t21's bit-determinism posture: idf without the
+      // monotone ln, Lucene-default k1/b length correction), summed per
+      // doc in CLAUSE ORDER via a sorted-array left fold — so the DuckDB
+      // oracle replays every double exactly. Three queries: a conjunction,
+      // a phrase, a disjunction.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run(
+        "CREATE FULLTEXT INDEX titles FOR (a:Article) ON EACH [a.title]")
+      val queries = Seq(
+        (1L, "table AND value"),
+        (2L, "\"agg row\""),
+        (3L, "window OR spark"))
+      queries.map { case (qid, q) =>
+        sess.run(
+          s"""CALL db.index.fulltext.queryNodes('titles', '$q')
+             |YIELD node, score
+             |RETURN node.doc_id AS hit, score""".stripMargin)
+          .asInstanceOf[graft.cypher.CypherRows].df
+          .select(lit(qid).as("qid"), col("hit").cast("long").as("hit"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("score").desc, col("hit"))
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS key, doc_id,
+           |    substr(text, 1, 30) AS title
+           |  FROM documents),
+           |tk AS (SELECT key, doc_id,
+           |    regexp_split_to_array(lower(title), '[^a-z0-9]+') AS t
+           |  FROM d),
+           |post AS (
+           |  SELECT key, doc_id, term,
+           |    row_number() OVER (PARTITION BY key ORDER BY pos) AS pos
+           |  FROM (SELECT key, doc_id, unnest(t) AS term,
+           |          generate_subscripts(t, 1) AS pos FROM tk) z
+           |  WHERE term <> ''),
+           |doclen AS (SELECT key, doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           |  FROM post GROUP BY key, doc_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+           |tf1 AS (
+           |  SELECT key, 0 AS cid, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post WHERE term = 'table' GROUP BY key
+           |  UNION ALL
+           |  SELECT key, 1, CAST(COUNT(*) AS BIGINT)
+           |  FROM post WHERE term = 'value' GROUP BY key),
+           |m1 AS (SELECT key FROM tf1 GROUP BY key HAVING COUNT(*) = 2),
+           |tf2 AS (
+           |  SELECT p1.key, 0 AS cid, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post p1 JOIN post p2
+           |    ON p2.key = p1.key AND p2.pos = p1.pos + 1
+           |  WHERE p1.term = 'agg' AND p2.term = 'row'
+           |  GROUP BY p1.key),
+           |m2 AS (SELECT DISTINCT key FROM tf2),
+           |tf3 AS (
+           |  SELECT key, 0 AS cid, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post WHERE term = 'window' GROUP BY key
+           |  UNION ALL
+           |  SELECT key, 1, CAST(COUNT(*) AS BIGINT)
+           |  FROM post WHERE term = 'spark' GROUP BY key),
+           |m3 AS (SELECT DISTINCT key FROM tf3),
+           |allq AS (
+           |  SELECT 1 AS qid, t.key, t.cid, t.tf FROM tf1 t JOIN m1 USING (key)
+           |  UNION ALL
+           |  SELECT 2, t.key, t.cid, t.tf FROM tf2 t JOIN m2 USING (key)
+           |  UNION ALL
+           |  SELECT 3, t.key, t.cid, t.tf FROM tf3 t JOIN m3 USING (key)),
+           |dfs AS (SELECT qid, cid, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM (SELECT 1 AS qid, cid, key FROM tf1
+           |        UNION ALL SELECT 2, cid, key FROM tf2
+           |        UNION ALL SELECT 3, cid, key FROM tf3) u
+           |  GROUP BY qid, cid),
+           |contribs AS (
+           |  SELECT a.qid, a.key, a.cid,
+           |    ((CAST(a.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |      (CAST(a.tf AS DOUBLE) + 1.2 *
+           |        ((1.0 - 0.75) +
+           |          (0.75 * CAST(l.dl AS DOUBLE)) / s.avgdl))) *
+           |    (((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5) /
+           |      (CAST(f.df AS DOUBLE) + 0.5)) AS contrib
+           |  FROM allq a
+           |  JOIN dfs f ON f.qid = a.qid AND f.cid = a.cid
+           |  JOIN doclen l USING (key)
+           |  CROSS JOIN stats s),
+           |scored AS (
+           |  SELECT qid, key,
+           |    list_reduce(list(contrib ORDER BY cid), (a,b) -> a + b)
+           |      AS score
+           |  FROM contribs GROUP BY qid, key)
+           |SELECT CAST(s.qid AS BIGINT) AS qid, l.doc_id AS hit, s.score
+           |FROM scored s JOIN doclen l USING (key)
+           |ORDER BY qid, score DESC, hit""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -6873,7 +7060,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67,
+    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

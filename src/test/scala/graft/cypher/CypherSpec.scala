@@ -2693,6 +2693,140 @@ class CypherSpec extends SparkTestBase {
     }
   }
 
+  test("round-11: vector index lifecycle — DDL, SHOW, queryNodes top-k, typed errors, live rebuild") {
+    val sess = freshSession
+    def setEmb(nm: String, v: String): Unit =
+      sess.run(s"MERGE (d:Doc {name: '$nm'}) SET d.embedding = '$v'")
+    setEmb("a", "1.0,0.0,0.0,0.0")
+    setEmb("b", "0.9,0.1,0.0,0.0")
+    setEmb("c", "0.0,1.0,0.0,0.0")
+    setEmb("d", "-1.0,0.0,0.0,0.0")
+    val created = sess.run(
+      """CREATE VECTOR INDEX docEmb FOR (d:Doc) ON d.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4,
+        |  `vector.similarity_function`: 'cosine'}}""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head
+    assert(created === ("docEmb", true))
+    // SHOW VECTOR INDEXES lists it; SHOW INDEXES folds it in
+    val shown = sess.run("SHOW VECTOR INDEXES").asInstanceOf[CypherRows].df
+      .select("name", "type", "labelOrType", "property")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(shown === Seq(("docEmb", "VECTOR", "Doc", "embedding")))
+    assert(sess.run("SHOW INDEXES").asInstanceOf[CypherRows].df
+      .filter($"name" === "docEmb").count() === 1)
+    // query: exact match first at score 1.0; every returned score is the
+    // exact (1+cos)/2 of that node — the LSH stage only prunes, the
+    // rescoring is exact
+    val rows = sess.run(
+      """CALL db.index.vector.queryNodes('docEmb', 3, $q)
+        |YIELD node, score RETURN node.name AS nm, score""".stripMargin,
+      Map("q" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.head === (("a", 1.0)), rows)
+    val exact = Map(
+      "a" -> 1.0,
+      "b" -> (1.0 + 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)) / 2.0,
+      "c" -> 0.5, "d" -> 0.0)
+    rows.foreach { case (nm, sc) => assert(sc === exact(nm), nm) }
+    assert(rows.map(_._2) === rows.map(_._2).sorted.reverse, "not desc")
+    // k=1 returns exactly the best
+    assert(sess.run(
+      "CALL db.index.vector.queryNodes('docEmb', 1, $q) YIELD node, score " +
+        "RETURN node.name AS nm", Map("q" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq === Seq("a"))
+    // typed errors: unknown index, dimension mismatch, duplicate, bad simFn
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.vector.queryNodes('nope', 1, $q) YIELD node, score " +
+        "RETURN score", Map("q" -> Seq(1.0, 0.0, 0.0, 0.0))))
+    assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.vector.queryNodes('docEmb', 1, $q) YIELD node, score " +
+        "RETURN score", Map("q" -> Seq(1.0, 0.0))))
+    assert(e2.getMessage.contains("dimensions"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](sess.run(
+      """CREATE VECTOR INDEX other FOR (d:Doc) ON d.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin))
+    assert(e3.getMessage.contains("equivalent"), e3.getMessage)
+    assert(sess.run(
+      """CREATE VECTOR INDEX docEmb IF NOT EXISTS FOR (d:Doc) ON d.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head ===
+      (("docEmb", false)))
+    val e4 = intercept[IllegalArgumentException](sess.run(
+      """CREATE VECTOR INDEX euc FOR (d:Doc) ON d.other
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4,
+        |  `vector.similarity_function`: 'euclidean'}}""".stripMargin))
+    assert(e4.getMessage.contains("cosine"), e4.getMessage)
+    // live rebuild: a node written AFTER index creation is queryable
+    setEmb("e", "1.0,0.0,0.0,0.0")
+    val after = sess.run(
+      "CALL db.index.vector.queryNodes('docEmb', 2, $q) YIELD node, score " +
+        "RETURN node.name AS nm ORDER BY nm",
+      Map("q" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(after === Seq("a", "e"), after)
+    // malformed embedding fails CREATE loudly and leaves no index
+    sess.run("MERGE (x:Bad {name: 'x'}) SET x.embedding = '1.0,oops,0.0,0.0'")
+    val e5 = intercept[IllegalStateException](sess.run(
+      """CREATE VECTOR INDEX badIdx FOR (b:Bad) ON b.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin))
+    assert(e5.getMessage.contains("malformed"), e5.getMessage)
+    assert(sess.run("SHOW VECTOR INDEXES").asInstanceOf[CypherRows].df
+      .filter($"name" === "badIdx").count() === 0)
+    // DROP INDEX removes it; IF EXISTS makes the re-drop a no-op
+    assert(sess.run("DROP INDEX docEmb").asInstanceOf[CypherRows].df
+      .as[(String, Boolean)].collect().head === (("docEmb", true)))
+    val e6 = intercept[IllegalArgumentException](sess.run("DROP INDEX docEmb"))
+    assert(e6.getMessage.contains("no such index"), e6.getMessage)
+    assert(sess.run("DROP INDEX docEmb IF EXISTS").asInstanceOf[CypherRows].df
+      .as[(String, Boolean)].collect().head === (("docEmb", false)))
+  }
+
+  test("round-11: fulltext index lifecycle — terms, AND, OR, phrases, deterministic BM25 scores") {
+    val sess = freshSession
+    def doc(nm: String, title: String): Unit =
+      sess.run(s"MERGE (d:Doc {name: '$nm'}) SET d.title = '$title'")
+    doc("d1", "spark joins fast")
+    doc("d2", "spark shuffles slow spark")
+    doc("d3", "flink streams fast")
+    sess.run(
+      """CREATE FULLTEXT INDEX titles FOR (d:Doc) ON EACH [d.title]""")
+    def q(query: String): Seq[(String, Double)] = sess.run(
+      s"""CALL db.index.fulltext.queryNodes('titles', '$query')
+         |YIELD node, score
+         |RETURN node.name AS nm, score ORDER BY score DESC, nm""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    // single term: d2 has tf=2 for spark, so it outranks d1 (longer dl
+    // dampens but tf dominates at these lengths)
+    val spark1 = q("spark")
+    assert(spark1.map(_._1).toSet === Set("d1", "d2"))
+    // AND conjunction
+    assert(q("spark AND fast").map(_._1) === Seq("d1"))
+    // OR (default juxtaposition)
+    assert(q("spark flink").map(_._1).toSet === Set("d1", "d2", "d3"))
+    assert(q("spark OR flink").map(_._1).toSet === Set("d1", "d2", "d3"))
+    // quoted phrase: adjacency, not bag-of-words — "fast streams" has
+    // both terms in d3 but not adjacent in this order
+    assert(q("\"streams fast\"").map(_._1) === Seq("d3"))
+    assert(q("\"fast streams\"").isEmpty)
+    // determinism: identical scores on a re-run
+    assert(q("spark joins") === q("spark joins"))
+    // live rebuild after a write
+    doc("d4", "spark everywhere")
+    assert(q("everywhere").map(_._1) === Seq("d4"))
+    // typed errors + lifecycle
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.fulltext.queryNodes('nope', 'x') YIELD node, score " +
+        "RETURN score"))
+    assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    assert(sess.run("SHOW FULLTEXT INDEXES").asInstanceOf[CypherRows].df
+      .select("name", "labelOrType", "property")
+      .as[(String, String, String)].collect().toSeq ===
+      Seq(("titles", "Doc", "title")))
+    assert(sess.run("DROP INDEX titles").asInstanceOf[CypherRows].df
+      .as[(String, Boolean)].collect().head === (("titles", true)))
+  }
+
   test("round-11: GDS projections pin identically through the reliable checkpoint seam") {
     def projected(reliable: Boolean): Seq[(String, String)] = {
       val sess = freshSession
