@@ -1124,12 +1124,20 @@ object Bpe {
     ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
   }
 
-  private def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit = {
+  private def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit =
+    applyMerges(w, Merges).foreach(s => out.add(UTF8String.fromString(s)))
+
+  /** The greedy per-rule array pass over an arbitrary ORDERED merges
+    * table — the application half a learned tokenizer ships
+    * ([[graft.analytics.BpeTrain]] learns the table; the train/encode
+    * agreement spec pins that applying the learned merges reproduces the
+    * trainer's final vocabulary state). */
+  def applyMerges(w: String, merges: Seq[(String, String)]): Seq[String] = {
     val syms = new Array[String](w.length)
     var m = w.length
     var i = 0
     while (i < m) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    Merges.foreach { case (x, y) =>
+    merges.foreach { case (x, y) =>
       if (m > 1) {
         var r = 0 // read
         var k = 0 // write
@@ -1144,8 +1152,7 @@ object Bpe {
         m = k
       }
     }
-    i = 0
-    while (i < m) { out.add(UTF8String.fromString(syms(i))); i += 1 }
+    syms.take(m).toSeq
   }
 
   /** The oracle's unrolled replay of the SAME loop over `col` (a DuckDB

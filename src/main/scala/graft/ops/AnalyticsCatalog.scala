@@ -6849,6 +6849,26 @@ object AnalyticsCatalog {
             |SELECT token, COUNT(*) AS n FROM tok
             |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin))
 
+  private val t28 = Entry("t28_bpe_train",
+    (s, dir) => {
+      // BPE merge-table LEARNING (VERDICT r10 #3) — t25 applies a fixed
+      // merges table; this learns one: 20 rounds of corpus-wide pair-count
+      // aggregates with a deterministic argmax (max count, ties to the
+      // lexicographically smallest pair — classic BPE's hash-map-order tie
+      // break pinned for a distributed engine). The corpus is touched ONCE
+      // (the word-frequency groupBy); every round after is vocabulary-
+      // sized. All integer counts and a-z strings — full hash. The oracle
+      // unrolls the same three steps per round over spaced-symbol strings
+      // (t25's two-replace ≡ greedy-pass equivalence).
+      val (merges, _) = graft.analytics.BpeTrain.train(
+        Tables(s, dir, "documents"), "text", rounds = 20)
+      import s.implicits._
+      merges.map(m => (m.rank, m.x, m.y, m.count))
+        .toDF("rank", "x", "y", "cnt")
+        .orderBy("rank")
+    },
+    Some(graft.analytics.BpeTrain.oracleSql("documents", "text", rounds = 20)))
+
   private val t26 = Entry("t26_ngram_repetition",
     (s, dir) => {
       // Gopher-style N-GRAM repetition signals (round 10; t13 covers the
@@ -7049,7 +7069,7 @@ object AnalyticsCatalog {
   val entries: Seq[Entry] = Seq(
     g01, g02, g03, g04, g05, g06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-    t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+    t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
