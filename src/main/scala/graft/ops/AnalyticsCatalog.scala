@@ -5204,6 +5204,36 @@ object AnalyticsCatalog {
            |FROM scored s JOIN doclen l USING (key)
            |ORDER BY qid, score DESC, hit""".stripMargin))
 
+  private val c70 = Entry("c70_cypher_show_procedures",
+    (s, dir) => {
+      // SHOW PROCEDURES (VERDICT r10 #6) — Browser and cypher-shell issue
+      // it on connect. Rows project the procedure REGISTRY (signature from
+      // the registered YIELD schema, mode from the side-effect classifier
+      // EXPLAIN trusts), so there is no second list to drift; CypherSpec
+      // derives the full-listing expectations from the registry. The
+      // oracle hashes the STABLE subset — the db.*/dbms.* introspection
+      // and index procedures, which are Neo4j's own surface (the gds.*
+      // tail grows round over round and is spec-verified instead).
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run("SHOW PROCEDURES").asInstanceOf[graft.cypher.CypherRows].df
+        .filter(col("name").startsWith("db.") ||
+          col("name").startsWith("dbms."))
+        .select(col("name"), col("mode"))
+        .orderBy("name")
+    },
+    Some("""SELECT * FROM (VALUES
+           |  ('db.index.fulltext.queryNodes', 'READ'),
+           |  ('db.index.vector.queryNodes', 'READ'),
+           |  ('db.labels', 'READ'),
+           |  ('db.propertyKeys', 'READ'),
+           |  ('db.relationshipTypes', 'READ'),
+           |  ('db.schema.nodeTypeProperties', 'READ'),
+           |  ('db.schema.relTypeProperties', 'READ'),
+           |  ('dbms.components', 'READ')) AS t(name, mode)
+           |ORDER BY name""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -7080,7 +7110,7 @@ object AnalyticsCatalog {
     c15, c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27,
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
+    c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)
