@@ -469,6 +469,41 @@ class PlanSpec extends SparkTestBase {
     assert(TxBatches.stage(driving.limit(0), 100).isEmpty)
   }
 
+  test("round-11: index query plans — vector probe is filter+top-k with NO join; fulltext joins stay equi") {
+    import org.apache.spark.sql.functions.col
+    val sess = new graft.cypher.CypherSession(
+      graft.graph.PropertyGraph.empty(spark))
+    (0 until 50).foreach { i =>
+      sess.run(s"MERGE (d:Doc {name: 'n$i'}) " +
+        s"SET d.embedding = '${Seq.tabulate(4)(j => (i * 4 + j) % 7 - 3.0).mkString(",")}', " +
+        s"d.title = 'spark doc number $i fast table'")
+    }
+    sess.run("""CREATE VECTOR INDEX ve FOR (d:Doc) ON d.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+    // vector probe: the candidate stage is a FILTER over the pinned
+    // snapshot plus a top-k — no join of any kind may appear (the single
+    // query vector's buckets are literals)
+    val vq = sess.run(
+      "CALL db.index.vector.queryNodes('ve', 5, $q) YIELD node, score " +
+        "RETURN node.name AS nm, score",
+      Map("q" -> Seq(1.0, 0.0, -1.0, 2.0)))
+      .asInstanceOf[graft.cypher.CypherRows].df
+    val vp = vq.queryExecution.executedPlan.toString
+    assert(!vp.contains("Join"), vp)
+    assert(vp.contains("TakeOrderedAndProject"), vp)
+    // fulltext: term-prefiltered postings equi-join — never a cartesian
+    // or nested loop
+    val fq = sess.run(
+      "CALL db.index.fulltext.queryNodes('fe', '\"fast table\" OR spark') " +
+        "YIELD node, score RETURN node.name AS nm, score")
+      .asInstanceOf[graft.cypher.CypherRows].df
+    val fp = fq.queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct") &&
+      !fp.contains("BroadcastNestedLoopJoin"), fp)
+    assert(fq.count() === 50) // every doc matches 'spark'
+  }
+
   test("round-11: unbatched CREATE row tags never single-partition; staging honors spark.graft.stageDir") {
     import org.apache.spark.sql.functions.col
     import graft.cypher.TxBatches
