@@ -250,6 +250,13 @@ object CypherAst {
     * ([[Procedures.schema]], validated at parse time). An empty `yields`
     * binds every column under its default name (Neo4j's bare-CALL rule for
     * a standalone call). */
+  /** A bound-variable positional argument to a procedure call — the node
+    * slot of `db.create.setNodeVectorProperty(n, key, $vector)`. Resolved
+    * against the pipeline's bindings at execution. NOT a [[Value]]: it
+    * exists only inside ProcCall.args (Seq[Any]) and must never reach the
+    * expression compilers. */
+  final case class ProcVarArg(name: String)
+
   final case class ProcCall(name: String, yields: Seq[(String, String)],
       config: Map[String, Any] = Map.empty, args: Seq[Any] = Nil) {
     /** Column names this call binds into the pipeline. */
@@ -357,7 +364,12 @@ object CypherAst {
       // fulltext.queryNodes): `node` is the whole node as a property map
       // (key folded in), `score` the similarity/relevance
       "db.index.vector.queryNodes" -> Seq("node", "score"),
-      "db.index.fulltext.queryNodes" -> Seq("node", "score"))
+      "db.index.fulltext.queryNodes" -> Seq("node", "score"),
+      // the embedding SETTER LangChain's Neo4jVector.add_embeddings
+      // issues (Neo4j 5.13+). Neo4j's form returns void; this engine
+      // yields the write counter, the gds.*.write convention — an
+      // additive divergence a void-expecting caller simply ignores
+      "db.create.setNodeVectorProperty" -> Seq("nodePropertiesWritten"))
     /** One-line description per registered procedure — the text SHOW
       * PROCEDURES carries (Browser and cypher-shell render it on
       * connect). Keyed identically to [[all]]; the init-time require
@@ -421,7 +433,9 @@ object CypherAst {
       "db.index.vector.queryNodes" ->
         "Query a vector index: top-k nodes by cosine similarity to the query embedding (sign-LSH candidates, exact re-scoring).",
       "db.index.fulltext.queryNodes" ->
-        "Query a fulltext index: nodes matching the query (terms, AND/OR, quoted phrases) with a deterministic BM25-family score.")
+        "Query a fulltext index: nodes matching the query (terms, AND/OR, quoted phrases) with a deterministic BM25-family score.",
+      "db.create.setNodeVectorProperty" ->
+        "Set a vector-valued property on the bound nodes (one set-oriented join; the embedding setter LangChain issues).")
 
     def schema(name: String): Seq[String] =
       all.getOrElse(name, throw new IllegalArgumentException(
@@ -433,7 +447,8 @@ object CypherAst {
       * without executing" cannot hold for them (ADVICE r10 #2). */
     def sideEffecting(name: String): Boolean =
       name.endsWith(".write") ||
-        name == "gds.graph.project" || name == "gds.graph.drop"
+        name == "gds.graph.project" || name == "gds.graph.drop" ||
+        name == "db.create.setNodeVectorProperty"
 
     require(descriptions.keySet == all.keySet,
       "procedure registry drift: descriptions vs yields differ on " +

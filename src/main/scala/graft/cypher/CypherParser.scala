@@ -578,9 +578,18 @@ object CypherParser {
             expectSym("}")
           } else {
             // `CALL db.labels() [YIELD col [AS alias], …]` — built-in
-            // procedure; name validated against the registry at parse time
-            val parts = ArrayBuffer(ident())
-            while (peek.contains(Sym("."))) { next(); parts += ident() }
+            // procedure; name validated against the registry at parse
+            // time. A name SEGMENT may collide with a reserved keyword
+            // (db.CREATE.setNodeVectorProperty's middle) — accept the
+            // keyword token lowercased there; Cypher keywords are
+            // case-insensitive so the canonical registry form is safe.
+            def nameSegment(): String = next() match {
+              case Ident(s) => s
+              case Kw(s) => s.toLowerCase
+              case t => fail(s"expected a procedure name segment, got $t")
+            }
+            val parts = ArrayBuffer(nameSegment())
+            while (peek.contains(Sym("."))) { next(); parts += nameSegment() }
             val name = parts.mkString(".")
             val cols = Procedures.schema(name)
             expectSym("(")
@@ -655,6 +664,12 @@ object CypherParser {
                 // the query embedding this way) — resolved against the
                 // statement's params at execution
                 next(); posArgs += Param(p0)
+              case Some(Ident(v)) if !v.equalsIgnoreCase("true") &&
+                  !v.equalsIgnoreCase("false") =>
+                // a bound-variable argument (the node slot of
+                // db.create.setNodeVectorProperty) — resolved against the
+                // pipeline's bindings at execution
+                next(); posArgs += ProcVarArg(v)
               case t => fail("a procedure argument must be a string " +
                 "literal, an integer, a $parameter, a string list or a " +
                 s"config map, got $t")

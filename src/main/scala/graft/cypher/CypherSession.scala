@@ -2148,7 +2148,8 @@ final class CypherSession(
           }
         } else {
           if (!p.name.startsWith("gds.graph.") &&
-              !p.name.startsWith("db.index."))
+              !p.name.startsWith("db.index.") &&
+              !p.name.startsWith("db.create."))
             require(p.args.isEmpty,
               s"${p.name} takes no positional arguments, got ${p.args}")
           graph
@@ -2167,7 +2168,21 @@ final class CypherSession(
       // under the key dropped first (map_concat rejects duplicate keys).
       // localCheckpoint pins the mutated side the same way MERGE's
       // lineage compaction does, so repeated writes stay O(1)-planned.
-      def writeNodeProperty(prop: String, vals: DataFrame): Long = {
+      def writeNodeProperty(prop: String, vals0: DataFrame): Long = {
+        // STATS FIREWALL (round 11, found live building c71): `vals0`
+        // derives from the store's own frames, so a chained sequence of
+        // writes would multiply two store-derived sizeInBytes estimates
+        // per statement — Catalyst keeps sizeInBytes as an UNBOUNDED
+        // BigInt and localCheckpoint's stats rewrite preserves it, so 24
+        // chained setNodeVectorProperty statements squared the estimate
+        // each round until the driver ground to a halt in Toom-Cook
+        // BigInteger multiplication INSIDE checkpoint-time stats
+        // estimation. The RDD round trip resets the estimate to the
+        // constant default before the pin; correctness and row content
+        // are untouched.
+        val vals = vals0.sparkSession
+          .createDataFrame(vals0.rdd, vals0.schema)
+          .localCheckpoint(true)
         val n = vals.count()
         val updated = graph.nodes.join(vals, Seq("id"), "left")
           .withColumn("props",
@@ -2863,6 +2878,51 @@ final class CypherSession(
             .orderBy(col("score").desc, col("key"))
             .limit(k)
             .select(col("node"), col("score"))
+        // the embedding SETTER (Neo4j 5.13+; LangChain's add_embeddings
+        // issues it per chunk). One set-oriented join writes the rendered
+        // vector into every matched node's bag — the statement-at-a-time
+        // form, exactly the reference's per-record write style; the write
+        // counter yields where Neo4j returns void (additive divergence).
+        // Documented divergence: property reads LATER IN THE SAME
+        // statement observe the pre-write bag (the pipeline's bindings
+        // are compiled against the statement-start graph); read the
+        // written value back with a fresh MATCH, as the lifecycle does.
+        case "db.create.setNodeVectorProperty" =>
+          require(p.args.size == 3, "db.create.setNodeVectorProperty " +
+            s"takes (node, key, vector), got ${p.args.size} argument(s)")
+          val nodeVar = p.args.head match {
+            case ProcVarArg(v) => v
+            case other => throw new IllegalArgumentException(
+              "setNodeVectorProperty's first argument must be a bound " +
+                s"node variable, got $other")
+          }
+          val keyName = p.args(1) match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"setNodeVectorProperty's key must be a string, got $other")
+          }
+          val rendered = p.args(2) match {
+            case s: Seq[_] => s.map {
+              case d: Double => d.toString
+              case f: Float => f.toDouble.toString
+              case i: Int => i.toDouble.toString
+              case l: Long => l.toDouble.toString
+              case other => throw new IllegalArgumentException(
+                s"vector components must be numeric, got $other")
+            }.mkString(",")
+            case other => throw new IllegalArgumentException(
+              "setNodeVectorProperty's vector must be a list parameter, " +
+                s"got $other")
+          }
+          require(df != null && df.columns.contains(s"${nodeVar}__id"),
+            s"setNodeVectorProperty targets unbound node variable '$nodeVar'")
+          // pre-write pinning + stats reset both happen inside
+          // writeNodeProperty's firewall
+          val targetIds = df.select(col(s"${nodeVar}__id").as("id"))
+            .distinct()
+          val written = writeNodeProperty(keyName,
+            targetIds.withColumn("__wval", lit(rendered)))
+          spark.range(1).select(lit(written).as("nodePropertiesWritten"))
         case "db.index.fulltext.queryNodes" =>
           require(p.args.size == 2, "db.index.fulltext.queryNodes takes " +
             s"(indexName, query), got ${p.args.size} argument(s)")

@@ -5234,6 +5234,229 @@ object AnalyticsCatalog {
            |  ('dbms.components', 'READ')) AS t(name, mode)
            |ORDER BY name""".stripMargin))
 
+  private val c71 = Entry("c71_cypher_vector_lifecycle",
+    (s, dir) => {
+      // The COMPLETE LangChain Neo4jVector lifecycle as Cypher statements
+      // (round 11): add chunks (one set-oriented UNWIND+MERGE batch), set
+      // each embedding via db.create.setNodeVectorProperty — the
+      // per-record write style of the reference's own crawler — then
+      // CREATE VECTOR INDEX and retrieve with queryNodes for three query
+      // vectors. 24 chunks off the embeddings fixture; the oracle
+      // re-derives candidates and scores from the raw floats, proving the
+      // setter's string rendering round-trips exactly.
+      val emb = Tables(s, dir, "embeddings")
+      val rows = emb.filter(col("vec_id") < 24)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s), keyProps = Map("Chunk" -> "id"))
+      sess.run("UNWIND $ids AS id MERGE (c:Chunk {id: id})",
+        Map("ids" -> rows.map(_._1.toString).toSeq))
+      rows.foreach { case (id, v) =>
+        sess.run(
+          s"""MATCH (c:Chunk {id: '$id'})
+             |CALL db.create.setNodeVectorProperty(c, 'embedding', $$v)
+             |YIELD nodePropertiesWritten RETURN nodePropertiesWritten"""
+            .stripMargin,
+          Map("v" -> v))
+      }
+      sess.run(
+        """CREATE VECTOR INDEX chunks FOR (c:Chunk) ON c.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64,
+          |  `vector.similarity_function`: 'cosine'}}""".stripMargin)
+      Seq(5L, 11L, 23L).map { qid =>
+        sess.run(
+          """CALL db.index.vector.queryNodes('chunks', 5, $q)
+            |YIELD node, score
+            |RETURN node.id AS hit, score""".stripMargin,
+          Map("q" -> rows(qid.toInt)._2))
+          .asInstanceOf[graft.cypher.CypherRows].df
+          .select(lit(qid).as("qid"), col("hit").cast("long").as("hit"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("score").desc, col("hit"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm
+           |  FROM embeddings WHERE vec_id < 24),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |q AS (SELECT * FROM (VALUES (5), (11), (23)) AS t(qid)),
+           |cand AS (
+           |  SELECT DISTINCT q.qid, b2.vec_id
+           |  FROM q
+           |  JOIN bits b1 ON b1.vec_id = q.qid
+           |  JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket),
+           |scored AS (
+           |  SELECT c.qid, c.vec_id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM cand c
+           |  JOIN v x ON x.vec_id = c.qid
+           |  JOIN v y ON y.vec_id = c.vec_id),
+           |top AS (
+           |  SELECT qid, vec_id, score,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, vec_id) AS rn
+           |  FROM scored)
+           |SELECT CAST(qid AS BIGINT) AS qid, vec_id AS hit, score
+           |FROM top WHERE rn <= 5
+           |ORDER BY qid, score DESC, hit""".stripMargin))
+
+  private val c72 = Entry("c72_cypher_hybrid_search",
+    (s, dir) => {
+      // LangChain Neo4jVector HYBRID retrieval (round 11): the vector and
+      // fulltext indexes queried over the SAME nodes, each side's scores
+      // normalized by its own max, union'd, per-node max, top-k — exactly
+      // the combination formula Neo4jVector's hybrid mode computes (its
+      // retrieval_query template). Articles carry both a title and an
+      // embedding (vec_id = doc_id); the combination runs as DataFrame
+      // ops over the two queryNodes results — the full collect-of-node-
+      // maps Cypher statement form is out of scope, documented.
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(lit("Doc").as("label"),
+          docs("doc_id").cast("string").as("key"),
+          map(lit("title"), substring(col("text"), 1, 30),
+            lit("embedding"), concat_ws(",",
+              transform(col("embedding"),
+                x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id"))
+      sess.run(
+        """CREATE VECTOR INDEX ve FOR (d:Doc) ON d.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64}}""".stripMargin)
+      sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+      val q = emb.filter(col("vec_id") === 3)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      val vq = sess.run(
+        """CALL db.index.vector.queryNodes('ve', 10, $q)
+          |YIELD node, score
+          |RETURN node.doc_id AS hit, score""".stripMargin, Map("q" -> q))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("hit").cast("long").as("hit"), col("score"))
+      val fq = sess.run(
+        """CALL db.index.fulltext.queryNodes('fe', 'table value')
+          |YIELD node, score
+          |RETURN node.doc_id AS hit, score""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("hit").cast("long").as("hit"), col("score"))
+      def normalized(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(df.agg(max(col("score")).as("__mx"))))
+          .select(col("hit"), (col("score") / col("__mx")).as("score"))
+      normalized(vq).unionByName(normalized(fq))
+        .groupBy("hit").agg(max(col("score")).as("score"))
+        .orderBy(col("score").desc, col("hit"))
+        .limit(10)
+    },
+    Some("""WITH pop AS MATERIALIZED (
+           |  SELECT e.vec_id AS id,
+           |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(e.embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm,
+           |    substr(d.text, 1, 30) AS title
+           |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM pop v, planes p GROUP BY v.id, p.t),
+           |vcand AS (
+           |  SELECT DISTINCT b2.id
+           |  FROM bits b1 JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket
+           |  WHERE b1.id = 3),
+           |vscored AS (
+           |  SELECT c.id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM vcand c
+           |  JOIN pop x ON x.id = 3
+           |  JOIN pop y ON y.id = c.id),
+           |vtop AS MATERIALIZED (
+           |  SELECT id, score FROM (
+           |    SELECT id, score,
+           |      row_number() OVER (ORDER BY score DESC, id) AS rn
+           |    FROM vscored) z
+           |  WHERE rn <= 10),
+           |vnorm AS (
+           |  SELECT id, score / (SELECT MAX(score) FROM vtop) AS score
+           |  FROM vtop),
+           |tk AS (SELECT CAST(id AS VARCHAR) AS key, id,
+           |    regexp_split_to_array(lower(title), '[^a-z0-9]+') AS t
+           |  FROM pop),
+           |post AS MATERIALIZED (
+           |  SELECT key, id, term,
+           |    row_number() OVER (PARTITION BY key ORDER BY pos) AS pos
+           |  FROM (SELECT key, id, unnest(t) AS term,
+           |          generate_subscripts(t, 1) AS pos FROM tk) z
+           |  WHERE term <> ''),
+           |doclen AS (SELECT key, id, CAST(COUNT(*) AS BIGINT) AS dl
+           |  FROM post GROUP BY key, id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+           |ftf AS (
+           |  SELECT key, 0 AS cid, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post WHERE term = 'table' GROUP BY key
+           |  UNION ALL
+           |  SELECT key, 1, CAST(COUNT(*) AS BIGINT)
+           |  FROM post WHERE term = 'value' GROUP BY key),
+           |fdf AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM ftf GROUP BY cid),
+           |fm AS (SELECT DISTINCT key FROM ftf),
+           |fc AS (
+           |  SELECT t.key, t.cid,
+           |    ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |      (CAST(t.tf AS DOUBLE) + 1.2 *
+           |        ((1.0 - 0.75) +
+           |          (0.75 * CAST(l.dl AS DOUBLE)) / s.avgdl))) *
+           |    (((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5) /
+           |      (CAST(f.df AS DOUBLE) + 0.5)) AS contrib
+           |  FROM ftf t
+           |  JOIN fdf f USING (cid)
+           |  JOIN doclen l USING (key)
+           |  CROSS JOIN stats s),
+           |fs AS MATERIALIZED (
+           |  SELECT c.key,
+           |    list_reduce(list(c.contrib ORDER BY c.cid), (a,b) -> a + b)
+           |      AS score
+           |  FROM fc c JOIN fm USING (key) GROUP BY c.key),
+           |fnorm AS (
+           |  SELECT l.id, s2.score / (SELECT MAX(score) FROM fs) AS score
+           |  FROM fs s2 JOIN doclen l USING (key)),
+           |u AS (SELECT * FROM vnorm UNION ALL SELECT * FROM fnorm),
+           |agg AS (SELECT id, MAX(score) AS score FROM u GROUP BY id)
+           |SELECT id AS hit, score FROM agg
+           |ORDER BY score DESC, hit LIMIT 10""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -7111,6 +7334,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
+    c71, c72,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

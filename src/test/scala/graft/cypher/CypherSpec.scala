@@ -2782,6 +2782,61 @@ class CypherSpec extends SparkTestBase {
       .as[(String, Boolean)].collect().head === (("docEmb", false)))
   }
 
+  test("round-11: db.create.setNodeVectorProperty — the LangChain embedding setter, end to end") {
+    val sess = freshSession
+    Seq("c1", "c2", "c3").foreach(id => sess.run(s"MERGE (c:Chunk {name: '$id'})"))
+    // per-chunk setter (the reference's per-record write style)
+    val vecs = Map(
+      "c1" -> Seq(1.0, 0.0, 0.0, 0.0),
+      "c2" -> Seq(0.0, 1.0, 0.0, 0.0),
+      "c3" -> Seq(0.8, 0.6, 0.0, 0.0))
+    vecs.foreach { case (id, v) =>
+      val n = sess.run(
+        s"""MATCH (c:Chunk {name: '$id'})
+           |CALL db.create.setNodeVectorProperty(c, 'embedding', $$v)
+           |YIELD nodePropertiesWritten RETURN nodePropertiesWritten""".stripMargin,
+        Map("v" -> v)).asInstanceOf[CypherRows].df.as[Long].collect().head
+      assert(n === 1L, id)
+    }
+    // the written value is an ordinary property to a later MATCH
+    val read = sess.run(
+      "MATCH (c:Chunk {name: 'c1'}) RETURN c.embedding AS e")
+      .asInstanceOf[CypherRows].df.as[String].collect().head
+    assert(read === "1.0,0.0,0.0,0.0")
+    // and the vector index builds over it — the full LangChain lifecycle
+    sess.run(
+      """CREATE VECTOR INDEX chunkEmb FOR (c:Chunk) ON c.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    val top = sess.run(
+      "CALL db.index.vector.queryNodes('chunkEmb', 1, $q) " +
+        "YIELD node, score RETURN node.name AS nm, score",
+      Map("q" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().head
+    assert(top === (("c1", 1.0)))
+    // a broadcast set (no key filter) writes every matched node at once
+    val all = sess.run(
+      """MATCH (c:Chunk)
+        |CALL db.create.setNodeVectorProperty(c, 'embedding2', $v)
+        |YIELD nodePropertiesWritten RETURN nodePropertiesWritten""".stripMargin,
+      Map("v" -> Seq(9.0, 9.0, 9.0, 9.0))).asInstanceOf[CypherRows]
+      .df.as[Long].collect().head
+    assert(all === 3L)
+    // typed errors: unbound variable; EXPLAIN refuses the side effect
+    val e1 = intercept[Exception](sess.run(
+      "MATCH (c:Chunk {name: 'c1'}) " +
+        "CALL db.create.setNodeVectorProperty(zz, 'k', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+      Map("v" -> Seq(1.0))))
+    assert(e1.getMessage.contains("unbound"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN MATCH (c:Chunk) " +
+        "CALL db.create.setNodeVectorProperty(c, 'k', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+      Map("v" -> Seq(1.0))))
+    assert(e2.getMessage.contains("db.create.setNodeVectorProperty"),
+      e2.getMessage)
+  }
+
   test("round-11: fulltext index lifecycle — terms, AND, OR, phrases, deterministic BM25 scores") {
     val sess = freshSession
     def doc(nm: String, title: String): Unit =
