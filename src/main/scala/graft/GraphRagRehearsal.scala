@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** GraphRAG session-shape rehearsal (round 11): the LangChain
+  * Neo4jVector workload — a LIVE vector index under an add→query loop —
+  * at the 100×-the-gate embedding count.
+  *
+  * Measures the maintenance split the engine implements:
+  *   - index CREATE = the full build (one pass over N vectors: parse +
+  *     norm + sign-LSH buckets, pinned);
+  *   - setter→query rounds = the INCREMENTAL path (the setter patches the
+  *     snapshot with its exact delta, so each round costs O(|delta|) +
+  *     the probe, independent of N);
+  *   - a foreign write (MERGE of an unrelated node) invalidates the
+  *     snapshot, and the next query pays the full-rebuild fallback —
+  *     the honest cost of the generic write path.
+  *
+  * Usage: `runMain graft.GraphRagRehearsal [dir]` (default
+  * target/sf10_rehearsal — derive it with ScaleRehearsal first).
+  */
+object GraphRagRehearsal {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/sf10_rehearsal")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val emb = ops.Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val nodes = emb.select(lit("Doc").as("label"),
+      col("vec_id").cast("string").as("key"),
+      map(lit("embedding"), concat_ws(",",
+        transform(col("embedding"),
+          x => x.cast("double").cast("string")))).as("props"))
+    val g = graph.PropertyGraph.empty(spark).mergeNodes(nodes).compact()
+    val sess = new cypher.CypherSession(g,
+      keyProps = Map("Doc" -> "vec_id"))
+    val qvecs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+
+    val (_, buildSec) = timed(sess.run(
+      """CREATE VECTOR INDEX docs FOR (d:Doc) ON d.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 64}}""".stripMargin))
+    def query(v: Seq[Double]): Long = {
+      val r = sess.run(
+        "CALL db.index.vector.queryNodes('docs', 10, $q) " +
+          "YIELD node, score RETURN node.vec_id AS hit, score",
+        Map("q" -> v)).asInstanceOf[cypher.CypherRows]
+      r.df.count()
+    }
+    val (_, warmSec) = timed(query(qvecs(0L)))
+
+    // the add→query loop on the LIVE index: 5 rounds of setter + probe
+    val roundSecs = (1L to 5L).map { k =>
+      val (_, sec) = timed {
+        sess.run(
+          s"""MATCH (d:Doc {vec_id: '$k'})
+             |CALL db.create.setNodeVectorProperty(d, 'embedding', $$v)
+             |YIELD nodePropertiesWritten RETURN nodePropertiesWritten"""
+            .stripMargin,
+          Map("v" -> qvecs(0L)))
+        query(qvecs(k % 8))
+      }
+      sec
+    }
+    val incUpdates = sess.vectorIndexIncrementalUpdates.get
+    val fullBefore = sess.vectorIndexFullBuilds.get
+    // a foreign write invalidates; the next query pays the full rebuild
+    sess.run("MERGE (p:Pub {name: 'outsider'})")
+    val (_, rebuildSec) = timed(query(qvecs(0L)))
+    val paidFull = sess.vectorIndexFullBuilds.get - fullBefore
+
+    println(s"""{"metric":"graphrag_rehearsal","vectors":$n,""" +
+      s""""index_build_sec":${f"$buildSec%.2f"},""" +
+      s""""warm_query_sec":${f"$warmSec%.2f"},""" +
+      s""""setter_plus_query_sec":[${roundSecs.map(s0 => f"$s0%.2f").mkString(",")}],""" +
+      s""""incremental_updates":$incUpdates,""" +
+      s""""rebuild_after_foreign_write_sec":${f"$rebuildSec%.2f"},""" +
+      s""""full_rebuilds_paid":$paidFull}""")
+    spark.stop()
+  }
+}

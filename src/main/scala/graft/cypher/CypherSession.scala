@@ -65,6 +65,15 @@ final class CypherSession(
   private val fulltextIndexes = scala.collection.mutable.LinkedHashMap
     .empty[String, CypherSession.FulltextIndexDef]
 
+  /** Diagnostics for the vector-index maintenance split (round 11):
+    * full snapshot (re)builds vs in-place incremental patches from the
+    * setter's exact delta. Session-scoped so specs can pin that an
+    * add→query loop on a LIVE index takes the incremental path. */
+  private[graft] val vectorIndexFullBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val vectorIndexIncrementalUpdates =
+    new java.util.concurrent.atomic.AtomicLong
+
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
     // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
     // EXPLAIN compiles without executing and returns the plan; PROFILE
@@ -287,9 +296,10 @@ final class CypherSession(
     val cached = d.snapshot
     if (cached != null && (cached._1 eq cur)) return cached._2
     import graft.analytics.IterCheckpoint.IterCheckpointOps
+    vectorIndexFullBuilds.incrementAndGet()
     val parsed = cur.nodes.filter(col("label") === d.label)
       .filter(element_at(col("props"), d.prop).isNotNull)
-      .select(col("key"), nodeMapCol(d.label).as("node"),
+      .select(col("id"), col("key"), nodeMapCol(d.label).as("node"),
         parseVectorCol(element_at(col("props"), d.prop)).as("emb"))
     // validate the population NOW and loudly: wrong dimension, a
     // non-numeric component, or a zero vector (cosine undefined) name
@@ -2193,6 +2203,14 @@ final class CypherSession(
             .otherwise(col("props")))
           .drop("__wval")
           .localCheckpoint(true)
+        // the eager pin is MEASURED, not assumed (round 11, GraphRag
+        // rehearsal at 200k nodes): a lazy depth-bounded rewrite looked
+        // cheaper on paper but each statement re-executes the growing
+        // layer chain ~4× (target probe, counter, index patch, query),
+        // and per-round wall GREW 7.3→10.8 s; the eager pin holds flat.
+        // Per-record writes cost one store materialization each — batch
+        // adds through UNWIND … IN TRANSACTIONS to amortize, exactly as
+        // the reference's per-record Bolt writes batch into transactions.
         graph = graph.copy(nodes = updated)
         n
       }
@@ -2916,12 +2934,60 @@ final class CypherSession(
           }
           require(df != null && df.columns.contains(s"${nodeVar}__id"),
             s"setNodeVectorProperty targets unbound node variable '$nodeVar'")
-          // pre-write pinning + stats reset both happen inside
-          // writeNodeProperty's firewall
-          val targetIds = df.select(col(s"${nodeVar}__id").as("id"))
-            .distinct()
+          // pin the target set once through the stats firewall (the patch
+          // below reuses it; writeNodeProperty re-firewalls cheaply)
+          val targets0 = df.select(col(s"${nodeVar}__id").as("id")).distinct()
+          val preGraph = graph
+          val targetIds = spark.createDataFrame(targets0.rdd, targets0.schema)
+            .localCheckpoint(true)
           val written = writeNodeProperty(keyName,
             targetIds.withColumn("__wval", lit(rendered)))
+          // INCREMENTAL index maintenance (round 11): the setter knows its
+          // exact delta, so a vector index on this property patches its
+          // snapshot in place — the add→query loop on a LIVE index
+          // (LangChain's add_texts-then-similarity_search workload) costs
+          // O(|delta|) per write instead of the full O(N) rebuild the
+          // generic write path falls back to.
+          val postGraph = graph
+          vectorIndexes.foreach { case (iname, vd) =>
+            val snap = vd.snapshot
+            if (vd.prop == keyName && snap != null && (snap._1 eq preGraph)) {
+              import graft.analytics.IterCheckpoint.IterCheckpointOps
+              val affected = postGraph.nodes
+                .filter(col("label") === vd.label)
+                .join(targetIds, Seq("id"), "left_semi")
+                .filter(element_at(col("props"), vd.prop).isNotNull)
+                .select(col("id"), col("key"), nodeMapCol(vd.label).as("node"),
+                  parseVectorCol(element_at(col("props"), vd.prop)).as("emb"))
+              val badW = affected.filter(size(col("emb")) =!= vd.dim ||
+                  exists(col("emb"), x => x.isNull) ||
+                  aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0)
+                .select(col("key")).limit(1).collect()
+              if (badW.nonEmpty) throw new IllegalStateException(
+                "setNodeVectorProperty wrote a value that violates vector " +
+                  s"index '$iname' on (:${vd.label}).${vd.prop}: node " +
+                  s"'${badW.head.getString(0)}' must carry ${vd.dim} " +
+                  "numeric components with a nonzero norm (the property " +
+                  "was written; the index refused it)")
+              val patchedRaw = snap._2.join(targetIds, Seq("id"), "left_anti")
+                .unionByName(affected
+                  .withColumn("nrm",
+                    sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+                  .withColumn("bks",
+                    graft.functions.NativeExpressions.portableLshBuckets(
+                      col("emb"), CypherSession.VectorLshTables,
+                      CypherSession.VectorLshBits, vd.dim)))
+              // the per-patch pin is MEASURED, not assumed (GraphRag
+              // rehearsal at 200k vectors, three configs): lazy patch
+              // layers drift each query up (5.7→6.3 s over 5 rounds) and
+              // a fully lazy store GROWS 7.3→10.8 s; the eager pin holds
+              // flat at ~5 s/round — the negative results are recorded in
+              // BASELINE.md
+              val patched = patchedRaw.iterCheckpoint()
+              vd.snapshot = (postGraph, patched)
+              vectorIndexIncrementalUpdates.incrementAndGet()
+            }
+          }
           spark.range(1).select(lit(written).as("nodePropertiesWritten"))
         case "db.index.fulltext.queryNodes" =>
           require(p.args.size == 2, "db.index.fulltext.queryNodes takes " +
@@ -3505,6 +3571,7 @@ object CypherSession {
     * math instead of enumeration (observable by specs; never read by the
     * engine itself). */
   private[cypher] val siblingRewrites = new java.util.concurrent.atomic.AtomicLong
+
 
   /** The reference's complete label→merge-key mapping
     * (/root/reference/src/crwling.py:48,53; /root/reference/src/ingest.py:5-6). */

@@ -2837,6 +2837,63 @@ class CypherSpec extends SparkTestBase {
       e2.getMessage)
   }
 
+  test("round-11: vector-index maintenance — the setter patches a LIVE index incrementally; generic writes rebuild") {
+    val sess = freshSession
+    Seq("c1" -> Seq(1.0, 0.0, 0.0, 0.0), "c2" -> Seq(0.0, 1.0, 0.0, 0.0),
+      "c3" -> Seq(0.0, 0.0, 1.0, 0.0)).foreach { case (id, v) =>
+      sess.run(s"MERGE (c:Chunk {name: '$id'})")
+      sess.run(s"MATCH (c:Chunk {name: '$id'}) " +
+        "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> v))
+    }
+    sess.run("""CREATE VECTOR INDEX ce FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    def q(v: Seq[Double], k: Int): Seq[(String, Double)] = sess.run(
+      s"CALL db.index.vector.queryNodes('ce', $k, $$q) YIELD node, score " +
+        "RETURN node.name AS nm, score", Map("q" -> v))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    val full0 = sess.vectorIndexFullBuilds.get
+    val inc0 = sess.vectorIndexIncrementalUpdates.get
+    // warm query: snapshot current, no build of any kind
+    assert(q(Seq(1.0, 0.0, 0.0, 0.0), 1) === Seq(("c1", 1.0)))
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    // the setter on a LIVE index patches incrementally — no full rebuild,
+    // and the next query answers from the patched snapshot
+    sess.run("MATCH (c:Chunk {name: 'c2'}) " +
+      "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+      Map("v" -> Seq(0.0, 0.0, 0.0, 1.0)))
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1)
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    assert(q(Seq(0.0, 0.0, 0.0, 1.0), 1) === Seq(("c2", 1.0)))
+    assert(sess.vectorIndexFullBuilds.get === full0,
+      "query after an incremental patch paid a full rebuild")
+    // a GENERIC write invalidates the snapshot; the next query pays the
+    // full rebuild fallback — and still answers against the live store
+    sess.run("MERGE (c:Chunk {name: 'c9'})")
+    sess.run("MATCH (c:Chunk {name: 'c9'}) " +
+      "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+      Map("v" -> Seq(0.9, 0.0, 0.0, 0.0)))
+    // (the MERGE above moved the graph past the snapshot, so the setter
+    // could NOT patch — its pre-write snapshot was already stale)
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1)
+    val got = q(Seq(0.9, 0.0, 0.0, 0.0), 2).map(_._1)
+    assert(got === Seq("c1", "c9") || got === Seq("c9", "c1"), got)
+    assert(sess.vectorIndexFullBuilds.get === full0 + 1)
+    // a setter whose value violates the index geometry fails LOUDLY
+    // naming the index (the property write applied; the index refused it)
+    sess.run("MERGE (c:Chunk {name: 'c4'})") // fresh snapshot via rebuild
+    q(Seq(1.0, 0.0, 0.0, 0.0), 1)
+    val e = intercept[IllegalStateException](sess.run(
+      "MATCH (c:Chunk {name: 'c4'}) " +
+        "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+      Map("v" -> Seq(1.0, 2.0))))
+    assert(e.getMessage.contains("'ce'"), e.getMessage)
+  }
+
   test("round-11: fulltext index lifecycle — terms, AND, OR, phrases, deterministic BM25 scores") {
     val sess = freshSession
     def doc(nm: String, title: String): Unit =
