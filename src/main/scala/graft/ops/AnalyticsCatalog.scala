@@ -5224,6 +5224,7 @@ object AnalyticsCatalog {
         .orderBy("name")
     },
     Some("""SELECT * FROM (VALUES
+           |  ('db.create.setNodeVectorProperty', 'WRITE'),
            |  ('db.index.fulltext.queryNodes', 'READ'),
            |  ('db.index.vector.queryNodes', 'READ'),
            |  ('db.labels', 'READ'),
