@@ -169,6 +169,64 @@ class BoltServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("round-11: the GraphRAG statements run over the Bolt wire — setter, vector + fulltext queryNodes") {
+    val (server, port, sess) = newServer()
+    try {
+      // seed the store server-side (the import path is covered elsewhere)
+      Seq("c1" -> "spark joins fast", "c2" -> "flink streams slow").foreach {
+        case (id, title) =>
+          sess.run(s"MERGE (c:Chunk {name: '$id'}) SET c.title = '$title'")
+      }
+      sess.run("""CREATE VECTOR INDEX ce FOR (c:Chunk) ON c.embedding
+                 |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      sess.run("CREATE FULLTEXT INDEX fe FOR (c:Chunk) ON EACH [c.title]")
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 4), 0, 0, 0)).contains((5, 4)))
+      c.send(0x01, Map("user_agent" -> "langchain-ish/1.0"))
+      assert((c.recv().tag & 0xFF) == 0x70)
+      // the setter over the wire, with the embedding as a LIST parameter —
+      // exactly how a driver ships it
+      def runPull(q: String, params: Map[String, Any]): Seq[Seq[Any]] = {
+        c.send(0x10, q, params, Map.empty[String, Any])
+        val run = c.recv()
+        assert((run.tag & 0xFF) == 0x70, run)
+        c.send(0x3F, Map("n" -> -1L))
+        val out = Seq.newBuilder[Seq[Any]]
+        var done = false
+        while (!done) {
+          val m = c.recv()
+          if ((m.tag & 0xFF) == 0x71) out += m.fields.head.asInstanceOf[Seq[Any]]
+          else { assert((m.tag & 0xFF) == 0x70, m); done = true }
+        }
+        out.result()
+      }
+      assert(runPull(
+        "MATCH (x:Chunk {name: 'c1'}) " +
+          "CALL db.create.setNodeVectorProperty(x, 'embedding', $v) " +
+          "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> Seq(1.0, 0.0, 0.0, 0.0))) === Seq(Seq(1L)))
+      assert(runPull(
+        "MATCH (x:Chunk {name: 'c2'}) " +
+          "CALL db.create.setNodeVectorProperty(x, 'embedding', $v) " +
+          "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> Seq(0.0, 1.0, 0.0, 0.0))) === Seq(Seq(1L)))
+      // vector retrieval over the wire
+      val hits = runPull(
+        "CALL db.index.vector.queryNodes('ce', 1, $q) YIELD node, score " +
+          "RETURN node.name AS nm, score",
+        Map("q" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      assert(hits === Seq(Seq("c1", 1.0)), hits)
+      // fulltext retrieval over the wire
+      val ft = runPull(
+        "CALL db.index.fulltext.queryNodes('fe', 'spark') " +
+          "YIELD node, score RETURN node.name AS nm",
+        Map.empty)
+      assert(ft === Seq(Seq("c1")), ft)
+      c.send(0x02)
+      c.close()
+    } finally server.stop()
+  }
+
   test("temporal values decode as tagged Bolt structs, version-gated DateTime") {
     val (server, port, _) = newServer()
     val q = """UNWIND [1] AS x
