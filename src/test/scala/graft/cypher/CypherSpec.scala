@@ -2931,6 +2931,18 @@ class CypherSpec extends SparkTestBase {
       "CALL db.index.fulltext.queryNodes('nope', 'x') YIELD node, score " +
         "RETURN score"))
     assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    // query-grammar edge cases fail typed, never silently empty
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.fulltext.queryNodes('titles', '\"unterminated') " +
+        "YIELD node, score RETURN score"))
+    assert(e2.getMessage.contains("unterminated"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.fulltext.queryNodes('titles', '...') " +
+        "YIELD node, score RETURN score"))
+    assert(e3.getMessage.contains("no searchable terms"), e3.getMessage)
+    // a leading AND has nothing to bind left — it degrades to the plain
+    // term (Lucene's lenient posture), never a crash
+    assert(q("AND spark").map(_._1).toSet === Set("d1", "d2", "d4"))
     assert(sess.run("SHOW FULLTEXT INDEXES").asInstanceOf[CypherRows].df
       .select("name", "labelOrType", "property")
       .as[(String, String, String)].collect().toSeq ===
