@@ -83,13 +83,35 @@ object GraphRagRehearsal {
     val (_, rebuildSec) = timed(query(qvecs(0L)))
     val paidFull = sess.vectorIndexFullBuilds.get - fullBefore
 
+    // BATCHED ingest (round 12, VERDICT r11 #1): LangChain's actual
+    // add_embeddings statement — ONE UNWIND batch pays one set-oriented
+    // MERGE + one property-write pin + one index patch for ALL its
+    // chunks, vs one O(N) pin PER CHUNK in the per-record rounds above.
+    val batchN = 1000
+    val batch = (0 until batchN).map { i =>
+      Map("id" -> s"new$i", "embedding" -> qvecs(i % 8L)) }
+    val (_, batchSec) = timed {
+      sess.run(
+        """UNWIND $data AS row
+          |MERGE (d:Doc {vec_id: row.id})
+          |WITH d, row
+          |CALL db.create.setNodeVectorProperty(d, 'embedding', row.embedding)"""
+          .stripMargin, Map("data" -> batch))
+      query(qvecs(1L))
+    }
+    val incAfterBatch = sess.vectorIndexIncrementalUpdates.get
+
     println(s"""{"metric":"graphrag_rehearsal","vectors":$n,""" +
       s""""index_build_sec":${f"$buildSec%.2f"},""" +
       s""""warm_query_sec":${f"$warmSec%.2f"},""" +
       s""""setter_plus_query_sec":[${roundSecs.map(s0 => f"$s0%.2f").mkString(",")}],""" +
       s""""incremental_updates":$incUpdates,""" +
       s""""rebuild_after_foreign_write_sec":${f"$rebuildSec%.2f"},""" +
-      s""""full_rebuilds_paid":$paidFull}""")
+      s""""full_rebuilds_paid":$paidFull,""" +
+      s""""batched_ingest_chunks":$batchN,""" +
+      s""""batched_ingest_plus_query_sec":${f"$batchSec%.2f"},""" +
+      s""""batched_per_chunk_ms":${f"${batchSec / batchN * 1000}%.2f"},""" +
+      s""""batch_incremental_patches":${incAfterBatch - incUpdates}}""")
     spark.stop()
   }
 }

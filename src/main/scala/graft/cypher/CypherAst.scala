@@ -127,6 +127,12 @@ object CypherAst {
     * [[ListLit]] (the Value-grammar leaf used by IN / parameters), elements
     * are full scalar expressions. */
   final case class RetListLit(items: Seq[ReturnExpr]) extends ReturnExpr
+  /** Map literal in expression position: `{k1: e1, k2: e2}` — Neo4j's
+    * map value, e.g. `collect({node: node, score: score})` in
+    * Neo4jVector's hybrid retrieval template. Values are heterogeneous
+    * full expressions, so it compiles to a STRUCT column (field access
+    * via `m.k` reads the field). */
+  final case class RetMapLit(pairs: Seq[(String, ReturnExpr)]) extends ReturnExpr
   /** List comprehension `[x IN src WHERE pred | proj]` — both the filter
     * and the projection are optional (`[x IN src]` copies). Compiles to
     * Spark's higher-order `filter`/`transform` — native per-row lambda
@@ -168,6 +174,7 @@ object CypherAst {
     case RetFn(_, as) => as.exists(containsAgg)
     case RetCase(ws, d) => ws.exists(w => containsAgg(w._2)) || d.exists(containsAgg)
     case RetListLit(items) => items.exists(containsAgg)
+    case RetMapLit(pairs) => pairs.exists(p => containsAgg(p._2))
     case RetListComp(_, src, _, _) => containsAgg(src)
     case RetReduce(_, init, _, src, _) => containsAgg(init) || containsAgg(src)
     case RetIndex(src, idx) => containsAgg(src) || containsAgg(idx)
@@ -197,6 +204,7 @@ object CypherAst {
       case _: RetExistsSub => "exists_sub"
       case _: RetPatternComp => "pattern_comp"
       case RetListLit(items) => s"[${items.map(exprName).mkString(", ")}]"
+      case _: RetMapLit => "map"
       case _: RetListComp => "list_comp"
       case _: RetReduce => "reduce"
       case _: RetMapProj => "map_proj"
@@ -240,8 +248,19 @@ object CypherAst {
     * (compiled set-oriented: the inner pipeline runs once over the DISTINCT
     * imported bindings and joins back — including per-outer-row top-k via a
     * window when the inner has ORDER BY/LIMIT). Without imports it runs
-    * once and its rows join each outer row (Neo4j's uncorrelated CALL). */
-  final case class CallSub(imports: Seq[String], inner: MatchStatement)
+    * once and its rows join each outer row (Neo4j's uncorrelated CALL).
+    * `inner` is a [[MatchStatement]] or — uncorrelated only — a
+    * [[UnionStatement]] (Neo4jVector's hybrid retrieval template is a
+    * CALL{} around the UNION of the vector and fulltext arms). */
+  final case class CallSub(imports: Seq[String], inner: Statement) {
+    /** Column names the subquery binds into the outer pipeline. */
+    def retNames: Seq[String] = inner match {
+      case m: MatchStatement => m.ret.map(_.name)
+      case u: UnionStatement => u.parts.head.ret.map(_.name)
+      case other => throw new IllegalArgumentException(
+        s"CALL {{ }} cannot contain ${other.getClass.getSimpleName}")
+    }
+  }
 
   /** `CALL db.labels() [YIELD col [AS alias], …]` — a built-in procedure
     * invocation (vs [[CallSub]]'s `CALL { }` subquery form). The supported
@@ -256,6 +275,15 @@ object CypherAst {
     * exists only inside ProcCall.args (Seq[Any]) and must never reach the
     * expression compilers. */
   final case class ProcVarArg(name: String)
+  /** A row-bound property expression as a positional procedure argument —
+    * the `row.embedding` slot of LangChain's BATCHED add_embeddings
+    * statement (`UNWIND $data AS row … CALL db.create.
+    * setNodeVectorProperty(c, 'embedding', row.embedding)`). Resolved per
+    * driving row at execution, so the whole batch writes through ONE
+    * set-oriented join instead of one statement per record (VERDICT r11
+    * #1). Same containment rule as [[ProcVarArg]]: lives only inside
+    * ProcCall.args. */
+  final case class ProcPropArg(variable: String, prop: String)
 
   final case class ProcCall(name: String, yields: Seq[(String, String)],
       config: Map[String, Any] = Map.empty, args: Seq[Any] = Nil) {
@@ -268,6 +296,8 @@ object CypherAst {
       config.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v } match {
         case None => default
         case Some(v: Long) => v
+        // a $param-supplied value from a JVM-built params map is often Int
+        case Some(v: Int) => v.toLong
         case Some(other) => throw new IllegalArgumentException(
           s"procedure config '$key' must be an integer, got $other")
       }
@@ -365,6 +395,13 @@ object CypherAst {
       // (key folded in), `score` the similarity/relevance
       "db.index.vector.queryNodes" -> Seq("node", "score"),
       "db.index.fulltext.queryNodes" -> Seq("node", "score"),
+      // the PROCEDURE form of vector-index creation (pre-5.15 Neo4j — the
+      // statement LangChain/Neo4jVector issued for years and still emits
+      // on installed versions). Pure alias onto the CREATE VECTOR INDEX
+      // machinery: same validation, same SHOW INDEXES row. Neo4j's form
+      // returns void; this engine yields the DDL's (name, added) row —
+      // an additive divergence a void-expecting caller ignores.
+      "db.index.vector.createNodeIndex" -> Seq("name", "added"),
       // the embedding SETTER LangChain's Neo4jVector.add_embeddings
       // issues (Neo4j 5.13+). Neo4j's form returns void; this engine
       // yields the write counter, the gds.*.write convention — an
@@ -433,7 +470,9 @@ object CypherAst {
       "db.index.vector.queryNodes" ->
         "Query a vector index: top-k nodes by cosine similarity to the query embedding (sign-LSH candidates, exact re-scoring).",
       "db.index.fulltext.queryNodes" ->
-        "Query a fulltext index: nodes matching the query (terms, AND/OR, quoted phrases) with a deterministic BM25-family score.",
+        "Query a fulltext index: nodes matching the query (terms, AND/OR/NOT, parentheses, quoted phrases) with a deterministic BM25-family score.",
+      "db.index.vector.createNodeIndex" ->
+        "Create a vector index (procedure form of CREATE VECTOR INDEX; the pre-5.15 statement LangChain issues).",
       "db.create.setNodeVectorProperty" ->
         "Set a vector-valued property on the bound nodes (one set-oriented join; the embedding setter LangChain issues).")
 
@@ -448,7 +487,8 @@ object CypherAst {
     def sideEffecting(name: String): Boolean =
       name.endsWith(".write") ||
         name == "gds.graph.project" || name == "gds.graph.drop" ||
-        name == "db.create.setNodeVectorProperty"
+        name == "db.create.setNodeVectorProperty" ||
+        name == "db.index.vector.createNodeIndex"
 
     require(descriptions.keySet == all.keySet,
       "procedure registry drift: descriptions vs yields differ on " +
@@ -580,6 +620,14 @@ object CypherAst {
   final case class SetItems(items: Seq[(PropRef, Value)]) extends MutClause
   final case class WithVars(vars: Seq[String]) extends MutClause
   final case class ReturnVars(items: Seq[ReturnItem]) extends MutClause
+  /** A procedure call inside a write statement — the
+    * `CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)`
+    * clause of LangChain's batched add_embeddings import loop (it appears
+    * between MERGE and SET inside `UNWIND $data AS row …` /
+    * `CALL { } IN TRANSACTIONS`). Execution is SET-ORIENTED over the whole
+    * driving batch: one property-write join + one store pin + one
+    * vector-index delta patch per statement, not per row. */
+  final case class CallProcClause(proc: ProcCall) extends MutClause
 
   /** `loads` carries a leading `LOAD CSV … AS row` prefix and `unwinds` a
     * leading `UNWIND $batch AS row` prefix (Neo4j's two import loops): the
@@ -637,7 +685,19 @@ object CypherAst {
     * [n.p1, n.p2]` — the hybrid-search sibling of the vector index. */
   final case class CreateFulltextIndex(name: Option[String],
     ifNotExists: Boolean, label: String, props: Seq[String]) extends Statement
-  /** `DROP INDEX name [IF EXISTS]` — drops a vector or fulltext index. */
+  /** Plain `CREATE [RANGE] INDEX [name] [IF NOT EXISTS] FOR (n:L) ON
+    * (n.p)` — Neo4j's range index DDL, the statement every data-loading
+    * tutorial (and LangChain's Neo4jGraph schema setup) opens with. In
+    * this engine it is an ADVISORY catalog row: the store's label
+    * partitioning + merge-key identity already play the physical role
+    * (label scans partition-prune to their label's files; key lookups ARE
+    * the MERGE identity), so creation validates + registers, SHOW INDEXES
+    * lists a RANGE row, DROP INDEX removes it — and a tutorial script
+    * runs unmodified instead of failing at its first statement. */
+  final case class CreateRangeIndex(name: Option[String],
+    ifNotExists: Boolean, label: String, prop: String) extends Statement
+  /** `DROP INDEX name [IF EXISTS]` — drops a range, vector or fulltext
+    * index. */
   final case class DropIndexStmt(name: String, ifExists: Boolean) extends Statement
   case object ShowVectorIndexes extends Statement
   case object ShowFulltextIndexes extends Statement

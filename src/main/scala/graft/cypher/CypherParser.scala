@@ -63,6 +63,11 @@ object CypherParser {
       } else if (c == '`') { // backtick-quoted identifier (`vector.dimensions`)
         val sb = new StringBuilder; i += 1
         while (i < n && q(i) != '`') { sb += q(i); i += 1 }
+        // ADVICE r11 #4: a missing closing backtick used to swallow the
+        // rest of the query silently and die with a confusing downstream
+        // parse error — fail typed, mirroring the string-literal path
+        if (i >= n) throw new IllegalArgumentException(
+          s"unterminated backtick-quoted identifier starting at `${sb.toString.take(40)}")
         i += 1 // closing backtick
         out += Ident(sb.toString)
       } else if (c == '\'' || c == '"') { // Cypher strings: either quote char
@@ -201,6 +206,10 @@ object CypherParser {
             next(); expectSoft("index"); createVectorIndexStatement()
           case Some(Ident(c)) if c.equalsIgnoreCase("fulltext") =>
             next(); expectSoft("index"); createFulltextIndexStatement()
+          case Some(Ident(c)) if c.equalsIgnoreCase("range") =>
+            next(); expectSoft("index"); createRangeIndexStatement()
+          case Some(Ident(c)) if c.equalsIgnoreCase("index") =>
+            next(); createRangeIndexStatement()
           case _ => pos = save; mutateStatement()
         }
       case Some(Kw("MERGE")) => mutateStatement()
@@ -364,6 +373,29 @@ object CypherParser {
         case None => "cosine"
       }
       CreateVectorIndex(name, ifNotExists, label, prop, dim, simFn)
+    }
+
+    /** `CREATE [RANGE] INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON
+      * (n.prop)` — Neo4j 5's plain range index DDL (the parenthesized ON
+      * list; the bare `ON n.prop` pre-5 form is accepted too). Composite
+      * indexes fail typed: this store's physical layout keys on (label,
+      * single property). */
+    private def createRangeIndexStatement(): Statement = {
+      val (name, ifNotExists, v, label) = indexDdlPrefix("RANGE")
+      expectKw("ON")
+      val paren = peek.contains(Sym("("))
+      if (paren) next()
+      val v2 = ident()
+      if (v2 != v) fail(s"ON must target the indexed variable '$v', got '$v2'")
+      expectSym(".")
+      val prop = ident()
+      if (paren) {
+        if (peek.contains(Sym(",")))
+          fail("composite range indexes are not supported — this store " +
+            "keys on (label, one property); create one index per property")
+        expectSym(")")
+      }
+      CreateRangeIndex(name, ifNotExists, label, prop)
     }
 
     /** `CREATE FULLTEXT INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON EACH
@@ -536,6 +568,11 @@ object CypherParser {
               } else Nil
             statement() match {
               case inner: MatchStatement => calls += CallSub(imports, inner)
+              case u: UnionStatement =>
+                // Neo4jVector's hybrid template: CALL { <arm> UNION <arm> }
+                if (imports.nonEmpty)
+                  fail("a correlated CALL { WITH … } subquery cannot be a UNION")
+                calls += CallSub(Nil, u)
               case mut: MutateStatement =>
                 // `CALL { WITH row <write> } IN TRANSACTIONS [OF n ROWS]`
                 // — the bulk-import idiom. Only valid as the statement's
@@ -576,129 +613,7 @@ object CypherParser {
               case _ => fail("CALL { } must contain a read pipeline")
             }
             expectSym("}")
-          } else {
-            // `CALL db.labels() [YIELD col [AS alias], …]` — built-in
-            // procedure; name validated against the registry at parse
-            // time. A name SEGMENT may collide with a reserved keyword
-            // (db.CREATE.setNodeVectorProperty's middle) — accept the
-            // keyword token lowercased there; Cypher keywords are
-            // case-insensitive so the canonical registry form is safe.
-            def nameSegment(): String = next() match {
-              case Ident(s) => s
-              case Kw(s) => s.toLowerCase
-              case t => fail(s"expected a procedure name segment, got $t")
-            }
-            val parts = ArrayBuffer(nameSegment())
-            while (peek.contains(Sym("."))) { next(); parts += nameSegment() }
-            val name = parts.mkString(".")
-            val cols = Procedures.schema(name)
-            expectSym("(")
-            // Arguments: positional LITERALS (a graph name string, a
-            // label/relType spec string or string list — the GDS
-            // gds.graph.project / graph-name-first-argument surface),
-            // then an optional GDS-style config map which must come LAST:
-            // CALL gds.x.stream('g', {topK: 1}). Values are literals —
-            // config tunes the algorithm, it is not a per-row expression
-            // surface.
-            val config = scala.collection.mutable.Map.empty[String, Any]
-            val posArgs = ArrayBuffer.empty[Any]
-            var sawConfig = false
-            def parseConfig(): Unit = {
-              next() // consume '{'
-              def confPair(): Unit = {
-                val k = ident(); expectSym(":")
-                // numeral handling (ADVICE r8 #5): integers → Long, any
-                // '.'/exponent form → Double (1e3 has no '.' but is NOT a
-                // Long literal), leading '-' lexes as Sym("-")+Num and
-                // negates; malformed numerals fail with the parser's own
-                // message, never a raw NumberFormatException
-                def confLit(): Any = next() match {
-                  case Sym("-") => confLit() match {
-                    case l: Long => -l
-                    case d: Double => -d
-                    case other => fail(s"'-' in config value for '$k' must " +
-                      s"precede a number, got $other")
-                  }
-                  case Num(s) if s.matches("[0-9]+") =>
-                    try s.toLong catch { case _: NumberFormatException =>
-                      fail(s"config value for '$k' overflows a 64-bit integer: $s") }
-                  case Num(s) =>
-                    try s.toDouble catch { case _: NumberFormatException =>
-                      fail(s"malformed numeric config value for '$k': $s") }
-                  case Str(s) => s
-                  case Ident(b) if b.equalsIgnoreCase("true") => true
-                  case Ident(b) if b.equalsIgnoreCase("false") => false
-                  case Kw(b) if b.equalsIgnoreCase("true") => true
-                  case Kw(b) if b.equalsIgnoreCase("false") => false
-                  case other => fail(s"procedure config value for '$k' must " +
-                    s"be a literal, got $other")
-                }
-                config += k -> confLit()
-              }
-              confPair()
-              while (peek.contains(Sym(","))) { next(); confPair() }
-              expectSym("}")
-              sawConfig = true
-            }
-            def parseArg(): Unit = peek match {
-              case Some(Sym("{")) => parseConfig()
-              case Some(Sym("[")) =>
-                next()
-                val items = ArrayBuffer.empty[String]
-                if (!peek.contains(Sym("]"))) {
-                  def strItem(): Unit = next() match {
-                    case Str(s) => items += s
-                    case t => fail("a projection list takes string " +
-                      s"literals, got $t")
-                  }
-                  strItem()
-                  while (peek.contains(Sym(","))) { next(); strItem() }
-                }
-                expectSym("]")
-                posArgs += items.toSeq
-              case Some(Str(s)) => next(); posArgs += s
-              case Some(Num(s)) if s.matches("[0-9]+") =>
-                next(); posArgs += s.toLong
-              case Some(ParamTok(p0)) =>
-                // a $parameter argument (db.index.vector.queryNodes takes
-                // the query embedding this way) — resolved against the
-                // statement's params at execution
-                next(); posArgs += Param(p0)
-              case Some(Ident(v)) if !v.equalsIgnoreCase("true") &&
-                  !v.equalsIgnoreCase("false") =>
-                // a bound-variable argument (the node slot of
-                // db.create.setNodeVectorProperty) — resolved against the
-                // pipeline's bindings at execution
-                next(); posArgs += ProcVarArg(v)
-              case t => fail("a procedure argument must be a string " +
-                "literal, an integer, a $parameter, a string list or a " +
-                s"config map, got $t")
-            }
-            if (!peek.contains(Sym(")"))) {
-              parseArg()
-              while (peek.contains(Sym(","))) {
-                next()
-                if (sawConfig)
-                  fail("the config map must be the LAST procedure argument")
-                parseArg()
-              }
-            }
-            expectSym(")")
-            val yields = ArrayBuffer.empty[(String, String)]
-            if (peekSoft("YIELD")) {
-              next()
-              def yieldItem(): Unit = {
-                val c = ident()
-                if (!cols.contains(c))
-                  fail(s"procedure $name does not yield '$c' (yields: ${cols.mkString(", ")})")
-                val a = if (peek.contains(Kw("AS"))) { next(); ident() } else c
-                yields += ((c, a))
-              }
-              yieldItem()
-              while (peek.contains(Sym(","))) { next(); yieldItem() }
-            }
-            procs += ProcCall(name, yields.toSeq, config.toMap, posArgs.toSeq)
-          }
+          } else procs += parseProcCall()
         }
         val paths = ArrayBuffer.empty[PathPat]
         val wBase = nodeWheres.length
@@ -986,6 +901,154 @@ object CypherParser {
       case _ => Cmp(predicate())
     }
 
+    /** `CALL proc.name(args) [YIELD col [AS alias], …]` — built-in
+      * procedure invocation, shared by the read pipeline and (for the
+      * embedding setter) the write statement (VERDICT r11 #1).
+      */
+    private def parseProcCall(): ProcCall = {
+            // `CALL db.labels() [YIELD col [AS alias], …]` — built-in
+            // procedure; name validated against the registry at parse
+            // time. A name SEGMENT may collide with a reserved keyword
+            // (db.CREATE.setNodeVectorProperty's middle) — accept the
+            // keyword token lowercased there; Cypher keywords are
+            // case-insensitive so the canonical registry form is safe.
+            def nameSegment(): String = next() match {
+              case Ident(s) => s
+              case Kw(s) => s.toLowerCase
+              case t => fail(s"expected a procedure name segment, got $t")
+            }
+            val parts = ArrayBuffer(nameSegment())
+            while (peek.contains(Sym("."))) { next(); parts += nameSegment() }
+            val name = parts.mkString(".")
+            val cols = Procedures.schema(name)
+            expectSym("(")
+            // Arguments: positional LITERALS (a graph name string, a
+            // label/relType spec string or string list — the GDS
+            // gds.graph.project / graph-name-first-argument surface),
+            // then an optional GDS-style config map which must come LAST:
+            // CALL gds.x.stream('g', {topK: 1}). Values are literals —
+            // config tunes the algorithm, it is not a per-row expression
+            // surface.
+            val config = scala.collection.mutable.Map.empty[String, Any]
+            val posArgs = ArrayBuffer.empty[Any]
+            var sawConfig = false
+            def parseConfig(): Unit = {
+              next() // consume '{'
+              def confPair(): Unit = {
+                // a config KEY may collide with a reserved keyword —
+                // {limit: $k} in Neo4jVector's hybrid template lexes
+                // LIMIT as a keyword; accept it lowercased
+                val k = next() match {
+                  case Ident(s) => s
+                  case Kw(s) => s.toLowerCase
+                  case Str(s) => s
+                  case t => fail(s"expected a config map key, got $t")
+                }
+                expectSym(":")
+                // numeral handling (ADVICE r8 #5): integers → Long, any
+                // '.'/exponent form → Double (1e3 has no '.' but is NOT a
+                // Long literal), leading '-' lexes as Sym("-")+Num and
+                // negates; malformed numerals fail with the parser's own
+                // message, never a raw NumberFormatException
+                def confLit(): Any = next() match {
+                  case Sym("-") => confLit() match {
+                    case l: Long => -l
+                    case d: Double => -d
+                    case other => fail(s"'-' in config value for '$k' must " +
+                      s"precede a number, got $other")
+                  }
+                  case Num(s) if s.matches("[0-9]+") =>
+                    try s.toLong catch { case _: NumberFormatException =>
+                      fail(s"config value for '$k' overflows a 64-bit integer: $s") }
+                  case Num(s) =>
+                    try s.toDouble catch { case _: NumberFormatException =>
+                      fail(s"malformed numeric config value for '$k': $s") }
+                  case Str(s) => s
+                  case Ident(b) if b.equalsIgnoreCase("true") => true
+                  case Ident(b) if b.equalsIgnoreCase("false") => false
+                  case Kw(b) if b.equalsIgnoreCase("true") => true
+                  case Kw(b) if b.equalsIgnoreCase("false") => false
+                  // a $parameter config value ({limit: $k} in Neo4jVector's
+                  // hybrid template) — resolved against the statement's
+                  // params at execution, same as positional Param args
+                  case ParamTok(p0) => Param(p0)
+                  case other => fail(s"procedure config value for '$k' must " +
+                    s"be a literal or a $$parameter, got $other")
+                }
+                config += k -> confLit()
+              }
+              confPair()
+              while (peek.contains(Sym(","))) { next(); confPair() }
+              expectSym("}")
+              sawConfig = true
+            }
+            def parseArg(): Unit = peek match {
+              case Some(Sym("{")) => parseConfig()
+              case Some(Sym("[")) =>
+                next()
+                val items = ArrayBuffer.empty[String]
+                if (!peek.contains(Sym("]"))) {
+                  def strItem(): Unit = next() match {
+                    case Str(s) => items += s
+                    case t => fail("a projection list takes string " +
+                      s"literals, got $t")
+                  }
+                  strItem()
+                  while (peek.contains(Sym(","))) { next(); strItem() }
+                }
+                expectSym("]")
+                posArgs += items.toSeq
+              case Some(Str(s)) => next(); posArgs += s
+              case Some(Num(s)) if s.matches("[0-9]+") =>
+                next(); posArgs += s.toLong
+              case Some(ParamTok(p0)) =>
+                // a $parameter argument (db.index.vector.queryNodes takes
+                // the query embedding this way) — resolved against the
+                // statement's params at execution
+                next(); posArgs += Param(p0)
+              case Some(Ident(v)) if !v.equalsIgnoreCase("true") &&
+                  !v.equalsIgnoreCase("false") =>
+                // a bound-variable argument (the node slot of
+                // db.create.setNodeVectorProperty) — resolved against the
+                // pipeline's bindings at execution. `var.prop` is a
+                // row-bound property expression (the `row.embedding` slot
+                // of LangChain's batched add_embeddings statement,
+                // VERDICT r11 #1) — resolved per driving row.
+                next()
+                if (peek.contains(Sym("."))) {
+                  next(); posArgs += ProcPropArg(v, ident())
+                } else posArgs += ProcVarArg(v)
+              case t => fail("a procedure argument must be a string " +
+                "literal, an integer, a $parameter, a string list, a " +
+                "bound variable, a var.prop row expression or a " +
+                s"config map, got $t")
+            }
+            if (!peek.contains(Sym(")"))) {
+              parseArg()
+              while (peek.contains(Sym(","))) {
+                next()
+                if (sawConfig)
+                  fail("the config map must be the LAST procedure argument")
+                parseArg()
+              }
+            }
+            expectSym(")")
+            val yields = ArrayBuffer.empty[(String, String)]
+            if (peekSoft("YIELD")) {
+              next()
+              def yieldItem(): Unit = {
+                val c = ident()
+                if (!cols.contains(c))
+                  fail(s"procedure $name does not yield '$c' (yields: ${cols.mkString(", ")})")
+                val a = if (peek.contains(Kw("AS"))) { next(); ident() } else c
+                yields += ((c, a))
+              }
+              yieldItem()
+              while (peek.contains(Sym(","))) { next(); yieldItem() }
+            }
+            ProcCall(name, yields.toSeq, config.toMap, posArgs.toSeq)
+    }
+
     private def mutateStatement(): MutateStatement = {
       val clauses = ArrayBuffer.empty[MutClause]
       var done = false
@@ -1077,6 +1140,17 @@ object CypherParser {
           val vars = ArrayBuffer(ident())
           while (peek.contains(Sym(","))) { next(); vars += ident() }
           clauses += WithVars(vars.toSeq)
+        case Some(Kw("CALL")) =>
+          // a procedure call inside the write statement — LangChain's
+          // batched add_embeddings puts `CALL db.create.
+          // setNodeVectorProperty(c, 'embedding', row.embedding)` between
+          // MERGE and SET (VERDICT r11 #1). Which procedures may mutate
+          // from here is the session's decision (typed error there).
+          next()
+          if (peek.contains(Sym("{")))
+            fail("CALL { } inside a write statement is only valid as the " +
+              "CALL { <write> } IN TRANSACTIONS import loop")
+          clauses += CallProcClause(parseProcCall())
         case Some(Kw("RETURN")) =>
           next()
           val items = ArrayBuffer(returnItem())
@@ -1322,6 +1396,26 @@ object CypherParser {
       case Sym("-") => RetBin("-", RetLit(NumLit(0, isInt = true)), factor())
       case Sym("(") => val e = addExpr(); expectSym(")"); e
       case Kw("CASE") => caseExpr()
+      case Sym("{") =>
+        // map literal `{k: expr, …}` (Neo4jVector's hybrid template wraps
+        // yielded rows as `collect({node: node, score: score})`)
+        val pairs = ArrayBuffer.empty[(String, ReturnExpr)]
+        def pair(): Unit = {
+          val k = next() match {
+            case Ident(s) => s
+            case Str(s) => s
+            case Kw(s) => s.toLowerCase
+            case t => fail(s"expected a map key, got $t")
+          }
+          expectSym(":")
+          pairs += ((k, addExpr()))
+        }
+        if (!peek.contains(Sym("}"))) {
+          pair()
+          while (peek.contains(Sym(","))) { next(); pair() }
+        }
+        expectSym("}")
+        RetMapLit(pairs.toSeq)
       case Sym("[") =>
         // `[x IN src …]` (comprehension) vs `[e1, e2, …]` (literal):
         // decided by one token of lookahead after the opening bracket

@@ -64,6 +64,11 @@ final class CypherSession(
     .empty[String, CypherSession.VectorIndexDef]
   private val fulltextIndexes = scala.collection.mutable.LinkedHashMap
     .empty[String, CypherSession.FulltextIndexDef]
+  /** Plain range indexes: name -> (label, prop). ADVISORY rows — the
+    * store's label partitioning + merge-key identity already play the
+    * physical role (see [[CypherAst.CreateRangeIndex]]). */
+  private val rangeIndexes = scala.collection.mutable.LinkedHashMap
+    .empty[String, (String, String)]
 
   /** Diagnostics for the vector-index maintenance split (round 11):
     * full snapshot (re)builds vs in-place incremental patches from the
@@ -89,7 +94,12 @@ final class CypherSession(
       // state. Only pure read pipelines are plan-inspectable.
       def procsOf(m: MatchStatement): Seq[ProcCall] =
         m.stages.flatMap(st =>
-          st.procs ++ st.calls.flatMap(c => procsOf(c.inner)))
+          st.procs ++ st.calls.flatMap(c => procsOfStmt(c.inner)))
+      def procsOfStmt(s: Statement): Seq[ProcCall] = s match {
+        case m: MatchStatement => procsOf(m)
+        case u: UnionStatement => u.parts.flatMap(procsOf)
+        case _ => Nil
+      }
       CypherParser.parse(inner) match {
         case m: MatchStatement => rejectSideEffectingProcs(verb, procsOf(m))
         case u: UnionStatement =>
@@ -217,7 +227,11 @@ final class CypherSession(
       (n, "ONLINE", "FULLTEXT", "NODE", d.label, d.props.mkString(","),
         null.asInstanceOf[String])
     }
-    CypherRows((lookup ++ backing ++ vec ++ ft)
+    // plain range indexes (round 12): advisory rows, no owning constraint
+    val rng = rangeIndexes.toSeq.map { case (n, (l, p)) =>
+      (n, "ONLINE", "RANGE", "NODE", l, p, null.asInstanceOf[String])
+    }
+    CypherRows((lookup ++ backing ++ vec ++ ft ++ rng)
       .toDF("name", "state", "type", "entityType", "labelOrType",
         "property", "owningConstraint")
       .orderBy("name"))
@@ -286,54 +300,135 @@ final class CypherSession(
       map(lit(keyProp), col("key")))
   }
 
-  /** (Re)build a vector index's bucketed snapshot when the session graph
-    * has moved past the cached one. Columns: key, node (property map),
-    * emb (array<double>), nrm, bks (the 8 sign-LSH bucket ids). One pass
-    * over the label partition, pinned through the iterCheckpoint seam. */
-  private def vectorSnapshot(name: String,
-      d: CypherSession.VectorIndexDef): DataFrame = {
+  /** Scratch root for persisted index layouts — the TxBatches posture: a
+    * JOB-filesystem path all executors can reach (warehouse by default,
+    * spark.graft.stageDir to override). */
+  private def indexScratchDir(kind: String): org.apache.hadoop.fs.Path = {
+    val spark = graph.nodes.sparkSession
+    val root = spark.conf.get(TxBatches.StageDirKey,
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_idx")
+    new org.apache.hadoop.fs.Path(root,
+      s"$kind-${java.util.UUID.randomUUID()}")
+  }
+
+  private def deleteIndexPath(path: String): Unit =
+    if (path != null) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        graph.nodes.sparkSession.sessionState.newHadoopConf())
+      fs.delete(p, true)
+    }
+
+  private def indexMemThreshold: Long =
+    graph.nodes.sparkSession.conf
+      .get(CypherSession.IndexMemThresholdKey,
+        CypherSession.IndexMemThresholdDefault.toString).toLong
+
+  /** Ensure a vector index's serving state reflects the session graph,
+    * (re)building when the graph moved past the cached basis. Returns
+    * Left(pinned in-memory frame) for small populations, Right(persisted
+    * layout) at/above [[CypherSession.IndexMemThresholdKey]] rows
+    * (VERDICT r11 #2 — the persisted layout is the scale path: a query
+    * prunes to its probed buckets' files instead of predicate-testing
+    * every indexed row). Snapshot columns either way: id, key, node
+    * (property map), emb (array<double>), nrm, bks (8 sign-LSH bucket
+    * ids); one pass over the label partition. */
+  private def vectorServe(name: String, d: CypherSession.VectorIndexDef)
+      : Either[DataFrame, CypherSession.ServedVectorIndex] = {
     val cur = graph
+    val sv = d.served
+    if (sv != null && (sv.basis eq cur)) return Right(sv)
     val cached = d.snapshot
-    if (cached != null && (cached._1 eq cur)) return cached._2
+    if (cached != null && (cached._1 eq cur)) return Left(cached._2)
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     vectorIndexFullBuilds.incrementAndGet()
     val parsed = cur.nodes.filter(col("label") === d.label)
       .filter(element_at(col("props"), d.prop).isNotNull)
       .select(col("id"), col("key"), nodeMapCol(d.label).as("node"),
         parseVectorCol(element_at(col("props"), d.prop)).as("emb"))
-    // validate the population NOW and loudly: wrong dimension, a
-    // non-numeric component, or a zero vector (cosine undefined) name
-    // the offending node instead of surfacing as NaN scores later
-    val bad = parsed.filter(size(col("emb")) =!= d.dim ||
-        exists(col("emb"), x => x.isNull) ||
-        aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0)
+    // ONE pass over the population (ADVICE r11 #5 — the old shape ran the
+    // full parse scan twice: once for the validation collect, once for
+    // the pin): derive validity AND the geometry in the same projection
+    // — derivations guard on `__ok` so a malformed vector never reaches
+    // the bucket kernel — pin it, then validate against the PINNED frame.
+    // A wrong dimension, non-numeric component, or zero vector (cosine
+    // undefined) still names the offending node loudly; the snapshot is
+    // only recorded after validation passes, so a failed build leaves no
+    // index behind (the orphaned pin is released by GC).
+    val ok = size(col("emb")) === d.dim &&
+      !exists(col("emb"), x => x.isNull) &&
+      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0.0
+    val derived = parsed
+      .withColumn("__ok", ok)
+      .withColumn("nrm",
+        when(col("__ok"),
+          sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))))
+      .withColumn("bks",
+        when(col("__ok"), graft.functions.NativeExpressions.portableLshBuckets(
+          col("emb"), CypherSession.VectorLshTables,
+          CypherSession.VectorLshBits, d.dim)))
+      .iterCheckpoint()
+    val bad = derived.filter(!col("__ok"))
       .select(col("key")).limit(1).collect()
     if (bad.nonEmpty) throw new IllegalStateException(
       s"vector index '$name': node '${bad.head.getString(0)}' has a " +
         s"malformed ${d.prop} — every indexed value must be ${d.dim} " +
         "numeric components with a nonzero norm")
-    val data = parsed
-      .withColumn("nrm",
-        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("bks", graft.functions.NativeExpressions.portableLshBuckets(
-        col("emb"), CypherSession.VectorLshTables, CypherSession.VectorLshBits,
-        d.dim))
-      .iterCheckpoint()
-    d.snapshot = (cur, data)
-    data
+    val data = derived.drop("__ok")
+    if (data.count() >= indexMemThreshold) {
+      // persisted serving: one row per (table, bucket) membership, payload
+      // inline — a probe must not re-join payloads against an O(N) table
+      // (that join would re-introduce the full-scan this layout kills;
+      // the 8× row amplification is storage traded for sublinear query
+      // IO, the same trade an HNSW makes with memory). Rows shuffle on
+      // pbh so each directory lands as one file clustered by bucket.
+      val dir = indexScratchDir("vec")
+      data.select(col("id"), col("key"), col("node"), col("emb"),
+          col("nrm"), col("bks"),
+          posexplode(col("bks")).as(Seq("t", "bucket")))
+        .withColumn("pbh", col("t") * lit(64) + shiftright(col("bucket"), 6))
+        .repartition(col("pbh"))
+        .sortWithinPartitions(col("pbh"), col("bucket"))
+        .write.partitionBy("pbh").parquet(dir.toString)
+      val old = d.served
+      d.served = CypherSession.ServedVectorIndex(cur, dir.toString, null, null)
+      d.snapshot = null
+      if (old != null) deleteIndexPath(old.path)
+      Right(d.served)
+    } else {
+      val old = d.served
+      d.served = null
+      d.snapshot = (cur, data)
+      if (old != null) deleteIndexPath(old.path)
+      Left(data)
+    }
   }
 
   /** (Re)build a fulltext index's postings when the session graph has
     * moved: docs = (key, node map, dl), postings = (key, fprop, pos,
     * term) — one tokenize pass per indexed property, pinned. avgDl is an
-    * exact long-sum / count division. */
-  private def fulltextSnapshot(name: String,
+    * exact long-sum / count division. Returns (docs, termPostings, n,
+    * avgDl): `termPostings(t)` is the postings frame for ONE query term —
+    * an in-memory filter below [[CypherSession.IndexMemThresholdKey]]
+    * postings rows, a term-bucket-partition-pruned parquet read at/above
+    * it (VERDICT r11 #2: per-query IO then tracks the query's own terms,
+    * never the corpus). */
+  private def fulltextServe(name: String,
       d: CypherSession.FulltextIndexDef)
-      : (DataFrame, DataFrame, Long, Double) = {
+      : (DataFrame, String => DataFrame, Long, Double) = {
+    val spark = graph.nodes.sparkSession
+    def termFn(postings: DataFrame): String => DataFrame =
+      if (postings != null) { t => postings.filter(col("term") === t) }
+      else { t =>
+        spark.read.parquet(d.postingsPath)
+          .filter(col("tb") === lit(CypherSession.termBucket(t)) &&
+            col("term") === t)
+          .select(col("key"), col("fprop"), col("pos"), col("term"))
+      }
     val cur = graph
     val cached = d.snapshot
     if (cached != null && (cached._1 eq cur))
-      return (cached._2, cached._3, cached._4, cached._5)
+      return (cached._2, termFn(cached._3), cached._4, cached._5)
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     val base = cur.nodes.filter(col("label") === d.label)
     def toks(p: String): Column = filter(
@@ -352,8 +447,32 @@ final class CypherSession(
     val avgDl =
       if (n == 0L) 1.0
       else docs.agg(sum(col("dl"))).head.getLong(0).toDouble / n
-    d.snapshot = (cur, docs, postings, n, avgDl)
-    (docs, postings, n, avgDl)
+    val old = d.postingsPath
+    if (postings.count() >= indexMemThreshold) {
+      // persisted postings, clustered by a portable md5 term bucket: a
+      // query term's probe prunes to its bucket's directory and the
+      // pushed term equality finishes the cut — postings IO per query is
+      // the query's own terms' lists, independent of corpus size. The
+      // docs side (one skinny row per doc) stays pinned: scores and the
+      // final node join touch it only for matched candidates.
+      val dir = indexScratchDir("ft")
+      postings
+        .withColumn("tb",
+          conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
+            % lit(CypherSession.FulltextTermDirs))
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("tb"), col("term"))
+        .write.partitionBy("tb").parquet(dir.toString)
+      d.postingsPath = dir.toString
+      d.snapshot = (cur, docs, null, n, avgDl)
+      if (old != null) deleteIndexPath(old)
+      (docs, termFn(null), n, avgDl)
+    } else {
+      d.postingsPath = null
+      d.snapshot = (cur, docs, postings, n, avgDl)
+      if (old != null) deleteIndexPath(old)
+      (docs, termFn(postings), n, avgDl)
+    }
   }
 
   /** The fulltext ANALYZER applied to queries — identical to the indexed
@@ -362,20 +481,31 @@ final class CypherSession(
     s.toLowerCase.split(CypherSession.FulltextTokenRegex)
       .filter(_.nonEmpty).toSeq
 
-  /** Parse a fulltext query into OR-groups of clauses (a clause = one
-    * term or a quoted phrase's token sequence). Lucene's default
-    * operator: juxtaposition is OR; an explicit AND binds its two
-    * neighboring clauses into one conjunctive group. No parentheses —
-    * the grammar the LangChain hybrid templates actually emit. */
-  private def parseFtQuery(q: String): Seq[Seq[Seq[String]]] = {
+  /** Parse a fulltext query into a boolean tree over clauses (a clause =
+    * one term or a quoted phrase's token sequence). Lucene's default
+    * operator: juxtaposition is OR; an explicit AND binds tighter than
+    * OR; `NOT <unit>` / `-term` negates (a filter — negated clauses
+    * never score); parentheses group (VERDICT r11 #7). Leniency pins
+    * from round 11 hold: a leading/dangling AND degrades to its operand,
+    * never a crash; malformed input (unterminated quote/parenthesis,
+    * operand-less NOT, no searchable terms, a branch that would match
+    * every document) fails typed. */
+  private def parseFtQuery(q: String)
+      : (CypherSession.FtNode, Seq[Seq[String]]) = {
     sealed trait T
     case class Cl(toks: Seq[String]) extends T
-    case object AndOp extends T
+    case object AndT extends T
+    case object OrT extends T
+    case object NotT extends T
+    case object OpenT extends T
+    case object CloseT extends T
     val ts = scala.collection.mutable.ArrayBuffer.empty[T]
     var i = 0
     while (i < q.length) {
       val ch = q(i)
       if (ch.isWhitespace) i += 1
+      else if (ch == '(') { ts += OpenT; i += 1 }
+      else if (ch == ')') { ts += CloseT; i += 1 }
       else if (ch == '"') {
         val j = q.indexOf('"', i + 1)
         require(j >= 0, s"unterminated phrase quote in fulltext query: $q")
@@ -383,29 +513,100 @@ final class CypherSession(
         require(toks.nonEmpty, "empty phrase in fulltext query")
         ts += Cl(toks)
         i = j + 1
+      } else if (ch == '-' && i + 1 < q.length && q(i + 1).isLetterOrDigit) {
+        // Lucene's prohibit prefix: -term ≡ NOT term
+        ts += NotT; i += 1
       } else {
         var j = i
-        while (j < q.length && !q(j).isWhitespace && q(j) != '"') j += 1
+        while (j < q.length && !q(j).isWhitespace && q(j) != '"' &&
+          q(j) != '(' && q(j) != ')') j += 1
         val w = q.substring(i, j)
-        if (w.equalsIgnoreCase("AND")) ts += AndOp
-        else if (w.equalsIgnoreCase("OR")) () // OR is the default joiner
+        if (w.equalsIgnoreCase("AND")) ts += AndT
+        else if (w.equalsIgnoreCase("OR")) ts += OrT
+        else if (w.equalsIgnoreCase("NOT")) ts += NotT
         else tokenizeFt(w).foreach(t => ts += Cl(Seq(t)))
         i = j
       }
     }
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[scala.collection.mutable.ArrayBuffer[Seq[String]]]
-    var joinNext = false
-    ts.foreach {
-      case Cl(t) =>
-        if (joinNext && groups.nonEmpty) groups.last += t
-        else groups += scala.collection.mutable.ArrayBuffer(t)
-        joinNext = false
-      case AndOp => joinNext = true
+    import CypherSession.{FtNode, FtLeaf, FtAnd, FtOr, FtNot}
+    val clauses = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val cidOf = scala.collection.mutable.Map.empty[Seq[String], Int]
+    var pos = 0
+    def peek: Option[T] = if (pos < ts.length) Some(ts(pos)) else None
+    def unit(): Option[FtNode] = peek match {
+      case Some(NotT) =>
+        pos += 1
+        Some(FtNot(unit().getOrElse(throw new IllegalArgumentException(
+          s"NOT needs a term, phrase or group to negate in fulltext query: $q"))))
+      case Some(OpenT) =>
+        pos += 1
+        val e = expr()
+        require(peek.contains(CloseT),
+          s"unbalanced parenthesis in fulltext query: $q")
+        pos += 1
+        Some(e.getOrElse(throw new IllegalArgumentException(
+          s"empty group '()' in fulltext query: $q")))
+      case Some(Cl(toks)) =>
+        pos += 1
+        val cid = cidOf.getOrElseUpdate(toks,
+          { clauses += toks; clauses.size - 1 })
+        Some(FtLeaf(cid))
+      case _ => None
     }
-    require(groups.nonEmpty,
-      s"fulltext query '$q' contains no searchable terms")
-    groups.map(_.toSeq).toSeq
+    def conj(): Option[FtNode] = {
+      while (peek.contains(AndT)) pos += 1 // leading AND degrades (r11 pin)
+      var acc = unit()
+      var more = true
+      while (more) peek match {
+        case Some(AndT) =>
+          pos += 1
+          unit() match {
+            case Some(u) => acc = acc.map(FtAnd(_, u)).orElse(Some(u))
+            case None => more = false // dangling AND degrades
+          }
+        case _ => more = false
+      }
+      acc
+    }
+    def expr(): Option[FtNode] = {
+      var acc = conj()
+      var more = true
+      while (more) peek match {
+        case Some(CloseT) | None => more = false
+        case Some(OrT) =>
+          pos += 1
+          conj() match {
+            case Some(c) => acc = acc.map(FtOr(_, c)).orElse(Some(c))
+            case None => more = false // dangling OR degrades
+          }
+        case _ => // juxtaposition is OR
+          val before = pos
+          conj() match {
+            case Some(c) => acc = acc.map(FtOr(_, c)).orElse(Some(c))
+            case None => more = false
+          }
+          if (pos == before) more = false // safety: no progress, stop
+      }
+      acc
+    }
+    val root = expr().getOrElse(throw new IllegalArgumentException(
+      s"fulltext query '$q' contains no searchable terms"))
+    require(pos >= ts.length,
+      s"unbalanced parenthesis in fulltext query: $q")
+    // a branch that matches a document containing NO query term would
+    // match the whole corpus (Lucene returns nothing for pure-negative
+    // queries) — reject loudly instead of silently scanning everything
+    def matchesAbsent(n: FtNode): Boolean = n match {
+      case FtLeaf(_) => false
+      case FtAnd(l, r) => matchesAbsent(l) && matchesAbsent(r)
+      case FtOr(l, r) => matchesAbsent(l) || matchesAbsent(r)
+      case FtNot(e) => !matchesAbsent(e)
+    }
+    require(!matchesAbsent(root),
+      s"fulltext query '$q' would match every document that contains " +
+        "none of its terms (pure-negative branch) — add a non-negated " +
+        "term or phrase")
+    (root, clauses.toSeq)
   }
 
   /** Evaluate a fulltext query against an index: (node, score) rows for
@@ -424,20 +625,31 @@ final class CypherSession(
     * associate identically in Spark and the DuckDB oracle. */
   private def fulltextQuery(name: String,
       d: CypherSession.FulltextIndexDef, q: String): DataFrame = {
-    val (docs, postings, nDocs, avgDl) = fulltextSnapshot(name, d)
-    val groups0 = parseFtQuery(q)
-    val distinctClauses = groups0.flatten.distinct
-    val cidOf = distinctClauses.zipWithIndex.toMap
-    val groups: Seq[Seq[Int]] = groups0.map(_.map(cidOf).distinct)
+    val (docs, termPostings, nDocs, avgDl) = fulltextServe(name, d)
+    val (ftRoot, distinctClauses) = parseFtQuery(q)
+    // clause polarity: a cid contributes to the SCORE only where it
+    // appears under an even number of NOTs (Lucene: prohibited clauses
+    // filter, never score). A clause may appear both ways.
+    val positiveCids = {
+      val out = scala.collection.mutable.Set.empty[Int]
+      def walk(n: CypherSession.FtNode, neg: Boolean): Unit = n match {
+        case CypherSession.FtLeaf(c) => if (!neg) out += c
+        case CypherSession.FtAnd(l, r) => walk(l, neg); walk(r, neg)
+        case CypherSession.FtOr(l, r) => walk(l, neg); walk(r, neg)
+        case CypherSession.FtNot(e) => walk(e, !neg)
+      }
+      walk(ftRoot, neg = false)
+      out.toSeq.sorted
+    }
     // per-clause per-doc term frequency
     val tfs = distinctClauses.zipWithIndex.map { case (toks, cid) =>
       val occ =
         if (toks.size == 1)
-          postings.filter(col("term") === toks.head)
+          termPostings(toks.head)
             .select(col("key"), col("fprop"), col("pos"))
         else
           toks.zipWithIndex.map { case (t, off) =>
-            postings.filter(col("term") === t)
+            termPostings(t)
               .select(col("key"), col("fprop"),
                 (col("pos") - off).as("pos"))
           }.reduce(_.join(_, Seq("key", "fprop", "pos")))
@@ -447,12 +659,21 @@ final class CypherSession(
     }.reduce(_ unionByName _)
     // clause document frequencies (over the indexed population)
     val dfs = tfs.groupBy(col("cid")).agg(count(lit(1)).as("df"))
-    // matched docs: every clause of SOME group present
-    val matched = groups.map { g =>
-      tfs.filter(col("cid").isin(g: _*))
-        .groupBy(col("key")).agg(count(lit(1)).as("__m"))
-        .filter(col("__m") === g.size).select(col("key"))
-    }.reduce(_ unionByName _).distinct()
+    // matched docs: one grouped pass collects each doc's present clause
+    // ids; the query tree evaluates as a pure column expression over the
+    // set (NOT = absence). Docs containing NO query clause can never
+    // match (parseFtQuery rejects trees that would accept them), so the
+    // tfs universe is complete.
+    def evalFt(n: CypherSession.FtNode, cids: Column): Column = n match {
+      case CypherSession.FtLeaf(c) => array_contains(cids, c)
+      case CypherSession.FtAnd(l, r) => evalFt(l, cids) && evalFt(r, cids)
+      case CypherSession.FtOr(l, r) => evalFt(l, cids) || evalFt(r, cids)
+      case CypherSession.FtNot(e) => !evalFt(e, cids)
+    }
+    val matched = tfs.groupBy(col("key"))
+      .agg(collect_set(col("cid")).as("__cids"))
+      .filter(evalFt(ftRoot, col("__cids")))
+      .select(col("key"))
     // BM25-family contribution per (doc, clause); constants written as
     // the same arithmetic the oracle SQL uses so both engines fold the
     // identical doubles
@@ -467,15 +688,51 @@ final class CypherSession(
                 lit(avgDl)))) *
           ((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))))
-    val scored = contribs.join(matched, Seq("key"), "left_semi")
+    // prohibited (NOT-only) clauses filter matches but never score
+    val posContribs =
+      if (positiveCids.size == distinctClauses.size) contribs
+      else contribs.filter(
+        col("cid").isin(positiveCids.map(x => x: Any): _*))
+    val scored = posContribs.join(matched, Seq("key"), "left_semi")
       .groupBy(col("key"))
       .agg(aggregate(
         sort_array(collect_list(struct(col("cid"), col("contrib")))),
         lit(0.0), (acc, s) => acc + s.getField("contrib")).as("score"))
     scored.join(docs.select(col("key"), col("node")), Seq("key"))
       .select(col("node"), col("score"), col("key"))
-      .orderBy(col("score").desc, col("key"))
+      // same (length, lex) tie collation as queryNodes (ADVICE r11 #1)
+      .orderBy(col("score").desc, length(col("key")), col("key"))
       .select(col("node"), col("score"))
+  }
+
+  /** Plain `CREATE INDEX` — an advisory RANGE catalog row (the store's
+    * label partitioning + key identity are the physical structures; see
+    * [[CypherAst.CreateRangeIndex]]). Same lifecycle contract as the
+    * vector/fulltext DDL: duplicate names and equivalent definitions
+    * reject unless IF NOT EXISTS. */
+  private def executeCreateRangeIndex(c: CreateRangeIndex): CypherResult = {
+    val spark = graph.nodes.sparkSession
+    val name = c.name.getOrElse(s"range_${c.label}_${c.prop}")
+    if (rangeIndexes.contains(name) || vectorIndexes.contains(name) ||
+        fulltextIndexes.contains(name)) {
+      if (c.ifNotExists)
+        return CypherRows(spark.range(1).select(lit(name).as("name"),
+          lit(false).as("added")))
+      throw new IllegalArgumentException(
+        s"an index named '$name' already exists — use IF NOT EXISTS to " +
+          "make this a no-op")
+    }
+    rangeIndexes.values.find(_ == ((c.label, c.prop))).foreach { _ =>
+      if (c.ifNotExists)
+        return CypherRows(spark.range(1).select(lit(name).as("name"),
+          lit(false).as("added")))
+      throw new IllegalArgumentException(
+        s"an equivalent range index already exists for (:${c.label})." +
+          s"${c.prop}")
+    }
+    rangeIndexes(name) = (c.label, c.prop)
+    CypherRows(spark.range(1).select(lit(name).as("name"),
+      lit(true).as("added")))
   }
 
   private def executeCreateVectorIndex(c: CreateVectorIndex): CypherResult = {
@@ -485,7 +742,8 @@ final class CypherSession(
         "supported — this engine implements 'cosine' (the Neo4jVector/" +
         "LangChain default); euclidean is not implemented")
     val name = c.name.getOrElse(s"vector_${c.label}_${c.prop}")
-    if (vectorIndexes.contains(name) || fulltextIndexes.contains(name)) {
+    if (vectorIndexes.contains(name) || fulltextIndexes.contains(name) ||
+        rangeIndexes.contains(name)) {
       if (c.ifNotExists)
         return CypherRows(spark.range(1).select(lit(name).as("name"),
           lit(false).as("added")))
@@ -507,7 +765,7 @@ final class CypherSession(
     vectorIndexes(name) = d
     // build (and thereby VALIDATE the existing population) eagerly, as
     // Neo4j populates at CREATE; a malformed store leaves no index behind
-    try vectorSnapshot(name, d)
+    try vectorServe(name, d)
     catch { case t: Throwable => vectorIndexes.remove(name); throw t }
     CypherRows(spark.range(1).select(lit(name).as("name"),
       lit(true).as("added")))
@@ -517,7 +775,8 @@ final class CypherSession(
     val spark = graph.nodes.sparkSession
     require(c.props.nonEmpty, "CREATE FULLTEXT INDEX needs at least one property")
     val name = c.name.getOrElse(s"fulltext_${c.label}_${c.props.mkString("_")}")
-    if (fulltextIndexes.contains(name) || vectorIndexes.contains(name)) {
+    if (fulltextIndexes.contains(name) || vectorIndexes.contains(name) ||
+        rangeIndexes.contains(name)) {
       if (c.ifNotExists)
         return CypherRows(spark.range(1).select(lit(name).as("name"),
           lit(false).as("added")))
@@ -527,7 +786,7 @@ final class CypherSession(
     }
     val d = new CypherSession.FulltextIndexDef(c.label, c.props)
     fulltextIndexes(name) = d
-    try fulltextSnapshot(name, d)
+    try fulltextServe(name, d)
     catch { case t: Throwable => fulltextIndexes.remove(name); throw t }
     CypherRows(spark.range(1).select(lit(name).as("name"),
       lit(true).as("added")))
@@ -535,12 +794,20 @@ final class CypherSession(
 
   private def executeDropIndex(di: DropIndexStmt): CypherResult = {
     val spark = graph.nodes.sparkSession
-    val removed = vectorIndexes.remove(di.name).isDefined ||
-      fulltextIndexes.remove(di.name).isDefined
+    // release any persisted serving layout with the definition
+    val vdRemoved = vectorIndexes.remove(di.name)
+    vdRemoved.map(_.served).filter(_ != null)
+      .foreach(sv => deleteIndexPath(sv.path))
+    val fdRemoved = fulltextIndexes.remove(di.name)
+    fdRemoved.map(_.postingsPath).filter(_ != null)
+      .foreach(deleteIndexPath)
+    val removed = vdRemoved.isDefined || fdRemoved.isDefined ||
+      rangeIndexes.remove(di.name).isDefined
     if (!removed && !di.ifExists)
       throw new IllegalArgumentException(s"no such index '${di.name}' — " +
         "SHOW INDEXES lists " +
-        (vectorIndexes.keys ++ fulltextIndexes.keys).mkString(", "))
+        (vectorIndexes.keys ++ fulltextIndexes.keys ++ rangeIndexes.keys)
+          .mkString(", "))
     CypherRows(spark.range(1).select(lit(di.name).as("name"),
       lit(removed).as("dropped")))
   }
@@ -552,6 +819,199 @@ final class CypherSession(
       case CypherRows(df) => CypherRows(df.filter(col("type") === kind))
       case other => other
     }
+
+  // ---------------------------------------- set-oriented property writes --
+
+  /** Store mutation shared by gds.*.write and the embedding setter:
+    * `vals0` is (id, __wval); the write is one set-oriented left join +
+    * map rewrite over the store's nodes (never per-row), any existing
+    * value under the key dropped first (map_concat rejects duplicate
+    * keys). localCheckpoint pins the mutated side the same way MERGE's
+    * lineage compaction does, so repeated writes stay O(1)-planned. */
+  private def writeNodeProperty(prop: String, vals0: DataFrame): Long = {
+    // STATS FIREWALL (round 11, found live building c71): `vals0`
+    // derives from the store's own frames, so a chained sequence of
+    // writes would multiply two store-derived sizeInBytes estimates
+    // per statement — Catalyst keeps sizeInBytes as an UNBOUNDED
+    // BigInt and localCheckpoint's stats rewrite preserves it, so 24
+    // chained setNodeVectorProperty statements squared the estimate
+    // each round until the driver ground to a halt in Toom-Cook
+    // BigInteger multiplication INSIDE checkpoint-time stats
+    // estimation. The RDD round trip resets the estimate to the
+    // constant default before the pin; correctness and row content
+    // are untouched.
+    val vals = vals0.sparkSession
+      .createDataFrame(vals0.rdd, vals0.schema)
+      .localCheckpoint(true)
+    val n = vals.count()
+    val updated = graph.nodes.join(vals, Seq("id"), "left")
+      .withColumn("props",
+        when(col("__wval").isNotNull,
+          map_concat(
+            map_filter(col("props"), (k, _) => k =!= prop),
+            map(lit(prop), col("__wval"))))
+        .otherwise(col("props")))
+      .drop("__wval")
+      .localCheckpoint(true)
+    // the eager pin is MEASURED, not assumed (round 11, GraphRag
+    // rehearsal at 200k nodes): a lazy depth-bounded rewrite looked
+    // cheaper on paper but each statement re-executes the growing
+    // layer chain ~4× (target probe, counter, index patch, query),
+    // and per-round wall GREW 7.3→10.8 s; the eager pin holds flat.
+    // Per-record writes cost one store materialization each — batch
+    // adds through UNWIND … (IN TRANSACTIONS) or the batched setter
+    // to amortize, exactly as the reference's per-record Bolt writes
+    // batch into transactions.
+    graph = graph.copy(nodes = updated)
+    n
+  }
+
+  /** Render a JVM-side vector value the way the store's string bag carries
+    * embeddings (comma-joined components through DOUBLE) — the exact
+    * format [[parseVectorCol]] reads back and the c71 oracle proves
+    * round-trips. */
+  private def renderVectorSeq(s: Seq[_]): String = s.map {
+    case d: Double => d.toString
+    case f: Float => f.toDouble.toString
+    case i: Int => i.toDouble.toString
+    case l: Long => l.toDouble.toString
+    case other => throw new IllegalArgumentException(
+      s"vector components must be numeric, got $other")
+  }.mkString(",")
+
+  /** The embedding setter's whole write path, SET-ORIENTED over a batch
+    * of (id, __wval rendered-vector-string) targets — shared by the
+    * per-record pipeline form (`MATCH … CALL db.create.
+    * setNodeVectorProperty(c, 'embedding', $v)`, one constant row set)
+    * and the batched write-statement form (`UNWIND $data AS row MERGE …
+    * CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)`,
+    * VERDICT r11 #1 — the whole batch pays ONE property-write join + ONE
+    * store pin + ONE index delta patch, converting LangChain
+    * add_embeddings' per-record O(N)-pin ingest into one pin per batch).
+    *
+    * Validation runs BEFORE the write (ADVICE r11 #2): a value violating
+    * any matching vector index (dimension, numeric components, nonzero
+    * norm) fails the statement with the store untouched, as Neo4j's
+    * atomic rejection does — the old post-write check left the store
+    * mutated with a permanently broken index behind it.
+    *
+    * @param checkConflicts the batched form must bind ONE vector per node
+    *   (two driving rows MERGE-ing the same key with different embeddings
+    *   have no set-oriented order to break the tie) — fail typed instead
+    *   of picking one nondeterministically. The per-record form's value
+    *   is a constant; it passes false and skips the probe.
+    * @param patchBasis0 the graph instance a live snapshot must have been
+    *   built on for the incremental patch to be sound. The pipeline form
+    *   passes null (= the current graph: nothing else wrote in this
+    *   statement); the batched write statement passes its PRE-STATEMENT
+    *   graph — its own MERGEs moved the instance, but their node delta is
+    *   exactly the binding ids it supplies via `extraDelta`, so the patch
+    *   stays sound and the batched add→query loop keeps the live index
+    *   (no full rebuild from the statement's own MERGE).
+    * @param extraDelta additional node ids (beyond the setter's targets)
+    *   this statement wrote between `patchBasis0` and now. */
+  private def setNodeVectorPropertyBatch(keyName: String, targets0: DataFrame,
+      checkConflicts: Boolean, patchBasis0: PropertyGraph = null,
+      extraDelta: DataFrame = null): Long = {
+    import graft.analytics.IterCheckpoint.IterCheckpointOps
+    val preGraph = graph
+    val patchBasis = if (patchBasis0 == null) preGraph else patchBasis0
+    // pin the target set once through the stats firewall — validation,
+    // the write and the index patch all reuse it
+    val t0 = targets0.select(col("id"), col("__wval")).distinct()
+    val targets = t0.sparkSession.createDataFrame(t0.rdd, t0.schema)
+      .localCheckpoint(true)
+    if (checkConflicts) {
+      val dup = targets.groupBy(col("id")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        "setNodeVectorProperty batch binds more than one distinct vector " +
+          s"to node id ${dup.head.getLong(0)} — a set-oriented batch has " +
+          "no row order to break the tie; dedup the driving rows")
+    }
+    // ADVICE r11 #2: pre-write validation against every matching index
+    // definition. The label probe prunes to the label's partition; the
+    // validated values are the batch's own rendered strings.
+    vectorIndexes.foreach { case (iname, vd) =>
+      if (vd.prop == keyName) {
+        val badW = targets
+          .join(preGraph.nodes.filter(col("label") === vd.label)
+            .select(col("id")), Seq("id"), "left_semi")
+          .withColumn("emb", parseVectorCol(col("__wval")))
+          .filter(size(col("emb")) =!= vd.dim ||
+            exists(col("emb"), x => x.isNull) ||
+            aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0)
+          .select(col("id")).limit(1).collect()
+        if (badW.nonEmpty) throw new IllegalArgumentException(
+          "setNodeVectorProperty value violates vector index " +
+            s"'$iname' on (:${vd.label}).${vd.prop}: node id " +
+            s"${badW.head.getLong(0)} would carry a value that is not " +
+            s"${vd.dim} numeric components with a nonzero norm — the " +
+            "statement did not apply (store unchanged)")
+      }
+    }
+    val written = writeNodeProperty(keyName, targets)
+    val postGraph = graph
+    // INCREMENTAL index maintenance (round 11): the setter knows its
+    // exact delta, so a vector index on this property patches its
+    // snapshot in place — the add→query loop on a LIVE index
+    // (LangChain's add_texts-then-similarity_search workload) costs
+    // O(|delta|) per write instead of the full O(N) rebuild the
+    // generic write path falls back to.
+    val targetIds =
+      if (extraDelta == null) targets.select(col("id"))
+      else targets.select(col("id"))
+        .unionByName(extraDelta.select(col("id"))).distinct()
+        .localCheckpoint(true)
+    vectorIndexes.foreach { case (_, vd) =>
+      if (vd.prop == keyName) {
+        lazy val affectedGeom = postGraph.nodes
+          .filter(col("label") === vd.label)
+          .join(targetIds, Seq("id"), "left_semi")
+          .filter(element_at(col("props"), vd.prop).isNotNull)
+          .select(col("id"), col("key"), nodeMapCol(vd.label).as("node"),
+            parseVectorCol(element_at(col("props"), vd.prop)).as("emb"))
+          .withColumn("nrm",
+            sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+          .withColumn("bks",
+            graft.functions.NativeExpressions.portableLshBuckets(
+              col("emb"), CypherSession.VectorLshTables,
+              CypherSession.VectorLshBits, vd.dim))
+        val sv = vd.served
+        val snap = vd.snapshot
+        if (sv != null && (sv.basis eq patchBasis)) {
+          // persisted layout: the patch rewrites ONLY the small pinned
+          // overlay — O(|overlay| + |delta|) per write, the layout's
+          // files untouched. The add→query loop on a large live index
+          // never re-pins N rows.
+          val newOverlay = (
+            if (sv.overlay == null) affectedGeom
+            else sv.overlay.join(targetIds, Seq("id"), "left_anti")
+              .unionByName(affectedGeom)
+          ).iterCheckpoint()
+          val newIds = (
+            if (sv.overlayIds == null) targetIds
+            else sv.overlayIds.unionByName(targetIds).distinct()
+          ).localCheckpoint(true)
+          vd.served = sv.copy(basis = postGraph, overlay = newOverlay,
+            overlayIds = newIds)
+          vectorIndexIncrementalUpdates.incrementAndGet()
+        } else if (snap != null && (snap._1 eq patchBasis)) {
+          // the per-patch pin is MEASURED, not assumed (GraphRag
+          // rehearsal at 200k vectors, three configs): lazy patch
+          // layers drift each query up (5.7→6.3 s over 5 rounds) and
+          // a fully lazy store GROWS 7.3→10.8 s; the eager pin holds
+          // flat at ~5 s/round — the negative results are recorded in
+          // BASELINE.md
+          val patched = snap._2.join(targetIds, Seq("id"), "left_anti")
+            .unionByName(affectedGeom).iterCheckpoint()
+          vd.snapshot = (postGraph, patched)
+          vectorIndexIncrementalUpdates.incrementAndGet()
+        }
+      }
+    }
+    written
+  }
 
   private def executeShowConstraints(): CypherResult = {
     val spark = graph.nodes.sparkSession
@@ -629,41 +1089,13 @@ final class CypherSession(
       case ShowProcedures => executeShowProcedures()
       case ShowFunctions => executeShowFunctions()
       case v: CreateVectorIndex => executeCreateVectorIndex(v)
+      case r: CreateRangeIndex => executeCreateRangeIndex(r)
       case f: CreateFulltextIndex => executeCreateFulltextIndex(f)
       case d: DropIndexStmt => executeDropIndex(d)
       case ShowVectorIndexes => executeShowKindIndexes("VECTOR")
       case ShowFulltextIndexes => executeShowKindIndexes("FULLTEXT")
       case m: MatchStatement => CypherRows(compileMatch(m, params))
-      case u: UnionStatement =>
-        // pagination parsed with the last part applies to the combined rows
-        val last = u.parts.last
-        val inner = u.parts.init :+ last.copy(orderBy = Nil, limit = None, skip = None)
-        var out = inner.map(compileMatch(_, params)).reduce(_ unionByName _)
-        if (!u.all) out = out.distinct()
-        if (last.orderBy.nonEmpty) {
-          val keys = last.orderBy.map { o =>
-            val c = o.expr match {
-              case Some(e) => last.ret.collectFirst {
-                case item if item.expr == e => col(item.name)
-              }.getOrElse(throw new IllegalArgumentException(
-                "a UNION's trailing ORDER BY expression must appear in RETURN"))
-              case None => o.key match {
-                case Left(name) => col(name)
-                case Right(PropRef(v, p)) =>
-                  last.ret.collectFirst {
-                    case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
-                      col(item.name)
-                  }.getOrElse(throw new IllegalArgumentException(
-                    s"ORDER BY $v.$p must appear in RETURN"))
-              }
-            }
-            if (o.ascending) c.asc else c.desc
-          }
-          out = out.orderBy(keys: _*)
-        }
-        last.skip.foreach(n => out = out.offset(n))
-        last.limit.foreach(n => out = out.limit(n))
-        CypherRows(out)
+      case u: UnionStatement => CypherRows(compileUnion(u, params))
       case u: UpdateStatement => executeUpdate(u, params)
       case c: CallInTransactions =>
         // Bulk-import batching (r9): the driving rows (LOAD CSV / UNWIND
@@ -737,11 +1169,26 @@ final class CypherSession(
           }
           val allMaps = seq.forall(_.isInstanceOf[scala.collection.Map[_, _]])
           import spark.implicits._
+          // map values render to the store's string bag format: a LIST
+          // value (the `embedding` slot of LangChain's batched $data rows)
+          // renders comma-joined through DOUBLE — exactly what
+          // parseVectorCol reads back and the per-record setter writes
+          def render(v: Any): String = v match {
+            case null => null
+            case s: Seq[_] => s.map {
+              case d: Double => d.toString
+              case f: Float => f.toDouble.toString
+              case i: Int => i.toDouble.toString
+              case l: Long => l.toDouble.toString
+              case other => other.toString
+            }.mkString(",")
+            case other => other.toString
+          }
           val df0 =
             if (allMaps)
               seq.map { case mm: scala.collection.Map[_, _] =>
                 mm.map { case (k, v) =>
-                  k.toString -> Option(v).map(_.toString).orNull }.toMap
+                  k.toString -> render(v) }.toMap
               }.toDF("__u").select(col("__u").as(u.alias))
             else
               seq.map(x => Option(x).map(_.toString).orNull)
@@ -812,6 +1259,7 @@ final class CypherSession(
     val bindings = scala.collection.mutable.LinkedHashMap.empty[String, NodeBinding]
     val edges = Vector.newBuilder[MergeEdge]
     val createEdges = Vector.newBuilder[CreateEdge]
+    val procClauses = Vector.newBuilder[ProcCall]
     var returns: Seq[ReturnItem] = Nil
 
     def bindNode(pat: NodePat, clause: String, create: Boolean): NodeBinding = {
@@ -857,6 +1305,7 @@ final class CypherSession(
         createEdges += e
       case WithVars(_) => // pure scoping: bindings carry through
       case ReturnVars(items) => returns = items
+      case CallProcClause(pc) => procClauses += pc
     }
 
     def mapCol(entries: Seq[(String, Value)]): Column = {
@@ -951,8 +1400,94 @@ final class CypherSession(
         edgeBatch(e.srcVar, e.relType, e.dstVar, e.props)).reduce(_ unionByName _))
 
     validateConstraintsPostWrite(g2)
+    val preStatementGraph = graph
     graph = g2
-    CypherMutation(g2, created, matched)
+
+    // procedure clauses (the `CALL db.create.setNodeVectorProperty(c,
+    // 'embedding', row.embedding)` slot of LangChain's batched
+    // add_embeddings statement — VERDICT r11 #1): applied AFTER the
+    // merges/creates so the targets exist, SET-ORIENTED over the whole
+    // driving batch — one property-write join + one store pin + one
+    // vector-index delta patch per statement, never per row. A failing
+    // setter rolls the WHOLE statement back (graph restored to the
+    // pre-statement instance), matching Neo4j's transactional rejection;
+    // any snapshot patched before the failure keys on a discarded
+    // instance and safely rebuilds.
+    // The statement's complete node-write delta — every merge binding id
+    // plus every created id — rides into the index patch so a live
+    // snapshot built on the PRE-statement graph can still patch
+    // incrementally past this statement's own MERGEs.
+    lazy val statementWrittenIds: DataFrame = {
+      val mergeIds = mergeBindings.toSeq.map { b =>
+        pdf.select(graft.model.GraphSchema.stableId(
+          lit(b.label), valueCol(b.keyValue, pdf).cast("string")).as("id"))
+      }
+      val createIds = createdIdFrames.toSeq.map { case (v, f) =>
+        f.select(col(s"__id_$v").as("id"))
+      }
+      (mergeIds ++ createIds).reduce(_ unionByName _).distinct()
+    }
+    var firstProc = true
+    def runProcClause(pc: ProcCall): Unit = {
+      if (pc.name != "db.create.setNodeVectorProperty")
+        throw new IllegalArgumentException(
+          s"CALL ${pc.name} is not supported inside a write statement — " +
+            "only db.create.setNodeVectorProperty (the LangChain " +
+            "add_embeddings shape) may appear between write clauses")
+      require(pc.args.size == 3, "db.create.setNodeVectorProperty takes " +
+        s"(node, key, vector), got ${pc.args.size} argument(s)")
+      val nodeVar = pc.args.head match {
+        case ProcVarArg(v) => v
+        case other => throw new IllegalArgumentException(
+          "setNodeVectorProperty's first argument must be a bound node " +
+            s"variable, got $other")
+      }
+      val b = bindings.getOrElse(nodeVar, throw new IllegalArgumentException(
+        s"setNodeVectorProperty targets unbound node variable '$nodeVar'"))
+      val keyName = pc.args(1) match {
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"setNodeVectorProperty's key must be a string, got $other")
+      }
+      val wval: Column = pc.args(2) match {
+        case ProcPropArg(rv, pp) =>
+          pdf.schema.fields.find(_.name == rv).map(_.dataType) match {
+            case Some(_: org.apache.spark.sql.types.StructType) =>
+              col(rv).getField(pp).cast("string")
+            case Some(_: org.apache.spark.sql.types.MapType) =>
+              col(rv).getItem(pp).cast("string")
+            case Some(_) => throw new IllegalArgumentException(
+              s"setNodeVectorProperty's $rv.$pp needs a struct/map-bound " +
+                "driving row variable (UNWIND $data AS row / LOAD CSV)")
+            case None => throw new IllegalArgumentException(
+              s"setNodeVectorProperty references '$rv', which is not a " +
+                "driving row binding of this statement")
+          }
+        case s: Seq[_] => lit(renderVectorSeq(s))
+        case Param(nm) => throw new IllegalArgumentException(
+          s"setNodeVectorProperty's $$$nm cannot resolve inside a write " +
+            "statement — bind vectors per driving row instead " +
+            "(UNWIND $data AS row … row.embedding)")
+        case other => throw new IllegalArgumentException(
+          "setNodeVectorProperty's vector must be a row-bound var.prop " +
+            s"expression or a literal list, got $other")
+      }
+      val base =
+        if (b.create) pdf.join(createdIdFrames(nodeVar), Seq("__row"))
+        else pdf
+      // the FIRST setter patches off the pre-statement basis with the
+      // statement's whole node delta; later setters see the snapshot
+      // already rekeyed on the current instance and patch normally
+      setNodeVectorPropertyBatch(keyName,
+        base.select(endpointId(nodeVar).as("id"), wval.as("__wval")),
+        checkConflicts = true,
+        patchBasis0 = if (firstProc) preStatementGraph else null,
+        extraDelta = if (firstProc) statementWrittenIds else null)
+      firstProc = false
+    }
+    try procClauses.result().foreach(runProcClause)
+    catch { case t: Throwable => graph = preStatementGraph; throw t }
+    CypherMutation(graph, created, matched)
   }
 
   // ------------------------------------------------------- match + write --
@@ -1100,6 +1635,60 @@ final class CypherSession(
     CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted, relsCreated)
   }
 
+  /** `<query> UNION [ALL] <query> …` — shared by the statement form and
+    * the uncorrelated CALL { <arm> UNION <arm> } subquery (Neo4jVector's
+    * hybrid template). Pagination parsed with the last part applies to
+    * the combined rows. */
+  private def compileUnion(u: UnionStatement, params: Map[String, Any]): DataFrame = {
+    val last = u.parts.last
+    val inner = u.parts.init :+ last.copy(orderBy = Nil, limit = None, skip = None)
+    var out = inner.map(compileMatch(_, params)).reduce(_ unionByName _)
+    if (!u.all) {
+      // MAP-typed columns (a yielded node) are not set-operation keys —
+      // dedup on their sorted entry arrays (canonical per map value) and
+      // rebuild, same policy as the WITH-horizon grouping
+      val mapCols = out.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(_.name).toSet
+      if (mapCols.isEmpty) out = out.distinct()
+      else {
+        val cols = out.columns.toIndexedSeq
+        out = out.select(cols.map { cn =>
+          if (mapCols.contains(cn)) sort_array(map_entries(col(cn))).as(cn)
+          else col(cn)
+        }: _*).distinct()
+          .select(cols.map { cn =>
+            if (mapCols.contains(cn)) map_from_entries(col(cn)).as(cn)
+            else col(cn)
+          }: _*)
+      }
+    }
+    if (last.orderBy.nonEmpty) {
+      val keys = last.orderBy.map { o =>
+        val c = o.expr match {
+          case Some(e) => last.ret.collectFirst {
+            case item if item.expr == e => col(item.name)
+          }.getOrElse(throw new IllegalArgumentException(
+            "a UNION's trailing ORDER BY expression must appear in RETURN"))
+          case None => o.key match {
+            case Left(name) => col(name)
+            case Right(PropRef(v, p)) =>
+              last.ret.collectFirst {
+                case item @ ReturnItem(RetProp(PropRef(`v`, `p`)), _) =>
+                  col(item.name)
+              }.getOrElse(throw new IllegalArgumentException(
+                s"ORDER BY $v.$p must appear in RETURN"))
+          }
+        }
+        if (o.ascending) c.asc else c.desc
+      }
+      out = out.orderBy(keys: _*)
+    }
+    last.skip.foreach(n => out = out.offset(n))
+    last.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
   private def compileMatch(m: MatchStatement, params: Map[String, Any]): DataFrame = {
     var df: DataFrame = null
     var bound = Set.empty[String]
@@ -1214,6 +1803,7 @@ final class CypherSession(
       case RetPatternComp(path, w, proj) =>
         scanPath(path); w.foreach(scanBool); scanExpr(proj)
       case RetListLit(items) => items.foreach(scanExpr)
+      case RetMapLit(pairs) => pairs.foreach(p2 => scanExpr(p2._2))
       case RetListComp(_, src, w, proj) =>
         scanExpr(src); w.foreach(scanBool); proj.foreach(scanExpr)
       case RetReduce(_, init, _, src, body) =>
@@ -1247,7 +1837,11 @@ final class CypherSession(
         s.where.foreach(scanBool)
         s.withClause.foreach(scanWith)
         s.unwinds.foreach(u => scanExpr(u.expr))
-        s.calls.foreach(c => scanStatement(c.inner))
+        s.calls.foreach(_.inner match {
+          case m: MatchStatement => scanStatement(m)
+          case u: UnionStatement => u.parts.foreach(scanStatement)
+          case _ => ()
+        })
       }
       st.ret.foreach(i => scanExpr(i.expr))
       st.orderBy.foreach(scanOrder)
@@ -1951,6 +2545,9 @@ final class CypherSession(
               num("seconds").cast("double"))
         }
       case RetListLit(items) => array(items.map(itemCol): _*)
+      case RetMapLit(pairs) =>
+        // heterogeneous values → a STRUCT column; `m.k` reads the field
+        struct(pairs.map { case (k, e) => itemCol(e).as(k) }: _*)
       case RetListComp(v, src, where, proj) =>
         // higher-order filter/transform: the lambda body is compiled by the
         // same expression compiler with `v` bound to the element — a native
@@ -2032,9 +2629,25 @@ final class CypherSession(
           element_at(arr,
             greatest(ceil(lit(pct.get) * size(arr)), lit(1)).cast("int"))
         // canonical (sorted) collect: Cypher leaves list order unspecified;
-        // a set-oriented engine pins it for reproducibility
+        // a set-oriented engine pins it for reproducibility. Elements
+        // containing a MAP (collect({node: node, …}) in Neo4jVector's
+        // hybrid template) are not orderable — there the list stays in
+        // arrival order (unspecified, as in Neo4j); the template consumes
+        // it order-insensitively (UNWIND + per-node max).
         case "collect" =>
-          sort_array(if (distinct) collect_set(base) else collect_list(base))
+          val raw = if (distinct) collect_set(base) else collect_list(base)
+          def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+            dt match {
+              case _: org.apache.spark.sql.types.MapType => true
+              case s: org.apache.spark.sql.types.StructType =>
+                s.fields.exists(f => hasMap(f.dataType))
+              case a: org.apache.spark.sql.types.ArrayType =>
+                hasMap(a.elementType)
+              case _ => false
+            }
+          val unorderable = df != null && scala.util.Try(
+            df.select(base).schema.head.dataType).toOption.exists(hasMap)
+          if (unorderable) raw else sort_array(raw)
         case other => throw new IllegalArgumentException(s"unsupported aggregate $other()")
       }
 
@@ -2071,16 +2684,33 @@ final class CypherSession(
         // path bindings do not cross a WITH horizon
         pathHops = Map.empty; pathRels = Map.empty; pathNodes = Map.empty
       } else {
+        // a MAP-typed grouping key (`WITH node, max(score) AS score` over
+        // a queryNodes yield — Neo4jVector's hybrid dedup step) is not an
+        // orderable Spark grouping expression: group on its SORTED entry
+        // array (canonical per map value) and rebuild the map after the
+        // aggregation — node identity and the downstream `node.prop`
+        // reads are untouched
+        val mapKeys = scala.collection.mutable.Set.empty[String]
         val keyCols = keys.map { i =>
           require(!i.expr.isInstanceOf[RetVar] ||
             scalarVars.contains(i.expr.asInstanceOf[RetVar].variable),
             s"aggregating WITH groups by scalar items; project '${i.name}' as a property first")
-          itemCol(i.expr).as(i.name)
+          val c = itemCol(i.expr)
+          val isMap = df != null && scala.util.Try(
+            df.select(c).schema.head.dataType).toOption
+            .exists(_.isInstanceOf[org.apache.spark.sql.types.MapType])
+          if (isMap) { mapKeys += i.name; sort_array(map_entries(c)).as(i.name) }
+          else c.as(i.name)
         }
         val aggCols = aggs.map(i => itemCol(i.expr).as(i.name))
         df =
           if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        if (mapKeys.nonEmpty)
+          df = df.select(df.columns.toIndexedSeq.map { cn =>
+            if (mapKeys.contains(cn)) map_from_entries(col(cn)).as(cn)
+            else col(cn)
+          }: _*)
         bound = Set.empty
         scalarVars = wc.items.map(_.name).toSet
         pathHops = Map.empty; pathRels = Map.empty; pathNodes = Map.empty
@@ -2130,12 +2760,19 @@ final class CypherSession(
     def applyProc(p0: ProcCall): Unit = {
       val spark = graph.nodes.sparkSession
       // resolve $parameter positional arguments (the query-embedding slot
-      // of db.index.vector.queryNodes) against the statement's params
-      val p = p0.copy(args = p0.args.map {
-        case Param(nm) => params.getOrElse(nm,
-          throw new IllegalArgumentException(s"missing parameter $$$nm"))
-        case a => a
-      })
+      // of db.index.vector.queryNodes) and config values ({limit: $k} in
+      // Neo4jVector's hybrid template) against the statement's params
+      val p = p0.copy(
+        args = p0.args.map {
+          case Param(nm) => params.getOrElse(nm,
+            throw new IllegalArgumentException(s"missing parameter $$$nm"))
+          case a => a
+        },
+        config = p0.config.map {
+          case (k, Param(nm)) => k -> params.getOrElse(nm,
+            throw new IllegalArgumentException(s"missing parameter $$$nm"))
+          case kv => kv
+        })
       // Graph-name first argument on the gds.*.stream family: the
       // algorithm runs over the NAMED projection's snapshot instead of
       // the whole store; an unknown name fails typed. Everything else
@@ -2172,48 +2809,6 @@ final class CypherSession(
         .join(pgraph.nodes.select(col("id").as("dstId"), col("key").as("dst")),
           Seq("dstId"))
         .select(col("src"), col("dst"))
-      // gds.*.write store mutation: `vals` is (id, __wval) over the
-      // PROJECTED node set; the write is one set-oriented left join + map
-      // rewrite over the store's nodes (never per-row), any existing value
-      // under the key dropped first (map_concat rejects duplicate keys).
-      // localCheckpoint pins the mutated side the same way MERGE's
-      // lineage compaction does, so repeated writes stay O(1)-planned.
-      def writeNodeProperty(prop: String, vals0: DataFrame): Long = {
-        // STATS FIREWALL (round 11, found live building c71): `vals0`
-        // derives from the store's own frames, so a chained sequence of
-        // writes would multiply two store-derived sizeInBytes estimates
-        // per statement — Catalyst keeps sizeInBytes as an UNBOUNDED
-        // BigInt and localCheckpoint's stats rewrite preserves it, so 24
-        // chained setNodeVectorProperty statements squared the estimate
-        // each round until the driver ground to a halt in Toom-Cook
-        // BigInteger multiplication INSIDE checkpoint-time stats
-        // estimation. The RDD round trip resets the estimate to the
-        // constant default before the pin; correctness and row content
-        // are untouched.
-        val vals = vals0.sparkSession
-          .createDataFrame(vals0.rdd, vals0.schema)
-          .localCheckpoint(true)
-        val n = vals.count()
-        val updated = graph.nodes.join(vals, Seq("id"), "left")
-          .withColumn("props",
-            when(col("__wval").isNotNull,
-              map_concat(
-                map_filter(col("props"), (k, _) => k =!= prop),
-                map(lit(prop), col("__wval"))))
-            .otherwise(col("props")))
-          .drop("__wval")
-          .localCheckpoint(true)
-        // the eager pin is MEASURED, not assumed (round 11, GraphRag
-        // rehearsal at 200k nodes): a lazy depth-bounded rewrite looked
-        // cheaper on paper but each statement re-executes the growing
-        // layer chain ~4× (target probe, counter, index patch, query),
-        // and per-round wall GREW 7.3→10.8 s; the eager pin holds flat.
-        // Per-record writes cost one store materialization each — batch
-        // adds through UNWIND … IN TRANSACTIONS to amortize, exactly as
-        // the reference's per-record Bolt writes batch into transactions.
-        graph = graph.copy(nodes = updated)
-        n
-      }
       // a '*'/label/label-list projection spec → None = all, Some = the set
       def specSet(arg: Any, what: String): Option[Seq[String]] = arg match {
         case "*" => None
@@ -2835,7 +3430,10 @@ final class CypherSession(
               s"queryNodes' index name must be a string, got $other")
           }
           val k = p.args(1) match {
+            // any integral type (ADVICE r11 #3): a JVM-built params map
+            // naturally carries Int where the parser produces Long
             case l: Long if l > 0 => l.toInt
+            case i: Int if i > 0 => i
             case other => throw new IllegalArgumentException(
               s"queryNodes' k must be a positive integer, got $other")
           }
@@ -2880,11 +3478,46 @@ final class CypherSession(
             }
             b
           }
-          val data = vectorSnapshot(idxName, vidx)
-          val cand = data.filter(
-            (0 until CypherSession.VectorLshTables)
-              .map(t => element_at(col("bks"), t + 1) === lit(qb(t)))
-              .reduce(_ || _))
+          val bucketHit = (0 until CypherSession.VectorLshTables)
+            .map(t => element_at(col("bks"), t + 1) === lit(qb(t)))
+            .reduce(_ || _)
+          val cand = vectorServe(idxName, vidx) match {
+            case Left(data) =>
+              // small population: the pinned in-memory frame, literal
+              // bucket-equality filter — a broadcast-scale scan
+              data.filter(bucketHit)
+                .select(col("node"), col("emb"), col("nrm"), col("key"))
+            case Right(sv) =>
+              // persisted layout (VERDICT r11 #2): one partition-pruned
+              // probe per table — the literal pbh prunes directories, the
+              // pushed bucket equality prunes pages — so per-query IO
+              // tracks CANDIDATES, never corpus size. A row colliding in
+              // several tables is kept only at its FIRST matching table
+              // (literal conjunction per probe; no distinct, no shuffle).
+              val probes = (0 until CypherSession.VectorLshTables).map { t =>
+                val pbh = t * 64 + (qb(t) >> 6).toInt
+                var pr = spark.read.parquet(sv.path)
+                  .filter(col("pbh") === lit(pbh) && col("t") === lit(t) &&
+                    col("bucket") === lit(qb(t)))
+                (0 until t).foreach { tp =>
+                  pr = pr.filter(element_at(col("bks"), tp + 1) =!= lit(qb(tp)))
+                }
+                pr.select(col("id"), col("key"), col("node"), col("emb"),
+                  col("nrm"))
+              }.reduce(_ unionByName _)
+              // setter patches live in the small pinned overlay: its ids
+              // mask the layout's stale rows, its rows probe in memory
+              val masked =
+                if (sv.overlayIds == null) probes
+                else probes.join(broadcast(sv.overlayIds), Seq("id"),
+                  "left_anti")
+              val all =
+                if (sv.overlay == null) masked
+                else masked.unionByName(sv.overlay.filter(bucketHit)
+                  .select(col("id"), col("key"), col("node"), col("emb"),
+                    col("nrm")))
+              all.select(col("node"), col("emb"), col("nrm"), col("key"))
+          }
           val qlit = typedlit(qv.toSeq)
           val dot = aggregate(zip_with(col("emb"), qlit, (a, b) => a * b),
             lit(0.0), (acc, x) => acc + x)
@@ -2893,7 +3526,13 @@ final class CypherSession(
               ((lit(1.0) + dot / (col("nrm") * lit(qn))) / lit(2.0))
                 .as("score"),
               col("key"))
-            .orderBy(col("score").desc, col("key"))
+            // tie-break at the k boundary (ADVICE r11 #1): (length, lex)
+            // on the key string IS numeric order for canonically-rendered
+            // nonnegative integer keys — the collation the DuckDB oracles
+            // use (ORDER BY vec_id) — and stays total for arbitrary keys,
+            // so exact score ties (duplicate embeddings) select the same
+            // rows in both engines
+            .orderBy(col("score").desc, length(col("key")), col("key"))
             .limit(k)
             .select(col("node"), col("score"))
         // the embedding SETTER (Neo4j 5.13+; LangChain's add_embeddings
@@ -2919,76 +3558,67 @@ final class CypherSession(
             case other => throw new IllegalArgumentException(
               s"setNodeVectorProperty's key must be a string, got $other")
           }
-          val rendered = p.args(2) match {
-            case s: Seq[_] => s.map {
-              case d: Double => d.toString
-              case f: Float => f.toDouble.toString
-              case i: Int => i.toDouble.toString
-              case l: Long => l.toDouble.toString
-              case other => throw new IllegalArgumentException(
-                s"vector components must be numeric, got $other")
-            }.mkString(",")
-            case other => throw new IllegalArgumentException(
-              "setNodeVectorProperty's vector must be a list parameter, " +
-                s"got $other")
-          }
           require(df != null && df.columns.contains(s"${nodeVar}__id"),
             s"setNodeVectorProperty targets unbound node variable '$nodeVar'")
-          // pin the target set once through the stats firewall (the patch
-          // below reuses it; writeNodeProperty re-firewalls cheaply)
-          val targets0 = df.select(col(s"${nodeVar}__id").as("id")).distinct()
-          val preGraph = graph
-          val targetIds = spark.createDataFrame(targets0.rdd, targets0.schema)
-            .localCheckpoint(true)
-          val written = writeNodeProperty(keyName,
-            targetIds.withColumn("__wval", lit(rendered)))
-          // INCREMENTAL index maintenance (round 11): the setter knows its
-          // exact delta, so a vector index on this property patches its
-          // snapshot in place — the add→query loop on a LIVE index
-          // (LangChain's add_texts-then-similarity_search workload) costs
-          // O(|delta|) per write instead of the full O(N) rebuild the
-          // generic write path falls back to.
-          val postGraph = graph
-          vectorIndexes.foreach { case (iname, vd) =>
-            val snap = vd.snapshot
-            if (vd.prop == keyName && snap != null && (snap._1 eq preGraph)) {
-              import graft.analytics.IterCheckpoint.IterCheckpointOps
-              val affected = postGraph.nodes
-                .filter(col("label") === vd.label)
-                .join(targetIds, Seq("id"), "left_semi")
-                .filter(element_at(col("props"), vd.prop).isNotNull)
-                .select(col("id"), col("key"), nodeMapCol(vd.label).as("node"),
-                  parseVectorCol(element_at(col("props"), vd.prop)).as("emb"))
-              val badW = affected.filter(size(col("emb")) =!= vd.dim ||
-                  exists(col("emb"), x => x.isNull) ||
-                  aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0)
-                .select(col("key")).limit(1).collect()
-              if (badW.nonEmpty) throw new IllegalStateException(
-                "setNodeVectorProperty wrote a value that violates vector " +
-                  s"index '$iname' on (:${vd.label}).${vd.prop}: node " +
-                  s"'${badW.head.getString(0)}' must carry ${vd.dim} " +
-                  "numeric components with a nonzero norm (the property " +
-                  "was written; the index refused it)")
-              val patchedRaw = snap._2.join(targetIds, Seq("id"), "left_anti")
-                .unionByName(affected
-                  .withColumn("nrm",
-                    sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
-                  .withColumn("bks",
-                    graft.functions.NativeExpressions.portableLshBuckets(
-                      col("emb"), CypherSession.VectorLshTables,
-                      CypherSession.VectorLshBits, vd.dim)))
-              // the per-patch pin is MEASURED, not assumed (GraphRag
-              // rehearsal at 200k vectors, three configs): lazy patch
-              // layers drift each query up (5.7→6.3 s over 5 rounds) and
-              // a fully lazy store GROWS 7.3→10.8 s; the eager pin holds
-              // flat at ~5 s/round — the negative results are recorded in
-              // BASELINE.md
-              val patched = patchedRaw.iterCheckpoint()
-              vd.snapshot = (postGraph, patched)
-              vectorIndexIncrementalUpdates.incrementAndGet()
-            }
+          // the vector slot: a resolved $parameter list renders once
+          // driver-side (the per-record form); a `row.prop` expression
+          // reads per pipeline row (a map/struct binding or a stored
+          // rendered string) — in both cases the write itself is ONE
+          // set-oriented batch through the shared path.
+          val (wvalCol, conflicts) = p.args(2) match {
+            case s: Seq[_] => (lit(renderVectorSeq(s)), false)
+            case ProcPropArg(rv, pp) =>
+              val c = df.schema.fields.find(_.name == rv)
+                .map(_.dataType) match {
+                case Some(_: org.apache.spark.sql.types.StructType) =>
+                  col(rv).getField(pp).cast("string")
+                case Some(_: org.apache.spark.sql.types.MapType) =>
+                  col(rv).getItem(pp).cast("string")
+                case Some(_) => throw new IllegalArgumentException(
+                  s"setNodeVectorProperty's $rv.$pp needs a struct/map-" +
+                    "bound row variable")
+                case None if df.columns.contains(s"${rv}__id") =>
+                  element_at(col(s"${rv}__props"), pp)
+                case None => throw new IllegalArgumentException(
+                  s"setNodeVectorProperty references unbound variable '$rv'")
+              }
+              (c, true)
+            case other => throw new IllegalArgumentException(
+              "setNodeVectorProperty's vector must be a list parameter " +
+                s"or a row-bound var.prop expression, got $other")
           }
+          val written = setNodeVectorPropertyBatch(keyName,
+            df.select(col(s"${nodeVar}__id").as("id"), wvalCol.as("__wval")),
+            checkConflicts = conflicts)
           spark.range(1).select(lit(written).as("nodePropertiesWritten"))
+        // the PROCEDURE form of vector-index creation (pre-5.15 Neo4j; the
+        // statement LangChain issued for years — VERDICT r11 #3). Pure
+        // alias onto the CREATE VECTOR INDEX machinery: same validation,
+        // same eager population, same SHOW INDEXES row.
+        case "db.index.vector.createNodeIndex" =>
+          require(p.args.size == 5, "db.index.vector.createNodeIndex " +
+            "takes (indexName, label, propertyKey, vectorDimension, " +
+            s"vectorSimilarityFunction), got ${p.args.size} argument(s)")
+          def strArg(i: Int, what: String): String = p.args(i) match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"createNodeIndex's $what must be a string, got $other")
+          }
+          val dim = p.args(3) match {
+            case l: Long if l > 0 && l <= 4096 => l.toInt
+            case i: Int if i > 0 && i <= 4096 => i
+            case other => throw new IllegalArgumentException(
+              "createNodeIndex's vectorDimension must be a positive " +
+                s"integer (<= 4096), got $other")
+          }
+          executeCreateVectorIndex(CreateVectorIndex(
+            Some(strArg(0, "indexName")), ifNotExists = false,
+            strArg(1, "label"), strArg(2, "propertyKey"), dim,
+            strArg(4, "vectorSimilarityFunction").toLowerCase)) match {
+            case CypherRows(r) => r
+            case other => throw new IllegalStateException(
+              s"unexpected createNodeIndex result $other")
+          }
         case "db.index.fulltext.queryNodes" =>
           require(p.args.size == 2, "db.index.fulltext.queryNodes takes " +
             s"(indexName, query), got ${p.args.size} argument(s)")
@@ -3006,7 +3636,12 @@ final class CypherSession(
             throw new IllegalArgumentException(
               s"fulltext index '$ftName' does not exist — SHOW FULLTEXT " +
                 s"INDEXES lists ${fulltextIndexes.keys.mkString(", ")}"))
-          fulltextQuery(ftName, fidx, ftQuery)
+          // the options map (Neo4j's third argument; Neo4jVector's hybrid
+          // template passes {limit: $k}) — limit truncates the scored,
+          // score-ordered rows
+          val ftRes = fulltextQuery(ftName, fidx, ftQuery)
+          val ftLim = p.confLong("limit", -1L)
+          if (ftLim >= 0L) ftRes.limit(ftLim.toInt) else ftRes
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =
@@ -3050,10 +3685,20 @@ final class CypherSession(
     def applyCall(cs: CallSub): Unit = {
       import org.apache.spark.sql.expressions.Window
       if (cs.imports.isEmpty) {
-        val innerDf = compileMatch(cs.inner, params)
+        val innerDf = cs.inner match {
+          case m: MatchStatement => compileMatch(m, params)
+          case u: UnionStatement => compileUnion(u, params)
+          case other => throw new IllegalArgumentException(
+            s"CALL { } cannot contain ${other.getClass.getSimpleName}")
+        }
         df = if (df == null) innerDf else df.crossJoin(innerDf)
-        scalarVars ++= cs.inner.ret.map(_.name)
+        scalarVars ++= cs.retNames
       } else {
+        val inner0 = cs.inner match {
+          case m: MatchStatement => m
+          case _ => throw new IllegalArgumentException(
+            "a correlated CALL { WITH … } subquery cannot be a UNION")
+        }
         require(df != null, "CALL { WITH … } needs bound rows to import from")
         def colsOf(v: String): Seq[String] =
           if (scalarVars.contains(v)) Seq(v)
@@ -3075,19 +3720,20 @@ final class CypherSession(
         bound = cs.imports.filterNot(savedScalar.contains).toSet
         scalarVars = cs.imports.filter(savedScalar.contains).toSet
 
-        cs.inner.stages.foreach { st =>
+        inner0.stages.foreach { st =>
           st.unwinds.foreach(applyUnwind)
           st.calls.foreach(applyCall)
+          st.procs.foreach(applyProc)
           st.paths.foreach(compilePath(_, optional = false))
           st.optPaths.foreach(compilePath(_, optional = true))
           st.where.foreach(applyWhere)
           st.withClause.foreach(applyWith)
         }
-        val ret = cs.inner.ret
+        val ret = inner0.ret
         val (aggItems, keyItems) = ret.partition(i => containsAgg(i.expr))
         val idKeep = idCols.map(c => col(c).as(s"__call_$c"))
-        val paginated = cs.inner.orderBy.nonEmpty || cs.inner.limit.nonEmpty ||
-          cs.inner.skip.nonEmpty
+        val paginated = inner0.orderBy.nonEmpty || inner0.limit.nonEmpty ||
+          inner0.skip.nonEmpty
         var inner =
           if (aggItems.isEmpty) df.select(
             idKeep ++ ret.map(i => itemCol(i.expr).as(i.name)): _*)
@@ -3102,10 +3748,10 @@ final class CypherSession(
                 ret.map(i => col(i.name))): _*)
           }
         if (aggItems.isEmpty && paginated) {
-          require(cs.inner.orderBy.nonEmpty,
+          require(inner0.orderBy.nonEmpty,
             "LIMIT/SKIP inside a correlated CALL { } needs ORDER BY — an " +
               "unordered per-row limit is nondeterministic")
-          val orderCols = cs.inner.orderBy.map { o =>
+          val orderCols = inner0.orderBy.map { o =>
             val c = o.expr match {
               case Some(e) => ret.collectFirst {
                 case item if item.expr == e => col(item.name)
@@ -3124,8 +3770,8 @@ final class CypherSession(
           }
           val w = Window.partitionBy(idCols.map(c => col(s"__call_$c")): _*)
             .orderBy(orderCols: _*)
-          val lo = cs.inner.skip.getOrElse(0)
-          val hi = cs.inner.limit.map(l => lo.toLong + l).getOrElse(Long.MaxValue)
+          val lo = inner0.skip.getOrElse(0)
+          val hi = inner0.limit.map(l => lo.toLong + l).getOrElse(Long.MaxValue)
           inner = inner.withColumn("__call_rn", row_number().over(w))
             .filter(col("__call_rn") > lo && col("__call_rn") <= hi)
             .drop("__call_rn")
@@ -3229,6 +3875,7 @@ final class CypherSession(
         collectPatCompsBool(c) ++ collectPatComps(v) } ++
         d.toSeq.flatMap(collectPatComps)
       case RetListLit(items) => items.flatMap(collectPatComps)
+      case RetMapLit(pairs) => pairs.flatMap(p2 => collectPatComps(p2._2))
       case RetListComp(_, src, _, _) => collectPatComps(src)
       case RetReduce(_, init, _, src, _) =>
         collectPatComps(init) ++ collectPatComps(src)
@@ -3527,24 +4174,81 @@ object CypherSession {
   /** Sign-LSH geometry shared by every vector index: 8 tables × 12-bit
     * buckets over the portable md5-derived plane family — the d15/v15
     * production layout, SQL-replayable by the DuckDB oracle. */
-  private[cypher] val VectorLshTables = 8
-  private[cypher] val VectorLshBits = 12
+  private[graft] val VectorLshTables = 8
+  private[graft] val VectorLshBits = 12
 
-  /** A vector index DEFINITION plus its lazily-(re)built bucketed
-    * snapshot. `snapshot` is (builtOn, data): the graph instance the data
-    * was derived from — every write replaces the session's PropertyGraph
-    * instance, so reference identity IS the staleness check. */
+  /** Serving-layout switch (VERDICT r11 #2 — queryNodes used to scan the
+    * whole in-memory snapshot per query, O(N) at any size): populations
+    * at or above this many indexed rows persist to a bucket-partitioned
+    * parquet layout where a probe's literal filter prunes STORAGE, so
+    * per-query work tracks candidates, not corpus size. Below it the
+    * pinned in-memory frame (a broadcast-scale object) stays faster than
+    * any file listing. Override per session for tests/tuning. */
+  private[graft] val IndexMemThresholdKey = "spark.graft.indexMemThreshold"
+  private[graft] val IndexMemThresholdDefault = 32768L
+
+  /** Persisted layout geometry: pbh = t·64 + (bucket >> 6) ∈ [0, 512) —
+    * one directory per (table, 64-bucket slice), so partition pruning
+    * cuts 1/512 of the layout per probe and the pushed `bucket` equality
+    * finishes the cut inside the pruned files (rows are clustered by the
+    * shuffle on pbh; parquet stats skip non-matching pages). 512 keeps
+    * the directory count filesystem-friendly at any N while the pushed
+    * filter stays exact. */
+  private[graft] val VectorPartDirs = 512
+  private[graft] val FulltextTermDirs = 256
+
+  /** A persisted vector-index serving layout: `basis` = the graph
+    * instance it reflects (plus overlay), `path` = the pbh-partitioned
+    * parquet root, `overlay`/`overlayIds` = snapshot-schema rows written
+    * by setter patches SINCE the layout was built (pinned, small, probed
+    * in memory; null = empty). Effective index = (persisted ∖ overlayIds)
+    * ∪ overlay — the setter's incremental patch rewrites only the
+    * overlay, never the layout. */
+  private[cypher] final case class ServedVectorIndex(basis: PropertyGraph,
+    path: String, overlay: DataFrame, overlayIds: DataFrame)
+
+  /** A vector index DEFINITION plus its lazily-(re)built serving state:
+    * exactly one of `snapshot` (small populations — builtOn, pinned
+    * frame) and `served` (large populations — persisted layout) is
+    * non-null after a build. Every write replaces the session's
+    * PropertyGraph instance, so reference identity IS the staleness
+    * check. */
   private[cypher] final class VectorIndexDef(val label: String,
       val prop: String, val dim: Int, val similarityFunction: String) {
     @volatile var snapshot: (PropertyGraph, DataFrame) = null
+    @volatile var served: ServedVectorIndex = null
   }
 
   /** A fulltext index DEFINITION plus its lazily-(re)built postings.
     * `snapshot` is (builtOn, docs, postings, docCount, avgDl): docs =
-    * (key, node map, dl), postings = (key, fprop, pos, term). */
+    * (key, node map, dl), postings = (key, fprop, pos, term). For large
+    * populations `postingsPath` is non-null and postings serve from a
+    * term-bucket-partitioned parquet layout instead of the in-memory
+    * frame (the `snapshot` postings slot is then null). */
   private[cypher] final class FulltextIndexDef(val label: String,
       val props: Seq[String]) {
     @volatile var snapshot: (PropertyGraph, DataFrame, DataFrame, Long, Double) = null
+    @volatile var postingsPath: String = null
+  }
+
+  /** Boolean tree of a parsed fulltext query: leaves are clause ids
+    * (terms / phrases in first-appearance order), NOT is a match filter
+    * (negated clauses never contribute to the score — Lucene's
+    * prohibit semantics). */
+  private[cypher] sealed trait FtNode
+  private[cypher] final case class FtLeaf(cid: Int) extends FtNode
+  private[cypher] final case class FtAnd(l: FtNode, r: FtNode) extends FtNode
+  private[cypher] final case class FtOr(l: FtNode, r: FtNode) extends FtNode
+  private[cypher] final case class FtNot(e: FtNode) extends FtNode
+
+  /** Driver-side term bucket, EXACTLY the column form used at build time
+    * (`conv(substr(md5(term),1,4),16,10) % FulltextTermDirs`) — a probe
+    * computes its literal partition keys with this. */
+  private[graft] def termBucket(term: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 4)
+    Integer.parseInt(hex, 16) % FulltextTermDirs
   }
 
   /** The fulltext analyzer: lowercase, split on non-alphanumeric runs,

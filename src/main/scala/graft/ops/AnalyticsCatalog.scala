@@ -5226,6 +5226,7 @@ object AnalyticsCatalog {
     Some("""SELECT * FROM (VALUES
            |  ('db.create.setNodeVectorProperty', 'WRITE'),
            |  ('db.index.fulltext.queryNodes', 'READ'),
+           |  ('db.index.vector.createNodeIndex', 'WRITE'),
            |  ('db.index.vector.queryNodes', 'READ'),
            |  ('db.labels', 'READ'),
            |  ('db.propertyKeys', 'READ'),
@@ -5457,6 +5458,325 @@ object AnalyticsCatalog {
            |agg AS (SELECT id, MAX(score) AS score FROM u GROUP BY id)
            |SELECT id AS hit, score FROM agg
            |ORDER BY score DESC, hit LIMIT 10""".stripMargin))
+
+  private val c73 = Entry("c73_cypher_vector_batch_ingest",
+    (s, dir) => {
+      // The BATCHED LangChain add_embeddings statement (VERDICT r11 #1):
+      // `UNWIND $data AS row MERGE (c:Chunk {id: row.id}) WITH c, row
+      // CALL db.create.setNodeVectorProperty(c, 'embedding',
+      // row.embedding)` — ONE statement ingests the whole batch through
+      // ONE set-oriented MERGE + ONE property-write join + ONE store pin
+      // + ONE index patch. c71's per-record form pays an O(N) store pin
+      // PER CHUNK (quadratic total ingest); this is the amortized shape
+      // the reference's declared stack (requirements.txt:2-4) emits on
+      // every add_texts call. The index is created via the PROCEDURE
+      // form (db.index.vector.createNodeIndex — the pre-5.15 statement
+      // LangChain issued for years, VERDICT r11 #3) and queried for
+      // three query vectors; the oracle re-derives candidates and scores
+      // from the raw floats, proving the batched write's string
+      // rendering round-trips exactly like the per-record setter's.
+      val emb = Tables(s, dir, "embeddings")
+      val rows = emb.filter(col("vec_id") < 24)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s), keyProps = Map("Chunk" -> "id"))
+      sess.run(
+        """UNWIND $data AS row
+          |MERGE (c:Chunk {id: row.id})
+          |WITH c, row
+          |CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)"""
+          .stripMargin,
+        Map("data" -> rows.toSeq.map { case (id, v) =>
+          Map("id" -> id.toString, "embedding" -> v) }))
+      sess.run("CALL db.index.vector.createNodeIndex(" +
+        "'chunks', 'Chunk', 'embedding', 64, 'cosine')")
+      Seq(2L, 9L, 17L).map { qid =>
+        sess.run(
+          """CALL db.index.vector.queryNodes('chunks', 5, $q)
+            |YIELD node, score
+            |RETURN node.id AS hit, score""".stripMargin,
+          Map("q" -> rows(qid.toInt)._2))
+          .asInstanceOf[graft.cypher.CypherRows].df
+          .select(lit(qid).as("qid"), col("hit").cast("long").as("hit"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("score").desc, col("hit"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm
+           |  FROM embeddings WHERE vec_id < 24),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |q AS (SELECT * FROM (VALUES (2), (9), (17)) AS t(qid)),
+           |cand AS (
+           |  SELECT DISTINCT q.qid, b2.vec_id
+           |  FROM q
+           |  JOIN bits b1 ON b1.vec_id = q.qid
+           |  JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket),
+           |scored AS (
+           |  SELECT c.qid, c.vec_id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM cand c
+           |  JOIN v x ON x.vec_id = c.qid
+           |  JOIN v y ON y.vec_id = c.vec_id),
+           |top AS (
+           |  SELECT qid, vec_id, score,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, vec_id) AS rn
+           |  FROM scored)
+           |SELECT CAST(qid AS BIGINT) AS qid, vec_id AS hit, score
+           |FROM top WHERE rn <= 5
+           |ORDER BY qid, score DESC, hit""".stripMargin))
+
+  private val c74 = Entry("c74_cypher_hybrid_statement",
+    (s, dir) => {
+      // The LITERAL Neo4jVector hybrid retrieval_query statement (VERDICT
+      // r11 #4): ONE Cypher statement — procedure calls inside CALL { },
+      // per-arm collect/max normalization through a map literal, UNWIND
+      // of the collected rows, statement-level UNION, and a per-node max
+      // over the yielded node map (grouping by a MAP value — canonical
+      // sorted-entries grouping under the hood). Reproduces c72's rows —
+      // c72 computes the same combination as DataFrame ops; this is the
+      // statement form LangChain actually emits — so the oracle is c72's
+      // verbatim.
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(lit("Doc").as("label"),
+          docs("doc_id").cast("string").as("key"),
+          map(lit("title"), substring(col("text"), 1, 30),
+            lit("embedding"), concat_ws(",",
+              transform(col("embedding"),
+                x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id"))
+      sess.run(
+        """CREATE VECTOR INDEX ve FOR (d:Doc) ON d.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64}}""".stripMargin)
+      sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+      val q = emb.filter(col("vec_id") === 3)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      sess.run(
+        """CALL {
+          |  CALL db.index.vector.queryNodes('ve', 10, $q)
+          |  YIELD node, score
+          |  WITH collect({node: node, score: score}) AS nodes,
+          |       max(score) AS max
+          |  UNWIND nodes AS n
+          |  RETURN n.node AS node, (n.score / max) AS score
+          |  UNION
+          |  CALL db.index.fulltext.queryNodes('fe', $text)
+          |  YIELD node, score
+          |  WITH collect({node: node, score: score}) AS nodes,
+          |       max(score) AS max
+          |  UNWIND nodes AS n
+          |  RETURN n.node AS node, (n.score / max) AS score
+          |}
+          |WITH node, max(score) AS score
+          |ORDER BY score DESC, toInteger(node.doc_id) ASC
+          |LIMIT 10
+          |RETURN node.doc_id AS hit, score""".stripMargin,
+        Map("q" -> q, "text" -> "table value"))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("hit").cast("long").as("hit"), col("score"))
+        .orderBy(col("score").desc, col("hit"))
+    },
+    Some("""WITH pop AS MATERIALIZED (
+           |  SELECT e.vec_id AS id,
+           |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(e.embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm,
+           |    substr(d.text, 1, 30) AS title
+           |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM pop v, planes p GROUP BY v.id, p.t),
+           |vcand AS (
+           |  SELECT DISTINCT b2.id
+           |  FROM bits b1 JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket
+           |  WHERE b1.id = 3),
+           |vscored AS (
+           |  SELECT c.id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM vcand c
+           |  JOIN pop x ON x.id = 3
+           |  JOIN pop y ON y.id = c.id),
+           |vtop AS MATERIALIZED (
+           |  SELECT id, score FROM (
+           |    SELECT id, score,
+           |      row_number() OVER (ORDER BY score DESC, id) AS rn
+           |    FROM vscored) z
+           |  WHERE rn <= 10),
+           |vnorm AS (
+           |  SELECT id, score / (SELECT MAX(score) FROM vtop) AS score
+           |  FROM vtop),
+           |tk AS (SELECT CAST(id AS VARCHAR) AS key, id,
+           |    regexp_split_to_array(lower(title), '[^a-z0-9]+') AS t
+           |  FROM pop),
+           |post AS MATERIALIZED (
+           |  SELECT key, id, term,
+           |    row_number() OVER (PARTITION BY key ORDER BY pos) AS pos
+           |  FROM (SELECT key, id, unnest(t) AS term,
+           |          generate_subscripts(t, 1) AS pos FROM tk) z
+           |  WHERE term <> ''),
+           |doclen AS (SELECT key, id, CAST(COUNT(*) AS BIGINT) AS dl
+           |  FROM post GROUP BY key, id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+           |ftf AS (
+           |  SELECT key, 0 AS cid, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post WHERE term = 'table' GROUP BY key
+           |  UNION ALL
+           |  SELECT key, 1, CAST(COUNT(*) AS BIGINT)
+           |  FROM post WHERE term = 'value' GROUP BY key),
+           |fdf AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM ftf GROUP BY cid),
+           |fm AS (SELECT DISTINCT key FROM ftf),
+           |fc AS (
+           |  SELECT t.key, t.cid,
+           |    ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |      (CAST(t.tf AS DOUBLE) + 1.2 *
+           |        ((1.0 - 0.75) +
+           |          (0.75 * CAST(l.dl AS DOUBLE)) / s.avgdl))) *
+           |    (((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5) /
+           |      (CAST(f.df AS DOUBLE) + 0.5)) AS contrib
+           |  FROM ftf t
+           |  JOIN fdf f USING (cid)
+           |  JOIN doclen l USING (key)
+           |  CROSS JOIN stats s),
+           |fs AS MATERIALIZED (
+           |  SELECT c.key,
+           |    list_reduce(list(c.contrib ORDER BY c.cid), (a,b) -> a + b)
+           |      AS score
+           |  FROM fc c JOIN fm USING (key) GROUP BY c.key),
+           |fnorm AS (
+           |  SELECT l.id, s2.score / (SELECT MAX(score) FROM fs) AS score
+           |  FROM fs s2 JOIN doclen l USING (key)),
+           |u AS (SELECT * FROM vnorm UNION ALL SELECT * FROM fnorm),
+           |agg AS (SELECT id, MAX(score) AS score FROM u GROUP BY id)
+           |SELECT id AS hit, score FROM agg
+           |ORDER BY score DESC, hit LIMIT 10""".stripMargin))
+
+  private val c75 = Entry("c75_cypher_fulltext_boolean",
+    (s, dir) => {
+      // Fulltext boolean grammar beyond the LangChain templates (VERDICT
+      // r11 #7): NOT (Lucene's prohibit — one anti-condition on the
+      // clause's doc set, and the prohibited clause never scores),
+      // parentheses grouping, and the `-term` prefix form. Scores stay
+      // the c69 log-free BM25, summed over the POSITIVE clauses present
+      // in clause order, so the DuckDB oracle replays every double.
+      val g = docGraph(s, dir)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Article" -> "doc_id", "Publisher" -> "name"))
+      sess.run(
+        "CREATE FULLTEXT INDEX titles FOR (a:Article) ON EACH [a.title]")
+      val queries = Seq(
+        (1L, "table AND NOT value"),
+        (2L, "(table OR value) AND row"),
+        (3L, "window AND -spark"))
+      queries.map { case (qid, q) =>
+        sess.run(
+          s"""CALL db.index.fulltext.queryNodes('titles', '$q')
+             |YIELD node, score
+             |RETURN node.doc_id AS hit, score""".stripMargin)
+          .asInstanceOf[graft.cypher.CypherRows].df
+          .select(lit(qid).as("qid"), col("hit").cast("long").as("hit"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("score").desc, col("hit"))
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS key, doc_id,
+           |    substr(text, 1, 30) AS title
+           |  FROM documents),
+           |tk AS (SELECT key, doc_id,
+           |    regexp_split_to_array(lower(title), '[^a-z0-9]+') AS t
+           |  FROM d),
+           |post AS (
+           |  SELECT key, doc_id, term
+           |  FROM (SELECT key, doc_id, unnest(t) AS term FROM tk) z
+           |  WHERE term <> ''),
+           |doclen AS (SELECT key, doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           |  FROM post GROUP BY key, doc_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+           |tf AS (SELECT key, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post
+           |  WHERE term IN ('table', 'value', 'row', 'window', 'spark')
+           |  GROUP BY key, term),
+           |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY term),
+           |contrib AS (
+           |  SELECT t.key, t.term,
+           |    ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |      (CAST(t.tf AS DOUBLE) + 1.2 *
+           |        ((1.0 - 0.75) +
+           |          (0.75 * CAST(l.dl AS DOUBLE)) / s.avgdl))) *
+           |    (((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5) /
+           |      (CAST(f.df AS DOUBLE) + 0.5)) AS contrib
+           |  FROM tf t
+           |  JOIN dfq f USING (term)
+           |  JOIN doclen l USING (key)
+           |  CROSS JOIN stats s),
+           |m1 AS (SELECT DISTINCT key FROM tf WHERE term = 'table'
+           |  AND key NOT IN (SELECT key FROM tf WHERE term = 'value')),
+           |s1 AS (SELECT c.key, SUM(c.contrib) AS score
+           |  FROM contrib c JOIN m1 USING (key)
+           |  WHERE c.term = 'table' GROUP BY c.key),
+           |m2 AS (SELECT DISTINCT key FROM tf t2
+           |  WHERE (t2.term = 'table' OR t2.term = 'value')
+           |    AND key IN (SELECT key FROM tf WHERE term = 'row')),
+           |s2 AS (SELECT c.key,
+           |    list_reduce(list(c.contrib ORDER BY
+           |      CASE c.term WHEN 'table' THEN 0 WHEN 'value' THEN 1
+           |        ELSE 2 END), (a,b) -> a + b) AS score
+           |  FROM contrib c JOIN m2 USING (key)
+           |  WHERE c.term IN ('table', 'value', 'row') GROUP BY c.key),
+           |m3 AS (SELECT DISTINCT key FROM tf WHERE term = 'window'
+           |  AND key NOT IN (SELECT key FROM tf WHERE term = 'spark')),
+           |s3 AS (SELECT c.key, SUM(c.contrib) AS score
+           |  FROM contrib c JOIN m3 USING (key)
+           |  WHERE c.term = 'window' GROUP BY c.key),
+           |allq AS (
+           |  SELECT 1 AS qid, key, score FROM s1
+           |  UNION ALL SELECT 2, key, score FROM s2
+           |  UNION ALL SELECT 3, key, score FROM s3)
+           |SELECT CAST(a.qid AS BIGINT) AS qid, l.doc_id AS hit, a.score
+           |FROM allq a JOIN doclen l USING (key)
+           |ORDER BY qid, score DESC, hit""".stripMargin))
 
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
@@ -7335,7 +7655,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
-    c71, c72,
+    c71, c72, c73, c74, c75,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -2883,15 +2883,27 @@ class CypherSpec extends SparkTestBase {
     assert(got === Seq("c1", "c9") || got === Seq("c9", "c1"), got)
     assert(sess.vectorIndexFullBuilds.get === full0 + 1)
     // a setter whose value violates the index geometry fails LOUDLY
-    // naming the index (the property write applied; the index refused it)
+    // naming the index BEFORE mutating (ADVICE r11 #2 — the old shape
+    // wrote the property first, leaving the store mutated with a
+    // permanently broken index; Neo4j rejects atomically)
     sess.run("MERGE (c:Chunk {name: 'c4'})") // fresh snapshot via rebuild
     q(Seq(1.0, 0.0, 0.0, 0.0), 1)
-    val e = intercept[IllegalStateException](sess.run(
+    val fullV = sess.vectorIndexFullBuilds.get
+    val e = intercept[IllegalArgumentException](sess.run(
       "MATCH (c:Chunk {name: 'c4'}) " +
         "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
         "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
       Map("v" -> Seq(1.0, 2.0))))
     assert(e.getMessage.contains("'ce'"), e.getMessage)
+    assert(e.getMessage.contains("store unchanged"), e.getMessage)
+    // the store is untouched (c4 still carries no embedding) and the
+    // snapshot stayed live — the next query neither rebuilds nor throws
+    val bag = sess.run("MATCH (c:Chunk {name: 'c4'}) RETURN c.embedding AS e")
+      .asInstanceOf[CypherRows].df.collect().head
+    assert(bag.isNullAt(0), bag)
+    assert(q(Seq(1.0, 0.0, 0.0, 0.0), 1).map(_._1) === Seq("c1"))
+    assert(sess.vectorIndexFullBuilds.get === fullV,
+      "a rejected setter must not invalidate the snapshot")
   }
 
   test("round-11: fulltext index lifecycle — terms, AND, OR, phrases, deterministic BM25 scores") {
@@ -3050,5 +3062,317 @@ class CypherSpec extends SparkTestBase {
     val names = sess.run("MATCH (n:Item) RETURN n.name AS name ORDER BY name")
       .asInstanceOf[CypherRows].df.as[String].collect().toSeq
     assert(names === Seq("a", "b"))
+  }
+
+  // ------------------------------------------------------------ round 12 --
+
+  private def chunkSession = new CypherSession(
+    PropertyGraph.empty(spark), keyProps = Map("Chunk" -> "id"),
+    clock = () => lit("2026-01-01 00:00:00"))
+
+  private val r12Vecs: Seq[(String, Seq[Double])] = Seq(
+    "0" -> Seq(1.0, 0.0, 0.25, 0.0), "1" -> Seq(0.0, 1.0, 0.0, 0.5),
+    "2" -> Seq(0.9, 0.1, 0.25, 0.0), "3" -> Seq(0.0, 0.0, 1.0, 1.0),
+    "4" -> Seq(0.5, 0.5, 0.5, 0.5))
+
+  test("round-12: batched setNodeVectorProperty — LangChain's UNWIND add_embeddings statement, batch ≡ per-record") {
+    // per-record reference run (c71's shape)
+    val perRec = chunkSession
+    r12Vecs.foreach { case (id, v) =>
+      perRec.run(s"MERGE (c:Chunk {id: '$id'})")
+      perRec.run(s"MATCH (c:Chunk {id: '$id'}) " +
+        "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> v))
+    }
+    // batched run: ONE statement for the whole batch
+    val batched = chunkSession
+    batched.run(
+      """UNWIND $data AS row
+        |MERGE (c:Chunk {id: row.id})
+        |WITH c, row
+        |CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)"""
+        .stripMargin,
+      Map("data" -> r12Vecs.map { case (id, v) =>
+        Map("id" -> id, "embedding" -> v) }))
+    def dump(s: CypherSession): Seq[(String, String)] =
+      s.run("MATCH (c:Chunk) RETURN c.id AS id, c.embedding AS e ORDER BY id")
+        .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(dump(batched) === dump(perRec),
+      "the batched statement must write byte-identical property bags")
+    // and the index built on either store answers identically
+    def top(s: CypherSession): Seq[(String, Double)] = {
+      s.run("""CREATE VECTOR INDEX ce IF NOT EXISTS FOR (c:Chunk) ON c.embedding
+              |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      s.run("CALL db.index.vector.queryNodes('ce', 3, $q) YIELD node, score " +
+        "RETURN node.id AS id, score", Map("q" -> Seq(1.0, 0.0, 0.25, 0.0)))
+        .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    }
+    assert(top(batched) === top(perRec))
+  }
+
+  test("round-12: batched setter on a LIVE index — ONE incremental patch per batch, one store pin") {
+    val sess = chunkSession
+    sess.run("UNWIND $ids AS id MERGE (c:Chunk {id: id})",
+      Map("ids" -> r12Vecs.map(_._1)))
+    sess.run(
+      """UNWIND $data AS row MERGE (c:Chunk {id: row.id}) WITH c, row
+        |CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)"""
+        .stripMargin,
+      Map("data" -> r12Vecs.map { case (id, v) =>
+        Map("id" -> id, "embedding" -> v) }))
+    sess.run("""CREATE VECTOR INDEX ce FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    val inc0 = sess.vectorIndexIncrementalUpdates.get
+    val full0 = sess.vectorIndexFullBuilds.get
+    // re-embed the WHOLE batch in one statement against the live index:
+    // exactly one incremental patch, zero rebuilds
+    sess.run(
+      """UNWIND $data AS row MERGE (c:Chunk {id: row.id}) WITH c, row
+        |CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)"""
+        .stripMargin,
+      Map("data" -> r12Vecs.map { case (id, v) =>
+        Map("id" -> id, "embedding" -> v.map(_ * 2.0)) }))
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1,
+      "the whole batch must patch the index ONCE")
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    val got = sess.run(
+      "CALL db.index.vector.queryNodes('ce', 1, $q) YIELD node, score " +
+        "RETURN node.id AS id", Map("q" -> Seq(0.0, 0.0, 2.0, 2.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(got === Seq("3"))
+    // conflicting vectors for one node in one batch fail typed (no
+    // set-oriented row order to break the tie)
+    val e = intercept[IllegalArgumentException](sess.run(
+      """UNWIND $data AS row MERGE (c:Chunk {id: row.id}) WITH c, row
+        |CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)"""
+        .stripMargin,
+      Map("data" -> Seq(
+        Map("id" -> "0", "embedding" -> Seq(1.0, 0.0, 0.0, 0.0)),
+        Map("id" -> "0", "embedding" -> Seq(0.0, 1.0, 0.0, 0.0))))))
+    assert(e.getMessage.contains("more than one distinct vector"), e.getMessage)
+    // a batch value violating the index fails BEFORE mutating
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      """UNWIND $data AS row MERGE (c:Chunk {id: row.id}) WITH c, row
+        |CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)"""
+        .stripMargin,
+      Map("data" -> Seq(Map("id" -> "0", "embedding" -> Seq(1.0, 2.0))))))
+    assert(e2.getMessage.contains("store unchanged"), e2.getMessage)
+  }
+
+  test("round-12: the full LangChain import loop — setter inside CALL { } IN TRANSACTIONS") {
+    val sess = chunkSession
+    sess.run(
+      """UNWIND $data AS row
+        |CALL { WITH row
+        |  MERGE (c:Chunk {id: row.id})
+        |  WITH c, row
+        |  CALL db.create.setNodeVectorProperty(c, 'embedding', row.embedding)
+        |  SET c.text = row.text
+        |} IN TRANSACTIONS OF 2 ROWS""".stripMargin,
+      Map("data" -> r12Vecs.map { case (id, v) =>
+        Map("id" -> id, "embedding" -> v, "text" -> s"chunk $id") }))
+    val rows = sess.run(
+      "MATCH (c:Chunk) RETURN c.id AS id, c.text AS t, c.embedding AS e ORDER BY id")
+      .asInstanceOf[CypherRows].df.as[(String, String, String)].collect().toSeq
+    assert(rows.size === r12Vecs.size)
+    assert(rows.head === (("0", "chunk 0", "1.0,0.0,0.25,0.0")))
+    // and the store is immediately indexable + queryable
+    sess.run("""CREATE VECTOR INDEX ce FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    val hit = sess.run(
+      "CALL db.index.vector.queryNodes('ce', 1, $q) YIELD node, score " +
+        "RETURN node.id AS id", Map("q" -> Seq(0.0, 0.0, 1.0, 1.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(hit === Seq("3"))
+  }
+
+  test("round-12: db.index.vector.createNodeIndex — procedure/DDL parity") {
+    val sess = chunkSession
+    sess.run("MERGE (c:Chunk {id: 'a'}) SET c.embedding = '1.0,0.0'")
+    sess.run("CALL db.index.vector.createNodeIndex(" +
+      "'pidx', 'Chunk', 'embedding', 2, 'cosine')")
+    val shown = sess.run("SHOW VECTOR INDEXES").asInstanceOf[CypherRows].df
+      .select("name", "labelOrType", "property")
+      .as[(String, String, String)].collect().toSeq
+    assert(shown === Seq(("pidx", "Chunk", "embedding")))
+    // same validation as the DDL: duplicate name rejected, bad similarity
+    // function rejected, equivalent index rejected
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.vector.createNodeIndex(" +
+        "'pidx', 'Chunk', 'embedding', 2, 'cosine')"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.vector.createNodeIndex(" +
+        "'eidx', 'Chunk', 'other', 2, 'euclidean')"))
+    assert(e2.getMessage.contains("cosine"), e2.getMessage)
+    // the procedure-created index SERVES queries like the DDL-created one
+    val got = sess.run(
+      "CALL db.index.vector.queryNodes('pidx', 1, $q) YIELD node, score " +
+        "RETURN node.id AS id, score", Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a", 1.0)))
+    // it is a WRITE-mode procedure: EXPLAIN refuses it
+    val e3 = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN CALL db.index.vector.createNodeIndex(" +
+        "'zidx', 'Chunk', 'embedding', 2, 'cosine')"))
+    assert(e3.getMessage.toLowerCase.contains("explain"), e3.getMessage)
+    // and SHOW PROCEDURES lists it (registry-derived)
+    assert(sess.run("SHOW PROCEDURES").asInstanceOf[CypherRows].df
+      .filter(col("name") === "db.index.vector.createNodeIndex")
+      .select("mode").as[String].collect().toSeq === Seq("WRITE"))
+  }
+
+  test("round-12: fulltext NOT and parentheses — prohibit filters, never scores; malformed input fails typed") {
+    val sess = freshSession
+    def doc(nm: String, title: String): Unit =
+      sess.run(s"MERGE (d:Doc {name: '$nm'}) SET d.title = '$title'")
+    doc("d1", "spark joins fast")
+    doc("d2", "spark shuffles slow spark")
+    doc("d3", "flink streams fast")
+    sess.run("CREATE FULLTEXT INDEX titles FOR (d:Doc) ON EACH [d.title]")
+    def q(query: String): Seq[(String, Double)] = sess.run(
+      s"""CALL db.index.fulltext.queryNodes('titles', '$query')
+         |YIELD node, score
+         |RETURN node.name AS nm, score ORDER BY score DESC, nm""".stripMargin)
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    // NOT filters the clause's doc set
+    assert(q("spark AND NOT joins").map(_._1) === Seq("d2"))
+    // the -term prefix is Lucene's prohibit shorthand
+    assert(q("fast AND -spark").map(_._1) === Seq("d3"))
+    // parentheses group; AND binds tighter than OR without them
+    assert(q("(joins OR streams) AND fast").map(_._1).toSet === Set("d1", "d3"))
+    assert(q("spark AND (joins OR streams)").map(_._1) === Seq("d1"))
+    assert(q("spark AND joins OR streams").map(_._1).toSet === Set("d1", "d3"))
+    // a prohibited clause never contributes to the score: d3's score for
+    // `fast AND NOT spark` is exactly its plain `fast` score
+    val withNot = q("fast AND NOT spark")
+    assert(withNot.map(_._1) === Seq("d3"))
+    val plain = q("fast").find(_._1 == "d3").get
+    assert(withNot.head._2 === plain._2,
+      "NOT must filter matches without changing the positive score")
+    // pure-negative branches are rejected loudly (they would match every
+    // document containing none of the terms)
+    val e1 = intercept[IllegalArgumentException](q("NOT spark"))
+    assert(e1.getMessage.contains("non-negated"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](q("fast OR NOT spark"))
+    assert(e2.getMessage.contains("non-negated"), e2.getMessage)
+    // malformed input fails typed
+    val e3 = intercept[IllegalArgumentException](q("(spark AND fast"))
+    assert(e3.getMessage.contains("unbalanced"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](q("spark AND NOT"))
+    assert(e4.getMessage.contains("NOT needs"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException](q("spark AND ()"))
+    assert(e5.getMessage.contains("empty group"), e5.getMessage)
+    // round-11 leniency pins hold under the new grammar
+    assert(q("AND spark").map(_._1).toSet === Set("d1", "d2"))
+    assert(q("spark AND fast").map(_._1) === Seq("d1"))
+    assert(q("\"streams fast\"").map(_._1) === Seq("d3"))
+  }
+
+  test("round-12: CALL { } UNION of index procedures + options map — Neo4jVector's hybrid statement shape") {
+    val sess = freshSession
+    def doc(nm: String, title: String, emb: Seq[Double]): Unit =
+      sess.run(s"MERGE (d:Doc {name: '$nm'}) SET d.title = '$title', " +
+        s"d.embedding = '${emb.mkString(",")}'")
+    doc("d1", "spark joins fast", Seq(1.0, 0.0, 0.0, 0.0))
+    doc("d2", "spark shuffles slow", Seq(0.0, 1.0, 0.0, 0.0))
+    doc("d3", "flink streams fast", Seq(0.9, 0.1, 0.0, 0.0))
+    sess.run("""CREATE VECTOR INDEX ve FOR (d:Doc) ON d.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+    // the options map's $param limit truncates the scored rows
+    val limited = sess.run(
+      "CALL db.index.fulltext.queryNodes('fe', 'spark fast', {limit: $k}) " +
+        "YIELD node, score RETURN node.name AS nm", Map("k" -> 2))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(limited.size === 2, limited)
+    // the full hybrid template: procedures inside CALL { }, per-arm
+    // collect/max normalization, UNION, per-node-map max, top-k
+    val hybrid = sess.run(
+      """CALL {
+        |  CALL db.index.vector.queryNodes('ve', 3, $q) YIELD node, score
+        |  WITH collect({node: node, score: score}) AS nodes, max(score) AS max
+        |  UNWIND nodes AS n
+        |  RETURN n.node AS node, (n.score / max) AS score
+        |  UNION
+        |  CALL db.index.fulltext.queryNodes('fe', 'spark') YIELD node, score
+        |  WITH collect({node: node, score: score}) AS nodes, max(score) AS max
+        |  UNWIND nodes AS n
+        |  RETURN n.node AS node, (n.score / max) AS score
+        |}
+        |WITH node, max(score) AS score
+        |ORDER BY score DESC, node.name ASC
+        |LIMIT 3
+        |RETURN node.name AS nm, score""".stripMargin,
+      Map("q" -> Seq(1.0, 0.0, 0.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    // d1: vector max (1.0) — also a 'spark' hit; d2: fulltext 'spark'
+    // normalized 1.0 (shortest spark doc? both arms normalize by their
+    // own max); every doc appears once (the map-valued node dedups)
+    assert(hybrid.size === 3, hybrid)
+    assert(hybrid.map(_._1).distinct.size === 3, hybrid)
+    assert(hybrid.head._2 === 1.0, hybrid)
+  }
+
+  test("round-12: plain CREATE INDEX (range) — advisory lifecycle, SHOW INDEXES row, typed errors") {
+    val sess = freshSession
+    sess.run("MERGE (a:Article {link: 'x'})")
+    // named, anonymous-default, RANGE-keyword and pre-5 bare-ON forms
+    assert(sess.run("CREATE INDEX art_link FOR (a:Article) ON (a.link)")
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head ===
+      (("art_link", true)))
+    assert(sess.run("CREATE INDEX FOR (p:Publisher) ON (p.name)")
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head ===
+      (("range_Publisher_name", true)))
+    assert(sess.run("CREATE RANGE INDEX t_idx FOR (t:Tech) ON t.name")
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head ===
+      (("t_idx", true)))
+    // IF NOT EXISTS is a no-op on both name and definition collisions
+    assert(sess.run(
+      "CREATE INDEX art_link IF NOT EXISTS FOR (a:Article) ON (a.link)")
+      .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head._2
+      === false)
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "CREATE INDEX art_link FOR (a:Article) ON (a.title)"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "CREATE INDEX other FOR (a:Article) ON (a.link)"))
+    assert(e2.getMessage.contains("equivalent"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](sess.run(
+      "CREATE INDEX comp FOR (a:Article) ON (a.link, a.title)"))
+    assert(e3.getMessage.contains("composite"), e3.getMessage)
+    // SHOW INDEXES lists RANGE rows alongside the label LOOKUP
+    val shown = sess.run("SHOW INDEXES").asInstanceOf[CypherRows].df
+      .filter(col("type") === "RANGE")
+      .select("name", "labelOrType", "property")
+      .as[(String, String, String)].collect().toSeq.sorted
+    assert(shown === Seq(("art_link", "Article", "link"),
+      ("range_Publisher_name", "Publisher", "name"),
+      ("t_idx", "Tech", "name")))
+    // DROP removes it; the queries it advises still run (advisory row)
+    assert(sess.run("DROP INDEX art_link").asInstanceOf[CypherRows].df
+      .as[(String, Boolean)].collect().head === (("art_link", true)))
+    assert(sess.run("MATCH (a:Article {link: 'x'}) RETURN a.link AS l")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq === Seq("x"))
+  }
+
+  test("round-12: queryNodes accepts Int-typed k; unterminated backtick fails typed") {
+    val sess = chunkSession
+    sess.run("MERGE (c:Chunk {id: 'a'}) SET c.embedding = '1.0,0.0'")
+    sess.run("CALL db.index.vector.createNodeIndex(" +
+      "'i', 'Chunk', 'embedding', 2, 'cosine')")
+    // ADVICE r11 #3: a JVM-built params map naturally carries Int
+    val got = sess.run(
+      "CALL db.index.vector.queryNodes('i', $k, $q) YIELD node, score " +
+        "RETURN node.id AS id",
+      Map("k" -> 1, "q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(got === Seq("a"))
+    // ADVICE r11 #4: a missing closing backtick fails typed, not with a
+    // confusing downstream parse error
+    val e = intercept[IllegalArgumentException](sess.run(
+      "MATCH (c:Chunk) RETURN c.`embedding AS x"))
+    assert(e.getMessage.contains("unterminated backtick"), e.getMessage)
   }
 }

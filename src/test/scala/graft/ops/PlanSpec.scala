@@ -620,4 +620,130 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange ".r.findAllIn(p).size === 1, p)
     assert(p.contains("Window"), p)
   }
+
+  /** Collect every file scan in an executed plan, descending through AQE
+    * wrappers and materialized query stages (plain `plan.collect` stops
+    * at those boundaries). */
+  private def allFileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allFileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allFileScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allFileScans)
+  }
+
+  test("round-12: persisted vector-index serving — a query reads ONLY its probed buckets' files") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // force the persisted layout at fixture size (the production default
+    // keeps populations under 32768 rows in memory)
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      def build(): graft.cypher.CypherSession = {
+        val sess = new graft.cypher.CypherSession(
+          graft.graph.PropertyGraph.empty(spark))
+        val batch = (0 until 300).map { i =>
+          Map("name" -> s"n$i",
+            "embedding" -> Seq.tabulate(4)(j => (i * 4 + j) % 7 - 3.0))
+        }
+        sess.run(
+          """UNWIND $data AS row MERGE (d:Doc {name: row.name}) WITH d, row
+            |CALL db.create.setNodeVectorProperty(d, 'embedding', row.embedding)"""
+            .stripMargin, Map("data" -> batch))
+        sess.run("""CREATE VECTOR INDEX ve FOR (d:Doc) ON d.embedding
+                   |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+        sess
+      }
+      val sess = build()
+      val q = Map("q" -> Seq(1.0, 0.0, -1.0, 2.0))
+      val df = sess.run(
+        "CALL db.index.vector.queryNodes('ve', 5, $q) YIELD node, score " +
+          "RETURN node.name AS nm, score", q)
+        .asInstanceOf[graft.cypher.CypherRows].df
+      val rows = df.collect()
+      // IO assertion: the probes read at most one file per LSH table —
+      // partition pruning cut the 512-directory layout to the 8 probed
+      // (table, bucket-slice) directories before any row was touched
+      val scans = allFileScans(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "a 300-row index above the lowered threshold " +
+        "must serve from the persisted layout:\n" +
+        df.queryExecution.executedPlan)
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      assert(filesRead <= graft.cypher.CypherSession.VectorLshTables,
+        s"query read $filesRead files — pruning is not reaching the layout")
+      // equivalence: the in-memory path returns byte-identical rows
+      spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey,
+        graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+      val memRows = build().run(
+        "CALL db.index.vector.queryNodes('ve', 5, $q) YIELD node, score " +
+          "RETURN node.name AS nm, score", q)
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+      assert(rows.toSeq === memRows.toSeq,
+        "persisted serving must be result-identical to in-memory serving")
+      // live maintenance: a setter patch updates the OVERLAY, the layout's
+      // files untouched; the patched value wins the next probe
+      spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+      val inc0 = sess.vectorIndexIncrementalUpdates.get
+      val full0 = sess.vectorIndexFullBuilds.get
+      sess.run("MATCH (d:Doc {name: 'n0'}) " +
+        "CALL db.create.setNodeVectorProperty(d, 'embedding', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> Seq(9.0, 9.0, 9.0, 9.0)))
+      assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1)
+      assert(sess.vectorIndexFullBuilds.get === full0)
+      val hit = sess.run(
+        "CALL db.index.vector.queryNodes('ve', 1, $q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> Seq(9.0, 9.0, 9.0, 9.0)))
+        .asInstanceOf[graft.cypher.CypherRows].df.collect().map(_.getString(0))
+      assert(hit.toSeq === Seq("n0"))
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
+
+  test("round-12: persisted fulltext postings — a term probe prunes to its bucket's directory") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      def build(): graft.cypher.CypherSession = {
+        val sess = new graft.cypher.CypherSession(
+          graft.graph.PropertyGraph.empty(spark))
+        (0 until 60).foreach { i =>
+          sess.run(s"MERGE (d:Doc {name: 'n$i'}) " +
+            s"SET d.title = 'spark doc number $i fast table row$i'")
+        }
+        sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+        sess
+      }
+      val sess = build()
+      val df = sess.run(
+        "CALL db.index.fulltext.queryNodes('fe', 'spark AND table') " +
+          "YIELD node, score RETURN node.name AS nm, score")
+        .asInstanceOf[graft.cypher.CypherRows].df
+      val rows = df.collect()
+      assert(rows.length === 60)
+      val scans = allFileScans(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty,
+        "postings above the lowered threshold must serve from parquet")
+      // each of the two query terms probes its own bucket directory —
+      // never the whole postings layout
+      scans.foreach { f =>
+        assert(f.metrics("numFiles").value <= 1,
+          s"a term probe read ${f.metrics("numFiles").value} files")
+      }
+      // equivalence with the in-memory path
+      spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey,
+        graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+      val memRows = build().run(
+        "CALL db.index.fulltext.queryNodes('fe', 'spark AND table') " +
+          "YIELD node, score RETURN node.name AS nm, score")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+      assert(rows.toSeq === memRows.toSeq)
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
 }
