@@ -355,9 +355,14 @@ final class CypherSession(
     // undefined) still names the offending node loudly; the snapshot is
     // only recorded after validation passes, so a failed build leaves no
     // index behind (the orphaned pin is released by GC).
-    val ok = size(col("emb")) === d.dim &&
-      !exists(col("emb"), x => x.isNull) &&
-      aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0.0
+    // the zero-vector rejection applies to COSINE indexes only (cosine is
+    // undefined at zero norm); euclidean legally indexes the origin
+    val ok0 = size(col("emb")) === d.dim &&
+      !exists(col("emb"), x => x.isNull)
+    val ok =
+      if (d.similarityFunction == "cosine")
+        ok0 && aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0.0
+      else ok0
     val derived = parsed
       .withColumn("__ok", ok)
       .withColumn("nrm",
@@ -373,7 +378,9 @@ final class CypherSession(
     if (bad.nonEmpty) throw new IllegalStateException(
       s"vector index '$name': node '${bad.head.getString(0)}' has a " +
         s"malformed ${d.prop} — every indexed value must be ${d.dim} " +
-        "numeric components with a nonzero norm")
+        "numeric components" +
+        (if (d.similarityFunction == "cosine") " with a nonzero norm"
+         else ""))
     val data = derived.drop("__ok")
     if (data.count() >= indexMemThreshold) {
       // persisted serving: one row per (table, bucket) membership, payload
@@ -390,8 +397,15 @@ final class CypherSession(
         .repartition(col("pbh"))
         .sortWithinPartitions(col("pbh"), col("bucket"))
         .write.partitionBy("pbh").parquet(dir.toString)
+      // read the layout ONCE: the cached frame carries the resolved file
+      // index, so every probe is a pure planning-time partition-prune —
+      // re-reading per query re-listed 512 directories x 8 probes and
+      // cost ~10 s/query at 200k vectors (measured; the whole point of
+      // the layout is sub-second candidate-bounded queries)
+      val frame = graph.nodes.sparkSession.read.parquet(dir.toString)
       val old = d.served
-      d.served = CypherSession.ServedVectorIndex(cur, dir.toString, null, null)
+      d.served = CypherSession.ServedVectorIndex(cur, dir.toString, frame,
+        null, null)
       d.snapshot = null
       if (old != null) deleteIndexPath(old.path)
       Right(d.served)
@@ -420,7 +434,7 @@ final class CypherSession(
     def termFn(postings: DataFrame): String => DataFrame =
       if (postings != null) { t => postings.filter(col("term") === t) }
       else { t =>
-        spark.read.parquet(d.postingsPath)
+        d.postingsFrame
           .filter(col("tb") === lit(CypherSession.termBucket(t)) &&
             col("term") === t)
           .select(col("key"), col("fprop"), col("pos"), col("term"))
@@ -464,11 +478,13 @@ final class CypherSession(
         .sortWithinPartitions(col("tb"), col("term"))
         .write.partitionBy("tb").parquet(dir.toString)
       d.postingsPath = dir.toString
+      d.postingsFrame = spark.read.parquet(dir.toString)
       d.snapshot = (cur, docs, null, n, avgDl)
       if (old != null) deleteIndexPath(old)
       (docs, termFn(null), n, avgDl)
     } else {
       d.postingsPath = null
+      d.postingsFrame = null
       d.snapshot = (cur, docs, postings, n, avgDl)
       if (old != null) deleteIndexPath(old)
       (docs, termFn(postings), n, avgDl)
@@ -737,10 +753,12 @@ final class CypherSession(
 
   private def executeCreateVectorIndex(c: CreateVectorIndex): CypherResult = {
     val spark = graph.nodes.sparkSession
-    if (c.similarityFunction != "cosine") throw new IllegalArgumentException(
-      s"vector.similarity_function '${c.similarityFunction}' is not " +
-        "supported — this engine implements 'cosine' (the Neo4jVector/" +
-        "LangChain default); euclidean is not implemented")
+    if (c.similarityFunction != "cosine" &&
+        c.similarityFunction != "euclidean")
+      throw new IllegalArgumentException(
+        s"vector.similarity_function '${c.similarityFunction}' is not " +
+          "supported — this engine implements 'cosine' (the Neo4jVector/" +
+          "LangChain default) and 'euclidean'")
     val name = c.name.getOrElse(s"vector_${c.label}_${c.prop}")
     if (vectorIndexes.contains(name) || fulltextIndexes.contains(name) ||
         rangeIndexes.contains(name)) {
@@ -934,20 +952,26 @@ final class CypherSession(
     // validated values are the batch's own rendered strings.
     vectorIndexes.foreach { case (iname, vd) =>
       if (vd.prop == keyName) {
+        val bad0 = size(col("emb")) =!= vd.dim ||
+          exists(col("emb"), x => x.isNull)
+        val badCond =
+          if (vd.similarityFunction == "cosine")
+            bad0 || aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0
+          else bad0 // euclidean legally indexes the origin
         val badW = targets
           .join(preGraph.nodes.filter(col("label") === vd.label)
             .select(col("id")), Seq("id"), "left_semi")
           .withColumn("emb", parseVectorCol(col("__wval")))
-          .filter(size(col("emb")) =!= vd.dim ||
-            exists(col("emb"), x => x.isNull) ||
-            aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) === 0.0)
+          .filter(badCond)
           .select(col("id")).limit(1).collect()
         if (badW.nonEmpty) throw new IllegalArgumentException(
           "setNodeVectorProperty value violates vector index " +
             s"'$iname' on (:${vd.label}).${vd.prop}: node id " +
             s"${badW.head.getLong(0)} would carry a value that is not " +
-            s"${vd.dim} numeric components with a nonzero norm — the " +
-            "statement did not apply (store unchanged)")
+            s"${vd.dim} numeric components" +
+            (if (vd.similarityFunction == "cosine")
+              " with a nonzero norm" else "") +
+            " — the statement did not apply (store unchanged)")
       }
     }
     val written = writeNodeProperty(keyName, targets)
@@ -3457,9 +3481,13 @@ final class CypherSession(
           require(qv.length == vidx.dim,
             s"query vector has ${qv.length} dimensions; index '$idxName' " +
               s"expects ${vidx.dim}")
+          val euclidean = vidx.similarityFunction == "euclidean"
           var qn2 = 0.0
           qv.foreach(x => qn2 += x * x)
-          require(qn2 > 0.0, "query vector must have a nonzero norm")
+          // cosine is undefined at zero norm; euclidean legally queries
+          // from the origin
+          if (!euclidean)
+            require(qn2 > 0.0, "query vector must have a nonzero norm")
           val qn = math.sqrt(qn2)
           // bucket the query vector driver-side with the SAME plane family
           // the snapshot used (bit i of table t set iff plane·x >= 0)
@@ -3496,7 +3524,7 @@ final class CypherSession(
               // (literal conjunction per probe; no distinct, no shuffle).
               val probes = (0 until CypherSession.VectorLshTables).map { t =>
                 val pbh = t * 64 + (qb(t) >> 6).toInt
-                var pr = spark.read.parquet(sv.path)
+                var pr = sv.frame
                   .filter(col("pbh") === lit(pbh) && col("t") === lit(t) &&
                     col("bucket") === lit(qb(t)))
                 (0 until t).foreach { tp =>
@@ -3521,11 +3549,18 @@ final class CypherSession(
           val qlit = typedlit(qv.toSeq)
           val dot = aggregate(zip_with(col("emb"), qlit, (a, b) => a * b),
             lit(0.0), (acc, x) => acc + x)
+          // Neo4j's score normalizations, left-fold arithmetic so the
+          // doubles replay in the DuckDB oracle: cosine → (1 + cos)/2,
+          // euclidean → 1 / (1 + squared distance)
+          val score =
+            if (euclidean) {
+              val sqd = aggregate(
+                zip_with(col("emb"), qlit, (a, b) => (a - b) * (a - b)),
+                lit(0.0), (acc, x) => acc + x)
+              lit(1.0) / (lit(1.0) + sqd)
+            } else (lit(1.0) + dot / (col("nrm") * lit(qn))) / lit(2.0)
           cand
-            .select(col("node"),
-              ((lit(1.0) + dot / (col("nrm") * lit(qn))) / lit(2.0))
-                .as("score"),
-              col("key"))
+            .select(col("node"), score.as("score"), col("key"))
             // tie-break at the k boundary (ADVICE r11 #1): (length, lex)
             // on the key string IS numeric order for canonically-rendered
             // nonnegative integer keys — the collation the DuckDB oracles
@@ -4205,7 +4240,8 @@ object CypherSession {
     * ∪ overlay — the setter's incremental patch rewrites only the
     * overlay, never the layout. */
   private[cypher] final case class ServedVectorIndex(basis: PropertyGraph,
-    path: String, overlay: DataFrame, overlayIds: DataFrame)
+    path: String, frame: DataFrame, overlay: DataFrame,
+    overlayIds: DataFrame)
 
   /** A vector index DEFINITION plus its lazily-(re)built serving state:
     * exactly one of `snapshot` (small populations — builtOn, pinned
@@ -4229,6 +4265,9 @@ object CypherSession {
       val props: Seq[String]) {
     @volatile var snapshot: (PropertyGraph, DataFrame, DataFrame, Long, Double) = null
     @volatile var postingsPath: String = null
+    /** The persisted layout read ONCE (cached file index) — per-term
+      * probes partition-prune at planning time, never re-list. */
+    @volatile var postingsFrame: DataFrame = null
   }
 
   /** Boolean tree of a parsed fulltext query: leaves are clause ids

@@ -5778,6 +5778,85 @@ object AnalyticsCatalog {
            |FROM allq a JOIN doclen l USING (key)
            |ORDER BY qid, score DESC, hit""".stripMargin))
 
+  private val c76 = Entry("c76_cypher_vector_euclidean",
+    (s, dir) => {
+      // Euclidean vector indexes (round 12 — the other half of Neo4j 5's
+      // vector.similarity_function surface; LangChain selects it via
+      // distance_strategy=EUCLIDEAN). Same sign-LSH candidate generation
+      // as cosine (the engine's documented approximate candidate step),
+      // exact re-scoring with Neo4j's euclidean normalization
+      // score = 1 / (1 + squaredDistance) — left-fold arithmetic so the
+      // DuckDB oracle replays every double.
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = emb.select(lit("Doc").as("label"),
+        col("vec_id").cast("string").as("key"),
+        map(lit("embedding"), concat_ws(",",
+          transform(col("embedding"),
+            x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "vec_id"))
+      sess.run(
+        """CREATE VECTOR INDEX docL2 FOR (d:Doc) ON d.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64,
+          |  `vector.similarity_function`: 'euclidean'}}""".stripMargin)
+      val qids = Seq(1L, 33L, 77L)
+      val byId = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+      qids.map { qid =>
+        sess.run(
+          """CALL db.index.vector.queryNodes('docL2', 5, $q)
+            |YIELD node, score
+            |RETURN node.vec_id AS hit, score""".stripMargin,
+          Map("q" -> byId(qid)))
+          .asInstanceOf[graft.cypher.CypherRows].df
+          .select(lit(qid).as("qid"), col("hit").cast("long").as("hit"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("score").desc, col("hit"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |q AS (SELECT * FROM (VALUES (1), (33), (77)) AS t(qid)),
+           |cand AS (
+           |  SELECT DISTINCT q.qid, b2.vec_id
+           |  FROM q
+           |  JOIN bits b1 ON b1.vec_id = q.qid
+           |  JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket),
+           |scored AS (
+           |  SELECT c.qid, c.vec_id,
+           |    1.0 / (1.0 + list_reduce(list_transform(
+           |      list_zip(x.dvec, y.dvec),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a,b) -> a + b))
+           |      AS score
+           |  FROM cand c
+           |  JOIN v x ON x.vec_id = c.qid
+           |  JOIN v y ON y.vec_id = c.vec_id),
+           |top AS (
+           |  SELECT qid, vec_id, score,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, vec_id) AS rn
+           |  FROM scored)
+           |SELECT CAST(qid AS BIGINT) AS qid, vec_id AS hit, score
+           |FROM top WHERE rn <= 5
+           |ORDER BY qid, score DESC, hit""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -7655,7 +7734,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
-    c71, c72, c73, c74, c75,
+    c71, c72, c73, c74, c75, c76,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -3357,6 +3357,42 @@ class CypherSpec extends SparkTestBase {
       .asInstanceOf[CypherRows].df.as[String].collect().toSeq === Seq("x"))
   }
 
+  test("round-12: euclidean vector indexes — 1/(1+d2) scores, origin legal, cosine still rejects zero") {
+    val sess = chunkSession
+    Seq("a" -> "1.0,0.0", "b" -> "0.0,2.0", "o" -> "0.0,0.0").foreach {
+      case (id, v) =>
+        sess.run(s"MERGE (c:Chunk {id: '$id'}) SET c.embedding = '$v'")
+    }
+    // a cosine index rejects the zero vector at build (cosine undefined)
+    val e = intercept[IllegalStateException](sess.run(
+      """CREATE VECTOR INDEX cidx FOR (c:Chunk) ON c.embedding
+        |OPTIONS {indexConfig: {`vector.dimensions`: 2}}""".stripMargin))
+    assert(e.getMessage.contains("nonzero norm"), e.getMessage)
+    // euclidean legally indexes (and queries from) the origin
+    sess.run("""CREATE VECTOR INDEX eidx FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 2,
+               |  `vector.similarity_function`: 'euclidean'}}""".stripMargin)
+    val got = sess.run(
+      "CALL db.index.vector.queryNodes('eidx', 3, $q) YIELD node, score " +
+        "RETURN node.id AS id, score", Map("q" -> Seq(0.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    // Neo4j's euclidean normalization: score = 1 / (1 + squaredDistance).
+    // The origin always collides with the zero query vector (identical
+    // sign pattern); other docs are LSH candidates when buckets collide.
+    assert(got.contains(("o", 1.0)), got)
+    got.foreach {
+      case ("a", s) => assert(s === 0.5, got)
+      case ("b", s) => assert(s === 0.2, got)
+      case _ => ()
+    }
+    // bad similarity function still fails typed
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      """CREATE VECTOR INDEX m FOR (c:Chunk) ON c.other
+        |OPTIONS {indexConfig: {`vector.dimensions`: 2,
+        |  `vector.similarity_function`: 'manhattan'}}""".stripMargin))
+    assert(e2.getMessage.contains("euclidean"), e2.getMessage)
+  }
+
   test("round-12: queryNodes accepts Int-typed k; unterminated backtick fails typed") {
     val sess = chunkSession
     sess.run("MERGE (c:Chunk {id: 'a'}) SET c.embedding = '1.0,0.0'")
