@@ -145,9 +145,13 @@ object CypherAst {
     variable: String, src: ReturnExpr, body: ReturnExpr) extends ReturnExpr
   /** Map projection `n {.p1, .p2}` / `n {.*}` — a MAP column of the
     * selected properties (all=true takes the whole bag, merge key folded
-    * in). */
+    * in). `overrides` are literal-value entries (`n {.*, embedding: Null,
+    * id: Null}` — Neo4jVector's DEFAULT retrieval template nulls the
+    * payload columns out of the returned metadata this way); an override
+    * REPLACES the selected property of the same name, Neo4j's semantics. */
   final case class RetMapProj(variable: String, props: Seq[String],
-    all: Boolean = false) extends ReturnExpr
+    all: Boolean = false,
+    overrides: Seq[(String, ReturnExpr)] = Nil) extends ReturnExpr
   /** Temporal constructor with a map argument —
     * `datetime({epochMillis: e})`, `date({epochSeconds: e})`,
     * `duration({days: 1, hours: 6})` (Neo4j's map-form temporal ctors,
@@ -336,6 +340,17 @@ object CypherAst {
           "mandatory"),
       "db.schema.relTypeProperties" ->
         Seq("relType", "propertyName", "propertyTypes", "mandatory"),
+      // APOC's schema census — the procedure LangChain's Neo4jGraph
+      // refuses to initialize without (its refresh_schema derives the
+      // whole prompt-visible schema from these rows; reference stack:
+      // /root/reference/requirements.txt:3 langchain-neo4j). Three row
+      // shapes, exactly the triples LangChain's three statements filter
+      // on: node properties (elementType='node', type='STRING'),
+      // relationship topology (elementType='node', type='RELATIONSHIP',
+      // property=relType, other=[end labels]), and relationship
+      // properties (elementType='relationship', type='STRING').
+      "apoc.meta.data" ->
+        Seq("label", "property", "count", "type", "elementType", "other"),
       // graph-algorithm procedures (the GDS `.stream` surface): results
       // identify nodes by KEY (engine-independent), never internal ids
       // graph-catalog management (named projections — the first line of
@@ -422,6 +437,8 @@ object CypherAst {
         "Node property schema: per-label property inventory with types and a data-derived mandatory flag.",
       "db.schema.relTypeProperties" ->
         "Relationship property schema: per-type property inventory with types and a data-derived mandatory flag.",
+      "apoc.meta.data" ->
+        "APOC schema census: node properties, relationship topology (start label, type, end labels) and relationship properties.",
       "gds.graph.project" ->
         "Project a named label/relType-filtered snapshot of the store into the GDS graph catalog.",
       "gds.graph.list" -> "List the named projections in the GDS graph catalog.",
@@ -476,9 +493,22 @@ object CypherAst {
       "db.create.setNodeVectorProperty" ->
         "Set a vector-valued property on the bound nodes (one set-oriented join; the embedding setter LangChain issues).")
 
+    /** Pseudo-procedure schemas the PARSER binds into a pipeline but which
+      * are not user-callable names (no SHOW PROCEDURES row): `SHOW INDEXES
+      * YIELD …` compiles to a first-stage binding of this relation —
+      * Neo4j 5's FULL SHOW INDEXES column set (list-typed labelsOrTypes /
+      * properties and the options map), the shape Neo4jVector's
+      * retrieve_existing_index statement filters on. The bare `SHOW
+      * INDEXES` keeps its stable flat columns (c63's hashed subset). */
+    val internal: Map[String, Seq[String]] = Map(
+      "internal.show.indexes" -> Seq("name", "state", "populationPercent",
+        "type", "entityType", "labelsOrTypes", "properties",
+        "indexProvider", "owningConstraint", "options"))
+
     def schema(name: String): Seq[String] =
-      all.getOrElse(name, throw new IllegalArgumentException(
-        s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}"))
+      all.getOrElse(name, internal.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown procedure '$name' — supported: ${all.keys.toSeq.sorted.mkString(", ")}")))
 
     /** Procedures that mutate the store or a session catalog when invoked.
       * EXPLAIN/PROFILE reject statements containing these — the engine

@@ -147,6 +147,9 @@ object CypherParser {
       * subquery, bare pattern predicate) drains its slice and ANDs it
       * into its own WHERE. Write-clause patterns reject them. */
     private val nodeWheres = ArrayBuffer.empty[BoolExpr]
+    /** Pseudo-procedure(s) a SHOW … YIELD statement seeds into the next
+      * pipeline's first stage (consumed by matchStatement). */
+    private var pendingProcs: Seq[ProcCall] = Nil
     private def drainNodeWheres(base: Int): Option[BoolExpr] = {
       val drained = nodeWheres.drop(base).toSeq
       nodeWheres.dropRightInPlace(nodeWheres.length - base)
@@ -219,7 +222,36 @@ object CypherParser {
           case Some(Ident(c)) if c.equalsIgnoreCase("constraints") =>
             next(); ShowConstraints
           case Some(Ident(c)) if c.equalsIgnoreCase("indexes") =>
-            next(); ShowIndexes
+            next()
+            if (peekSoft("YIELD")) {
+              // `SHOW INDEXES YIELD … [WHERE …] [RETURN …]` — the index-
+              // existence statement Neo4jVector issues before creating an
+              // index. The YIELD binds Neo4j's FULL column set (arrays +
+              // options map) into an ordinary pipeline; everything after
+              // composes like any CALL: seed the pipeline's first stage
+              // with the pseudo-procedure and parse the rest normally.
+              next()
+              val cols = Procedures.internal("internal.show.indexes")
+              val yields = ArrayBuffer.empty[(String, String)]
+              if (peek.contains(Sym("*"))) {
+                next(); cols.foreach(c0 => yields += ((c0, c0)))
+              } else {
+                def yieldItem(): Unit = {
+                  val c0 = ident()
+                  if (!cols.contains(c0))
+                    fail(s"SHOW INDEXES does not yield '$c0' " +
+                      s"(yields: ${cols.mkString(", ")})")
+                  val a =
+                    if (peek.contains(Kw("AS"))) { next(); ident() } else c0
+                  yields += ((c0, a))
+                }
+                yieldItem()
+                while (peek.contains(Sym(","))) { next(); yieldItem() }
+              }
+              pendingProcs =
+                Seq(ProcCall("internal.show.indexes", yields.toSeq, Map.empty, Nil))
+              statementFromPipeline()
+            } else ShowIndexes
           case Some(Ident(c)) if c.equalsIgnoreCase("databases") =>
             next(); ShowDatabases
           case Some(Ident(c)) if c.equalsIgnoreCase("procedures") =>
@@ -554,6 +586,10 @@ object CypherParser {
         }
         val calls = ArrayBuffer.empty[CallSub]
         val procs = ArrayBuffer.empty[ProcCall]
+        // a SHOW … YIELD statement seeds its pseudo-procedure into the
+        // pipeline's first stage; the rest of the statement parses as any
+        // CALL-opened pipeline
+        if (pendingProcs.nonEmpty) { procs ++= pendingProcs; pendingProcs = Nil }
         while (peek.contains(Kw("CALL"))) {
           next()
           if (peek.contains(Sym("{"))) {
@@ -688,8 +724,8 @@ object CypherParser {
         val ss = stages.toSeq
         val procOnly = ss.nonEmpty && ss.forall(st =>
           st.paths.isEmpty && st.optPaths.isEmpty && st.unwinds.isEmpty &&
-            st.calls.isEmpty && st.loads.isEmpty && st.withClause.isEmpty &&
-            st.where.isEmpty) && ss.exists(_.procs.nonEmpty)
+            st.calls.isEmpty && st.loads.isEmpty && st.withClause.isEmpty) &&
+          ss.exists(_.procs.nonEmpty)
         if (procOnly && peek.isEmpty)
           return MatchStatement(ss,
             ss.flatMap(_.procs).flatMap(_.boundNames)
@@ -1603,18 +1639,34 @@ object CypherParser {
         next(); next(); RetLit(FnCall(fn.toLowerCase))
       case Ident(v) if peek.contains(Sym("{")) &&
           pos + 1 < ts.length && ts(pos + 1) == Sym(".") =>
-        // map projection: v {.p1, .p2} or v {.*}
+        // map projection: v {.p1, .p2} or v {.*}, optionally with
+        // literal-entry overrides `key: expr` (Neo4jVector's default
+        // retrieval template: `node {.*, text: Null, embedding: Null,
+        // id: Null}` — the payload columns nulled out of the metadata)
         next() // {
         var all = false
         val props = ArrayBuffer.empty[String]
-        def item(): Unit = {
-          expectSym(".")
-          if (peek.contains(Sym("*"))) { next(); all = true } else props += ident()
-        }
+        val overrides = ArrayBuffer.empty[(String, ReturnExpr)]
+        def item(): Unit =
+          if (peek.contains(Sym("."))) {
+            next()
+            if (peek.contains(Sym("*"))) { next(); all = true }
+            else props += ident()
+          } else {
+            // `key: expr` — the key may be backticked or collide with a
+            // keyword (`end`, `contains`); accept both lowered forms
+            val k = next() match {
+              case Ident(s) => s
+              case Kw(s) => s.toLowerCase
+              case t => fail(s"expected a map-projection entry, got $t")
+            }
+            expectSym(":")
+            overrides += k -> addExpr()
+          }
         item()
         while (peek.contains(Sym(","))) { next(); item() }
         expectSym("}")
-        RetMapProj(v, props.toSeq, all)
+        RetMapProj(v, props.toSeq, all, overrides.toSeq)
       case Ident(v) if peek.contains(Sym(".")) =>
         next()
         val p1 = ident()

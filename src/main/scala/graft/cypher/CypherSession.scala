@@ -340,6 +340,18 @@ final class CypherSession(
     if (sv != null && (sv.basis eq cur)) return Right(sv)
     val cached = d.snapshot
     if (cached != null && (cached._1 eq cur)) return Left(cached._2)
+    // label-scoped invalidation (round 12): if every write between the
+    // cached basis and the current instance provably touched only OTHER
+    // labels, this index's population is byte-identical — adopt the
+    // current instance instead of re-paying the full (layout) build.
+    if (sv != null && labelUntouchedSince(sv.basis, cur, d.label)) {
+      d.served = sv.copy(basis = cur)
+      return Right(d.served)
+    }
+    if (cached != null && labelUntouchedSince(cached._1, cur, d.label)) {
+      d.snapshot = (cur, cached._2)
+      return Left(cached._2)
+    }
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     vectorIndexFullBuilds.incrementAndGet()
     val parsed = cur.nodes.filter(col("label") === d.label)
@@ -443,6 +455,11 @@ final class CypherSession(
     val cached = d.snapshot
     if (cached != null && (cached._1 eq cur))
       return (cached._2, termFn(cached._3), cached._4, cached._5)
+    // label-scoped invalidation (round 12) — same adoption as vectorServe
+    if (cached != null && labelUntouchedSince(cached._1, cur, d.label)) {
+      d.snapshot = (cur, cached._2, cached._3, cached._4, cached._5)
+      return (cached._2, termFn(cached._3), cached._4, cached._5)
+    }
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     val base = cur.nodes.filter(col("label") === d.label)
     def toks(p: String): Column = filter(
@@ -846,7 +863,53 @@ final class CypherSession(
     * value under the key dropped first (map_concat rejects duplicate
     * keys). localCheckpoint pins the mutated side the same way MERGE's
     * lineage compaction does, so repeated writes stay O(1)-planned. */
-  private def writeNodeProperty(prop: String, vals0: DataFrame): Long = {
+  // ------------------------------------------------------ write lineage --
+
+  /** Write lineage for INDEX-SERVING invalidation (round 12): each entry
+    * is (child instance, parent instance, node labels the step may have
+    * touched; null = unknown → every label). A vector/fulltext index
+    * whose label is untouched along the whole chain from its cached basis
+    * to the current instance ADOPTS the current instance instead of
+    * rebuilding — before this, ANY write (even `MERGE (:Pub …)`)
+    * re-paid the full serving-layout build (28.9 s at 200k vectors,
+    * BASELINE r12's noted future work). Bounded window: a chain longer
+    * than it forces a rebuild, never corruption. Edge-only writes record
+    * an EMPTY set — index snapshots read only the label's node rows. */
+  private val writeLineage =
+    new scala.collection.mutable.ArrayDeque[(PropertyGraph, PropertyGraph, Set[String])]()
+
+  private def recordWrite(parent: PropertyGraph, child: PropertyGraph,
+      touched: Set[String]): Unit = if (child ne parent) {
+    writeLineage.append((child, parent, touched))
+    if (writeLineage.length > CypherSession.WriteLineageWindow)
+      writeLineage.removeHead()
+  }
+
+  /** True iff `label`'s node partition is provably byte-identical between
+    * instances `from` and `to` per the recorded lineage (false on any
+    * unknown step or gap — the safe direction is always "rebuild"). */
+  private def labelUntouchedSince(from: PropertyGraph, to: PropertyGraph,
+      label: String): Boolean = {
+    var cur = to
+    var steps = 0
+    while (cur ne from) {
+      if (steps > CypherSession.WriteLineageWindow) return false
+      steps += 1
+      writeLineage.reverseIterator.find(_._1 eq cur) match {
+        case Some((_, parent, touched)) =>
+          if (touched == null || touched.contains(label)) return false
+          cur = parent
+        case None => return false
+      }
+    }
+    true
+  }
+
+  /** @param touched node labels this write may have changed (for the
+    *   lineage above); null = unknown (invalidates every index). */
+  private def writeNodeProperty(prop: String, vals0: DataFrame,
+      touched: Set[String] = null): Long = {
+    val lineageParent = graph
     // STATS FIREWALL (round 11, found live building c71): `vals0`
     // derives from the store's own frames, so a chained sequence of
     // writes would multiply two store-derived sizeInBytes estimates
@@ -881,6 +944,7 @@ final class CypherSession(
     // to amortize, exactly as the reference's per-record Bolt writes
     // batch into transactions.
     graph = graph.copy(nodes = updated)
+    recordWrite(lineageParent, graph, touched)
     n
   }
 
@@ -930,7 +994,7 @@ final class CypherSession(
     *   this statement wrote between `patchBasis0` and now. */
   private def setNodeVectorPropertyBatch(keyName: String, targets0: DataFrame,
       checkConflicts: Boolean, patchBasis0: PropertyGraph = null,
-      extraDelta: DataFrame = null): Long = {
+      extraDelta: DataFrame = null, touchedLabels: Set[String] = null): Long = {
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     val preGraph = graph
     val patchBasis = if (patchBasis0 == null) preGraph else patchBasis0
@@ -974,7 +1038,7 @@ final class CypherSession(
             " — the statement did not apply (store unchanged)")
       }
     }
-    val written = writeNodeProperty(keyName, targets)
+    val written = writeNodeProperty(keyName, targets, touchedLabels)
     val postGraph = graph
     // INCREMENTAL index maintenance (round 11): the setter knows its
     // exact delta, so a vector index on this property patches its
@@ -1152,8 +1216,13 @@ final class CypherSession(
                 }
               }
               // pin the post-import state before the stage files vanish:
-              // the graph's lineage is lazy over the per-batch frames
+              // the graph's lineage is lazy over the per-batch frames.
+              // Compaction changes the instance, not the content — the
+              // write lineage records an empty touched set so index
+              // serving is not invalidated by the pin itself.
+              val preCompact = graph
               graph = graph.compact()
+              recordWrite(preCompact, graph, Set.empty)
               CypherMutation(graph, created, matched)
             } catch {
               case t: Throwable =>
@@ -1163,8 +1232,11 @@ final class CypherSession(
                 // deletes them, or every later query on the session dies
                 // with FileNotFoundException (ADVICE r10 #1). A compaction
                 // failure must not mask the import error itself.
-                try graph = graph.compact()
-                catch { case scala.util.control.NonFatal(_) => () }
+                try {
+                  val preCompact = graph
+                  graph = graph.compact()
+                  recordWrite(preCompact, graph, Set.empty)
+                } catch { case scala.util.control.NonFatal(_) => () }
                 throw t
             } finally staged.cleanup()
         }
@@ -1426,6 +1498,10 @@ final class CypherSession(
     validateConstraintsPostWrite(g2)
     val preStatementGraph = graph
     graph = g2
+    // the statement's node writes touch exactly its bound labels (an
+    // edge-only MERGE records the empty set — index snapshots read only
+    // the label's node rows, so it invalidates nothing)
+    recordWrite(preStatementGraph, g2, bindings.values.map(_.label).toSet)
 
     // procedure clauses (the `CALL db.create.setNodeVectorProperty(c,
     // 'embedding', row.embedding)` slot of LangChain's batched
@@ -1506,7 +1582,8 @@ final class CypherSession(
         base.select(endpointId(nodeVar).as("id"), wval.as("__wval")),
         checkConflicts = true,
         patchBasis0 = if (firstProc) preStatementGraph else null,
-        extraDelta = if (firstProc) statementWrittenIds else null)
+        extraDelta = if (firstProc) statementWrittenIds else null,
+        touchedLabels = Set(b.label))
       firstProc = false
     }
     try procClauses.result().foreach(runProcClause)
@@ -1655,7 +1732,26 @@ final class CypherSession(
     }
 
     validateConstraintsPostWrite(g)
+    val lineageParent = graph
     graph = g
+    // touched labels for index invalidation: each write-target variable's
+    // pattern label. Edge variables (SET r.w, relationship MERGE
+    // endpoints) touch no node rows; an UNLABELED node target makes the
+    // step unknown (null → every index rebuilds, the safe direction).
+    recordWrite(lineageParent, g, {
+      val pats = u.stages.flatMap(st => st.paths ++ st.optPaths)
+      val nodeLabels = pats.flatMap(_.nodes)
+        .flatMap(n => n.variable.map(_ -> n.label)).toMap
+      val edgeVars = pats.flatMap(_.edges).flatMap(_.variable).toSet
+      val mergeEndpoints = u.merges.flatMap(_.nodes.flatMap(_.variable)).toSet
+      val nodeTargets = targets
+        .filterNot(edgeVars)
+        .filterNot(v => mergeEndpoints(v) && !u.sets.exists(_._1.variable == v) &&
+          !u.removes.exists(_.variable == v) && !u.deletes.contains(v) &&
+          !u.replaceVars.contains(v))
+      val ls = nodeTargets.map(v => nodeLabels.getOrElse(v, None))
+      if (ls.exists(_.isEmpty)) null else ls.flatten.toSet
+    })
     CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted, relsCreated)
   }
 
@@ -1832,8 +1928,9 @@ final class CypherSession(
         scanExpr(src); w.foreach(scanBool); proj.foreach(scanExpr)
       case RetReduce(_, init, _, src, body) =>
         scanExpr(init); scanExpr(src); scanExpr(body)
-      case RetMapProj(v, props, all) =>
+      case RetMapProj(v, props, all, overrides) =>
         if (all) wholeVars += v else props.foreach(addRef(v, _))
+        overrides.foreach(o => scanExpr(o._2))
       case RetTemporalCtor(_, pairs) => pairs.foreach(p2 => scanExpr(p2._2))
       case RetIndex(src, i) => scanExpr(src); scanExpr(i)
       case RetSlice(src, lo, hi) =>
@@ -2146,6 +2243,13 @@ final class CypherSession(
       * fallback), so their bag folds the default key in too. */
     def entityPropsCol(v: String): Column =
       if (df != null && df.columns.contains(s"${v}__type")) col(s"${v}__props")
+      // a map-typed scalar binding (a procedure-yielded `node`) IS its own
+      // property map — `node {.*, …}` in Neo4jVector's default retrieval
+      // template projects over the yielded map, not a pattern binding
+      else if (df != null && scalarVars.contains(v) &&
+          df.schema.fields.find(_.name == v)
+            .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+        col(v)
       else {
         val dflt = map_concat(col(s"${v}__props"),
           map(lit("name"), col(s"${v}__key")))
@@ -2498,9 +2602,21 @@ final class CypherSession(
               when(c.getField("srid") === 4326, haversine).otherwise(euclid))
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
-      case RetMapProj(v, props, all) =>
-        if (all) entityPropsCol(v)
-        else map(props.flatMap(p => Seq(lit(p), propCol(v, p))): _*)
+      case RetMapProj(v, props, all, overrides) =>
+        // property bags are string-valued in this store, so override
+        // values render to string — `key: Null` (the Neo4jVector default
+        // template's only use) is a typed-null entry either way
+        val base =
+          if (all) entityPropsCol(v)
+          else map(props.flatMap(p => Seq(lit(p), propCol(v, p))): _*)
+        if (overrides.isEmpty) base
+        else {
+          val oKeys = overrides.map(_._1)
+          val oMap = map(overrides.flatMap { case (k, e) =>
+            Seq(lit(k), itemCol(e).cast("string")) }: _*)
+          map_concat(
+            map_filter(base, (k, _) => !k.isInCollection(oKeys)), oMap)
+        }
       case RetTemporalCtor(fn, pairs) =>
         def part(name: String): Option[Column] = pairs.collectFirst {
           case (k, v) if k.equalsIgnoreCase(name) => itemCol(v)
@@ -3007,6 +3123,113 @@ final class CypherSession(
             .select(concat(lit(":`"), col("relType"), lit("`")).as("relType"),
               col("propertyName"), col("propertyTypes"), col("mandatory"))
             .orderBy("relType", "propertyName")
+        // APOC's schema census — the procedure LangChain's Neo4jGraph
+        // issues on EVERY refresh_schema (and refuses to init without).
+        // Three row shapes in ONE relation, exactly the triples the three
+        // LangChain statements filter on:
+        //   node properties:        elementType='node', type='STRING'
+        //   relationship topology:  elementType='node', type='RELATIONSHIP',
+        //                           label=start label, property=relType,
+        //                           other=[distinct end labels]
+        //   relationship props:     elementType='relationship', type='STRING'
+        // Everything is schema-cardinality aggregates over the store's
+        // partition columns — node/edge property inventories are one
+        // map_keys explode + grouped count each, topology is two
+        // broadcast-joinable id→label lookups + one groupBy; nothing here
+        // scales with anything but the schema at 100 TB.
+        case "apoc.meta.data" =>
+          import spark.implicits._
+          val noOther = typedlit(Seq.empty[String])
+          val nTotals = pgraph.nodes.groupBy("label")
+            .agg(count(lit(1)).as("count"))
+          // bag properties + each label's out-of-band key property (a
+          // property to every Cypher reader; count = all of the label)
+          val nBag = pgraph.nodes
+            .select(col("label"), explode(map_keys(col("props"))).as("property"))
+            .groupBy("label", "property").agg(count(lit(1)).as("count"))
+          val labelSeq = nTotals.select(col("label"), col("count"))
+            .as[(String, Long)].collect().toSeq // schema-bounded
+          val nKey = labelSeq
+            .map { case (l, n) => (l, keyProps.getOrElse(l, "name"), n) }
+            .toDF("label", "property", "count")
+          val nodeProps = nBag.unionByName(nKey)
+            .groupBy("label", "property").agg(max(col("count")).as("count"))
+            .select(col("label"), col("property"), col("count"),
+              lit("STRING").as("type"), lit("node").as("elementType"),
+              noOther.as("other"))
+          val srcL = pgraph.nodes
+            .select(col("id").as("srcId"), col("label").as("__sl"))
+          val dstL = pgraph.nodes
+            .select(col("id").as("dstId"), col("label").as("__dl"))
+          val topo = pgraph.edges
+            .join(srcL, Seq("srcId")).join(dstL, Seq("dstId"))
+            .groupBy(col("__sl").as("label"), col("relType"))
+            .agg(count(lit(1)).as("count"),
+              sort_array(collect_set(col("__dl"))).as("other"))
+            .select(col("label"), col("relType").as("property"), col("count"),
+              lit("RELATIONSHIP").as("type"), lit("node").as("elementType"),
+              col("other"))
+          val relProps = pgraph.edges
+            .select(col("relType"), explode(map_keys(col("props"))).as("property"))
+            .groupBy("relType", "property").agg(count(lit(1)).as("count"))
+            .select(col("relType").as("label"), col("property"), col("count"),
+              lit("STRING").as("type"), lit("relationship").as("elementType"),
+              noOther.as("other"))
+          nodeProps.unionByName(topo).unionByName(relProps)
+            .orderBy("elementType", "type", "label", "property")
+        // `SHOW INDEXES YIELD …` — Neo4j 5's FULL column set (list-typed
+        // labelsOrTypes/properties + the options map), bound into the
+        // pipeline by the parser as this pseudo-procedure. This is what
+        // Neo4jVector's retrieve_existing_index / retrieve_existing_fts_
+        // index statements filter on before creating an index. The bare
+        // `SHOW INDEXES` keeps its flat stable columns (c63); this form
+        // carries the Neo4j-shaped schema. Catalog-cardinality rows.
+        case "internal.show.indexes" =>
+          import org.apache.spark.sql.types._
+          import org.apache.spark.sql.Row
+          val lookup = Seq(Row("node_label_lookup", "ONLINE", 100.0,
+            "LOOKUP", "NODE", null, null, "token-lookup-1.0", null,
+            null, null))
+          val backing = constraintCatalog.toSeq.map {
+            case (n, (l, p)) => Row(n, "ONLINE", 100.0, "RANGE", "NODE",
+              Seq(l), Seq(p), "range-1.0", n, null, null)
+          }
+          val vec = vectorIndexes.toSeq.map { case (n, d) =>
+            Row(n, "ONLINE", 100.0, "VECTOR", "NODE", Seq(d.label),
+              Seq(d.prop), "vector-2.0", null, d.dim.toLong,
+              d.similarityFunction)
+          }
+          val ften = fulltextIndexes.toSeq.map { case (n, d) =>
+            Row(n, "ONLINE", 100.0, "FULLTEXT", "NODE", Seq(d.label),
+              d.props, "fulltext-1.0", null, null, null)
+          }
+          val rng = rangeIndexes.toSeq.map { case (n, (l, p)) =>
+            Row(n, "ONLINE", 100.0, "RANGE", "NODE", Seq(l), Seq(p),
+              "range-1.0", null, null, null)
+          }
+          val showSchema = StructType(Seq(
+            StructField("name", StringType), StructField("state", StringType),
+            StructField("populationPercent", DoubleType),
+            StructField("type", StringType),
+            StructField("entityType", StringType),
+            StructField("labelsOrTypes", ArrayType(StringType)),
+            StructField("properties", ArrayType(StringType)),
+            StructField("indexProvider", StringType),
+            StructField("owningConstraint", StringType),
+            StructField("__dims", LongType),
+            StructField("__simfn", StringType)))
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(
+              (lookup ++ backing ++ vec ++ ften ++ rng).asJava, showSchema)
+            .select(col("name"), col("state"), col("populationPercent"),
+              col("type"), col("entityType"), col("labelsOrTypes"),
+              col("properties"), col("indexProvider"),
+              col("owningConstraint"),
+              struct(col("indexProvider"),
+                struct(col("__dims").as("vector.dimensions"),
+                  col("__simfn").as("vector.similarity_function"))
+                  .as("indexConfig")).as("options"))
+            .orderBy("name")
         // GDS-style algorithm procedures: the analytics engine surfaced
         // through Cypher CALL, the way Neo4j users actually invoke graph
         // algorithms. Node identity is the KEY (internal ids are engine
@@ -4153,8 +4376,17 @@ final class CypherSession(
   }
 
   private def scalarCol(v: Value, params: Map[String, Any]): Column = v match {
-    case Param(name) => lit(params.getOrElse(name,
-      throw new IllegalArgumentException(s"missing parameter $$$name")))
+    case Param(name) => params.getOrElse(name,
+      throw new IllegalArgumentException(s"missing parameter $$$name")) match {
+      // a list-valued parameter compares/indexes as an ARRAY column —
+      // `properties = $text_node_properties` in Neo4jVector's
+      // retrieve_existing_fts_index statement (list contexts that
+      // resolve params themselves — IN, UNWIND, procedure args — never
+      // reach here)
+      case s: Seq[_] if s.isEmpty => array().cast("array<string>")
+      case s: Seq[_] => array(s.map(x => lit(x)): _*)
+      case other => lit(other)
+    }
     case NullLit => lit(null)
     case StrLit(s) => lit(s)
     case NumLit(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
@@ -4221,6 +4453,11 @@ object CypherSession {
     * any file listing. Override per session for tests/tuning. */
   private[graft] val IndexMemThresholdKey = "spark.graft.indexMemThreshold"
   private[graft] val IndexMemThresholdDefault = 32768L
+
+  /** Write-lineage window for label-scoped index invalidation: chains
+    * longer than this force a rebuild (bounded memory; entries are three
+    * references + a small label set each). */
+  private[graft] val WriteLineageWindow = 256
 
   /** Persisted layout geometry: pbh = t·64 + (bucket >> 6) ∈ [0, 512) —
     * one directory per (table, 64-bucket slice), so partition pruning

@@ -5857,6 +5857,242 @@ object AnalyticsCatalog {
            |FROM top WHERE rn <= 5
            |ORDER BY qid, score DESC, hit""".stripMargin))
 
+  private val c77 = Entry("c77_cypher_apoc_meta_data",
+    (s, dir) => {
+      // LangChain Neo4jGraph's refresh_schema (round 12): the three
+      // statements langchain-neo4j — the reference's declared stack,
+      // /root/reference/requirements.txt:3 — issues on EVERY Neo4jGraph
+      // init (node properties, relationship properties, relationship
+      // topology), all reading apoc.meta.data(), run VERBATIM including
+      // the $EXCLUDED_LABELS parameter. Neo4jGraph raises and refuses to
+      // construct when these fail, so this is the entry ticket for every
+      // LangChain graph application. The fixture is DATA-derived:
+      // customers are labeled by market segment, so the label inventory
+      // and the topology fan come from the data, not fixture constants.
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      val custNodes = cust.select(col("c_mktsegment").as("label"),
+        col("c_custkey").cast("string").as("key"),
+        map(lit("cname"), col("c_name")).as("props"))
+      val natNodes = nat.select(lit("Nation").as("label"),
+        col("n_name").as("key"),
+        map(lit("regionkey"), col("n_regionkey").cast("string")).as("props"))
+      val edges = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .select(col("c_mktsegment").as("srcLabel"),
+          col("c_custkey").cast("string").as("srcKey"),
+          lit("Nation").as("dstLabel"), col("n_name").as("dstKey"),
+          lit("FROM").as("relType"),
+          map(lit("w"), lit("1")).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(custNodes).mergeNodes(natNodes).mergeEdgesByKey(edges)
+      val segs = cust.select("c_mktsegment").distinct().collect()
+        .map(_.getString(0)) // schema-bounded (5 market segments)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = segs.map(_ -> "custkey").toMap + ("Nation" -> "name"))
+      val p = Map("EXCLUDED_LABELS" ->
+        Seq("_Bloom_Perspective_", "_Bloom_Scene_"))
+      val np = sess.run(
+        """CALL apoc.meta.data()
+          |YIELD label, other, elementType, type, property
+          |WHERE NOT type = "RELATIONSHIP" AND elementType = "node"
+          |  AND NOT label IN $EXCLUDED_LABELS
+          |WITH label AS nodeLabels, collect({property:property, type:type}) AS properties
+          |RETURN {labels: nodeLabels, properties: properties} AS output""".stripMargin,
+        p).asInstanceOf[graft.cypher.CypherRows].df
+        .select(lit("node").as("section"), col("output.labels").as("label"),
+          explode(col("output.properties")).as("pp"))
+        .select(col("section"), col("label"),
+          col("pp.property").as("property"), col("pp.type").as("ptype"))
+      val rp = sess.run(
+        """CALL apoc.meta.data()
+          |YIELD label, other, elementType, type, property
+          |WHERE NOT type = "RELATIONSHIP" AND elementType = "relationship"
+          |  AND NOT label in $EXCLUDED_LABELS
+          |WITH label AS nodeLabels, collect({property:property, type:type}) AS properties
+          |RETURN {type: nodeLabels, properties: properties} AS output""".stripMargin,
+        p).asInstanceOf[graft.cypher.CypherRows].df
+        .select(lit("rel_prop").as("section"), col("output.type").as("label"),
+          explode(col("output.properties")).as("pp"))
+        .select(col("section"), col("label"),
+          col("pp.property").as("property"), col("pp.type").as("ptype"))
+      val rl = sess.run(
+        """CALL apoc.meta.data()
+          |YIELD label, other, elementType, type, property
+          |WHERE type = "RELATIONSHIP" AND elementType = "node"
+          |UNWIND other AS other_node
+          |WITH label, elementType, type, property, toString(other_node) AS other_node
+          |WHERE NOT label IN $EXCLUDED_LABELS AND NOT other_node IN $EXCLUDED_LABELS
+          |RETURN {start: label, type: property, end: other_node} AS output""".stripMargin,
+        p).asInstanceOf[graft.cypher.CypherRows].df
+        .select(lit("rel").as("section"), col("output.start").as("label"),
+          col("output.type").as("property"), col("output.end").as("ptype"))
+      np.unionByName(rp).unionByName(rl)
+        .orderBy("section", "label", "property", "ptype")
+    },
+    Some("""WITH segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+           |SELECT * FROM (
+           |  SELECT 'node' AS section, seg AS label,
+           |    'custkey' AS property, 'STRING' AS ptype FROM segs
+           |  UNION ALL SELECT 'node', seg, 'cname', 'STRING' FROM segs
+           |  UNION ALL SELECT 'node', 'Nation', 'regionkey', 'STRING'
+           |  UNION ALL SELECT 'node', 'Nation', 'name', 'STRING'
+           |  UNION ALL SELECT 'rel_prop', 'FROM', 'w', 'STRING'
+           |  UNION ALL SELECT 'rel', seg, 'FROM', 'Nation' FROM segs
+           |) ORDER BY section, label, property, ptype""".stripMargin))
+
+  private val c78 = Entry("c78_cypher_default_retrieval",
+    (s, dir) => {
+      // Neo4jVector's DEFAULT retrieval statement, verbatim (round 12):
+      // LangChain's similarity_search runs queryNodes then projects
+      // `node {.*, `text`: Null, `embedding`: Null, id: Null}` — a map
+      // projection with literal-entry OVERRIDES that null the payload
+      // columns out of the returned metadata (the text rides its own
+      // column; the embedding never leaves the store). c68/c71 proved
+      // queryNodes; this proves the projection LangChain wraps it in.
+      // The hash flattens the metadata map: its sorted key list plus one
+      // kept entry (source), the key entry (doc_id), and the two nulled
+      // payload entries.
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(lit("Chunk").as("label"),
+          docs("doc_id").cast("string").as("key"),
+          map(lit("text"), substring(col("text"), 1, 40),
+            lit("source"), col("source"),
+            lit("embedding"), concat_ws(",",
+              transform(col("embedding"),
+                x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Chunk" -> "doc_id"))
+      sess.run(
+        """CREATE VECTOR INDEX chunks FOR (c:Chunk) ON c.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64}}""".stripMargin)
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      sess.run(
+        """CALL db.index.vector.queryNodes($index, $k, $embedding)
+          |YIELD node, score
+          |RETURN node.`text` AS text, score, node {.*, `text`: Null, `embedding`: Null, id: Null } AS metadata""".stripMargin,
+        Map("index" -> "chunks", "k" -> 8, "embedding" -> q))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("text"), col("score"),
+          concat_ws("|", sort_array(map_keys(col("metadata")))).as("mkeys"),
+          element_at(col("metadata"), "doc_id").as("doc_id"),
+          element_at(col("metadata"), "source").as("source"),
+          element_at(col("metadata"), "embedding").as("emb_nulled"),
+          element_at(col("metadata"), "id").as("id_nulled"))
+        .orderBy(col("score").desc, col("doc_id").cast("long"))
+    },
+    Some("""WITH pop AS MATERIALIZED (
+           |  SELECT e.vec_id AS id,
+           |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(e.embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm,
+           |    substr(d.text, 1, 40) AS text, d.source AS source
+           |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM pop v, planes p GROUP BY v.id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT b2.id
+           |  FROM bits b1 JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket
+           |  WHERE b1.id = 7),
+           |scored AS (
+           |  SELECT c.id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM cand c
+           |  JOIN pop x ON x.id = 7
+           |  JOIN pop y ON y.id = c.id),
+           |top AS (
+           |  SELECT id, score,
+           |    row_number() OVER (ORDER BY score DESC, id) AS rn
+           |  FROM scored)
+           |SELECT p.text AS text, t.score AS score,
+           |  'doc_id|embedding|id|source|text' AS mkeys,
+           |  CAST(t.id AS VARCHAR) AS doc_id, p.source AS source,
+           |  CAST(NULL AS VARCHAR) AS emb_nulled,
+           |  CAST(NULL AS VARCHAR) AS id_nulled
+           |FROM top t JOIN pop p ON p.id = t.id
+           |WHERE rn <= 8 ORDER BY t.score DESC, t.id""".stripMargin))
+
+  private val c79 = Entry("c79_cypher_show_indexes_yield",
+    (s, dir) => {
+      // Neo4jVector's index-EXISTENCE statements (round 12): before
+      // creating anything, LangChain runs `SHOW INDEXES YIELD … WHERE …
+      // RETURN …` to find an existing vector / fulltext index either BY
+      // NAME or by (label, property) — list indexing (labelsOrTypes[0]),
+      // list equality against a LIST parameter (properties =
+      // $text_node_properties), and the options map, in one statement.
+      // Both statements run verbatim; the hash flattens the Neo4j-shaped
+      // list/struct columns. Index names 'vector'/'keyword' are
+      // LangChain's defaults.
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(lit("Chunk").as("label"),
+          docs("doc_id").cast("string").as("key"),
+          map(lit("text"), substring(col("text"), 1, 40),
+            lit("embedding"), concat_ws(",",
+              transform(col("embedding"),
+                x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Chunk" -> "doc_id"))
+      sess.run(
+        """CREATE VECTOR INDEX vector FOR (c:Chunk) ON c.embedding
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64}}""".stripMargin)
+      sess.run("CREATE FULLTEXT INDEX keyword FOR (c:Chunk) ON EACH [c.text]")
+      def flat(df0: org.apache.spark.sql.DataFrame, section: String) =
+        df0.select(lit(section).as("section"), col("name"),
+          element_at(col("labelsOrTypes"), 1).as("label0"),
+          element_at(col("properties"), 1).as("prop0"),
+          col("options").getField("indexConfig")
+            .getField("vector.dimensions").as("dims"),
+          col("options").getField("indexConfig")
+            .getField("vector.similarity_function").as("simfn"))
+      val vi = sess.run(
+        """SHOW INDEXES YIELD name, type, labelsOrTypes, properties, options
+          |WHERE type = 'VECTOR' AND (name = $index_name
+          |OR (labelsOrTypes[0] = $node_label
+          |AND properties[0] = $embedding_node_property))
+          |RETURN name, labelsOrTypes, properties, options""".stripMargin,
+        Map("index_name" -> "some_other_name", "node_label" -> "Chunk",
+          "embedding_node_property" -> "embedding"))
+        .asInstanceOf[graft.cypher.CypherRows].df
+      val fi = sess.run(
+        """SHOW INDEXES YIELD name, type, labelsOrTypes, properties, options
+          |WHERE type = 'FULLTEXT' AND (name = $keyword_index_name
+          |OR (labelsOrTypes = [$node_label]
+          |AND properties = $text_node_properties))
+          |RETURN name, labelsOrTypes, properties, options""".stripMargin,
+        Map("keyword_index_name" -> "some_other_name", "node_label" -> "Chunk",
+          "text_node_properties" -> Seq("text")))
+        .asInstanceOf[graft.cypher.CypherRows].df
+      flat(vi, "vector").unionByName(flat(fi, "fulltext"))
+        .orderBy("section", "name")
+    },
+    Some("""SELECT * FROM (VALUES
+           |  ('fulltext', 'keyword', 'Chunk', 'text',
+           |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+           |  ('vector', 'vector', 'Chunk', 'embedding',
+           |    CAST(64 AS BIGINT), 'cosine')
+           |) AS t(section, name, label0, prop0, dims, simfn)
+           |ORDER BY section, name""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -7734,7 +7970,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
-    c71, c72, c73, c74, c75, c76,
+    c71, c72, c73, c74, c75, c76, c77, c78, c79,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -2752,10 +2752,12 @@ class CypherSpec extends SparkTestBase {
         |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
       .asInstanceOf[CypherRows].df.as[(String, Boolean)].collect().head ===
       (("docEmb", false)))
+    // 'euclidean' is legal since c76; an UNKNOWN similarity function
+    // still rejects typed (validated before the equivalent-index check)
     val e4 = intercept[IllegalArgumentException](sess.run(
-      """CREATE VECTOR INDEX euc FOR (d:Doc) ON d.other
+      """CREATE VECTOR INDEX euc FOR (d:Doc) ON d.embedding
         |OPTIONS {indexConfig: {`vector.dimensions`: 4,
-        |  `vector.similarity_function`: 'euclidean'}}""".stripMargin))
+        |  `vector.similarity_function`: 'manhattan'}}""".stripMargin))
     assert(e4.getMessage.contains("cosine"), e4.getMessage)
     // live rebuild: a node written AFTER index creation is queryable
     setEmb("e", "1.0,0.0,0.0,0.0")
@@ -3202,9 +3204,17 @@ class CypherSpec extends SparkTestBase {
       "CALL db.index.vector.createNodeIndex(" +
         "'pidx', 'Chunk', 'embedding', 2, 'cosine')"))
     assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    // 'euclidean' is LEGAL since c76 (the other half of Neo4j 5's
+    // similarity surface); an unknown similarity function still rejects
+    sess.run("MATCH (c:Chunk) SET c.other = '0.5,0.5'")
+    sess.run("CALL db.index.vector.createNodeIndex(" +
+      "'eidx', 'Chunk', 'other', 2, 'euclidean')")
+    assert(sess.run("SHOW VECTOR INDEXES").asInstanceOf[CypherRows].df
+      .count() === 2)
+    sess.run("DROP INDEX eidx")
     val e2 = intercept[IllegalArgumentException](sess.run(
       "CALL db.index.vector.createNodeIndex(" +
-        "'eidx', 'Chunk', 'other', 2, 'euclidean')"))
+        "'midx', 'Chunk', 'other', 2, 'manhattan')"))
     assert(e2.getMessage.contains("cosine"), e2.getMessage)
     // the procedure-created index SERVES queries like the DDL-created one
     val got = sess.run(
@@ -3410,5 +3420,180 @@ class CypherSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](sess.run(
       "MATCH (c:Chunk) RETURN c.`embedding AS x"))
     assert(e.getMessage.contains("unterminated backtick"), e.getMessage)
+  }
+
+  test("map projection overrides: `n {.*, k: Null}` replaces selected " +
+      "entries and adds absent keys (Neo4jVector's default retrieval shape)") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'alice'}) SET u.role = 'admin', u.age = '30'")
+    val m = sess.run(
+      "MATCH (u:User) RETURN u {.*, role: Null, id: Null} AS meta")
+      .asInstanceOf[CypherRows].df
+      .select(element_at(col("meta"), "name"), element_at(col("meta"), "age"),
+        element_at(col("meta"), "role"), element_at(col("meta"), "id"),
+        size(map_keys(col("meta"))))
+      .collect().head
+    assert(m.getString(0) === "alice" && m.getString(1) === "30")
+    assert(m.isNullAt(2) && m.isNullAt(3)) // replaced + added, both null
+    assert(m.getInt(4) === 4)              // name, age, role, id
+    // an override with a real value replaces the property's value
+    val v = sess.run(
+      "MATCH (u:User) RETURN u {.name, role: 'demoted'} AS meta")
+      .asInstanceOf[CypherRows].df
+      .select(element_at(col("meta"), "name"),
+        element_at(col("meta"), "role")).collect().head
+    assert(v.getString(0) === "alice" && v.getString(1) === "demoted")
+  }
+
+  test("SHOW INDEXES YIELD: Neo4j-shaped columns, WHERE/RETURN composition " +
+      "(Neo4jVector's retrieve_existing_index statements)") {
+    val sess = chunkSession
+    sess.run("MERGE (c:Chunk {id: 'a'}) SET c.embedding = '1.0,0.0', " +
+      "c.text = 'hello world'")
+    sess.run("""CREATE VECTOR INDEX vector FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 2}}""".stripMargin)
+    sess.run("CREATE FULLTEXT INDEX keyword FOR (c:Chunk) ON EACH [c.text]")
+    // found by (label, property) even under a wrong name — the OR branch
+    val byLp = sess.run(
+      """SHOW INDEXES YIELD name, type, labelsOrTypes, properties, options
+        |WHERE type = 'VECTOR' AND (name = $index_name
+        |OR (labelsOrTypes[0] = $node_label
+        |AND properties[0] = $embedding_node_property))
+        |RETURN name, labelsOrTypes, properties, options""".stripMargin,
+      Map("index_name" -> "nope", "node_label" -> "Chunk",
+        "embedding_node_property" -> "embedding"))
+      .asInstanceOf[CypherRows].df
+    assert(byLp.count() === 1)
+    val r = byLp.collect().head
+    assert(r.getString(0) === "vector")
+    assert(r.getSeq[String](1) === Seq("Chunk"))
+    assert(r.getSeq[String](2) === Seq("embedding"))
+    // the options map carries the index config LangChain reads back
+    val dims = byLp.select(col("options").getField("indexConfig")
+      .getField("vector.dimensions")).collect().head.getLong(0)
+    assert(dims === 2L)
+    // fulltext arm: list equality against a LIST parameter
+    val ft = sess.run(
+      """SHOW INDEXES YIELD name, type, labelsOrTypes, properties, options
+        |WHERE type = 'FULLTEXT' AND (name = $keyword_index_name
+        |OR (labelsOrTypes = [$node_label]
+        |AND properties = $text_node_properties))
+        |RETURN name""".stripMargin,
+      Map("keyword_index_name" -> "nope", "node_label" -> "Chunk",
+        "text_node_properties" -> Seq("text")))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(ft === Seq("keyword"))
+    // YIELD * + implicit return; unknown yield column fails typed
+    assert(sess.run("SHOW INDEXES YIELD * WHERE type = 'LOOKUP' RETURN name")
+      .asInstanceOf[CypherRows].df.as[String].collect()
+      .toSeq === Seq("node_label_lookup"))
+    val e = intercept[IllegalArgumentException](
+      sess.run("SHOW INDEXES YIELD bogus RETURN bogus"))
+    assert(e.getMessage.contains("does not yield"), e.getMessage)
+  }
+
+  test("label-scoped index invalidation: a foreign-LABEL write adopts the " +
+      "serving state; same-label and unlabeled writes still rebuild") {
+    val sess = chunkSession
+    sess.run("MERGE (c:Chunk {id: 'a'}) SET c.embedding = '1.0,0.0'")
+    // same direction as 'a' so both share every sign-LSH bucket — the
+    // query's candidate set then provably holds both nodes
+    sess.run("MERGE (c:Chunk {id: 'b'}) SET c.embedding = '2.0,0.0'")
+    sess.run("""CREATE VECTOR INDEX ci FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 2}}""".stripMargin)
+    def q(): Seq[String] = sess.run(
+      "CALL db.index.vector.queryNodes('ci', 2, $q) YIELD node, score " +
+        "RETURN node.id AS id", Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(q().toSet === Set("a", "b"))
+    val builds0 = sess.vectorIndexFullBuilds.get
+    // foreign-label node writes and edge-only writes: NO rebuild
+    sess.run("MERGE (p:Pub {name: 'outsider'})")
+    sess.run("MATCH (p:Pub {name: 'outsider'}) SET p.note = 'x'")
+    sess.run("MERGE (u:Pub {name: 'u2'})")
+    sess.run("MATCH (a:Pub {name: 'outsider'}) MATCH (b:Pub {name: 'u2'}) " +
+      "MERGE (a)-[:REL]->(b)")
+    assert(q().toSet === Set("a", "b"))
+    assert(sess.vectorIndexFullBuilds.get === builds0,
+      "foreign-label/edge writes must not rebuild the index")
+    // a same-label write to a DIFFERENT property rebuilds (the indexed
+    // node maps change) — and the query sees the new property
+    sess.run("MATCH (c:Chunk {id: 'a'}) SET c.extra = 'fresh'")
+    val withExtra = sess.run(
+      "CALL db.index.vector.queryNodes('ci', 2, $q) YIELD node, score " +
+        "RETURN node.id AS id, node.extra AS extra ORDER BY id",
+      Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.collect()
+    assert(withExtra.head.getString(1) === "fresh")
+    assert(sess.vectorIndexFullBuilds.get === builds0 + 1)
+    // fulltext adoption rides the same lineage
+    sess.run("MATCH (c:Chunk) SET c.text = 'hello world'")
+    sess.run("CREATE FULLTEXT INDEX cf FOR (c:Chunk) ON EACH [c.text]")
+    def ftq(): Long = sess.run(
+      "CALL db.index.fulltext.queryNodes('cf', 'hello') YIELD node, score " +
+        "RETURN node.id AS id").asInstanceOf[CypherRows].df.count()
+    assert(ftq() === 2L)
+    sess.run("MERGE (p:Pub {name: 'another'})")
+    assert(ftq() === 2L) // adopted, still serves (correctness unchanged)
+  }
+
+  test("apoc.meta.data: LangChain Neo4jGraph's three refresh_schema " +
+      "statements run verbatim") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN {since: '2024'}]->(t)""".stripMargin)
+    sess.run("""MERGE (u:User {name: 'bob'}) MERGE (v:Tech {name: 'scala'})
+               |MERGE (u)-[:INTERESTED_IN {since: '2025'}]->(v)""".stripMargin)
+    sess.run("MATCH (u:User {name: 'alice'}) SET u.role = 'admin'")
+    sess.run("MATCH (a:User {name: 'alice'}) MATCH (b:User {name: 'bob'}) " +
+      "MERGE (a)-[:KNOWS]->(b)")
+    val excluded = Map("EXCLUDED_LABELS" ->
+      Seq("_Bloom_Perspective_", "_Bloom_Scene_", "__Entity__"))
+    // langchain_neo4j's node_properties_query, verbatim
+    val nodeProps = sess.run(
+      """CALL apoc.meta.data()
+        |YIELD label, other, elementType, type, property
+        |WHERE NOT type = "RELATIONSHIP" AND elementType = "node"
+        |  AND NOT label IN $EXCLUDED_LABELS
+        |WITH label AS nodeLabels, collect({property:property, type:type}) AS properties
+        |RETURN {labels: nodeLabels, properties: properties} AS output""".stripMargin,
+      excluded).asInstanceOf[CypherRows].df
+    val np = nodeProps
+      .select(col("output.labels").as("l"),
+        explode(col("output.properties")).as("p"))
+      .select(col("l"), col("p.property"), col("p.type"))
+      .as[(String, String, String)].collect().toSet
+    assert(np === Set(("User", "name", "STRING"), ("User", "role", "STRING"),
+      ("Tech", "name", "STRING")))
+    // rel_properties_query, verbatim
+    val relProps = sess.run(
+      """CALL apoc.meta.data()
+        |YIELD label, other, elementType, type, property
+        |WHERE NOT type = "RELATIONSHIP" AND elementType = "relationship"
+        |  AND NOT label in $EXCLUDED_LABELS
+        |WITH label AS nodeLabels, collect({property:property, type:type}) AS properties
+        |RETURN {type: nodeLabels, properties: properties} AS output""".stripMargin,
+      excluded).asInstanceOf[CypherRows].df
+    val rp = relProps
+      .select(col("output.type").as("t"),
+        explode(col("output.properties")).as("p"))
+      .select(col("t"), col("p.property"), col("p.type"))
+      .as[(String, String, String)].collect().toSet
+    assert(rp === Set(("INTERESTED_IN", "since", "STRING")))
+    // rel_query (topology), verbatim — UNWINDs the yielded end-label list
+    val rels = sess.run(
+      """CALL apoc.meta.data()
+        |YIELD label, other, elementType, type, property
+        |WHERE type = "RELATIONSHIP" AND elementType = "node"
+        |UNWIND other AS other_node
+        |WITH label, elementType, type, property, toString(other_node) AS other_node
+        |WHERE NOT label IN $EXCLUDED_LABELS AND NOT other_node IN $EXCLUDED_LABELS
+        |RETURN {start: label, type: property, end: other_node} AS output""".stripMargin,
+      excluded).asInstanceOf[CypherRows].df
+    val rl = rels.select(col("output.start"), col("output.type"),
+        col("output.end"))
+      .as[(String, String, String)].collect().toSet
+    assert(rl === Set(("User", "INTERESTED_IN", "Tech"),
+      ("User", "KNOWS", "User")))
   }
 }
