@@ -410,6 +410,10 @@ object CypherAst {
       // (key folded in), `score` the similarity/relevance
       "db.index.vector.queryNodes" -> Seq("node", "score"),
       "db.index.fulltext.queryNodes" -> Seq("node", "score"),
+      // the RELATIONSHIP-index twins (Neo4j 5 indexes relationship
+      // properties too): `relationship` is the edge's property bag
+      "db.index.vector.queryRelationships" -> Seq("relationship", "score"),
+      "db.index.fulltext.queryRelationships" -> Seq("relationship", "score"),
       // the PROCEDURE form of vector-index creation (pre-5.15 Neo4j — the
       // statement LangChain/Neo4jVector issued for years and still emits
       // on installed versions). Pure alias onto the CREATE VECTOR INDEX
@@ -488,6 +492,10 @@ object CypherAst {
         "Query a vector index: top-k nodes by cosine similarity to the query embedding (sign-LSH candidates, exact re-scoring).",
       "db.index.fulltext.queryNodes" ->
         "Query a fulltext index: nodes matching the query (terms, AND/OR/NOT, parentheses, quoted phrases) with a deterministic BM25-family score.",
+      "db.index.vector.queryRelationships" ->
+        "Query a relationship vector index: top-k relationships by similarity to the query embedding.",
+      "db.index.fulltext.queryRelationships" ->
+        "Query a relationship fulltext index: relationships matching the query with a deterministic BM25-family score.",
       "db.index.vector.createNodeIndex" ->
         "Create a vector index (procedure form of CREATE VECTOR INDEX; the pre-5.15 statement LangChain issues).",
       "db.create.setNodeVectorProperty" ->
@@ -710,11 +718,16 @@ object CypherAst {
     * DDL (the statement LangChain's Neo4jVector issues on first use). */
   final case class CreateVectorIndex(name: Option[String], ifNotExists: Boolean,
     label: String, prop: String, dimensions: Int,
-    similarityFunction: String) extends Statement
+    similarityFunction: String, isRel: Boolean = false) extends Statement
   /** `CREATE FULLTEXT INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON EACH
-    * [n.p1, n.p2]` — the hybrid-search sibling of the vector index. */
+    * [n.p1, n.p2]` — the hybrid-search sibling of the vector index. Both
+    * index DDLs also take the RELATIONSHIP pattern `FOR ()-[r:TYPE]-()`
+    * (isRel=true; `label` then holds the relationship type) — Neo4j 5
+    * supports relationship-property indexes of both kinds, served by
+    * db.index.*.queryRelationships. */
   final case class CreateFulltextIndex(name: Option[String],
-    ifNotExists: Boolean, label: String, props: Seq[String]) extends Statement
+    ifNotExists: Boolean, label: String, props: Seq[String],
+    isRel: Boolean = false) extends Statement
   /** Plain `CREATE [RANGE] INDEX [name] [IF NOT EXISTS] FOR (n:L) ON
     * (n.p)` — Neo4j's range index DDL, the statement every data-loading
     * tutorial (and LangChain's Neo4jGraph schema setup) opens with. In

@@ -339,7 +339,7 @@ object CypherParser {
 
     /** Shared `[name] [IF NOT EXISTS] FOR (v:Label)` prefix of the index
       * DDL statements. Returns (name, ifNotExists, patternVar, label). */
-    private def indexDdlPrefix(kind: String): (Option[String], Boolean, String, String) = {
+    private def indexDdlPrefix(kind: String): (Option[String], Boolean, String, String, Boolean) = {
       var name: Option[String] = None
       var ifNotExists = false
       peek match {
@@ -358,6 +358,24 @@ object CypherParser {
         case t => fail(s"expected FOR in CREATE $kind INDEX, got $t")
       }
       expectSym("(")
+      // relationship pattern `FOR ()-[r:TYPE]-()` (Neo4j 5 indexes
+      // relationship properties too; the closing dash may carry a
+      // direction arrow, which is IGNORED as Neo4j ignores it for
+      // index definitions)
+      if (peek.contains(Sym(")"))) {
+        next()
+        expectSym("-"); expectSym("[")
+        val v = ident(); expectSym(":"); val relType = ident()
+        peek match {
+          case Some(Sym("|")) => fail(s"a $kind index targets ONE " +
+            "relationship type — multi-type index patterns are not supported")
+          case _ =>
+        }
+        expectSym("]"); expectSym("-")
+        if (peek.contains(Sym(">"))) next()
+        expectSym("("); expectSym(")")
+        return (name, ifNotExists, v, relType, true)
+      }
       val v = ident(); expectSym(":"); val label = ident()
       peek match {
         case Some(Sym("|")) => fail(s"a $kind index targets ONE label — " +
@@ -366,7 +384,7 @@ object CypherParser {
         case _ =>
       }
       expectSym(")")
-      (name, ifNotExists, v, label)
+      (name, ifNotExists, v, label, false)
     }
 
     /** `CREATE VECTOR INDEX [name] [IF NOT EXISTS] FOR (v:Label) ON v.prop
@@ -375,7 +393,7 @@ object CypherParser {
       * (the index geometry is part of the definition); the similarity
       * function defaults to cosine. */
     private def createVectorIndexStatement(): Statement = {
-      val (name, ifNotExists, v, label) = indexDdlPrefix("VECTOR")
+      val (name, ifNotExists, v, label, isRel) = indexDdlPrefix("VECTOR")
       expectKw("ON")
       val v2 = ident()
       if (v2 != v) fail(s"ON must target the indexed variable '$v', got '$v2'")
@@ -404,7 +422,7 @@ object CypherParser {
           s"string, got $other")
         case None => "cosine"
       }
-      CreateVectorIndex(name, ifNotExists, label, prop, dim, simFn)
+      CreateVectorIndex(name, ifNotExists, label, prop, dim, simFn, isRel)
     }
 
     /** `CREATE [RANGE] INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON
@@ -413,7 +431,9 @@ object CypherParser {
       * indexes fail typed: this store's physical layout keys on (label,
       * single property). */
     private def createRangeIndexStatement(): Statement = {
-      val (name, ifNotExists, v, label) = indexDdlPrefix("RANGE")
+      val (name, ifNotExists, v, label, isRel) = indexDdlPrefix("RANGE")
+      if (isRel) fail("a RANGE index targets a node label in this engine " +
+        "— relationship range indexes are not supported")
       expectKw("ON")
       val paren = peek.contains(Sym("("))
       if (paren) next()
@@ -433,7 +453,7 @@ object CypherParser {
     /** `CREATE FULLTEXT INDEX [name] [IF NOT EXISTS] FOR (n:Label) ON EACH
       * [n.p1, n.p2]`. */
     private def createFulltextIndexStatement(): Statement = {
-      val (name, ifNotExists, v, label) = indexDdlPrefix("FULLTEXT")
+      val (name, ifNotExists, v, label, isRel) = indexDdlPrefix("FULLTEXT")
       expectKw("ON")
       peek match {
         case Some(Ident(e)) if e.equalsIgnoreCase("each") => next()
@@ -450,7 +470,7 @@ object CypherParser {
       propRef()
       while (peek.contains(Sym(","))) { next(); propRef() }
       expectSym("]")
-      CreateFulltextIndex(name, ifNotExists, label, props.toSeq)
+      CreateFulltextIndex(name, ifNotExists, label, props.toSeq, isRel)
     }
 
     /** A literal map value `{k: v, …}` with nested maps/lists — the OPTIONS

@@ -219,12 +219,13 @@ final class CypherSession(
     // vector/fulltext index rows (round 11): multi-property fulltext
     // indexes render their property list comma-joined in the single
     // `property` column
+    def ent(isRel: Boolean) = if (isRel) "RELATIONSHIP" else "NODE"
     val vec = vectorIndexes.toSeq.map { case (n, d) =>
-      (n, "ONLINE", "VECTOR", "NODE", d.label, d.prop,
+      (n, "ONLINE", "VECTOR", ent(d.isRel), d.label, d.prop,
         null.asInstanceOf[String])
     }
     val ft = fulltextIndexes.toSeq.map { case (n, d) =>
-      (n, "ONLINE", "FULLTEXT", "NODE", d.label, d.props.mkString(","),
+      (n, "ONLINE", "FULLTEXT", ent(d.isRel), d.label, d.props.mkString(","),
         null.asInstanceOf[String])
     }
     // plain range indexes (round 12): advisory rows, no owning constraint
@@ -344,20 +345,37 @@ final class CypherSession(
     // cached basis and the current instance provably touched only OTHER
     // labels, this index's population is byte-identical — adopt the
     // current instance instead of re-paying the full (layout) build.
-    if (sv != null && labelUntouchedSince(sv.basis, cur, d.label)) {
+    if (sv != null && labelUntouchedSince(sv.basis, cur, d.label, d.isRel)) {
       d.served = sv.copy(basis = cur)
       return Right(d.served)
     }
-    if (cached != null && labelUntouchedSince(cached._1, cur, d.label)) {
+    if (cached != null &&
+        labelUntouchedSince(cached._1, cur, d.label, d.isRel)) {
       d.snapshot = (cur, cached._2)
       return Left(cached._2)
     }
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     vectorIndexFullBuilds.incrementAndGet()
-    val parsed = cur.nodes.filter(col("label") === d.label)
-      .filter(element_at(col("props"), d.prop).isNotNull)
-      .select(col("id"), col("key"), nodeMapCol(d.label).as("node"),
-        parseVectorCol(element_at(col("props"), d.prop)).as("emb"))
+    // population: the label's node rows, or for a RELATIONSHIP index the
+    // relType's edge rows with the endpoint KEYS joined in — identity is
+    // the engine-independent 'srcKey->dstKey' string (keys are the merge
+    // identity and never mutate), the value map is the edge's own bag.
+    // Both joins are broadcast-scale lookups against the node id column.
+    val parsed =
+      if (d.isRel) {
+        val src = cur.nodes.select(col("id").as("srcId"), col("key").as("__sk"))
+        val dst = cur.nodes.select(col("id").as("dstId"), col("key").as("__dk"))
+        cur.edges.filter(col("relType") === d.label)
+          .filter(element_at(col("props"), d.prop).isNotNull)
+          .join(src, Seq("srcId")).join(dst, Seq("dstId"))
+          .select(xxhash64(col("__sk"), lit("|"), col("__dk")).as("id"),
+            concat_ws("->", col("__sk"), col("__dk")).as("key"),
+            col("props").as("node"),
+            parseVectorCol(element_at(col("props"), d.prop)).as("emb"))
+      } else cur.nodes.filter(col("label") === d.label)
+        .filter(element_at(col("props"), d.prop).isNotNull)
+        .select(col("id"), col("key"), nodeMapCol(d.label).as("node"),
+          parseVectorCol(element_at(col("props"), d.prop)).as("emb"))
     // ONE pass over the population (ADVICE r11 #5 — the old shape ran the
     // full parse scan twice: once for the validation collect, once for
     // the pin): derive validity AND the geometry in the same projection
@@ -388,7 +406,8 @@ final class CypherSession(
     val bad = derived.filter(!col("__ok"))
       .select(col("key")).limit(1).collect()
     if (bad.nonEmpty) throw new IllegalStateException(
-      s"vector index '$name': node '${bad.head.getString(0)}' has a " +
+      s"vector index '$name': ${if (d.isRel) "relationship" else "node"} " +
+        s"'${bad.head.getString(0)}' has a " +
         s"malformed ${d.prop} — every indexed value must be ${d.dim} " +
         "numeric components" +
         (if (d.similarityFunction == "cosine") " with a nonzero norm"
@@ -456,12 +475,24 @@ final class CypherSession(
     if (cached != null && (cached._1 eq cur))
       return (cached._2, termFn(cached._3), cached._4, cached._5)
     // label-scoped invalidation (round 12) — same adoption as vectorServe
-    if (cached != null && labelUntouchedSince(cached._1, cur, d.label)) {
+    if (cached != null &&
+        labelUntouchedSince(cached._1, cur, d.label, d.isRel)) {
       d.snapshot = (cur, cached._2, cached._3, cached._4, cached._5)
       return (cached._2, termFn(cached._3), cached._4, cached._5)
     }
     import graft.analytics.IterCheckpoint.IterCheckpointOps
-    val base = cur.nodes.filter(col("label") === d.label)
+    // base rows: the label's nodes, or for a RELATIONSHIP index the
+    // relType's edges keyed on the engine-independent 'srcKey->dstKey'
+    // identity (same convention as vectorServe)
+    val base =
+      if (d.isRel) {
+        val src = cur.nodes.select(col("id").as("srcId"), col("key").as("__sk"))
+        val dst = cur.nodes.select(col("id").as("dstId"), col("key").as("__dk"))
+        cur.edges.filter(col("relType") === d.label)
+          .join(src, Seq("srcId")).join(dst, Seq("dstId"))
+          .select(concat_ws("->", col("__sk"), col("__dk")).as("key"),
+            col("props"))
+      } else cur.nodes.filter(col("label") === d.label)
     def toks(p: String): Column = filter(
       split(lower(element_at(col("props"), p)),
         CypherSession.FulltextTokenRegex),
@@ -472,7 +503,8 @@ final class CypherSession(
         .filter(col("term").isNotNull)
     }.reduce(_ unionByName _).iterCheckpoint()
     val dl = postings.groupBy("key").agg(count(lit(1)).as("dl"))
-    val docs = base.select(col("key"), nodeMapCol(d.label).as("node"))
+    val entityMap = if (d.isRel) col("props") else nodeMapCol(d.label)
+    val docs = base.select(col("key"), entityMap.as("node"))
       .join(dl, Seq("key")).iterCheckpoint()
     val n = docs.count()
     val avgDl =
@@ -786,7 +818,8 @@ final class CypherSession(
         s"an index named '$name' already exists — use IF NOT EXISTS to " +
           "make this a no-op")
     }
-    vectorIndexes.values.find(d => d.label == c.label && d.prop == c.prop)
+    vectorIndexes.values.find(d => d.label == c.label && d.prop == c.prop &&
+        d.isRel == c.isRel)
       .foreach { _ =>
         if (c.ifNotExists)
           return CypherRows(spark.range(1).select(lit(name).as("name"),
@@ -796,7 +829,7 @@ final class CypherSession(
             s"${c.prop}")
       }
     val d = new CypherSession.VectorIndexDef(c.label, c.prop, c.dimensions,
-      c.similarityFunction)
+      c.similarityFunction, c.isRel)
     vectorIndexes(name) = d
     // build (and thereby VALIDATE the existing population) eagerly, as
     // Neo4j populates at CREATE; a malformed store leaves no index behind
@@ -819,7 +852,7 @@ final class CypherSession(
         s"an index named '$name' already exists — use IF NOT EXISTS to " +
           "make this a no-op")
     }
-    val d = new CypherSession.FulltextIndexDef(c.label, c.props)
+    val d = new CypherSession.FulltextIndexDef(c.label, c.props, c.isRel)
     fulltextIndexes(name) = d
     try fulltextServe(name, d)
     catch { case t: Throwable => fulltextIndexes.remove(name); throw t }
@@ -875,28 +908,38 @@ final class CypherSession(
     * BASELINE r12's noted future work). Bounded window: a chain longer
     * than it forces a rebuild, never corruption. Edge-only writes record
     * an EMPTY set — index snapshots read only the label's node rows. */
-  private val writeLineage =
-    new scala.collection.mutable.ArrayDeque[(PropertyGraph, PropertyGraph, Set[String])]()
+  private val writeLineage = new scala.collection.mutable.ArrayDeque[
+    (PropertyGraph, PropertyGraph, Set[String], Set[String])]()
 
+  /** @param nodeLabels node labels the step may have changed (null =
+    *   unknown → every node index rebuilds)
+    * @param relTypes relationship types the step may have changed (null =
+    *   unknown → every relationship index rebuilds) */
   private def recordWrite(parent: PropertyGraph, child: PropertyGraph,
-      touched: Set[String]): Unit = if (child ne parent) {
-    writeLineage.append((child, parent, touched))
-    if (writeLineage.length > CypherSession.WriteLineageWindow)
-      writeLineage.removeHead()
-  }
+      nodeLabels: Set[String], relTypes: Set[String]): Unit =
+    if (child ne parent) {
+      writeLineage.append((child, parent, nodeLabels, relTypes))
+      if (writeLineage.length > CypherSession.WriteLineageWindow)
+        writeLineage.removeHead()
+    }
 
-  /** True iff `label`'s node partition is provably byte-identical between
+  /** True iff the index population keyed on `label` (a node label, or a
+    * relationship type when isRel) is provably byte-identical between
     * instances `from` and `to` per the recorded lineage (false on any
-    * unknown step or gap — the safe direction is always "rebuild"). */
+    * unknown step or gap — the safe direction is always "rebuild").
+    * Relationship indexes additionally depend on endpoint KEYS, which
+    * never mutate for live ids; endpoint deletion records relTypes=null
+    * (unknown), so the rel side stays conservative. */
   private def labelUntouchedSince(from: PropertyGraph, to: PropertyGraph,
-      label: String): Boolean = {
+      label: String, isRel: Boolean): Boolean = {
     var cur = to
     var steps = 0
     while (cur ne from) {
       if (steps > CypherSession.WriteLineageWindow) return false
       steps += 1
       writeLineage.reverseIterator.find(_._1 eq cur) match {
-        case Some((_, parent, touched)) =>
+        case Some((_, parent, nodeLabels, relTypes)) =>
+          val touched = if (isRel) relTypes else nodeLabels
           if (touched == null || touched.contains(label)) return false
           cur = parent
         case None => return false
@@ -944,7 +987,7 @@ final class CypherSession(
     // to amortize, exactly as the reference's per-record Bolt writes
     // batch into transactions.
     graph = graph.copy(nodes = updated)
-    recordWrite(lineageParent, graph, touched)
+    recordWrite(lineageParent, graph, touched, Set.empty)
     n
   }
 
@@ -1015,7 +1058,7 @@ final class CypherSession(
     // definition. The label probe prunes to the label's partition; the
     // validated values are the batch's own rendered strings.
     vectorIndexes.foreach { case (iname, vd) =>
-      if (vd.prop == keyName) {
+      if (vd.prop == keyName && !vd.isRel) {
         val bad0 = size(col("emb")) =!= vd.dim ||
           exists(col("emb"), x => x.isNull)
         val badCond =
@@ -1052,7 +1095,8 @@ final class CypherSession(
         .unionByName(extraDelta.select(col("id"))).distinct()
         .localCheckpoint(true)
     vectorIndexes.foreach { case (_, vd) =>
-      if (vd.prop == keyName) {
+      // relationship indexes never match: the setter writes NODE props
+      if (vd.prop == keyName && !vd.isRel) {
         lazy val affectedGeom = postGraph.nodes
           .filter(col("label") === vd.label)
           .join(targetIds, Seq("id"), "left_semi")
@@ -1222,7 +1266,7 @@ final class CypherSession(
               // serving is not invalidated by the pin itself.
               val preCompact = graph
               graph = graph.compact()
-              recordWrite(preCompact, graph, Set.empty)
+              recordWrite(preCompact, graph, Set.empty, Set.empty)
               CypherMutation(graph, created, matched)
             } catch {
               case t: Throwable =>
@@ -1235,7 +1279,7 @@ final class CypherSession(
                 try {
                   val preCompact = graph
                   graph = graph.compact()
-                  recordWrite(preCompact, graph, Set.empty)
+                  recordWrite(preCompact, graph, Set.empty, Set.empty)
                 } catch { case scala.util.control.NonFatal(_) => () }
                 throw t
             } finally staged.cleanup()
@@ -1501,7 +1545,8 @@ final class CypherSession(
     // the statement's node writes touch exactly its bound labels (an
     // edge-only MERGE records the empty set — index snapshots read only
     // the label's node rows, so it invalidates nothing)
-    recordWrite(preStatementGraph, g2, bindings.values.map(_.label).toSet)
+    recordWrite(preStatementGraph, g2, bindings.values.map(_.label).toSet,
+      (edgeList.map(_.relType) ++ createEdgeList.map(_.relType)).toSet)
 
     // procedure clauses (the `CALL db.create.setNodeVectorProperty(c,
     // 'embedding', row.embedding)` slot of LangChain's batched
@@ -1751,6 +1796,22 @@ final class CypherSession(
           !u.replaceVars.contains(v))
       val ls = nodeTargets.map(v => nodeLabels.getOrElse(v, None))
       if (ls.exists(_.isEmpty)) null else ls.flatten.toSet
+    }, {
+      // relationship-type side: edge MERGEs touch their types; SET/REMOVE
+      // on an edge variable touches its pattern type; deleting NODES may
+      // drop edges of ANY type (DETACH) → unknown
+      if (u.deletes.nonEmpty) null
+      else {
+        val pats = u.stages.flatMap(st => st.paths ++ st.optPaths)
+        val edgeTypes = pats.flatMap(_.edges)
+          .flatMap(e => e.variable.map(_ -> e.relType)).toMap
+        val edgeVarSet = edgeTypes.keySet
+        val touchedEdgeVars = (u.sets.map(_._1.variable) ++
+          u.removes.map(_.variable) ++ u.replaceVars).filter(edgeVarSet)
+        val mergedTypes = u.merges.flatMap(_.edges.map(_.relType))
+        val ts = touchedEdgeVars.map(edgeTypes(_)) ++ mergedTypes
+        if (ts.exists(_.isEmpty)) null else ts.flatten.toSet
+      }
     })
     CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted, relsCreated)
   }
@@ -3194,13 +3255,14 @@ final class CypherSession(
             case (n, (l, p)) => Row(n, "ONLINE", 100.0, "RANGE", "NODE",
               Seq(l), Seq(p), "range-1.0", n, null, null)
           }
+          def entKind(isRel: Boolean) = if (isRel) "RELATIONSHIP" else "NODE"
           val vec = vectorIndexes.toSeq.map { case (n, d) =>
-            Row(n, "ONLINE", 100.0, "VECTOR", "NODE", Seq(d.label),
+            Row(n, "ONLINE", 100.0, "VECTOR", entKind(d.isRel), Seq(d.label),
               Seq(d.prop), "vector-2.0", null, d.dim.toLong,
               d.similarityFunction)
           }
           val ften = fulltextIndexes.toSeq.map { case (n, d) =>
-            Row(n, "ONLINE", 100.0, "FULLTEXT", "NODE", Seq(d.label),
+            Row(n, "ONLINE", 100.0, "FULLTEXT", entKind(d.isRel), Seq(d.label),
               d.props, "fulltext-1.0", null, null, null)
           }
           val rng = rangeIndexes.toSeq.map { case (n, (l, p)) =>
@@ -3668,8 +3730,10 @@ final class CypherSession(
         // shuffle except the top-k. Exact cosine re-scores candidates;
         // score = (1 + cos)/2, Neo4j's cosine score normalization, left-
         // fold dot products so the doubles replay in the DuckDB oracle.
-        case "db.index.vector.queryNodes" =>
-          require(p.args.size == 3, "db.index.vector.queryNodes takes " +
+        case vq @ ("db.index.vector.queryNodes" |
+            "db.index.vector.queryRelationships") =>
+          val wantRel = vq.endsWith("Relationships")
+          require(p.args.size == 3, s"$vq takes " +
             s"(indexName, k, queryVector), got ${p.args.size} argument(s)")
           val idxName = p.args.head match {
             case s: String => s
@@ -3701,6 +3765,14 @@ final class CypherSession(
             throw new IllegalArgumentException(
               s"vector index '$idxName' does not exist — SHOW VECTOR " +
                 s"INDEXES lists ${vectorIndexes.keys.mkString(", ")}"))
+          // entity-kind check: a NODE index serves queryNodes, a
+          // RELATIONSHIP index serves queryRelationships — never both
+          if (vidx.isRel != wantRel) throw new IllegalArgumentException(
+            s"vector index '$idxName' indexes " +
+              (if (vidx.isRel) "RELATIONSHIP properties — query it with " +
+                "db.index.vector.queryRelationships"
+               else "NODE properties — query it with " +
+                "db.index.vector.queryNodes"))
           require(qv.length == vidx.dim,
             s"query vector has ${qv.length} dimensions; index '$idxName' " +
               s"expects ${vidx.dim}")
@@ -3792,7 +3864,8 @@ final class CypherSession(
             // rows in both engines
             .orderBy(col("score").desc, length(col("key")), col("key"))
             .limit(k)
-            .select(col("node"), col("score"))
+            .select(col("node").as(if (wantRel) "relationship" else "node"),
+              col("score"))
         // the embedding SETTER (Neo4j 5.13+; LangChain's add_embeddings
         // issues it per chunk). One set-oriented join writes the rendered
         // vector into every matched node's bag — the statement-at-a-time
@@ -3877,7 +3950,9 @@ final class CypherSession(
             case other => throw new IllegalStateException(
               s"unexpected createNodeIndex result $other")
           }
-        case "db.index.fulltext.queryNodes" =>
+        case fq @ ("db.index.fulltext.queryNodes" |
+            "db.index.fulltext.queryRelationships") =>
+          val ftWantRel = fq.endsWith("Relationships")
           require(p.args.size == 2, "db.index.fulltext.queryNodes takes " +
             s"(indexName, query), got ${p.args.size} argument(s)")
           val ftName = p.args.head match {
@@ -3894,10 +3969,19 @@ final class CypherSession(
             throw new IllegalArgumentException(
               s"fulltext index '$ftName' does not exist — SHOW FULLTEXT " +
                 s"INDEXES lists ${fulltextIndexes.keys.mkString(", ")}"))
+          if (fidx.isRel != ftWantRel) throw new IllegalArgumentException(
+            s"fulltext index '$ftName' indexes " +
+              (if (fidx.isRel) "RELATIONSHIP properties — query it with " +
+                "db.index.fulltext.queryRelationships"
+               else "NODE properties — query it with " +
+                "db.index.fulltext.queryNodes"))
           // the options map (Neo4j's third argument; Neo4jVector's hybrid
           // template passes {limit: $k}) — limit truncates the scored,
           // score-ordered rows
-          val ftRes = fulltextQuery(ftName, fidx, ftQuery)
+          val ftRes0 = fulltextQuery(ftName, fidx, ftQuery)
+          val ftRes =
+            if (ftWantRel) ftRes0.withColumnRenamed("node", "relationship")
+            else ftRes0
           val ftLim = p.confLong("limit", -1L)
           if (ftLim >= 0L) ftRes.limit(ftLim.toInt) else ftRes
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
@@ -4487,7 +4571,8 @@ object CypherSession {
     * PropertyGraph instance, so reference identity IS the staleness
     * check. */
   private[cypher] final class VectorIndexDef(val label: String,
-      val prop: String, val dim: Int, val similarityFunction: String) {
+      val prop: String, val dim: Int, val similarityFunction: String,
+      val isRel: Boolean = false) {
     @volatile var snapshot: (PropertyGraph, DataFrame) = null
     @volatile var served: ServedVectorIndex = null
   }
@@ -4499,7 +4584,7 @@ object CypherSession {
     * term-bucket-partitioned parquet layout instead of the in-memory
     * frame (the `snapshot` postings slot is then null). */
   private[cypher] final class FulltextIndexDef(val label: String,
-      val props: Seq[String]) {
+      val props: Seq[String], val isRel: Boolean = false) {
     @volatile var snapshot: (PropertyGraph, DataFrame, DataFrame, Long, Double) = null
     @volatile var postingsPath: String = null
     /** The persisted layout read ONCE (cached file index) — per-term

@@ -5226,8 +5226,10 @@ object AnalyticsCatalog {
     Some("""SELECT * FROM (VALUES
            |  ('db.create.setNodeVectorProperty', 'WRITE'),
            |  ('db.index.fulltext.queryNodes', 'READ'),
+           |  ('db.index.fulltext.queryRelationships', 'READ'),
            |  ('db.index.vector.createNodeIndex', 'WRITE'),
            |  ('db.index.vector.queryNodes', 'READ'),
+           |  ('db.index.vector.queryRelationships', 'READ'),
            |  ('db.labels', 'READ'),
            |  ('db.propertyKeys', 'READ'),
            |  ('db.relationshipTypes', 'READ'),
@@ -6092,6 +6094,170 @@ object AnalyticsCatalog {
            |    CAST(64 AS BIGINT), 'cosine')
            |) AS t(section, name, label0, prop0, dims, simfn)
            |ORDER BY section, name""".stripMargin))
+
+  private val c80 = Entry("c80_cypher_fulltext_relationships",
+    (s, dir) => {
+      // RELATIONSHIP fulltext indexes (round 12 — the other half of
+      // Neo4j 5's fulltext surface; VERDICT r11 noted queryRelationships
+      // as the remaining index gap): `CREATE FULLTEXT INDEX … FOR
+      // ()-[r:T]-() ON EACH [r.p]` + db.index.fulltext.queryRelationships.
+      // Postings build from the relType's EDGE rows (partition-pruned)
+      // keyed on the engine-independent 'srcKey->dstKey' identity; the
+      // scoring is the same log-free BM25 the node side hashes (c69).
+      val docs = Tables(s, dir, "documents")
+      val docNodes = docs.select(lit("Doc").as("label"),
+        col("doc_id").cast("string").as("key"),
+        map().cast("map<string,string>").as("props"))
+      val pubNodes = docs.select(col("source")).distinct()
+        .select(lit("Pub").as("label"), col("source").as("key"),
+          map().cast("map<string,string>").as("props"))
+      val edges = docs.select(lit("Doc").as("srcLabel"),
+        col("doc_id").cast("string").as("srcKey"),
+        lit("Pub").as("dstLabel"), col("source").as("dstKey"),
+        lit("WRITTEN_BY").as("relType"),
+        map(lit("note"),
+          concat(col("doc_id").cast("string"), lit(" "),
+            substring(col("text"), 1, 50))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(docNodes).mergeNodes(pubNodes).mergeEdgesByKey(edges)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id", "Pub" -> "name"))
+      sess.run("CREATE FULLTEXT INDEX notes FOR ()-[r:WRITTEN_BY]-() " +
+        "ON EACH [r.note]")
+      sess.run(
+        """CALL db.index.fulltext.queryRelationships('notes', $q)
+          |YIELD relationship, score
+          |RETURN relationship.note AS note, score""".stripMargin,
+        Map("q" -> "table value"))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .orderBy(col("score").desc, col("note"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT CAST(doc_id AS VARCHAR) || '->' || source AS key,
+           |    CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 50) AS note
+           |  FROM documents),
+           |post AS MATERIALIZED (
+           |  SELECT key, note, term,
+           |    row_number() OVER (PARTITION BY key ORDER BY pos) AS pos
+           |  FROM (SELECT key, note, unnest(t) AS term,
+           |          generate_subscripts(t, 1) AS pos
+           |        FROM (SELECT key, note,
+           |                regexp_split_to_array(lower(note),
+           |                  '[^a-z0-9]+') AS t FROM tk) z0) z
+           |  WHERE term <> ''),
+           |doclen AS (SELECT key, any_value(note) AS note,
+           |    CAST(COUNT(*) AS BIGINT) AS dl
+           |  FROM post GROUP BY key),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+           |ftf AS (
+           |  SELECT key, 0 AS cid, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM post WHERE term = 'table' GROUP BY key
+           |  UNION ALL
+           |  SELECT key, 1, CAST(COUNT(*) AS BIGINT)
+           |  FROM post WHERE term = 'value' GROUP BY key),
+           |fdf AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM ftf GROUP BY cid),
+           |fc AS (
+           |  SELECT t.key, t.cid,
+           |    ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |      (CAST(t.tf AS DOUBLE) + 1.2 *
+           |        ((1.0 - 0.75) +
+           |          (0.75 * CAST(l.dl AS DOUBLE)) / s.avgdl))) *
+           |    (((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5) /
+           |      (CAST(f.df AS DOUBLE) + 0.5)) AS contrib
+           |  FROM ftf t
+           |  JOIN fdf f USING (cid)
+           |  JOIN doclen l USING (key)
+           |  CROSS JOIN stats s),
+           |fs AS (
+           |  SELECT key,
+           |    list_reduce(list(contrib ORDER BY cid), (a,b) -> a + b)
+           |      AS score
+           |  FROM fc GROUP BY key)
+           |SELECT l.note AS note, s2.score AS score
+           |FROM fs s2 JOIN doclen l USING (key)
+           |ORDER BY score DESC, note""".stripMargin))
+
+  private val c81 = Entry("c81_cypher_vector_relationships",
+    (s, dir) => {
+      // RELATIONSHIP vector indexes (round 12): `CREATE VECTOR INDEX …
+      // FOR ()-[r:T]-() ON r.p` + db.index.vector.queryRelationships —
+      // the same sign-LSH candidate step and exact (1+cos)/2 rescoring as
+      // the node side (c68), over the relType's edge rows. Edges carry an
+      // `eid` property so the hash identifies rows engine-independently.
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      val docNodes = docs.select(lit("Doc").as("label"),
+        col("doc_id").cast("string").as("key"),
+        map().cast("map<string,string>").as("props"))
+      val pubNodes = docs.select(col("source")).distinct()
+        .select(lit("Pub").as("label"), col("source").as("key"),
+          map().cast("map<string,string>").as("props"))
+      val edges = joined.select(lit("Doc").as("srcLabel"),
+        docs("doc_id").cast("string").as("srcKey"),
+        lit("Pub").as("dstLabel"), col("source").as("dstKey"),
+        lit("EMBEDS").as("relType"),
+        map(lit("eid"), col("vec_id").cast("string"),
+          lit("vec"), concat_ws(",", transform(col("embedding"),
+            x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s)
+        .mergeNodes(docNodes).mergeNodes(pubNodes).mergeEdgesByKey(edges)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Doc" -> "doc_id", "Pub" -> "name"))
+      sess.run(
+        """CREATE VECTOR INDEX rvec FOR ()-[r:EMBEDS]-() ON r.vec
+          |OPTIONS {indexConfig: {`vector.dimensions`: 64}}""".stripMargin)
+      val q = emb.filter(col("vec_id") === 5)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      sess.run(
+        """CALL db.index.vector.queryRelationships('rvec', 6, $q)
+          |YIELD relationship, score
+          |RETURN relationship.eid AS eid, score""".stripMargin,
+        Map("q" -> q))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("eid").cast("long").as("eid"), col("score"))
+        .orderBy(col("score").desc, col("eid"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS MATERIALIZED (
+           |  SELECT v.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, v.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes p GROUP BY v.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT b2.vec_id
+           |  FROM bits b1 JOIN bits b2 ON b2.t = b1.t AND b2.bucket = b1.bucket
+           |  WHERE b1.vec_id = 5),
+           |scored AS (
+           |  SELECT c.vec_id,
+           |    (1.0 + list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm)) / 2.0
+           |      AS score
+           |  FROM cand c
+           |  JOIN v x ON x.vec_id = 5
+           |  JOIN v y ON y.vec_id = c.vec_id),
+           |top AS (
+           |  SELECT vec_id, score,
+           |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+           |  FROM scored)
+           |SELECT vec_id AS eid, score FROM top WHERE rn <= 6
+           |ORDER BY score DESC, eid""".stripMargin))
 
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
@@ -7970,7 +8136,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
-    c71, c72, c73, c74, c75, c76, c77, c78, c79,
+    c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -3537,6 +3537,75 @@ class CypherSpec extends SparkTestBase {
     assert(ftq() === 2L) // adopted, still serves (correctness unchanged)
   }
 
+  test("relationship vector/fulltext indexes: ()-[r:T]-() DDL, " +
+      "queryRelationships, entity-kind errors, scoped invalidation") {
+    val sess = freshSession
+    sess.run("""MERGE (u:User {name: 'alice'}) MERGE (t:Tech {name: 'spark'})
+               |MERGE (u)-[:INTERESTED_IN {note: 'loves spark deeply',
+               |  w: '1.0,0.0'}]->(t)""".stripMargin)
+    sess.run("""MERGE (u:User {name: 'bob'}) MERGE (t:Tech {name: 'scala'})
+               |MERGE (u)-[:INTERESTED_IN {note: 'tolerates spark',
+               |  w: '2.0,0.0'}]->(t)""".stripMargin)
+    sess.run("""CREATE VECTOR INDEX rvi FOR ()-[r:INTERESTED_IN]-() ON r.w
+               |OPTIONS {indexConfig: {`vector.dimensions`: 2}}""".stripMargin)
+    sess.run("CREATE FULLTEXT INDEX rfi FOR ()-[r:INTERESTED_IN]-() " +
+      "ON EACH [r.note]")
+    // vector: both edges share every sign-LSH bucket (same direction)
+    val vres = sess.run(
+      "CALL db.index.vector.queryRelationships('rvi', 2, $q) " +
+        "YIELD relationship, score " +
+        "RETURN relationship.note AS note ORDER BY note",
+      Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(vres === Seq("loves spark deeply", "tolerates spark"))
+    // fulltext: term matching + BM25 over edge properties
+    val fres = sess.run(
+      "CALL db.index.fulltext.queryRelationships('rfi', 'spark') " +
+        "YIELD relationship, score RETURN relationship.note AS note")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(fres.toSet === Set("loves spark deeply", "tolerates spark"))
+    assert(sess.run(
+      "CALL db.index.fulltext.queryRelationships('rfi', 'loves') " +
+        "YIELD relationship, score RETURN relationship.note AS note")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq ===
+      Seq("loves spark deeply"))
+    // entity-kind mismatch fails typed, both directions
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.vector.queryNodes('rvi', 1, $q) YIELD node, score " +
+        "RETURN score", Map("q" -> Seq(1.0, 0.0))))
+    assert(e1.getMessage.contains("queryRelationships"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "CALL db.index.fulltext.queryNodes('rfi', 'spark') " +
+        "YIELD node, score RETURN score"))
+    assert(e2.getMessage.contains("queryRelationships"), e2.getMessage)
+    // SHOW INDEXES carries entityType RELATIONSHIP
+    val ent = sess.run("SHOW INDEXES").asInstanceOf[CypherRows].df
+      .filter(col("name").isin("rvi", "rfi"))
+      .select("entityType").distinct().as[String].collect().toSeq
+    assert(ent === Seq("RELATIONSHIP"))
+    // scoped invalidation: node-prop writes and FOREIGN-type edge writes
+    // adopt; a write to the indexed type rebuilds
+    val builds0 = sess.vectorIndexFullBuilds.get
+    sess.run("MATCH (u:User {name: 'alice'}) SET u.role = 'admin'")
+    sess.run("MATCH (a:User {name: 'alice'}) MATCH (b:User {name: 'bob'}) " +
+      "MERGE (a)-[:KNOWS]->(b)")
+    assert(sess.run(
+      "CALL db.index.vector.queryRelationships('rvi', 2, $q) " +
+        "YIELD relationship, score RETURN score",
+      Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.count() === 2)
+    assert(sess.vectorIndexFullBuilds.get === builds0,
+      "node-prop/foreign-type writes must not rebuild a relationship index")
+    sess.run("MATCH (a:User {name: 'alice'}) MATCH (t:Tech {name: 'scala'}) " +
+      "MERGE (a)-[:INTERESTED_IN {note: 'new edge', w: '3.0,0.0'}]->(t)")
+    assert(sess.run(
+      "CALL db.index.vector.queryRelationships('rvi', 3, $q) " +
+        "YIELD relationship, score RETURN score",
+      Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.count() === 3)
+    assert(sess.vectorIndexFullBuilds.get === builds0 + 1)
+  }
+
   test("apoc.meta.data: LangChain Neo4jGraph's three refresh_schema " +
       "statements run verbatim") {
     val sess = freshSession
