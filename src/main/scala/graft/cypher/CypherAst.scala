@@ -288,6 +288,15 @@ object CypherAst {
     * #1). Same containment rule as [[ProcVarArg]]: lives only inside
     * ProcCall.args. */
   final case class ProcPropArg(variable: String, prop: String)
+  /** A map-literal positional argument — the `{id: row.id}` identity and
+    * `{}` property slots of LangChain's add_graph_documents statements
+    * (`CALL apoc.merge.node([row.type], {id: row.id}, row.properties,
+    * {})`). Values are literals, $parameters, bound variables or
+    * row-bound `var.prop` expressions. For config-consuming procedures
+    * (gds.*, db.index.*) a trailing all-literal map keeps its historical
+    * CONFIG role; everywhere else maps are ordinary positional
+    * arguments. Same containment rule as [[ProcVarArg]]. */
+  final case class ProcMapArg(entries: Seq[(String, Any)])
 
   final case class ProcCall(name: String, yields: Seq[(String, String)],
       config: Map[String, Any] = Map.empty, args: Seq[Any] = Nil) {
@@ -414,6 +423,12 @@ object CypherAst {
       // properties too): `relationship` is the edge's property bag
       "db.index.vector.queryRelationships" -> Seq("relationship", "score"),
       "db.index.fulltext.queryRelationships" -> Seq("relationship", "score"),
+      // APOC's data-driven merges — the procedures LangChain's
+      // Neo4jGraph.add_graph_documents issues to import LLM-extracted
+      // knowledge graphs (labels and relationship types arrive WITH the
+      // data): set-oriented over the whole driving batch, never per row
+      "apoc.merge.node" -> Seq("node"),
+      "apoc.merge.relationship" -> Seq("rel"),
       // the PROCEDURE form of vector-index creation (pre-5.15 Neo4j — the
       // statement LangChain/Neo4jVector issued for years and still emits
       // on installed versions). Pure alias onto the CREATE VECTOR INDEX
@@ -496,6 +511,10 @@ object CypherAst {
         "Query a relationship vector index: top-k relationships by similarity to the query embedding.",
       "db.index.fulltext.queryRelationships" ->
         "Query a relationship fulltext index: relationships matching the query with a deterministic BM25-family score.",
+      "apoc.merge.node" ->
+        "MERGE a node with data-driven label, identity and properties (one set-oriented merge per statement over the driving batch).",
+      "apoc.merge.relationship" ->
+        "MERGE a relationship between two bound nodes with a data-driven type and properties (set-oriented over the driving batch).",
       "db.index.vector.createNodeIndex" ->
         "Create a vector index (procedure form of CREATE VECTOR INDEX; the pre-5.15 statement LangChain issues).",
       "db.create.setNodeVectorProperty" ->
@@ -526,7 +545,8 @@ object CypherAst {
       name.endsWith(".write") ||
         name == "gds.graph.project" || name == "gds.graph.drop" ||
         name == "db.create.setNodeVectorProperty" ||
-        name == "db.index.vector.createNodeIndex"
+        name == "db.index.vector.createNodeIndex" ||
+        name.startsWith("apoc.merge.")
 
     require(descriptions.keySet == all.keySet,
       "procedure registry drift: descriptions vs yields differ on " +

@@ -74,7 +74,16 @@ object CypherParser {
         val quote = c
         val sb = new StringBuilder; i += 1
         while (i < n && q(i) != quote) {
-          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 } else { sb += q(i); i += 1 }
+          if (q(i) == '\\' && i + 1 < n) {
+            // Cypher escape sequences (Neo4jVector's from_existing_graph
+            // template concatenates '\n' literals); unknown escapes keep
+            // the escaped character (covers \\ \' \" \`)
+            sb += (q(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case 'b' => '\b'; case 'f' => '\f'; case other => other
+            })
+            i += 2
+          } else { sb += q(i); i += 1 }
         }
         i += 1 // closing quote
         out += Str(sb.toString)
@@ -988,10 +997,49 @@ object CypherParser {
             val config = scala.collection.mutable.Map.empty[String, Any]
             val posArgs = ArrayBuffer.empty[Any]
             var sawConfig = false
-            def parseConfig(): Unit = {
+            // numeral handling (ADVICE r8 #5): integers → Long, any
+            // '.'/exponent form → Double (1e3 has no '.' but is NOT a
+            // Long literal), leading '-' lexes as Sym("-")+Num and
+            // negates; malformed numerals fail with the parser's own
+            // message, never a raw NumberFormatException
+            def mapVal(k: String): Any = next() match {
+              case Sym("-") => mapVal(k) match {
+                case l: Long => -l
+                case d: Double => -d
+                case other => fail(s"'-' in config value for '$k' must " +
+                  s"precede a number, got $other")
+              }
+              case Num(s) if s.matches("[0-9]+") =>
+                try s.toLong catch { case _: NumberFormatException =>
+                  fail(s"config value for '$k' overflows a 64-bit integer: $s") }
+              case Num(s) =>
+                try s.toDouble catch { case _: NumberFormatException =>
+                  fail(s"malformed numeric config value for '$k': $s") }
+              case Str(s) => s
+              case Ident(b) if b.equalsIgnoreCase("true") => true
+              case Ident(b) if b.equalsIgnoreCase("false") => false
+              case Kw(b) if b.equalsIgnoreCase("true") => true
+              case Kw(b) if b.equalsIgnoreCase("false") => false
+              // a $parameter value ({limit: $k} in Neo4jVector's hybrid
+              // template) — resolved against the statement's params at
+              // execution, same as positional Param args
+              case ParamTok(p0) => Param(p0)
+              // a bound variable or `row.prop` expression value — the
+              // `{id: row.id}` identity slot of LangChain's
+              // add_graph_documents apoc.merge.node statement. Only
+              // batch-oriented procedures accept these; config-consuming
+              // procedures reject them after the parse (below).
+              case Ident(v) if !v.equalsIgnoreCase("null") =>
+                if (peek.contains(Sym("."))) { next(); ProcPropArg(v, ident()) }
+                else ProcVarArg(v)
+              case other => fail(s"procedure config value for '$k' must " +
+                s"be a literal or a $$parameter, got $other")
+            }
+            def parseMapArg(): Unit = {
               next() // consume '{'
-              def confPair(): Unit = {
-                // a config KEY may collide with a reserved keyword —
+              val entries = ArrayBuffer.empty[(String, Any)]
+              def pair(): Unit = {
+                // a map KEY may collide with a reserved keyword —
                 // {limit: $k} in Neo4jVector's hybrid template lexes
                 // LIMIT as a keyword; accept it lowercased
                 val k = next() match {
@@ -1001,56 +1049,36 @@ object CypherParser {
                   case t => fail(s"expected a config map key, got $t")
                 }
                 expectSym(":")
-                // numeral handling (ADVICE r8 #5): integers → Long, any
-                // '.'/exponent form → Double (1e3 has no '.' but is NOT a
-                // Long literal), leading '-' lexes as Sym("-")+Num and
-                // negates; malformed numerals fail with the parser's own
-                // message, never a raw NumberFormatException
-                def confLit(): Any = next() match {
-                  case Sym("-") => confLit() match {
-                    case l: Long => -l
-                    case d: Double => -d
-                    case other => fail(s"'-' in config value for '$k' must " +
-                      s"precede a number, got $other")
-                  }
-                  case Num(s) if s.matches("[0-9]+") =>
-                    try s.toLong catch { case _: NumberFormatException =>
-                      fail(s"config value for '$k' overflows a 64-bit integer: $s") }
-                  case Num(s) =>
-                    try s.toDouble catch { case _: NumberFormatException =>
-                      fail(s"malformed numeric config value for '$k': $s") }
-                  case Str(s) => s
-                  case Ident(b) if b.equalsIgnoreCase("true") => true
-                  case Ident(b) if b.equalsIgnoreCase("false") => false
-                  case Kw(b) if b.equalsIgnoreCase("true") => true
-                  case Kw(b) if b.equalsIgnoreCase("false") => false
-                  // a $parameter config value ({limit: $k} in Neo4jVector's
-                  // hybrid template) — resolved against the statement's
-                  // params at execution, same as positional Param args
-                  case ParamTok(p0) => Param(p0)
-                  case other => fail(s"procedure config value for '$k' must " +
-                    s"be a literal or a $$parameter, got $other")
-                }
-                config += k -> confLit()
+                entries += k -> mapVal(k)
               }
-              confPair()
-              while (peek.contains(Sym(","))) { next(); confPair() }
+              if (!peek.contains(Sym("}"))) {
+                pair()
+                while (peek.contains(Sym(","))) { next(); pair() }
+              }
               expectSym("}")
+              posArgs += ProcMapArg(entries.toSeq)
               sawConfig = true
             }
             def parseArg(): Unit = peek match {
-              case Some(Sym("{")) => parseConfig()
+              case Some(Sym("{")) => parseMapArg()
               case Some(Sym("[")) =>
+                // a list argument: string literals (the GDS projection
+                // lists) or bound/row expressions (`[row.type]` in
+                // apoc.merge.node)
                 next()
-                val items = ArrayBuffer.empty[String]
+                val items = ArrayBuffer.empty[Any]
                 if (!peek.contains(Sym("]"))) {
-                  def strItem(): Unit = next() match {
+                  def item(): Unit = next() match {
                     case Str(s) => items += s
+                    case Ident(v) =>
+                      if (peek.contains(Sym("."))) {
+                        next(); items += ProcPropArg(v, ident())
+                      } else items += ProcVarArg(v)
                     case t => fail("a projection list takes string " +
                       s"literals, got $t")
                   }
-                  strItem()
-                  while (peek.contains(Sym(","))) { next(); strItem() }
+                  item()
+                  while (peek.contains(Sym(","))) { next(); item() }
                 }
                 expectSym("]")
                 posArgs += items.toSeq
@@ -1079,16 +1107,34 @@ object CypherParser {
                 "bound variable, a var.prop row expression or a " +
                 s"config map, got $t")
             }
+            // config-consuming procedures (gds.*, db.index.*) keep their
+            // historical contract: one all-literal map, LAST — it becomes
+            // the CONFIG. Batch procedures (apoc.merge.*) take maps as
+            // ordinary positional arguments, anywhere, any number.
+            val consumesConfig = name.startsWith("gds.") ||
+              name.startsWith("db.index.")
             if (!peek.contains(Sym(")"))) {
               parseArg()
               while (peek.contains(Sym(","))) {
                 next()
-                if (sawConfig)
+                if (sawConfig && consumesConfig)
                   fail("the config map must be the LAST procedure argument")
                 parseArg()
               }
             }
             expectSym(")")
+            if (consumesConfig) posArgs.lastOption match {
+              case Some(ProcMapArg(entries)) =>
+                entries.foreach {
+                  case (k, (_: ProcVarArg | _: ProcPropArg)) =>
+                    fail(s"procedure config value for '$k' must be a " +
+                      "literal or a $parameter, got a row expression")
+                  case _ => ()
+                }
+                config ++= entries
+                posArgs.remove(posArgs.length - 1)
+              case _ => ()
+            }
             val yields = ArrayBuffer.empty[(String, String)]
             if (peekSoft("YIELD")) {
               next()

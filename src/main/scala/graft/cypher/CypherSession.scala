@@ -35,6 +35,18 @@ final class CypherSession(
 
   @volatile var graph: PropertyGraph = initial
 
+  /** Merge-key registrations made at RUNTIME — apoc.merge.node's
+    * identProps key for labels the constructor map doesn't know (LLM-
+    * extracted entity types arrive with the data, not the session
+    * config). Reads compose with the constructor map via [[allKeyProps]];
+    * first registration wins, the constructor map always wins over both. */
+  private val dynamicKeyProps =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** The session's key-property view: constructor map ++ runtime
+    * registrations (constructor entries take precedence). */
+  private def allKeyProps: Map[String, String] = dynamicKeyProps.toMap ++ keyProps
+
   /** GDS graph catalog: named projections are point-in-time SNAPSHOTS of
     * the store (as GDS loads a projection into memory at project time) —
     * later writes to the session graph do not leak into them. Counts are
@@ -175,7 +187,7 @@ final class CypherSession(
         s"an equivalent constraint already exists for (:${c.label})." +
           s"${c.prop} — use IF NOT EXISTS to make this a no-op")
     }
-    val keyProp = keyProps.getOrElse(c.label, "name")
+    val keyProp = allKeyProps.getOrElse(c.label, "name")
     if (c.prop != keyProp) {
       val viol = graph.nodes.filter(col("label") === c.label)
         .select(element_at(col("props"), c.prop).as("__v"))
@@ -296,7 +308,7 @@ final class CypherSession(
     * `properties(n)` returns; map_filter guards the corner where a SET
     * wrote the key property into the bag). */
   private def nodeMapCol(label: String): Column = {
-    val keyProp = keyProps.getOrElse(label, "name")
+    val keyProp = allKeyProps.getOrElse(label, "name")
     map_concat(map_filter(col("props"), (k, _) => k =!= keyProp),
       map(lit(keyProp), col("key")))
   }
@@ -1164,7 +1176,7 @@ final class CypherSession(
     * nothing while the catalog is empty. */
   private def validateConstraintsPostWrite(g: PropertyGraph): Unit =
     constraintCatalog.foreach { case (cname, (label, prop)) =>
-      val keyProp = keyProps.getOrElse(label, "name")
+      val keyProp = allKeyProps.getOrElse(label, "name")
       if (prop != keyProp) {
         val viol = g.nodes.filter(col("label") === label)
           .select(element_at(col("props"), prop).as("__v"))
@@ -1185,7 +1197,7 @@ final class CypherSession(
     * label — both set-oriented and value-keyed, never a per-row lookup. */
   private def enforceConstraintsOnCreate(g: PropertyGraph, label: String,
       batch: DataFrame): Unit = {
-    val keyProp = keyProps.getOrElse(label, "name")
+    val keyProp = allKeyProps.getOrElse(label, "name")
     constraintCatalog.filter(_._2._1 == label).foreach {
       case (cname, (_, cprop)) =>
         def valsOf(df: DataFrame, keyCol: Column, propsCol: Column) =
@@ -1406,7 +1418,7 @@ final class CypherSession(
       val v = pat.variable.getOrElse(s"__anon${bindings.size}")
       val label = pat.label.getOrElse(
         throw new IllegalArgumentException(s"$clause node needs a label"))
-      val keyProp = keyProps.getOrElse(label, "name")
+      val keyProp = allKeyProps.getOrElse(label, "name")
       val keyValue = pat.props.getOrElse(keyProp,
         throw new IllegalArgumentException(
           s"$clause ($v:$label) must bind key property '$keyProp'"))
@@ -1993,7 +2005,10 @@ final class CypherSession(
         if (all) wholeVars += v else props.foreach(addRef(v, _))
         overrides.foreach(o => scanExpr(o._2))
       case RetTemporalCtor(_, pairs) => pairs.foreach(p2 => scanExpr(p2._2))
-      case RetIndex(src, i) => scanExpr(src); scanExpr(i)
+      case RetIndex(src, i) =>
+        // dynamic `n[k]` needs the whole bag (the key is computed)
+        src match { case RetVar(v) => wholeVars += v; case _ => () }
+        scanExpr(src); scanExpr(i)
       case RetSlice(src, lo, hi) =>
         scanExpr(src); lo.foreach(scanExpr); hi.foreach(scanExpr)
     }
@@ -2314,7 +2329,7 @@ final class CypherSession(
       else {
         val dflt = map_concat(col(s"${v}__props"),
           map(lit("name"), col(s"${v}__key")))
-        keyProps.foldLeft(dflt) { case (acc, (lbl, kp)) =>
+        allKeyProps.foldLeft(dflt) { case (acc, (lbl, kp)) =>
           when(col(s"${v}__label") === lbl,
             map_concat(col(s"${v}__props"), map(lit(kp), col(s"${v}__key"))))
             .otherwise(acc)
@@ -2766,6 +2781,18 @@ final class CypherSession(
       case RetReduce(acc, init, v, src, body) =>
         aggregate(itemCol(src), itemCol(init),
           (a, x) => inLambda(acc -> a, v -> x)(itemCol(body)))
+      case RetIndex(RetVar(v), idx) if df != null &&
+          !scalarVars.contains(v) && !lambdaVars.contains(v) &&
+          (df.columns.contains(s"${v}__id") ||
+            df.columns.contains(s"${v}__type")) =>
+        // DYNAMIC property access on a bound entity — `n[k]` with a
+        // computed key (Neo4jVector's from_existing_graph statement:
+        // `any(k in $props WHERE n[k] IS NOT null)`); reads the full
+        // property map (the scanner marks the variable whole)
+        val bag =
+          if (df.columns.contains(s"${v}__type")) col(s"${v}__props")
+          else entityPropsCol(v)
+        element_at(bag, itemCol(idx).cast("string"))
       case RetIndex(src, idx) =>
         // Cypher: 0-based, negative from the end, out-of-range → NULL.
         // `get` is Spark's 0-based null-safe accessor; element_at handles
@@ -2997,7 +3024,8 @@ final class CypherSession(
         } else {
           if (!p.name.startsWith("gds.graph.") &&
               !p.name.startsWith("db.index.") &&
-              !p.name.startsWith("db.create."))
+              !p.name.startsWith("db.create.") &&
+              !p.name.startsWith("apoc.merge."))
             require(p.args.isEmpty,
               s"${p.name} takes no positional arguments, got ${p.args}")
           graph
@@ -3122,7 +3150,7 @@ final class CypherSession(
           import spark.implicits._
           val labels = graph.nodes.select(col("label")).distinct()
             .as[String].collect()
-          val keyNames = labels.map(l => keyProps.getOrElse(l, "name"))
+          val keyNames = labels.map(l => allKeyProps.getOrElse(l, "name"))
             .distinct.toSeq
           graph.nodes.select(explode(map_keys(col("props"))).as("propertyKey"))
             .union(graph.edges.select(explode(map_keys(col("props"))).as("propertyKey")))
@@ -3151,7 +3179,7 @@ final class CypherSession(
           // schema-bounded collect: one row per label partition
           val labels = totals.select(col("label")).as[String].collect().toSeq
           val keyRows = labels
-            .map(l => (l, keyProps.getOrElse(l, "name"), true))
+            .map(l => (l, allKeyProps.getOrElse(l, "name"), true))
             .toDF("label", "propertyName", "mandatory")
           bagProps.unionByName(keyRows)
             .groupBy("label", "propertyName")
@@ -3211,7 +3239,7 @@ final class CypherSession(
           val labelSeq = nTotals.select(col("label"), col("count"))
             .as[(String, Long)].collect().toSeq // schema-bounded
           val nKey = labelSeq
-            .map { case (l, n) => (l, keyProps.getOrElse(l, "name"), n) }
+            .map { case (l, n) => (l, allKeyProps.getOrElse(l, "name"), n) }
             .toDF("label", "property", "count")
           val nodeProps = nBag.unionByName(nKey)
             .groupBy("label", "property").agg(max(col("count")).as("count"))
@@ -3984,6 +4012,178 @@ final class CypherSession(
             else ftRes0
           val ftLim = p.confLong("limit", -1L)
           if (ftLim >= 0L) ftRes.limit(ftLim.toInt) else ftRes
+        // APOC's data-driven merges — LangChain Neo4jGraph.
+        // add_graph_documents imports LLM-extracted knowledge graphs with
+        // these (labels/types arrive WITH the data): `UNWIND $data AS row
+        // CALL apoc.merge.node([row.type], {id: row.id}, row.properties,
+        // {}) YIELD node …`. Execution is SET-ORIENTED: the whole driving
+        // batch pays one existence probe + one store merge (+ one edge
+        // merge for relationships) — never a per-row loop. The yielded
+        // node/rel binds PER DRIVING ROW (a struct carrying label/key),
+        // so chained merge.node → merge.relationship composes in one
+        // statement exactly as LangChain emits it.
+        case mn @ ("apoc.merge.node" | "apoc.merge.relationship") =>
+          import org.apache.spark.sql.types.{MapType, StructType}
+          require(df != null,
+            s"$mn needs driving rows — UNWIND the $$data batch first")
+          def rowColOf(rv: String, pp: String): Column =
+            df.schema.fields.find(_.name == rv).map(_.dataType) match {
+              case Some(_: StructType) => col(rv).getField(pp)
+              case Some(_: MapType) => col(rv).getItem(pp)
+              case Some(_) => throw new IllegalArgumentException(
+                s"$mn's $rv.$pp needs a struct/map-bound row variable")
+              case None if df.columns.contains(s"${rv}__id") =>
+                element_at(col(s"${rv}__props"), pp)
+              case None => throw new IllegalArgumentException(
+                s"$mn references unbound variable '$rv'")
+            }
+          def scalarArg(a: Any, what: String): Column = a match {
+            case s2: String => lit(s2)
+            case l: Long => lit(l).cast("string")
+            case Param(nm) => lit(params.getOrElse(nm,
+              throw new IllegalArgumentException(
+                s"missing parameter $$$nm")).toString)
+            case ProcPropArg(rv, pp) => rowColOf(rv, pp).cast("string")
+            case ProcVarArg(v) if scalarVars.contains(v) => col(v).cast("string")
+            case other => throw new IllegalArgumentException(
+              s"$mn's $what must be a string literal, a bound variable or " +
+                s"a row expression, got $other")
+          }
+          val emptyBag = typedlit(Map.empty[String, String])
+          def mapArg(a: Any, what: String): Column = a match {
+            case ProcMapArg(entries) if entries.isEmpty => emptyBag
+            case ProcMapArg(entries) => map(entries.flatMap { case (k, v) =>
+              Seq(lit(k), scalarArg(v, s"$what.$k")) }: _*)
+            case ProcPropArg(rv, pp) =>
+              df.schema.fields.find(_.name == rv).map(_.dataType) match {
+                case Some(st: StructType) if st.fieldNames.contains(pp) &&
+                    st(pp).dataType.isInstanceOf[MapType] =>
+                  coalesce(col(rv).getField(pp), emptyBag)
+                case Some(_: StructType) => throw new IllegalArgumentException(
+                  s"$mn's $what ($rv.$pp) must be a MAP-valued row field")
+                case _ => throw new IllegalArgumentException(
+                  s"$mn's $what ($rv.$pp) needs struct-shaped driving rows " +
+                    "(a $data batch whose elements carry a nested " +
+                    "properties map)")
+              }
+            case m: scala.collection.Map[_, _] =>
+              if (m.isEmpty) emptyBag
+              else map(m.toSeq.flatMap { case (k, v) =>
+                Seq(lit(k.toString), lit(v match {
+                  case null => null
+                  case other => other.toString
+                })) }: _*)
+            case other => throw new IllegalArgumentException(
+              s"$mn's $what must be a map literal or a map-valued row " +
+                s"expression, got $other")
+          }
+          // dup-safe map merge (right wins) without knowing keys statically
+          def mergeBags(a: Column, b: Column): Column =
+            map_concat(map_filter(a, (k, _) => !map_contains_key(b, k)), b)
+          val alias = p.yields.headOption.map(_._2)
+            .getOrElse(if (mn == "apoc.merge.node") "node" else "rel")
+          import spark.implicits._
+          if (mn == "apoc.merge.node") {
+            require(p.args.size == 4, "apoc.merge.node takes (labels, " +
+              s"identProps, onCreateProps, onMatchProps), got ${p.args.size}")
+            val labelC = p.args.head match {
+              case items: Seq[_] =>
+                require(items.size == 1, "apoc.merge.node takes exactly ONE " +
+                  "label — this store's nodes carry one label (the label " +
+                  "IS the partition key)")
+                scalarArg(items.head, "label")
+              case other => throw new IllegalArgumentException(
+                s"apoc.merge.node's first argument is a label LIST, got $other")
+            }
+            val (keyName, keyC) = p.args(1) match {
+              case ProcMapArg(Seq((k, v))) =>
+                (k, scalarArg(v, s"identProps.$k"))
+              case ProcMapArg(es) => throw new IllegalArgumentException(
+                "apoc.merge.node's identProps must carry exactly ONE key " +
+                  "property — the store's merge identity is (label, key); " +
+                  s"got {${es.map(_._1).mkString(", ")}}")
+              case other => throw new IllegalArgumentException(
+                s"apoc.merge.node's identProps must be a map, got $other")
+            }
+            val onCreateC = mapArg(p.args(2), "onCreateProps")
+            val onMatchC = mapArg(p.args(3), "onMatchProps")
+            val parent = graph
+            // ONE existence probe for the whole batch decides which
+            // property payload each row contributes (apoc's onCreate /
+            // onMatch split); then ONE set-oriented node merge
+            val batch = df
+              .select(labelC.as("label"), keyC.as("key"),
+                onCreateC.as("__oc"), onMatchC.as("__om"))
+              .withColumn("__id",
+                graft.model.GraphSchema.stableId(col("label"), col("key")))
+              .join(parent.nodes.select(col("id").as("__id"),
+                lit(true).as("__ex")), Seq("__id"), "left")
+              .select(col("label"), col("key"),
+                when(col("__ex"), col("__om")).otherwise(col("__oc"))
+                  .as("props"))
+            graph = parent.mergeNodes(batch)
+            // register the data-driven merge identity so later MATCHes on
+            // the key property hit the key column (ontology-bounded
+            // collect); lineage records exactly the touched labels
+            val labelsTouched = batch.select(col("label")).distinct()
+              .as[String].collect().toSet
+            labelsTouched.foreach { l =>
+              if (!allKeyProps.contains(l)) dynamicKeyProps(l) = keyName }
+            recordWrite(parent, graph, labelsTouched, Set.empty)
+            p.yields.foreach { case (c, _) => require(c == "node",
+              s"apoc.merge.node yields 'node', not '$c'") }
+            df = df.withColumn(alias,
+              struct(labelC.as("label"), keyC.as("key"),
+                keyC.as(if (keyName == "label" || keyName == "key") s"__$keyName"
+                  else keyName)))
+            scalarVars += alias
+            return
+          } else {
+            require(p.args.size == 5, "apoc.merge.relationship takes " +
+              "(startNode, relationshipType, identProps, props, endNode), " +
+              s"got ${p.args.size}")
+            def nodeRef(a: Any, what: String): (Column, Column) = a match {
+              case ProcVarArg(v) =>
+                if (df.columns.contains(s"${v}__id"))
+                  (col(s"${v}__label"), col(s"${v}__key"))
+                else df.schema.fields.find(_.name == v).map(_.dataType) match {
+                  case Some(st: StructType)
+                      if st.fieldNames.contains("label") &&
+                        st.fieldNames.contains("key") =>
+                    (col(v).getField("label"), col(v).getField("key"))
+                  case _ => throw new IllegalArgumentException(
+                    s"apoc.merge.relationship's $what '$v' is not a node " +
+                      "binding (bind it with MATCH or apoc.merge.node)")
+                }
+              case other => throw new IllegalArgumentException(
+                s"apoc.merge.relationship's $what must be a bound node " +
+                  s"variable, got $other")
+            }
+            val (sl, sk) = nodeRef(p.args.head, "start node")
+            val relC = scalarArg(p.args(1), "relationshipType")
+            val identC = mapArg(p.args(2), "identProps")
+            val propsC = mapArg(p.args(3), "props")
+            val (tl, tk) = nodeRef(p.args(4), "end node")
+            val parent = graph
+            // identProps distinguish PARALLEL relationships in apoc; this
+            // store keys edges on (src, dst, type), so ident entries fold
+            // into the property bag (documented divergence — one edge per
+            // triple, apoc's common case and LangChain's only case: {})
+            val batch = df.select(sl.cast("string").as("srcLabel"),
+              sk.cast("string").as("srcKey"),
+              tl.cast("string").as("dstLabel"), tk.cast("string").as("dstKey"),
+              relC.as("relType"), mergeBags(identC, propsC).as("props"))
+            graph = parent.mergeEdgesByKey(batch)
+            val typesTouched = batch.select(col("relType")).distinct()
+              .as[String].collect().toSet
+            recordWrite(parent, graph, Set.empty, typesTouched)
+            p.yields.foreach { case (c, _) => require(c == "rel",
+              s"apoc.merge.relationship yields 'rel', not '$c'") }
+            df = df.withColumn(alias, struct(sk.as("srcKey"),
+              relC.as("relType"), tk.as("dstKey")))
+            scalarVars += alias
+            return
+          }
         case other => throw new IllegalArgumentException(s"unknown procedure '$other'")
       }
       val selected =
@@ -3998,6 +4198,60 @@ final class CypherSession(
         case RetLit(ListLit(items)) => array(items.map(scalarCol(_, params)): _*)
         case RetLit(Param(name)) => params.getOrElse(name,
           throw new IllegalArgumentException(s"missing parameter $$$name")) match {
+          // a list of MAPS (Neo4jVector's from_existing_graph update loop:
+          // `UNWIND $data AS row MATCH (n) WHERE elementId(n) = row.id …`)
+          // binds each element as a map<string,string> row — values render
+          // to the store's string bag format (lists comma-joined through
+          // DOUBLE), exactly the import path's convention
+          case s: Seq[_] if s.nonEmpty &&
+              s.forall(_.isInstanceOf[scala.collection.Map[_, _]]) =>
+            def render(x: Any): String = x match {
+              case null => null
+              case l: Seq[_] => l.map {
+                case d: Double => d.toString
+                case f: Float => f.toDouble.toString
+                case i2: Int => i2.toDouble.toString
+                case l2: Long => l2.toDouble.toString
+                case other => other.toString
+              }.mkString(",")
+              case other => other.toString
+            }
+            // add_graph_documents rows carry a NESTED `properties` map —
+            // those batches bind as STRUCT rows (scalar fields string-
+            // rendered, map fields as map<string,string>) so
+            // `row.properties` resolves to a map for apoc.merge.node;
+            // all-scalar batches keep the map<string,string> shape
+            if (s.exists(_.asInstanceOf[scala.collection.Map[_, _]].values
+                .exists(_.isInstanceOf[scala.collection.Map[_, _]]))) {
+              val keys = s.flatMap(
+                _.asInstanceOf[scala.collection.Map[_, _]].keys
+                  .map(_.toString)).distinct.sorted
+              val mapKeys = keys.filter(k => s.exists { el =>
+                el.asInstanceOf[scala.collection.Map[_, _]]
+                  .find(_._1.toString == k)
+                  .exists(_._2.isInstanceOf[scala.collection.Map[_, _]])
+              }).toSet
+              array(s.map { case m: scala.collection.Map[_, _] =>
+                val byKey: Map[String, Any] =
+                  m.map { case (k, x) => k.toString -> (x: Any) }.toMap
+                struct(keys.map { k =>
+                  val v = byKey.getOrElse(k, null)
+                  (if (mapKeys(k)) v match {
+                    case mm: scala.collection.Map[_, _] =>
+                      if (mm.isEmpty) typedlit(Map.empty[String, String])
+                      else map(mm.toSeq.flatMap { case (k2, x2) =>
+                        Seq(lit(k2.toString), lit(render(x2))) }: _*)
+                    case null => typedlit(Map.empty[String, String])
+                    case other => throw new IllegalArgumentException(
+                      s"UNWIND batch field '$k' mixes map and scalar " +
+                        s"values across rows (got $other)")
+                  } else lit(render(v))).as(k)
+                }: _*)
+              }: _*)
+            } else array(s.map { case m: scala.collection.Map[_, _] =>
+              map(m.toSeq.sortBy(_._1.toString).flatMap { case (k, x) =>
+                Seq(lit(k.toString), lit(render(x))) }: _*)
+            }: _*)
           case s: Seq[_] => array(s.map(x => lit(x)): _*)
           case other => array(lit(other))
         }
@@ -4359,9 +4613,13 @@ final class CypherSession(
     }
 
     m.stages.foreach { st =>
-      st.procs.foreach(applyProc)
+      // textual order: the parser consumes LOAD CSV, then UNWINDs, then
+      // CALLs within a stage — apply in the same order so a procedure
+      // sees the stage's own driving rows (`UNWIND $data AS row CALL
+      // apoc.merge.node(…)`, LangChain's add_graph_documents shape)
       st.loads.foreach(applyLoadCsv)
       st.unwinds.foreach(applyUnwind)
+      st.procs.foreach(applyProc)
       st.calls.foreach(applyCall)
       st.paths.foreach(compilePath(_, optional = false))
       st.optPaths.foreach(compilePath(_, optional = true))
@@ -4447,11 +4705,11 @@ final class CypherSession(
     // key on "name" (the write path's fallback, executeMutation) — the
     // read side must honor the same default or unregistered labels can
     // never be matched by their key property.
-    val keyLabels = keyProps.filter(_._2 == prop).keys.toSeq
+    val keyLabels = allKeyProps.filter(_._2 == prop).keys.toSeq
     val explicitHit =
       if (keyLabels.isEmpty) lit(false)
       else label.isin(keyLabels.map(x => x: Any): _*)
-    val knownLabels = keyProps.keys.toSeq
+    val knownLabels = allKeyProps.keys.toSeq
     val defaultHit =
       if (prop != "name") lit(false)
       else if (knownLabels.isEmpty) lit(true)

@@ -6259,6 +6259,105 @@ object AnalyticsCatalog {
            |SELECT vec_id AS eid, score FROM top WHERE rn <= 6
            |ORDER BY score DESC, eid""".stripMargin))
 
+  private val c82 = Entry("c82_cypher_from_existing_graph",
+    (s, dir) => {
+      // Neo4jVector.from_existing_graph's FETCH statement, verbatim
+      // (round 12): the entry point that embeds an EXISTING graph —
+      // LangChain selects the not-yet-embedded nodes that carry at least
+      // one of the text properties, concatenating them with reduce() for
+      // the embedder. Exercises DYNAMIC property access `n[k]` (computed
+      // key from a list parameter) in both any() and reduce() lambdas,
+      // and '\n' escape sequences in string literals. elementId(n) is
+      // computed by the statement but projected out of the hash (it is
+      // the engine's internal stable id — the oracle identifies rows by
+      // the text payload, which embeds the doc identity).
+      val docs = Tables(s, dir, "documents")
+      val base = map(lit("name"),
+        concat(lit("d"), col("doc_id").cast("string")),
+        lit("summary"), col("source"))
+      val nodes = docs.select(lit("Chunk").as("label"),
+        col("doc_id").cast("string").as("key"),
+        when(col("doc_id") % 2 === 0,
+          map_concat(base, map(lit("embedding"), lit("0.1,0.2"))))
+          .otherwise(base).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Chunk" -> "id"))
+      sess.run(
+        """MATCH (n:`Chunk`)
+          |WHERE n.embedding IS null
+          |AND any(k in $props WHERE n[k] IS NOT null)
+          |RETURN elementId(n) AS id, reduce(str='', k IN $props |
+          |  str + '\n' + k + ': ' + coalesce(n[k], '')) AS text
+          |LIMIT 1000""".stripMargin,
+        Map("props" -> Seq("name", "summary")))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("text")).orderBy("text")
+    },
+    Some("""SELECT chr(10) || 'name: d' || CAST(doc_id AS VARCHAR) ||
+           |  chr(10) || 'summary: ' || source AS text
+           |FROM documents WHERE doc_id % 2 = 1
+           |ORDER BY text""".stripMargin))
+
+  private val c83 = Entry("c83_cypher_apoc_merge_import",
+    (s, dir) => {
+      // LangChain Neo4jGraph.add_graph_documents, verbatim (round 12):
+      // the statements that import an LLM-EXTRACTED knowledge graph —
+      // `UNWIND $data AS row CALL apoc.merge.node([row.type], {id:
+      // row.id}, row.properties, {}) YIELD node …` and the chained
+      // merge.node → merge.relationship form. Labels, key property names
+      // and relationship types arrive WITH the data; execution is
+      // set-oriented (one existence probe + one node merge per
+      // statement, one edge merge for the relationship form). $data is
+      // driver-side by construction — it is the LLM's output in the real
+      // workload; here it derives from supplier/nation rows. The hash
+      // reads the imported graph back through an ordinary MATCH.
+      val sup = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      val nodeData: Seq[Map[String, Any]] =
+        sup.select(col("s_name"), col("s_acctbal")).collect().toSeq.map(r =>
+          Map[String, Any]("id" -> r.getString(0), "type" -> "Supplier",
+            "properties" -> Map("acctbal" -> r.getDouble(1).toString))) ++
+        nat.select(col("n_name")).collect().toSeq.map(r =>
+          Map[String, Any]("id" -> r.getString(0), "type" -> "Nation",
+            "properties" -> Map[String, Any]()))
+      val relData: Seq[Map[String, Any]] = sup
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .select(col("s_name"), col("n_name")).collect().toSeq.map(r =>
+          Map[String, Any]("source" -> r.getString(0),
+            "source_label" -> "Supplier", "target" -> r.getString(1),
+            "target_label" -> "Nation", "type" -> "LOCATED_IN",
+            "properties" -> Map("via" -> "tpch")))
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(s))
+      sess.run(
+        "UNWIND $data AS row CALL apoc.merge.node([row.type], " +
+          "{id: row.id}, row.properties, {}) YIELD node " +
+          "RETURN distinct 'done' AS result",
+        Map("data" -> nodeData))
+      sess.run(
+        "UNWIND $data AS row " +
+          "CALL apoc.merge.node([row.source_label], {id: row.source},{},{}) " +
+          "YIELD node as source " +
+          "CALL apoc.merge.node([row.target_label], {id: row.target},{},{}) " +
+          "YIELD node as target " +
+          "CALL apoc.merge.relationship(source, row.type, {}, " +
+          "row.properties, target) YIELD rel RETURN distinct 'done'",
+        Map("data" -> relData))
+      sess.run(
+        """MATCH (s:Supplier)-[r:LOCATED_IN]->(n:Nation)
+          |WHERE r.via = 'tpch'
+          |RETURN n.id AS nation, count(*) AS suppliers,
+          |  min(toFloat(s.acctbal)) AS min_acct
+          |ORDER BY nation""".stripMargin)
+        .asInstanceOf[graft.cypher.CypherRows].df
+    },
+    Some("""SELECT n.n_name AS nation,
+           |  CAST(COUNT(*) AS BIGINT) AS suppliers,
+           |  MIN(CAST(CAST(s.s_acctbal AS VARCHAR) AS DOUBLE)) AS min_acct
+           |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+           |GROUP BY n.n_name ORDER BY nation""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -8136,7 +8235,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
-    c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81,
+    c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82, c83,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

@@ -3606,6 +3606,119 @@ class CypherSpec extends SparkTestBase {
     assert(sess.vectorIndexFullBuilds.get === builds0 + 1)
   }
 
+  test("Neo4jVector.from_existing_graph: dynamic n[k], any() over a list " +
+      "param, reduce with escape sequences, and the embedding update loop") {
+    val sess = chunkSession
+    sess.run("MERGE (c:Chunk {id: 'a'}) SET c.name = 'alpha', c.summary = 's1'")
+    sess.run("MERGE (c:Chunk {id: 'b'}) SET c.name = 'beta'")
+    sess.run("MERGE (c:Chunk {id: 'c'}) SET c.other = 'x'") // no fetch props
+    sess.run("MERGE (c:Chunk {id: 'd'}) SET c.name = 'delta', " +
+      "c.embedding = '1.0,0.0'") // already embedded — excluded
+    // the VERBATIM fetch statement LangChain builds (default properties)
+    val fetched = sess.run(
+      """MATCH (n:`Chunk`)
+        |WHERE n.embedding IS null
+        |AND any(k in $props WHERE n[k] IS NOT null)
+        |RETURN elementId(n) AS id, reduce(str='', k IN $props |
+        |  str + '\n' + k + ': ' + coalesce(n[k], '')) AS text
+        |LIMIT 1000""".stripMargin,
+      Map("props" -> Seq("name", "summary")))
+      .asInstanceOf[CypherRows].df
+    val rows = fetched.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size === 2) // a and b; c has no fetch props, d is embedded
+    assert(rows.values.toSet ===
+      Set("\nname: alpha\nsummary: s1", "\nname: beta\nsummary: "))
+    // the update loop: UNWIND the (id, embedding) batch, match by
+    // elementId, set the vector through the standard setter
+    sess.run(
+      """UNWIND $data AS row
+        |MATCH (n:Chunk) WHERE elementId(n) = row.id
+        |CALL db.create.setNodeVectorProperty(n, $embedding_node_property, row.embedding)
+        |YIELD nodePropertiesWritten RETURN sum(nodePropertiesWritten) AS n""".stripMargin,
+      Map("data" -> rows.keys.toSeq.map(id =>
+        Map("id" -> id, "embedding" -> Seq(0.5, 0.5))),
+        "embedding_node_property" -> "embedding"))
+    val embedded = sess.run(
+      "MATCH (c:Chunk) WHERE c.embedding IS NOT NULL " +
+        "RETURN c.id AS id ORDER BY id")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(embedded === Seq("a", "b", "d"))
+    assert(sess.run("MATCH (c:Chunk {id: 'a'}) RETURN c.embedding AS e")
+      .asInstanceOf[CypherRows].df.as[String].collect().head === "0.5,0.5")
+  }
+
+  test("apoc.merge.node/relationship: LangChain add_graph_documents " +
+      "imports run verbatim, set-oriented, with data-driven labels") {
+    val sess = freshSession
+    val nodeData = Seq(
+      Map("id" -> "marie", "type" -> "Person",
+        "properties" -> Map("born" -> "1867")),
+      Map("id" -> "radium", "type" -> "Element",
+        "properties" -> Map("symbol" -> "Ra")),
+      Map("id" -> "pierre", "type" -> "Person",
+        "properties" -> Map("born" -> "1859")))
+    // langchain_neo4j's node import statement, verbatim
+    val done = sess.run(
+      "UNWIND $data AS row CALL apoc.merge.node([row.type], {id: row.id}, " +
+        "row.properties, {}) YIELD node RETURN distinct 'done' AS result",
+      Map("data" -> nodeData))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(done === Seq("done"))
+    assert(sess.run("MATCH (p:Person) RETURN p.id AS id ORDER BY id")
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq ===
+      Seq("marie", "pierre"))
+    assert(sess.run("MATCH (p:Person {id: 'marie'}) RETURN p.born AS b")
+      .asInstanceOf[CypherRows].df.as[String].collect().head === "1867")
+    // MERGE semantics: re-import MATCHES, and the {} onMatch payload
+    // leaves existing properties untouched
+    sess.run(
+      "UNWIND $data AS row CALL apoc.merge.node([row.type], {id: row.id}, " +
+        "row.properties, {}) YIELD node RETURN distinct 'done' AS result",
+      Map("data" -> Seq(Map("id" -> "marie", "type" -> "Person",
+        "properties" -> Map("born" -> "9999")))))
+    assert(sess.run("MATCH (p:Person) RETURN count(p) AS n")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head === 2L)
+    assert(sess.run("MATCH (p:Person {id: 'marie'}) RETURN p.born AS b")
+      .asInstanceOf[CypherRows].df.as[String].collect().head === "1867")
+    // the relationship import statement, verbatim (chained merge.node →
+    // merge.relationship through the yielded bindings)
+    val relData = Seq(Map(
+      "source" -> "marie", "source_label" -> "Person",
+      "target" -> "radium", "target_label" -> "Element",
+      "type" -> "DISCOVERED", "properties" -> Map("year" -> "1898")))
+    sess.run(
+      "UNWIND $data AS row " +
+        "CALL apoc.merge.node([row.source_label], {id: row.source},{},{}) " +
+        "YIELD node as source " +
+        "CALL apoc.merge.node([row.target_label], {id: row.target},{},{}) " +
+        "YIELD node as target " +
+        "CALL apoc.merge.relationship(source, row.type, {}, " +
+        "row.properties, target) YIELD rel RETURN distinct 'done'",
+      Map("data" -> relData))
+    val hop = sess.run(
+      "MATCH (p:Person)-[r:DISCOVERED]->(e:Element) " +
+        "RETURN p.id AS p, r.year AS y, e.id AS e")
+      .asInstanceOf[CypherRows].df.as[(String, String, String)]
+      .collect().toSeq
+    assert(hop === Seq(("marie", "1898", "radium")))
+    // write-mode: EXPLAIN refuses without executing
+    val e = intercept[IllegalArgumentException](sess.run(
+      "EXPLAIN UNWIND $data AS row CALL apoc.merge.node([row.type], " +
+        "{id: row.id}, row.properties, {}) YIELD node RETURN 'done'",
+      Map("data" -> nodeData)))
+    assert(e.getMessage.toLowerCase.contains("side"), e.getMessage)
+    // typed errors: multi-label list, multi-key identity
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "UNWIND $data AS row CALL apoc.merge.node(['A', 'B'], {id: row.id}, " +
+        "{}, {}) YIELD node RETURN 'x'", Map("data" -> nodeData)))
+    assert(e2.getMessage.contains("ONE label"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](sess.run(
+      "UNWIND $data AS row CALL apoc.merge.node([row.type], " +
+        "{id: row.id, sub: row.id}, {}, {}) YIELD node RETURN 'x'",
+      Map("data" -> nodeData)))
+    assert(e3.getMessage.contains("ONE key"), e3.getMessage)
+  }
+
   test("apoc.meta.data: LangChain Neo4jGraph's three refresh_schema " +
       "statements run verbatim") {
     val sess = freshSession
