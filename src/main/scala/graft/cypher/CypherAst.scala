@@ -607,6 +607,8 @@ object CypherAst {
       ("date.truncate", "Temporal", "date.truncate(unit :: STRING, input :: DATETIME) :: DATE", "Truncate to a date unit boundary."),
       ("duration", "Temporal", "duration(map :: MAP) :: DURATION", "Construct a duration from components."),
       ("duration.between", "Temporal", "duration.between(from :: DATETIME, to :: DATETIME) :: DURATION", "Duration between two instants."),
+      ("vector.similarity.cosine", "Vector", "vector.similarity.cosine(a :: LIST<FLOAT>, b :: LIST<FLOAT>) :: FLOAT", "Cosine similarity normalized to [0,1] — (1+cos)/2, the vector index's score; accepts list values and the store's rendered embedding strings."),
+      ("vector.similarity.euclidean", "Vector", "vector.similarity.euclidean(a :: LIST<FLOAT>, b :: LIST<FLOAT>) :: FLOAT", "Euclidean similarity 1/(1+squaredDistance), the vector index's euclidean score."),
       ("point", "Spatial", "point(map :: MAP) :: POINT", "Construct a cartesian or geographic point."),
       ("point.distance", "Spatial", "point.distance(a :: POINT, b :: POINT) :: FLOAT", "Distance between two points (haversine for geographic)."),
       ("any", "Predicate", "any(variable IN list WHERE predicate) :: BOOLEAN", "True if any element satisfies the predicate."),

@@ -1662,6 +1662,28 @@ object CypherParser {
         val d = addExpr()
         expectSym(")")
         RetFn(fn0.toLowerCase + ".truncate", Seq(RetLit(StrLit(unit)), d))
+      // vector surface: vector.similarity.cosine(a, b) /
+      // vector.similarity.euclidean(a, b) — Neo4j 5's similarity
+      // functions, the NON-indexed retrieval idiom (`WITH
+      // vector.similarity.cosine(n.embedding, $q) AS score … LIMIT k`).
+      // Scores match the vector index's normalizations exactly.
+      case Ident(fn0) if fn0.equalsIgnoreCase("vector") &&
+          peek.contains(Sym(".")) && pos + 3 < ts.length &&
+          (ts(pos + 1) match {
+            case Ident(x) => x.equalsIgnoreCase("similarity")
+            case _ => false
+          }) && ts(pos + 2) == Sym(".") &&
+          (ts(pos + 3) match {
+            case Ident(x) => x.equalsIgnoreCase("cosine") ||
+              x.equalsIgnoreCase("euclidean")
+            case _ => false
+          }) =>
+        next(); next(); next() // . similarity .
+        val which = ident().toLowerCase
+        expectSym("(")
+        val a = addExpr(); expectSym(","); val b = addExpr()
+        expectSym(")")
+        RetFn(s"vector.similarity.$which", Seq(a, b))
       // spatial surface: point({x: …, y: …}) via the map-ctor rule below;
       // point.distance(a, b) is the Neo4j-5 namespaced distance
       case Ident(fn0) if fn0.equalsIgnoreCase("point") &&

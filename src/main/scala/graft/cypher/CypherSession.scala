@@ -2676,6 +2676,31 @@ final class CypherSession(
               asin(least(sqrt(h), lit(1.0)))
             when(c.getField("srid") === b.getField("srid"),
               when(c.getField("srid") === 4326, haversine).otherwise(euclid))
+          case "vector.similarity.cosine" | "vector.similarity.euclidean" =>
+            // Neo4j 5's vector similarity functions — the NON-indexed
+            // retrieval idiom. Scores match the vector INDEX's
+            // normalizations exactly (cosine → (1+cos)/2, euclidean →
+            // 1/(1+squaredDistance)), left-fold arithmetic so the doubles
+            // replay in DuckDB. Arguments may be list values (a
+            // $parameter, a literal) or the store's rendered embedding
+            // STRINGS (n.embedding) — everything round-trips through the
+            // string rendering parseVectorCol reads (a list value casts
+            // to '[x, y]', which parseVectorCol's bracket-strip + split
+            // parses back exactly).
+            val va = parseVectorCol(itemCol(fnArgs.head).cast("string"))
+            val vb = parseVectorCol(itemCol(fnArgs(1)).cast("string"))
+            if (fn.endsWith("euclidean")) {
+              val sqd = aggregate(
+                zip_with(va, vb, (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, x) => acc + x)
+              lit(1.0) / (lit(1.0) + sqd)
+            } else {
+              val dot = aggregate(zip_with(va, vb, (x, y) => x * y),
+                lit(0.0), (acc, x) => acc + x)
+              val na = sqrt(aggregate(va, lit(0.0), (acc, x) => acc + x * x))
+              val nb = sqrt(aggregate(vb, lit(0.0), (acc, x) => acc + x * x))
+              (lit(1.0) + dot / (na * nb)) / lit(2.0)
+            }
           case other => throw new IllegalArgumentException(s"unsupported function $other()")
         }
       case RetMapProj(v, props, all, overrides) =>

@@ -6358,6 +6358,52 @@ object AnalyticsCatalog {
            |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
            |GROUP BY n.n_name ORDER BY nation""".stripMargin))
 
+  private val c84 = Entry("c84_cypher_vector_similarity_fn",
+    (s, dir) => {
+      // Neo4j 5's vector.similarity.cosine() function (round 12): the
+      // NON-indexed retrieval idiom — `MATCH … RETURN
+      // vector.similarity.cosine(n.embedding, $q) AS score ORDER BY score
+      // DESC LIMIT k` — the exact brute-force baseline next to the c68
+      // index path, scoring every row with the index's own normalization.
+      // At 100 TB this is the shape you run when recall must be 1.0 (one
+      // scan, no candidates step); the index path is the latency shape.
+      val emb = Tables(s, dir, "embeddings")
+      val nodes = emb.select(lit("Chunk").as("label"),
+        col("vec_id").cast("string").as("key"),
+        map(lit("embedding"), concat_ws(",",
+          transform(col("embedding"),
+            x => x.cast("double").cast("string")))).as("props"))
+      val g = graft.graph.PropertyGraph.empty(s).mergeNodes(nodes)
+      val sess = new graft.cypher.CypherSession(g,
+        keyProps = Map("Chunk" -> "vec_id"))
+      val q = emb.filter(col("vec_id") === 11)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      sess.run(
+        """MATCH (c:Chunk)
+          |RETURN c.vec_id AS hit,
+          |  vector.similarity.cosine(c.embedding, $q) AS score
+          |ORDER BY score DESC, toInteger(c.vec_id) LIMIT 5""".stripMargin,
+        Map("q" -> q))
+        .asInstanceOf[graft.cypher.CypherRows].df
+        .select(col("hit").cast("long").as("hit"), col("score"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+           |    sqrt(list_reduce(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |      (a,b) -> a + b)) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT dvec AS qv, nrm AS qn FROM v WHERE vec_id = 11),
+           |scored AS (
+           |  SELECT v.vec_id,
+           |    (1.0 + list_reduce(list_transform(list_zip(v.dvec, q.qv),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (v.nrm * q.qn)) / 2.0
+           |      AS score
+           |  FROM v, q)
+           |SELECT vec_id AS hit, score FROM scored
+           |ORDER BY score DESC, hit LIMIT 5""".stripMargin))
+
   private val x12 = Entry("x12_betweenness_sampled",
     (s, dir) => {
       // Sampled Brandes betweenness — the centrality missing from x01-x11:
@@ -8235,7 +8281,7 @@ object AnalyticsCatalog {
     c28, c29, c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42,
     c43, c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
     c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69, c70,
-    c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82, c83,
+    c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82, c83, c84,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20,
     m01, m02, m03, m04, m05, m06)

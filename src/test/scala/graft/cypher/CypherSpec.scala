@@ -2667,6 +2667,10 @@ class CypherSpec extends SparkTestBase {
       "point" -> "RETURN point({x: 1.0, y: 2.0}) AS v",
       "point.distance" ->
         "RETURN point.distance(point({x: 0.0, y: 0.0}), point({x: 3.0, y: 4.0})) AS v",
+      "vector.similarity.cosine" ->
+        "RETURN vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS v",
+      "vector.similarity.euclidean" ->
+        "RETURN vector.similarity.euclidean([0.0, 0.0], [1.0, 0.0]) AS v",
       // list predicates parse in WHERE position (their boolean-expression
       // home); the always-true forms keep the row
       "any" -> "MATCH (n:User) WHERE any(x IN [1, 2] WHERE x > 1) RETURN n.name AS v",
