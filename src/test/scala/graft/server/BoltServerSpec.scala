@@ -227,6 +227,101 @@ class BoltServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("round-12: a langchain-neo4j session over the wire — refresh_schema, " +
+      "add_graph_documents, index discovery, default retrieval") {
+    val (server, port, _) = newServer()
+    try {
+      val c = new Client(port)
+      assert(c.handshake(Seq(propose(5, 4), 0, 0, 0)).contains((5, 4)))
+      c.send(0x01, Map("user_agent" -> "neo4j-python/5.x langchain"))
+      assert((c.recv().tag & 0xFF) == 0x70)
+      def runPull(q: String, params: Map[String, Any]): Seq[Seq[Any]] = {
+        c.send(0x10, q, params, Map.empty[String, Any])
+        val run = c.recv()
+        assert((run.tag & 0xFF) == 0x70, run)
+        c.send(0x3F, Map("n" -> -1L))
+        val out = Seq.newBuilder[Seq[Any]]
+        var done = false
+        while (!done) {
+          val m = c.recv()
+          if ((m.tag & 0xFF) == 0x71) out += m.fields.head.asInstanceOf[Seq[Any]]
+          else { assert((m.tag & 0xFF) == 0x70, m); done = true }
+        }
+        out.result()
+      }
+      // 1. add_graph_documents: node + relationship imports, verbatim
+      assert(runPull(
+        "UNWIND $data AS row CALL apoc.merge.node([row.type], {id: row.id}, " +
+          "row.properties, {}) YIELD node RETURN distinct 'done' AS result",
+        Map("data" -> Seq(
+          Map("id" -> "marie", "type" -> "Person",
+            "properties" -> Map("born" -> "1867")),
+          Map("id" -> "radium", "type" -> "Element",
+            "properties" -> Map("symbol" -> "Ra")))))
+        === Seq(Seq("done")))
+      assert(runPull(
+        "UNWIND $data AS row " +
+          "CALL apoc.merge.node([row.source_label], {id: row.source},{},{}) " +
+          "YIELD node as source " +
+          "CALL apoc.merge.node([row.target_label], {id: row.target},{},{}) " +
+          "YIELD node as target " +
+          "CALL apoc.merge.relationship(source, row.type, {}, " +
+          "row.properties, target) YIELD rel RETURN distinct 'done'",
+        Map("data" -> Seq(Map(
+          "source" -> "marie", "source_label" -> "Person",
+          "target" -> "radium", "target_label" -> "Element",
+          "type" -> "DISCOVERED", "properties" -> Map("year" -> "1898")))))
+        .nonEmpty)
+      // 2. refresh_schema: the rel_query topology statement over the wire
+      // (structs/arrays encode as Bolt maps/lists)
+      val topo = runPull(
+        """CALL apoc.meta.data()
+          |YIELD label, other, elementType, type, property
+          |WHERE type = "RELATIONSHIP" AND elementType = "node"
+          |UNWIND other AS other_node
+          |RETURN {start: label, type: property, end: toString(other_node)} AS output""".stripMargin,
+        Map.empty)
+      assert(topo.size === 1)
+      val m = topo.head.head.asInstanceOf[Map[String, Any]]
+      assert(m === Map("start" -> "Person", "type" -> "DISCOVERED",
+        "end" -> "Element"), m)
+      // 3. Neo4jVector init: embeddings + index + existence discovery
+      assert(runPull(
+        "MATCH (p:Person {id: 'marie'}) " +
+          "CALL db.create.setNodeVectorProperty(p, 'embedding', $v) " +
+          "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> Seq(1.0, 0.0))) === Seq(Seq(1L)))
+      runPull("CREATE VECTOR INDEX vector IF NOT EXISTS FOR (p:Person) " +
+        "ON p.embedding OPTIONS {indexConfig: {`vector.dimensions`: 2}}",
+        Map.empty)
+      val found = runPull(
+        """SHOW INDEXES YIELD name, type, labelsOrTypes, properties, options
+          |WHERE type = 'VECTOR' AND (name = $index_name
+          |OR (labelsOrTypes[0] = $node_label
+          |AND properties[0] = $embedding_node_property))
+          |RETURN name, labelsOrTypes, properties""".stripMargin,
+        Map("index_name" -> "vector", "node_label" -> "Person",
+          "embedding_node_property" -> "embedding"))
+      assert(found === Seq(Seq("vector", Seq("Person"), Seq("embedding"))),
+        found)
+      // 4. the DEFAULT retrieval template, verbatim (map-projection
+      // overrides null the payload out of the returned metadata)
+      val hits = runPull(
+        "CALL db.index.vector.queryNodes($index, $k, $embedding) " +
+          "YIELD node, score " +
+          "RETURN node.`id` AS text, score, " +
+          "node {.*, `id`: Null, `embedding`: Null } AS metadata",
+        Map("index" -> "vector", "k" -> 1, "embedding" -> Seq(1.0, 0.0)))
+      assert(hits.size === 1)
+      assert(hits.head.head === "marie")
+      val md = hits.head(2).asInstanceOf[Map[String, Any]]
+      assert(md("id") == null && md("embedding") == null &&
+        md("born") === "1867", md)
+      c.send(0x02)
+      c.close()
+    } finally server.stop()
+  }
+
   test("temporal values decode as tagged Bolt structs, version-gated DateTime") {
     val (server, port, _) = newServer()
     val q = """UNWIND [1] AS x
