@@ -3723,6 +3723,27 @@ class CypherSpec extends SparkTestBase {
     assert(e3.getMessage.contains("ONE key"), e3.getMessage)
   }
 
+  test("procedure maps: the config-consuming contract survives the " +
+      "general map-argument grammar") {
+    val sess = freshSession
+    sess.run("MERGE (u:User {name: 'a'}) MERGE (t:Tech {name: 'b'}) " +
+      "MERGE (u)-[:R]->(t)")
+    // a gds config map must still be LAST
+    val e1 = intercept[IllegalArgumentException](sess.run(
+      "CALL gds.wcc.stream({threshold: 0.5}, 'x') YIELD key RETURN key"))
+    assert(e1.getMessage.contains("LAST"), e1.getMessage)
+    // a row expression is not a config value for config-consuming procs
+    val e2 = intercept[IllegalArgumentException](sess.run(
+      "UNWIND [1] AS x CALL gds.labelPropagation.stream({maxIterations: x}) " +
+        "YIELD key RETURN key"))
+    assert(e2.getMessage.contains("literal or a $parameter"), e2.getMessage)
+    // …while the literal/parameter config forms keep working
+    assert(sess.run(
+      "CALL gds.labelPropagation.stream({maxIterations: 2}) " +
+        "YIELD key RETURN count(key) AS n")
+      .asInstanceOf[CypherRows].df.as[Long].collect().head === 2L)
+  }
+
   test("apoc.meta.data: LangChain Neo4jGraph's three refresh_schema " +
       "statements run verbatim") {
     val sess = freshSession
