@@ -366,6 +366,28 @@ final class CypherSession(
       d.snapshot = (cur, cached._2)
       return Left(cached._2)
     }
+    // INCREMENTAL same-label maintenance (VERDICT r12 #1): when every
+    // lineage step from the cached basis carries its exact written node
+    // ids, recompute ONLY those rows instead of re-paying the full build
+    // — write-path index cost then scales with the BATCH, not the corpus
+    // (a same-label write used to cost a 13.8 s full rebuild at 200k
+    // vectors; the patch is delta-bounded). Delta values are validated
+    // here because generic writes (unlike the embedding setter) carry
+    // unvalidated property bags.
+    if (!d.isRel) {
+      val patchBasis =
+        if (sv != null) sv.basis else if (cached != null) cached._1 else null
+      if (patchBasis != null)
+        nodeDeltaSince(patchBasis, cur, d.label).foreach { delta0 =>
+          val delta = delta0.localCheckpoint(true)
+          if (patchNodeVectorIndex(name, d, patchBasis, cur, delta,
+              validate = true)) {
+            val sv2 = d.served
+            if (sv2 != null) return Right(sv2)
+            return Left(d.snapshot._2)
+          }
+        }
+    }
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     vectorIndexFullBuilds.incrementAndGet()
     // population: the label's node rows, or for a RELATIONSHIP index the
@@ -921,16 +943,22 @@ final class CypherSession(
     * than it forces a rebuild, never corruption. Edge-only writes record
     * an EMPTY set — index snapshots read only the label's node rows. */
   private val writeLineage = new scala.collection.mutable.ArrayDeque[
-    (PropertyGraph, PropertyGraph, Set[String], Set[String])]()
+    (PropertyGraph, PropertyGraph, Set[String], Set[String], DataFrame)]()
 
   /** @param nodeLabels node labels the step may have changed (null =
     *   unknown → every node index rebuilds)
     * @param relTypes relationship types the step may have changed (null =
-    *   unknown → every relationship index rebuilds) */
+    *   unknown → every relationship index rebuilds)
+    * @param nodeIds the EXACT node ids the step wrote (one `id` column;
+    *   lazy plan over immutable pre/post-statement frames — an action
+    *   runs only if an index patch consults it). null = unrecorded →
+    *   a touched node index falls back to the full rebuild. Must cover
+    *   every created, property-modified AND deleted node of the step. */
   private def recordWrite(parent: PropertyGraph, child: PropertyGraph,
-      nodeLabels: Set[String], relTypes: Set[String]): Unit =
+      nodeLabels: Set[String], relTypes: Set[String],
+      nodeIds: DataFrame = null): Unit =
     if (child ne parent) {
-      writeLineage.append((child, parent, nodeLabels, relTypes))
+      writeLineage.append((child, parent, nodeLabels, relTypes, nodeIds))
       if (writeLineage.length > CypherSession.WriteLineageWindow)
         writeLineage.removeHead()
     }
@@ -950,7 +978,7 @@ final class CypherSession(
       if (steps > CypherSession.WriteLineageWindow) return false
       steps += 1
       writeLineage.reverseIterator.find(_._1 eq cur) match {
-        case Some((_, parent, nodeLabels, relTypes)) =>
+        case Some((_, parent, nodeLabels, relTypes, _)) =>
           val touched = if (isRel) relTypes else nodeLabels
           if (touched == null || touched.contains(label)) return false
           cur = parent
@@ -958,6 +986,43 @@ final class CypherSession(
       }
     }
     true
+  }
+
+  /** The exact set of node ids written between instances `from` and `to`
+    * that may have changed label `label`'s index population — available
+    * only when EVERY lineage step that may touch the label recorded its
+    * ids (VERDICT r12 #1). None on an unknown step, unrecorded ids, a
+    * broken/overlong chain, or more id-carrying steps than
+    * [[CypherSession.NodeDeltaMaxSteps]] (past that a rebuild beats a
+    * deep union plan). The union is lazy — the caller pins it before
+    * patching; steps touching only OTHER labels contribute nothing (the
+    * patch re-reads the ids from the label partition anyway, so foreign
+    * ids would merely be dropped by the label filter — skipping them
+    * keeps the plan delta-sized). */
+  private def nodeDeltaSince(from: PropertyGraph, to: PropertyGraph,
+      label: String): Option[DataFrame] = {
+    var cur = to
+    var steps = 0
+    var idSteps = 0
+    val acc = List.newBuilder[DataFrame]
+    while (cur ne from) {
+      if (steps > CypherSession.WriteLineageWindow) return None
+      steps += 1
+      writeLineage.reverseIterator.find(_._1 eq cur) match {
+        case Some((_, parent, nodeLabels, _, ids)) =>
+          if (nodeLabels == null || nodeLabels.contains(label)) {
+            if (ids == null) return None
+            idSteps += 1
+            if (idSteps > CypherSession.NodeDeltaMaxSteps) return None
+            acc += ids.select(col("id"))
+          }
+          cur = parent
+        case None => return None
+      }
+    }
+    val frames = acc.result()
+    if (frames.isEmpty) None
+    else Some(frames.reduce(_ unionByName _).distinct())
   }
 
   /** @param touched node labels this write may have changed (for the
@@ -999,7 +1064,8 @@ final class CypherSession(
     // to amortize, exactly as the reference's per-record Bolt writes
     // batch into transactions.
     graph = graph.copy(nodes = updated)
-    recordWrite(lineageParent, graph, touched, Set.empty)
+    recordWrite(lineageParent, graph, touched, Set.empty,
+      vals.select(col("id")))
     n
   }
 
@@ -1106,55 +1172,95 @@ final class CypherSession(
       else targets.select(col("id"))
         .unionByName(extraDelta.select(col("id"))).distinct()
         .localCheckpoint(true)
-    vectorIndexes.foreach { case (_, vd) =>
-      // relationship indexes never match: the setter writes NODE props
-      if (vd.prop == keyName && !vd.isRel) {
-        lazy val affectedGeom = postGraph.nodes
-          .filter(col("label") === vd.label)
-          .join(targetIds, Seq("id"), "left_semi")
-          .filter(element_at(col("props"), vd.prop).isNotNull)
-          .select(col("id"), col("key"), nodeMapCol(vd.label).as("node"),
-            parseVectorCol(element_at(col("props"), vd.prop)).as("emb"))
-          .withColumn("nrm",
-            sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
-          .withColumn("bks",
-            graft.functions.NativeExpressions.portableLshBuckets(
-              col("emb"), CypherSession.VectorLshTables,
-              CypherSession.VectorLshBits, vd.dim))
-        val sv = vd.served
-        val snap = vd.snapshot
-        if (sv != null && (sv.basis eq patchBasis)) {
-          // persisted layout: the patch rewrites ONLY the small pinned
-          // overlay — O(|overlay| + |delta|) per write, the layout's
-          // files untouched. The add→query loop on a large live index
-          // never re-pins N rows.
-          val newOverlay = (
-            if (sv.overlay == null) affectedGeom
-            else sv.overlay.join(targetIds, Seq("id"), "left_anti")
-              .unionByName(affectedGeom)
-          ).iterCheckpoint()
-          val newIds = (
-            if (sv.overlayIds == null) targetIds
-            else sv.overlayIds.unionByName(targetIds).distinct()
-          ).localCheckpoint(true)
-          vd.served = sv.copy(basis = postGraph, overlay = newOverlay,
-            overlayIds = newIds)
-          vectorIndexIncrementalUpdates.incrementAndGet()
-        } else if (snap != null && (snap._1 eq patchBasis)) {
-          // the per-patch pin is MEASURED, not assumed (GraphRag
-          // rehearsal at 200k vectors, three configs): lazy patch
-          // layers drift each query up (5.7→6.3 s over 5 rounds) and
-          // a fully lazy store GROWS 7.3→10.8 s; the eager pin holds
-          // flat at ~5 s/round — the negative results are recorded in
-          // BASELINE.md
-          val patched = snap._2.join(targetIds, Seq("id"), "left_anti")
-            .unionByName(affectedGeom).iterCheckpoint()
-          vd.snapshot = (postGraph, patched)
-          vectorIndexIncrementalUpdates.incrementAndGet()
-        }
-      }
+    vectorIndexes.foreach { case (nm, vd) =>
+      // relationship indexes never match: the setter writes NODE props;
+      // values were validated pre-write above, so validate=false
+      if (vd.prop == keyName && !vd.isRel)
+        patchNodeVectorIndex(nm, vd, patchBasis, postGraph, targetIds,
+          validate = false)
     }
     written
+  }
+
+  /** Incremental patch of ONE node vector index for an exact node-id
+    * delta: rows for `targetIds` are recomputed from `post` (an id gone
+    * from the label partition or with the property removed drops out of
+    * the index), every other row is byte-identical by lineage, so the
+    * patch is O(|delta| + |overlay|) — never the O(N) population the
+    * full rebuild pays. Applies only when the cached serving state was
+    * built on `basis` (reference identity); returns true iff it landed.
+    *
+    * Persisted layout: the patch rewrites ONLY the small pinned overlay
+    * — the layout's files stay untouched; the add→query loop on a large
+    * live index never re-pins N rows. In-memory snapshot: anti-join +
+    * union + eager pin — the per-patch pin is MEASURED, not assumed
+    * (GraphRag rehearsal at 200k vectors, three configs): lazy patch
+    * layers drift each query up (5.7→6.3 s over 5 rounds) and a fully
+    * lazy store GROWS 7.3→10.8 s; the eager pin holds flat at ~5 s/round
+    * — the negative results are recorded in BASELINE.md.
+    *
+    * @param validate the generic write paths (MERGE / SET / the import
+    *   loop — VERDICT r12 #1) do not pre-validate indexed values the way
+    *   the embedding setter does: with validate=true a malformed delta
+    *   value fails here with the full rebuild's exact error, BEFORE any
+    *   serving state mutates. */
+  private def patchNodeVectorIndex(name: String,
+      vd: CypherSession.VectorIndexDef, basis: PropertyGraph,
+      post: PropertyGraph, targetIds: DataFrame,
+      validate: Boolean): Boolean = {
+    import graft.analytics.IterCheckpoint.IterCheckpointOps
+    val sv = vd.served
+    val snap = vd.snapshot
+    val servedHit = sv != null && (sv.basis eq basis)
+    val snapHit = !servedHit && snap != null && (snap._1 eq basis)
+    if (!servedHit && !snapHit) return false
+    val affected0 = post.nodes
+      .filter(col("label") === vd.label)
+      .join(targetIds, Seq("id"), "left_semi")
+      .filter(element_at(col("props"), vd.prop).isNotNull)
+      .select(col("id"), col("key"), nodeMapCol(vd.label).as("node"),
+        parseVectorCol(element_at(col("props"), vd.prop)).as("emb"))
+    if (validate) {
+      val ok0 = size(col("emb")) === vd.dim &&
+        !exists(col("emb"), x => x.isNull)
+      val okC =
+        if (vd.similarityFunction == "cosine")
+          ok0 && aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0.0
+        else ok0
+      val bad = affected0.filter(!okC).select(col("key")).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"vector index '$name': node '${bad.head.getString(0)}' has a " +
+          s"malformed ${vd.prop} — every indexed value must be ${vd.dim} " +
+          "numeric components" +
+          (if (vd.similarityFunction == "cosine") " with a nonzero norm"
+           else ""))
+    }
+    val affectedGeom = affected0
+      .withColumn("nrm",
+        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("bks",
+        graft.functions.NativeExpressions.portableLshBuckets(
+          col("emb"), CypherSession.VectorLshTables,
+          CypherSession.VectorLshBits, vd.dim))
+    if (servedHit) {
+      val newOverlay = (
+        if (sv.overlay == null) affectedGeom
+        else sv.overlay.join(targetIds, Seq("id"), "left_anti")
+          .unionByName(affectedGeom)
+      ).iterCheckpoint()
+      val newIds = (
+        if (sv.overlayIds == null) targetIds
+        else sv.overlayIds.unionByName(targetIds).distinct()
+      ).localCheckpoint(true)
+      vd.served = sv.copy(basis = post, overlay = newOverlay,
+        overlayIds = newIds)
+    } else {
+      val patched = snap._2.join(targetIds, Seq("id"), "left_anti")
+        .unionByName(affectedGeom).iterCheckpoint()
+      vd.snapshot = (post, patched)
+    }
+    vectorIndexIncrementalUpdates.incrementAndGet()
+    true
   }
 
   private def executeShowConstraints(): CypherResult = {
@@ -1554,11 +1660,28 @@ final class CypherSession(
     validateConstraintsPostWrite(g2)
     val preStatementGraph = graph
     graph = g2
+    // The statement's complete node-write delta — every merge binding id
+    // plus every created id — rides into the lineage AND the index patch
+    // so a live snapshot built on the PRE-statement graph can patch
+    // incrementally past this statement's own MERGEs (VERDICT r12 #1:
+    // the crawler's per-article MERGE no longer re-pays a full
+    // vector-index build on the next query).
+    lazy val statementWrittenIds: DataFrame = {
+      val mergeIds = mergeBindings.toSeq.map { b =>
+        pdf.select(graft.model.GraphSchema.stableId(
+          lit(b.label), valueCol(b.keyValue, pdf).cast("string")).as("id"))
+      }
+      val createIds = createdIdFrames.toSeq.map { case (v, f) =>
+        f.select(col(s"__id_$v").as("id"))
+      }
+      (mergeIds ++ createIds).reduce(_ unionByName _).distinct()
+    }
     // the statement's node writes touch exactly its bound labels (an
     // edge-only MERGE records the empty set — index snapshots read only
     // the label's node rows, so it invalidates nothing)
     recordWrite(preStatementGraph, g2, bindings.values.map(_.label).toSet,
-      (edgeList.map(_.relType) ++ createEdgeList.map(_.relType)).toSet)
+      (edgeList.map(_.relType) ++ createEdgeList.map(_.relType)).toSet,
+      if (bindings.nonEmpty) statementWrittenIds else null)
 
     // procedure clauses (the `CALL db.create.setNodeVectorProperty(c,
     // 'embedding', row.embedding)` slot of LangChain's batched
@@ -1570,20 +1693,6 @@ final class CypherSession(
     // pre-statement instance), matching Neo4j's transactional rejection;
     // any snapshot patched before the failure keys on a discarded
     // instance and safely rebuilds.
-    // The statement's complete node-write delta — every merge binding id
-    // plus every created id — rides into the index patch so a live
-    // snapshot built on the PRE-statement graph can still patch
-    // incrementally past this statement's own MERGEs.
-    lazy val statementWrittenIds: DataFrame = {
-      val mergeIds = mergeBindings.toSeq.map { b =>
-        pdf.select(graft.model.GraphSchema.stableId(
-          lit(b.label), valueCol(b.keyValue, pdf).cast("string")).as("id"))
-      }
-      val createIds = createdIdFrames.toSeq.map { case (v, f) =>
-        f.select(col(s"__id_$v").as("id"))
-      }
-      (mergeIds ++ createIds).reduce(_ unionByName _).distinct()
-    }
     var firstProc = true
     def runProcClause(pc: ProcCall): Unit = {
       if (pc.name != "db.create.setNodeVectorProperty")
@@ -1795,18 +1904,20 @@ final class CypherSession(
     // pattern label. Edge variables (SET r.w, relationship MERGE
     // endpoints) touch no node rows; an UNLABELED node target makes the
     // step unknown (null → every index rebuilds, the safe direction).
-    recordWrite(lineageParent, g, {
-      val pats = u.stages.flatMap(st => st.paths ++ st.optPaths)
-      val nodeLabels = pats.flatMap(_.nodes)
-        .flatMap(n => n.variable.map(_ -> n.label)).toMap
-      val edgeVars = pats.flatMap(_.edges).flatMap(_.variable).toSet
+    val lineagePats = u.stages.flatMap(st => st.paths ++ st.optPaths)
+    val lineageNodeTargets = {
+      val edgeVars = lineagePats.flatMap(_.edges).flatMap(_.variable).toSet
       val mergeEndpoints = u.merges.flatMap(_.nodes.flatMap(_.variable)).toSet
-      val nodeTargets = targets
+      targets
         .filterNot(edgeVars)
         .filterNot(v => mergeEndpoints(v) && !u.sets.exists(_._1.variable == v) &&
           !u.removes.exists(_.variable == v) && !u.deletes.contains(v) &&
           !u.replaceVars.contains(v))
-      val ls = nodeTargets.map(v => nodeLabels.getOrElse(v, None))
+    }
+    recordWrite(lineageParent, g, {
+      val nodeLabels = lineagePats.flatMap(_.nodes)
+        .flatMap(n => n.variable.map(_ -> n.label)).toMap
+      val ls = lineageNodeTargets.map(v => nodeLabels.getOrElse(v, None))
       if (ls.exists(_.isEmpty)) null else ls.flatten.toSet
     }, {
       // relationship-type side: edge MERGEs touch their types; SET/REMOVE
@@ -1814,8 +1925,7 @@ final class CypherSession(
       // drop edges of ANY type (DETACH) → unknown
       if (u.deletes.nonEmpty) null
       else {
-        val pats = u.stages.flatMap(st => st.paths ++ st.optPaths)
-        val edgeTypes = pats.flatMap(_.edges)
+        val edgeTypes = lineagePats.flatMap(_.edges)
           .flatMap(e => e.variable.map(_ -> e.relType)).toMap
         val edgeVarSet = edgeTypes.keySet
         val touchedEdgeVars = (u.sets.map(_._1.variable) ++
@@ -1824,7 +1934,13 @@ final class CypherSession(
         val ts = touchedEdgeVars.map(edgeTypes(_)) ++ mergedTypes
         if (ts.exists(_.isEmpty)) null else ts.flatten.toSet
       }
-    })
+    },
+      // the statement's exact node delta: every node-targeted variable's
+      // matched ids (deletes included — `targets` carries them); a lazy
+      // union over the pre-statement match, pinned only if an index
+      // patch consults it
+      if (lineageNodeTargets.isEmpty) null
+      else lineageNodeTargets.map(idsOf).reduce(_ unionByName _).distinct())
     CypherWrite(g, propsSet, propsRemoved, nodesDeleted, relsDeleted, relsCreated)
   }
 
@@ -4154,7 +4270,9 @@ final class CypherSession(
               .as[String].collect().toSet
             labelsTouched.foreach { l =>
               if (!allKeyProps.contains(l)) dynamicKeyProps(l) = keyName }
-            recordWrite(parent, graph, labelsTouched, Set.empty)
+            recordWrite(parent, graph, labelsTouched, Set.empty,
+              batch.select(graft.model.GraphSchema.stableId(
+                col("label"), col("key")).as("id")).distinct())
             p.yields.foreach { case (c, _) => require(c == "node",
               s"apoc.merge.node yields 'node', not '$c'") }
             df = df.withColumn(alias,
@@ -4825,6 +4943,12 @@ object CypherSession {
     * longer than this force a rebuild (bounded memory; entries are three
     * references + a small label set each). */
   private[graft] val WriteLineageWindow = 256
+
+  /** Cap on the number of id-carrying lineage steps a single incremental
+    * index patch will union: past this many distinct write batches since
+    * the cached basis, one full rebuild beats executing a deep union
+    * plan (and the patched overlay would have grown past usefulness). */
+  private[graft] val NodeDeltaMaxSteps = 64
 
   /** Persisted layout geometry: pbh = t·64 + (bucket >> 6) ∈ [0, 512) —
     * one directory per (table, 64-bucket slice), so partition pruning

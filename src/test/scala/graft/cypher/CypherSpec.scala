@@ -2843,7 +2843,7 @@ class CypherSpec extends SparkTestBase {
       e2.getMessage)
   }
 
-  test("round-11: vector-index maintenance — the setter patches a LIVE index incrementally; generic writes rebuild") {
+  test("round-11: vector-index maintenance — the setter patches a LIVE index incrementally; generic writes patch too (r13)") {
     val sess = freshSession
     Seq("c1" -> Seq(1.0, 0.0, 0.0, 0.0), "c2" -> Seq(0.0, 1.0, 0.0, 0.0),
       "c3" -> Seq(0.0, 0.0, 1.0, 0.0)).foreach { case (id, v) =>
@@ -2875,24 +2875,29 @@ class CypherSpec extends SparkTestBase {
     assert(q(Seq(0.0, 0.0, 0.0, 1.0), 1) === Seq(("c2", 1.0)))
     assert(sess.vectorIndexFullBuilds.get === full0,
       "query after an incremental patch paid a full rebuild")
-    // a GENERIC write invalidates the snapshot; the next query pays the
-    // full rebuild fallback — and still answers against the live store
+    // a GENERIC same-label write used to invalidate the snapshot and the
+    // next query re-paid the full build; since round 13 the lineage
+    // carries the statement's exact node ids, so the query PATCHES the
+    // snapshot past both steps (the MERGE and the setter) instead
     sess.run("MERGE (c:Chunk {name: 'c9'})")
     sess.run("MATCH (c:Chunk {name: 'c9'}) " +
       "CALL db.create.setNodeVectorProperty(c, 'embedding', $v) " +
       "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
       Map("v" -> Seq(0.9, 0.0, 0.0, 0.0)))
     // (the MERGE above moved the graph past the snapshot, so the setter
-    // could NOT patch — its pre-write snapshot was already stale)
+    // itself could NOT patch — its pre-write snapshot was already stale;
+    // the query below patches through the recorded id delta instead)
     assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1)
     val got = q(Seq(0.9, 0.0, 0.0, 0.0), 2).map(_._1)
     assert(got === Seq("c1", "c9") || got === Seq("c9", "c1"), got)
-    assert(sess.vectorIndexFullBuilds.get === full0 + 1)
+    assert(sess.vectorIndexFullBuilds.get === full0,
+      "a same-label write with a recorded id delta must patch, not rebuild")
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 2)
     // a setter whose value violates the index geometry fails LOUDLY
     // naming the index BEFORE mutating (ADVICE r11 #2 — the old shape
     // wrote the property first, leaving the store mutated with a
     // permanently broken index; Neo4j rejects atomically)
-    sess.run("MERGE (c:Chunk {name: 'c4'})") // fresh snapshot via rebuild
+    sess.run("MERGE (c:Chunk {name: 'c4'})") // fresh snapshot via patch
     q(Seq(1.0, 0.0, 0.0, 0.0), 1)
     val fullV = sess.vectorIndexFullBuilds.get
     val e = intercept[IllegalArgumentException](sess.run(
@@ -2910,6 +2915,79 @@ class CypherSpec extends SparkTestBase {
     assert(q(Seq(1.0, 0.0, 0.0, 0.0), 1).map(_._1) === Seq("c1"))
     assert(sess.vectorIndexFullBuilds.get === fullV,
       "a rejected setter must not invalidate the snapshot")
+  }
+
+  test("round-13: incremental same-label vector-index maintenance — MERGE/SET/DELETE/apoc patch, never rebuild (VERDICT r12 #1)") {
+    val sess = freshSession
+    Seq("c1" -> "1.0,0.0,0.0,0.0", "c2" -> "0.0,1.0,0.0,0.0").foreach {
+      case (id, v) =>
+        sess.run(s"MERGE (c:Chunk {name: '$id'}) SET c.embedding = '$v'")
+    }
+    sess.run("""CREATE VECTOR INDEX ce FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    def q(v: Seq[Double], k: Int): Seq[String] = sess.run(
+      s"CALL db.index.vector.queryNodes('ce', $k, $$q) YIELD node, score " +
+        "RETURN node.name AS nm, score", Map("q" -> v))
+      .asInstanceOf[CypherRows].df.as[(String, Double)].collect()
+      .toSeq.map(_._1)
+    assert(q(Seq(1.0, 0.0, 0.0, 0.0), 1) === Seq("c1")) // first build
+    val full0 = sess.vectorIndexFullBuilds.get
+    val inc0 = sess.vectorIndexIncrementalUpdates.get
+    // 1) a same-label BATCH MERGE (the import-loop path — the reference
+    // crawler's per-article write shape): the next query PATCHES
+    sess.run(
+      """UNWIND $data AS row
+        |MERGE (c:Chunk {name: row.nm}) SET c.embedding = row.emb""".stripMargin,
+      Map("data" -> Seq(
+        Map("nm" -> "c3", "emb" -> "0.0,0.0,1.0,0.0"),
+        Map("nm" -> "c4", "emb" -> "0.0,0.0,0.0,1.0"))))
+    assert(q(Seq(0.0, 0.0, 1.0, 0.0), 1) === Seq("c3"))
+    assert(sess.vectorIndexFullBuilds.get === full0,
+      "a same-label batch MERGE must patch the live index, not rebuild it")
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1)
+    // 2) a generic MATCH … SET of the indexed property: patched value wins
+    sess.run("MATCH (c:Chunk {name: 'c1'}) SET c.embedding = '0.0,1.0,1.0,0.0'")
+    assert(q(Seq(0.0, 1.0, 1.0, 0.0), 1) === Seq("c1"))
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 2)
+    // 3) DETACH DELETE drops the node out of the index via the patch
+    sess.run("MATCH (c:Chunk {name: 'c2'}) DETACH DELETE c")
+    assert(!q(Seq(0.0, 1.0, 0.0, 0.0), 4).contains("c2"))
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 3)
+    // 4) REMOVE of the indexed property likewise drops the node
+    sess.run("MATCH (c:Chunk {name: 'c4'}) REMOVE c.embedding")
+    assert(!q(Seq(0.0, 0.0, 0.0, 1.0), 4).contains("c4"))
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    // 5) a malformed value written by a GENERIC write (no setter
+    // pre-validation) fails the QUERY with the rebuild's exact error —
+    // and the serving state survives: fixing the value patches through
+    sess.run("MATCH (c:Chunk {name: 'c3'}) SET c.embedding = '1.0,2.0'")
+    val e = intercept[IllegalStateException](q(Seq(1.0, 0.0, 0.0, 0.0), 1))
+    assert(e.getMessage.contains("'ce'") &&
+      e.getMessage.contains("malformed"), e.getMessage)
+    sess.run("MATCH (c:Chunk {name: 'c3'}) SET c.embedding = '0.0,0.0,1.0,0.0'")
+    assert(q(Seq(0.0, 0.0, 1.0, 0.0), 1) === Seq("c3"))
+    assert(sess.vectorIndexFullBuilds.get === full0,
+      "recovering from a malformed delta must patch, not rebuild")
+    // 6) the apoc.merge.node import path (LangChain add_graph_documents)
+    // records its exact ids too
+    sess.run(
+      """UNWIND $data AS row
+        |CALL apoc.merge.node([row.type], {name: row.nm},
+        |  {embedding: row.emb}, {}) YIELD node RETURN count(node) AS n""".stripMargin,
+      Map("data" -> Seq(
+        Map("type" -> "Chunk", "nm" -> "c7", "emb" -> "0.5,0.5,0.0,0.0"))))
+    assert(q(Seq(0.5, 0.5, 0.0, 0.0), 1) === Seq("c7"))
+    assert(sess.vectorIndexFullBuilds.get === full0,
+      "apoc.merge.node on the indexed label must patch, not rebuild")
+    // 7) foreign-label writes still ADOPT (no patch, no rebuild)
+    val incA = sess.vectorIndexIncrementalUpdates.get
+    sess.run("MERGE (p:Publisher {name: 'px'})")
+    assert(q(Seq(0.0, 0.0, 1.0, 0.0), 1) === Seq("c3"))
+    assert(sess.vectorIndexFullBuilds.get === full0)
+    assert(sess.vectorIndexIncrementalUpdates.get === incA,
+      "a foreign-label write must adopt the instance, not patch")
   }
 
   test("round-11: fulltext index lifecycle — terms, AND, OR, phrases, deterministic BM25 scores") {
@@ -3497,7 +3575,7 @@ class CypherSpec extends SparkTestBase {
   }
 
   test("label-scoped index invalidation: a foreign-LABEL write adopts the " +
-      "serving state; same-label and unlabeled writes still rebuild") {
+      "serving state; same-label writes patch through the id delta (r13)") {
     val sess = chunkSession
     sess.run("MERGE (c:Chunk {id: 'a'}) SET c.embedding = '1.0,0.0'")
     // same direction as 'a' so both share every sign-LSH bucket — the
@@ -3520,8 +3598,10 @@ class CypherSpec extends SparkTestBase {
     assert(q().toSet === Set("a", "b"))
     assert(sess.vectorIndexFullBuilds.get === builds0,
       "foreign-label/edge writes must not rebuild the index")
-    // a same-label write to a DIFFERENT property rebuilds (the indexed
-    // node maps change) — and the query sees the new property
+    // a same-label write to a DIFFERENT property changes the indexed node
+    // maps — the query PATCHES the touched rows through the lineage's id
+    // delta (r13; this used to pay a full rebuild) and sees the new
+    // property
     sess.run("MATCH (c:Chunk {id: 'a'}) SET c.extra = 'fresh'")
     val withExtra = sess.run(
       "CALL db.index.vector.queryNodes('ci', 2, $q) YIELD node, score " +
@@ -3529,7 +3609,8 @@ class CypherSpec extends SparkTestBase {
       Map("q" -> Seq(1.0, 0.0)))
       .asInstanceOf[CypherRows].df.collect()
     assert(withExtra.head.getString(1) === "fresh")
-    assert(sess.vectorIndexFullBuilds.get === builds0 + 1)
+    assert(sess.vectorIndexFullBuilds.get === builds0,
+      "a same-label write with a recorded id delta must patch, not rebuild")
     // fulltext adoption rides the same lineage
     sess.run("MATCH (c:Chunk) SET c.text = 'hello world'")
     sess.run("CREATE FULLTEXT INDEX cf FOR (c:Chunk) ON EACH [c.text]")

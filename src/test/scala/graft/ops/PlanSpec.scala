@@ -698,6 +698,21 @@ class PlanSpec extends SparkTestBase {
           "RETURN node.name AS nm", Map("q" -> Seq(9.0, 9.0, 9.0, 9.0)))
         .asInstanceOf[graft.cypher.CypherRows].df.collect().map(_.getString(0))
       assert(hit.toSeq === Seq("n0"))
+      // generic same-label writes patch the overlay too (r13): a batch
+      // MERGE lands in the pinned overlay, the layout's files untouched
+      sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name})
+          |SET d.embedding = row.emb""".stripMargin,
+        Map("data" -> Seq(Map("name" -> "n900", "emb" -> "8.0,8.0,8.0,-9.0"))))
+      val hit2 = sess.run(
+        "CALL db.index.vector.queryNodes('ve', 1, $q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> Seq(8.0, 8.0, 8.0, -9.0)))
+        .asInstanceOf[graft.cypher.CypherRows].df.collect().map(_.getString(0))
+      assert(hit2.toSeq === Seq("n900"))
+      assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 2,
+        "a same-label MERGE on a served layout must patch the overlay")
+      assert(sess.vectorIndexFullBuilds.get === full0,
+        "a same-label MERGE on a served layout must not rebuild the layout")
     } finally spark.conf.set(
       graft.cypher.CypherSession.IndexMemThresholdKey,
       graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
