@@ -4249,30 +4249,52 @@ final class CypherSession(
             val onCreateC = mapArg(p.args(2), "onCreateProps")
             val onMatchC = mapArg(p.args(3), "onMatchProps")
             val parent = graph
+            // the onCreate/onMatch split needs an existence probe ONLY
+            // when the two payloads differ; LangChain's chained
+            // source/target merges pass `{}, {}` — identical either way,
+            // so the probe join (a pass over the store per CALL, and a
+            // plan layer every later action re-executes) is skipped
+            // (VERDICT r12 #3: three import merges used to pin the store
+            // separately; the probe was the per-statement pin)
+            def emptyMapA(a: Any): Boolean = a match {
+              case ProcMapArg(es) => es.isEmpty
+              case m: scala.collection.Map[_, _] => m.isEmpty
+              case _ => false
+            }
+            val needProbe = !(emptyMapA(p.args(2)) && emptyMapA(p.args(3)))
             // ONE existence probe for the whole batch decides which
             // property payload each row contributes (apoc's onCreate /
             // onMatch split); then ONE set-oriented node merge
-            val batch = df
-              .select(labelC.as("label"), keyC.as("key"),
-                onCreateC.as("__oc"), onMatchC.as("__om"))
-              .withColumn("__id",
-                graft.model.GraphSchema.stableId(col("label"), col("key")))
-              .join(parent.nodes.select(col("id").as("__id"),
-                lit(true).as("__ex")), Seq("__id"), "left")
-              .select(col("label"), col("key"),
-                when(col("__ex"), col("__om")).otherwise(col("__oc"))
-                  .as("props"))
+            val batch =
+              if (!needProbe) df.select(labelC.as("label"), keyC.as("key"),
+                onCreateC.as("props"))
+              else df
+                .select(labelC.as("label"), keyC.as("key"),
+                  onCreateC.as("__oc"), onMatchC.as("__om"))
+                .withColumn("__id",
+                  graft.model.GraphSchema.stableId(col("label"), col("key")))
+                .join(parent.nodes.select(col("id").as("__id"),
+                  lit(true).as("__ex")), Seq("__id"), "left")
+                .select(col("label"), col("key"),
+                  when(col("__ex"), col("__om")).otherwise(col("__oc"))
+                    .as("props"))
             graph = parent.mergeNodes(batch)
             // register the data-driven merge identity so later MATCHes on
             // the key property hit the key column (ontology-bounded
-            // collect); lineage records exactly the touched labels
-            val labelsTouched = batch.select(col("label")).distinct()
-              .as[String].collect().toSet
+            // collect over the DRIVING rows — never through the store
+            // probe, whose join would re-execute the whole merge chain
+            // per CALL); lineage records exactly the touched labels
+            val labelsTouched = df.select(labelC.cast("string").as("label"))
+              .distinct().as[String].collect().toSet
             labelsTouched.foreach { l =>
               if (!allKeyProps.contains(l)) dynamicKeyProps(l) = keyName }
+            // the id delta likewise derives from the driving rows alone —
+            // the lineage plan must stay store-free so an index patch
+            // never re-executes the merge chain
             recordWrite(parent, graph, labelsTouched, Set.empty,
-              batch.select(graft.model.GraphSchema.stableId(
-                col("label"), col("key")).as("id")).distinct())
+              df.select(graft.model.GraphSchema.stableId(
+                labelC.cast("string"), keyC.cast("string")).as("id"))
+                .distinct())
             p.yields.foreach { case (c, _) => require(c == "node",
               s"apoc.merge.node yields 'node', not '$c'") }
             df = df.withColumn(alias,

@@ -3804,6 +3804,73 @@ class CypherSpec extends SparkTestBase {
     assert(e3.getMessage.contains("ONE key"), e3.getMessage)
   }
 
+  test("round-13: apoc.merge batch equals sequence — the probe-free " +
+      "`{},{}` fast path and the probed path agree row for row") {
+    // VERDICT r12 #3: the chained source/target merges skip the
+    // existence probe (empty onCreate/onMatch payloads are identical on
+    // both paths). This pins the semantics: one BATCHED import statement
+    // must leave the store byte-identical to the same rows imported one
+    // statement at a time (probed or not), including re-merges of keys
+    // that already exist.
+    def readBack(sess: CypherSession): Seq[(String, String, String, String)] =
+      sess.run(
+        """MATCH (s:Supplier)-[r:LOCATED_IN]->(n:Nation)
+          |RETURN s.id AS s, coalesce(s.acct, '-') AS acct, r.via AS via,
+          |  n.id AS n ORDER BY s, n""".stripMargin)
+        .asInstanceOf[CypherRows].df
+        .as[(String, String, String, String)].collect().toSeq
+    val nodeRows = Seq(
+      Map[String, Any]("id" -> "s1", "type" -> "Supplier",
+        "properties" -> Map("acct" -> "10")),
+      Map[String, Any]("id" -> "s2", "type" -> "Supplier",
+        "properties" -> Map("acct" -> "20")),
+      Map[String, Any]("id" -> "DE", "type" -> "Nation",
+        "properties" -> Map[String, String]()))
+    val relRows = Seq(
+      Map[String, Any]("source" -> "s1", "source_label" -> "Supplier",
+        "target" -> "DE", "target_label" -> "Nation",
+        "type" -> "LOCATED_IN", "properties" -> Map("via" -> "x")),
+      Map[String, Any]("source" -> "s2", "source_label" -> "Supplier",
+        "target" -> "DE", "target_label" -> "Nation",
+        "type" -> "LOCATED_IN", "properties" -> Map("via" -> "x")))
+    val nodeStmt = "UNWIND $data AS row CALL apoc.merge.node([row.type], " +
+      "{id: row.id}, row.properties, {}) YIELD node " +
+      "RETURN distinct 'done' AS result"
+    val relStmt = "UNWIND $data AS row " +
+      "CALL apoc.merge.node([row.source_label], {id: row.source},{},{}) " +
+      "YIELD node as source " +
+      "CALL apoc.merge.node([row.target_label], {id: row.target},{},{}) " +
+      "YIELD node as target " +
+      "CALL apoc.merge.relationship(source, row.type, {}, " +
+      "row.properties, target) YIELD rel RETURN distinct 'done'"
+    // batched: whole lists per statement (the LangChain shape)
+    val batched = freshSession
+    batched.run(nodeStmt, Map("data" -> nodeRows))
+    batched.run(relStmt, Map("data" -> relRows))
+    // sequenced: the same rows, ONE driving row per statement, in the
+    // batched statements' order — must land byte-identically
+    val seq = freshSession
+    nodeRows.foreach(r => seq.run(nodeStmt, Map("data" -> Seq(r))))
+    relRows.foreach(r => seq.run(relStmt, Map("data" -> Seq(r))))
+    assert(readBack(batched) === Seq(
+      ("s1", "10", "x", "DE"), ("s2", "20", "x", "DE")))
+    assert(readBack(seq) === readBack(batched),
+      "sequenced imports must equal the batched import")
+    // apoc's onCreate/onMatch split through the PROBED path: a node the
+    // `{},{}` rel merge already created takes the `{}` onMatch payload on
+    // a later node import — its onCreate props must NOT apply
+    val probed = freshSession
+    probed.run(relStmt, Map("data" -> Seq(relRows(1))))
+    probed.run(nodeStmt, Map("data" -> nodeRows))
+    assert(readBack(probed) === Seq(("s2", "-", "x", "DE")),
+      "an existing node must take the onMatch payload, not onCreate")
+    // re-importing the same batch is a no-op (MERGE idempotence through
+    // the probe-free path)
+    batched.run(nodeStmt, Map("data" -> nodeRows))
+    batched.run(relStmt, Map("data" -> relRows))
+    assert(readBack(batched) === readBack(seq))
+  }
+
   test("procedure maps: the config-consuming contract survives the " +
       "general map-argument grammar") {
     val sess = freshSession
