@@ -3804,6 +3804,42 @@ class CypherSpec extends SparkTestBase {
     assert(e3.getMessage.contains("ONE key"), e3.getMessage)
   }
 
+  test("round-13: integral widening — a JVM-built params map carrying Int " +
+      "(not Long) drives queryNodes k, createNodeIndex dim, fulltext limit") {
+    // VERDICT r12 #2: the parser produces Long for integer literals, but
+    // a params map built in JVM code (or handed over by a driver layer)
+    // naturally carries Int / java.lang.Integer — every integral procedure
+    // slot must accept both
+    val sess = freshSession
+    // same direction so both nodes share every sign-LSH bucket (the
+    // probe's candidate set then provably holds both); the score tie
+    // breaks on the key collation, so k=1 deterministically returns 'a'
+    Seq("a" -> "1.0,0.0", "b" -> "2.0,0.0").foreach { case (k, v) =>
+      sess.run(s"MERGE (c:Chunk {name: '$k'}) SET c.embedding = '$v', " +
+        s"c.text = 'doc $k'")
+    }
+    // the PROCEDURE DDL form with dim as a $param Int
+    sess.run("CALL db.index.vector.createNodeIndex($nm, $lb, $pr, $dim, " +
+      "$sim)", Map("nm" -> "vx", "lb" -> "Chunk", "pr" -> "embedding",
+      "dim" -> 2, "sim" -> "cosine"))
+    def hits(k: Any): Seq[String] = sess.run(
+      "CALL db.index.vector.queryNodes('vx', $k, $q) YIELD node, score " +
+        "RETURN node.name AS nm", Map("k" -> k, "q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(hits(1) === Seq("a"))                      // Scala Int
+    assert(hits(Integer.valueOf(2)).toSet === Set("a", "b")) // boxed Integer
+    assert(hits(2L).toSet === Set("a", "b"))          // Long (parser form)
+    val e = intercept[IllegalArgumentException](hits(0))
+    assert(e.getMessage.contains("positive"), e.getMessage)
+    // fulltext {limit: $k} config with an Int value
+    sess.run("CREATE FULLTEXT INDEX fx FOR (c:Chunk) ON EACH [c.text]")
+    val ft = sess.run(
+      "CALL db.index.fulltext.queryNodes('fx', 'doc', {limit: $k}) " +
+        "YIELD node, score RETURN node.name AS nm", Map("k" -> 1))
+      .asInstanceOf[CypherRows].df.as[String].collect().toSeq
+    assert(ft.size === 1)
+  }
+
   test("round-13: apoc.merge batch equals sequence — the probe-free " +
       "`{},{}` fast path and the probed path agree row for row") {
     // VERDICT r12 #3: the chained source/target merges skip the
