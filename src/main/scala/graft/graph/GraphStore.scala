@@ -109,14 +109,24 @@ object GraphStore {
 
   def read(spark: SparkSession, path: String): PropertyGraph = {
     import org.apache.spark.sql.functions.typedlit
-    val e = spark.read.parquet(s"$path/edges")
+    // nodes first: a missing/unreadable node layout fails the whole read
+    // (the caller's empty-store fallback). Edges tolerate ABSENCE —
+    // writing an edge-free graph commits zero partition directories, and
+    // a node-only store must not be dropped because its edge side is
+    // empty (found live: Serve's flush-then-reboot of a nodes-only graph).
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select("id", "label", "key", "props")
+    val e =
+      try spark.read.parquet(s"$path/edges")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException |
+            _: java.io.FileNotFoundException =>
+          graft.model.GraphSchema.emptyEdges(spark)
+      }
     val ewp = // tolerate prop-less layouts written before edge properties
       if (e.columns.contains("props")) e
       else e.withColumn("props", typedlit(Map.empty[String, String]))
-    PropertyGraph(
-      spark.read.parquet(s"$path/nodes")
-        .select("id", "label", "key", "props"),
-      ewp.select("srcId", "dstId", "relType", "props"))
+    PropertyGraph(nodes, ewp.select("srcId", "dstId", "relType", "props"))
   }
 
   /** Durable micro-batch node upsert — the streaming `foreachBatch` write
