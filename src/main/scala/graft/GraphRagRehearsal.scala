@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *   - a FOREIGN-LABEL write (MERGE of an unrelated node) is scoped OUT
   *     of invalidation by the write lineage (round 12) — the serving
   *     state adopts the new instance, the next query pays the probe only;
-  *   - a SAME-LABEL write to a different property still invalidates, and
-  *     the next query pays the full-rebuild fallback — the honest cost of
-  *     the generic write path.
+  *   - a SAME-LABEL write to a different property patches the touched
+  *     rows through the lineage's exact id delta (round 13) — the next
+  *     query pays an O(|delta|) patch plus the probe, never the full
+  *     rebuild the generic write path used to fall back to.
   *
   * Usage: `runMain graft.GraphRagRehearsal [dir]` (default
   * target/sf10_rehearsal — derive it with ScaleRehearsal first).
@@ -87,11 +88,12 @@ object GraphRagRehearsal {
     sess.run("MERGE (p:Pub {name: 'outsider'})")
     val (_, foreignSec) = timed(query(qvecs(0L)))
     val foreignPaidFull = sess.vectorIndexFullBuilds.get - fullBefore
-    // a SAME-LABEL write to a DIFFERENT property still invalidates (the
-    // indexed node maps change) — the next query honestly pays the
-    // full-rebuild fallback of the generic write path
+    // round 13 (VERDICT r12 #1): a SAME-LABEL write to a DIFFERENT
+    // property patches the touched rows through the lineage's exact id
+    // delta — write-path index cost scales with the BATCH, not the
+    // corpus (was: the full-rebuild fallback, 13.8 s at 200k vectors)
     sess.run("MATCH (d:Doc {vec_id: '1'}) SET d.note = 'touched'")
-    val (_, rebuildSec) = timed(query(qvecs(0L)))
+    val (_, sameLabelSec) = timed(query(qvecs(0L)))
     val paidFull = sess.vectorIndexFullBuilds.get - fullBefore - foreignPaidFull
 
     // BATCHED ingest (round 12, VERDICT r11 #1): LangChain's actual
@@ -119,7 +121,7 @@ object GraphRagRehearsal {
       s""""incremental_updates":$incUpdates,""" +
       s""""foreign_label_write_query_sec":${f"$foreignSec%.2f"},""" +
       s""""foreign_label_rebuilds_paid":$foreignPaidFull,""" +
-      s""""rebuild_after_same_label_write_sec":${f"$rebuildSec%.2f"},""" +
+      s""""same_label_write_query_sec":${f"$sameLabelSec%.2f"},""" +
       s""""full_rebuilds_paid":$paidFull,""" +
       s""""batched_ingest_chunks":$batchN,""" +
       s""""batched_ingest_plus_query_sec":${f"$batchSec%.2f"},""" +

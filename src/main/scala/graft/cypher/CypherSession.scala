@@ -90,6 +90,10 @@ final class CypherSession(
     new java.util.concurrent.atomic.AtomicLong
   private[graft] val vectorIndexIncrementalUpdates =
     new java.util.concurrent.atomic.AtomicLong
+  private[graft] val fulltextIndexFullBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val fulltextIndexIncrementalUpdates =
+    new java.util.concurrent.atomic.AtomicLong
 
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
     // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
@@ -499,10 +503,21 @@ final class CypherSession(
     def termFn(postings: DataFrame): String => DataFrame =
       if (postings != null) { t => postings.filter(col("term") === t) }
       else { t =>
-        d.postingsFrame
+        // persisted probe: pruned layout rows, minus overlaid keys, plus
+        // the overlay's rows for this term (round 13 — same effective-
+        // index algebra as the vector overlay)
+        val baseRows = d.postingsFrame
           .filter(col("tb") === lit(CypherSession.termBucket(t)) &&
             col("term") === t)
           .select(col("key"), col("fprop"), col("pos"), col("term"))
+        val okeys = d.overlayKeys
+        val masked =
+          if (okeys == null) baseRows
+          else baseRows.join(broadcast(okeys), Seq("key"), "left_anti")
+        val ov = d.overlay
+        if (ov == null) masked
+        else masked.unionByName(ov.filter(col("term") === t)
+          .select(col("key"), col("fprop"), col("pos"), col("term")))
       }
     val cur = graph
     val cached = d.snapshot
@@ -515,6 +530,77 @@ final class CypherSession(
       return (cached._2, termFn(cached._3), cached._4, cached._5)
     }
     import graft.analytics.IterCheckpoint.IterCheckpointOps
+    // INCREMENTAL same-label maintenance (round 13, the fulltext twin of
+    // vectorServe's patch): when the lineage carries the exact node-id
+    // delta, re-tokenize ONLY the touched keys and patch docs/postings in
+    // place — O(|delta|) per write instead of the full corpus tokenize.
+    // Touched KEYS resolve from both the old basis (a deleted node's key
+    // is no longer in the current partition but its postings must go) and
+    // the current partition (adds/updates); key↔id is stable, so the two
+    // sides agree on live rows.
+    if (!d.isRel && cached != null)
+      nodeDeltaSince(cached._1, cur, d.label).foreach { delta0 =>
+        val deltaIds = delta0.localCheckpoint(true)
+        def keysOf(g: PropertyGraph) = g.nodes
+          .filter(col("label") === d.label)
+          .join(deltaIds, Seq("id"), "left_semi").select(col("key"))
+        val deltaKeys = keysOf(cached._1).unionByName(keysOf(cur))
+          .distinct().localCheckpoint(true)
+        // pin the delta rows FIRST: postings and docs both derive from
+        // freshBase, and without the pin each would re-execute the
+        // post-write store layer — one store pass per patch, not two
+        val freshBase = cur.nodes.filter(col("label") === d.label)
+          .join(deltaKeys, Seq("key"), "left_semi")
+          .select(col("key"), col("props")).iterCheckpoint()
+        def toksP(p: String): Column = filter(
+          split(lower(element_at(col("props"), p)),
+            CypherSession.FulltextTokenRegex),
+          x => x =!= "")
+        val freshPostings = d.props.map { p =>
+          freshBase.select(col("key"), lit(p).as("fprop"),
+            posexplode(toksP(p)).as(Seq("pos", "term")))
+            .filter(col("term").isNotNull)
+        }.reduce(_ unionByName _).iterCheckpoint()
+        val freshDl = freshPostings.groupBy("key").agg(count(lit(1)).as("dl"))
+        val freshDocs = freshBase
+          .select(col("key"), nodeMapCol(d.label).as("node"))
+          .join(freshDl, Seq("key"))
+        val patchedDocs = cached._2
+          .join(deltaKeys, Seq("key"), "left_anti")
+          .unionByName(freshDocs).iterCheckpoint()
+        val n2 = patchedDocs.count()
+        val avgDl2 =
+          if (n2 == 0L) 1.0
+          else patchedDocs.agg(sum(col("dl"))).head.getLong(0).toDouble / n2
+        if (cached._3 != null) {
+          // in-memory postings: anti-join + union + pin. A patched
+          // snapshot may drift past the persistence threshold; the next
+          // FULL build (chain break / window overflow) re-evaluates the
+          // layout choice — growth per patch is delta-bounded.
+          val patched = cached._3.join(deltaKeys, Seq("key"), "left_anti")
+            .unionByName(freshPostings).iterCheckpoint()
+          d.snapshot = (cur, patchedDocs, patched, n2, avgDl2)
+          fulltextIndexIncrementalUpdates.incrementAndGet()
+          return (patchedDocs, termFn(patched), n2, avgDl2)
+        } else {
+          // persisted layout: rewrite only the pinned overlay
+          val newKeys = (
+            if (d.overlayKeys == null) deltaKeys
+            else d.overlayKeys.unionByName(deltaKeys).distinct()
+          ).localCheckpoint(true)
+          val newOverlay = (
+            if (d.overlay == null) freshPostings
+            else d.overlay.join(deltaKeys, Seq("key"), "left_anti")
+              .unionByName(freshPostings)
+          ).iterCheckpoint()
+          d.overlay = newOverlay
+          d.overlayKeys = newKeys
+          d.snapshot = (cur, patchedDocs, null, n2, avgDl2)
+          fulltextIndexIncrementalUpdates.incrementAndGet()
+          return (patchedDocs, termFn(null), n2, avgDl2)
+        }
+      }
+    fulltextIndexFullBuilds.incrementAndGet()
     // base rows: the label's nodes, or for a RELATIONSHIP index the
     // relType's edges keyed on the engine-independent 'srcKey->dstKey'
     // identity (same convention as vectorServe)
@@ -562,12 +648,16 @@ final class CypherSession(
         .write.partitionBy("tb").parquet(dir.toString)
       d.postingsPath = dir.toString
       d.postingsFrame = spark.read.parquet(dir.toString)
+      d.overlay = null
+      d.overlayKeys = null
       d.snapshot = (cur, docs, null, n, avgDl)
       if (old != null) deleteIndexPath(old)
       (docs, termFn(null), n, avgDl)
     } else {
       d.postingsPath = null
       d.postingsFrame = null
+      d.overlay = null
+      d.overlayKeys = null
       d.snapshot = (cur, docs, postings, n, avgDl)
       if (old != null) deleteIndexPath(old)
       (docs, termFn(postings), n, avgDl)
@@ -1220,28 +1310,47 @@ final class CypherSession(
       .filter(element_at(col("props"), vd.prop).isNotNull)
       .select(col("id"), col("key"), nodeMapCol(vd.label).as("node"),
         parseVectorCol(element_at(col("props"), vd.prop)).as("emb"))
-    if (validate) {
-      val ok0 = size(col("emb")) === vd.dim &&
-        !exists(col("emb"), x => x.isNull)
-      val okC =
-        if (vd.similarityFunction == "cosine")
-          ok0 && aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0.0
-        else ok0
-      val bad = affected0.filter(!okC).select(col("key")).limit(1).collect()
-      if (bad.nonEmpty) throw new IllegalStateException(
-        s"vector index '$name': node '${bad.head.getString(0)}' has a " +
-          s"malformed ${vd.prop} — every indexed value must be ${vd.dim} " +
-          "numeric components" +
-          (if (vd.similarityFunction == "cosine") " with a nonzero norm"
-           else ""))
-    }
-    val affectedGeom = affected0
-      .withColumn("nrm",
-        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("bks",
-        graft.functions.NativeExpressions.portableLshBuckets(
-          col("emb"), CypherSession.VectorLshTables,
-          CypherSession.VectorLshBits, vd.dim))
+    // ONE pass over the delta (the ADVICE r11 #5 shape, applied to the
+    // patch): validity AND geometry derive in the same projection, the
+    // frame pins once, and validation asserts against the PINNED rows —
+    // the post-write store layer (an unpinned join over the pre-write
+    // pin) is re-executed exactly once per patch, not once per check
+    val affectedGeom =
+      if (!validate) affected0
+        .withColumn("nrm",
+          sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("bks",
+          graft.functions.NativeExpressions.portableLshBuckets(
+            col("emb"), CypherSession.VectorLshTables,
+            CypherSession.VectorLshBits, vd.dim))
+      else {
+        val ok0 = size(col("emb")) === vd.dim &&
+          !exists(col("emb"), x => x.isNull)
+        val okC =
+          if (vd.similarityFunction == "cosine")
+            ok0 && aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0.0
+          else ok0
+        val derived = affected0
+          .withColumn("__ok", okC)
+          .withColumn("nrm",
+            when(col("__ok"),
+              sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x))))
+          .withColumn("bks",
+            when(col("__ok"),
+              graft.functions.NativeExpressions.portableLshBuckets(
+                col("emb"), CypherSession.VectorLshTables,
+                CypherSession.VectorLshBits, vd.dim)))
+          .iterCheckpoint()
+        val bad = derived.filter(!col("__ok"))
+          .select(col("key")).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"vector index '$name': node '${bad.head.getString(0)}' has a " +
+            s"malformed ${vd.prop} — every indexed value must be ${vd.dim} " +
+            "numeric components" +
+            (if (vd.similarityFunction == "cosine") " with a nonzero norm"
+             else ""))
+        derived.drop("__ok")
+      }
     if (servedHit) {
       val newOverlay = (
         if (sv.overlay == null) affectedGeom
@@ -1930,8 +2039,13 @@ final class CypherSession(
         val edgeVarSet = edgeTypes.keySet
         val touchedEdgeVars = (u.sets.map(_._1.variable) ++
           u.removes.map(_.variable) ++ u.replaceVars).filter(edgeVarSet)
-        val mergedTypes = u.merges.flatMap(_.edges.map(_.relType))
-        val ts = touchedEdgeVars.map(edgeTypes(_)) ++ mergedTypes
+        // MERGE and MATCH-driven CREATE both write edges of their
+        // pattern's type — omitting the CREATE side wrongly scoped a
+        // relationship index OUT of invalidation (caught by
+        // ReviewProbeSpec: the CREATEd edge never reached the index)
+        val writtenTypes = (u.merges ++ u.creates)
+          .flatMap(_.edges.map(_.relType))
+        val ts = touchedEdgeVars.map(edgeTypes(_)) ++ writtenTypes
         if (ts.exists(_.isEmpty)) null else ts.flatten.toSet
       }
     },
@@ -5019,6 +5133,14 @@ object CypherSession {
     /** The persisted layout read ONCE (cached file index) — per-term
       * probes partition-prune at planning time, never re-list. */
     @volatile var postingsFrame: DataFrame = null
+    /** Incremental-patch overlay for the PERSISTED layout (round 13,
+      * the fulltext twin of ServedVectorIndex's overlay): postings-schema
+      * rows for keys written since the layout was built. Effective
+      * postings = (persisted ∖ overlayKeys) ∪ overlay; a same-label
+      * write patches only these pinned frames, the layout's files stay
+      * untouched. null = empty. */
+    @volatile var overlay: DataFrame = null
+    @volatile var overlayKeys: DataFrame = null
   }
 
   /** Boolean tree of a parsed fulltext query: leaves are clause ids

@@ -2990,6 +2990,59 @@ class CypherSpec extends SparkTestBase {
       "a foreign-label write must adopt the instance, not patch")
   }
 
+  test("round-13: incremental fulltext maintenance — same-label writes " +
+      "patch postings/docs; BM25 scores equal a from-scratch build") {
+    def mkSession(rows: Seq[(String, String)]): CypherSession = {
+      val sess = freshSession
+      rows.foreach { case (nm, t) =>
+        sess.run(s"MERGE (d:Doc {name: '$nm'}) SET d.title = '$t'") }
+      sess.run("CREATE FULLTEXT INDEX ft FOR (d:Doc) ON EACH [d.title]")
+      sess
+    }
+    def q(sess: CypherSession, query: String): Seq[(String, Double)] =
+      sess.run(
+        s"""CALL db.index.fulltext.queryNodes('ft', '$query')
+           |YIELD node, score
+           |RETURN node.name AS nm, score ORDER BY score DESC, nm""".stripMargin)
+        .asInstanceOf[CypherRows].df.as[(String, Double)].collect().toSeq
+    val base = Seq("d1" -> "spark joins fast", "d2" -> "spark shuffles slow")
+    val sess = mkSession(base)
+    assert(q(sess, "spark").size === 2) // first build
+    val full0 = sess.fulltextIndexFullBuilds.get
+    val inc0 = sess.fulltextIndexIncrementalUpdates.get
+    // 1) a same-label MERGE patches; scores (which depend on n and avgDl,
+    // both shifted by the new doc) must equal a from-scratch session on
+    // the identical corpus
+    sess.run("MERGE (d:Doc {name: 'd3'}) SET d.title = 'flink spark streams'")
+    val patched = q(sess, "spark OR streams")
+    assert(sess.fulltextIndexFullBuilds.get === full0,
+      "a same-label write with a recorded id delta must patch, not rebuild")
+    assert(sess.fulltextIndexIncrementalUpdates.get === inc0 + 1)
+    val fresh = mkSession(base :+ ("d3" -> "flink spark streams"))
+    assert(patched === q(fresh, "spark OR streams"),
+      "patched BM25 scores must equal a from-scratch build (n, avgDl, tf)")
+    // 2) a property UPDATE re-tokenizes only the touched doc
+    sess.run("MATCH (d:Doc {name: 'd1'}) SET d.title = 'hadoop legacy'")
+    assert(q(sess, "spark").map(_._1).toSet === Set("d2", "d3"))
+    assert(q(sess, "hadoop").map(_._1) === Seq("d1"))
+    assert(sess.fulltextIndexFullBuilds.get === full0)
+    // 3) DELETE drops the doc's postings through the patch
+    sess.run("MATCH (d:Doc {name: 'd2'}) DETACH DELETE d")
+    val afterDel = q(sess, "spark")
+    assert(afterDel.map(_._1) === Seq("d3"), afterDel)
+    assert(sess.fulltextIndexFullBuilds.get === full0)
+    val fresh2 = mkSession(Seq("d1" -> "hadoop legacy",
+      "d3" -> "flink spark streams"))
+    assert(afterDel === q(fresh2, "spark"),
+      "post-delete scores must equal a from-scratch build")
+    // 4) foreign-label writes still adopt (no patch, no rebuild)
+    val incA = sess.fulltextIndexIncrementalUpdates.get
+    sess.run("MERGE (p:Pub {name: 'px'})")
+    assert(q(sess, "spark").map(_._1) === Seq("d3"))
+    assert(sess.fulltextIndexFullBuilds.get === full0)
+    assert(sess.fulltextIndexIncrementalUpdates.get === incA)
+  }
+
   test("round-11: fulltext index lifecycle — terms, AND, OR, phrases, deterministic BM25 scores") {
     val sess = freshSession
     def doc(nm: String, title: String): Unit =

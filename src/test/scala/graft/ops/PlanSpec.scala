@@ -757,6 +757,39 @@ class PlanSpec extends SparkTestBase {
           "YIELD node, score RETURN node.name AS nm, score")
         .asInstanceOf[graft.cypher.CypherRows].df.collect()
       assert(rows.toSeq === memRows.toSeq)
+      // live maintenance on the PERSISTED layout (r13): a same-label
+      // write patches the pinned overlay — the layout's files untouched,
+      // no full rebuild — and the patched doc wins the next probe with
+      // scores equal to a from-scratch build on the same corpus
+      spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+      val full0 = sess.fulltextIndexFullBuilds.get
+      val inc0 = sess.fulltextIndexIncrementalUpdates.get
+      sess.run("MERGE (d:Doc {name: 'n900'}) " +
+        "SET d.title = 'spark overlay patched row900'")
+      val hit = sess.run(
+        "CALL db.index.fulltext.queryNodes('fe', 'overlay') " +
+          "YIELD node, score RETURN node.name AS nm")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect().map(_.getString(0))
+      assert(hit.toSeq === Seq("n900"))
+      assert(sess.fulltextIndexFullBuilds.get === full0,
+        "a same-label write on a served postings layout must patch")
+      assert(sess.fulltextIndexIncrementalUpdates.get === inc0 + 1)
+      val patchedScores = sess.run(
+        "CALL db.index.fulltext.queryNodes('fe', 'spark') " +
+          "YIELD node, score RETURN node.name AS nm, score " +
+          "ORDER BY score DESC, nm")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+      val freshSess = build()
+      freshSess.run("MERGE (d:Doc {name: 'n900'}) " +
+        "SET d.title = 'spark overlay patched row900'")
+      // the fresh session's index was created BEFORE n900; force its own
+      // patch-or-rebuild and compare — both must agree on every score
+      val freshScores = freshSess.run(
+        "CALL db.index.fulltext.queryNodes('fe', 'spark') " +
+          "YIELD node, score RETURN node.name AS nm, score " +
+          "ORDER BY score DESC, nm")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+      assert(patchedScores.toSeq === freshScores.toSeq)
     } finally spark.conf.set(
       graft.cypher.CypherSession.IndexMemThresholdKey,
       graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
