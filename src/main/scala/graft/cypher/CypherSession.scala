@@ -538,7 +538,12 @@ final class CypherSession(
     // is no longer in the current partition but its postings must go) and
     // the current partition (adds/updates); key↔id is stable, so the two
     // sides agree on live rows.
-    if (!d.isRel && cached != null)
+    // overlay re-absorption (round 13): once the persisted layout's
+    // in-memory overlay outgrows the index threshold, fall through to the
+    // full rebuild (which resets it) instead of patching further
+    val ftOverlayFull = cached != null && cached._3 == null &&
+      d.overlay != null && d.overlay.count() >= indexMemThreshold
+    if (!d.isRel && cached != null && !ftOverlayFull)
       nodeDeltaSince(cached._1, cur, d.label).foreach { delta0 =>
         val deltaIds = delta0.localCheckpoint(true)
         def keysOf(g: PropertyGraph) = g.nodes
@@ -1304,6 +1309,13 @@ final class CypherSession(
     val servedHit = sv != null && (sv.basis eq basis)
     val snapHit = !servedHit && snap != null && (snap._1 eq basis)
     if (!servedHit && !snapHit) return false
+    // overlay re-absorption (round 13): the overlay is probed in memory
+    // on every query, so once it outgrows the in-memory-index threshold
+    // the layout should re-absorb it — refuse the patch and let the
+    // caller's full rebuild reset the overlay to empty. Count on a
+    // PINNED frame: memory-speed.
+    if (servedHit && sv.overlayIds != null &&
+        sv.overlayIds.count() >= indexMemThreshold) return false
     val affected0 = post.nodes
       .filter(col("label") === vd.label)
       .join(targetIds, Seq("id"), "left_semi")
@@ -1438,25 +1450,57 @@ final class CypherSession(
     }
   }
 
+  /** Serializes MUTATING statements (and DDL) against the session — the
+    * transactional guarantee the reference gets from Neo4j's write
+    * serialization. Two concurrent writers each compute `new = graph +
+    * batch` from the same instance and the second `graph = new` silently
+    * DROPS the first's rows (lost update) without this. Reads stay
+    * lock-free: a query captures the immutable `graph` instance once and
+    * sees a consistent snapshot either side of any concurrent write.
+    * Read-pipeline statements that carry a mutating procedure (apoc.merge,
+    * the embedding setter, gds *.write, the DDL procedure forms) take the
+    * lock too — [[mutatesSession]] decides from the parsed shape. */
+  private val sessionWriteLock = new Object
+
+  /** True when executing `m` can move the session graph or the index
+    * catalog: any CALL of a write procedure inside the pipeline. */
+  private def mutatesSession(procs: Seq[ProcCall]): Boolean =
+    procs.exists { p =>
+      p.name.startsWith("apoc.merge.") ||
+      p.name == "db.create.setNodeVectorProperty" ||
+      p.name == "db.index.vector.createNodeIndex" ||
+      (p.name.startsWith("gds.") && p.name.endsWith(".write"))
+    }
+
   private def runParsed(query: String, params: Map[String, Any]): CypherResult =
     CypherParser.parse(query) match {
-      case c: CreateConstraint => executeCreateConstraint(c)
-      case d: DropConstraint => executeDropConstraint(d)
+      case c: CreateConstraint =>
+        sessionWriteLock.synchronized(executeCreateConstraint(c))
+      case d: DropConstraint =>
+        sessionWriteLock.synchronized(executeDropConstraint(d))
       case ShowConstraints => executeShowConstraints()
       case ShowIndexes => executeShowIndexes()
       case ShowDatabases => executeShowDatabases()
       case ShowProcedures => executeShowProcedures()
       case ShowFunctions => executeShowFunctions()
-      case v: CreateVectorIndex => executeCreateVectorIndex(v)
-      case r: CreateRangeIndex => executeCreateRangeIndex(r)
-      case f: CreateFulltextIndex => executeCreateFulltextIndex(f)
-      case d: DropIndexStmt => executeDropIndex(d)
+      case v: CreateVectorIndex =>
+        sessionWriteLock.synchronized(executeCreateVectorIndex(v))
+      case r: CreateRangeIndex =>
+        sessionWriteLock.synchronized(executeCreateRangeIndex(r))
+      case f: CreateFulltextIndex =>
+        sessionWriteLock.synchronized(executeCreateFulltextIndex(f))
+      case d: DropIndexStmt =>
+        sessionWriteLock.synchronized(executeDropIndex(d))
       case ShowVectorIndexes => executeShowKindIndexes("VECTOR")
       case ShowFulltextIndexes => executeShowKindIndexes("FULLTEXT")
+      case m: MatchStatement
+          if m.stages.exists(st => mutatesSession(st.procs)) =>
+        sessionWriteLock.synchronized(CypherRows(compileMatch(m, params)))
       case m: MatchStatement => CypherRows(compileMatch(m, params))
       case u: UnionStatement => CypherRows(compileUnion(u, params))
-      case u: UpdateStatement => executeUpdate(u, params)
-      case c: CallInTransactions =>
+      case u: UpdateStatement =>
+        sessionWriteLock.synchronized(executeUpdate(u, params))
+      case c: CallInTransactions => sessionWriteLock.synchronized {
         // Bulk-import batching (r9): the driving rows (LOAD CSV / UNWIND
         // $batch prefix — same contract as the plain import loop below)
         // split into `batchRows`-sized batches IN INPUT ORDER and the
@@ -1511,9 +1555,11 @@ final class CypherSession(
                 throw t
             } finally staged.cleanup()
         }
-      case m: MutateStatement =>
+      }
+      case m: MutateStatement => sessionWriteLock.synchronized {
         executeMutation(m, importDrivingDf(m.loads, m.unwinds, params,
           graph.nodes.sparkSession))
+      }
     }
 
   /** The import loop's driving rows: `UNWIND $batch AS row` prefixes bind
@@ -5074,6 +5120,7 @@ object CypherSession {
     * any file listing. Override per session for tests/tuning. */
   private[graft] val IndexMemThresholdKey = "spark.graft.indexMemThreshold"
   private[graft] val IndexMemThresholdDefault = 32768L
+
 
   /** Write-lineage window for label-scoped index invalidation: chains
     * longer than this force a rebuild (bounded memory; entries are three

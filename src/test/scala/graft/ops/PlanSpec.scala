@@ -718,6 +718,53 @@ class PlanSpec extends SparkTestBase {
       graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
   }
 
+  test("round-13: overlay re-absorption — past the threshold a patch " +
+      "yields to ONE full rebuild that resets the overlay") {
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      val seed = (0 until 300).map { i =>
+        Map("name" -> s"n$i",
+          "embedding" -> Seq.tabulate(4)(j => (i * 4 + j) % 7 - 3.0))
+      }
+      sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name}) WITH d, row
+          |CALL db.create.setNodeVectorProperty(d, 'embedding', row.embedding)"""
+          .stripMargin, Map("data" -> seed))
+      sess.run("""CREATE VECTOR INDEX vr FOR (d:Doc) ON d.embedding
+                 |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      def q(): Unit = sess.run(
+        "CALL db.index.vector.queryNodes('vr', 3, $q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> Seq(1.0, 1.0, 1.0, 1.0)))
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+      q() // build the persisted layout (300 >= 64)
+      val full0 = sess.vectorIndexFullBuilds.get
+      def writeBatch(tag: String, n: Int): Unit = sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name})
+          |SET d.embedding = row.emb""".stripMargin,
+        Map("data" -> (0 until n).map(i =>
+          Map("name" -> s"$tag$i", "emb" -> "5.0,5.0,5.0,5.0"))))
+      // first batch: 40 overlay ids < 64 → patch
+      writeBatch("a", 40); q()
+      assert(sess.vectorIndexFullBuilds.get === full0)
+      // second batch pushes the overlay to 80 ≥ 64: the patch lands (the
+      // check reads the PRE-patch overlay), but the THIRD write must
+      // re-absorb via one full rebuild instead of patching further
+      writeBatch("b", 40); q()
+      writeBatch("c", 4); q()
+      assert(sess.vectorIndexFullBuilds.get === full0 + 1,
+        "an over-threshold overlay must be re-absorbed by a full rebuild")
+      // after the rebuild the overlay is empty — patching resumes
+      val fullR = sess.vectorIndexFullBuilds.get
+      writeBatch("d", 4); q()
+      assert(sess.vectorIndexFullBuilds.get === fullR,
+        "post-rebuild writes must patch the fresh (empty) overlay again")
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
+
   test("round-12: persisted fulltext postings — a term probe prunes to its bucket's directory") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -90,6 +90,43 @@ class ServeSpec extends SparkTestBase {
     Files.deleteIfExists(f)
   }
 
+  test("round-13: concurrent writers never lose updates — the session " +
+      "write lock serializes mutations (Neo4j's transactional guarantee)") {
+    // two Bolt clients and an HTTP client all write through ONE session;
+    // without the write lock each statement computes `new = graph+batch`
+    // from a possibly-stale instance and the last `graph = new` drops the
+    // others' rows. 12 threads × 3 MERGEs = 36 distinct keys, all of
+    // which must land.
+    val dir = Files.createTempDirectory("graft_serve_conc").toString + "/g"
+    val conf = Map("GRAFT_STORE_DIR" -> dir,
+      "GRAFT_BOLT_PORT" -> "0", "GRAFT_HTTP_PORT" -> "0")
+    val b = Serve.boot(conf, spark)
+    try {
+      val threads = (0 until 12).map { t =>
+        new Thread(() => {
+          val c = new Client(b.boltPort)
+          c.handshake()
+          c.send(0x01, Map("user_agent" -> s"writer-$t"))
+          c.recv()
+          (0 until 3).foreach { i =>
+            c.send(0x10, s"MERGE (a:Article {link: 'w$t-$i'})",
+              Map.empty[String, Any], Map.empty[String, Any])
+            c.recv()
+            c.send(0x3F, Map("n" -> -1L))
+            var s = c.recv()
+            while ((s.tag & 0xFF) == 0x71) s = c.recv()
+          }
+          c.send(0x02); c.close()
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      val body = httpQuery(b.httpPort,
+        "MATCH (a:Article) RETURN count(a) AS n")
+      assert(body.contains("[36]") || body.contains("\"row\":[36]"), body)
+    } finally b.stop(persist = false)
+  }
+
   test("one boot serves Bolt AND HTTP over a persisted store; the flush " +
       "survives a re-boot") {
     val dir = Files.createTempDirectory("graft_serve_store").toString + "/g"
