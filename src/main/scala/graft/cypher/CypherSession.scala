@@ -510,14 +510,11 @@ final class CypherSession(
           .filter(col("tb") === lit(CypherSession.termBucket(t)) &&
             col("term") === t)
           .select(col("key"), col("fprop"), col("pos"), col("term"))
-        val okeys = d.overlayKeys
-        val masked =
-          if (okeys == null) baseRows
-          else baseRows.join(broadcast(okeys), Seq("key"), "left_anti")
         val ov = d.overlay
-        if (ov == null) masked
-        else masked.unionByName(ov.filter(col("term") === t)
-          .select(col("key"), col("fprop"), col("pos"), col("term")))
+        if (ov == null) baseRows
+        else baseRows.join(broadcast(ov._2), Seq("key"), "left_anti")
+          .unionByName(ov._1.filter(col("term") === t)
+            .select(col("key"), col("fprop"), col("pos"), col("term")))
       }
     val cur = graph
     val cached = d.snapshot
@@ -542,7 +539,7 @@ final class CypherSession(
     // in-memory overlay outgrows the index threshold, fall through to the
     // full rebuild (which resets it) instead of patching further
     val ftOverlayFull = cached != null && cached._3 == null &&
-      d.overlay != null && d.overlay.count() >= indexMemThreshold
+      d.overlay != null && d.overlay._1.count() >= indexMemThreshold
     if (!d.isRel && cached != null && !ftOverlayFull)
       nodeDeltaSince(cached._1, cur, d.label).foreach { delta0 =>
         val deltaIds = delta0.localCheckpoint(true)
@@ -588,18 +585,19 @@ final class CypherSession(
           fulltextIndexIncrementalUpdates.incrementAndGet()
           return (patchedDocs, termFn(patched), n2, avgDl2)
         } else {
-          // persisted layout: rewrite only the pinned overlay
+          // persisted layout: rewrite only the pinned overlay — ONE
+          // reference swap so a racing probe reads a consistent pair
+          val old = d.overlay
           val newKeys = (
-            if (d.overlayKeys == null) deltaKeys
-            else d.overlayKeys.unionByName(deltaKeys).distinct()
+            if (old == null) deltaKeys
+            else old._2.unionByName(deltaKeys).distinct()
           ).localCheckpoint(true)
           val newOverlay = (
-            if (d.overlay == null) freshPostings
-            else d.overlay.join(deltaKeys, Seq("key"), "left_anti")
+            if (old == null) freshPostings
+            else old._1.join(deltaKeys, Seq("key"), "left_anti")
               .unionByName(freshPostings)
           ).iterCheckpoint()
-          d.overlay = newOverlay
-          d.overlayKeys = newKeys
+          d.overlay = (newOverlay, newKeys)
           d.snapshot = (cur, patchedDocs, null, n2, avgDl2)
           fulltextIndexIncrementalUpdates.incrementAndGet()
           return (patchedDocs, termFn(null), n2, avgDl2)
@@ -654,7 +652,6 @@ final class CypherSession(
       d.postingsPath = dir.toString
       d.postingsFrame = spark.read.parquet(dir.toString)
       d.overlay = null
-      d.overlayKeys = null
       d.snapshot = (cur, docs, null, n, avgDl)
       if (old != null) deleteIndexPath(old)
       (docs, termFn(null), n, avgDl)
@@ -662,7 +659,6 @@ final class CypherSession(
       d.postingsPath = null
       d.postingsFrame = null
       d.overlay = null
-      d.overlayKeys = null
       d.snapshot = (cur, docs, postings, n, avgDl)
       if (old != null) deleteIndexPath(old)
       (docs, termFn(postings), n, avgDl)
@@ -5185,9 +5181,9 @@ object CypherSession {
       * rows for keys written since the layout was built. Effective
       * postings = (persisted ∖ overlayKeys) ∪ overlay; a same-label
       * write patches only these pinned frames, the layout's files stay
-      * untouched. null = empty. */
-    @volatile var overlay: DataFrame = null
-    @volatile var overlayKeys: DataFrame = null
+      * untouched. ONE reference holding (postings rows, overlaid keys) so
+      * a probe racing a patch reads a CONSISTENT pair. null = empty. */
+    @volatile var overlay: (DataFrame, DataFrame) = null
   }
 
   /** Boolean tree of a parsed fulltext query: leaves are clause ids
