@@ -3893,6 +3893,34 @@ class CypherSpec extends SparkTestBase {
     assert(ft.size === 1)
   }
 
+  test("round-13: a gds write-mode procedure patches a live vector index " +
+      "through its recorded ids (unknown labels, known delta)") {
+    // gds.*.write records touched labels as UNKNOWN (null — the projection
+    // can span labels) but its exact target ids ride the lineage, so the
+    // index patch still resolves the delta instead of a full rebuild
+    val sess = freshSession
+    Seq("a" -> "1.0,0.0", "b" -> "2.0,0.0").foreach { case (k, v) =>
+      sess.run(s"MERGE (c:Chunk {name: '$k'}) SET c.embedding = '$v'")
+    }
+    sess.run("MATCH (a:Chunk {name: 'a'}) MATCH (b:Chunk {name: 'b'}) " +
+      "MERGE (a)-[:NEXT]->(b)")
+    sess.run("""CREATE VECTOR INDEX gvx FOR (c:Chunk) ON c.embedding
+               |OPTIONS {indexConfig: {`vector.dimensions`: 2}}""".stripMargin)
+    def q(): Seq[(String, String)] = sess.run(
+      "CALL db.index.vector.queryNodes('gvx', 2, $q) YIELD node, score " +
+        "RETURN node.name AS nm, coalesce(node.deg, '-') AS deg " +
+        "ORDER BY nm", Map("q" -> Seq(1.0, 0.0)))
+      .asInstanceOf[CypherRows].df.as[(String, String)].collect().toSeq
+    assert(q().map(_._1) === Seq("a", "b")) // first build
+    val full0 = sess.vectorIndexFullBuilds.get
+    sess.run("CALL gds.degree.write({writeProperty: 'deg'})")
+    val got = q()
+    assert(got.map(_._2).forall(_ != "-"),
+      s"the written degree must be visible in the index's node maps: $got")
+    assert(sess.vectorIndexFullBuilds.get === full0,
+      "a gds write with recorded ids must patch, not rebuild")
+  }
+
   test("round-13: apoc.merge batch equals sequence — the probe-free " +
       "`{},{}` fast path and the probed path agree row for row") {
     // VERDICT r12 #3: the chained source/target merges skip the
