@@ -110,11 +110,26 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val booted = boot(conf, spark)
     // flush-on-exit mirrors the Shell's save-on-quit; SIGTERM from a
-    // container runtime lands here (the reference's docker stop path)
-    sys.addShutdownHook {
-      try booted.stop(persist = true)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // container runtime lands here (the reference's docker stop path).
+    // The flush is a Spark WRITE JOB, so it must run while the stack is
+    // fully alive: a plain JVM shutdown hook races the parallel
+    // Netty/Hadoop teardown hooks and the write dies under a closing
+    // FileSystem (found live on the SIGTERM path — the store directory
+    // was never written). Signal handlers run BEFORE JVM shutdown begins;
+    // the Spark-manager hook stays as a backup for System.exit paths.
+    val flushed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def flushOnce(): Unit =
+      if (flushed.compareAndSet(false, true)) {
+        try {
+          booted.stop(persist = true)
+          println(s"graft serve: store flushed -> ${booted.storeDir}")
+        } catch { case scala.util.control.NonFatal(t) =>
+          System.err.println(s"graft serve: flush-on-exit failed: $t")
+        }
+      }
+    org.apache.spark.util.GraftShutdownBridge.onSignal("TERM")(flushOnce())
+    org.apache.spark.util.GraftShutdownBridge.onSignal("INT")(flushOnce())
+    org.apache.spark.util.GraftShutdownBridge.addHook(80)(flushOnce())
     println(s"graft serve — bolt://127.0.0.1:${booted.boltPort}  " +
       s"http://127.0.0.1:${booted.httpPort}/query  store: ${booted.storeDir}")
     new java.util.concurrent.CountDownLatch(1).await()
