@@ -72,6 +72,17 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"regressions":[${regressions.mkString(",")}],""" +
       s""""noise":[${noise.mkString(",")}],"sf":"$sfDir"}"""
+    // Durable artifact FIRST (VERDICT r13 #8): the full JSON line is ~9 KB
+    // with 270+ queries, so any fixed-size stdout tail capture truncates it
+    // mid-object ("parsed": null in BENCH_r13.json). Write target/bench.json
+    // before any printing, emit the full line, then END stdout with a
+    // compact self-contained summary line (slowest-5 only) that fits well
+    // inside a 2000-byte tail — whichever line a harness grabs, it parses.
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    if (java.nio.file.Files.exists(outPath))
+      java.nio.file.Files.copy(outPath, prevPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(json)
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer(ies) ERRORED — see the " +
@@ -83,15 +94,14 @@ object Bench {
     if (noise.nonEmpty)
       System.err.println(s"[bench] ${noise.size} sweep breach(es) did NOT " +
         "survive isolation re-timing — recorded as noise, not regressions")
-    // Self-contained artifact: stdout capture can truncate/wrap long lines
-    // (it did in round 3, which manufactured a false regression alarm), so
-    // the full per-query JSON is also durably written for the record.
-    java.nio.file.Files.createDirectories(outPath.getParent)
-    // keep the previous artifact as the next run's comparison base
-    if (java.nio.file.Files.exists(outPath))
-      java.nio.file.Files.copy(outPath, prevPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    // the LAST stdout line: compact, parseable, < 1 KB — the full map
+    // lives in target/bench.json (written above, before any stdout)
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$slowest,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"n_regressions":${regressions.size},""" +
+      s""""full":"target/bench.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

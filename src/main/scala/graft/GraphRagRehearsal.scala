@@ -52,6 +52,7 @@ object GraphRagRehearsal {
     val sess = new cypher.CypherSession(g,
       keyProps = Map("Doc" -> "vec_id"))
     val qvecs = emb.filter(col("vec_id") < 8)
+      // bounded: the 8 fixed query vectors (vec_id < 8)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
 

@@ -82,9 +82,20 @@ object Serve {
     * (specs); the defaults are the reference's published ports. */
   def boot(conf: Map[String, String], spark: SparkSession): Booted = {
     val storeDir = conf.getOrElse("GRAFT_STORE_DIR", "/tmp/graft_store")
+    // Empty-graph fallback ONLY for a store that does not exist yet (first
+    // boot). An EXISTING store that fails to read (corrupt file, FS hiccup,
+    // partial write from a crashed writer) must fail the boot loudly: the
+    // flush-on-exit overwrites the store dir, so booting empty over a
+    // transient read failure would silently erase the data on shutdown.
     val initial =
       try GraphStore.read(spark, storeDir)
-      catch { case _: Exception => PropertyGraph.empty(spark) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) ||
+              Option(e.getMessage).exists(_.contains("Path does not exist")) =>
+          PropertyGraph.empty(spark)
+        case _: java.io.FileNotFoundException => PropertyGraph.empty(spark)
+      }
     val sess = new CypherSession(initial)
     val maxRows = conf.get("GRAFT_MAX_ROWS").map(_.toInt).getOrElse(10000)
     val bolt = new BoltServer(sess, maxRows)

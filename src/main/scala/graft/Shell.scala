@@ -105,6 +105,7 @@ object Shell {
       case CypherRows(df) =>
         // render through the DataFrame's own table formatter; row cap keeps
         // an interactive typo from streaming the whole store to a console
+        // bounded: maxRows+1 rows — the console render cap
         val rows = df.limit(maxRows + 1).collect()
         val shown = rows.take(maxRows)
         out.println(tableString(df.columns, shown.map(_.toSeq.map(v =>

@@ -72,6 +72,7 @@ object BpeTrain {
       val top = pairs
         .agg(min(struct((-col("cnt")).as("nc"), col("x"), col("y"))).as("m"))
         .select(col("m.nc"), col("m.x"), col("m.y"))
+        // bounded: single row — the global top-1 merge aggregate
         .collect()
       if (top.isEmpty || top.head.isNullAt(0)) exhausted = true
       else {

@@ -343,6 +343,7 @@ object GraphAlgorithms {
       landmarkBatch: Int = 128): DataFrame = {
     import scala.jdk.CollectionConverters._
     val ids = landmarks.select(col("id").cast("long")).sort("id")
+      // bounded: streams landmark ids one at a time into fixed batches
       .toLocalIterator().asScala.map(_.getLong(0))
     shortestPathBatches(g, ids.grouped(landmarkBatch))
   }

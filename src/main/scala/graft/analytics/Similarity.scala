@@ -391,6 +391,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m sub-spaces")
     val dsub = dim / m
     val sample: Array[Array[Double]] = corpus.orderBy(col(corpusId)).limit(ksub)
+      // bounded: ksub codebook sample vectors (limit above)
       .select(col(corpusVec).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= 2, "PQ codebook needs at least 2 sampled vectors")

@@ -145,6 +145,7 @@ object GraphStore {
   private def upsertNodesLocked(spark: SparkSession, path: String, batch: DataFrame): (Long, Long) = {
     val nodesPath = s"$path/nodes"
     val touched = batch.select("label").distinct()
+      // bounded: schema-bounded label partition list of the batch
       .collect().map(_.getString(0)).toSeq
     val existing =
       try spark.read.parquet(nodesPath)
@@ -176,6 +177,7 @@ object GraphStore {
       if (batch.columns.contains("props")) batch
       else batch.withColumn("props", typedlit(Map.empty[String, String]))
     val touched = withProps.select("relType").distinct()
+      // bounded: schema-bounded relType partition list of the batch
       .collect().map(_.getString(0)).toSeq
     val existing =
       try {

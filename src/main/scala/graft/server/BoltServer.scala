@@ -357,6 +357,7 @@ final class BoltServer(session: CypherSession, maxRows: Int = 10000) {
   private def toStream(res: CypherResult, legacyDateTime: Boolean = false): Stream = res match {
     case CypherRows(df) =>
       val base = Map[String, Any]("type" -> "r", "t_last" -> 0L, "db" -> "graft")
+      // bounded: streams row-at-a-time; PULL flow control caps at maxRows
       val it = df.toLocalIterator()
       val capped = new Iterator[Seq[Any]] {
         private var n = 0

@@ -132,6 +132,7 @@ final class HttpQueryServer(session: CypherSession, maxRows: Int = 10000) {
         df.columns.foreach(cols.add)
         val data = node.putArray("data")
         // stream, never collect: the cap bounds server-side buffering
+        // bounded: row-at-a-time stream capped at maxRows
         val it = df.toLocalIterator()
         var n = 0
         while (it.hasNext && n < maxRows) {

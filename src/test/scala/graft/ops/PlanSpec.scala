@@ -718,8 +718,8 @@ class PlanSpec extends SparkTestBase {
       graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
   }
 
-  test("round-13: overlay re-absorption — past the threshold a patch " +
-      "yields to ONE full rebuild that resets the overlay") {
+  test("round-14: overlay compaction — past the threshold a patch merges " +
+      "the overlay into the layout (patch → compact → patch, ZERO rebuilds)") {
     spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
     try {
       val sess = new graft.cypher.CypherSession(
@@ -734,32 +734,102 @@ class PlanSpec extends SparkTestBase {
           .stripMargin, Map("data" -> seed))
       sess.run("""CREATE VECTOR INDEX vr FOR (d:Doc) ON d.embedding
                  |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
-      def q(): Unit = sess.run(
-        "CALL db.index.vector.queryNodes('vr', 3, $q) YIELD node, score " +
-          "RETURN node.name AS nm", Map("q" -> Seq(1.0, 1.0, 1.0, 1.0)))
+      def top(v: Seq[Double], k: Int = 3): Seq[String] = sess.run(
+        s"CALL db.index.vector.queryNodes('vr', $k, $$q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> v))
         .asInstanceOf[graft.cypher.CypherRows].df.collect()
+        .map(_.getString(0)).toSeq
+      def q(): Unit = top(Seq(1.0, 1.0, 1.0, 1.0))
       q() // build the persisted layout (300 >= 64)
       val full0 = sess.vectorIndexFullBuilds.get
-      def writeBatch(tag: String, n: Int): Unit = sess.run(
+      val comp0 = sess.vectorIndexCompactions.get
+      def writeBatch(tag: String, n: Int, emb: String = "5.0,5.0,5.0,5.0")
+          : Unit = sess.run(
         """UNWIND $data AS row MERGE (d:Doc {name: row.name})
           |SET d.embedding = row.emb""".stripMargin,
         Map("data" -> (0 until n).map(i =>
-          Map("name" -> s"$tag$i", "emb" -> "5.0,5.0,5.0,5.0"))))
-      // first batch: 40 overlay ids < 64 → patch
+          Map("name" -> s"$tag$i", "emb" -> emb))))
+      // first batch: 40 overlay ids < 64 → plain patch, no compaction
       writeBatch("a", 40); q()
       assert(sess.vectorIndexFullBuilds.get === full0)
-      // second batch pushes the overlay to 80 ≥ 64: the patch lands (the
-      // check reads the PRE-patch overlay), but the THIRD write must
-      // re-absorb via one full rebuild instead of patching further
+      assert(sess.vectorIndexCompactions.get === comp0)
+      // second batch pushes the overlay to 80 ≥ 64 (the check reads the
+      // PRE-patch overlay); the THIRD write must compact the overlay into
+      // the layout's touched partitions — and NEVER rebuild (r13 rebuilt
+      // here; r14's contract is zero corpus-scaled write events)
       writeBatch("b", 40); q()
       writeBatch("c", 4); q()
-      assert(sess.vectorIndexFullBuilds.get === full0 + 1,
-        "an over-threshold overlay must be re-absorbed by a full rebuild")
-      // after the rebuild the overlay is empty — patching resumes
-      val fullR = sess.vectorIndexFullBuilds.get
+      assert(sess.vectorIndexFullBuilds.get === full0,
+        "an over-threshold overlay must compact, not rebuild")
+      assert(sess.vectorIndexCompactions.get === comp0 + 1,
+        "an over-threshold overlay must be compacted into the layout")
+      // after compaction the overlay is empty — patching resumes
+      val compC = sess.vectorIndexCompactions.get
       writeBatch("d", 4); q()
-      assert(sess.vectorIndexFullBuilds.get === fullR,
-        "post-rebuild writes must patch the fresh (empty) overlay again")
+      assert(sess.vectorIndexCompactions.get === compC,
+        "post-compaction writes must patch the fresh (empty) overlay")
+      assert(sess.vectorIndexFullBuilds.get === full0)
+      // correctness THROUGH the compacted state: a compacted row is found
+      // via the appended generation, and a post-compaction update of the
+      // SAME node masks its compacted row (tombstone + overlay win)
+      assert(top(Seq(5.0, 5.0, 5.0, 5.0), 1).head.matches("[abcd]\\d+"))
+      sess.run("MATCH (d:Doc {name: 'a0'}) " +
+        "CALL db.create.setNodeVectorProperty(d, 'embedding', $v) " +
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten",
+        Map("v" -> Seq(-7.0, -7.0, -7.0, -7.0)))
+      assert(top(Seq(-7.0, -7.0, -7.0, -7.0), 1) === Seq("a0"),
+        "an updated compacted node must serve its NEW value")
+      assert(sess.vectorIndexFullBuilds.get === full0)
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
+
+  test("round-14: tombstone reclamation — accumulated compactions trigger " +
+      "ONE layout rewrite (layout IO, still zero full rebuilds)") {
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      val seed = (0 until 300).map { i =>
+        Map("name" -> s"n$i",
+          "embedding" -> Seq.tabulate(4)(j => (i * 4 + j) % 7 - 3.0))
+      }
+      sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name}) WITH d, row
+          |CALL db.create.setNodeVectorProperty(d, 'embedding', row.embedding)"""
+          .stripMargin, Map("data" -> seed))
+      sess.run("""CREATE VECTOR INDEX vr FOR (d:Doc) ON d.embedding
+                 |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      def top(v: Seq[Double], k: Int = 3): Seq[String] = sess.run(
+        s"CALL db.index.vector.queryNodes('vr', $k, $$q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> v))
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+        .map(_.getString(0)).toSeq
+      top(Seq(1.0, 1.0, 1.0, 1.0)) // build the layout
+      val full0 = sess.vectorIndexFullBuilds.get
+      val rw0 = sess.vectorIndexLayoutRewrites.get
+      // five 70-id batches: each write past the first finds a 70-row
+      // overlay ≥ 64 and compacts; distinct tombstoned ids accumulate
+      // 70 → 140 → 210 → 280, crossing the 4×64 = 256 rewrite trigger on
+      // the fifth batch's compaction
+      // each batch writes a DISTINCT direction (cosine is scale-invariant,
+      // so magnitudes alone would tie): batch b's rows are (b, 1, 0, 0)
+      (1 to 5).foreach { b =>
+        sess.run(
+          """UNWIND $data AS row MERGE (d:Doc {name: row.name})
+            |SET d.embedding = row.emb""".stripMargin,
+          Map("data" -> (0 until 70).map(i =>
+            Map("name" -> s"t${b}x$i", "emb" -> s"$b.0,1.0,0.0,0.0"))))
+        top(Seq(1.0, 1.0, 1.0, 1.0))
+      }
+      assert(sess.vectorIndexLayoutRewrites.get === rw0 + 1,
+        "crossing factor×threshold tombstones must rewrite the layout once")
+      assert(sess.vectorIndexFullBuilds.get === full0,
+        "reclamation is a layout rewrite, never a full rebuild")
+      // the rewritten layout still serves every generation's survivors
+      assert(top(Seq(5.0, 1.0, 0.0, 0.0), 1).head.startsWith("t5x"))
+      assert(top(Seq(1.0, 1.0, 0.0, 0.0), 1).head.startsWith("t1x"))
     } finally spark.conf.set(
       graft.cypher.CypherSession.IndexMemThresholdKey,
       graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
