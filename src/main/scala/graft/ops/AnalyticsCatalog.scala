@@ -1290,6 +1290,81 @@ object AnalyticsCatalog {
            |  ROUND(CAST((SELECT COUNT(*) FROM common) AS DOUBLE)
            |    / (SELECT COUNT(*) FROM exact), 4) AS recall""".stripMargin))
 
+  private val d28 = Entry("d28_sampled_recall_estimate",
+    (s, dir) => {
+      // d27's recall audit at SCALE (VERDICT r13 #5): the exact pair
+      // source costs O(n²) — 14.9 s at sf1, hours at 100× — so beyond
+      // the gate SF the per-round audit runs on a deterministic
+      // md5-bucket SAMPLE instead. Sampling is by CLUSTER (the md5
+      // bucket of the BASE vec_id, so an original and its jittered twin
+      // land in or out together): every true pair is kept or dropped
+      // whole, which makes the sampled recall an unbiased estimate of
+      // d27's — variance shrinks with sample size, bias is zero by
+      // construction. At keep rate p the exact side costs p² of the full
+      // audit (1/16 at the 1/4 rate here), so the estimator stays
+      // affordable at any corpus size; d27 remains the gate-SF exact
+      // audit and DedupSpec pins this estimate within ±0.05 of it.
+      val corpus = hiDupCorpus(s, dir)
+      val keep = conv(substring(
+          md5(pmod(col("vec_id"), lit(1099511627776L)).cast("string")),
+          1, 2), 16, 10).cast("int") < 64 // 64/256 = 1/4 of the clusters
+      val sample = corpus.filter(keep)
+      val exact = Similarity.embeddingNearDupPairs(
+        sample, "vec_id", "embedding", threshold = 0.9).select("id_a", "id_b")
+      val lsh = Similarity.embeddingNearDupPairsLSHPortable(
+        sample, "vec_id", "embedding", threshold = 0.9,
+        tables = 8, nBits = 12, dim = 64).select("id_a", "id_b")
+      val common = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      sample.agg(count(lit(1)).as("n_sampled_vecs"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .withColumn("recall_est",
+          round(col("n_common").cast("double") / col("n_exact"), 4))
+    },
+    Some(s"""WITH $hiDupCorpusSql,
+           |samp AS (
+           |  SELECT * FROM v
+           |  WHERE CAST(CAST('0x' || substr(md5(CAST(vec_id % 1099511627776
+           |    AS VARCHAR)), 1, 2) AS BIGINT) AS INT) < 64),
+           |exact AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+           |  WHERE list_reduce(list_transform(list_zip(a.dvec, b.dvec),
+           |      x -> x[1] * x[2]), (p,q) -> p + q) / (a.nrm * b.nrm) >= 0.9),
+           |planes AS (
+           |  SELECT t.t, i.i,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(CAST('0x' || substr(md5(t.t || ':' || i.i || ':' || j),
+           |        1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488 - 1) AS w
+           |  FROM range(0, 8) t(t), range(0, 12) i(i)),
+           |bits AS (
+           |  SELECT sv.vec_id, p.t,
+           |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+           |        list_zip(p.w, sv.dvec),
+           |        x -> x[1] * x[2]), (a,b) -> a + b) >= 0
+           |      THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM samp sv, planes p GROUP BY sv.vec_id, p.t),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bits a JOIN bits b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |lsh AS (
+           |  SELECT c.id_a, c.id_b FROM cand c
+           |  JOIN samp x ON c.id_a = x.vec_id
+           |  JOIN samp y ON c.id_b = y.vec_id
+           |  WHERE list_reduce(list_transform(list_zip(x.dvec, y.dvec),
+           |      p -> p[1] * p[2]), (a,b) -> a + b) / (x.nrm * y.nrm) >= 0.9),
+           |common AS (
+           |  SELECT e.id_a FROM exact e JOIN lsh l
+           |    ON e.id_a = l.id_a AND e.id_b = l.id_b)
+           |SELECT (SELECT COUNT(*) FROM samp) AS n_sampled_vecs,
+           |  (SELECT COUNT(*) FROM exact) AS n_exact,
+           |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           |  (SELECT COUNT(*) FROM common) AS n_common,
+           |  ROUND(CAST((SELECT COUNT(*) FROM common) AS DOUBLE)
+           |    / (SELECT COUNT(*) FROM exact), 4) AS recall_est""".stripMargin))
+
   private val d22 = Entry("d22_bloom_decontamination",
     (s, dir) => {
       // Bloom-prefiltered benchmark decontamination — d10's semantics with
@@ -3020,15 +3095,26 @@ object AnalyticsCatalog {
       // corpus fraction — so the entry's driver-side $data stays honest at
       // any fixture scale (a LangChain client embeds and hands over rows
       // in bounded chunks; the corpus only decides HOW MANY chunks).
-      val BatchRows = 1000L
-      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
-      (0L to maxId / BatchRows).foreach { b =>
+      // Batches slice by ROW RANK, not id arithmetic: the sf1 derivation
+      // shifts replica ids by 1e6·k, so id-range slices would mostly be
+      // empty (9000+ no-op statements at sf1) while rank bounds always
+      // yield ceil(N/BatchRows) full batches on any id distribution.
+      val BatchRows = 1000
+      val bounds = emb.select(col("vec_id"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+        .withColumn("b", ((col("rn") - 1) / BatchRows).cast("long"))
+        .groupBy("b").agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+        // bounded: one (lo, hi) row per 1000-row batch — batch METADATA,
+        // ~N/1000 longs, never the rows themselves
+        .orderBy("b").collect()
+      bounds.foreach { r =>
+        val (lo, hi) = (r.getLong(1), r.getLong(2))
         // bounded: one fixed-size client batch (≤ BatchRows rows)
-        val batch = emb.filter(col("vec_id") >= b * BatchRows &&
-            col("vec_id") < (b + 1) * BatchRows)
-          .select(col("vec_id"), col("embedding")).collect().map(r =>
-            Map("id" -> r.getLong(0).toString,
-              "embedding" -> r.getSeq[Float](1).map(_.toDouble)))
+        val batch = emb.filter(col("vec_id") >= lo && col("vec_id") <= hi)
+          .select(col("vec_id"), col("embedding")).collect().map(r2 =>
+            Map("id" -> r2.getLong(0).toString,
+              "embedding" -> r2.getSeq[Float](1).map(_.toDouble)))
         sess.run(
           """UNWIND $data AS row
             |MERGE (d:Doc {vec_id: row.id})
@@ -8419,7 +8505,7 @@ object AnalyticsCatalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-    d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
+    d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13, v14, v15,
     v16, v17,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,

@@ -115,6 +115,51 @@ class DedupSpec extends SparkTestBase {
       s"moderate-θ recall $recall04 should sit below production-θ $recall")
   }
 
+  test("round-14: the sampled recall estimator (d28) is cluster-preserving " +
+      "and lands within ±0.05 of the exact audit (VERDICT r13 #5)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb0 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val corpus = emb0.unionByName(emb0.select(
+      (col("vec_id") + lit(1099511627776L)).as("vec_id"), col("label"),
+      transform(col("embedding"),
+        (x, i) => x * when(i % 2 === 0, 1.02).otherwise(0.98))
+        .as("embedding")))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def recallOf(c: org.apache.spark.sql.DataFrame): Double = {
+      val exact = pairSet(Similarity.embeddingNearDupPairs(
+        c, "vec_id", "embedding", threshold = 0.9))
+      val lsh = pairSet(Similarity.embeddingNearDupPairsLSHPortable(
+        c, "vec_id", "embedding", threshold = 0.9,
+        tables = 8, nBits = 12, dim = 64))
+      lsh.intersect(exact).size.toDouble / exact.size
+    }
+    // the d28 sample: md5 bucket of the BASE id, so an original and its
+    // twin are kept or dropped TOGETHER — true pairs never straddle the
+    // sample boundary, which is what makes the estimate unbiased
+    val keep = conv(substring(
+        md5(pmod(col("vec_id"), lit(1099511627776L)).cast("string")),
+        1, 2), 16, 10).cast("int") < 64
+    val sample = corpus.filter(keep)
+    val nSample = sample.count()
+    assert(nSample > 0 && nSample < corpus.count(),
+      "the 1/4 md5-bucket sample must be a proper nonempty subset")
+    val baseIds = sample
+      .select(pmod(col("vec_id"), lit(1099511627776L)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n")).select("n")
+      .as[Long].collect().toSet
+    assert(baseIds === Set(2L),
+      "cluster-preserving: each sampled base id carries BOTH its members")
+    val est = recallOf(sample)
+    val full = recallOf(corpus)
+    assert(math.abs(est - full) <= 0.05,
+      s"sampled recall $est strays from the exact audit's $full")
+  }
+
   import spark.implicits._
 
   private def docs = Seq(
