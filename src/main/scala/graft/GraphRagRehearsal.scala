@@ -134,18 +134,30 @@ object GraphRagRehearsal {
         .stripMargin,
       Map("data" -> (0 until m).map(i =>
         Map("id" -> s"$tag$i", "embedding" -> qvecs(i % 8L)))))
+    // per-phase attribution comes from the ENGINE's nanos counters: the
+    // compacting WRITE statement also pays unrelated write-path costs
+    // (MERGE anti-joins against the 200k store, graph lineage
+    // compaction) that a wall clock would charge to compaction
+    def compactNanos = sess.vectorIndexCompactionNanos.get
+    def rewriteNanos = sess.vectorIndexLayoutRewriteNanos.get
     ingest("ca", 4000) // overlay ≈5005 ≥ 4000: the NEXT write compacts
-    val (_, compactASec) = timed { ingest("cb", 1); query(qvecs(2L)) }
+    val cn0 = compactNanos
+    val (_, compactAWallSec) = timed { ingest("cb", 1); query(qvecs(2L)) }
+    val compactASec = (compactNanos - cn0) / 1e9
     val compactionsA = sess.vectorIndexCompactions.get - comp0
     ingest("cc", 10000) // overlay ≈10k: twice the first compaction's mass
-    val (_, compactBSec) = timed { ingest("cd", 1); query(qvecs(3L)) }
+    val cn1 = compactNanos
+    val (_, compactBWallSec) = timed { ingest("cd", 1); query(qvecs(3L)) }
+    val compactBSec = (compactNanos - cn1) / 1e9
     val compactions = sess.vectorIndexCompactions.get - comp0
     // tombstones ≈15k; one more overflow crosses the 4×4000 reclamation
     // trigger and pays the amortized layout REWRITE (pure layout IO —
     // stored geometry reused, no graph scan) inside its compaction
     val rw0 = sess.vectorIndexLayoutRewrites.get
     ingest("ce", 4000)
-    val (_, rewriteSec) = timed { ingest("cf", 1); query(qvecs(4L)) }
+    val rn0 = rewriteNanos
+    val (_, rewriteWallSec) = timed { ingest("cf", 1); query(qvecs(4L)) }
+    val rewriteSec = (rewriteNanos - rn0) / 1e9
     val rewrites = sess.vectorIndexLayoutRewrites.get - rw0
     val rebuildsDuringCompaction =
       sess.vectorIndexFullBuilds.get - fullBeforeCompaction
@@ -166,10 +178,13 @@ object GraphRagRehearsal {
       s""""batched_per_chunk_ms":${f"${batchSec / batchN * 1000}%.2f"},""" +
       s""""batch_incremental_patches":${incAfterBatch - incUpdates},""" +
       s""""compaction_5k_overlay_sec":${f"$compactASec%.2f"},""" +
+      s""""compaction_5k_write_wall_sec":${f"$compactAWallSec%.2f"},""" +
       s""""compaction_10k_overlay_sec":${f"$compactBSec%.2f"},""" +
+      s""""compaction_10k_write_wall_sec":${f"$compactBWallSec%.2f"},""" +
       s""""compactions":$compactions,""" +
       s""""compactions_at_first_probe":$compactionsA,""" +
       s""""layout_rewrite_sec":${f"$rewriteSec%.2f"},""" +
+      s""""layout_rewrite_write_wall_sec":${f"$rewriteWallSec%.2f"},""" +
       s""""layout_rewrites":$rewrites,""" +
       s""""rebuilds_during_compaction":$rebuildsDuringCompaction}""")
     spark.stop()

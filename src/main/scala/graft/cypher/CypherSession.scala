@@ -95,6 +95,15 @@ final class CypherSession(
     * pbh partitions as a new generation — cost ∝ overlay, never corpus. */
   private[graft] val vectorIndexCompactions =
     new java.util.concurrent.atomic.AtomicLong
+  /** Wall nanos spent INSIDE compactVectorOverlay (append + tombstone
+    * merge + any layout rewrite) — rehearsals read this for clean
+    * attribution: a compacting WRITE statement also pays unrelated
+    * write-path costs (MERGE anti-joins, store lineage compaction) that
+    * would otherwise pollute the compaction claim. */
+  private[graft] val vectorIndexCompactionNanos =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val vectorIndexLayoutRewriteNanos =
+    new java.util.concurrent.atomic.AtomicLong
   /** Tombstone-reclaiming layout rewrites (rare; amortized across
     * [[CypherSession.VectorTombstoneRewriteFactor]]× threshold writes):
     * pure layout IO — no graph scan, no geometry recompute. */
@@ -1422,6 +1431,7 @@ final class CypherSession(
   private def compactVectorOverlay(vd: CypherSession.VectorIndexDef,
       sv: CypherSession.ServedVectorIndex)
       : CypherSession.ServedVectorIndex = {
+    val compactT0 = System.nanoTime()
     val spark = graph.nodes.sparkSession
     val nextGen = sv.gen + 1
     sv.overlay.select(col("id"), col("key"), col("node"), col("emb"),
@@ -1444,6 +1454,7 @@ final class CypherSession(
           CypherSession.VectorTombstoneRewriteFactor * indexMemThreshold) {
         // tombstone reclamation: one pass over the layout's stored rows
         // into a fresh directory, dropping superseded generations
+        val rewriteT0 = System.nanoTime()
         val dir2 = indexScratchDir("vec")
         spark.read.parquet(sv.path)
           .join(broadcast(merged), Seq("id"), "left")
@@ -1453,6 +1464,7 @@ final class CypherSession(
           .sortWithinPartitions(col("pbh"), col("bucket"))
           .write.partitionBy("pbh").parquet(dir2.toString)
         vectorIndexLayoutRewrites.incrementAndGet()
+        vectorIndexLayoutRewriteNanos.addAndGet(System.nanoTime() - rewriteT0)
         val res = sv.copy(path = dir2.toString,
           frame = spark.read.parquet(dir2.toString), overlay = null,
           overlayIds = null, gen = nextGen, tombstones = null)
@@ -1463,6 +1475,7 @@ final class CypherSession(
         sv.copy(frame = spark.read.parquet(sv.path), overlay = null,
           overlayIds = null, gen = nextGen, tombstones = merged)
     vd.served = next
+    vectorIndexCompactionNanos.addAndGet(System.nanoTime() - compactT0)
     next
   }
 

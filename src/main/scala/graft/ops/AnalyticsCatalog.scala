@@ -1304,16 +1304,26 @@ object AnalyticsCatalog {
       // audit (1/16 at the 1/4 rate here), so the estimator stays
       // affordable at any corpus size; d27 remains the gate-SF exact
       // audit and DedupSpec pins this estimate within ±0.05 of it.
+      import graft.analytics.IterCheckpoint.IterCheckpointOps
       val corpus = hiDupCorpus(s, dir)
       val keep = conv(substring(
           md5(pmod(col("vec_id"), lit(1099511627776L)).cast("string")),
           1, 2), 16, 10).cast("int") < 64 // 64/256 = 1/4 of the clusters
-      val sample = corpus.filter(keep)
+      // pins: the count aggregates below each re-execute their subtree,
+      // so without them every side recomputes ~3× (measured at sf1:
+      // 13.0 s unpinned → 8.4 s pinned, vs d27's exact audit at 20.6 s;
+      // the asymptotic win is the exact side's p² shrink — at 100× that
+      // side alone is hours exact vs minutes sampled). The pinned frames
+      // are the p-sampled corpus and two candidate-pair sets — all
+      // sample-bounded.
+      val sample = corpus.filter(keep).iterCheckpoint()
       val exact = Similarity.embeddingNearDupPairs(
         sample, "vec_id", "embedding", threshold = 0.9).select("id_a", "id_b")
+        .iterCheckpoint()
       val lsh = Similarity.embeddingNearDupPairsLSHPortable(
         sample, "vec_id", "embedding", threshold = 0.9,
         tables = 8, nBits = 12, dim = 64).select("id_a", "id_b")
+        .iterCheckpoint()
       val common = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       sample.agg(count(lit(1)).as("n_sampled_vecs"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
