@@ -21,8 +21,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try
+        // materialize FIRST (localCheckpoint runs the plan at its natural
+        // parallelism, preserving sort order), THEN coalesce for the
+        // single-file dump — coalesce(1) alone collapses every narrow
+        // upstream stage to ONE task, which turned c60's 6 Pregel rounds
+        // into a 30+-minute single-thread grind at sf1
+        fn(spark, sfDir).localCheckpoint(true).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

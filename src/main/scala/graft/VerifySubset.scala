@@ -8,8 +8,10 @@ object VerifySubset {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args(0); val out = args(1)
     args.drop(2).foreach { n =>
-      SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$out/$n")
+      // materialize-then-coalesce, same reason as Verify: a bare
+      // coalesce(1) single-threads the whole upstream plan
+      SparkEntry.queries(n)(spark, dir).localCheckpoint(true).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$n")
       println(s"dumped $n")
     }
     val sqls = args.drop(2).map(n => s""""$n": ${ujsonEscape(SparkEntry.oracleSql(n))}""")
