@@ -38,13 +38,18 @@ object QueryCatalog {
         .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
           col("l_discount") > 0.05)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")
+        // TOTAL order over the projection: the synthetic fixture carries
+        // duplicate (orderkey, linenumber) pairs, and a tied sort lets the
+        // two engines order the tie differently (surfaced at sf1)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_shipdate", "l_quantity")
         .limit(500)
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
            |FROM lineitem
            |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
-           |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin))
+           |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_shipdate,
+           |  l_quantity LIMIT 500""".stripMargin))
 
   // ----------------------------------------------------------- aggregates --
 
@@ -322,7 +327,10 @@ object QueryCatalog {
         floor(col("l_quantity")).as("qty_floor"),
         ceil(col("l_quantity")).as("qty_ceil"),
         when(col("l_quantity") > 25, "big").otherwise("small").as("bucket"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // total order (duplicate (orderkey, linenumber) in the fixture —
+        // same tie q01 documents)
+        .orderBy("l_orderkey", "l_linenumber", "price_round", "disc_dist",
+          "qty_floor")
     },
     Some("""SELECT l_orderkey, l_linenumber,
            |  round(l_extendedprice) AS price_round,
@@ -330,7 +338,8 @@ object QueryCatalog {
            |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS bucket
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_round,
+           |  disc_dist, qty_floor""".stripMargin))
 
   private val q17 = Entry("q17_count_distinct",
     (s, dir) => {
