@@ -408,6 +408,15 @@ final class CypherSession(
             val sv2 = d.served
             if (sv2 != null) return Right(sv2)
             return Left(d.snapshot._2)
+          } else {
+            // a RACING reader may have patched to `cur` first (the patch
+            // serializes per def and then reports false here because the
+            // basis moved) — adopt the fresh state instead of paying a
+            // full rebuild
+            val sv2 = d.served
+            if (sv2 != null && (sv2.basis eq cur)) return Right(sv2)
+            val snap2 = d.snapshot
+            if (snap2 != null && (snap2._1 eq cur)) return Left(snap2._2)
           }
         }
     }
@@ -1326,7 +1335,16 @@ final class CypherSession(
   private def patchNodeVectorIndex(name: String,
       vd: CypherSession.VectorIndexDef, basis: PropertyGraph,
       post: PropertyGraph, targetIds: DataFrame,
-      validate: Boolean): Boolean = {
+      validate: Boolean): Boolean = vd.synchronized {
+    // per-DEF lock (round 14): the patch is reachable from the LOCK-FREE
+    // read path (vectorServe under queryNodes), and compaction's file
+    // APPEND is not idempotent — two racing readers on a stale
+    // over-threshold index would both append the overlay, duplicating
+    // layout rows permanently. Serialized here, the second entrant sees
+    // the first's refreshed basis, returns false, and its caller
+    // re-checks freshness instead of rebuilding. Writers already hold
+    // the session write lock; lock order is session → def, never
+    // reversed, so no deadlock.
     import graft.analytics.IterCheckpoint.IterCheckpointOps
     val sv = vd.served
     val snap = vd.snapshot

@@ -997,4 +997,63 @@ class PlanSpec extends SparkTestBase {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
+
+  test("round-14: concurrent probes on a stale over-threshold index " +
+      "compact exactly ONCE — the layout append is never duplicated") {
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      val seed = (0 until 300).map { i =>
+        Map("name" -> s"n$i",
+          "embedding" -> Seq.tabulate(4)(j => (i * 4 + j) % 7 - 3.0))
+      }
+      sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name}) WITH d, row
+          |CALL db.create.setNodeVectorProperty(d, 'embedding', row.embedding)"""
+          .stripMargin, Map("data" -> seed))
+      sess.run("""CREATE VECTOR INDEX vc FOR (d:Doc) ON d.embedding
+                 |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      def top(v: Seq[Double], k: Int = 3): Seq[String] = sess.run(
+        s"CALL db.index.vector.queryNodes('vc', $k, $$q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> v))
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+        .map(_.getString(0)).toSeq
+      top(Seq(1.0, 1.0, 1.0, 1.0)) // build the persisted layout
+      def writeBatch(tag: String, n: Int, emb: String): Unit = sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name})
+          |SET d.embedding = row.emb""".stripMargin,
+        Map("data" -> (0 until n).map(i =>
+          Map("name" -> s"$tag$i", "emb" -> emb))))
+      writeBatch("a", 80, "5.0,1.0,0.0,0.0")
+      top(Seq(1.0, 1.0, 1.0, 1.0)) // patch: overlay now 80 >= 64
+      val full0 = sess.vectorIndexFullBuilds.get
+      val comp0 = sess.vectorIndexCompactions.get
+      // a generic write leaves the serving state STALE (its patch runs
+      // lazily at the next serve); 8 lock-free readers then race to
+      // serve — every one may attempt the patch whose pre-check sees the
+      // over-threshold overlay, and compaction's file append is NOT
+      // idempotent, so exactly one must win (the per-def lock)
+      writeBatch("b", 4, "0.0,0.0,7.0,7.0")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until 8).map(_ => new Thread(() => {
+        try top(Seq(0.0, 0.0, 7.0, 7.0))
+        catch { case t: Throwable => errs.add(t) }
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(180000))
+      assert(errs.isEmpty, errs.toString)
+      assert(sess.vectorIndexCompactions.get === comp0 + 1,
+        "racing probes must compact exactly once")
+      assert(sess.vectorIndexFullBuilds.get === full0,
+        "no racing probe may fall back to a full rebuild")
+      // no duplicated layout rows: node b0's unique direction returns
+      // distinct hits
+      val hits = top(Seq(0.0, 0.0, 7.0, 7.0))
+      assert(hits.distinct === hits, s"duplicate layout rows: $hits")
+      assert(hits.head.startsWith("b"))
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
 }
