@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// VERDICT r14 #5 (bench-artifact contract): sbt's "[success] Total
+// time: …" line printed AFTER the forked main's stdout kept a
+// last-line parser from seeing Bench's compact JSON summary.
+// Suppressing it makes the JSON the literal last stdout line;
+// target/bench.json stays the durable file contract.
+Global / showSuccess := false
+// the lint can't see command-level usage of showSuccess
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

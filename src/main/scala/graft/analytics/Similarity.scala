@@ -237,7 +237,7 @@ object Similarity {
         .join(updated.alias("u"), col("c.__cent_id") === col("u.__cent_id"), "left")
         .select(col("c.__cent_id"),
           coalesce(col("u.__new_vec"), col("c.__cent_vec")).as("__cent_vec"))
-      // k·dim doubles — bounded; truncates lineage so round r+1's broadcast
+      // bounded: k·dim doubles; truncates lineage so round r+1's broadcast
       // doesn't re-run round r's aggregation per use
       cent = spark.createDataFrame(
         java.util.Arrays.asList(next.collect(): _*), next.schema)

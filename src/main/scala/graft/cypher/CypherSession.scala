@@ -355,6 +355,37 @@ final class CypherSession(
       fs.delete(p, true)
     }
 
+  /** Superseded serving layouts awaiting deletion: (path, retire
+    * nanoTime). Probes are LOCK-FREE — one may have captured the
+    * previous ServedVectorIndex/FulltextState and still be executing
+    * over its files when a build/compaction/drop supersedes it
+    * (ADVICE r14, medium: deleting eagerly fails those in-flight reads
+    * with FileNotFoundException). A superseded path is therefore
+    * RETIRED, not deleted: the actual delete happens once the path has
+    * aged past the grace window — far longer than any probe holds file
+    * frames — swept opportunistically on later retirements. Bounded:
+    * one entry per build/compaction event, drained by every sweep. */
+  private val retiredIndexPaths =
+    new scala.collection.mutable.ArrayDeque[(String, Long)]()
+
+  private def retireGraceNanos: Long =
+    graph.nodes.sparkSession.conf
+      .get(CypherSession.IndexRetireGraceMsKey,
+        CypherSession.IndexRetireGraceMsDefault.toString).toLong * 1000000L
+
+  /** Queue `path` for deferred deletion and sweep aged-out entries.
+    * Always called AFTER the successor state is published, so no new
+    * probe can begin over the retired path. */
+  private def retireIndexPath(path: String): Unit =
+    if (path != null) retiredIndexPaths.synchronized {
+      val now = System.nanoTime()
+      retiredIndexPaths.append((path, now))
+      val grace = retireGraceNanos
+      while (retiredIndexPaths.nonEmpty &&
+          now - retiredIndexPaths.head._2 >= grace)
+        deleteIndexPath(retiredIndexPaths.removeHead()._1)
+    }
+
   private def indexMemThreshold: Long =
     graph.nodes.sparkSession.conf
       .get(CypherSession.IndexMemThresholdKey,
@@ -505,13 +536,13 @@ final class CypherSession(
       d.served = CypherSession.ServedVectorIndex(cur, dir.toString, frame,
         null, null)
       d.snapshot = null
-      if (old != null) deleteIndexPath(old.path)
+      if (old != null) retireIndexPath(old.path)
       Right(d.served)
     } else {
       val old = d.served
       d.served = null
       d.snapshot = (cur, data)
-      if (old != null) deleteIndexPath(old.path)
+      if (old != null) retireIndexPath(old.path)
       Left(data)
     }
   }
@@ -691,13 +722,13 @@ final class CypherSession(
       val st = CypherSession.FulltextState(cur, docs, null, n, avgDl,
         dir.toString, spark.read.parquet(dir.toString), null)
       d.state = st
-      if (old != null) deleteIndexPath(old)
+      if (old != null) retireIndexPath(old)
       serve(st)
     } else {
       val st = CypherSession.FulltextState(cur, docs, postings, n, avgDl,
         null, null, null)
       d.state = st
-      if (old != null) deleteIndexPath(old)
+      if (old != null) retireIndexPath(old)
       serve(st)
     }
   }
@@ -1027,10 +1058,10 @@ final class CypherSession(
     // release any persisted serving layout with the definition
     val vdRemoved = vectorIndexes.remove(di.name)
     vdRemoved.map(_.served).filter(_ != null)
-      .foreach(sv => deleteIndexPath(sv.path))
+      .foreach(sv => retireIndexPath(sv.path))
     val fdRemoved = fulltextIndexes.remove(di.name)
     fdRemoved.map(_.state).filter(_ != null)
-      .map(_.postingsPath).filter(_ != null).foreach(deleteIndexPath)
+      .map(_.postingsPath).filter(_ != null).foreach(retireIndexPath)
     val removed = vdRemoved.isDefined || fdRemoved.isDefined ||
       rangeIndexes.remove(di.name).isDefined
     if (!removed && !di.ifExists)
@@ -1443,9 +1474,12 @@ final class CypherSession(
     * [[CypherSession.VectorTombstoneRewriteFactor]]× the threshold does
     * a layout REWRITE reclaim them — pure layout IO reusing the stored
     * geometry (no graph scan, no recompute), amortized across that many
-    * written rows. Runs under the session write lock (all callers are
-    * write paths); racing lock-free probes hold the previous
-    * ServedVectorIndex struct and stay consistent. */
+    * written rows. Runs under the PER-DEFINITION lock
+    * ([[patchNodeVectorIndex]]'s `vd.synchronized`) and IS reachable
+    * from the lock-free read path (a reader's patch can trigger it) —
+    * the non-idempotent layout append is what that lock serializes.
+    * Racing probes holding the previous ServedVectorIndex keep reading
+    * the old files through the retire grace window. */
   private def compactVectorOverlay(vd: CypherSession.VectorIndexDef,
       sv: CypherSession.ServedVectorIndex)
       : CypherSession.ServedVectorIndex = {
@@ -1483,16 +1517,19 @@ final class CypherSession(
           .write.partitionBy("pbh").parquet(dir2.toString)
         vectorIndexLayoutRewrites.incrementAndGet()
         vectorIndexLayoutRewriteNanos.addAndGet(System.nanoTime() - rewriteT0)
-        val res = sv.copy(path = dir2.toString,
+        sv.copy(path = dir2.toString,
           frame = spark.read.parquet(dir2.toString), overlay = null,
           overlayIds = null, gen = nextGen, tombstones = null)
-        deleteIndexPath(sv.path)
-        res
       } else
         // re-read so the cached file index includes the appended files
         sv.copy(frame = spark.read.parquet(sv.path), overlay = null,
           overlayIds = null, gen = nextGen, tombstones = merged)
+    // PUBLISH the successor before retiring the old directory (ADVICE
+    // r14, medium): new probes capture `next`; probes already holding
+    // the previous struct keep reading the old files through the retire
+    // grace window instead of hitting FileNotFoundException mid-scan.
     vd.served = next
+    if (next.path != sv.path) retireIndexPath(sv.path)
     vectorIndexCompactionNanos.addAndGet(System.nanoTime() - compactT0)
     next
   }
@@ -3566,8 +3603,8 @@ final class CypherSession(
         case "db.propertyKeys" =>
           // prop-map keys of both sides, PLUS each label's key property —
           // stored in the `key` column, not the bag, but a property to any
-          // Cypher reader. The label list is schema-bounded (one row per
-          // label partition), so the collect is O(schema), never O(data).
+          // Cypher reader. bounded: the label list is schema-sized (one row
+          // per label partition) — the collect is O(schema), never O(data).
           import spark.implicits._
           val labels = graph.nodes.select(col("label")).distinct()
             .as[String].collect()
@@ -3597,7 +3634,7 @@ final class CypherSession(
             .join(totals, Seq("label"))
             .select(col("label"), col("propertyName"),
               (col("__c") === col("__n")).as("mandatory"))
-          // schema-bounded collect: one row per label partition
+          // bounded: schema-sized collect — one row per label partition
           val labels = totals.select(col("label")).as[String].collect().toSeq
           val keyRows = labels
             .map(l => (l, allKeyProps.getOrElse(l, "name"), true))
@@ -3658,7 +3695,7 @@ final class CypherSession(
             .select(col("label"), explode(map_keys(col("props"))).as("property"))
             .groupBy("label", "property").agg(count(lit(1)).as("count"))
           val labelSeq = nTotals.select(col("label"), col("count"))
-            .as[(String, Long)].collect().toSeq // schema-bounded
+            .as[(String, Long)].collect().toSeq // bounded: one row/label
           val nKey = labelSeq
             .map { case (l, n) => (l, allKeyProps.getOrElse(l, "name"), n) }
             .toDF("label", "property", "count")
@@ -4572,8 +4609,8 @@ final class CypherSession(
                     .as("props"))
             graph = parent.mergeNodes(batch)
             // register the data-driven merge identity so later MATCHes on
-            // the key property hit the key column (ontology-bounded
-            // collect over the DRIVING rows — never through the store
+            // the key property hit the key column (bounded: ontology-sized
+            // label set of the DRIVING rows — never through the store
             // probe, whose join would re-execute the whole merge chain
             // per CALL); lineage records exactly the touched labels
             val labelsTouched = df.select(labelC.cast("string").as("label"))
@@ -5253,6 +5290,13 @@ object CypherSession {
     * any file listing. Override per session for tests/tuning. */
   private[graft] val IndexMemThresholdKey = "spark.graft.indexMemThreshold"
   private[graft] val IndexMemThresholdDefault = 32768L
+
+  /** Grace window (ms) a superseded serving layout stays on disk after
+    * its successor is published, so lock-free in-flight probes holding
+    * frames over the old files finish cleanly (ADVICE r14). 60 s dwarfs
+    * any probe's lifetime; tests may shrink it to observe deletion. */
+  private[graft] val IndexRetireGraceMsKey = "spark.graft.indexRetireGraceMs"
+  private[graft] val IndexRetireGraceMsDefault = 60000L
 
   /** Tombstone-reclamation trigger (round 14): a layout rewrite — the
     * only write-path event whose IO scales with the layout rather than

@@ -3110,16 +3110,22 @@ object AnalyticsCatalog {
       // empty (9000+ no-op statements at sf1) while rank bounds always
       // yield ceil(N/BatchRows) full batches on any id distribution.
       val BatchRows = 1000
-      val bounds = emb.select(col("vec_id"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
-        .withColumn("b", ((col("rn") - 1) / BatchRows).cast("long"))
-        .groupBy("b").agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
-        // bounded: one (lo, hi) row per 1000-row batch — batch METADATA,
+      // Rank via sorted zipWithIndex, NOT row_number over a global
+      // Window (VERDICT r14 #4: an unpartitioned window funnels every
+      // vec_id through ONE task — at 10⁹ vectors that's the whole id
+      // column in a single partition). The sort is a distributed
+      // range-partitioned exchange and zipWithIndex assigns the global
+      // rank per-partition from partition sizes; per-batch (lo, hi)
+      // reduce map-side. Same ranks, same bounds, hash-identical.
+      val bounds = emb.select(col("vec_id")).orderBy("vec_id")
+        .rdd.map(_.getLong(0)).zipWithIndex()
+        .map { case (id, idx) => (idx / BatchRows, (id, id)) }
+        .reduceByKey((a: (Long, Long), b: (Long, Long)) =>
+          (math.min(a._1, b._1), math.max(a._2, b._2)))
+        // bounded: one (lo, hi) pair per 1000-row batch — batch METADATA,
         // ~N/1000 longs, never the rows themselves
-        .orderBy("b").collect()
-      bounds.foreach { r =>
-        val (lo, hi) = (r.getLong(1), r.getLong(2))
+        .collect().sortBy(_._1)
+      bounds.foreach { case (_, (lo, hi)) =>
         // bounded: one fixed-size client batch (≤ BatchRows rows)
         val batch = emb.filter(col("vec_id") >= lo && col("vec_id") <= hi)
           .select(col("vec_id"), col("embedding")).collect().map(r2 =>
@@ -4686,7 +4692,7 @@ object AnalyticsCatalog {
       // |distinct sources|, which the oracle derives from the data. The
       // final graph state is batch-invariant (idempotent MERGE), asserted
       // by the read-back rows themselves.
-      // bounded collect: distinct sources are schema-cardinality (~20) —
+      // bounded: distinct sources are schema-cardinality (~20) —
       // they ARE the import's parameter batch, the same bounded class as
       // the label lists GraphStore collects
       val srcs = Tables(s, dir, "documents").select(col("source")).distinct()

@@ -328,9 +328,12 @@ object QueryCatalog {
         ceil(col("l_quantity")).as("qty_ceil"),
         when(col("l_quantity") > 25, "big").otherwise("small").as("bucket"))
         // total order (duplicate (orderkey, linenumber) in the fixture —
-        // same tie q01 documents)
+        // same tie q01 documents): qty_ceil included so rows tying on the
+        // first five keys (e.g. l_quantity 25.0 vs 25.5 with equal rounded
+        // price) cannot differ in any projected column — bucket is then
+        // determined by qty_floor/qty_ceil (ADVICE r14)
         .orderBy("l_orderkey", "l_linenumber", "price_round", "disc_dist",
-          "qty_floor")
+          "qty_floor", "qty_ceil")
     },
     Some("""SELECT l_orderkey, l_linenumber,
            |  round(l_extendedprice) AS price_round,
@@ -339,7 +342,7 @@ object QueryCatalog {
            |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS bucket
            |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_round,
-           |  disc_dist, qty_floor""".stripMargin))
+           |  disc_dist, qty_floor, qty_ceil""".stripMargin))
 
   private val q17 = Entry("q17_count_distinct",
     (s, dir) => {

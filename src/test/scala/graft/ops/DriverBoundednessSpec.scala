@@ -24,6 +24,12 @@ class DriverBoundednessSpec extends AnyFunSuite {
 
   private val callRe = """\.collect\(\)|\.toLocalIterator\(\)""".r
   private val selfBoundedRe = """.*\.limit\(\d+\)\s*\.collect\(\).*"""
+  /** The annotation TAG form, not a bare substring (ADVICE r14: an
+    * identifier like `unbounded` or an unrelated comment must not
+    * silence the check): `bounded:` inside a `//` or block-comment
+    * line. `\bbounded:` rejects `unbounded:` via the word boundary. */
+  private val boundedTagRe =
+    """(?i).*(//|/\*|^\s*\*).*\bbounded:.*""".r
 
   /** Pure checker so the spec can also prove it goes RED: returns the
     * (1-based line, text) of every unjustified driver-materializing call. */
@@ -36,7 +42,7 @@ class DriverBoundednessSpec extends AnyFunSuite {
       else if (line.matches(selfBoundedRe)) None
       else {
         val window = lines.slice(math.max(0, i - 6), i + 1)
-        if (window.exists(_.toLowerCase.contains("bounded"))) None
+        if (window.exists(l => boundedTagRe.matches(l))) None
         else Some((i + 1, trimmed))
       }
     }
@@ -75,5 +81,18 @@ class DriverBoundednessSpec extends AnyFunSuite {
       "an annotation must be within SIX lines — it never carries farther")
     assert(offenders(Seq("// a comment mentioning .collect() only")).isEmpty,
       "comment lines are not call sites")
+    assert(offenders(Seq(
+      "val unbounded = true // handles the unbounded case",
+      "val x = df.collect()")).nonEmpty,
+      "ADVICE r14: a bare 'unbounded' identifier or prose must NOT " +
+        "silence the check — only the 'bounded:' tag form does")
+    assert(offenders(Seq(
+      "val x = df.collect() // something bounded happened",
+      "")).nonEmpty,
+      "prose containing 'bounded' without the colon tag is not a claim")
+    assert(offenders(Seq(
+      "  * bounded: k probe rows inside scaladoc",
+      "val x = df.collect()")).isEmpty,
+      "a block-comment continuation line carries the tag too")
   }
 }
