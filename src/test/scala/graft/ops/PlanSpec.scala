@@ -835,6 +835,303 @@ class PlanSpec extends SparkTestBase {
       graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
   }
 
+  test("round-15: relationship-index incremental maintenance — edge MERGE, " +
+      "re-MERGE (property rewrite), MATCH-driven CREATE and " +
+      "apoc.merge.relationship against LIVE rel vector+fulltext indexes " +
+      "all patch, never rebuild; results equal a from-scratch build") {
+    def seed(sess: graft.cypher.CypherSession): Unit = sess.run(
+      "UNWIND $data AS row MERGE (u:U {name: row.u}) " +
+        "MERGE (t:T {name: row.t}) " +
+        "MERGE (u)-[:R {vec: row.vec, text: row.txt}]->(t)",
+      Map("data" -> (0 until 30).map(i =>
+        Map("u" -> s"u$i", "t" -> s"t$i",
+          "vec" -> s"${i % 7 - 3}.0,1.0,0.0,0.0",
+          "txt" -> s"spark edge doc $i token$i"))))
+    def applyWrites(sess: graft.cypher.CypherSession): Unit = {
+      // (1) edge MERGE with NEW endpoints
+      sess.run("MERGE (u:U {name: 'ux'}) MERGE (t:T {name: 'tx'}) " +
+        "MERGE (u)-[:R {vec: '9.0,9.0,9.0,9.0', text: 'omega fresh edge'}]->(t)")
+      // (2) rel-property rewrite: re-MERGE of the SAME edge overwrites
+      // its listed props (the engine's relationship-property write path)
+      sess.run("MERGE (u:U {name: 'ux'}) MERGE (t:T {name: 'tx'}) " +
+        "MERGE (u)-[:R {vec: '-9.0,-9.0,-9.0,-9.0', " +
+        "text: 'psi rewritten edge'}]->(t)")
+      // (3) MATCH-driven CREATE edge between existing nodes
+      sess.run("MATCH (u:U {name: 'u0'}) MATCH (t:T {name: 't1'}) " +
+        "CREATE (u)-[:R {vec: '0.0,0.0,9.0,9.0', text: 'kappa created edge'}]->(t)")
+      // (4) apoc.merge.relationship (the LangChain wire shape)
+      sess.run("MATCH (u:U {name: 'u2'}) MATCH (t:T {name: 't3'}) " +
+        "CALL apoc.merge.relationship(u, 'R', {}, " +
+        "{vec: '9.0,0.0,0.0,9.0', text: 'sigma apoc edge'}, t) " +
+        "YIELD rel RETURN 1")
+    }
+    def relVecTop(sess: graft.cypher.CypherSession, v: Seq[Double]): String =
+      sess.run(
+        "CALL db.index.vector.queryRelationships('rv', 1, $q) " +
+          "YIELD relationship, score RETURN relationship.text AS txt",
+        Map("q" -> v)).asInstanceOf[graft.cypher.CypherRows]
+        .df.collect().map(_.getString(0)).head
+    def relFtHits(sess: graft.cypher.CypherSession, q: String): Seq[String] =
+      sess.run(
+        s"CALL db.index.fulltext.queryRelationships('rf', '$q') " +
+          "YIELD relationship, score RETURN relationship.text AS txt " +
+          "ORDER BY txt").asInstanceOf[graft.cypher.CypherRows]
+        .df.collect().map(_.getString(0)).toSeq
+    val sess = new graft.cypher.CypherSession(
+      graft.graph.PropertyGraph.empty(spark))
+    seed(sess)
+    sess.run("""CREATE VECTOR INDEX rv FOR ()-[r:R]-() ON r.vec
+               |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    sess.run("CREATE FULLTEXT INDEX rf FOR ()-[r:R]-() ON EACH [r.text]")
+    relVecTop(sess, Seq(1.0, 1.0, 0.0, 0.0)); relFtHits(sess, "spark")
+    val vf0 = sess.vectorIndexFullBuilds.get
+    val ff0 = sess.fulltextIndexFullBuilds.get
+    val vi0 = sess.vectorIndexIncrementalUpdates.get
+    val fi0 = sess.fulltextIndexIncrementalUpdates.get
+    applyWrites(sess)
+    // every write lands in BOTH live rel indexes through the patch path
+    assert(relVecTop(sess, Seq(-9.0, -9.0, -9.0, -9.0)) === "psi rewritten edge")
+    assert(relVecTop(sess, Seq(0.0, 0.0, 9.0, 9.0)) === "kappa created edge")
+    assert(relVecTop(sess, Seq(9.0, 0.0, 0.0, 9.0)) === "sigma apoc edge")
+    assert(relFtHits(sess, "omega") === Nil,
+      "the re-MERGE must supersede the first edge value in the index")
+    assert(relFtHits(sess, "psi") === Seq("psi rewritten edge"))
+    assert(relFtHits(sess, "kappa") === Seq("kappa created edge"))
+    assert(relFtHits(sess, "sigma") === Seq("sigma apoc edge"))
+    assert(sess.vectorIndexFullBuilds.get === vf0,
+      "edge writes against a live rel VECTOR index must patch, not rebuild")
+    assert(sess.fulltextIndexFullBuilds.get === ff0,
+      "edge writes against a live rel FULLTEXT index must patch, not rebuild")
+    assert(sess.vectorIndexIncrementalUpdates.get > vi0)
+    assert(sess.fulltextIndexIncrementalUpdates.get > fi0)
+    // hash-equality: BM25 scores and vector hits equal a from-scratch
+    // session that applied the same writes BEFORE indexing
+    val fresh = new graft.cypher.CypherSession(
+      graft.graph.PropertyGraph.empty(spark))
+    seed(fresh); applyWrites(fresh)
+    fresh.run("""CREATE VECTOR INDEX rv FOR ()-[r:R]-() ON r.vec
+                |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+    fresh.run("CREATE FULLTEXT INDEX rf FOR ()-[r:R]-() ON EACH [r.text]")
+    def ftScores(s2: graft.cypher.CypherSession) = s2.run(
+      "CALL db.index.fulltext.queryRelationships('rf', 'spark OR edge') " +
+        "YIELD relationship, score RETURN relationship.text AS txt, score " +
+        "ORDER BY score DESC, txt")
+      .asInstanceOf[graft.cypher.CypherRows].df.collect().toSeq
+    assert(ftScores(sess) === ftScores(fresh),
+      "patched rel fulltext scores must equal a from-scratch build")
+    def vecScores(s2: graft.cypher.CypherSession) = s2.run(
+      "CALL db.index.vector.queryRelationships('rv', 5, $q) " +
+        "YIELD relationship, score RETURN relationship.text AS txt, score " +
+        "ORDER BY score DESC, txt", Map("q" -> Seq(1.0, 1.0, 1.0, 1.0)))
+      .asInstanceOf[graft.cypher.CypherRows].df.collect().toSeq
+    assert(vecScores(sess) === vecScores(fresh),
+      "patched rel vector scores must equal a from-scratch build")
+  }
+
+  test("round-15: fulltext overlay compaction — past the threshold a patch " +
+      "merges the overlay into the postings layout (patch → compact → " +
+      "patch, ZERO rebuilds; scores equal a from-scratch build)") {
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      def seedCorpus(sess: graft.cypher.CypherSession): Unit = sess.run(
+        "UNWIND $data AS row MERGE (d:Doc {name: row.name}) " +
+          "SET d.title = row.title",
+        Map("data" -> (0 until 60).map(i =>
+          Map("name" -> s"n$i",
+            "title" -> s"spark doc number $i fast table row$i"))))
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      seedCorpus(sess)
+      sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+      def names(q: String): Seq[String] = sess.run(
+        s"CALL db.index.fulltext.queryNodes('fe', '$q') " +
+          "YIELD node, score RETURN node.name AS nm ORDER BY nm")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+        .map(_.getString(0)).toSeq
+      names("spark") // serve → builds the persisted layout (420 ≥ 64)
+      val full0 = sess.fulltextIndexFullBuilds.get
+      val comp0 = sess.fulltextIndexCompactions.get
+      def writeBatch(sess: graft.cypher.CypherSession, tag: String, n: Int,
+          word: String): Unit = sess.run(
+        "UNWIND $data AS row MERGE (d:Doc {name: row.name}) " +
+          "SET d.title = row.title",
+        Map("data" -> (0 until n).map(i =>
+          Map("name" -> s"$tag$i", "title" -> s"$word token$tag$i text"))))
+      // batch a: 8 docs × 3 postings = 24 < 64 → plain patch
+      writeBatch(sess, "a", 8, "alpha"); names("alpha")
+      assert(sess.fulltextIndexFullBuilds.get === full0)
+      assert(sess.fulltextIndexCompactions.get === comp0)
+      // batch b pushes the overlay to 24 + 36 = 60 < 64; batch c to 66 ≥
+      // 64 (the check reads the PRE-patch overlay) — so batch d's write
+      // must COMPACT the overlay into the layout's touched tb dirs and
+      // NEVER rebuild (r14 re-tokenized the whole label here; r15's
+      // contract is zero corpus-scaled write events, the vector parity)
+      writeBatch(sess, "b", 12, "bravo"); names("bravo")
+      writeBatch(sess, "c", 2, "charlie"); names("charlie")
+      writeBatch(sess, "d", 2, "delta"); names("delta")
+      assert(sess.fulltextIndexFullBuilds.get === full0,
+        "an over-threshold fulltext overlay must compact, not rebuild")
+      assert(sess.fulltextIndexCompactions.get === comp0 + 1,
+        "an over-threshold overlay must be compacted into the layout")
+      // after compaction the overlay is empty — patching resumes
+      val compC = sess.fulltextIndexCompactions.get
+      writeBatch(sess, "e", 2, "echo"); names("echo")
+      assert(sess.fulltextIndexCompactions.get === compC,
+        "post-compaction writes must patch the fresh (empty) overlay")
+      assert(sess.fulltextIndexFullBuilds.get === full0)
+      // correctness THROUGH the compacted state: compacted docs serve
+      // from the appended generation …
+      assert(names("alpha") === (0 until 8).map(i => s"a$i"),
+        "compacted docs must serve from their appended generation")
+      // … and a post-compaction update of a COMPACTED doc masks its
+      // appended rows (tombstone via overlay-key anti-join + fresh row)
+      sess.run("MERGE (d:Doc {name: 'a0'}) SET d.title = 'omega only now'")
+      assert(names("alpha") === (1 until 8).map(i => s"a$i"),
+        "an updated compacted doc must leave the old term's result")
+      assert(names("omega") === Seq("a0"))
+      assert(sess.fulltextIndexFullBuilds.get === full0)
+      // BM25-score oracle: every (name, score) row equals a from-scratch
+      // session that indexed the identical final corpus in one build
+      def scores(s2: graft.cypher.CypherSession) = s2.run(
+        "CALL db.index.fulltext.queryNodes('fe', 'spark OR alpha OR bravo') " +
+          "YIELD node, score RETURN node.name AS nm, score " +
+          "ORDER BY score DESC, nm")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect().toSeq
+      val fresh = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      seedCorpus(fresh)
+      writeBatch(fresh, "a", 8, "alpha"); writeBatch(fresh, "b", 12, "bravo")
+      writeBatch(fresh, "c", 2, "charlie"); writeBatch(fresh, "d", 2, "delta")
+      writeBatch(fresh, "e", 2, "echo")
+      fresh.run("MERGE (d:Doc {name: 'a0'}) SET d.title = 'omega only now'")
+      fresh.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+      assert(scores(sess) === scores(fresh),
+        "patched+compacted BM25 scores must equal a from-scratch build")
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
+
+  test("round-15: fulltext tombstone reclamation — accumulated compactions " +
+      "trigger ONE postings-layout rewrite (layout IO, zero full rebuilds)") {
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      sess.run(
+        "UNWIND $data AS row MERGE (d:Doc {name: row.name}) " +
+          "SET d.title = row.title",
+        Map("data" -> (0 until 60).map(i =>
+          Map("name" -> s"n$i",
+            "title" -> s"spark doc number $i fast table row$i"))))
+      sess.run("CREATE FULLTEXT INDEX fe FOR (d:Doc) ON EACH [d.title]")
+      def names(q: String): Seq[String] = sess.run(
+        s"CALL db.index.fulltext.queryNodes('fe', '$q') " +
+          "YIELD node, score RETURN node.name AS nm ORDER BY nm")
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+        .map(_.getString(0)).toSeq
+      names("spark") // build the layout
+      val full0 = sess.fulltextIndexFullBuilds.get
+      val rw0 = sess.fulltextIndexLayoutRewrites.get
+      // five 70-key batches: each write past the first finds a 210-row
+      // overlay ≥ 64 and compacts; distinct tombstoned KEYS accumulate
+      // 70 → 140 → 210 → 280, crossing the 4×64 = 256 rewrite trigger on
+      // the fifth batch's compaction
+      (1 to 5).foreach { b =>
+        sess.run(
+          "UNWIND $data AS row MERGE (d:Doc {name: row.name}) " +
+            "SET d.title = row.title",
+          Map("data" -> (0 until 70).map(i =>
+            Map("name" -> s"t${b}x$i", "title" -> s"word$b filler$b$i tail"))))
+        names(s"word$b")
+      }
+      assert(sess.fulltextIndexLayoutRewrites.get === rw0 + 1,
+        "crossing factor×threshold tombstones must rewrite the layout once")
+      assert(sess.fulltextIndexFullBuilds.get === full0,
+        "reclamation is a layout rewrite, never a full re-tokenize")
+      // the rewritten layout still serves every generation's survivors
+      (1 to 5).foreach { b =>
+        assert(names(s"word$b") === (0 until 70).map(i => s"t${b}x$i").sorted,
+          s"batch $b's docs must survive the rewrite")
+      }
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
+
+  test("round-15: partition-scoped tombstone reclamation — a rewrite " +
+      "copies only the DENSE pbh partitions (VERDICT r14 #7) and " +
+      "multi-segment probes stay correct across two rewrites") {
+    spark.conf.set(graft.cypher.CypherSession.IndexMemThresholdKey, "64")
+    try {
+      val sess = new graft.cypher.CypherSession(
+        graft.graph.PropertyGraph.empty(spark))
+      sess.run(
+        """UNWIND $data AS row MERGE (d:Doc {name: row.name}) WITH d, row
+          |CALL db.create.setNodeVectorProperty(d, 'embedding', row.embedding)"""
+          .stripMargin,
+        Map("data" -> (0 until 300).map { i =>
+          Map("name" -> s"n$i",
+            "embedding" -> Seq.tabulate(4)(j => (i * 4 + j) % 7 - 3.0))
+        }))
+      sess.run("""CREATE VECTOR INDEX vr FOR (d:Doc) ON d.embedding
+                 |OPTIONS {indexConfig: {`vector.dimensions`: 4}}""".stripMargin)
+      def top(v: Seq[Double]): String = sess.run(
+        "CALL db.index.vector.queryNodes('vr', 1, $q) YIELD node, score " +
+          "RETURN node.name AS nm", Map("q" -> v))
+        .asInstanceOf[graft.cypher.CypherRows].df.collect()
+        .map(_.getString(0)).head
+      top(Seq(1.0, 1.0, 1.0, 1.0)) // build the layout
+      val full0 = sess.vectorIndexFullBuilds.get
+      val rw0 = sess.vectorIndexLayoutRewrites.get
+      val rp0 = sess.vectorIndexLayoutRewritePartitions.get
+      def write(ids: String, dir: Int): Unit = {
+        sess.run(
+          """UNWIND $data AS row MERGE (d:Doc {name: row.name})
+            |SET d.embedding = row.emb""".stripMargin,
+          Map("data" -> (0 until 70).map(i =>
+            Map("name" -> s"${ids}$i", "emb" -> s"$dir.0,1.0,0.0,0.0"))))
+        top(Seq(dir.toDouble, 1.0, 0.0, 0.0))
+      }
+      // A is written at gen 1 then REWRITTEN at gen 3 — its gen-1 rows
+      // (concentrated in direction (1,1,0,0)'s ≤8 pbh dirs) become the
+      // layout's only garbage. Tombstoned ids cross 4×64 = 256 at the
+      // sixth write's compaction (70×4 distinct = 280): the reclamation
+      // must copy ONLY the dense dirs, prune the garbage-free ids for
+      // free, and never touch the other ~500 partitions.
+      write("A", 1); write("B", 2); write("A", 9)
+      write("C", 3); write("D", 4); write("E", 5)
+      assert(sess.vectorIndexLayoutRewrites.get === rw0 + 1)
+      val touched1 = sess.vectorIndexLayoutRewritePartitions.get - rp0
+      assert(touched1 < graft.cypher.CypherSession.VectorPartDirs,
+        s"skewed garbage must rewrite partition-scoped, touched $touched1")
+      assert(touched1 > 0,
+        "A's superseded generation concentrates dense dirs — copy them")
+      assert(top(Seq(9.0, 1.0, 0.0, 0.0)).startsWith("A"),
+        "A serves its REWRITTEN value through the new segment")
+      Seq("B" -> 2, "C" -> 3, "D" -> 4, "E" -> 5).foreach { case (t, d0) =>
+        assert(top(Seq(d0.toDouble, 1.0, 0.0, 0.0)).startsWith(t))
+      }
+      // second drill: overwrite B, add F/G/H — the next reclamation
+      // rewrites B's old dirs; probes then span the twice-masked old
+      // segment plus two newer ones and must still see every survivor
+      write("B", 8); write("F", 6); write("G", 7); write("H", 11)
+      assert(sess.vectorIndexLayoutRewrites.get === rw0 + 2,
+        "the second tombstone accumulation must reclaim again")
+      val touchedTotal = sess.vectorIndexLayoutRewritePartitions.get - rp0
+      assert(touchedTotal < 2 * graft.cypher.CypherSession.VectorPartDirs)
+      Seq("A" -> 9, "B" -> 8, "C" -> 3, "D" -> 4, "E" -> 5,
+        "F" -> 6, "G" -> 7, "H" -> 11).foreach { case (t, d0) =>
+        assert(top(Seq(d0.toDouble, 1.0, 0.0, 0.0)).startsWith(t),
+          s"id set $t must survive across segments")
+      }
+      assert(sess.vectorIndexFullBuilds.get === full0,
+        "partition-scoped reclamation never pays a full rebuild")
+    } finally spark.conf.set(
+      graft.cypher.CypherSession.IndexMemThresholdKey,
+      graft.cypher.CypherSession.IndexMemThresholdDefault.toString)
+  }
+
   test("round-12: persisted fulltext postings — a term probe prunes to its bucket's directory") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.FileSourceScanExec
