@@ -45,15 +45,35 @@ object ScaleRehearsal {
     // fixed-size dimensions in TPC-H and stay as-is, and replicated
     // customers/suppliers keep their nationkey so dim joins see 10× the
     // facts per dim row — which is what a 10× dataset does.
-    def replicate(table: String, keyShifts: Map[String, Long]): Unit = {
-      if (!new java.io.File(s"$out/$table.parquet").exists()) {
+    // `nameShifts` (round 15, VERDICT r14 #3): NAME columns that act as
+    // merge identities downstream (c83 imports suppliers keyed on
+    // s_name) must be unique per replica like their numeric keys —
+    // verbatim replicas made the MERGE-keyed graph collapse them while
+    // row-counting oracles saw every copy. Suffix `_rK` for K > 0; the
+    // base replica keeps the gate-SF values byte-identical.
+    def replicate(table: String, keyShifts: Map[String, Long],
+        nameShifts: Set[String] = Set.empty): Unit = {
+      val dst = s"$out/$table.parquet"
+      // stale-layout detection (the copyDim pattern): a dir derived by
+      // the pre-fix code carries duplicate name-identity values — the
+      // existence guard alone would silently reuse it
+      val stale = nameShifts.nonEmpty && new java.io.File(dst).exists() && {
+        val cur = spark.read.parquet(dst)
+        cur.select(col(nameShifts.head)).distinct().count() != cur.count()
+      }
+      if (stale)
+        System.err.println(s"[rehearsal] $table: stale pre-round-15 layout " +
+          s"(duplicate ${nameShifts.head} across replicas) — re-deriving")
+      if (stale || !new java.io.File(dst).exists()) {
         val src = ops.Tables(spark, base, table)
         (0 until replicas).map { k =>
           if (k == 0) src
           else src.select(src.columns.toIndexedSeq.map { c =>
             keyShifts.get(c) match {
               case Some(stride) => (col(c) + lit(k * stride)).as(c)
-              case None => col(c)
+              case None =>
+                if (nameShifts(c)) concat(col(c), lit(s"_r$k")).as(c)
+                else col(c)
             }
           }: _*)
         }.reduce(_ unionByName _)
@@ -65,7 +85,7 @@ object ScaleRehearsal {
       "l_partkey" -> 1000000L, "l_suppkey" -> 100000L))
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
     replicate("customer", Map("c_custkey" -> 1000000L))
-    replicate("supplier", Map("s_suppkey" -> 100000L))
+    replicate("supplier", Map("s_suppkey" -> 100000L), Set("s_name"))
     replicate("part", Map("p_partkey" -> 1000000L))
     // fixed-size dims COPY, never replicate: a keyShifts-free replicate
     // would union `replicas` identical copies, and duplicated dim keys

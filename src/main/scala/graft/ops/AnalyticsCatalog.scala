@@ -55,6 +55,20 @@ object AnalyticsCatalog {
     * be silently misread as multiple stripes, changing c61/c66/c67's graph
     * construction under an unchanged oracle — that mismatch now fails
     * loudly here instead of at the hash gate. */
+  /** (doc_id, rk) with rk the dense 0-based rank of doc_id — computed
+    * via a distributed sort + zipWithIndex (the s13 move, VERDICT r14
+    * #3): ranks are derivation-proof (contiguous on ANY id
+    * distribution, striped or not) where modular doc_id arithmetic
+    * degenerates under the rehearsal's shifted ids. The oracle replays
+    * the same ranks as `row_number() OVER (ORDER BY doc_id) - 1`. */
+  private def docRanks(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    s.createDataFrame(
+      docs.select(col("doc_id")).orderBy("doc_id")
+        .rdd.map(_.getLong(0)).zipWithIndex())
+      .toDF("doc_id", "rk")
+
   private def stripeParts(docs: org.apache.spark.sql.DataFrame, n: Long)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column, Long) = {
     val base = col("doc_id") - col("doc_id") % RehearsalStride
@@ -4951,19 +4965,21 @@ object AnalyticsCatalog {
       // lcc = 2T/(d(d−1)) is one IEEE division of exact integers.
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
-      // per-stripe ring (reduces to (doc_id+off) % n at the gate's single
-      // contiguous stripe — see stripeParts): the rehearsal's striped ids
-      // get one ring PER REPLICA instead of edges into nonexistent keys
-      val (sBase, sPos, sPer) = stripeParts(docs, n)
+      // RANK-keyed graph (round 15, VERDICT r14 #3): node identity is the
+      // doc's dense rank, so the `% n` ring wrap is exact on ANY id
+      // distribution — the striped rehearsal ids included. The skip-5
+      // perturbation still selects by doc_id % 97 (identical SQL both
+      // sides); only the graph keys are ranks.
+      val ranked = docRanks(s, docs)
       def link(off: Int, filt: Option[org.apache.spark.sql.Column]) = {
-        val base = filt.fold(docs)(docs.filter(_))
+        val base = filt.fold(ranked)(ranked.filter(_))
         base.select(lit("Doc").as("srcLabel"),
-          col("doc_id").cast("string").as("srcKey"),
+          col("rk").cast("string").as("srcKey"),
           lit("LINK").as("relType"), lit("Doc").as("dstLabel"),
-          (sBase + (sPos + off) % sPer).cast("string").as("dstKey"))
+          ((col("rk") + off) % n).cast("string").as("dstKey"))
       }
-      val nodes = docs.select(lit("Doc").as("label"),
-        col("doc_id").cast("string").as("key"),
+      val nodes = ranked.select(lit("Doc").as("label"),
+        col("rk").cast("string").as("key"),
         typedlit(Map.empty[String, String]).as("props"))
       val g = graft.graph.PropertyGraph.empty(s)
         .mergeNodes(nodes)
@@ -4985,12 +5001,16 @@ object AnalyticsCatalog {
       tc.join(lcc, Seq("key")).orderBy(col("key")).limit(50)
     },
     Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |r AS (SELECT doc_id,
+           |        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+           |          AS rk
+           |      FROM documents),
            |e0 AS (
-           |  SELECT doc_id AS s, (doc_id + 1) % n.n AS d FROM documents, n
+           |  SELECT rk AS s, (rk + 1) % n.n AS d FROM r, n
            |  UNION ALL
-           |  SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+           |  SELECT rk, (rk + 2) % n.n FROM r, n
            |  UNION ALL
-           |  SELECT doc_id, (doc_id + 5) % n.n FROM documents, n
+           |  SELECT rk, (rk + 5) % n.n FROM r, n
            |  WHERE doc_id % 97 = 0),
            |e AS (SELECT DISTINCT
            |        least(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS a,
@@ -5009,7 +5029,7 @@ object AnalyticsCatalog {
            |  CASE WHEN deg.d >= 2 THEN CAST(COALESCE(t.t, 0) * 2 AS DOUBLE)
            |         / CAST(deg.d * (deg.d - 1) AS DOUBLE) ELSE 0.0 END
            |    AS localClusteringCoefficient
-           |FROM (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents) k
+           |FROM (SELECT CAST(rk AS VARCHAR) AS key FROM r) k
            |LEFT JOIN t ON t.node = k.key
            |LEFT JOIN deg ON deg.node = k.key
            |ORDER BY key LIMIT 50""".stripMargin))
@@ -5208,22 +5228,23 @@ object AnalyticsCatalog {
       // fixpoint iteration and must land on it.
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
-      val r = col("doc_id") % 8
-      // existence = within the id STRIPE (≡ doc_id+off < n at the gate's
-      // single contiguous stripe — see stripeParts)
-      val (_, kPos, kPer) = stripeParts(docs, n)
+      // RANK-keyed graph (round 15, VERDICT r14 #3): blocks of 8 over the
+      // dense rank, so block arithmetic is exact on ANY id distribution —
+      // the striped rehearsal ids included
+      val ranked = docRanks(s, docs)
+      val r = col("rk") % 8
       def edge(dstOff: org.apache.spark.sql.Column) = Seq(
-        lit("Doc").as("srcLabel"), col("doc_id").cast("string").as("srcKey"),
+        lit("Doc").as("srcLabel"), col("rk").cast("string").as("srcKey"),
         lit("E").as("relType"), lit("Doc").as("dstLabel"),
-        (col("doc_id") + dstOff).cast("string").as("dstKey"))
-      val clique = docs.filter(r <= 3)
-        .select(col("doc_id"), explode(sequence(lit(1L), lit(4L) - r)).as("off"))
-        .filter(kPos + col("off") < kPer)
+        (col("rk") + dstOff).cast("string").as("dstKey"))
+      val clique = ranked.filter(r <= 3)
+        .select(col("rk"), explode(sequence(lit(1L), lit(4L) - r)).as("off"))
+        .filter(col("rk") + col("off") < n)
         .select(edge(col("off")): _*)
-      val chain = docs.filter(r.isin(4, 5, 6) && kPos + 1 < kPer)
+      val chain = ranked.filter(r.isin(4, 5, 6) && col("rk") + 1 < n)
         .select(edge(lit(1L)): _*)
-      val nodes = docs.select(lit("Doc").as("label"),
-        col("doc_id").cast("string").as("key"),
+      val nodes = ranked.select(lit("Doc").as("label"),
+        col("rk").cast("string").as("key"),
         typedlit(Map.empty[String, String]).as("props"))
       val g = graft.graph.PropertyGraph.empty(s)
         .mergeNodes(nodes)
@@ -5239,10 +5260,12 @@ object AnalyticsCatalog {
         .asInstanceOf[graft.cypher.CypherRows].df
     },
     Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
-           |c AS (SELECT doc_id % 8 AS r,
+           |rr AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+           |         AS BIGINT) AS rk FROM documents),
+           |c AS (SELECT rk % 8 AS r,
            |        LEAST(CAST(5 AS BIGINT),
-           |              n.n - (doc_id // 8) * 8) AS s
-           |      FROM documents, n),
+           |              n.n - (rk // 8) * 8) AS s
+           |      FROM rr, n),
            |core AS (
            |  SELECT CASE WHEN r < s
            |           THEN CASE WHEN s >= 2 THEN s - 1 ELSE 0 END
@@ -6518,7 +6541,13 @@ object AnalyticsCatalog {
       // computed by the statement but projected out of the hash (it is
       // the engine's internal stable id — the oracle identifies rows by
       // the text payload, which embeds the doc identity).
-      val docs = Tables(s, dir, "documents")
+      // ONE fetch batch (round 15, VERDICT r14 #3): the statement's
+      // verbatim LIMIT 1000 means LangChain processes ≤1000 rows per
+      // loop pass; the entry pins one pass, so its graph is the 1600
+      // lowest doc_ids (≤800 un-embedded candidates — under the batch
+      // limit at EVERY SF, where the full corpus would truncate
+      // nondeterministically past sf0.01 and break the oracle).
+      val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(1600)
       val base = map(lit("name"),
         concat(lit("d"), col("doc_id").cast("string")),
         lit("summary"), col("source"))
@@ -6543,7 +6572,9 @@ object AnalyticsCatalog {
     },
     Some("""SELECT chr(10) || 'name: d' || CAST(doc_id AS VARCHAR) ||
            |  chr(10) || 'summary: ' || source AS text
-           |FROM documents WHERE doc_id % 2 = 1
+           |FROM (SELECT doc_id, source FROM documents
+           |      ORDER BY doc_id LIMIT 1600)
+           |WHERE doc_id % 2 = 1
            |ORDER BY text""".stripMargin))
 
   private val c83 = Entry("c83_cypher_apoc_merge_import",
