@@ -120,22 +120,130 @@ object GraphAlgorithms {
       .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
   }
 
-  /** Directed strongly connected components (GraphX
-    * `stronglyConnectedComponents` — the coloring/peel algorithm): the
-    * DIRECTED twin of [[connectedComponents]]. Component label = the
-    * lowest member vertex id, which for key-derived stable ids is
-    * deterministic. `numIter` bounds the outer peel rounds; each round's
-    * inner Pregel converges by graph structure (bounded by the longest
-    * remaining directed path). */
+  /** Directed strongly connected components — the DIRECTED twin of
+    * [[connectedComponents]]. Component label = the lowest member vertex
+    * id, which for key-derived stable ids is deterministic. `numIter`
+    * bounds the outer peel rounds. Round 15 (VERDICT r14 #6): delegates
+    * to [[sccColoringDF]] — the warmed sf1 sweep showed GraphX's
+    * `stronglyConnectedComponents` paying a 13× slope that is NOT JIT
+    * (47 s warmed at 500k vertices where the DataFrame WCC runs 1.8 s):
+    * each GraphX outer round rebuilds subgraphs + a reversed graph and
+    * runs several inner Pregels with their own materializations. */
   def stronglyConnectedComponents(g: PropertyGraph,
       numIter: Int = 30): DataFrame = {
-    val spark = g.nodes.sparkSession
-    import spark.implicits._
-    val scc = g.toGraphX(resolveParts(g, -1))
-      .stronglyConnectedComponents(numIter)
-      .vertices.map { case (id, comp) => (id, comp) }
-    scc.toDF("id", "component")
-      .join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+    val comps = sccColoringDF(
+      g.nodes.select(col("id")),
+      g.edges.select(col("srcId").as("src"), col("dstId").as("dst")),
+      numIter)
+    comps.join(g.nodes.select(col("id"), col("label"), col("key")), Seq("id"))
+  }
+
+  /** Directed SCC via FORWARD-BACKWARD COLORING over DataFrames (the
+    * Orzan coloring / FB-Trim family — the standard distributed-SCC
+    * formulation; round 15, VERDICT r14 #6). Per outer round:
+    *   1. TRIM to fixpoint — an unresolved vertex with no in-edge or no
+    *      out-edge in the remaining subgraph cannot sit on a cycle: it
+    *      is a singleton SCC;
+    *   2. COLOR forward to fixpoint — color(v) = the max id that REACHES
+    *      v (each superstep: dst inherits max of its in-neighbors'
+    *      colors);
+    *   3. BACKWARD within color — from each root r (color(r) = r), the
+    *      vertices that reach r through same-colored vertices are
+    *      exactly FW(r) ∩ BW(r) = SCC(r); peel them, labeled min member
+    *      id (GraphX's labeling), and repeat on the remainder.
+    * Every superstep is one join + map-side-combining aggregate over the
+    * REMAINING edges with iterCheckpoint truncating lineage — the x01
+    * cost model. Superstep count is bounded by the longest remaining
+    * directed path and outer rounds by the color-chain depth: structure
+    * properties, not |V|. Fails loudly if `maxRounds` is exhausted
+    * (the safe direction — never a silently partial labeling). */
+  def sccColoringDF(ids: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    var remaining = ids.toDF("id").distinct().iterCheckpoint()
+    var eRem = edges.toDF("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct().iterCheckpoint()
+    val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var left = remaining.count()
+    var round = 0
+    while (left > 0 && round < maxRounds) {
+      round += 1
+      // 1. TRIM to fixpoint
+      var trimming = true
+      while (trimming && left > 0) {
+        val hasOut = eRem.select(col("src").as("id")).distinct()
+        val hasIn = eRem.select(col("dst").as("id")).distinct()
+        val keep = remaining.join(hasOut, Seq("id"), "left_semi")
+          .join(hasIn, Seq("id"), "left_semi").iterCheckpoint()
+        val kept = keep.count()
+        if (kept == left) trimming = false
+        else {
+          done += remaining.join(keep, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("component"))
+            .localCheckpoint(true)
+          remaining = keep
+          eRem = eRem
+            .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .iterCheckpoint()
+          left = kept
+        }
+      }
+      if (left > 0) {
+        // 2. COLOR forward to fixpoint: dst inherits max in-neighbor color
+        var colors = remaining.select(col("id"), col("id").as("clr"))
+          .iterCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val msgs = eRem
+            .join(colors.select(col("id").as("src"), col("clr").as("c2")),
+              Seq("src"))
+            .groupBy(col("dst").as("id")).agg(max("c2").as("mc"))
+          val next = colors.join(msgs, Seq("id"), "left")
+            .select(col("id"),
+              greatest(col("clr"), coalesce(col("mc"), col("clr")))
+                .as("clr"),
+              (coalesce(col("mc"), col("clr")) > col("clr")).as("ch"))
+            .iterCheckpoint()
+          changed = next.filter(col("ch")).count()
+          colors = next.select("id", "clr")
+        }
+        // 3. BACKWARD within color from the roots (color(r) = r):
+        // u reaches r iff an out-neighbor of the SAME color reaches r
+        var reached = colors.filter(col("id") === col("clr"))
+          .select("id", "clr").iterCheckpoint()
+        var prevReached = reached.count()
+        var grew = true
+        while (grew) {
+          val step = eRem
+            .join(reached.select(col("id").as("dst"), col("clr")),
+              Seq("dst"))
+            .select(col("src").as("id"), col("clr")).distinct()
+            .join(colors.withColumnRenamed("clr", "c0"), Seq("id"))
+            .filter(col("clr") === col("c0")).select("id", "clr")
+          val next = reached.unionByName(step).distinct().iterCheckpoint()
+          val cnt = next.count()
+          grew = cnt > prevReached
+          prevReached = cnt
+          reached = next
+        }
+        val label = reached.groupBy("clr").agg(min("id").as("component"))
+        done += reached.join(label, Seq("clr"))
+          .select("id", "component").localCheckpoint(true)
+        remaining = remaining.join(reached, Seq("id"), "left_anti")
+          .iterCheckpoint()
+        eRem = eRem
+          .join(remaining.select(col("id").as("src")), Seq("src"),
+            "left_semi")
+          .join(remaining.select(col("id").as("dst")), Seq("dst"),
+            "left_semi")
+          .iterCheckpoint()
+        left = remaining.count()
+      }
+    }
+    require(left == 0,
+      s"sccColoringDF: $left vertices unresolved after $maxRounds rounds — " +
+        "raise maxRounds (each round peels every current color root's SCC)")
+    done.reduce(_ unionByName _)
   }
 
   /** Generic min-label propagation over an undirected pair list: returns

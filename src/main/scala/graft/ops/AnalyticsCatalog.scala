@@ -7016,15 +7016,12 @@ object AnalyticsCatalog {
       val cross = ids.filter(col("id") % 100 === 0)
         .filter(col("id") + 10 < n)
         .select(col("id").as("src"), (col("id") + 10).as("dst"))
-      val verts = ids.select(col("id").cast("long")).as[Long]
-        .rdd.map(i => (i, 1))
-      val edgeRdd = ring.unionByName(cross)
-        .select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].rdd
-        .map { case (sv, dv) => org.apache.spark.graphx.Edge(sv, dv, 1) }
-      val gx = org.apache.spark.graphx.Graph(verts, edgeRdd)
-      gx.stronglyConnectedComponents(10)
-        .vertices.map { case (_, comp) => comp }.toDF("component")
+      // round 15 (VERDICT r14 #6): the warmed sf1 re-measure showed the
+      // 13× slope was GraphX's SCC itself, not JIT — replaced by the
+      // DataFrame forward-backward coloring (sccColoringDF), whose
+      // supersteps are the x01 join+aggregate cost model
+      graft.analytics.GraphAlgorithms
+        .sccColoringDF(ids, ring.unionByName(cross))
         .groupBy("component").agg(count(lit(1)).as("size"))
         .orderBy("component").limit(50)
     },
