@@ -364,8 +364,16 @@ final class CypherSession(
     val spark = graph.nodes.sparkSession
     val root = spark.conf.get(TxBatches.StageDirKey,
       spark.conf.get("spark.sql.warehouse.dir") + "/_graft_idx")
-    new org.apache.hadoop.fs.Path(root,
+    val p = new org.apache.hadoop.fs.Path(root,
       s"$kind-${java.util.UUID.randomUUID()}")
+    // registered for the JVM-exit sweep: serving layouts are SESSION
+    // state (rebuilt at boot), so a JVM that exits without dropping its
+    // indexes must not leave their scratch dirs behind — short-lived
+    // JVMs (tests, bench entries, Verify) leaked ~30 GB of orphans
+    // before round 15; the exit sweep + the in-session delete/retire
+    // paths together keep the scratch root bounded by LIVE layouts
+    CypherSession.registerScratchForExitSweep(p.toString)
+    p
   }
 
   private def deleteIndexPath(path: String): Unit =
@@ -374,6 +382,7 @@ final class CypherSession(
       val fs = p.getFileSystem(
         graph.nodes.sparkSession.sessionState.newHadoopConf())
       fs.delete(p, true)
+      CypherSession.liveScratchDirs.remove(path)
     }
 
   /** Superseded serving layouts awaiting deletion: (path, retire
@@ -5698,6 +5707,30 @@ object CypherSession {
     * any probe's lifetime; tests may shrink it to observe deletion. */
   private[graft] val IndexRetireGraceMsKey = "spark.graft.indexRetireGraceMs"
   private[graft] val IndexRetireGraceMsDefault = 60000L
+
+  /** Every index scratch dir any session in this JVM has created and not
+    * yet deleted — swept by ONE JVM shutdown hook (round 15): serving
+    * layouts are session state rebuilt at boot, so nothing on disk must
+    * outlive the process. Best-effort with a default Hadoop conf (the
+    * SparkSession may already be stopped inside the hook); a custom
+    * `spark.graft.stageDir` on a non-default filesystem falls back to
+    * whatever that conf resolves — layouts there are still bounded by
+    * the in-session delete/retire paths. */
+  private val liveScratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitSweepHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveScratchDirs.forEach { s =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(p, true)
+        } catch { case _: Throwable => () }
+      }, "graft-index-scratch-sweep"))
+  private[cypher] def registerScratchForExitSweep(path: String): Unit = {
+    exitSweepHook
+    liveScratchDirs.add(path)
+  }
 
   /** Tombstone-reclamation trigger (round 14): a layout rewrite — the
     * only write-path event whose IO scales with the layout rather than
