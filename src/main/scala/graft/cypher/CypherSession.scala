@@ -134,6 +134,11 @@ final class CypherSession(
     new java.util.concurrent.atomic.AtomicLong
   private[graft] val fulltextIndexLayoutRewriteNanos =
     new java.util.concurrent.atomic.AtomicLong
+  /** Reclamation events that resolved as a zero-IO tombstone PRUNE
+    * (no tombstoned key masked enough stored rows to justify copying —
+    * counted IN ADDITION to [[fulltextIndexLayoutRewrites]]). */
+  private[graft] val fulltextIndexTombstonePrunes =
+    new java.util.concurrent.atomic.AtomicLong
 
   def run(query: String, params: Map[String, Any] = Map.empty): CypherResult = {
     // EXPLAIN/PROFILE prefixes (the Neo4j browser's plan-inspection verbs).
@@ -901,22 +906,47 @@ final class CypherSession(
     val next =
       if (merged.count() >=
           CypherSession.VectorTombstoneRewriteFactor * indexMemThreshold) {
-        // tombstone reclamation: one pass over the layout's stored rows
-        // into a fresh directory, dropping superseded generations
         val rewriteT0 = System.nanoTime()
-        val dir2 = indexScratchDir("ft")
-        spark.read.parquet(st.postingsPath)
-          .join(broadcast(merged), Seq("key"), "left")
-          .filter(col("dropBelow").isNull || col("gen") >= col("dropBelow"))
-          .drop("dropBelow")
-          .repartition(col("tb"))
-          .sortWithinPartitions(col("tb"), col("term"))
-          .write.partitionBy("tb").parquet(dir2.toString)
+        val layout = spark.read.parquet(st.postingsPath)
+        // a tombstone whose key masks NO stored row (the key only ever
+        // entered via its own compaction — the crawler's fresh-insert
+        // pattern) prunes for FREE, exactly the vector layout's round-15
+        // fast path: one column-pruned (key, gen) scan decides
+        val remaining = merged.join(
+          layout.join(broadcast(merged.select(col("key"),
+              col("dropBelow").as("__db"))), Seq("key"))
+            .filter(col("gen") < col("__db")).select(col("key")),
+          Seq("key"), "left_semi").localCheckpoint(true)
+        val remainingCount = remaining.count()
         fulltextIndexLayoutRewrites.incrementAndGet()
-        fulltextIndexLayoutRewriteNanos.addAndGet(System.nanoTime() - rewriteT0)
-        st.copy(postingsPath = dir2.toString,
-          postingsFrame = spark.read.parquet(dir2.toString), overlay = null,
-          gen = nextGen, tombstones = null)
+        if (remainingCount <
+            CypherSession.VectorTombstoneRewriteFactor * indexMemThreshold) {
+          // pure tombstone PRUNE — zero layout IO; any keys still
+          // masking real garbage keep their tombstones until a later
+          // reclamation finds enough to justify the rewrite
+          fulltextIndexTombstonePrunes.incrementAndGet()
+          fulltextIndexLayoutRewriteNanos.addAndGet(
+            System.nanoTime() - rewriteT0)
+          st.copy(postingsFrame = spark.read.parquet(st.postingsPath),
+            overlay = null, gen = nextGen,
+            tombstones = if (remainingCount == 0L) null else remaining)
+        } else {
+          // tombstone reclamation: one pass over the layout's stored
+          // rows into a fresh directory, dropping superseded generations
+          val dir2 = indexScratchDir("ft")
+          layout
+            .join(broadcast(merged), Seq("key"), "left")
+            .filter(col("dropBelow").isNull || col("gen") >= col("dropBelow"))
+            .drop("dropBelow")
+            .repartition(col("tb"))
+            .sortWithinPartitions(col("tb"), col("term"))
+            .write.partitionBy("tb").parquet(dir2.toString)
+          fulltextIndexLayoutRewriteNanos.addAndGet(
+            System.nanoTime() - rewriteT0)
+          st.copy(postingsPath = dir2.toString,
+            postingsFrame = spark.read.parquet(dir2.toString),
+            overlay = null, gen = nextGen, tombstones = null)
+        }
       } else
         // re-read so the cached file index includes the appended files
         st.copy(postingsFrame = spark.read.parquet(st.postingsPath),

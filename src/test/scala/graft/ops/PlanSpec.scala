@@ -1033,10 +1033,13 @@ class PlanSpec extends SparkTestBase {
       names("spark") // build the layout
       val full0 = sess.fulltextIndexFullBuilds.get
       val rw0 = sess.fulltextIndexLayoutRewrites.get
-      // five 70-key batches: each write past the first finds a 210-row
-      // overlay ≥ 64 and compacts; distinct tombstoned KEYS accumulate
-      // 70 → 140 → 210 → 280, crossing the 4×64 = 256 rewrite trigger on
-      // the fifth batch's compaction
+      val pr0 = sess.fulltextIndexTombstonePrunes.get
+      // five 70-key FRESH batches: each write past the first finds a
+      // 210-row overlay ≥ 64 and compacts; distinct tombstoned KEYS
+      // accumulate 70 → 140 → 210 → 280, crossing the 4×64 = 256
+      // reclamation trigger on the fifth batch's compaction. Fresh keys
+      // mask NOTHING, so the event must resolve as a zero-IO PRUNE
+      // (round 15 — the vector layout's fast path, fulltext parity)
       (1 to 5).foreach { b =>
         sess.run(
           "UNWIND $data AS row MERGE (d:Doc {name: row.name}) " +
@@ -1046,13 +1049,46 @@ class PlanSpec extends SparkTestBase {
         names(s"word$b")
       }
       assert(sess.fulltextIndexLayoutRewrites.get === rw0 + 1,
-        "crossing factor×threshold tombstones must rewrite the layout once")
+        "crossing factor×threshold tombstones must reclaim once")
+      assert(sess.fulltextIndexTombstonePrunes.get === pr0 + 1,
+        "fresh-key tombstones mask nothing — the event is a zero-IO prune")
       assert(sess.fulltextIndexFullBuilds.get === full0,
-        "reclamation is a layout rewrite, never a full re-tokenize")
-      // the rewritten layout still serves every generation's survivors
+        "reclamation is a layout-level event, never a full re-tokenize")
+      // the pruned layout still serves every generation's survivors
       (1 to 5).foreach { b =>
         assert(names(s"word$b") === (0 until 70).map(i => s"t${b}x$i").sorted,
-          s"batch $b's docs must survive the rewrite")
+          s"batch $b's docs must survive the reclamation")
+      }
+      // GARBAGE phase: overwrite five DISTINCT 70-key slices of the
+      // already-indexed corpus — their superseded generations are real
+      // garbage, so the next trigger crossing must pay the actual
+      // layout rewrite (dropping the dead rows), not a prune
+      val rw1 = sess.fulltextIndexLayoutRewrites.get
+      val pr1 = sess.fulltextIndexTombstonePrunes.get
+      (1 to 5).foreach { b =>
+        sess.run(
+          "UNWIND $data AS row MERGE (d:Doc {name: row.name}) " +
+            "SET d.title = row.title",
+          Map("data" -> (0 until 70).map(i =>
+            Map("name" -> s"t${b}x$i",
+              "title" -> s"fresh$b refill$b$i coda"))))
+        names(s"fresh$b")
+      }
+      // two reclamation events land in this phase: the first (t5's
+      // garbage-free keys still diluting the set) resolves as another
+      // prune at 210 remaining < 256; the second sees 280 keys of
+      // GENUINE superseded rows and must pay the actual rewrite
+      assert(sess.fulltextIndexLayoutRewrites.get === rw1 + 2,
+        "garbage accumulation must reclaim twice in this phase")
+      assert(sess.fulltextIndexTombstonePrunes.get === pr1 + 1,
+        "exactly one of the two events is garbage-free (prune); the " +
+          "other must pay the REWRITE path")
+      assert(sess.fulltextIndexFullBuilds.get === full0)
+      (1 to 5).foreach { b =>
+        assert(names(s"fresh$b") === (0 until 70).map(i => s"t${b}x$i").sorted,
+          s"batch $b's rewritten docs must serve their NEW titles")
+        assert(names(s"word$b") === Nil,
+          s"batch $b's superseded titles must be gone after the rewrite")
       }
     } finally spark.conf.set(
       graft.cypher.CypherSession.IndexMemThresholdKey,
