@@ -19,6 +19,13 @@ run / fork := true
 Global / showSuccess := false
 // the lint can't see command-level usage of showSuccess
 Global / excludeLintKeys += showSuccess
+// VERDICT r15 #2 (bench-artifact contract, third attempt): sbt decorates
+// forked stdout with an "[info] " prefix by default, so the literal last
+// stdout line of `runMain graft.Bench` was "[info] {...}" and the
+// driver's tail parser recorded "parsed": null two rounds running.
+// StdoutOutput passes the forked JVM's stdout through UNDECORATED — the
+// compact JSON summary becomes the byte-literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

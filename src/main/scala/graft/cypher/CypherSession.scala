@@ -5729,7 +5729,16 @@ object CypherSession {
     * pinned in-memory frame (a broadcast-scale object) stays faster than
     * any file listing. Override per session for tests/tuning. */
   private[graft] val IndexMemThresholdKey = "spark.graft.indexMemThreshold"
-  private[graft] val IndexMemThresholdDefault = 32768L
+  /** Round 16 (guide §6, measured): 32768 put a ~50k-posting fulltext
+    * index (c80's 5k docs at sf0.1 — ~2 MB of rows) on the persisted
+    * path, where the 256-directory partitioned write alone cost 3.3 s
+    * and each probe re-listed/scanned files (~1 s) — both dwarfing the
+    * in-memory filter probe for a frame this size. 262144 rows keeps
+    * megabyte-scale indexes pinned (tens of MB worst case, far under
+    * any executor budget) while the 500k-doc rehearsal corpus (≈5M
+    * postings) still exercises the persisted/compaction path. The knob
+    * stays a session conf for tuning either direction. */
+  private[graft] val IndexMemThresholdDefault = 262144L
 
   /** Grace window (ms) a superseded serving layout stays on disk after
     * its successor is published, so lock-free in-flight probes holding
