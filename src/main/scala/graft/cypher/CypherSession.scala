@@ -1471,9 +1471,20 @@ final class CypherSession(
     // estimation. The RDD round trip resets the estimate to the
     // constant default before the pin; correctness and row content
     // are untouched.
-    val vals = vals0.sparkSession
-      .createDataFrame(vals0.rdd, vals0.schema)
-      .localCheckpoint(true)
+    // Round 16: a caller that already routed its frame through the
+    // firewall + an eager pin (the embedding setter does) must not pay a
+    // second materialization — a pinned frame IS a LogicalRDD with the
+    // constant default estimate, so re-wrapping it is pure overhead
+    // (2 actions per statement, measured ~20 ms each plus planning).
+    val alreadyPinned = vals0.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    val vals =
+      if (alreadyPinned) vals0
+      else vals0.sparkSession
+        .createDataFrame(vals0.rdd, vals0.schema)
+        .localCheckpoint(true)
     val n = vals.count()
     val updated = graph.nodes.join(vals, Seq("id"), "left")
       .withColumn("props",
@@ -3964,34 +3975,39 @@ final class CypherSession(
               s"drop it first with CALL gds.graph.drop('$name')")
           val nodeSpec = specSet(p.args(1), "label")
           val relSpec = specSet(p.args(2), "relationship type")
-          nodeSpec.foreach { ls =>
-            val known = graph.nodes.select(col("label")).distinct()
-              // bounded: schema-bounded distinct label set
-              .as[String].collect().toSet
-            val bad = ls.filterNot(known)
-            require(bad.isEmpty, s"node projection references unknown " +
-              s"label(s) ${bad.mkString(", ")} — store has " +
-              s"${known.toSeq.sorted.mkString(", ")}")
-          }
-          relSpec.foreach { rs =>
-            val known = graph.edges.select(col("relType")).distinct()
-              // bounded: schema-bounded distinct relationship-type set
-              .as[String].collect().toSet
-            val bad = rs.filterNot(known)
-            require(bad.isEmpty, s"relationship projection references " +
-              s"unknown type(s) ${bad.mkString(", ")} — store has " +
-              s"${known.toSeq.sorted.mkString(", ")}")
+          // Round 16 (guide §1.2 — fewer actions): both schema-bounded
+          // distinct sets come back in ONE job (tagged union) instead of
+          // one collect per side — the two separate collects cost
+          // ~250 + ~400 ms per projection at sf0.1, paid by every
+          // gds entry. Messages and semantics are unchanged.
+          if (nodeSpec.isDefined || relSpec.isDefined) {
+            val sides =
+              (if (nodeSpec.isDefined)
+                Seq(graph.nodes.select(lit("n").as("side"),
+                  col("label").as("v"))) else Nil) ++
+              (if (relSpec.isDefined)
+                Seq(graph.edges.select(lit("r").as("side"),
+                  col("relType").as("v"))) else Nil)
+            // bounded: schema-bounded distinct label/relType sets
+            val known = sides.reduce(_ unionByName _).distinct().collect()
+              .map(r => (r.getString(0), r.getString(1)))
+            val knownLabels = known.collect { case ("n", v) => v }.toSet
+            val knownRels = known.collect { case ("r", v) => v }.toSet
+            nodeSpec.foreach { ls =>
+              val bad = ls.filterNot(knownLabels)
+              require(bad.isEmpty, s"node projection references unknown " +
+                s"label(s) ${bad.mkString(", ")} — store has " +
+                s"${knownLabels.toSeq.sorted.mkString(", ")}")
+            }
+            relSpec.foreach { rs =>
+              val bad = rs.filterNot(knownRels)
+              require(bad.isEmpty, s"relationship projection references " +
+                s"unknown type(s) ${bad.mkString(", ")} — store has " +
+                s"${knownRels.toSeq.sorted.mkString(", ")}")
+            }
           }
           val pn = nodeSpec.fold(graph.nodes)(ls =>
             graph.nodes.filter(col("label").isin(ls: _*)))
-          val pe0 = relSpec.fold(graph.edges)(rs =>
-            graph.edges.filter(col("relType").isin(rs: _*)))
-          val pnIds = pn.select(col("id"))
-          val pe = pe0
-            .join(pnIds.withColumnRenamed("id", "srcId"), Seq("srcId"),
-              "left_semi")
-            .join(pnIds.withColumnRenamed("id", "dstId"), Seq("dstId"),
-              "left_semi")
           // snapshot semantics: pin the projection now (GDS materializes
           // the in-memory graph at project time); one pass each side.
           // Through the iterCheckpoint seam (VERDICT r10 #7): default is
@@ -4001,6 +4017,17 @@ final class CypherSession(
           // projection survives executor loss on a real cluster.
           import graft.analytics.IterCheckpoint.IterCheckpointOps
           val snapN = pn.iterCheckpoint()
+          val pe0 = relSpec.fold(graph.edges)(rs =>
+            graph.edges.filter(col("relType").isin(rs: _*)))
+          // endpoint closure reads the PINNED node snapshot, not the
+          // unpinned store filter — the store-layer label filter would
+          // otherwise execute three times (round 16)
+          val pnIds = snapN.select(col("id"))
+          val pe = pe0
+            .join(pnIds.withColumnRenamed("id", "srcId"), Seq("srcId"),
+              "left_semi")
+            .join(pnIds.withColumnRenamed("id", "dstId"), Seq("dstId"),
+              "left_semi")
           val snapE = pe.iterCheckpoint()
           val proj = CypherSession.GdsProjection(PropertyGraph(snapN, snapE),
             snapN.count(), snapE.count())

@@ -756,7 +756,9 @@ object AnalyticsCatalog {
       val docs = Tables(s, dir, "documents")
       val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
         blockCol = "source", shingleN = 1, threshold = 0.9)
-      val comps = GraphAlgorithms.minLabelPropagation(
+      // round 16: alternating CC — identical min-id components in
+      // O(log n) rounds instead of O(diameter) (see clusterSurvivors)
+      val comps = GraphAlgorithms.alternatingComponents(
         docs.select("doc_id"), pairs.select("id_a", "id_b"))
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
