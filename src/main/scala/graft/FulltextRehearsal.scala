@@ -101,14 +101,23 @@ object FulltextRehearsal {
     // tombstoned KEYS accumulate ~1.6k per round below; keep writing
     // until the 4×4000 = 16k reclamation trigger crosses inside a
     // compaction and pays the ONE amortized layout rewrite
+    // reclamation events = rewrites + prunes (round 16, VERDICT r15 #8:
+    // the counters are now DISJOINT — a fresh-insert drill resolves as a
+    // zero-IO prune and must not masquerade as a rewrite)
     val rw0 = sess.fulltextIndexLayoutRewrites.get
+    val pr00 = sess.fulltextIndexTombstonePrunes.get
+    def reclamations =
+      sess.fulltextIndexLayoutRewrites.get +
+        sess.fulltextIndexTombstonePrunes.get
+    val rc0 = reclamations
     var extraRounds = 0
-    while (sess.fulltextIndexLayoutRewrites.get == rw0 && extraRounds < 20) {
+    while (reclamations == rc0 && extraRounds < 20) {
       extraRounds += 1
       ingest(s"ce$extraRounds-", 1600)
       query("spark")
     }
     val rewrites = sess.fulltextIndexLayoutRewrites.get - rw0
+    val prunes = sess.fulltextIndexTombstonePrunes.get - pr00
     val rewriteSec = rewriteNanos / 1e9
     val rebuildsDuringDrill = sess.fulltextIndexFullBuilds.get - fullBefore
     spark.conf.set(cypher.CypherSession.IndexMemThresholdKey,
@@ -127,6 +136,7 @@ object FulltextRehearsal {
       s""""compactions_at_first_probe":$compactionsA,""" +
       s""""layout_rewrite_sec":${f"$rewriteSec%.2f"},""" +
       s""""layout_rewrites":$rewrites,""" +
+      s""""tombstone_prunes":$prunes,""" +
       s""""reclamation_extra_rounds":$extraRounds,""" +
       s""""rebuilds_during_drill":$rebuildsDuringDrill}""")
     spark.stop()

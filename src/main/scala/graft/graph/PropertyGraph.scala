@@ -37,7 +37,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     * a durable deployment round-trips through [[GraphStore]] instead (same
     * truncation, plus the label-partitioned/bucketed layout). */
   def compact(): PropertyGraph =
-    PropertyGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true), 0)
+    PropertyGraph(PropertyGraph.pin(nodes), PropertyGraph.pin(edges), 0)
 
   private def bounded(next: PropertyGraph): PropertyGraph =
     if (next.mergeDepth < maxMergeDepth) next else next.compact()
@@ -376,6 +376,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
 object PropertyGraph {
   /** Merges between automatic lineage truncations (see [[PropertyGraph#compact]]). */
   val maxMergeDepth: Int = 8
+
+  /** Pin a frame as an in-session snapshot — but skip the job entirely
+    * when the frame already IS a pinned snapshot (round 16): a node-only
+    * write burst leaves the edge frame at the previous compaction's
+    * LogicalRDD, and re-checkpointing an unchanged snapshot is one full
+    * materialization job for zero new information. */
+  private[graph] def pin(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint(true)
+    }
 
   def empty(spark: SparkSession): PropertyGraph =
     PropertyGraph(GraphSchema.emptyNodes(spark), GraphSchema.emptyEdges(spark))

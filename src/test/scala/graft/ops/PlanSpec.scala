@@ -809,6 +809,7 @@ class PlanSpec extends SparkTestBase {
       top(Seq(1.0, 1.0, 1.0, 1.0)) // build the layout
       val full0 = sess.vectorIndexFullBuilds.get
       val rw0 = sess.vectorIndexLayoutRewrites.get
+      val pr0 = sess.vectorIndexTombstonePrunes.get
       // five 70-id batches: each write past the first finds a 70-row
       // overlay ≥ 64 and compacts; distinct tombstoned ids accumulate
       // 70 → 140 → 210 → 280, crossing the 4×64 = 256 rewrite trigger on
@@ -823,10 +824,15 @@ class PlanSpec extends SparkTestBase {
             Map("name" -> s"t${b}x$i", "emb" -> s"$b.0,1.0,0.0,0.0"))))
         top(Seq(1.0, 1.0, 1.0, 1.0))
       }
-      assert(sess.vectorIndexLayoutRewrites.get === rw0 + 1,
-        "crossing factor×threshold tombstones must rewrite the layout once")
+      assert(sess.vectorIndexTombstonePrunes.get === pr0 + 1,
+        "crossing factor×threshold tombstones must reclaim once — and " +
+          "fresh-insert tombstones mask nothing, so the event is a " +
+          "zero-IO prune")
+      assert(sess.vectorIndexLayoutRewrites.get === rw0,
+        "a zero-IO prune must NOT count as a layout rewrite (round 16: " +
+          "disjoint counters)")
       assert(sess.vectorIndexFullBuilds.get === full0,
-        "reclamation is a layout rewrite, never a full rebuild")
+        "reclamation is a layout-level event, never a full rebuild")
       // the rewritten layout still serves every generation's survivors
       assert(top(Seq(5.0, 1.0, 0.0, 0.0), 1).head.startsWith("t5x"))
       assert(top(Seq(1.0, 1.0, 0.0, 0.0), 1).head.startsWith("t1x"))
@@ -1048,10 +1054,11 @@ class PlanSpec extends SparkTestBase {
             Map("name" -> s"t${b}x$i", "title" -> s"word$b filler$b$i tail"))))
         names(s"word$b")
       }
-      assert(sess.fulltextIndexLayoutRewrites.get === rw0 + 1,
-        "crossing factor×threshold tombstones must reclaim once")
       assert(sess.fulltextIndexTombstonePrunes.get === pr0 + 1,
         "fresh-key tombstones mask nothing — the event is a zero-IO prune")
+      assert(sess.fulltextIndexLayoutRewrites.get === rw0,
+        "a zero-IO prune must NOT count as a layout rewrite (round 16: " +
+          "the counters are disjoint)")
       assert(sess.fulltextIndexFullBuilds.get === full0,
         "reclamation is a layout-level event, never a full re-tokenize")
       // the pruned layout still serves every generation's survivors
@@ -1078,11 +1085,13 @@ class PlanSpec extends SparkTestBase {
       // garbage-free keys still diluting the set) resolves as another
       // prune at 210 remaining < 256; the second sees 280 keys of
       // GENUINE superseded rows and must pay the actual rewrite
-      assert(sess.fulltextIndexLayoutRewrites.get === rw1 + 2,
-        "garbage accumulation must reclaim twice in this phase")
       assert(sess.fulltextIndexTombstonePrunes.get === pr1 + 1,
-        "exactly one of the two events is garbage-free (prune); the " +
-          "other must pay the REWRITE path")
+        "exactly one of the two reclamation events is garbage-free " +
+          "(prune)")
+      assert(sess.fulltextIndexLayoutRewrites.get === rw1 + 1,
+        "the other reclamation event sees genuine superseded rows and " +
+          "must pay the REWRITE path (disjoint counters: 1 prune + 1 " +
+          "rewrite, never 2 rewrites)")
       assert(sess.fulltextIndexFullBuilds.get === full0)
       (1 to 5).foreach { b =>
         assert(names(s"fresh$b") === (0 until 70).map(i => s"t${b}x$i").sorted,
