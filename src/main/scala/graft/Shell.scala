@@ -30,9 +30,12 @@ object Shell {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe, don't catch (round 16): a caught failed-analysis Dataset
+    // poisons Spark's ObservationManager listener — see GraphStore.exists
     val initial =
-      try GraphStore.read(spark, storePath)
-      catch { case _: Exception => PropertyGraph.empty(spark) }
+      if (GraphStore.exists(spark, s"$storePath/nodes"))
+        GraphStore.read(spark, storePath)
+      else PropertyGraph.empty(spark)
     val sess = new CypherSession(initial)
     val out = System.out
     out.println(s"graft Cypher shell — store: $storePath (`:help` for commands)")

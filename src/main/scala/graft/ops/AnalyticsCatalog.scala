@@ -45,6 +45,26 @@ object AnalyticsCatalog {
     * stripe (the gate) these forms reduce EXACTLY to the naive ones, so
     * oracle hashes are untouched. */
   private val RehearsalStride = 1000000L
+
+  /** Fan a small unsplittable scan out to the session's parallelism
+    * BEFORE per-row-heavy compute (round 16, guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read"):
+    * the gate fixtures are single parquet files with one row group, so
+    * without this every shingle-hash/n-gram-explode stage runs in ONE
+    * task while 31 cores idle — d03's md5 pass and t24/t26/d16's gram
+    * explosions were single-task for their whole 2–4 s. Hash-partitioned
+    * on `key` (deterministic; no round-robin and therefore none of the
+    * sort-before-repartition cost), and a NO-OP whenever the scan
+    * already carries at least the session's parallelism — the cluster
+    * case, where a 100 TB scan has thousands of splits and an extra
+    * exchange of raw text would be pure waste. Results are unaffected:
+    * only the partitioning of a pre-aggregation/pre-join stage moves. */
+  private def fanOut(df: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, key: String)
+      : org.apache.spark.sql.DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+  }
   /** (stripe base, position, per-stripe size) for doc_id fixture math.
     *
     * ADVICE r10 #5: when the id range spans more than one stride the
@@ -394,7 +414,8 @@ object AnalyticsCatalog {
       // oracle, so the LSH pair set itself is hash-checked cross-engine
       // (the xxhash64 family variant stays in Dedup for raw speed;
       // recall equivalence asserted in DedupSpec).
-      Dedup.nearDupPairsMinhashPortable(Tables(s, dir, "documents"),
+      Dedup.nearDupPairsMinhashPortable(
+          fanOut(Tables(s, dir, "documents"), s, "doc_id"),
           "doc_id", "text", shingleN = 1, k = 64, bands = 8, threshold = 0.9)
         .orderBy("id_a", "id_b")
     },
@@ -431,7 +452,7 @@ object AnalyticsCatalog {
 
   private val d04 = Entry("d04_jaccard_pairs",
     (s, dir) => {
-      Dedup.nearDupPairsExact(Tables(s, dir, "documents"),
+      Dedup.nearDupPairsExact(fanOut(Tables(s, dir, "documents"), s, "doc_id"),
           "doc_id", "text", blockCol = "source", shingleN = 1, threshold = 0.9)
         .orderBy("id_a", "id_b")
     },
@@ -618,7 +639,8 @@ object AnalyticsCatalog {
       // arithmetic, so the pair set hash-checks cross-engine (the
       // xxhash64 SimHash64 variant stays in Dedup; DedupSpec asserts
       // both track exact Jaccard).
-      Dedup.nearDupPairsSimhashPortable(Tables(s, dir, "documents"),
+      Dedup.nearDupPairsSimhashPortable(
+          fanOut(Tables(s, dir, "documents"), s, "doc_id"),
           "doc_id", "text", blockCol = "source", bits = 48, maxHamming = 16)
         .orderBy("id_a", "id_b")
     },
@@ -861,7 +883,8 @@ object AnalyticsCatalog {
       // computes the blocked all-pairs form — a hash match here IS the
       // gate-level proof that banding loses nothing. Radius 7-of-48: tight
       // enough that each chunk join sees ~1/64 of the block's pair volume.
-      Dedup.nearDupPairsSimhashBanded(Tables(s, dir, "documents"),
+      Dedup.nearDupPairsSimhashBanded(
+          fanOut(Tables(s, dir, "documents"), s, "doc_id"),
           "doc_id", "text", blockCol = "source", bits = 48, maxHamming = 7)
         .orderBy("id_a", "id_b")
     },
@@ -902,7 +925,7 @@ object AnalyticsCatalog {
       // rejoin is gram-hash equi — no pair joins anywhere. Docs shorter
       // than the window carry no spans and drop out on both sides.
       val n = 8
-      val toks = Tables(s, dir, "documents")
+      val toks = fanOut(Tables(s, dir, "documents"), s, "doc_id")
         .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("ts"))
       val grams = toks.select(col("doc_id"), col("lang"),
         explode(when(size(col("ts")) >= n,
@@ -8340,6 +8363,9 @@ object AnalyticsCatalog {
       // sized. All integer counts and a-z strings — full hash. The oracle
       // unrolls the same three steps per round over spaced-symbol strings
       // (t25's two-replace ≡ greedy-pass equivalence).
+      // fanOut measured 1.3x SLOWER here (round 16): the word-frequency
+      // groupBy already exchanges by word, so the extra doc_id exchange
+      // buys nothing the 20 driver rounds notice — left on one scan task.
       val (merges, _) = graft.analytics.BpeTrain.train(
         Tables(s, dir, "documents"), "text", rounds = 20)
       import s.implicits._
@@ -8372,7 +8398,7 @@ object AnalyticsCatalog {
       // count()-timed gate measures the real work (a join-recombination
       // form lets Catalyst eliminate outer joins under count()). Docs too
       // short for any 2-gram union in as zero rows.
-      val docs = Tables(s, dir, "documents")
+      val docs = fanOut(Tables(s, dir, "documents"), s, "doc_id")
       val base = docs
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("t"),
@@ -8516,7 +8542,7 @@ object AnalyticsCatalog {
       // census (distinct boilerplate grams, their doc hits, total distinct
       // gram volume) — all exact integers.
       val w = split(col("text"), " ")
-      val grams = Tables(s, dir, "documents")
+      val grams = fanOut(Tables(s, dir, "documents"), s, "doc_id")
         .select(col("doc_id"), col("source"), w.as("w"))
         .withColumn("g", when(size(col("w")) >= 5,
           array_distinct(transform(sequence(lit(0), size(col("w")) - 5),
